@@ -1,0 +1,31 @@
+"""ninwavelets_tpu — a TPU-native analytic-wavelet transform engine.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+``Hiroki-Maeda/ninwavelets``: Generalized Morse, Morlet/Gabor, Shannon,
+MexicanHat and Haar filter banks synthesized on device in the frequency
+domain, CWT computed as one batched FFT x bank x iFFT program, with power /
+ITC / baseline correction fused, and multi-chip scale-out via
+``jax.sharding`` (epoch/channel/frequency sharding and halo-exchange chunked
+convolution for long signals).
+
+The top-level exports mirror the reference package surface
+(``/root/reference/ninwavelets/__init__.py:1-3``) plus the functional core
+under ``ninwavelets_tpu.ops`` and the sharded engine under
+``ninwavelets_tpu.parallel``.
+"""
+from . import ops
+from .models import (Haar, MexicanHat, Morlet, Morse, MorseMNE, Shannon,
+                     WaveletBase, WaveletMode)
+from .ops.baseline import Baseline, baseline_correct, baseline_tf
+from .utils import EpochsWavelet, plot_tf, plot_wavelet
+
+__version__ = "0.1.0"
+
+__all__ = [
+    # reference-parity surface (__init__.py:1-3 of the reference)
+    "WaveletBase", "WaveletMode", "plot_tf", "Baseline",
+    "Morse", "MorseMNE", "Morlet", "Haar", "MexicanHat", "Shannon",
+    "EpochsWavelet",
+    # additions
+    "plot_wavelet", "baseline_correct", "baseline_tf", "ops",
+]

@@ -1,0 +1,202 @@
+"""``WaveletBase`` — the template-method extension contract, TPU-native.
+
+This mirrors the reference's central extensibility pattern
+(``/root/reference/ninwavelets/base.py:145-446``, documented at
+``README.md:342-434``): a wavelet subclass supplies only *formulas*
+(``formula``, ``trans_formula``, ``peak_freq``) plus a ``WaveletMode``; the
+base class owns grids, bank synthesis, caching, and the CWT loop.
+
+Differences from the reference, all deliberate:
+
+* formulas are pure jnp functions; the engine vmaps them over the analysis
+  frequencies and jits the whole bank+CWT pipeline — there is no per-call
+  host<->device copy and no numpy/cupy dual path (the ``cuda`` constructor
+  flag is accepted for source compatibility and ignored: XLA owns placement);
+* the bank cache (``self.fft_wavelets``) is a single (F, N) device array,
+  not a Python list — but the *semantics* match ``base.py:394-397``: with
+  ``reuse=True`` a stale bank is length-matched to a new signal by
+  center-pad / head-truncate instead of being rebuilt;
+* ``cp_trans_formula`` does not exist; there is exactly one formula per
+  domain.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bank as _bank
+from ..ops.cwt import cwt_abs as _abs_jit
+from ..ops.cwt import cwt_ri as _cwt_jit
+from ..ops.cwt import power as _power_jit
+from ..ops.cwt import split_complex
+from ..ops.bank import WaveletDef, WaveletMode
+from ..ops.signal_utils import pad_to
+
+
+def _assemble(r, i):
+    """Host-side complex assembly from a float (real, imag-or-None) pair —
+    the only place complex arrays exist outside a compiled program."""
+    if i is None:
+        return np.asarray(r)
+    return np.asarray(r) + 1j * np.asarray(i)
+
+Numbers = Union[Sequence[float], np.ndarray, range, jnp.ndarray]
+
+
+class WaveletBase:
+    """Base class of wavelets.  Subclasses override ``formula`` (time
+    domain), ``trans_formula`` (frequency domain) and ``peak_freq`` as pure
+    jnp functions, and set ``self.mode``.
+
+    Constructor signature matches the reference (``base.py:153-171``),
+    including the ``interpolate=True`` default that the zoo classes override
+    to ``False``.
+    """
+
+    def __init__(self, sfreq: float = 1000, real_wave_length: float = 1.,
+                 interpolate: bool = True, cuda: bool = False) -> None:
+        self.mode: WaveletMode = WaveletMode.Normal
+        self.sfreq: float = sfreq
+        self.help: str = ''
+        self.real_wave_length: float = real_wave_length
+        self.freq_dist: float = 0.0  # distance between analysis freqs (cwt)
+        self.interpolate = interpolate
+        # Accepted for reference API compatibility; placement is XLA's job.
+        self.cuda = cuda
+
+    # -- subclass hooks ------------------------------------------------------
+
+    def peak_freq(self, freq):
+        """Peak frequency used to scale the time-domain grid
+        (``base.py:218-219``)."""
+        return 1.0
+
+    def formula(self, timeline: jnp.ndarray, freq) -> jnp.ndarray:
+        """Time-domain wavelet formula (``base.py:281-301``)."""
+        return timeline
+
+    def trans_formula(self, freqs: jnp.ndarray, freq=1.0) -> jnp.ndarray:
+        """Frequency-domain wavelet formula (``base.py:303-322``)."""
+        return freqs
+
+    # -- engine --------------------------------------------------------------
+
+    def _wdef(self) -> WaveletDef:
+        """Assemble the functional wavelet definition from the bound hooks.
+        Read lazily so runtime mode switches (as the reference demo does with
+        ``nin_morlet.mode = WaveletMode.Both``) take effect.
+        """
+        return WaveletDef(mode=self.mode,
+                          trans_formula=self.trans_formula,
+                          time_formula=self.formula,
+                          peak_freq=self.peak_freq)
+
+    @staticmethod
+    def _check_freqs(freqs: Numbers) -> jnp.ndarray:
+        arr = jnp.asarray(np.asarray(freqs, dtype=np.float32))
+        if arr.ndim != 1 or arr.shape[0] == 0:
+            raise ValueError("freqs must be a non-empty 1-D sequence")
+        if np.any(np.asarray(arr) == 0.0):
+            # Reference behavior: freq == 0 raises (base.py:234-235).
+            raise ZeroDivisionError("analysis frequency 0 is not allowed")
+        return arr
+
+    def make_fft_wavelet(self, freq: float,
+                         real_length: float = 1.) -> np.ndarray:
+        """Single FFT-domain wavelet (``base.py:221-256``).  Returns host
+        numpy (real for Reverse/Both families with real formulas, complex
+        for the Normal/Twice path), matching the reference's return."""
+        if freq == 0:
+            raise ZeroDivisionError
+        r, i = _bank.make_fft_wavelet_ri(
+            self._wdef(), float(freq), self.sfreq, real_length,
+            self.interpolate, self.real_wave_length)
+        return _assemble(r, i)
+
+    def make_fft_wavelets(self, freqs: Numbers,
+                          real_wave_length: float = 1.) -> np.ndarray:
+        """Build and cache the (F, N) bank (``base.py:258-279``).
+
+        The bank lives on device as a float (real, imag-or-None) pair (TPU
+        runtimes reject complex at program boundaries); ``self.fft_wavelets``
+        is the host-numpy view, kept for reference-API parity (the reference
+        returns a list of arrays; rows index the same way).
+        """
+        freqs = self._check_freqs(freqs)
+        if freqs.shape[0] > 1:
+            self.freq_dist = float(freqs[1] - freqs[0])
+        n = int(round(self.sfreq * real_wave_length))
+        self._bank_r, self._bank_i = _bank.make_fft_bank_ri(
+            self._wdef(), freqs, n, self.sfreq, self.interpolate,
+            self.real_wave_length)
+        self.fft_wavelets = _assemble(self._bank_r, self._bank_i)
+        return self.fft_wavelets
+
+    def make_wavelet(self, freq: float) -> np.ndarray:
+        """Single time-domain wavelet (``base.py:346-359``), host numpy."""
+        if freq == 0:
+            raise ZeroDivisionError
+        r, i = _bank.make_time_wavelet_ri(self._wdef(), float(freq),
+                                          self.sfreq, self.real_wave_length)
+        return _assemble(r, i)
+
+    def make_wavelets(self, freqs: Numbers) -> List[np.ndarray]:
+        """Time-domain wavelets, one per frequency — list form kept for
+        mne-python interop (``base.py:361-376``).
+        """
+        self.wavelets = [self.make_wavelet(float(f)) for f in np.asarray(freqs)]
+        return self.wavelets
+
+    def _bank_for(self, wave_r):
+        """The cached device bank, length-matched to the signal by
+        center-pad / head-truncate — the reference's stale-bank contract
+        (``base.py:394-397``)."""
+        bank_r = pad_to(self._bank_r, wave_r)
+        bank_i = None if self._bank_i is None else pad_to(self._bank_i, wave_r)
+        return bank_r, bank_i
+
+    def _prepare(self, wave, freqs, reuse):
+        wave_r, wave_i = split_complex(wave)
+        if (not reuse) or (not hasattr(self, '_bank_r')):
+            if freqs is None:
+                raise ValueError("freqs is required when no bank is cached")
+            self.make_fft_wavelets(freqs, wave_r.shape[-1] / self.sfreq)
+        bank_r, bank_i = self._bank_for(wave_r)
+        return wave_r, wave_i, bank_r, bank_i
+
+    def cwt(self, wave, freqs: Optional[Numbers] = None,
+            reuse: bool = True) -> np.ndarray:
+        """Continuous wavelet transform (``base.py:378-407``).
+
+        Accepts (N,) or any (..., N) batch; returns host-numpy complex
+        coefficients (as the reference does).  ``reuse=True`` keeps the
+        cached bank even if freqs or the signal length changed — the stale
+        bank is center-padded / truncated to the new length, exactly the
+        reference's (quirky) contract (``base.py:394-397``).  For an
+        on-device / inside-jit CWT use ``ninwavelets_tpu.ops.cwt_from_bank``.
+        """
+        wave_r, wave_i, bank_r, bank_i = self._prepare(wave, freqs, reuse)
+        r, i = _cwt_jit(wave_r, bank_r, bank_i, wave_i,
+                        interpolate=self.interpolate)
+        return _assemble(r, i)
+
+    def power(self, wave, freqs: Optional[Numbers] = None,
+              reuse: bool = True) -> jnp.ndarray:
+        """``|cwt|**2``, fused on device (``base.py:409-425``).  Returns a
+        float32 device array (stays on device for chaining)."""
+        wave_r, wave_i, bank_r, bank_i = self._prepare(wave, freqs, reuse)
+        return _power_jit(wave_r, bank_r, bank_i, wave_i,
+                          interpolate=self.interpolate)
+
+    def abs(self, wave, freqs: Optional[Numbers] = None,
+            reuse: bool = True) -> jnp.ndarray:
+        """``|cwt|``, fused on device (``base.py:427-443``)."""
+        wave_r, wave_i, bank_r, bank_i = self._prepare(wave, freqs, reuse)
+        return _abs_jit(wave_r, bank_r, bank_i, wave_i,
+                        interpolate=self.interpolate)
+
+    def plot(self, freq: float, show: bool = True):
+        from ..utils.plotting import plot_wavelet
+        return plot_wavelet(self, freq, show)

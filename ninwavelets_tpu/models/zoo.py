@@ -1,0 +1,153 @@
+"""The wavelet zoo: Morse, Morlet/Gabor, MorseMNE, MexicanHat, Shannon, Haar.
+
+Mirrors ``/root/reference/ninwavelets/wavelets.py`` class-for-class — same
+constructors, same defaults, same modes — with every formula delegated to the
+pure functions in ``ninwavelets_tpu.ops.spectra`` so the engine can vmap and
+jit them.
+"""
+from __future__ import annotations
+
+from typing import List, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import spectra
+from ..ops.bank import WaveletMode
+from .base import Numbers, WaveletBase
+
+
+class Morse(WaveletBase):
+    """Generalized Morse wavelets (reference ``wavelets.py:7-74``).
+
+    Peak-normalized GMW evaluated directly in the frequency domain
+    (mode=Reverse): ``2 * H(w) * w**b * exp((b/r) * (1 - w**r))``.
+
+    Parameters
+    ----------
+    sfreq: sampling frequency (Hz).
+    b: beta — time-bandwidth-ish parameter (default 17.5).
+    r: gamma — symmetry parameter (default 3, the Airy family).
+    """
+
+    def __init__(self, sfreq: float = 1000, b: float = 17.5, r: float = 3,
+                 real_wave_length: float = 1.,
+                 interpolate: bool = False, cuda: bool = False) -> None:
+        super().__init__(sfreq, real_wave_length, interpolate, cuda)
+        self.r = float(r)
+        self.b = float(b)
+        self.mode = WaveletMode.Reverse
+        self.help = ('Generalized Morse wavelets are defined in the '
+                     'frequency domain; the time-domain form shown here is '
+                     'their inverse FFT.')
+
+    def trans_formula(self, freqs: jnp.ndarray, freq=1.0) -> jnp.ndarray:
+        return spectra.morse_spectrum(freqs, freq, self.b, self.r)
+
+
+class Morlet(WaveletBase):
+    """Morlet (or Gabor, with ``gabor=True``) wavelets (reference
+    ``wavelets.py:77-144``), mode=Both: the frequency-domain formula drives
+    the CWT bank; the time-domain formula is used for plotting / MNE interop.
+    """
+
+    def __init__(self, sfreq: float = 1000, sigma: float = 7.,
+                 real_wave_length: float = 1.,
+                 gabor: bool = False, interpolate: bool = False,
+                 cuda: bool = False) -> None:
+        super().__init__(sfreq, real_wave_length, interpolate, cuda)
+        self.mode = WaveletMode.Both
+        self.sigma = float(sigma)
+        self.gabor = bool(gabor)
+        # Reference-parity constants (wavelets.py:118-122), incl. the
+        # exp(-sigma**2) quirk in c — see ops.spectra.morlet_norm_constants.
+        self.c, self.k = spectra.morlet_norm_constants(self.sigma, self.gabor)
+
+    def trans_formula(self, freqs: jnp.ndarray, freq=1.0) -> jnp.ndarray:
+        return spectra.morlet_spectrum(freqs, freq, self.sigma, self.gabor)
+
+    def formula(self, timeline: jnp.ndarray, freq=1.0) -> jnp.ndarray:
+        return spectra.morlet_time(timeline, self.sigma, self.gabor)
+
+    def peak_freq(self, freq):
+        return spectra.morlet_peak_freq(freq, self.sigma)
+
+
+class MorseMNE(Morse):
+    """Morse CWT delegated to mne-python's ``tfr.cwt`` using time-domain
+    wavelets (reference ``wavelets.py:147-191``).  Deprecated upstream and
+    kept only for API parity; requires ``mne`` to be installed.
+
+    Deviation (documented): the reference hardcodes ``range(1, 100)`` and
+    ignores its ``freqs`` argument (``wavelets.py:189``) — a bug we fix by
+    honoring ``freqs``.
+    """
+
+    def cwt(self, wave, freqs: Numbers, use_fft: bool = True,
+            mode: str = 'same', decim: float = 1):  # type: ignore[override]
+        try:
+            from mne.time_frequency import tfr
+        except ImportError as e:  # pragma: no cover - mne optional
+            raise ImportError(
+                "MorseMNE.cwt requires mne-python; install mne or use "
+                "Morse.cwt for the native TPU path") from e
+        wavelets = [np.asarray(w) for w in self.make_wavelets(freqs)]
+        wave = np.atleast_2d(np.asarray(wave))
+        return tfr.cwt(wave, wavelets, use_fft=use_fft, mode=mode,
+                       decim=decim).mean(axis=0)
+
+
+class MexicanHat(WaveletBase):
+    """Mexican-hat (Ricker) wavelets (reference ``wavelets.py:194-228``),
+    mode=Normal: time-domain only; the bank is its FFT with the reference's
+    abs-of-parts quirk.
+    """
+
+    def __init__(self, sfreq: float = 1000, sigma: float = 7,
+                 real_wave_length: float = 1.,
+                 interpolate: bool = False, cuda: bool = False) -> None:
+        super().__init__(sfreq, real_wave_length, interpolate, cuda)
+        self.sigma = float(sigma)
+        self.mode = WaveletMode.Normal
+        self.help = ''
+
+    def formula(self, tc: jnp.ndarray, freq=1.0) -> jnp.ndarray:
+        return spectra.mexican_hat_time(tc, self.sigma)
+
+    def peak_freq(self, freq):
+        return spectra.MEXICAN_HAT_PEAK_FREQ
+
+
+class Shannon(WaveletBase):
+    """Shannon wavelets (reference ``wavelets.py:231-262``), mode=Reverse.
+
+    The reference's brick-wall passes *grid values* <= 1 (not physical Hz)
+    and ignores the analysis frequency — preserved verbatim for coefficient
+    parity (see ``ops.spectra.shannon_spectrum``).
+    """
+
+    def __init__(self, sfreq: float = 1000, sigma: float = 7,
+                 real_wave_length: float = 1.,
+                 interpolate: bool = False, cuda: bool = False) -> None:
+        super().__init__(sfreq, real_wave_length, interpolate, cuda)
+        self.sigma = float(sigma)
+        self.mode = WaveletMode.Reverse
+        self.help = ''
+
+    def trans_formula(self, tc: jnp.ndarray, freq=1.0) -> jnp.ndarray:
+        return spectra.shannon_spectrum(tc, freq)
+
+
+class Haar(WaveletBase):
+    """Haar wavelets (reference ``wavelets.py:265-280``), mode=Normal.
+    The reference class has no ``cuda`` parameter; kept that way.
+    """
+
+    def __init__(self, sfreq: float = 1000,
+                 real_wave_length: float = 1.,
+                 interpolate: bool = False) -> None:
+        super().__init__(sfreq, real_wave_length, interpolate)
+        self.mode = WaveletMode.Normal
+
+    def formula(self, timeline: jnp.ndarray, freq=1.0) -> jnp.ndarray:
+        return spectra.haar_time(timeline)

@@ -1,0 +1,37 @@
+"""Functional core: on-device wavelet synthesis, the CWT hot path, and
+fused post-processing.  Everything here is pure, jittable, and shape-static —
+the class layer in ``ninwavelets_tpu.models`` is a thin parity veneer over
+these functions.
+"""
+from .bank import (WaveletDef, WaveletMode, make_fft_bank, make_fft_bank_ri,
+                   make_fft_wavelet, make_fft_wavelet_ri, make_time_wavelet,
+                   make_time_wavelet_ri, pad_spectrum_to)
+from .baseline import (Baseline, baseline_correct, baseline_of, baseline_tf,
+                       METHODS as BASELINE_METHODS)
+from .cwt import (abs_from_bank, analytic_spectrum, cwt_abs, cwt_from_bank,
+                  cwt_ri, itc, itc_from_bank, mean_power,
+                  mean_power_from_bank, power, power_from_bank, split_complex)
+from .grids import analytic_mask, fft_bin_freqs, reverse_timeline, wavelet_timeline
+from .signal_utils import (MNE_CONSTANT, SizeError, hamming_window,
+                           interpolate_alias, normalize, pad_to)
+from .spectra import (MEXICAN_HAT_PEAK_FREQ, haar_time, mexican_hat_time,
+                      morlet_norm_constants, morlet_peak_freq,
+                      morlet_spectrum, morlet_time, morse_spectrum,
+                      shannon_spectrum)
+
+__all__ = [
+    "WaveletDef", "WaveletMode", "make_fft_bank", "make_fft_bank_ri",
+    "make_fft_wavelet", "make_fft_wavelet_ri", "make_time_wavelet",
+    "make_time_wavelet_ri", "pad_spectrum_to",
+    "Baseline", "baseline_correct", "baseline_of", "baseline_tf",
+    "BASELINE_METHODS",
+    "abs_from_bank", "analytic_spectrum", "cwt_abs", "cwt_from_bank",
+    "cwt_ri", "itc", "itc_from_bank", "mean_power", "mean_power_from_bank",
+    "power", "power_from_bank", "split_complex",
+    "analytic_mask", "fft_bin_freqs", "reverse_timeline", "wavelet_timeline",
+    "MNE_CONSTANT", "SizeError", "hamming_window", "interpolate_alias",
+    "normalize", "pad_to",
+    "MEXICAN_HAT_PEAK_FREQ", "haar_time", "mexican_hat_time",
+    "morlet_norm_constants", "morlet_peak_freq", "morlet_spectrum",
+    "morlet_time", "morse_spectrum", "shannon_spectrum",
+]

@@ -1,0 +1,92 @@
+"""EpochsWavelet: the MNE batch adapter, validated against per-epoch calls
+and reference semantics (``/root/reference/ninwavelets/mneutils.py:9-71``)
+using a duck-typed fake Epochs (mne itself is optional).
+"""
+import numpy as np
+import pytest
+
+import ninwavelets_tpu as nw
+from conftest import make_example
+
+
+class FakeEpochs:
+    """Duck-typed mne.Epochs: the three members the adapter touches."""
+
+    def __init__(self, data, sfreq):
+        self._data = data
+        self.info = {"sfreq": sfreq}
+        self.ch_names = [f"EEG {i:03d}" for i in range(data.shape[1])]
+
+    def get_data(self):
+        return self._data
+
+
+@pytest.fixture
+def epochs():
+    rng = np.random.default_rng(42)
+    base = make_example(1.0)
+    # 6 epochs x 3 channels: phase-consistent 60 Hz + noise
+    data = np.stack([
+        np.stack([base + 0.1 * rng.normal(size=base.shape)
+                  for _ in range(3)])
+        for _ in range(6)])
+    return FakeEpochs(data, 1000.0)
+
+
+FREQS = np.arange(10.0, 100.0, 15.0)
+
+
+def test_sfreq_override(epochs):
+    w = nw.Morse(sfreq=123.0)
+    nw.EpochsWavelet(epochs, w)
+    assert w.sfreq == 1000.0  # mneutils.py:24 semantics
+
+
+def test_cwt_matches_per_epoch_loop(epochs):
+    w = nw.Morse(1000.0)
+    ew = nw.EpochsWavelet(epochs, w)
+    got = np.asarray(ew.cwt("EEG 001", FREQS))
+    # reference semantics: loop epochs, one cwt per epoch (mneutils.py:37-40)
+    waves = epochs.get_data()[:, 1, :]
+    want = np.stack([np.asarray(nw.Morse(1000.0).cwt(x, FREQS))
+                     for x in waves])
+    assert got.shape == (6, len(FREQS), 1000)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_power_is_epoch_mean(epochs):
+    w = nw.Morse(1000.0)
+    ew = nw.EpochsWavelet(epochs, w)
+    p = np.asarray(ew.power("EEG 000", FREQS))
+    c = np.asarray(ew.cwt("EEG 000", FREQS))
+    np.testing.assert_allclose(p, (np.abs(c) ** 2).mean(axis=0),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_itc_identical_epochs_is_one():
+    """Phase-locked identical epochs => ITC == 1 everywhere (where the
+    coefficient is nonzero)."""
+    base = make_example(1.0)
+    data = np.stack([np.stack([base]) for _ in range(5)])  # (5, 1, N)
+    ew = nw.EpochsWavelet(FakeEpochs(data, 1000.0), nw.Morse(1000.0))
+    itc = np.asarray(ew.itc("EEG 000", FREQS))
+    assert np.nanmax(itc) <= 1.0 + 1e-5
+    c = np.abs(np.asarray(ew.cwt("EEG 000", FREQS)))[0]
+    np.testing.assert_allclose(itc[c > 1e-3], 1.0, atol=1e-5)
+
+
+def test_itc_matches_reference_formula(epochs):
+    ew = nw.EpochsWavelet(epochs, nw.Morse(1000.0))
+    got = np.asarray(ew.itc("EEG 002", FREQS))
+    c = np.asarray(ew.cwt("EEG 002", FREQS)).astype(np.complex128)
+    want = np.abs((c / np.abs(c)).mean(axis=0))  # mneutils.py:68-71
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_all_channel_batch(epochs):
+    ew = nw.EpochsWavelet(epochs, nw.Morse(1000.0))
+    p_all = np.asarray(ew.power_all(FREQS))
+    assert p_all.shape == (3, len(FREQS), 1000)
+    p_one = np.asarray(
+        nw.EpochsWavelet(epochs, nw.Morse(1000.0)).power("EEG 001", FREQS))
+    np.testing.assert_allclose(p_all[1], p_one, rtol=1e-4, atol=1e-7)
