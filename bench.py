@@ -1,0 +1,77 @@
+"""Headline benchmark: EEG-seconds/s/chip on the BASELINE workload.
+
+Workload (BASELINE.json north star): Morse CWT power TFR of 64-channel 1 kHz
+EEG over 100 analysis frequencies — the fused bank x FFT x iFFT + |.|^2 +
+epoch-mean pipeline, everything resident on device.
+
+Prints ONE JSON line:
+  {"metric": "eeg_seconds_per_s_per_chip", "value": ..., "unit": "EEG-s/s",
+   "vs_baseline": ...}
+
+``vs_baseline`` is measured against the reference's own throughput on this
+workload: the ninwavelets README reports 15.9 s for a 50 s single-channel
+1 kHz CWT on a 6-core i7 (numpy backend, ~100 freqs; /root/reference/
+README.md:463-465) = 3.14 signal-seconds/s, i.e. 3.14/64 = 0.0491
+EEG-seconds/s for 64 channels.  ``vs_target`` is the fraction of the
+BASELINE.json north-star target (3600 EEG-s/s/chip = 1 real-time hour/s).
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+REF_EEG_SECONDS_PER_S = 3.1446541 / 64.0   # README.md:465, scaled to 64 ch
+TARGET_EEG_SECONDS_PER_S = 3600.0          # BASELINE.json north star
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import ninwavelets_tpu as nw
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+    from ninwavelets_tpu.ops.cwt import mean_power_from_bank
+
+    sfreq = 1000.0
+    n = int(os.environ.get("BENCH_N", 2048))          # samples / segment
+    channels = int(os.environ.get("BENCH_CHANNELS", 64))
+    epochs = int(os.environ.get("BENCH_EPOCHS", 8))   # segments / call
+    n_freqs = int(os.environ.get("BENCH_FREQS", 100))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    morse = nw.Morse(sfreq)
+    bank = jnp.asarray(np.asarray(
+        make_fft_bank(morse._wdef(), jnp.arange(1.0, n_freqs + 1.0), n,
+                      sfreq, True), dtype=np.float32))
+    rng = np.random.default_rng(0)
+    signals = jnp.asarray(
+        rng.standard_normal((epochs, channels, n)).astype(np.float32))
+
+    step = jax.jit(lambda s, b: mean_power_from_bank(s, b, True))
+    # Warmup / compile.
+    jax.block_until_ready(step(signals, bank))
+    jax.block_until_ready(step(signals, bank))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(signals, bank)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    eeg_seconds = epochs * (n / sfreq) * iters
+    value = eeg_seconds / elapsed
+    print(json.dumps({
+        "metric": "eeg_seconds_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "EEG-s/s",
+        "vs_baseline": round(value / REF_EEG_SECONDS_PER_S, 1),
+        "vs_target": round(value / TARGET_EEG_SECONDS_PER_S, 3),
+        "config": {"channels": channels, "freqs": n_freqs, "segment_n": n,
+                   "epochs_per_call": epochs, "iters": iters,
+                   "device": str(jax.devices()[0])},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,9 +72,13 @@ def abs_from_bank(signal: jnp.ndarray, bank: jnp.ndarray,
 # ----------------------------------------------------------------------------
 
 def _scan_mean(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
-               per_epoch):
+               per_epoch, vma_axes=()):
     """Mean of ``per_epoch(cwt)`` over the leading (epoch) axis via scan —
     O(1) memory in the number of epochs.
+
+    ``vma_axes``: when called inside ``shard_map``, the mesh axis names the
+    scan body output varies over — the zero init must be cast to the same
+    varying-manual-axes type or the scan carry types mismatch.
     """
     n_epochs = signals.shape[0]
 
@@ -84,6 +88,8 @@ def _scan_mean(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
 
     shape = signals.shape[1:-1] + (bank.shape[0], signals.shape[-1])
     init = jnp.zeros(shape, dtype=per_epoch(jnp.zeros((), jnp.complex64)).dtype)
+    if vma_axes:
+        init = lax.pcast(init, tuple(vma_axes), to="varying")
     total, _ = lax.scan(step, init, signals)
     return total / n_epochs
 

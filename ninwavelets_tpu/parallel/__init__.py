@@ -1,0 +1,24 @@
+"""Multi-chip scale-out: mesh construction, sharded epoch/frequency
+transforms, and sequence-parallel chunked CWT for long recordings.
+
+The reference has no distributed layer (SURVEY §2.2); this package is the
+TPU-native replacement for its latent parallel axes — the Python epoch loop
+(``mneutils.py:37-40``), the per-frequency bank list (``base.py:275-278``)
+and the whole-signal FFT (``base.py:399``) — as ``shard_map`` programs over a
+(data, freq, time) ``jax.sharding.Mesh`` with XLA collectives (``pmean`` for
+epoch reductions, ``ppermute`` for time-axis halos).
+"""
+from .chunked import (chunk_bank, chunked_abs, chunked_cwt_ri, chunked_power,
+                      halo_samples)
+from .mesh import (DATA_AXIS, FREQ_AXIS, TIME_AXIS, auto_mesh, flat_mesh,
+                   make_mesh, pad_to_multiple, shard_batch)
+from .sharded import (sharded_cwt_ri, sharded_itc, sharded_mean_power,
+                      sharded_power)
+
+__all__ = [
+    "DATA_AXIS", "FREQ_AXIS", "TIME_AXIS",
+    "make_mesh", "flat_mesh", "auto_mesh", "shard_batch", "pad_to_multiple",
+    "sharded_mean_power", "sharded_itc", "sharded_cwt_ri", "sharded_power",
+    "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",
+    "halo_samples",
+]

@@ -1,0 +1,131 @@
+"""Sharded batch transforms: the EpochsWavelet reductions scaled over a mesh.
+
+The reference computes its epochs TFRs with a per-epoch Python loop on one
+host (``/root/reference/ninwavelets/mneutils.py:26-71``).  Here the same math
+runs under ``shard_map`` over a (data, freq) mesh:
+
+* the (E, C, N) epochs block is sharded over ``data`` on the epoch axis,
+* the (F, N) bank is sharded over ``freq`` — each chip holds (and can
+  synthesize) only its own frequency slice,
+* the epoch-mean power and inter-trial coherence reductions finish with one
+  ``pmean`` over ``data`` (the only cross-chip traffic; the frequency axis
+  needs no collective at all),
+* outputs stay sharded over ``freq`` so the (C, F, N) TFR plane never has to
+  be resident on one chip; gathering happens only if the caller fetches the
+  array to host.
+
+Program boundaries are float-only (real/imag pairs) — see ``ops.cwt`` for why
+complex64 must not cross jit/host boundaries on TPU runtimes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.cwt import _as_bank, _as_signal, _scan_mean, cwt_from_bank
+from .mesh import DATA_AXIS, FREQ_AXIS
+
+_BANK_SPEC = P(FREQ_AXIS, None)
+
+
+def _shard_call(mesh, local, sig_spec, out_specs, signals_r, bank_r, bank_i):
+    """Dispatch ``local(sig, bank_r, bank_i_or_None)`` through shard_map,
+    with the imag bank plumbed only when it exists (its presence is static
+    under jit, so the two traces are distinct programs)."""
+    if bank_i is None:
+        fn = lambda sig, br: local(sig, br, None)
+        return jax.shard_map(fn, mesh=mesh, in_specs=(sig_spec, _BANK_SPEC),
+                             out_specs=out_specs)(signals_r, bank_r)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(sig_spec, _BANK_SPEC, _BANK_SPEC),
+                         out_specs=out_specs)(signals_r, bank_r, bank_i)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate"))
+def sharded_mean_power(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
+                       interpolate: bool = False):
+    """Epoch-mean power TFR over the mesh: (E, ..., N) -> (..., F, N).
+
+    Epochs sharded over ``data``, bank rows over ``freq``; each shard streams
+    its local epochs through the fused CWT+|.|^2 scan, then one ``pmean``
+    over ``data`` completes the global epoch mean (reference semantics:
+    ``mneutils.py:42-55``).  E must be divisible by the ``data`` axis size
+    (use ``mesh.pad_to_multiple`` on the host otherwise).
+    """
+    def local(sig, br, bi):
+        bank = _as_bank(br, bi)
+        local_mean = _scan_mean(
+            sig, bank, interpolate,
+            lambda c: jnp.square(c.real) + jnp.square(c.imag),
+            vma_axes=(DATA_AXIS, FREQ_AXIS))
+        return lax.pmean(local_mean, DATA_AXIS)
+
+    out_spec = P(*([None] * (signals_r.ndim - 2)), FREQ_AXIS, None)
+    return _shard_call(mesh, local, P(DATA_AXIS), out_spec,
+                       signals_r, bank_r, bank_i)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "eps"))
+def sharded_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
+                interpolate: bool = False, eps: float = 0.0):
+    """Inter-trial coherence over the mesh: (E, ..., N) -> (..., F, N).
+
+    ``| mean_E cwt/|cwt| |`` (reference ``mneutils.py:57-71``): the unit-phase
+    mean is linear in epochs, so shards reduce locally, ``pmean`` over
+    ``data``, and the final ``abs`` runs on the reduced value.
+    """
+    def local(sig, br, bi):
+        bank = _as_bank(br, bi)
+
+        def unit_phase(c):
+            mag = jnp.abs(c)
+            if eps:
+                mag = jnp.maximum(mag, eps)
+            return c / mag
+
+        local_mean = _scan_mean(sig, bank, interpolate, unit_phase,
+                                vma_axes=(DATA_AXIS, FREQ_AXIS))
+        return jnp.abs(lax.pmean(local_mean, DATA_AXIS))
+
+    out_spec = P(*([None] * (signals_r.ndim - 2)), FREQ_AXIS, None)
+    return _shard_call(mesh, local, P(DATA_AXIS), out_spec,
+                       signals_r, bank_r, bank_i)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate"))
+def sharded_cwt_ri(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
+                   interpolate: bool = False):
+    """Raw CWT coefficients over the mesh: (E, ..., N) -> (E, ..., F, N) as a
+    (real, imag) float pair, epochs sharded over ``data`` and frequency rows
+    over ``freq``.  No collective at all — both axes are embarrassingly
+    parallel; the output stays fully sharded.
+    """
+    ndim = signals_r.ndim  # (E, ..., N)
+    out_spec = P(DATA_AXIS, *([None] * (ndim - 2)), FREQ_AXIS, None)
+
+    def local(sig, br, bi):
+        c = cwt_from_bank(_as_signal(sig, None), _as_bank(br, bi), interpolate)
+        return c.real, c.imag
+
+    return _shard_call(mesh, local, P(DATA_AXIS, *([None] * (ndim - 1))),
+                       (out_spec, out_spec), signals_r, bank_r, bank_i)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate"))
+def sharded_power(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
+                  interpolate: bool = False):
+    """Per-epoch power (no epoch mean): (E, ..., N) -> (E, ..., F, N),
+    sharded over (data, freq) with no collectives."""
+    ndim = signals_r.ndim
+    out_spec = P(DATA_AXIS, *([None] * (ndim - 2)), FREQ_AXIS, None)
+
+    def local(sig, br, bi):
+        c = cwt_from_bank(_as_signal(sig, None), _as_bank(br, bi), interpolate)
+        return jnp.square(c.real) + jnp.square(c.imag)
+
+    return _shard_call(mesh, local, P(DATA_AXIS, *([None] * (ndim - 1))),
+                       out_spec, signals_r, bank_r, bank_i)

@@ -1,0 +1,150 @@
+"""Sharded-engine tests on the 8-device virtual CPU mesh.
+
+Correctness bar (SURVEY §4): the same math on one device and on a sharded
+mesh must agree to float32 round-off — the sharded programs are the single-
+chip programs plus collectives, nothing else.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ninwavelets_tpu as nw
+from ninwavelets_tpu import parallel as par
+from ninwavelets_tpu.ops import cwt as ops_cwt
+from ninwavelets_tpu.ops.bank import make_fft_bank
+
+
+def _morse_bank(n, sfreq=1000.0, freqs=None, interpolate=False):
+    morse = nw.Morse(sfreq)
+    freqs = np.arange(10, 90, dtype=np.float32) if freqs is None else freqs
+    bank = make_fft_bank(morse._wdef(), jnp.asarray(freqs), n, sfreq,
+                         interpolate)
+    return np.asarray(bank, dtype=np.float32), freqs
+
+
+def _epochs_block(e=8, c=3, n=500, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 1000.0
+    sig = np.sin(2 * np.pi * 40 * t)[None, None, :]
+    return (sig + 0.3 * rng.standard_normal((e, c, n))).astype(np.float32)
+
+
+class TestShardedReductions:
+    def test_mean_power_matches_single_device(self):
+        mesh = par.make_mesh(data=4, freq=2)
+        sig = _epochs_block()
+        bank, _ = _morse_bank(sig.shape[-1])
+        want = np.asarray(ops_cwt.mean_power(jnp.asarray(sig),
+                                             jnp.asarray(bank)))
+        got = np.asarray(par.sharded_mean_power(jnp.asarray(sig),
+                                                jnp.asarray(bank), mesh=mesh))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+    def test_itc_matches_single_device(self):
+        mesh = par.make_mesh(data=2, freq=4)
+        sig = _epochs_block(e=6)
+        bank, _ = _morse_bank(sig.shape[-1])
+        want = np.asarray(ops_cwt.itc(jnp.asarray(sig), jnp.asarray(bank)))
+        got = np.asarray(par.sharded_itc(jnp.asarray(sig), jnp.asarray(bank),
+                                         mesh=mesh))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+    def test_cwt_ri_and_power_sharded(self):
+        mesh = par.make_mesh(data=8, freq=1)
+        sig = _epochs_block(e=8, c=2, n=256)
+        bank, _ = _morse_bank(256, freqs=np.arange(20, 52, dtype=np.float32))
+        wr, wi = ops_cwt.cwt_ri(jnp.asarray(sig), jnp.asarray(bank))
+        gr, gi = par.sharded_cwt_ri(jnp.asarray(sig), jnp.asarray(bank),
+                                    mesh=mesh)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(wr),
+                                   rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                                   rtol=2e-5, atol=1e-5)
+        wp = np.asarray(ops_cwt.power(jnp.asarray(sig), jnp.asarray(bank)))
+        gp = np.asarray(par.sharded_power(jnp.asarray(sig),
+                                          jnp.asarray(bank), mesh=mesh))
+        np.testing.assert_allclose(gp, wp, rtol=2e-5, atol=1e-6)
+
+    def test_complex_bank_family_sharded(self):
+        """Normal/Twice-mode (MexicanHat) banks are complex -> the imag bank
+        path through shard_map."""
+        mesh = par.make_mesh(data=2, freq=2)
+        mex = nw.MexicanHat(1000)
+        freqs = np.arange(10, 26, dtype=np.float32)
+        sig = _epochs_block(e=4, c=2, n=300)
+        bank = make_fft_bank(mex._wdef(), jnp.asarray(freqs), 300, 1000.0,
+                             False, mex.real_wave_length)
+        br = jnp.asarray(np.asarray(bank.real, np.float32))
+        bi = jnp.asarray(np.asarray(bank.imag, np.float32))
+        want = np.asarray(ops_cwt.mean_power(jnp.asarray(sig), br, bi))
+        got = np.asarray(par.sharded_mean_power(jnp.asarray(sig), br, bi,
+                                                mesh=mesh))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+class TestChunked:
+    def test_halo_samples_reasonable(self):
+        morse = nw.Morse(1000)
+        h = par.halo_samples(morse._wdef(), min_freq=20.0, sfreq=1000.0)
+        # Morse(b=17.5) at 20 Hz lives a few hundred ms; halo must be
+        # positive and far below the probe length.
+        assert 10 < h < 4000
+
+    def test_chunked_power_matches_whole_signal_interior(self):
+        sfreq = 1000.0
+        n = 4096
+        mesh = par.flat_mesh(par.TIME_AXIS)
+        n_dev = mesh.shape[par.TIME_AXIS]
+        chunk = n // n_dev
+        t = np.arange(n) / sfreq
+        sig = (np.sin(2 * np.pi * 60 * t)
+               + 0.5 * np.sin(2 * np.pi * 23 * t)).astype(np.float32)
+        freqs = np.arange(20, 80, 4, dtype=np.float32)
+        morse = nw.Morse(sfreq)
+        halo = par.halo_samples(morse._wdef(), float(freqs.min()), sfreq,
+                                tol=1e-5)
+        assert halo <= chunk, "test geometry: halo must fit in a chunk"
+        br, bi = par.chunk_bank(morse._wdef(), freqs, chunk, halo, sfreq)
+        got = np.asarray(par.chunked_power(jnp.asarray(sig), br, bi,
+                                           mesh=mesh, halo=halo))
+        bank_full, _ = _morse_bank(n, sfreq, freqs)
+        want = np.asarray(ops_cwt.power(jnp.asarray(sig),
+                                        jnp.asarray(bank_full)))
+        assert got.shape == want.shape == (len(freqs), n)
+        # Interior: away from the global edges, chunked(linear) ==
+        # whole-signal(circular) to float32.
+        m = halo
+        gi, wi = got[:, m:-m], want[:, m:-m]
+        err = np.abs(gi - wi)
+        scale = np.abs(wi).max()
+        assert err.max() < 1e-3 * scale
+
+    def test_chunked_cwt_ri_shapes(self):
+        mesh = par.flat_mesh(par.TIME_AXIS)
+        n_dev = mesh.shape[par.TIME_AXIS]
+        n = 256 * n_dev
+        sig = np.random.default_rng(1).standard_normal(n).astype(np.float32)
+        freqs = np.arange(30, 46, dtype=np.float32)
+        morse = nw.Morse(1000)
+        br, bi = par.chunk_bank(morse._wdef(), freqs, 256, 64, 1000.0)
+        r, i = par.chunked_cwt_ri(jnp.asarray(sig), br, bi, mesh=mesh,
+                                  halo=64)
+        assert r.shape == i.shape == (len(freqs), n)
+
+
+class TestMeshHelpers:
+    def test_auto_mesh_factors_all_devices(self):
+        mesh = par.auto_mesh()
+        assert mesh.devices.size == len(jax.devices())
+
+    def test_make_mesh_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            par.make_mesh(data=64, freq=2)
+
+    def test_pad_to_multiple(self):
+        x = np.ones((5, 3))
+        y = par.pad_to_multiple(x, 4, axis=0)
+        assert y.shape == (8, 3)
+        assert np.all(y[5:] == 0)
+        assert par.pad_to_multiple(x, 5, axis=0) is x
