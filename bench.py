@@ -32,6 +32,7 @@ def main():
     import ninwavelets_tpu as nw
     from ninwavelets_tpu.ops.bank import make_fft_bank
     from ninwavelets_tpu.ops.cwt import mean_power_from_bank
+    from ninwavelets_tpu.ops import fused
 
     sfreq = 1000.0
     n = int(os.environ.get("BENCH_N", 2048))          # samples / segment
@@ -39,6 +40,9 @@ def main():
     epochs = int(os.environ.get("BENCH_EPOCHS", 8))   # segments / call
     n_freqs = int(os.environ.get("BENCH_FREQS", 100))
     iters = int(os.environ.get("BENCH_ITERS", 20))
+    # Kernel precision: fast3 (default, ~1e-5 rel err), exact (true f32),
+    # bf16 (single pass, ~5e-3); "xla" forces the non-Pallas FFT path.
+    precision = os.environ.get("BENCH_PRECISION", fused.DEFAULT_PRECISION)
 
     morse = nw.Morse(sfreq)
     bank = jnp.asarray(np.asarray(
@@ -48,7 +52,11 @@ def main():
     signals = jnp.asarray(
         rng.standard_normal((epochs, channels, n)).astype(np.float32))
 
-    step = jax.jit(lambda s, b: mean_power_from_bank(s, b, True))
+    if precision == "xla":
+        step = jax.jit(lambda s, b: mean_power_from_bank(s, b, True))
+    else:
+        step = lambda s, b: fused.mean_power_auto(
+            s, b, interpolate=True, precision=precision)
     # Warmup / compile.
     jax.block_until_ready(step(signals, bank))
     jax.block_until_ready(step(signals, bank))
@@ -69,6 +77,7 @@ def main():
         "vs_target": round(value / TARGET_EEG_SECONDS_PER_S, 3),
         "config": {"channels": channels, "freqs": n_freqs, "segment_n": n,
                    "epochs_per_call": epochs, "iters": iters,
+                   "precision": precision,
                    "device": str(jax.devices()[0])},
     }))
 

@@ -11,6 +11,8 @@ from .baseline import (Baseline, baseline_correct, baseline_of, baseline_tf,
 from .cwt import (abs_from_bank, analytic_spectrum, cwt_abs, cwt_from_bank,
                   cwt_ri, itc, itc_from_bank, mean_power,
                   mean_power_from_bank, power, power_from_bank, split_complex)
+from .fused import (fused_mean_power, fused_mean_power_from_bank,
+                    mean_power_auto)
 from .grids import analytic_mask, fft_bin_freqs, reverse_timeline, wavelet_timeline
 from .signal_utils import (MNE_CONSTANT, SizeError, hamming_window,
                            interpolate_alias, normalize, pad_to)
@@ -28,6 +30,7 @@ __all__ = [
     "abs_from_bank", "analytic_spectrum", "cwt_abs", "cwt_from_bank",
     "cwt_ri", "itc", "itc_from_bank", "mean_power", "mean_power_from_bank",
     "power", "power_from_bank", "split_complex",
+    "fused_mean_power", "fused_mean_power_from_bank", "mean_power_auto",
     "analytic_mask", "fft_bin_freqs", "reverse_timeline", "wavelet_timeline",
     "MNE_CONSTANT", "SizeError", "hamming_window", "interpolate_alias",
     "normalize", "pad_to",

@@ -1,0 +1,342 @@
+"""Pallas mega-kernel: bank-multiply x matmul-iFFT x |.|^2 x epoch-sum, fused.
+
+Why: the XLA hot path (``ops.cwt.mean_power``) is HBM-bandwidth-bound — per
+epoch it writes the (C, F, N) complex bank*spectrum product, reads it into
+the batched iFFT, writes the complex coefficients, then reads them again for
+the power reduction: ~4 full passes over a tensor that is only ever needed
+once.  This kernel keeps the whole per-row pipeline in VMEM: it reads the
+signal *spectra* (tiny) and the bank row, runs the inverse DFT as two MXU
+matrix multiplies (four-step Cooley-Tukey), squares, and accumulates over
+epochs — HBM sees only spectra in and one f32 power plane out.
+
+Math: length-N inverse DFT decomposed as N = N1 * 128 (N1 = N/128), index
+split k = 128*k1 + k2, n = n1 + N1*n2 (k1, n1 in [0, N1); k2, n2 in
+[0, 128)):
+
+    x[n1 + N1 n2] = sum_k2 w_128^{n2 k2} * [ w_N^{n1 k2}
+                    * sum_k1 z[128 k1 + k2] * w_N1^{n1 k1} ]
+
+Stage 1 contracts k1 (a skinny matmul over Z = z.reshape(N1, 128)), the
+twiddle is elementwise, and stage 2 contracts k2 — a DENSE (K=128) matmul
+with full MXU utilization (the N2-minor decomposition would need a
+block-diagonal stage 2 that wastes 128/N2 of the MXU).  Epochs are packed
+along lanes in stage 1 (weight-stationary, one dispatch) and along sublanes
+in stage 2 (128/N1 epochs per dispatch); real/imag are folded into stacked
+operands, so each program runs 1 + E/(128/N1) dense matmuls per bank row.
+
+With the analytic/interpolate path (the reference's ``interpolate=True``,
+``base.py:400-401``) the upper half of the spectrum is zero, the signal FFT
+becomes an rFFT, and stage 1 halves.  Matmul precision is selectable (see
+``PRECISIONS``); the default "fast3" runs a manual 3-pass bf16 split at
+~1e-5 relative error, ~1.5x faster end-to-end than true-f32 "exact".
+
+The reference computes this pipeline as per-frequency numpy loops + host-
+side abs (``/root/reference/ninwavelets/base.py:378-443``); parity is
+against ``ops.cwt.mean_power`` (same math via XLA FFT), tested to float32.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+F_BLOCK = 8               # bank rows per program
+MAX_EPOCHS_PER_CALL = 8   # VMEM budget: stage tensors are O(E * N1 * 128)
+
+#: Matmul precision for the DFT stages.  The MXU is the kernel bottleneck:
+#: measured on v5e at the BASELINE workload, "exact" (Precision.HIGHEST,
+#: true f32, ~4e-7 relative error) runs ~3x slower than "bf16" (single-pass,
+#: ~5e-3 — fails float32 parity).  "fast3" is the missing middle Mosaic
+#: doesn't expose: a manual 3-pass bf16 split (a_hi@b_hi + a_hi@b_lo +
+#: a_lo@b_hi, the classic precision-doubling trick), ~1e-5 relative error at
+#: ~3x the bf16 cost — still ~1.7x faster than "exact" end to end.
+PRECISIONS = ("fast3", "exact", "bf16")
+DEFAULT_PRECISION = "fast3"
+
+
+def _split_hi_lo(x):
+    """bf16 hi/lo decomposition: x ~= hi + lo with exactly representable
+    parts; a@b ~= hi(a)@hi(b) + hi(a)@lo(b) + lo(a)@hi(b) drops only the
+    O(2^-16) lo*lo term."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _supported(n: int) -> bool:
+    """Kernel geometry: N = N1 * 128 with N1 in {8, 16, 32, 64, 128}."""
+    n1 = n // LANES
+    return n % LANES == 0 and 8 <= n1 <= LANES and (n1 & (n1 - 1)) == 0
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_constants(n: int, analytic: bool):
+    """Host-precomputed f32 DFT factors (cached as numpy — device arrays
+    created inside a jit trace must not leak into a cross-trace cache).
+
+    Returns (w1c, twr, twi, w2c) for N1 = n/128, K1 = N1/2 if analytic:
+      w1c (2*N1, 2*K1): [[W1r, -W1i], [W1i, W1r]], W1[n1,k1]=w_N1^{n1 k1}
+      twr/twi (N1, 128): twiddle w_N^{n1 k2}
+      w2c (2*128, 2*128): [[W2r, W2i], [-W2i, W2r]], W2[k2,n2]=w_128^{k2 n2}
+    """
+    n1_dim = n // LANES
+    k1_dim = n1_dim // 2 if analytic else n1_dim
+
+    k1 = np.arange(k1_dim)
+    n1 = np.arange(n1_dim)
+    w1 = np.exp(2j * np.pi * np.outer(n1, k1) / n1_dim)
+    w1c = np.block([[w1.real, -w1.imag], [w1.imag, w1.real]])
+
+    k2 = np.arange(LANES)
+    tw = np.exp(2j * np.pi * np.outer(n1, k2) / n)              # (N1, 128)
+
+    w2 = np.exp(2j * np.pi * np.outer(k2, k2) / LANES)          # (128, 128)
+    w2c = np.block([[w2.real, w2.imag], [-w2.imag, w2.real]])
+
+    as_f32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+    return as_f32(w1c), as_f32(tw.real), as_f32(tw.imag), as_f32(w2c)
+
+
+def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
+            w2c_ref, out_ref, *, n_epochs: int, n1_dim: int, precision: str):
+    """One (channel, frequency-block) program.
+
+    Layouts (K1 = spectrum sublanes — N1/2 on the analytic path):
+      spec_*: (E, 1, K1, 128)        — z.reshape(N1, 128)[:K1] per epoch
+      bank:   (1, F_BLOCK, K1, 128)  — bank rows, pre-scaled by 1/N
+      out:    (1, F_BLOCK, N1, 128)  — epoch-summed power, split layout
+                                       [n1, n2] (n = n1 + N1*n2)
+    """
+    w1c = w1c_ref[...]
+    twr, twi = twr_ref[...], twi_ref[...]
+    w2c = w2c_ref[...]
+    mxu_prec = (lax.Precision.HIGHEST if precision == "exact"
+                else lax.Precision.DEFAULT)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=mxu_prec)
+    if precision == "fast3":
+        w1c_h, w1c_l = _split_hi_lo(w1c)
+        w2c_h, w2c_l = _split_hi_lo(w2c)
+
+        def mul1(m):
+            mh, ml = _split_hi_lo(m)
+            return dot(w1c_h, mh) + dot(w1c_h, ml) + dot(w1c_l, mh)
+
+        def mul2(b):
+            bh, bl = _split_hi_lo(b)
+            return dot(bh, w2c_h) + dot(bl, w2c_h) + dot(bh, w2c_l)
+    else:
+        mul1 = lambda m: dot(w1c, m)
+        mul2 = lambda b: dot(b, w2c)
+
+    e_total = n_epochs
+    e_group = max(1, LANES // n1_dim)      # epochs stacked per stage-2 dispatch
+
+    for fb in range(F_BLOCK):
+        bank = bank_ref[0, fb]                        # (K1, 128)
+        # Stage 0 (VPU): bank * spectrum, epochs packed along lanes,
+        # real block stacked over imag block in sublanes.
+        mr = jnp.concatenate(
+            [bank * spec_r_ref[e, 0] for e in range(e_total)], 1)
+        mi = jnp.concatenate(
+            [bank * spec_i_ref[e, 0] for e in range(e_total)], 1)
+        m = jnp.concatenate([mr, mi], 0)              # (2K1, E*128)
+
+        # Stage 1 (MXU, skinny): A = W1 @ M for all epochs in one dispatch.
+        a = mul1(m)                                   # (2*N1, E*128)
+        ar, ai = a[:n1_dim], a[n1_dim:]
+
+        # Twiddle (VPU) per epoch, then stack epoch groups along sublanes
+        # for the dense stage-2 matmul.
+        acc = None
+        for g in range(0, e_total, e_group):
+            brs, bis = [], []
+            for e in range(g, min(g + e_group, e_total)):
+                s = slice(e * LANES, (e + 1) * LANES)
+                are, aie = ar[:, s], ai[:, s]
+                brs.append(are * twr - aie * twi)
+                bis.append(are * twi + aie * twr)
+            br = jnp.concatenate(brs, 0)              # (g_e*N1, 128)
+            bi = jnp.concatenate(bis, 0)
+            # Stage 2 (MXU, dense K=128): X = B @ W2 for real+imag at once.
+            x = mul2(jnp.concatenate([br, bi], 1))
+            xr, xi = x[:, :LANES], x[:, LANES:]
+            p = xr * xr + xi * xi                     # rows (e, n1)
+            group = p.reshape(len(brs), n1_dim, LANES).sum(0)
+            acc = group if acc is None else acc + group
+        out_ref[0, 0, fb] = acc                       # (N1, 128) [n1, n2]
+
+
+def _prepare_bank(bank: jnp.ndarray, n: int, analytic: bool,
+                  n_epochs: int) -> jnp.ndarray:
+    """(F, N) real bank -> (F/F_BLOCK, F_BLOCK, K1, 128) pre-scaled by
+    1/(N*sqrt(E)): the iDFT 1/N and the epoch-mean 1/E (power is quadratic
+    in the bank) both fold into the bank, saving a full output pass.
+    Row f becomes bank[f].reshape(N1, 128)[:K1] — a pure reshape."""
+    n1_dim = n // LANES
+    k1_dim = n1_dim // 2 if analytic else n1_dim
+    f_total = bank.shape[0]
+    b = bank[:, :k1_dim * LANES].reshape(f_total // F_BLOCK, F_BLOCK,
+                                         k1_dim, LANES)
+    return (b / (float(n) * float(n_epochs) ** 0.5)).astype(jnp.float32)
+
+
+def _fused_power_mean(signals: jnp.ndarray, bank: jnp.ndarray,
+                      interpolate: bool, interpret: bool,
+                      precision: str) -> jnp.ndarray:
+    """Power MEANED over the epoch axis: (E<=8, C, N), (F, N) -> (C, F, N).
+    The 1/E is folded into the bank scale inside ``_prepare_bank``."""
+    e, c, n = signals.shape
+    f_total = bank.shape[0]
+    n1_dim = n // LANES
+    k1_dim = n1_dim // 2 if interpolate else n1_dim
+
+    pad_f = (-f_total) % F_BLOCK
+    if pad_f:
+        bank = jnp.pad(bank, ((0, pad_f), (0, 0)))
+    n_blocks = (f_total + pad_f) // F_BLOCK
+
+    if interpolate:
+        # Real input + analytic path: rfft gives exactly the bins the kernel
+        # needs (0..N/2) at roughly half the cost of the complex FFT.
+        spec = jnp.fft.rfft(signals)[..., :k1_dim * LANES]
+    else:
+        spec = jnp.fft.fft(signals.astype(jnp.complex64))
+        spec = spec[..., :k1_dim * LANES]
+    spec_r = spec.real.reshape(e, c, k1_dim, LANES)
+    spec_i = spec.imag.reshape(e, c, k1_dim, LANES)
+    bank_t = _prepare_bank(bank, n, interpolate, e)
+    consts = _dft_constants(n, interpolate)
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda ci, fi: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_epochs=e, n1_dim=n1_dim,
+                          precision=precision),
+        grid=(c, n_blocks),
+        in_specs=[
+            pl.BlockSpec((e, 1, k1_dim, LANES), lambda ci, fi: (0, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((e, 1, k1_dim, LANES), lambda ci, fi: (0, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F_BLOCK, k1_dim, LANES),
+                         lambda ci, fi: (fi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((2 * n1_dim, 2 * k1_dim)),
+            rep((n1_dim, LANES)),
+            rep((n1_dim, LANES)),
+            rep((2 * LANES, 2 * LANES)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, F_BLOCK, n1_dim, LANES),
+                               lambda ci, fi: (ci, fi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, n_blocks, F_BLOCK, n1_dim, LANES),
+                                       jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * c * n_blocks * F_BLOCK * e * LANES
+                  * (n1_dim * k1_dim + n1_dim * LANES),
+            bytes_accessed=c * (e * 2 * k1_dim * LANES * 4
+                                + n_blocks * F_BLOCK * (k1_dim + n1_dim)
+                                * LANES * 4),
+            transcendentals=0),
+    )(spec_r, spec_i, bank_t, *consts)
+
+    # Split layout [n1, n2] -> natural n = n1 + N1*n2: transpose the two
+    # minor axes (one XLA pass over the f32 output).
+    tf = jnp.transpose(out, (0, 1, 2, 4, 3)).reshape(c, n_blocks * F_BLOCK, n)
+    if pad_f:
+        tf = tf[:, :f_total]
+    return tf
+
+
+def fused_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
+                               interpolate: bool = True,
+                               interpret: bool = False,
+                               precision: str = DEFAULT_PRECISION
+                               ) -> jnp.ndarray:
+    """Epoch-mean power TFR via the fused Pallas kernel.
+
+    Args:
+      signals: (E, C, N) float32.  E > 8 must be a multiple of 8 (epochs are
+        processed in VMEM-sized chunks of 8 and mean-reduced).
+      bank: (F, N) float32 — a REAL frequency-domain bank (Morse / Morlet /
+        Shannon; Normal/Twice-mode complex banks use the XLA path).
+      interpolate: the analytic trick (upper spectrum half zeroed).  True
+        halves stage 1; False keeps the full K1 = N1.
+      interpret: run the kernel in the Pallas interpreter (CPU tests).
+
+    Returns:
+      (C, F, N) float32, matching ``ops.cwt.mean_power_from_bank`` at
+      float32 tolerance.
+    """
+    if precision not in PRECISIONS:
+        raise ValueError(f"precision must be one of {PRECISIONS}")
+    e = signals.shape[0]
+    if e <= MAX_EPOCHS_PER_CALL:
+        return _fused_power_mean(signals, bank, interpolate, interpret,
+                                 precision)
+    if e % MAX_EPOCHS_PER_CALL:
+        raise ValueError(f"epochs must be <= {MAX_EPOCHS_PER_CALL} or a "
+                         f"multiple of it, got {e}")
+    # Equal-size chunks: the mean of chunk means is the global epoch mean.
+    chunks = signals.reshape((e // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL)
+                             + signals.shape[1:])
+    total = lax.scan(
+        lambda acc, s: (acc + _fused_power_mean(s, bank, interpolate,
+                                                interpret, precision), None),
+        jnp.zeros((signals.shape[1], bank.shape[0], signals.shape[2]),
+                  jnp.float32), chunks)[0]
+    return total / (e // MAX_EPOCHS_PER_CALL)
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted(interpolate: bool, interpret: bool, precision: str):
+    """One stable jitted callable per config — a fresh ``jax.jit`` wrapper
+    per call would defeat the compilation cache (recompile every call)."""
+    return jax.jit(functools.partial(fused_mean_power_from_bank,
+                                     interpolate=interpolate,
+                                     interpret=interpret,
+                                     precision=precision))
+
+
+def fused_mean_power(signal_r, bank_r, *, interpolate: bool = True,
+                     interpret: bool = False,
+                     precision: str = DEFAULT_PRECISION):
+    """Jitted float-boundary wrapper (complex never crosses the boundary)."""
+    return _jitted(interpolate, interpret, precision)(signal_r, bank_r)
+
+
+def mean_power_auto(signal_r, bank_r, bank_i=None, *,
+                    interpolate: bool = False,
+                    precision: str = DEFAULT_PRECISION):
+    """Epoch-mean power with automatic kernel dispatch: the fused Pallas
+    kernel on TPU when the workload conforms (real bank, (E, C, N) batch,
+    N = N1*128), otherwise the XLA FFT path — same result either way."""
+    from .cwt import mean_power as _xla_mean_power
+    if (bank_i is None and jax.default_backend() == "tpu"
+            and supports(signal_r.shape, bank_r)):
+        return fused_mean_power(signal_r, bank_r, interpolate=interpolate,
+                                precision=precision)
+    return _xla_mean_power(signal_r, bank_r, bank_i,
+                           interpolate=interpolate)
+
+
+def supports(signals_shape, bank) -> bool:
+    """True when the fused kernel can run this workload (real bank, conform
+    geometry) — callers fall back to the XLA path otherwise."""
+    if bank is None or len(signals_shape) != 3:
+        return False
+    e = signals_shape[0]
+    if e > MAX_EPOCHS_PER_CALL and e % MAX_EPOCHS_PER_CALL:
+        return False
+    return _supported(signals_shape[-1]) and not jnp.iscomplexobj(bank)

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..ops.cwt import cwt_ri as _cwt_jit
 from ..ops.cwt import itc as _itc_jit
-from ..ops.cwt import mean_power as _mean_power_jit
+from ..ops.fused import mean_power_auto as _mean_power_jit
 from ..ops.signal_utils import pad_to
 from ..models.base import Numbers, WaveletBase
 
@@ -78,8 +78,8 @@ class EpochsWavelet:
         """
         waves = self._channel_data(ch_name)
         bank = self._bank_for(waves, freqs)
-        return _mean_power_jit(waves, bank[0], bank[1],
-                               interpolate=self.wavelet.interpolate)
+        return _mean_power_jit(waves[:, None, :], bank[0], bank[1],
+                               interpolate=self.wavelet.interpolate)[0]
 
     def itc(self, ch_name: str, freqs: Numbers) -> jnp.ndarray:
         """(F, N) inter-trial coherence (``mneutils.py:57-71``)."""

@@ -1,0 +1,113 @@
+"""Fused Pallas kernel parity (interpreter mode on CPU).
+
+The kernel's math — matmul four-step iDFT x bank x |.|^2 x epoch mean — must
+match the XLA FFT path (``ops.cwt.mean_power_from_bank``) to float32.  On
+real TPU hardware the compiled kernel is exercised by ``bench.py`` and the
+verify flow; here the Pallas interpreter checks the same program.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ninwavelets_tpu as nw
+from ninwavelets_tpu.ops import fused
+from ninwavelets_tpu.ops.bank import make_fft_bank
+from ninwavelets_tpu.ops.cwt import mean_power_from_bank
+
+
+def _workload(n=2048, nf=100, e=4, c=3, interpolate=True, seed=0):
+    sfreq = 1000.0
+    morse = nw.Morse(sfreq)
+    bank = np.asarray(make_fft_bank(morse._wdef(),
+                                    jnp.arange(1.0, nf + 1.0), n, sfreq,
+                                    interpolate), np.float32)
+    sig = np.random.default_rng(seed).standard_normal((e, c, n)).astype(
+        np.float32)
+    return sig, bank
+
+
+@pytest.mark.parametrize("interpolate", [True, False])
+def test_parity_vs_xla(interpolate):
+    sig, bank = _workload(interpolate=interpolate)
+    want = np.asarray(jax.jit(
+        lambda s, b: mean_power_from_bank(s, b, interpolate))(sig, bank))
+    got = np.asarray(fused.fused_mean_power_from_bank(
+        jnp.asarray(sig), jnp.asarray(bank), interpolate, interpret=True,
+        precision="exact"))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-4, rel
+
+
+def test_parity_n1024_small_bank():
+    sig, bank = _workload(n=1024, nf=37, e=8, c=2)
+    want = np.asarray(jax.jit(
+        lambda s, b: mean_power_from_bank(s, b, True))(sig, bank))
+    got = np.asarray(fused.fused_mean_power_from_bank(
+        jnp.asarray(sig), jnp.asarray(bank), True, interpret=True,
+        precision="exact"))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-4, rel
+
+
+def test_epoch_chunking():
+    """E > 8 runs in chunks of 8; the mean of chunk means must equal the
+    global epoch mean."""
+    sig, bank = _workload(e=16, c=2, nf=24)
+    want = np.asarray(jax.jit(
+        lambda s, b: mean_power_from_bank(s, b, True))(sig, bank))
+    got = np.asarray(fused.fused_mean_power_from_bank(
+        jnp.asarray(sig), jnp.asarray(bank), True, interpret=True,
+        precision="exact"))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-4, rel
+
+
+def test_fast3_precision_within_gate():
+    """The 3-pass bf16 mode must stay within ~1e-4 of the XLA reference
+    (measured ~1e-5; the gate leaves headroom for unlucky seeds)."""
+    sig, bank = _workload(e=8, c=4)
+    want = np.asarray(jax.jit(
+        lambda s, b: mean_power_from_bank(s, b, True))(sig, bank))
+    got = np.asarray(fused.fused_mean_power_from_bank(
+        jnp.asarray(sig), jnp.asarray(bank), True, interpret=True,
+        precision="fast3"))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-4, rel
+
+
+def test_supports_geometry():
+    bank = jnp.ones((100, 2048), jnp.float32)
+    assert fused.supports((8, 64, 2048), bank)
+    assert fused.supports((16, 64, 1024), bank[:, :1024])
+    assert not fused.supports((9, 64, 2048), bank)        # 9 epochs
+    assert not fused.supports((8, 2048), bank)            # missing channel
+    assert not fused.supports((8, 64, 2000), bank)        # N not N1*128
+    assert not fused.supports((8, 64, 2048), None)
+    cbank = jnp.ones((4, 2048), jnp.complex64)
+    assert not fused.supports((8, 64, 2048), cbank)
+
+
+def test_bad_precision_raises():
+    sig, bank = _workload(e=2, c=1, nf=8)
+    with pytest.raises(ValueError):
+        fused.fused_mean_power_from_bank(jnp.asarray(sig), jnp.asarray(bank),
+                                         precision="nope")
+
+
+def test_bad_epoch_count_raises():
+    sig, bank = _workload(e=12, c=1, nf=8)
+    with pytest.raises(ValueError):
+        fused.fused_mean_power_from_bank(jnp.asarray(sig), jnp.asarray(bank),
+                                         True, interpret=True)
+
+
+def test_auto_dispatch_falls_back_on_cpu():
+    """On the CPU test mesh the auto path must use XLA (and agree with it)."""
+    sig, bank = _workload(e=4, c=2, nf=16)
+    want = np.asarray(jax.jit(
+        lambda s, b: mean_power_from_bank(s, b, True))(sig, bank))
+    got = np.asarray(fused.mean_power_auto(jnp.asarray(sig),
+                                           jnp.asarray(bank),
+                                           interpolate=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
