@@ -13,11 +13,12 @@ The top-level exports mirror the reference package surface
 under ``ninwavelets_tpu.ops`` and the sharded engine under
 ``ninwavelets_tpu.parallel``.
 """
-from . import ops
+from . import config, ops
 from .models import (Haar, MexicanHat, Morlet, Morse, MorseMNE, Shannon,
                      WaveletBase, WaveletMode)
 from .ops.baseline import Baseline, baseline_correct, baseline_tf
-from .utils import EpochsWavelet, plot_tf, plot_wavelet
+from .utils import (EpochsWavelet, Parallel, Sequence, compose, dict_map,
+                    plot_tf, plot_wavelet)
 
 __version__ = "0.1.0"
 
@@ -27,5 +28,6 @@ __all__ = [
     "Morse", "MorseMNE", "Morlet", "Haar", "MexicanHat", "Shannon",
     "EpochsWavelet",
     # additions
-    "plot_wavelet", "baseline_correct", "baseline_tf", "ops",
+    "plot_wavelet", "baseline_correct", "baseline_tf", "ops", "config",
+    "Parallel", "Sequence", "compose", "dict_map",
 ]

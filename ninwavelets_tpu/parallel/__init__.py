@@ -9,16 +9,17 @@ and the whole-signal FFT (``base.py:399``) — as ``shard_map`` programs over a
 epoch reductions, ``ppermute`` for time-axis halos).
 """
 from .chunked import (chunk_bank, chunked_abs, chunked_cwt_ri, chunked_power,
-                      halo_samples)
+                      halo_samples, pow2_halo)
 from .mesh import (DATA_AXIS, FREQ_AXIS, TIME_AXIS, auto_mesh, flat_mesh,
                    make_mesh, pad_to_multiple, shard_batch)
 from .sharded import (sharded_cwt_ri, sharded_itc, sharded_mean_power,
                       sharded_power)
+from .streaming import StreamingCWT
 
 __all__ = [
     "DATA_AXIS", "FREQ_AXIS", "TIME_AXIS",
     "make_mesh", "flat_mesh", "auto_mesh", "shard_batch", "pad_to_multiple",
     "sharded_mean_power", "sharded_itc", "sharded_cwt_ri", "sharded_power",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",
-    "halo_samples",
+    "halo_samples", "pow2_halo", "StreamingCWT",
 ]

@@ -79,6 +79,18 @@ def halo_samples(wdef: WaveletDef, min_freq: float, sfreq: float,
     return int(dist.max()) + 1
 
 
+def pow2_halo(window: int, min_halo: int) -> int:
+    """Smallest halo >= ``min_halo`` making ``window + 2*halo`` a power of
+    two.  XLA lowers non-power-of-two FFTs on TPU to a dense DFT matmul —
+    O(N^2) memory (a 66k-point window would allocate a 17 GB DFT matrix) —
+    so extended chunk lengths must stay powers of two on TPU.
+    """
+    if window % 2:
+        raise ValueError("window length must be even")
+    ext = 1 << int(np.ceil(np.log2(window + 2 * min_halo)))
+    return (ext - window) // 2
+
+
 def chunk_bank(wdef: WaveletDef, freqs, chunk_len: int, halo: int,
                sfreq: float, interpolate: bool = False):
     """(F, chunk_len + 2*halo) bank for the extended chunks, as a float

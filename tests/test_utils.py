@@ -1,0 +1,137 @@
+"""Tooltip utilities, observability, config dataclasses, streaming CWT."""
+import doctest
+import logging
+import operator
+
+import numpy as np
+import pytest
+
+import ninwavelets_tpu as nw
+from ninwavelets_tpu import config as cfg
+from ninwavelets_tpu.parallel import StreamingCWT
+from ninwavelets_tpu.utils import observability, tooltip
+from ninwavelets_tpu.ops.bank import make_fft_bank
+from ninwavelets_tpu.ops.cwt import power as power_jit
+
+import jax.numpy as jnp
+
+
+class TestTooltip:
+    def test_doctests(self):
+        results = doctest.testmod(tooltip)
+        assert results.failed == 0, results
+
+    def test_parallel_runs_in_order(self):
+        p = tooltip.Parallel(3)
+        for i in range(5):
+            p.append(operator.mul, i, 10)
+        assert p.run() == [0, 10, 20, 30, 40]
+        assert "mul" in repr(p)
+
+    def test_sequence_chain(self):
+        out = (tooltip.Sequence([1, 2, 3, 4])
+               .map(lambda x: x * 2)
+               .filter(lambda x: x > 2)
+               .reduce(operator.add))
+        assert out == 18
+
+    def test_sequence_parallel_map(self):
+        seq = tooltip.Sequence(range(10), core=4)
+        assert seq.map(lambda x: x * x).get() == [i * i for i in range(10)]
+
+    def test_sequence_protocols(self):
+        s = tooltip.Sequence([5, 6, 7])
+        assert len(s) == 3 and s[1] == 6 and list(s) == [5, 6, 7]
+        assert (s & [8]).to_list() == [5, 6, 7, 8]
+        assert str(s) == "Sequence: [5, 6, 7]"
+
+    def test_starmap(self):
+        s = tooltip.Sequence(zip([1, 2], [3, 4])).starmap(operator.mul)
+        assert s.get() == [3, 8]
+
+    def test_compose_dict_map_csv(self):
+        assert tooltip.compose(str, len)(1234) == 4
+        assert tooltip.dict_map(abs, {"a": -1}) == {"a": 1}
+        assert tooltip.oneline_csv(1, "x") == "1,x\n"
+        assert tooltip.not_none(0) and not tooltip.not_none(None)
+
+
+class TestObservability:
+    def test_timer_blocks(self):
+        sig = jnp.ones((8, 256), jnp.float32)
+        bank = jnp.ones((4, 256), jnp.float32)
+        with observability.Timer("t") as t:
+            out = power_jit(sig, bank)
+            t.block(out)
+        assert t.elapsed > 0
+
+    def test_cwt_cost_model(self):
+        cost = observability.cwt_cost(batch=8, n_freqs=100, n=2048)
+        assert cost.flops > 1e8
+        assert cost.hbm_bytes < cost.coeff_bytes * 4
+        assert cost.arithmetic_intensity > 1
+
+    def test_debug_nans_toggle(self):
+        import jax
+        with observability.debug_nans(True):
+            assert jax.config.jax_debug_nans
+        assert not jax.config.jax_debug_nans
+
+    def test_logger_is_quiet(self):
+        log = logging.getLogger("ninwavelets_tpu")
+        assert any(isinstance(h, logging.NullHandler) for h in log.handlers)
+
+
+class TestConfig:
+    def test_morse_defaults_match_reference(self):
+        c = cfg.MorseConfig()
+        assert (c.sfreq, c.b, c.r, c.interpolate) == (1000.0, 17.5, 3.0,
+                                                      False)
+        m = c.build()
+        assert isinstance(m, nw.Morse) and m.b == 17.5
+
+    def test_morlet_defaults(self):
+        c = cfg.MorletConfig()
+        assert c.sigma == 7.0
+        m = c.build()
+        assert isinstance(m, nw.Morlet) and not m.gabor
+
+    def test_pipeline_compose(self):
+        p = cfg.PipelineConfig(baseline=(0.0, 0.2))
+        assert p.engine.precision == "fast3"
+        assert p.baseline_method == "zscore"
+
+
+class TestStreaming:
+    def test_streamed_matches_whole_signal_interior(self):
+        sfreq, n = 1000.0, 8192
+        t = np.arange(n) / sfreq
+        sig = (np.sin(2 * np.pi * 60 * t)
+               + 0.3 * np.sin(2 * np.pi * 31 * t)).astype(np.float32)
+        freqs = np.arange(25.0, 80.0, 5.0, dtype=np.float32)
+        morse = nw.Morse(sfreq)
+        s = StreamingCWT(morse._wdef(), freqs, sfreq, window=2048,
+                         halo_tol=1e-5)
+        got = s.power(sig)
+        bank = make_fft_bank(morse._wdef(), jnp.asarray(freqs), n, sfreq)
+        want = np.asarray(power_jit(jnp.asarray(sig), jnp.asarray(bank)))
+        assert got.shape == want.shape
+        m = s.halo
+        err = np.abs(got[:, m:-m] - want[:, m:-m]).max()
+        assert err < 1e-3 * np.abs(want).max()
+
+    def test_streaming_blocks_cover_signal(self):
+        morse = nw.Morse(1000)
+        s = StreamingCWT(morse._wdef(), [40.0, 50.0], 1000.0, window=1000,
+                         halo=300)
+        sig = np.random.default_rng(0).standard_normal(2500).astype(
+            np.float32)
+        blocks = list(s.blocks(sig))
+        starts = [b[0] for b in blocks]
+        assert starts == [0, 1000, 2000]
+        assert blocks[-1][1].shape == (2, 500)
+
+    def test_halo_must_fit_window(self):
+        morse = nw.Morse(1000)
+        with pytest.raises(ValueError):
+            StreamingCWT(morse._wdef(), [1.0], 1000.0, window=128)
