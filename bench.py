@@ -37,9 +37,10 @@ def main():
     sfreq = 1000.0
     n = int(os.environ.get("BENCH_N", 2048))          # samples / segment
     channels = int(os.environ.get("BENCH_CHANNELS", 64))
-    epochs = int(os.environ.get("BENCH_EPOCHS", 8))   # segments / call
+    epochs = int(os.environ.get("BENCH_EPOCHS", 200))  # segments / call
+    # (200 = the BASELINE config-5 epochs count; must be <=8 or a multiple of 8)
     n_freqs = int(os.environ.get("BENCH_FREQS", 100))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
     # Kernel precision: fast3 (default, ~1e-5 rel err), exact (true f32),
     # bf16 (single pass, ~5e-3); "xla" forces the non-Pallas FFT path.
     precision = os.environ.get("BENCH_PRECISION", fused.DEFAULT_PRECISION)
