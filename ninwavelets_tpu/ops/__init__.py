@@ -11,8 +11,8 @@ from .baseline import (Baseline, baseline_correct, baseline_of, baseline_tf,
 from .cwt import (abs_from_bank, analytic_spectrum, cwt_abs, cwt_from_bank,
                   cwt_ri, itc, itc_from_bank, mean_power,
                   mean_power_from_bank, power, power_from_bank, split_complex)
-from .fused import (fused_mean_power, fused_mean_power_from_bank,
-                    mean_power_auto)
+from .fused import (fused_itc, fused_itc_from_bank, fused_mean_power,
+                    fused_mean_power_from_bank, itc_auto, mean_power_auto)
 from .grids import analytic_mask, fft_bin_freqs, reverse_timeline, wavelet_timeline
 from .signal_utils import (MNE_CONSTANT, SizeError, hamming_window,
                            interpolate_alias, normalize, pad_to)
@@ -31,6 +31,7 @@ __all__ = [
     "cwt_ri", "itc", "itc_from_bank", "mean_power", "mean_power_from_bank",
     "power", "power_from_bank", "split_complex",
     "fused_mean_power", "fused_mean_power_from_bank", "mean_power_auto",
+    "fused_itc", "fused_itc_from_bank", "itc_auto",
     "analytic_mask", "fft_bin_freqs", "reverse_timeline", "wavelet_timeline",
     "MNE_CONSTANT", "SizeError", "hamming_window", "interpolate_alias",
     "normalize", "pad_to",

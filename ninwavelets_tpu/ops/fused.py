@@ -105,14 +105,19 @@ def _dft_constants(n: int, analytic: bool):
 
 
 def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
-            w2c_ref, out_ref, *, n_epochs: int, n1_dim: int, precision: str):
+            w2c_ref, *out_refs, n_epochs: int, n1_dim: int, precision: str,
+            epilogue: str = "power"):
     """One (channel, frequency-block) program.
 
     Layouts (K1 = spectrum sublanes — N1/2 on the analytic path):
       spec_*: (E, 1, K1, 128)        — z.reshape(N1, 128)[:K1] per epoch
       bank:   (1, F_BLOCK, K1, 128)  — bank rows, pre-scaled by 1/N
-      out:    (1, F_BLOCK, N1, 128)  — epoch-summed power, split layout
-                                       [n1, n2] (n = n1 + N1*n2)
+      out:    (1, F_BLOCK, N1, 128)  — split layout [n1, n2]
+                                       (n = n1 + N1*n2); one buffer for
+                                       ``epilogue="power"`` (epoch-mean
+                                       power), two (real, imag) for
+                                       ``epilogue="itc"`` (epoch sum of
+                                       the unit-phase coefficients)
     """
     w1c = w1c_ref[...]
     twr, twi = twr_ref[...], twi_ref[...]
@@ -155,7 +160,7 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
 
         # Twiddle (VPU) per epoch, then stack epoch groups along sublanes
         # for the dense stage-2 matmul.
-        acc = None
+        acc = acc_r = acc_i = None
         for g in range(0, e_total, e_group):
             brs, bis = [], []
             for e in range(g, min(g + e_group, e_total)):
@@ -169,9 +174,21 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
             x = mul2(jnp.concatenate([br, bi], 1))
             xr, xi = x[:, :LANES], x[:, LANES:]
             p = xr * xr + xi * xi                     # rows (e, n1)
-            group = p.reshape(len(brs), n1_dim, LANES).sum(0)
-            acc = group if acc is None else acc + group
-        out_ref[0, 0, fb] = acc                       # (N1, 128) [n1, n2]
+            if epilogue == "power":
+                group = p.reshape(len(brs), n1_dim, LANES).sum(0)
+                acc = group if acc is None else acc + group
+            else:  # itc: accumulate the unit-phase coefficients c/|c|
+                inv = lax.rsqrt(p)    # |c|=0 -> inf -> NaN, as the
+                ur, ui = xr * inv, xi * inv  # reference's 0/0 would be
+                gr = ur.reshape(len(brs), n1_dim, LANES).sum(0)
+                gi = ui.reshape(len(brs), n1_dim, LANES).sum(0)
+                acc_r = gr if acc_r is None else acc_r + gr
+                acc_i = gi if acc_i is None else acc_i + gi
+        if epilogue == "power":
+            out_refs[0][0, 0, fb] = acc               # (N1, 128) [n1, n2]
+        else:
+            out_refs[0][0, 0, fb] = acc_r
+            out_refs[1][0, 0, fb] = acc_i
 
 
 def _prepare_bank(bank: jnp.ndarray, n: int, analytic: bool,
@@ -188,11 +205,16 @@ def _prepare_bank(bank: jnp.ndarray, n: int, analytic: bool,
     return (b / (float(n) * float(n_epochs) ** 0.5)).astype(jnp.float32)
 
 
-def _fused_power_mean(signals: jnp.ndarray, bank: jnp.ndarray,
-                      interpolate: bool, interpret: bool,
-                      precision: str) -> jnp.ndarray:
-    """Power MEANED over the epoch axis: (E<=8, C, N), (F, N) -> (C, F, N).
-    The 1/E is folded into the bank scale inside ``_prepare_bank``."""
+def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
+                interpret: bool, precision: str, epilogue: str):
+    """Run the kernel over (E<=8, C, N) x (F, N).
+
+    epilogue="power": returns the (C, F, N) epoch-MEAN power (the 1/E is
+    folded into the bank scale in ``_prepare_bank``).
+    epilogue="itc":   returns ((C, F, N), (C, F, N)) — the epoch-SUMMED
+    unit-phase coefficient real/imag planes (scale-invariant, so the bank
+    folding is harmless).
+    """
     e, c, n = signals.shape
     f_total = bank.shape[0]
     n1_dim = n // LANES
@@ -217,9 +239,15 @@ def _fused_power_mean(signals: jnp.ndarray, bank: jnp.ndarray,
 
     rep = lambda shape: pl.BlockSpec(shape, lambda ci, fi: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
+    plane = jax.ShapeDtypeStruct((c, n_blocks, F_BLOCK, n1_dim, LANES),
+                                 jnp.float32)
+    out_spec = pl.BlockSpec((1, 1, F_BLOCK, n1_dim, LANES),
+                            lambda ci, fi: (ci, fi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    n_outs = 1 if epilogue == "power" else 2
     out = pl.pallas_call(
         functools.partial(_kernel, n_epochs=e, n1_dim=n1_dim,
-                          precision=precision),
+                          precision=precision, epilogue=epilogue),
         grid=(c, n_blocks),
         in_specs=[
             pl.BlockSpec((e, 1, k1_dim, LANES), lambda ci, fi: (0, ci, 0, 0),
@@ -234,11 +262,8 @@ def _fused_power_mean(signals: jnp.ndarray, bank: jnp.ndarray,
             rep((n1_dim, LANES)),
             rep((2 * LANES, 2 * LANES)),
         ],
-        out_specs=pl.BlockSpec((1, 1, F_BLOCK, n1_dim, LANES),
-                               lambda ci, fi: (ci, fi, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, n_blocks, F_BLOCK, n1_dim, LANES),
-                                       jnp.float32),
+        out_specs=out_spec if n_outs == 1 else (out_spec, out_spec),
+        out_shape=plane if n_outs == 1 else (plane, plane),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
@@ -247,16 +272,25 @@ def _fused_power_mean(signals: jnp.ndarray, bank: jnp.ndarray,
                   * (n1_dim * k1_dim + n1_dim * LANES),
             bytes_accessed=c * (e * 2 * k1_dim * LANES * 4
                                 + n_blocks * F_BLOCK * (k1_dim + n1_dim)
-                                * LANES * 4),
+                                * LANES * 4 * n_outs),
             transcendentals=0),
     )(spec_r, spec_i, bank_t, *consts)
 
-    # Split layout [n1, n2] -> natural n = n1 + N1*n2: transpose the two
-    # minor axes (one XLA pass over the f32 output).
-    tf = jnp.transpose(out, (0, 1, 2, 4, 3)).reshape(c, n_blocks * F_BLOCK, n)
-    if pad_f:
-        tf = tf[:, :f_total]
-    return tf
+    def to_natural(plane_out):
+        # Split layout [n1, n2] -> natural n = n1 + N1*n2: transpose the
+        # two minor axes (one XLA pass over the f32 output).
+        tf = jnp.transpose(plane_out, (0, 1, 2, 4, 3)).reshape(
+            c, n_blocks * F_BLOCK, n)
+        return tf[:, :f_total] if pad_f else tf
+
+    if n_outs == 1:
+        return to_natural(out)
+    return to_natural(out[0]), to_natural(out[1])
+
+
+def _fused_power_mean(signals, bank, interpolate, interpret, precision):
+    return _fused_call(signals, bank, interpolate, interpret, precision,
+                       "power")
 
 
 def fused_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
@@ -299,11 +333,50 @@ def fused_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
     return total / (e // MAX_EPOCHS_PER_CALL)
 
 
+def fused_itc_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
+                        interpolate: bool = True, interpret: bool = False,
+                        precision: str = DEFAULT_PRECISION) -> jnp.ndarray:
+    """Inter-trial coherence ``| mean_E cwt/|cwt| |`` via the fused kernel
+    (reference semantics: ``mneutils.py:57-71``).  Same shape/constraint
+    rules as ``fused_mean_power_from_bank``; returns (C, F, N) float32.
+
+    Accuracy note: the unit-phase division amplifies coefficient round-off
+    where |c| is near zero (the phase of a vanishing coefficient is
+    noise), so ITC differs from the XLA path by up to ~2e-3 at "fast3" and
+    ~1e-4 at "exact" — concentrated in negligible-power bins and far below
+    the ~1/sqrt(E) sampling error of the coherence statistic itself.
+    """
+    if precision not in PRECISIONS:
+        raise ValueError(f"precision must be one of {PRECISIONS}")
+    e = signals.shape[0]
+    if e <= MAX_EPOCHS_PER_CALL:
+        sr, si = _fused_call(signals, bank, interpolate, interpret,
+                             precision, "itc")
+    else:
+        if e % MAX_EPOCHS_PER_CALL:
+            raise ValueError(f"epochs must be <= {MAX_EPOCHS_PER_CALL} or a "
+                             f"multiple of it, got {e}")
+        chunks = signals.reshape(
+            (e // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL)
+            + signals.shape[1:])
+        zero = jnp.zeros((signals.shape[1], bank.shape[0], signals.shape[2]),
+                         jnp.float32)
+
+        def step(acc, s):
+            r, i = _fused_call(s, bank, interpolate, interpret, precision,
+                               "itc")
+            return (acc[0] + r, acc[1] + i), None
+
+        (sr, si), _ = lax.scan(step, (zero, zero), chunks)
+    return jnp.sqrt(sr * sr + si * si) / e
+
+
 @functools.lru_cache(maxsize=32)
-def _jitted(interpolate: bool, interpret: bool, precision: str):
+def _jitted(interpolate: bool, interpret: bool, precision: str,
+            fn=None):
     """One stable jitted callable per config — a fresh ``jax.jit`` wrapper
     per call would defeat the compilation cache (recompile every call)."""
-    return jax.jit(functools.partial(fused_mean_power_from_bank,
+    return jax.jit(functools.partial(fn or fused_mean_power_from_bank,
                                      interpolate=interpolate,
                                      interpret=interpret,
                                      precision=precision))
@@ -314,6 +387,14 @@ def fused_mean_power(signal_r, bank_r, *, interpolate: bool = True,
                      precision: str = DEFAULT_PRECISION):
     """Jitted float-boundary wrapper (complex never crosses the boundary)."""
     return _jitted(interpolate, interpret, precision)(signal_r, bank_r)
+
+
+def fused_itc(signal_r, bank_r, *, interpolate: bool = True,
+              interpret: bool = False,
+              precision: str = DEFAULT_PRECISION):
+    """Jitted float-boundary ITC wrapper."""
+    return _jitted(interpolate, interpret, precision,
+                   fused_itc_from_bank)(signal_r, bank_r)
 
 
 def mean_power_auto(signal_r, bank_r, bank_i=None, *,
@@ -329,6 +410,18 @@ def mean_power_auto(signal_r, bank_r, bank_i=None, *,
                                 precision=precision)
     return _xla_mean_power(signal_r, bank_r, bank_i,
                            interpolate=interpolate)
+
+
+def itc_auto(signal_r, bank_r, bank_i=None, *, interpolate: bool = False,
+             precision: str = DEFAULT_PRECISION):
+    """Inter-trial coherence with automatic kernel dispatch (see
+    ``mean_power_auto``)."""
+    from .cwt import itc as _xla_itc
+    if (bank_i is None and jax.default_backend() == "tpu"
+            and supports(signal_r.shape, bank_r)):
+        return fused_itc(signal_r, bank_r, interpolate=interpolate,
+                         precision=precision)
+    return _xla_itc(signal_r, bank_r, bank_i, interpolate=interpolate)
 
 
 def supports(signals_shape, bank) -> bool:

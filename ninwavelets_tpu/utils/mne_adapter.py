@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cwt import cwt_ri as _cwt_jit
-from ..ops.cwt import itc as _itc_jit
+from ..ops.fused import itc_auto as _itc_jit
 from ..ops.fused import mean_power_auto as _mean_power_jit
 from ..ops.signal_utils import pad_to
 from ..models.base import Numbers, WaveletBase
@@ -85,8 +85,8 @@ class EpochsWavelet:
         """(F, N) inter-trial coherence (``mneutils.py:57-71``)."""
         waves = self._channel_data(ch_name)
         bank = self._bank_for(waves, freqs)
-        return _itc_jit(waves, bank[0], bank[1],
-                        interpolate=self.wavelet.interpolate)
+        return _itc_jit(waves[:, None, :], bank[0], bank[1],
+                        interpolate=self.wavelet.interpolate)[0]
 
     # -- TPU-native batched extensions ------------------------------------
 
