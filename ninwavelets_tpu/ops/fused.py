@@ -296,8 +296,8 @@ def _fused_power_mean(signals, bank, interpolate, interpret, precision):
 def fused_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
                                interpolate: bool = True,
                                interpret: bool = False,
-                               precision: str = DEFAULT_PRECISION
-                               ) -> jnp.ndarray:
+                               precision: str = DEFAULT_PRECISION,
+                               vma_axes=()) -> jnp.ndarray:
     """Epoch-mean power TFR via the fused Pallas kernel.
 
     Args:
@@ -325,17 +325,23 @@ def fused_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
     # Equal-size chunks: the mean of chunk means is the global epoch mean.
     chunks = signals.reshape((e // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL)
                              + signals.shape[1:])
+    zero = jnp.zeros((signals.shape[1], bank.shape[0], signals.shape[2]),
+                     jnp.float32)
+    if vma_axes:
+        # Inside shard_map the scan body output varies over the mesh axes;
+        # the zero init must carry the same varying-manual-axes type.
+        zero = lax.pcast(zero, tuple(vma_axes), to="varying")
     total = lax.scan(
         lambda acc, s: (acc + _fused_power_mean(s, bank, interpolate,
                                                 interpret, precision), None),
-        jnp.zeros((signals.shape[1], bank.shape[0], signals.shape[2]),
-                  jnp.float32), chunks)[0]
+        zero, chunks)[0]
     return total / (e // MAX_EPOCHS_PER_CALL)
 
 
 def fused_itc_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
                         interpolate: bool = True, interpret: bool = False,
-                        precision: str = DEFAULT_PRECISION) -> jnp.ndarray:
+                        precision: str = DEFAULT_PRECISION,
+                        vma_axes=()) -> jnp.ndarray:
     """Inter-trial coherence ``| mean_E cwt/|cwt| |`` via the fused kernel
     (reference semantics: ``mneutils.py:57-71``).  Same shape/constraint
     rules as ``fused_mean_power_from_bank``; returns (C, F, N) float32.
@@ -361,6 +367,8 @@ def fused_itc_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
             + signals.shape[1:])
         zero = jnp.zeros((signals.shape[1], bank.shape[0], signals.shape[2]),
                          jnp.float32)
+        if vma_axes:
+            zero = lax.pcast(zero, tuple(vma_axes), to="varying")
 
         def step(acc, s):
             r, i = _fused_call(s, bank, interpolate, interpret, precision,

@@ -11,15 +11,18 @@ epoch reductions, ``ppermute`` for time-axis halos).
 from .chunked import (chunk_bank, chunked_abs, chunked_cwt_ri, chunked_power,
                       halo_samples, pow2_halo)
 from .mesh import (DATA_AXIS, FREQ_AXIS, TIME_AXIS, auto_mesh, flat_mesh,
-                   make_mesh, pad_to_multiple, shard_batch)
-from .sharded import (sharded_cwt_ri, sharded_itc, sharded_mean_power,
-                      sharded_power)
+                   init_multihost, make_mesh, pad_to_multiple, shard_batch)
+from .sharded import (sharded_cwt_ri, sharded_fused_itc,
+                      sharded_fused_mean_power, sharded_itc,
+                      sharded_mean_power, sharded_power)
 from .streaming import StreamingCWT
 
 __all__ = [
     "DATA_AXIS", "FREQ_AXIS", "TIME_AXIS",
     "make_mesh", "flat_mesh", "auto_mesh", "shard_batch", "pad_to_multiple",
+    "init_multihost",
     "sharded_mean_power", "sharded_itc", "sharded_cwt_ri", "sharded_power",
+    "sharded_fused_mean_power", "sharded_fused_itc",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",
     "halo_samples", "pow2_halo", "StreamingCWT",
 ]

@@ -91,3 +91,19 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int) -> np.ndarray:
     pad = [(0, 0)] * x.ndim
     pad[axis] = (0, rem)
     return np.pad(x, pad)
+
+
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX (``jax.distributed.initialize``) so a mesh
+    can span hosts; no-op when already initialized.  On Cloud TPU pods all
+    arguments are auto-detected from the environment.
+    """
+    import jax.distributed as jd
+    try:
+        jd.initialize(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e):
+            raise

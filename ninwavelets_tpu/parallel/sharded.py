@@ -129,3 +129,80 @@ def sharded_power(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
 
     return _shard_call(mesh, local, P(DATA_AXIS, *([None] * (ndim - 1))),
                        out_spec, signals_r, bank_r, bank_i)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "precision",
+                                   "interpret"))
+def sharded_fused_mean_power(signals_r, bank_r, *, mesh: Mesh,
+                             interpolate: bool = True,
+                             precision: str = "fast3",
+                             interpret: bool = False):
+    """Epoch-mean power over the mesh with the fused Pallas kernel as the
+    per-shard compute: (E, C, N) -> (C, F, N).
+
+    Same sharding layout as ``sharded_mean_power`` (epochs over ``data``,
+    bank rows over ``freq``, one ``pmean``), but each shard runs the
+    matmul-iDFT mega-kernel instead of the XLA FFT path — multi-chip
+    scale-out AND the fused hot loop at once.  Constraints: local epoch
+    count E/data must be <= 8 or a multiple of 8; N = (N/128)*128 with
+    N/128 a power of two in [8, 128]; real bank only.  ``interpret=True``
+    runs the kernel in the Pallas interpreter (CPU-mesh tests).
+    """
+    from ..ops.fused import fused_mean_power_from_bank
+
+    def local(sig, br):
+        local_mean = fused_mean_power_from_bank(sig, br, interpolate,
+                                                interpret, precision)
+        return lax.pmean(local_mean, DATA_AXIS)
+
+    # check_vma=False: pallas_call outputs carry no varying-axes type, so
+    # shard_map's replication checker cannot track them; the out_specs are
+    # explicit and the pmean makes the data axis replicated by construction.
+    out_spec = P(*([None] * (signals_r.ndim - 2)), FREQ_AXIS, None)
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(DATA_AXIS), _BANK_SPEC),
+                         out_specs=out_spec,
+                         check_vma=False)(signals_r, bank_r)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "precision",
+                                   "interpret"))
+def sharded_fused_itc(signals_r, bank_r, *, mesh: Mesh,
+                      interpolate: bool = True, precision: str = "fast3",
+                      interpret: bool = False):
+    """Inter-trial coherence over the mesh with the fused kernel per shard.
+
+    The unit-phase mean is linear in epochs, so each shard accumulates its
+    local unit-phase sum (the kernel's itc epilogue), ``pmean`` over
+    ``data`` completes the global mean, and the final abs runs on the
+    reduced planes.  Same constraints as ``sharded_fused_mean_power``.
+    """
+    from ..ops.fused import (MAX_EPOCHS_PER_CALL, _fused_call)
+
+    def local(sig, br):
+        e = sig.shape[0]
+        if e <= MAX_EPOCHS_PER_CALL:
+            sr, si = _fused_call(sig, br, interpolate, interpret, precision,
+                                 "itc")
+        else:
+            if e % MAX_EPOCHS_PER_CALL:
+                raise ValueError("local epochs must be <= 8 or a multiple "
+                                 f"of 8, got {e}")
+            chunks = sig.reshape((e // MAX_EPOCHS_PER_CALL,
+                                  MAX_EPOCHS_PER_CALL) + sig.shape[1:])
+            zero = jnp.zeros((sig.shape[1], br.shape[0], sig.shape[2]),
+                             jnp.float32)
+
+            def step(acc, s):
+                r, i = _fused_call(s, br, interpolate, interpret, precision,
+                                   "itc")
+                return (acc[0] + r, acc[1] + i), None
+
+            (sr, si), _ = lax.scan(step, (zero, zero), chunks)
+        sr = lax.pmean(sr / e, DATA_AXIS)
+        si = lax.pmean(si / e, DATA_AXIS)
+        return jnp.sqrt(sr * sr + si * si)
+
+    out_spec = P(*([None] * (signals_r.ndim - 2)), FREQ_AXIS, None)
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(DATA_AXIS), _BANK_SPEC),
+                         out_specs=out_spec,
+                         check_vma=False)(signals_r, bank_r)
