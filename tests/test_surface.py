@@ -1,0 +1,111 @@
+"""Public-surface tests: exports, plotting (headless), demo driver, error
+paths, and reference-API details not covered elsewhere."""
+import importlib.util
+import os
+import sys
+
+import matplotlib
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+import ninwavelets_tpu as nw
+
+
+class TestExports:
+    def test_reference_surface_complete(self):
+        """Everything the reference __init__ exports
+        (``/root/reference/ninwavelets/__init__.py:1-3``) exists here."""
+        for name in ["WaveletBase", "WaveletMode", "plot_tf", "Baseline",
+                     "Morse", "MorseMNE", "Morlet", "Haar", "MexicanHat",
+                     "Shannon", "EpochsWavelet"]:
+            assert hasattr(nw, name), name
+
+    def test_mode_enum_members(self):
+        """All five reference modes, incl. the never-used Indifferentiable
+        (``base.py:126-142``)."""
+        for m in ["Normal", "Both", "Reverse", "Indifferentiable", "Twice"]:
+            assert hasattr(nw.WaveletMode, m)
+
+    def test_freq_dist_recorded(self):
+        m = nw.Morse(1000)
+        m.make_fft_wavelets(np.arange(10.0, 20.0, 2.0))
+        assert m.freq_dist == pytest.approx(2.0)
+
+    def test_cuda_flag_accepted_and_ignored(self):
+        m = nw.Morse(1000, cuda=True)
+        p = np.asarray(m.power(np.ones(500, np.float32), [10.0]))
+        assert p.shape == (1, 500)
+
+
+class TestPlotting:
+    def test_plot_wavelet_smoke(self):
+        m = nw.Morse(1000)
+        fig = m.plot(10.0, show=False)
+        assert fig is not None
+        import matplotlib.pyplot as plt
+        assert len(fig.axes) == 3  # time trace + 3D + help text (Morse)
+        plt.close("all")
+
+    def test_plot_tf_smoke(self):
+        data = np.random.default_rng(0).random((20, 100))
+        ax = nw.plot_tf(data, 1000, frange=(0, 20, 5), trange=(0, 0.1, 0.05),
+                        show=False)
+        assert ax is not None
+        import matplotlib.pyplot as plt
+        plt.close("all")
+
+
+class TestDemo:
+    def test_demo_sin_headless(self, capsys):
+        spec = importlib.util.spec_from_file_location(
+            "demo", os.path.join(os.path.dirname(__file__), "..",
+                                 "examples", "demo.py"))
+        demo = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(demo)
+        demo.main(["sin"])
+        out = capsys.readouterr().out
+        assert "60 Hz" in out
+
+
+class TestErrorPaths:
+    def test_morse_mne_requires_mne(self):
+        m = nw.MorseMNE(1000)
+        with pytest.raises(ImportError, match="mne"):
+            m.cwt(np.ones(100), [10.0])
+
+    def test_empty_freqs(self):
+        with pytest.raises(ValueError):
+            nw.Morse(1000).cwt(np.ones(100, np.float32), [])
+
+    def test_cwt_without_bank_or_freqs(self):
+        with pytest.raises(ValueError):
+            nw.Morse(1000).cwt(np.ones(100, np.float32))
+
+    def test_size_error_is_exception(self):
+        from ninwavelets_tpu.ops.signal_utils import SizeError
+        with pytest.raises(SizeError, match="boom"):
+            raise SizeError("boom")
+
+
+class TestTwiceMode:
+    def test_explicit_twice_mode_runs(self):
+        """mode=Twice routed through the iFFT->reFFT path
+        (``base.py:249-256``): switch a Morse instance like the reference
+        demo flips modes at runtime."""
+        m = nw.Morse(1000)
+        m.mode = nw.WaveletMode.Twice
+        c = m.cwt(np.sin(2 * np.pi * 40 * np.arange(1000) / 1000.0),
+                  [30.0, 40.0])
+        assert c.shape == (2, 1000)
+        assert np.isfinite(c).all()
+
+    def test_runtime_mode_switch_changes_bank(self):
+        m = nw.Morlet(1000)
+        freqs = [20.0]
+        bank_both = np.asarray(m.make_fft_wavelets(freqs))
+        m.mode = nw.WaveletMode.Twice
+        bank_twice = np.asarray(m.make_fft_wavelets(freqs))
+        assert bank_both.shape == bank_twice.shape
+        assert not np.allclose(bank_both, bank_twice)
