@@ -301,8 +301,9 @@ def fused_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
     """Epoch-mean power TFR via the fused Pallas kernel.
 
     Args:
-      signals: (E, C, N) float32.  E > 8 must be a multiple of 8 (epochs are
-        processed in VMEM-sized chunks of 8 and mean-reduced).
+      signals: (E, C, N) float32, any E (epochs are processed in VMEM-sized
+        chunks of 8; a ragged tail is zero-padded — zero epochs contribute
+        zero power, and the mean is rescaled to the true count).
       bank: (F, N) float32 — a REAL frequency-domain bank (Morse / Morlet /
         Shannon; Normal/Twice-mode complex banks use the XLA path).
       interpolate: the analytic trick (upper spectrum half zeroed).  True
@@ -319,12 +320,15 @@ def fused_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
     if e <= MAX_EPOCHS_PER_CALL:
         return _fused_power_mean(signals, bank, interpolate, interpret,
                                  precision)
-    if e % MAX_EPOCHS_PER_CALL:
-        raise ValueError(f"epochs must be <= {MAX_EPOCHS_PER_CALL} or a "
-                         f"multiple of it, got {e}")
-    # Equal-size chunks: the mean of chunk means is the global epoch mean.
-    chunks = signals.reshape((e // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL)
-                             + signals.shape[1:])
+    pad_e = (-e) % MAX_EPOCHS_PER_CALL
+    if pad_e:
+        signals = jnp.pad(signals, ((0, pad_e), (0, 0), (0, 0)))
+    e_padded = e + pad_e
+    # Equal-size chunks: the mean of chunk means is the global epoch mean
+    # (over e_padded; rescaled to the true count below).
+    chunks = signals.reshape(
+        (e_padded // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL)
+        + signals.shape[1:])
     zero = jnp.zeros((signals.shape[1], bank.shape[0], signals.shape[2]),
                      jnp.float32)
     if vma_axes:
@@ -335,7 +339,9 @@ def fused_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
         lambda acc, s: (acc + _fused_power_mean(s, bank, interpolate,
                                                 interpret, precision), None),
         zero, chunks)[0]
-    return total / (e // MAX_EPOCHS_PER_CALL)
+    # total/n_chunks is the mean over e_padded; rescale to the true E.
+    return total * (float(e_padded) / float(e)
+                    / (e_padded // MAX_EPOCHS_PER_CALL))
 
 
 def fused_itc_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
@@ -426,18 +432,22 @@ def itc_auto(signal_r, bank_r, bank_i=None, *, interpolate: bool = False,
     ``mean_power_auto``)."""
     from .cwt import itc as _xla_itc
     if (bank_i is None and jax.default_backend() == "tpu"
-            and supports(signal_r.shape, bank_r)):
+            and supports(signal_r.shape, bank_r, epilogue="itc")):
         return fused_itc(signal_r, bank_r, interpolate=interpolate,
                          precision=precision)
     return _xla_itc(signal_r, bank_r, bank_i, interpolate=interpolate)
 
 
-def supports(signals_shape, bank) -> bool:
+def supports(signals_shape, bank, epilogue: str = "power") -> bool:
     """True when the fused kernel can run this workload (real bank, conform
-    geometry) — callers fall back to the XLA path otherwise."""
+    geometry) — callers fall back to the XLA path otherwise.  The power
+    path accepts any epoch count (ragged tails are zero-padded); the itc
+    path cannot pad (zero epochs would inject NaN phases), so E must be
+    <= 8 or a multiple of 8 there."""
     if bank is None or len(signals_shape) != 3:
         return False
     e = signals_shape[0]
-    if e > MAX_EPOCHS_PER_CALL and e % MAX_EPOCHS_PER_CALL:
+    if (epilogue != "power" and e > MAX_EPOCHS_PER_CALL
+            and e % MAX_EPOCHS_PER_CALL):
         return False
     return _supported(signals_shape[-1]) and not jnp.iscomplexobj(bank)

@@ -80,7 +80,8 @@ def test_supports_geometry():
     bank = jnp.ones((100, 2048), jnp.float32)
     assert fused.supports((8, 64, 2048), bank)
     assert fused.supports((16, 64, 1024), bank[:, :1024])
-    assert not fused.supports((9, 64, 2048), bank)        # 9 epochs
+    assert fused.supports((9, 64, 2048), bank)            # ragged: padded
+    assert not fused.supports((9, 64, 2048), bank, epilogue="itc")
     assert not fused.supports((8, 2048), bank)            # missing channel
     assert not fused.supports((8, 64, 2000), bank)        # N not N1*128
     assert not fused.supports((8, 64, 2048), None)
@@ -95,11 +96,24 @@ def test_bad_precision_raises():
                                          precision="nope")
 
 
-def test_bad_epoch_count_raises():
+def test_ragged_epoch_count_pads_correctly():
+    """E = 12 is zero-padded to 16; the rescaled mean must equal the true
+    12-epoch mean."""
+    sig, bank = _workload(e=12, c=2, nf=16)
+    want = np.asarray(jax.jit(
+        lambda s, b: mean_power_from_bank(s, b, True))(sig, bank))
+    got = np.asarray(fused.fused_mean_power_from_bank(
+        jnp.asarray(sig), jnp.asarray(bank), True, interpret=True,
+        precision="exact"))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-4, rel
+
+
+def test_itc_bad_epoch_count_raises():
     sig, bank = _workload(e=12, c=1, nf=8)
     with pytest.raises(ValueError):
-        fused.fused_mean_power_from_bank(jnp.asarray(sig), jnp.asarray(bank),
-                                         True, interpret=True)
+        fused.fused_itc_from_bank(jnp.asarray(sig), jnp.asarray(bank),
+                                  True, interpret=True)
 
 
 def test_auto_dispatch_falls_back_on_cpu():
