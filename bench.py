@@ -38,7 +38,8 @@ def main():
     n = int(os.environ.get("BENCH_N", 2048))          # samples / segment
     channels = int(os.environ.get("BENCH_CHANNELS", 64))
     epochs = int(os.environ.get("BENCH_EPOCHS", 200))  # segments / call
-    # (200 = the BASELINE config-5 epochs count; must be <=8 or a multiple of 8)
+    # (200 = the BASELINE config-5 epochs count; any count works for the
+    # power path — ragged tails are zero-padded)
     n_freqs = int(os.environ.get("BENCH_FREQS", 100))
     iters = int(os.environ.get("BENCH_ITERS", 10))
     # Kernel precision: fast3 (default, ~1e-5 rel err), exact (true f32),

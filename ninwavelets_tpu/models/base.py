@@ -83,15 +83,29 @@ class WaveletBase:
 
     # -- engine --------------------------------------------------------------
 
+    def _params(self) -> tuple:
+        """Hashable snapshot of the scalar hyper-parameters the formulas
+        read from ``self`` — part of the jit-cache key, so runtime mutation
+        (``morse.b = 5``) retraces instead of silently reusing the program
+        compiled with the old value.  Engine-level knobs that are passed to
+        the engine explicitly are excluded.
+        """
+        skip = {"sfreq", "real_wave_length", "freq_dist", "interpolate",
+                "cuda", "help", "mode"}
+        return tuple((k, v) for k, v in sorted(vars(self).items())
+                     if k not in skip and not k.startswith("_")
+                     and isinstance(v, (int, float, bool, str)))
+
     def _wdef(self) -> WaveletDef:
         """Assemble the functional wavelet definition from the bound hooks.
-        Read lazily so runtime mode switches (as the reference demo does with
-        ``nin_morlet.mode = WaveletMode.Both``) take effect.
+        Read lazily so runtime mode/parameter switches (as the reference
+        demo does with ``nin_morlet.mode = WaveletMode.Both``) take effect.
         """
         return WaveletDef(mode=self.mode,
                           trans_formula=self.trans_formula,
                           time_formula=self.formula,
-                          peak_freq=self.peak_freq)
+                          peak_freq=self.peak_freq,
+                          params=self._params())
 
     @staticmethod
     def _check_freqs(freqs: Numbers) -> jnp.ndarray:
@@ -115,15 +129,10 @@ class WaveletBase:
             self.interpolate, self.real_wave_length)
         return _assemble(r, i)
 
-    def make_fft_wavelets(self, freqs: Numbers,
-                          real_wave_length: float = 1.) -> np.ndarray:
-        """Build and cache the (F, N) bank (``base.py:258-279``).
-
-        The bank lives on device as a float (real, imag-or-None) pair (TPU
-        runtimes reject complex at program boundaries); ``self.fft_wavelets``
-        is the host-numpy view, kept for reference-API parity (the reference
-        returns a list of arrays; rows index the same way).
-        """
+    def _build_bank(self, freqs: Numbers, real_wave_length: float) -> None:
+        """Build and cache the (F, N) device bank (``base.py:258-279``) as a
+        float (real, imag-or-None) pair.  No host transfer happens here —
+        the hot paths (cwt/power/abs) keep everything on device."""
         freqs = self._check_freqs(freqs)
         if freqs.shape[0] > 1:
             self.freq_dist = float(freqs[1] - freqs[0])
@@ -131,7 +140,23 @@ class WaveletBase:
         self._bank_r, self._bank_i = _bank.make_fft_bank_ri(
             self._wdef(), freqs, n, self.sfreq, self.interpolate,
             self.real_wave_length)
-        self.fft_wavelets = _assemble(self._bank_r, self._bank_i)
+
+    @property
+    def fft_wavelets(self) -> np.ndarray:
+        """Host-numpy view of the cached bank, kept for reference-API parity
+        (``self.fft_wavelets``, ``base.py:276-279``).  Assembled lazily on
+        first access so the device hot paths never pay the D2H transfer."""
+        if not hasattr(self, '_bank_r'):
+            raise AttributeError("no bank cached yet — call "
+                                 "make_fft_wavelets or cwt first")
+        return _assemble(self._bank_r, self._bank_i)
+
+    def make_fft_wavelets(self, freqs: Numbers,
+                          real_wave_length: float = 1.) -> np.ndarray:
+        """Build + cache the bank and return its host-numpy view
+        (``base.py:258-279``; the reference returns a list of arrays — rows
+        index the same way)."""
+        self._build_bank(freqs, real_wave_length)
         return self.fft_wavelets
 
     def make_wavelet(self, freq: float) -> np.ndarray:
@@ -162,7 +187,7 @@ class WaveletBase:
         if (not reuse) or (not hasattr(self, '_bank_r')):
             if freqs is None:
                 raise ValueError("freqs is required when no bank is cached")
-            self.make_fft_wavelets(freqs, wave_r.shape[-1] / self.sfreq)
+            self._build_bank(freqs, wave_r.shape[-1] / self.sfreq)
         bank_r, bank_i = self._bank_for(wave_r)
         return wave_r, wave_i, bank_r, bank_i
 

@@ -44,7 +44,7 @@ class WaveletMode(enum.Enum):
     Twice = 4             # iFFT'd wavelet re-FFT'd ("ugly and not accurate")
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class WaveletDef:
     """A wavelet family = a mode plus up to two pure formulas.
 
@@ -56,11 +56,33 @@ class WaveletDef:
     time_formula(timeline, freq)   -> wavelet samples on the phase timeline
     peak_freq(freq)                -> peak frequency used to scale the
                                       time-domain grid (``base.py:212-218``)
+    params: hashable tuple of the hyper-parameters the formulas close over
+        (e.g. Morse's (b, r)).  WaveletDef is used as a STATIC jit-cache
+        key, and bound methods hash by (function, instance) — without the
+        params in the key, mutating ``morse.b`` after the first call would
+        silently reuse the compiled program traced with the old value.
+        Conversely, the key uses the *underlying* functions (not the bound
+        methods), so two instances with identical parameters share one
+        compilation.
     """
     mode: WaveletMode
     trans_formula: Optional[Callable] = None
     time_formula: Optional[Callable] = None
     peak_freq: Callable = field(default=lambda freq: 1.0)
+    params: tuple = ()
+
+    def _key(self):
+        unbind = lambda fn: getattr(fn, "__func__", fn)
+        return (self.mode, unbind(self.trans_formula),
+                unbind(self.time_formula), unbind(self.peak_freq),
+                self.params)
+
+    def __eq__(self, other):
+        return (isinstance(other, WaveletDef)
+                and self._key() == other._key())
+
+    def __hash__(self):
+        return hash(self._key())
 
 
 def pad_spectrum_to(spec: jnp.ndarray, n: int) -> jnp.ndarray:

@@ -216,6 +216,9 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
     folding is harmless).
     """
     e, c, n = signals.shape
+    if bank.shape[-1] != n:
+        raise ValueError(f"bank length {bank.shape[-1]} != signal length "
+                         f"{n}; rebuild the bank for this signal")
     f_total = bank.shape[0]
     n1_dim = n // LANES
     k1_dim = n1_dim // 2 if interpolate else n1_dim
@@ -344,6 +347,33 @@ def fused_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
                     / (e_padded // MAX_EPOCHS_PER_CALL))
 
 
+def _itc_sums(signals, bank, interpolate, interpret, precision,
+              vma_axes=()):
+    """Epoch-SUMMED unit-phase planes (sum_r, sum_i) over any supported E,
+    chunking epochs by MAX_EPOCHS_PER_CALL.  Shared by the single-program
+    path and the sharded per-shard path (``parallel.sharded``)."""
+    e = signals.shape[0]
+    if e <= MAX_EPOCHS_PER_CALL:
+        return _fused_call(signals, bank, interpolate, interpret, precision,
+                           "itc")
+    if e % MAX_EPOCHS_PER_CALL:
+        raise ValueError(f"epochs must be <= {MAX_EPOCHS_PER_CALL} or a "
+                         f"multiple of it for itc, got {e}")
+    chunks = signals.reshape(
+        (e // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL) + signals.shape[1:])
+    zero = jnp.zeros((signals.shape[1], bank.shape[0], signals.shape[2]),
+                     jnp.float32)
+    if vma_axes:
+        zero = lax.pcast(zero, tuple(vma_axes), to="varying")
+
+    def step(acc, s):
+        r, i = _fused_call(s, bank, interpolate, interpret, precision, "itc")
+        return (acc[0] + r, acc[1] + i), None
+
+    (sr, si), _ = lax.scan(step, (zero, zero), chunks)
+    return sr, si
+
+
 def fused_itc_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
                         interpolate: bool = True, interpret: bool = False,
                         precision: str = DEFAULT_PRECISION,
@@ -360,29 +390,9 @@ def fused_itc_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
     """
     if precision not in PRECISIONS:
         raise ValueError(f"precision must be one of {PRECISIONS}")
-    e = signals.shape[0]
-    if e <= MAX_EPOCHS_PER_CALL:
-        sr, si = _fused_call(signals, bank, interpolate, interpret,
-                             precision, "itc")
-    else:
-        if e % MAX_EPOCHS_PER_CALL:
-            raise ValueError(f"epochs must be <= {MAX_EPOCHS_PER_CALL} or a "
-                             f"multiple of it, got {e}")
-        chunks = signals.reshape(
-            (e // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL)
-            + signals.shape[1:])
-        zero = jnp.zeros((signals.shape[1], bank.shape[0], signals.shape[2]),
-                         jnp.float32)
-        if vma_axes:
-            zero = lax.pcast(zero, tuple(vma_axes), to="varying")
-
-        def step(acc, s):
-            r, i = _fused_call(s, bank, interpolate, interpret, precision,
-                               "itc")
-            return (acc[0] + r, acc[1] + i), None
-
-        (sr, si), _ = lax.scan(step, (zero, zero), chunks)
-    return jnp.sqrt(sr * sr + si * si) / e
+    sr, si = _itc_sums(signals, bank, interpolate, interpret, precision,
+                       vma_axes)
+    return jnp.sqrt(sr * sr + si * si) / signals.shape[0]
 
 
 @functools.lru_cache(maxsize=32)
@@ -445,6 +455,10 @@ def supports(signals_shape, bank, epilogue: str = "power") -> bool:
     path cannot pad (zero epochs would inject NaN phases), so E must be
     <= 8 or a multiple of 8 there."""
     if bank is None or len(signals_shape) != 3:
+        return False
+    if bank.ndim != 2 or bank.shape[-1] != signals_shape[-1]:
+        # A bank built for a different signal length would be silently
+        # resampled at the wrong frequency resolution — hard requirement.
         return False
     e = signals_shape[0]
     if (epilogue != "power" and e > MAX_EPOCHS_PER_CALL

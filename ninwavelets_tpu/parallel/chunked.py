@@ -56,9 +56,15 @@ def halo_samples(wdef: WaveletDef, min_freq: float, sfreq: float,
     recordings with Normal-mode Haar/MexicanHat banks inherit the reference's
     Twice-mode quirks and are not supported for chunking).
     """
-    if wdef.trans_formula is None:
-        raise ValueError("halo_samples needs a frequency-domain formula "
-                         "(Reverse/Both-mode wavelet)")
+    from ..ops.bank import WaveletMode
+    if wdef.mode not in (WaveletMode.Reverse, WaveletMode.Both):
+        # Class-derived wdefs always carry a trans_formula (the base class
+        # supplies an identity default), so gate on the MODE: only
+        # frequency-domain families have a meaningful spectrum to probe.
+        raise ValueError(
+            f"halo_samples needs a Reverse/Both-mode wavelet (got "
+            f"{wdef.mode}); Normal/Twice families are not supported for "
+            "time-chunked processing")
     if probe_seconds is None:
         # Generous probe: >= 16 cycles of the slowest wavelet, >= 2 s.
         probe_seconds = max(16.0 / min_freq, 2.0)

@@ -176,28 +176,11 @@ def sharded_fused_itc(signals_r, bank_r, *, mesh: Mesh,
     ``data`` completes the global mean, and the final abs runs on the
     reduced planes.  Same constraints as ``sharded_fused_mean_power``.
     """
-    from ..ops.fused import (MAX_EPOCHS_PER_CALL, _fused_call)
+    from ..ops.fused import _itc_sums
 
     def local(sig, br):
         e = sig.shape[0]
-        if e <= MAX_EPOCHS_PER_CALL:
-            sr, si = _fused_call(sig, br, interpolate, interpret, precision,
-                                 "itc")
-        else:
-            if e % MAX_EPOCHS_PER_CALL:
-                raise ValueError("local epochs must be <= 8 or a multiple "
-                                 f"of 8, got {e}")
-            chunks = sig.reshape((e // MAX_EPOCHS_PER_CALL,
-                                  MAX_EPOCHS_PER_CALL) + sig.shape[1:])
-            zero = jnp.zeros((sig.shape[1], br.shape[0], sig.shape[2]),
-                             jnp.float32)
-
-            def step(acc, s):
-                r, i = _fused_call(s, br, interpolate, interpret, precision,
-                                   "itc")
-                return (acc[0] + r, acc[1] + i), None
-
-            (sr, si), _ = lax.scan(step, (zero, zero), chunks)
+        sr, si = _itc_sums(sig, br, interpolate, interpret, precision)
         sr = lax.pmean(sr / e, DATA_AXIS)
         si = lax.pmean(si / e, DATA_AXIS)
         return jnp.sqrt(sr * sr + si * si)

@@ -55,7 +55,7 @@ class EpochsWavelet:
         if not hasattr(w, '_bank_r'):
             if freqs is None:
                 raise ValueError("freqs is required when no bank is cached")
-            w.make_fft_wavelets(freqs, waves.shape[-1] / w.sfreq)
+            w._build_bank(freqs, waves.shape[-1] / w.sfreq)
         bank_r = pad_to(w._bank_r, waves)
         bank_i = None if w._bank_i is None else pad_to(w._bank_i, waves)
         return bank_r, bank_i

@@ -101,7 +101,9 @@ def test_stale_bank_reuse_contract():
     bank1 = m.fft_wavelets
     sin2 = make_example(2.0)  # different length
     _ = m.cwt(sin2, freqs)    # freqs ignored, stale bank padded
-    assert m.fft_wavelets is bank1
+    # The cached bank is untouched (still the sin1-length bank) —
+    # fft_wavelets is a lazily assembled view, so compare by value.
+    assert np.array_equal(m.fft_wavelets, bank1)
     # reuse=False rebuilds at the new length
     _ = m.cwt(sin2, freqs, reuse=False)
     assert m.fft_wavelets.shape[-1] == sin2.shape[0]

@@ -109,3 +109,50 @@ class TestTwiceMode:
         bank_twice = np.asarray(m.make_fft_wavelets(freqs))
         assert bank_both.shape == bank_twice.shape
         assert not np.allclose(bank_both, bank_twice)
+
+
+class TestCacheKeys:
+    """Regression: jit cache keys must include wavelet hyper-parameters."""
+
+    def test_parameter_mutation_retraces(self):
+        sig = np.sin(2 * np.pi * 40 * np.arange(1000) / 1000.0)
+        m = nw.Morse(1000)
+        p1 = np.asarray(m.power(sig, [30.0, 40.0], reuse=False))
+        m.b = 5.0
+        p2 = np.asarray(m.power(sig, [30.0, 40.0], reuse=False))
+        fresh = np.asarray(nw.Morse(1000, b=5.0).power(sig, [30.0, 40.0],
+                                                       reuse=False))
+        assert not np.allclose(p1, p2)
+        np.testing.assert_allclose(p2, fresh, rtol=1e-5)
+
+    def test_identical_instances_share_key(self):
+        a, b = nw.Morse(1000), nw.Morse(1000)
+        assert a._wdef() == b._wdef()
+        assert hash(a._wdef()) == hash(b._wdef())
+        b2 = nw.Morse(1000, b=5.0)
+        assert a._wdef() != b2._wdef()
+
+    def test_fft_wavelets_lazy_property(self):
+        m = nw.Morse(1000)
+        with pytest.raises(AttributeError):
+            _ = m.fft_wavelets
+        m.cwt(np.ones(500, np.float32), [10.0, 20.0])
+        assert m.fft_wavelets.shape == (2, 500)
+
+
+class TestFusedGuards:
+    def test_mismatched_bank_rejected(self):
+        from ninwavelets_tpu.ops import fused
+        import jax.numpy as jnp
+        bank = jnp.ones((16, 4096), jnp.float32)
+        assert not fused.supports((2, 1, 2048), bank)
+        with pytest.raises(ValueError, match="bank length"):
+            fused.fused_mean_power_from_bank(
+                jnp.ones((2, 1, 2048), jnp.float32), bank, True,
+                interpret=True)
+
+    def test_halo_requires_freq_domain_mode(self):
+        from ninwavelets_tpu.parallel import halo_samples
+        mex = nw.MexicanHat(1000)
+        with pytest.raises(ValueError, match="Reverse/Both"):
+            halo_samples(mex._wdef(), 5.0, 1000.0)
