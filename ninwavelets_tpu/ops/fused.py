@@ -47,8 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-F_BLOCK = 8               # bank rows per program
-MAX_EPOCHS_PER_CALL = 8   # VMEM budget: stage tensors are O(E * N1 * 128)
+MAX_EPOCHS_PER_CALL = 8   # VMEM budget: stage tensors are O(E * 128 * 128)
 
 #: Matmul precision for the DFT stages.  The MXU is the kernel bottleneck:
 #: measured on v5e at the BASELINE workload, "exact" (Precision.HIGHEST,
@@ -76,26 +75,40 @@ def _supported(n: int) -> bool:
     return n % LANES == 0 and 8 <= n1 <= LANES and (n1 & (n1 - 1)) == 0
 
 
+def _f_block(n: int) -> int:
+    """Bank rows per program, chosen so F_BLOCK * N1 = 128 — the twiddled
+    block then fills exactly 128 sublanes, and ALL epochs stack into ONE
+    dense stage-2 dispatch of M = E*128."""
+    return LANES // (n // LANES)
+
+
 @functools.lru_cache(maxsize=16)
 def _dft_constants(n: int, analytic: bool):
     """Host-precomputed f32 DFT factors (cached as numpy — device arrays
     created inside a jit trace must not leak into a cross-trace cache).
 
-    Returns (w1c, twr, twi, w2c) for N1 = n/128, K1 = N1/2 if analytic:
-      w1c (2*N1, 2*K1): [[W1r, -W1i], [W1i, W1r]], W1[n1,k1]=w_N1^{n1 k1}
-      twr/twi (N1, 128): twiddle w_N^{n1 k2}
+    Returns (w1c, twr, twi, w2c) for N1 = n/128, K1 = N1/2 if analytic,
+    FB = 128/N1 bank rows per program:
+      w1c (2*128, 2*FB*K1): [[W1r, -W1i], [W1i, W1r]] with W1 =
+          blockdiag(FB copies of w_N1^{n1 k1}) — rows (fb, n1)
+      twr/twi (128, 128): twiddle w_N^{n1 k2} tiled FB times down sublanes
       w2c (2*128, 2*128): [[W2r, W2i], [-W2i, W2r]], W2[k2,n2]=w_128^{k2 n2}
     """
     n1_dim = n // LANES
     k1_dim = n1_dim // 2 if analytic else n1_dim
+    fb = _f_block(n)
 
     k1 = np.arange(k1_dim)
     n1 = np.arange(n1_dim)
-    w1 = np.exp(2j * np.pi * np.outer(n1, k1) / n1_dim)
+    w1_small = np.exp(2j * np.pi * np.outer(n1, k1) / n1_dim)   # (N1, K1)
+    w1 = np.zeros((fb * n1_dim, fb * k1_dim), np.complex128)
+    for f in range(fb):
+        w1[f * n1_dim:(f + 1) * n1_dim,
+           f * k1_dim:(f + 1) * k1_dim] = w1_small               # blockdiag
     w1c = np.block([[w1.real, -w1.imag], [w1.imag, w1.real]])
 
     k2 = np.arange(LANES)
-    tw = np.exp(2j * np.pi * np.outer(n1, k2) / n)              # (N1, 128)
+    tw = np.tile(np.exp(2j * np.pi * np.outer(n1, k2) / n), (fb, 1))
 
     w2 = np.exp(2j * np.pi * np.outer(k2, k2) / LANES)          # (128, 128)
     w2c = np.block([[w2.real, w2.imag], [-w2.imag, w2.real]])
@@ -107,18 +120,23 @@ def _dft_constants(n: int, analytic: bool):
 def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
             w2c_ref, *out_refs, n_epochs: int, n1_dim: int, precision: str,
             epilogue: str = "power"):
-    """One (channel, frequency-block) program.
+    """One (channel, frequency-block) program, FB = 128/N1 bank rows.
 
-    Layouts (K1 = spectrum sublanes — N1/2 on the analytic path):
-      spec_*: (E, 1, K1, 128)        — z.reshape(N1, 128)[:K1] per epoch
-      bank:   (1, F_BLOCK, K1, 128)  — bank rows, pre-scaled by 1/N
-      out:    (1, F_BLOCK, N1, 128)  — split layout [n1, n2]
-                                       (n = n1 + N1*n2); one buffer for
-                                       ``epilogue="power"`` (epoch-mean
-                                       power), two (real, imag) for
-                                       ``epilogue="itc"`` (epoch sum of
-                                       the unit-phase coefficients)
+    Layouts (K1 = N1/2 on the analytic path; rows ordered (fb, k1) or
+    (fb, n1) — FB*N1 = 128 fills the sublanes exactly):
+      spec_*: (E, 1, FB*K1, 128)  — z.reshape(N1,128)[:K1] tiled FB times
+                                    down sublanes (done in XLA)
+      bank:   (1, FB*K1, 128)     — FB bank rows stacked, pre-scaled
+      out:    (1, 1, 128, 128)    — [(fb, n1), n2] split layout; one buffer
+                                    for power, two (real, imag) for itc
+
+    Matmul structure per program (mulN = 1 dispatch, or 3 at "fast3"):
+      stage 1:  A = W1blk (256 x 2*FB*K1) @ M (2*FB*K1 x E*128)
+      twiddle:  per-epoch elementwise on (128, 128) blocks
+      stage 2:  X = B (E*128 x 256) @ W2C (256 x 256)  — ALL epochs and
+                bank rows in ONE dense dispatch (M = E*128)
     """
+    bank = bank_ref[0]                                # (FB*K1, 128)
     w1c = w1c_ref[...]
     twr, twi = twr_ref[...], twi_ref[...]
     w2c = w2c_ref[...]
@@ -142,66 +160,56 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
         mul2 = lambda b: dot(b, w2c)
 
     e_total = n_epochs
-    e_group = max(1, LANES // n1_dim)      # epochs stacked per stage-2 dispatch
+    rows = bank.shape[0]                              # FB*K1
 
-    for fb in range(F_BLOCK):
-        bank = bank_ref[0, fb]                        # (K1, 128)
-        # Stage 0 (VPU): bank * spectrum, epochs packed along lanes,
-        # real block stacked over imag block in sublanes.
-        mr = jnp.concatenate(
-            [bank * spec_r_ref[e, 0] for e in range(e_total)], 1)
-        mi = jnp.concatenate(
-            [bank * spec_i_ref[e, 0] for e in range(e_total)], 1)
-        m = jnp.concatenate([mr, mi], 0)              # (2K1, E*128)
+    # Stage 0 (VPU): bank * spectrum for every epoch, epochs along lanes,
+    # real block stacked over imag block in sublanes.
+    mr = jnp.concatenate(
+        [bank * spec_r_ref[e, 0] for e in range(e_total)], 1)
+    mi = jnp.concatenate(
+        [bank * spec_i_ref[e, 0] for e in range(e_total)], 1)
+    m = jnp.concatenate([mr, mi], 0)                  # (2*FB*K1, E*128)
 
-        # Stage 1 (MXU, skinny): A = W1 @ M for all epochs in one dispatch.
-        a = mul1(m)                                   # (2*N1, E*128)
-        ar, ai = a[:n1_dim], a[n1_dim:]
+    # Stage 1 (MXU): A = W1blk @ M — all epochs, one dispatch.
+    a = mul1(m)                                       # (256, E*128)
+    ar, ai = a[:LANES], a[LANES:]                     # rows (fb, n1)
 
-        # Twiddle (VPU) per epoch, then stack epoch groups along sublanes
-        # for the dense stage-2 matmul.
-        acc = acc_r = acc_i = None
-        for g in range(0, e_total, e_group):
-            brs, bis = [], []
-            for e in range(g, min(g + e_group, e_total)):
-                s = slice(e * LANES, (e + 1) * LANES)
-                are, aie = ar[:, s], ai[:, s]
-                brs.append(are * twr - aie * twi)
-                bis.append(are * twi + aie * twr)
-            br = jnp.concatenate(brs, 0)              # (g_e*N1, 128)
-            bi = jnp.concatenate(bis, 0)
-            # Stage 2 (MXU, dense K=128): X = B @ W2 for real+imag at once.
-            x = mul2(jnp.concatenate([br, bi], 1))
-            xr, xi = x[:, :LANES], x[:, LANES:]
-            p = xr * xr + xi * xi                     # rows (e, n1)
-            if epilogue == "power":
-                group = p.reshape(len(brs), n1_dim, LANES).sum(0)
-                acc = group if acc is None else acc + group
-            else:  # itc: accumulate the unit-phase coefficients c/|c|
-                inv = lax.rsqrt(p)    # |c|=0 -> inf -> NaN, as the
-                ur, ui = xr * inv, xi * inv  # reference's 0/0 would be
-                gr = ur.reshape(len(brs), n1_dim, LANES).sum(0)
-                gi = ui.reshape(len(brs), n1_dim, LANES).sum(0)
-                acc_r = gr if acc_r is None else acc_r + gr
-                acc_i = gi if acc_i is None else acc_i + gi
-        if epilogue == "power":
-            out_refs[0][0, 0, fb] = acc               # (N1, 128) [n1, n2]
-        else:
-            out_refs[0][0, 0, fb] = acc_r
-            out_refs[1][0, 0, fb] = acc_i
+    # Twiddle (VPU) per epoch, stacking epochs down the sublanes.
+    brs, bis = [], []
+    for e in range(e_total):
+        s = slice(e * LANES, (e + 1) * LANES)
+        are, aie = ar[:, s], ai[:, s]
+        brs.append(are * twr - aie * twi)
+        bis.append(are * twi + aie * twr)
+    br = jnp.concatenate(brs, 0)                      # (E*128, 128)
+    bi = jnp.concatenate(bis, 0)
+
+    # Stage 2 (MXU, dense K=128): one dispatch for everything.
+    x = mul2(jnp.concatenate([br, bi], 1))            # (E*128, 256)
+    xr, xi = x[:, :LANES], x[:, LANES:]
+    p = xr * xr + xi * xi                             # rows (e, fb, n1)
+
+    if epilogue == "power":
+        out_refs[0][0, 0] = p.reshape(e_total, LANES, LANES).sum(0)
+    else:  # itc: accumulate the unit-phase coefficients c/|c|
+        inv = lax.rsqrt(p)        # |c|=0 -> inf -> NaN, matching the
+        ur, ui = xr * inv, xi * inv   # reference's 0/0 behavior
+        out_refs[0][0, 0] = ur.reshape(e_total, LANES, LANES).sum(0)
+        out_refs[1][0, 0] = ui.reshape(e_total, LANES, LANES).sum(0)
 
 
 def _prepare_bank(bank: jnp.ndarray, n: int, analytic: bool,
                   n_epochs: int) -> jnp.ndarray:
-    """(F, N) real bank -> (F/F_BLOCK, F_BLOCK, K1, 128) pre-scaled by
-    1/(N*sqrt(E)): the iDFT 1/N and the epoch-mean 1/E (power is quadratic
-    in the bank) both fold into the bank, saving a full output pass.
-    Row f becomes bank[f].reshape(N1, 128)[:K1] — a pure reshape."""
+    """(F, N) real bank -> (F/FB, FB*K1, 128) pre-scaled by 1/(N*sqrt(E)):
+    the iDFT 1/N and the epoch-mean 1/E (power is quadratic in the bank)
+    both fold into the bank, saving a full output pass.  Rows are ordered
+    (fb, k1) — row f becomes bank[f].reshape(N1, 128)[:K1], a pure
+    reshape."""
     n1_dim = n // LANES
     k1_dim = n1_dim // 2 if analytic else n1_dim
+    fb = _f_block(n)
     f_total = bank.shape[0]
-    b = bank[:, :k1_dim * LANES].reshape(f_total // F_BLOCK, F_BLOCK,
-                                         k1_dim, LANES)
+    b = bank[:, :k1_dim * LANES].reshape(f_total // fb, fb * k1_dim, LANES)
     return (b / (float(n) * float(n_epochs) ** 0.5)).astype(jnp.float32)
 
 
@@ -222,11 +230,12 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
     f_total = bank.shape[0]
     n1_dim = n // LANES
     k1_dim = n1_dim // 2 if interpolate else n1_dim
+    fb = _f_block(n)
 
-    pad_f = (-f_total) % F_BLOCK
+    pad_f = (-f_total) % fb
     if pad_f:
         bank = jnp.pad(bank, ((0, pad_f), (0, 0)))
-    n_blocks = (f_total + pad_f) // F_BLOCK
+    n_blocks = (f_total + pad_f) // fb
 
     if interpolate:
         # Real input + analytic path: rfft gives exactly the bins the kernel
@@ -235,17 +244,20 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
     else:
         spec = jnp.fft.fft(signals.astype(jnp.complex64))
         spec = spec[..., :k1_dim * LANES]
-    spec_r = spec.real.reshape(e, c, k1_dim, LANES)
-    spec_i = spec.imag.reshape(e, c, k1_dim, LANES)
+    # Tile the (K1, 128) spectrum FB times down the sublanes so it lines up
+    # with the (fb, k1)-ordered bank rows.
+    spec_r = jnp.tile(spec.real.reshape(e, c, 1, k1_dim, LANES),
+                      (1, 1, fb, 1, 1)).reshape(e, c, fb * k1_dim, LANES)
+    spec_i = jnp.tile(spec.imag.reshape(e, c, 1, k1_dim, LANES),
+                      (1, 1, fb, 1, 1)).reshape(e, c, fb * k1_dim, LANES)
     bank_t = _prepare_bank(bank, n, interpolate, e)
     consts = _dft_constants(n, interpolate)
 
     rep = lambda shape: pl.BlockSpec(shape, lambda ci, fi: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
-    plane = jax.ShapeDtypeStruct((c, n_blocks, F_BLOCK, n1_dim, LANES),
-                                 jnp.float32)
-    out_spec = pl.BlockSpec((1, 1, F_BLOCK, n1_dim, LANES),
-                            lambda ci, fi: (ci, fi, 0, 0, 0),
+    plane = jax.ShapeDtypeStruct((c, n_blocks, LANES, LANES), jnp.float32)
+    out_spec = pl.BlockSpec((1, 1, LANES, LANES),
+                            lambda ci, fi: (ci, fi, 0, 0),
                             memory_space=pltpu.VMEM)
     n_outs = 1 if epilogue == "power" else 2
     out = pl.pallas_call(
@@ -253,16 +265,18 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
                           precision=precision, epilogue=epilogue),
         grid=(c, n_blocks),
         in_specs=[
-            pl.BlockSpec((e, 1, k1_dim, LANES), lambda ci, fi: (0, ci, 0, 0),
+            pl.BlockSpec((e, 1, fb * k1_dim, LANES),
+                         lambda ci, fi: (0, ci, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((e, 1, k1_dim, LANES), lambda ci, fi: (0, ci, 0, 0),
+            pl.BlockSpec((e, 1, fb * k1_dim, LANES),
+                         lambda ci, fi: (0, ci, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F_BLOCK, k1_dim, LANES),
-                         lambda ci, fi: (fi, 0, 0, 0),
+            pl.BlockSpec((1, fb * k1_dim, LANES),
+                         lambda ci, fi: (fi, 0, 0),
                          memory_space=pltpu.VMEM),
-            rep((2 * n1_dim, 2 * k1_dim)),
-            rep((n1_dim, LANES)),
-            rep((n1_dim, LANES)),
+            rep((2 * LANES, 2 * fb * k1_dim)),
+            rep((LANES, LANES)),
+            rep((LANES, LANES)),
             rep((2 * LANES, 2 * LANES)),
         ],
         out_specs=out_spec if n_outs == 1 else (out_spec, out_spec),
@@ -271,19 +285,19 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
-            flops=8 * c * n_blocks * F_BLOCK * e * LANES
-                  * (n1_dim * k1_dim + n1_dim * LANES),
-            bytes_accessed=c * (e * 2 * k1_dim * LANES * 4
-                                + n_blocks * F_BLOCK * (k1_dim + n1_dim)
+            flops=8 * c * n_blocks * e * LANES
+                  * (fb * n1_dim * k1_dim + LANES * LANES // max(e, 1)),
+            bytes_accessed=c * (e * 2 * fb * k1_dim * LANES * 4
+                                + n_blocks * (fb * k1_dim + LANES)
                                 * LANES * 4 * n_outs),
             transcendentals=0),
     )(spec_r, spec_i, bank_t, *consts)
 
     def to_natural(plane_out):
-        # Split layout [n1, n2] -> natural n = n1 + N1*n2: transpose the
-        # two minor axes (one XLA pass over the f32 output).
-        tf = jnp.transpose(plane_out, (0, 1, 2, 4, 3)).reshape(
-            c, n_blocks * F_BLOCK, n)
+        # [(fb, n1), n2] split layout -> natural n = n1 + N1*n2: transpose
+        # the two minor axes (one XLA pass over the f32 output).
+        tf = plane_out.reshape(c, n_blocks, fb, n1_dim, LANES)
+        tf = jnp.transpose(tf, (0, 1, 2, 4, 3)).reshape(c, n_blocks * fb, n)
         return tf[:, :f_total] if pad_f else tf
 
     if n_outs == 1:
