@@ -14,8 +14,8 @@ under ``ninwavelets_tpu.ops`` and the sharded engine under
 ``ninwavelets_tpu.parallel``.
 """
 from . import config, ops
-from .models import (Haar, MexicanHat, Morlet, Morse, MorseMNE, Shannon,
-                     WaveletBase, WaveletMode)
+from .models import (Bump, DOG, Haar, MexicanHat, Morlet, Morse, MorseMNE,
+                     Paul, Shannon, WaveletBase, WaveletMode)
 from .ops.baseline import Baseline, baseline_correct, baseline_tf
 from .utils import (EpochsWavelet, Parallel, Sequence, compose, dict_map,
                     plot_tf, plot_wavelet)
@@ -30,4 +30,5 @@ __all__ = [
     # additions
     "plot_wavelet", "baseline_correct", "baseline_tf", "ops", "config",
     "Parallel", "Sequence", "compose", "dict_map",
+    "Paul", "DOG", "Bump",
 ]

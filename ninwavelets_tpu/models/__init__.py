@@ -1,6 +1,7 @@
 from ..ops.bank import WaveletMode
 from .base import WaveletBase
-from .zoo import Haar, MexicanHat, Morlet, Morse, MorseMNE, Shannon
+from .zoo import (Bump, DOG, Haar, MexicanHat, Morlet, Morse, MorseMNE,
+                  Paul, Shannon)
 
 __all__ = ["WaveletBase", "WaveletMode", "Morse", "MorseMNE", "Morlet",
-           "Haar", "MexicanHat", "Shannon"]
+           "Haar", "MexicanHat", "Shannon", "Paul", "DOG", "Bump"]

@@ -151,3 +151,59 @@ class Haar(WaveletBase):
 
     def formula(self, timeline: jnp.ndarray, freq=1.0) -> jnp.ndarray:
         return spectra.haar_time(timeline)
+
+
+class Paul(WaveletBase):
+    """Paul wavelet of order m (extension — no reference counterpart).
+
+    Strong time resolution, broad in frequency; mode=Reverse with the
+    engine's peak-normalized analytic convention
+    (``ops.extensions.paul_spectrum``).
+    """
+
+    def __init__(self, sfreq: float = 1000, m: float = 4.0,
+                 real_wave_length: float = 1.,
+                 interpolate: bool = False, cuda: bool = False) -> None:
+        super().__init__(sfreq, real_wave_length, interpolate, cuda)
+        self.m = float(m)
+        self.mode = WaveletMode.Reverse
+
+    def trans_formula(self, freqs: jnp.ndarray, freq=1.0) -> jnp.ndarray:
+        from ..ops.extensions import paul_spectrum
+        return paul_spectrum(freqs, freq, self.m)
+
+
+class DOG(WaveletBase):
+    """Analytic derivative-of-Gaussian wavelet of order m (extension).
+
+    ``m = 2`` is the analytic counterpart of :class:`MexicanHat` — same
+    envelope, but computed on the Reverse path (no Twice-mode quirks).
+    """
+
+    def __init__(self, sfreq: float = 1000, m: float = 2.0,
+                 real_wave_length: float = 1.,
+                 interpolate: bool = False, cuda: bool = False) -> None:
+        super().__init__(sfreq, real_wave_length, interpolate, cuda)
+        self.m = float(m)
+        self.mode = WaveletMode.Reverse
+
+    def trans_formula(self, freqs: jnp.ndarray, freq=1.0) -> jnp.ndarray:
+        from ..ops.extensions import dog_spectrum
+        return dog_spectrum(freqs, freq, self.m)
+
+
+class Bump(WaveletBase):
+    """Bump wavelet (extension): compact frequency support — the sharpest
+    frequency resolution in the zoo, at the cost of time resolution.
+    """
+
+    def __init__(self, sfreq: float = 1000, sigma: float = 0.6,
+                 real_wave_length: float = 1.,
+                 interpolate: bool = False, cuda: bool = False) -> None:
+        super().__init__(sfreq, real_wave_length, interpolate, cuda)
+        self.sigma = float(sigma)
+        self.mode = WaveletMode.Reverse
+
+    def trans_formula(self, freqs: jnp.ndarray, freq=1.0) -> jnp.ndarray:
+        from ..ops.extensions import bump_spectrum
+        return bump_spectrum(freqs, freq, self.sigma)

@@ -11,6 +11,9 @@ from .baseline import (Baseline, baseline_correct, baseline_of, baseline_tf,
 from .cwt import (abs_from_bank, analytic_spectrum, cwt_abs, cwt_from_bank,
                   cwt_ri, itc, itc_from_bank, mean_power,
                   mean_power_from_bank, power, power_from_bank, split_complex)
+from .extensions import (bump_spectrum, cross_power_from_bank,
+                         dog_spectrum, epoch_coherence_from_bank,
+                         paul_spectrum)
 from .fused import (fused_itc, fused_itc_from_bank, fused_mean_power,
                     fused_mean_power_from_bank, itc_auto, mean_power_auto)
 from .grids import analytic_mask, fft_bin_freqs, reverse_timeline, wavelet_timeline
@@ -32,6 +35,8 @@ __all__ = [
     "power", "power_from_bank", "split_complex",
     "fused_mean_power", "fused_mean_power_from_bank", "mean_power_auto",
     "fused_itc", "fused_itc_from_bank", "itc_auto",
+    "paul_spectrum", "dog_spectrum", "bump_spectrum",
+    "cross_power_from_bank", "epoch_coherence_from_bank",
     "analytic_mask", "fft_bin_freqs", "reverse_timeline", "wavelet_timeline",
     "MNE_CONSTANT", "SizeError", "hamming_window", "interpolate_alias",
     "normalize", "pad_to",

@@ -1,0 +1,134 @@
+"""Beyond-reference extensions: more analytic families and cross-signal ops.
+
+The reference ships five wavelet families (SURVEY C10-C14); this module adds
+the other standard CWT families (Paul, DOG, Bump) in the same engine
+convention — a frequency-domain ``trans_formula(grid, freq)`` peaking at
+``grid == freq``, peak amplitude 2, analytic (zero at negative/zero
+frequency) — plus cross-signal products the reference lacks entirely:
+cross-power spectra and epoch-wise wavelet coherence.
+
+All spectra are float32-safe (log-space where powers would overflow) and
+vmappable over the analysis-frequency axis, like ``ops.spectra``.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+from jax import lax
+
+from .cwt import cwt_from_bank
+
+
+# ----------------------------------------------------------------------------
+# Additional analytic families (no reference counterpart)
+# ----------------------------------------------------------------------------
+
+def paul_spectrum(freq_grid: jnp.ndarray, freq, m: float = 4.0
+                  ) -> jnp.ndarray:
+    """Paul wavelet of order m, peak-normalized:
+    ``2 * H(w) * w**m * exp(m * (1 - w))`` with ``w = grid / freq``.
+
+    The textbook Paul spectrum is ``w**m e^{-w}`` (peak at w = m); the
+    engine convention rescales so the peak sits at the analysis frequency
+    with amplitude 2, matching the Morse normalization style
+    (``ops.spectra.morse_spectrum``).  Evaluated in log-space for float32.
+    """
+    w = freq_grid / jnp.asarray(freq, freq_grid.dtype)
+    m = float(m)
+    safe_w = jnp.where(w > 0, w, 1.0)
+    log_mag = m * jnp.log(safe_w) + m * (1.0 - safe_w)
+    return jnp.where(w > 0, 2.0 * jnp.exp(log_mag), 0.0)
+
+
+def dog_spectrum(freq_grid: jnp.ndarray, freq, m: float = 2.0
+                 ) -> jnp.ndarray:
+    """Analytic DOG (derivative-of-Gaussian) wavelet of order m,
+    peak-normalized: ``2 * H(w) * w**m * exp(m/2 * (1 - w**2))``.
+
+    The textbook DOG spectrum is ``w**m e^{-w^2/2}`` (peak at w = sqrt(m));
+    rescaled so the peak sits at the analysis frequency with amplitude 2.
+    ``m = 2`` is the analytic counterpart of the MexicanHat family.
+    """
+    w = freq_grid / jnp.asarray(freq, freq_grid.dtype)
+    m = float(m)
+    safe_w = jnp.where(w > 0, w, 1.0)
+    log_mag = m * jnp.log(safe_w) + 0.5 * m * (1.0 - safe_w * safe_w)
+    return jnp.where(w > 0, 2.0 * jnp.exp(log_mag), 0.0)
+
+
+def bump_spectrum(freq_grid: jnp.ndarray, freq, sigma: float = 0.6
+                  ) -> jnp.ndarray:
+    """Bump wavelet, peak-normalized: ``2 * exp(1 - 1/(1 - u**2))`` on
+    ``|u| < 1`` with ``u = (w - 1) / sigma``, ``w = grid / freq``; zero
+    elsewhere.  Compactly supported in frequency — excellent frequency
+    resolution, poor time resolution.
+    """
+    w = freq_grid / jnp.asarray(freq, freq_grid.dtype)
+    u = (w - 1.0) / float(sigma)
+    inside = (jnp.abs(u) < 1.0) & (w > 0)
+    safe_u2 = jnp.where(inside, u * u, 0.0)
+    val = 2.0 * jnp.exp(1.0 - 1.0 / (1.0 - safe_u2))
+    return jnp.where(inside, val, 0.0)
+
+
+# ----------------------------------------------------------------------------
+# Cross-signal ops (no reference counterpart)
+# ----------------------------------------------------------------------------
+
+def cross_power_from_bank(sig_a: jnp.ndarray, sig_b: jnp.ndarray,
+                          bank: jnp.ndarray, interpolate: bool = False):
+    """Cross-wavelet product ``Wa * conj(Wb)`` as a (real, imag) float pair.
+
+    Args:
+      sig_a, sig_b: (..., N) signals (same shape).
+      bank: (F, N) frequency-domain bank.
+    Returns:
+      ((..., F, N), (..., F, N)) — real and imaginary parts of the
+      cross-spectrum; its magnitude is cross-power, its angle the relative
+      phase between the signals at each (frequency, time) point.
+    """
+    ca = cwt_from_bank(sig_a, bank, interpolate)
+    cb = cwt_from_bank(sig_b, bank, interpolate)
+    x = ca * jnp.conj(cb)
+    return x.real, x.imag
+
+
+def epoch_coherence_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
+                              bank: jnp.ndarray, interpolate: bool = False,
+                              eps: float = 0.0) -> jnp.ndarray:
+    """Epoch-wise magnitude-squared wavelet coherence:
+
+        ``|mean_E Wa conj(Wb)|**2 / (mean_E |Wa|**2 * mean_E |Wb|**2)``
+
+    The ensemble average over epochs plays the role the usual time/scale
+    smoothing plays for single trials, so no smoothing kernel is needed —
+    the natural formulation for the epochs data this framework targets.
+    Streams over the epoch axis with ``lax.scan`` (O(F*N) memory).
+
+    Args:
+      sigs_a, sigs_b: (E, ..., N) epoch batches (same shape).
+    Returns:
+      (..., F, N) float32 in [0, 1] (up to float error).
+    """
+    n_epochs = sigs_a.shape[0]
+    shape = sigs_a.shape[1:-1] + (bank.shape[0], sigs_a.shape[-1])
+    zeros = jnp.zeros(shape, jnp.float32)
+
+    def step(acc, sigs):
+        sa, sb = sigs
+        ca = cwt_from_bank(sa, bank, interpolate)
+        cb = cwt_from_bank(sb, bank, interpolate)
+        x = ca * jnp.conj(cb)
+        xr, xi, pa, pb = acc
+        return (xr + x.real, xi + x.imag,
+                pa + jnp.square(ca.real) + jnp.square(ca.imag),
+                pb + jnp.square(cb.real) + jnp.square(cb.imag)), None
+
+    (xr, xi, pa, pb), _ = lax.scan(step, (zeros, zeros, zeros, zeros),
+                                   (sigs_a, sigs_b))
+    num = (jnp.square(xr) + jnp.square(xi)) / (n_epochs * n_epochs)
+    den = (pa / n_epochs) * (pb / n_epochs)
+    if eps:
+        den = jnp.maximum(den, eps)
+    return num / den
