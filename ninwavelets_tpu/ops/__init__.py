@@ -17,6 +17,7 @@ from .extensions import (bump_spectrum, cross_power_from_bank,
 from .fused import (fused_itc, fused_itc_from_bank, fused_mean_power,
                     fused_mean_power_from_bank, itc_auto, mean_power_auto)
 from .grids import analytic_mask, fft_bin_freqs, reverse_timeline, wavelet_timeline
+from .icwt import coverage, icwt_from_bank, icwt_ri
 from .signal_utils import (MNE_CONSTANT, SizeError, hamming_window,
                            interpolate_alias, normalize, pad_to)
 from .spectra import (MEXICAN_HAT_PEAK_FREQ, haar_time, mexican_hat_time,
@@ -37,6 +38,7 @@ __all__ = [
     "fused_itc", "fused_itc_from_bank", "itc_auto",
     "paul_spectrum", "dog_spectrum", "bump_spectrum",
     "cross_power_from_bank", "epoch_coherence_from_bank",
+    "icwt_from_bank", "icwt_ri", "coverage",
     "analytic_mask", "fft_bin_freqs", "reverse_timeline", "wavelet_timeline",
     "MNE_CONSTANT", "SizeError", "hamming_window", "interpolate_alias",
     "normalize", "pad_to",
