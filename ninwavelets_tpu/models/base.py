@@ -222,6 +222,13 @@ class WaveletBase:
         return _abs_jit(wave_r, bank_r, bank_i, wave_i,
                         interpolate=self.interpolate)
 
+    def phase(self, wave, freqs: Optional[Numbers] = None,
+              reuse: bool = True) -> np.ndarray:
+        """Instantaneous phase ``angle(cwt)`` in radians (extension — the
+        reference computes phases only implicitly inside ITC)."""
+        c = self.cwt(wave, freqs, reuse)
+        return np.angle(c)
+
     def plot(self, freq: float, show: bool = True):
         from ..utils.plotting import plot_wavelet
         return plot_wavelet(self, freq, show)

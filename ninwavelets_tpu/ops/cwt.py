@@ -30,10 +30,18 @@ def analytic_spectrum(signal: jnp.ndarray, interpolate: bool) -> jnp.ndarray:
     """FFT of the signal, optionally with the negative-frequency half zeroed
     (the reference's ``interpolate_alias`` applied to the signal spectrum,
     ``base.py:399-401``).
+
+    For real signals on the analytic path the masked spectrum is just the
+    rFFT's lower bins zero-padded — half the FFT work.
     """
+    n = signal.shape[-1]
+    if interpolate and not jnp.iscomplexobj(signal):
+        half = jnp.fft.rfft(signal)[..., :n // 2]
+        pad = [(0, 0)] * (signal.ndim - 1) + [(0, n - n // 2)]
+        return jnp.pad(half, pad)
     spec = jnp.fft.fft(signal.astype(jnp.complex64))
     if interpolate:
-        spec = spec * analytic_mask(signal.shape[-1], jnp.float32)
+        spec = spec * analytic_mask(n, jnp.float32)
     return spec
 
 
