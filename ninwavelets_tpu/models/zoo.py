@@ -7,8 +7,6 @@ jit them.
 """
 from __future__ import annotations
 
-from typing import List, Union
-
 import jax.numpy as jnp
 import numpy as np
 

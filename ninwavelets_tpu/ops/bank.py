@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from .grids import (analytic_mask, fft_bin_freqs, reverse_timeline,
                     wavelet_timeline)
+from .signal_utils import pad_last_axis_to
 
 
 class WaveletMode(enum.Enum):
@@ -86,19 +87,10 @@ class WaveletDef:
 
 
 def pad_spectrum_to(spec: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Static-shape version of the reference ``pad_to`` (``base.py:75-82``):
-    head-truncate if too long, otherwise center-pad (extra sample goes to the
-    tail).  Operates on the last axis.
-    """
-    m = spec.shape[-1]
-    if m == n:
-        return spec
-    if m > n:
-        return spec[..., :n]
-    side1 = (n - m) // 2
-    side2 = n - m - side1
-    pad = [(0, 0)] * (spec.ndim - 1) + [(side1, side2)]
-    return jnp.pad(spec, pad)
+    """Reference ``pad_to`` semantics on a spectrum's last axis
+    (``base.py:75-82``) — canonical implementation in
+    ``ops.signal_utils.pad_last_axis_to``."""
+    return pad_last_axis_to(spec, n)
 
 
 def _freq_domain_row(wdef: WaveletDef, grid: jnp.ndarray, freq,

@@ -17,8 +17,6 @@ epilogue on device.
 """
 from __future__ import annotations
 
-from typing import Union
-
 import jax.numpy as jnp
 
 METHODS = ("mean", "ratio", "percent", "log", "zscore", "zlog")

@@ -12,8 +12,6 @@ vmappable over the analysis-frequency axis, like ``ops.spectra``.
 """
 from __future__ import annotations
 
-import math
-
 import jax.numpy as jnp
 from jax import lax
 

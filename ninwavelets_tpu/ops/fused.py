@@ -37,7 +37,6 @@ against ``ops.cwt.mean_power`` (same math via XLA FFT), tested to float32.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -410,12 +409,11 @@ def fused_itc_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted(interpolate: bool, interpret: bool, precision: str,
-            fn=None):
-    """One stable jitted callable per config — a fresh ``jax.jit`` wrapper
-    per call would defeat the compilation cache (recompile every call)."""
-    return jax.jit(functools.partial(fn or fused_mean_power_from_bank,
-                                     interpolate=interpolate,
+def _jitted(fn, interpolate: bool, interpret: bool, precision: str):
+    """One stable jitted callable per (fn, config) — a fresh ``jax.jit``
+    wrapper per call would defeat the compilation cache (recompile every
+    call)."""
+    return jax.jit(functools.partial(fn, interpolate=interpolate,
                                      interpret=interpret,
                                      precision=precision))
 
@@ -424,15 +422,16 @@ def fused_mean_power(signal_r, bank_r, *, interpolate: bool = True,
                      interpret: bool = False,
                      precision: str = DEFAULT_PRECISION):
     """Jitted float-boundary wrapper (complex never crosses the boundary)."""
-    return _jitted(interpolate, interpret, precision)(signal_r, bank_r)
+    return _jitted(fused_mean_power_from_bank, interpolate, interpret,
+                   precision)(signal_r, bank_r)
 
 
 def fused_itc(signal_r, bank_r, *, interpolate: bool = True,
               interpret: bool = False,
               precision: str = DEFAULT_PRECISION):
     """Jitted float-boundary ITC wrapper."""
-    return _jitted(interpolate, interpret, precision,
-                   fused_itc_from_bank)(signal_r, bank_r)
+    return _jitted(fused_itc_from_bank, interpolate, interpret,
+                   precision)(signal_r, bank_r)
 
 
 def mean_power_auto(signal_r, bank_r, bank_i=None, *,

@@ -21,20 +21,26 @@ class SizeError(Exception):
     """
 
 
+def pad_last_axis_to(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Canonical reference ``pad_to`` semantics (``base.py:75-82``) on the
+    last axis: head-truncate if longer than ``n``, otherwise center-pad
+    (the extra zero goes on the tail)."""
+    x = jnp.asarray(x)
+    m = x.shape[-1]
+    if m == n:
+        return x
+    if m > n:
+        return x[..., :n]
+    side1 = (n - m) // 2
+    side2 = n - m - side1
+    pad = [(0, 0)] * (x.ndim - 1) + [(side1, side2)]
+    return jnp.pad(x, pad)
+
+
 def pad_to(wave_from: jnp.ndarray, wave_to: jnp.ndarray) -> jnp.ndarray:
-    """Length-match ``wave_from`` to ``wave_to`` along the last axis:
-    head-truncate if longer, center-pad otherwise (extra zero on the tail).
-    Reference: ``base.py:75-82``.
-    """
-    wave_from = jnp.asarray(wave_from)
-    from_size = wave_from.shape[-1]
-    to_size = jnp.asarray(wave_to).shape[-1]
-    if from_size > to_size:
-        return wave_from[..., :to_size]
-    side1 = (to_size - from_size) // 2
-    side2 = to_size - from_size - side1
-    pad = [(0, 0)] * (wave_from.ndim - 1) + [(side1, side2)]
-    return jnp.pad(wave_from, pad)
+    """Length-match ``wave_from`` to ``wave_to`` along the last axis
+    (reference ``base.py:75-82``)."""
+    return pad_last_axis_to(wave_from, jnp.asarray(wave_to).shape[-1])
 
 
 def hamming_window(wave: jnp.ndarray) -> jnp.ndarray:

@@ -37,13 +37,14 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.bank import WaveletDef, make_fft_bank
+from ..ops.cwt import _as_bank
 from ..ops.grids import analytic_mask, fft_bin_freqs
 from .mesh import TIME_AXIS
 
 
 def halo_samples(wdef: WaveletDef, min_freq: float, sfreq: float,
-                 tol: float = 1e-4, probe_seconds: Optional[float] = None,
-                 sigma_or_params=None) -> int:
+                 tol: float = 1e-4,
+                 probe_seconds: Optional[float] = None) -> int:
     """Time-domain support (in samples) of the slowest analysis wavelet.
 
     Synthesizes the wavelet at ``min_freq`` by evaluating its frequency-
@@ -138,8 +139,7 @@ def _chunk_call(mesh, signal_r, bank_r, bank_i, halo, interpolate, epilogue,
         out_spec = (out_spec,) * n_outs
 
     def local(sig, br, bi):
-        bank = br if bi is None else lax.complex(br, bi)
-        c = _local_cwt(sig, bank, halo, interpolate, n_dev)
+        c = _local_cwt(sig, _as_bank(br, bi), halo, interpolate, n_dev)
         return epilogue(c)
 
     if bank_i is None:

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.bank import WaveletDef, make_fft_bank
+from ..ops.cwt import _as_bank
 from ..ops.grids import analytic_mask
 from .chunked import halo_samples, pow2_halo
 
@@ -32,7 +33,7 @@ from .chunked import halo_samples, pow2_halo
 def _window_power(ext_window, bank_r, bank_i=None, *, halo: int,
                   interpolate: bool = False):
     """|cwt|^2 of one extended window, halos discarded: (..., L+2h) -> (..., F, L)."""
-    bank = bank_r if bank_i is None else jax.lax.complex(bank_r, bank_i)
+    bank = _as_bank(bank_r, bank_i)
     spec = jnp.fft.fft(ext_window.astype(jnp.complex64))
     if interpolate:
         spec = spec * analytic_mask(ext_window.shape[-1], jnp.float32)

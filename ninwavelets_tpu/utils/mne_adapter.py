@@ -47,8 +47,7 @@ class EpochsWavelet:
 
     def _channel_data(self, ch_name: str) -> jnp.ndarray:
         idx = self.epochs.ch_names.index(ch_name)
-        return jnp.asarray(np.asarray(self.epochs.get_data())[:, idx, :]
-                           .astype(np.float32))
+        return self._all_data()[:, idx, :]
 
     def _bank_for(self, waves: jnp.ndarray, freqs: Optional[Numbers]):
         w = self.wavelet
@@ -91,8 +90,13 @@ class EpochsWavelet:
     # -- TPU-native batched extensions ------------------------------------
 
     def _all_data(self) -> jnp.ndarray:
-        return jnp.asarray(np.asarray(self.epochs.get_data())
-                           .astype(np.float32))
+        """Device copy of ``epochs.get_data()``, fetched once — MNE may
+        load/copy the full array per call, and every per-channel method
+        would otherwise re-pay that cost."""
+        if not hasattr(self, '_data'):
+            self._data = jnp.asarray(np.asarray(self.epochs.get_data())
+                                     .astype(np.float32))
+        return self._data
 
     def cwt_all(self, freqs: Numbers) -> jnp.ndarray:
         """(E, C, F, N) CWT of every channel and epoch in one program.
