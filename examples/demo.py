@@ -8,6 +8,8 @@ are saved to ``examples/out/`` (headless-friendly) instead of shown.
     python examples/demo.py wave         # wavelet shape plots
     python examples/demo.py cwt          # Morse vs Morlet side by side
     python examples/demo.py eeg FILE.fif # real-EEG end-to-end (needs mne)
+    python examples/demo.py coherence    # epoch wavelet coherence (extension)
+    python examples/demo.py icwt         # CWT -> inverse-CWT round trip
     python examples/demo.py bench        # quick wall-clock probe
 
 Flags compose: ``python examples/demo.py sin interpolate``.
@@ -102,6 +104,58 @@ def demo_eeg(path: str, interpolate: bool) -> None:
     _save(None, "eeg_morse_power.png")
 
 
+def demo_coherence(interpolate: bool) -> None:
+    """Extension demo: epoch-wise wavelet coherence between two channels
+    sharing a lagged 40 Hz component."""
+    import jax.numpy as jnp
+    import matplotlib.pyplot as plt
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+    from ninwavelets_tpu.ops.extensions import epoch_coherence_from_bank
+    rng = np.random.default_rng(0)
+    t = np.arange(1000) / 1000.0
+    common = np.sin(2 * np.pi * 40 * t)
+    a = (common[None] + 0.7 * rng.standard_normal((20, 1000))).astype(
+        np.float32)
+    b = (np.sin(2 * np.pi * 40 * (t - 0.004))[None]
+         + 0.7 * rng.standard_normal((20, 1000))).astype(np.float32)
+    morse = nw.Morse(1000, interpolate=interpolate)
+    bank = make_fft_bank(morse._wdef(), jnp.arange(5.0, 100.0), 1000,
+                         1000.0, interpolate)
+    coh = np.asarray(epoch_coherence_from_bank(jnp.asarray(a),
+                                               jnp.asarray(b), bank,
+                                               interpolate))
+    plt.figure()
+    plt.imshow(coh, aspect='auto', origin='lower', vmin=0, vmax=1,
+               cmap='viridis')
+    plt.colorbar(label='coherence')
+    plt.title('epoch wavelet coherence (40 Hz shared component)')
+    _save(None, "coherence.png")
+    print(f"coherence at 40 Hz row: {coh[35, 200:800].mean():.3f} "
+          "(expect high); background:", f"{np.median(coh):.3f}")
+
+
+def demo_icwt(interpolate: bool) -> None:
+    """Extension demo: reconstruct the golden signal from its CWT."""
+    import jax.numpy as jnp
+    import matplotlib.pyplot as plt
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+    from ninwavelets_tpu.ops.cwt import cwt_from_bank
+    from ninwavelets_tpu.ops.icwt import icwt_from_bank
+    sig = make_example(1.0).astype(np.float32)
+    morse = nw.Morse(1000, interpolate=True)
+    bank = make_fft_bank(morse._wdef(), jnp.arange(5.0, 400.0), 1000,
+                         1000.0, True)
+    c = cwt_from_bank(jnp.asarray(sig), bank, True)
+    rec = np.asarray(icwt_from_bank(c, bank).real)
+    err = np.abs(rec - sig).max()
+    plt.figure(figsize=(9, 4))
+    plt.plot(sig[:400], label='original')
+    plt.plot(rec[:400], '--', label='reconstructed')
+    plt.legend(); plt.title(f'inverse CWT round trip (max err {err:.2e})')
+    _save(None, "icwt_roundtrip.png")
+    print(f"icwt max err: {err:.2e}")
+
+
 def demo_bench(interpolate: bool) -> None:
     """Quick wall-clock probe, reference README workload
     (``README.md:455-465``)."""
@@ -131,9 +185,14 @@ def main(argv) -> None:
         if not fifs:
             sys.exit("usage: demo.py eeg /path/to/recording.fif")
         demo_eeg(fifs[0], interpolate)
+    if 'coherence' in argv:
+        demo_coherence(interpolate)
+    if 'icwt' in argv:
+        demo_icwt(interpolate)
     if 'bench' in argv:
         demo_bench(interpolate)
-    if not any(k in argv for k in ('sin', 'wave', 'cwt', 'eeg', 'bench')):
+    if not any(k in argv for k in ('sin', 'wave', 'cwt', 'eeg', 'coherence',
+                                   'icwt', 'bench')):
         print(__doc__)
 
 
