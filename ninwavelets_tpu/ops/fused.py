@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-MAX_EPOCHS_PER_CALL = 8   # VMEM budget: stage tensors are O(E * 128 * 128)
+MAX_EPOCHS_PER_CALL = 16  # VMEM budget: stage tensors are O(E * 128 * 128)
 
 #: Matmul precision for the DFT stages.  The MXU is the kernel bottleneck:
 #: measured on v5e at the BASELINE workload, "exact" (Precision.HIGHEST,
