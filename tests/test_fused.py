@@ -77,16 +77,18 @@ def test_fast3_precision_within_gate():
 
 
 def test_supports_geometry():
+    chunk = fused.MAX_EPOCHS_PER_CALL
     bank = jnp.ones((100, 2048), jnp.float32)
-    assert fused.supports((8, 64, 2048), bank)
-    assert fused.supports((16, 64, 1024), bank[:, :1024])
-    assert fused.supports((9, 64, 2048), bank)            # ragged: padded
-    assert not fused.supports((9, 64, 2048), bank, epilogue="itc")
-    assert not fused.supports((8, 2048), bank)            # missing channel
-    assert not fused.supports((8, 64, 2000), bank)        # N not N1*128
-    assert not fused.supports((8, 64, 2048), None)
+    assert fused.supports((chunk, 64, 2048), bank)
+    assert fused.supports((2 * chunk, 64, 1024), bank[:, :1024])
+    ragged = chunk + 1
+    assert fused.supports((ragged, 64, 2048), bank)       # ragged: padded
+    assert not fused.supports((ragged, 64, 2048), bank, epilogue="itc")
+    assert not fused.supports((chunk, 2048), bank)        # missing channel
+    assert not fused.supports((chunk, 64, 2000), bank)    # N not N1*128
+    assert not fused.supports((chunk, 64, 2048), None)
     cbank = jnp.ones((4, 2048), jnp.complex64)
-    assert not fused.supports((8, 64, 2048), cbank)
+    assert not fused.supports((chunk, 64, 2048), cbank)
 
 
 def test_bad_precision_raises():
@@ -97,9 +99,9 @@ def test_bad_precision_raises():
 
 
 def test_ragged_epoch_count_pads_correctly():
-    """E = 12 is zero-padded to 16; the rescaled mean must equal the true
-    12-epoch mean."""
-    sig, bank = _workload(e=12, c=2, nf=16)
+    """A ragged epoch count is zero-padded to the chunk size; the rescaled
+    mean must equal the true mean."""
+    sig, bank = _workload(e=fused.MAX_EPOCHS_PER_CALL + 4, c=2, nf=16)
     want = np.asarray(jax.jit(
         lambda s, b: mean_power_from_bank(s, b, True))(sig, bank))
     got = np.asarray(fused.fused_mean_power_from_bank(
@@ -110,7 +112,7 @@ def test_ragged_epoch_count_pads_correctly():
 
 
 def test_itc_bad_epoch_count_raises():
-    sig, bank = _workload(e=12, c=1, nf=8)
+    sig, bank = _workload(e=fused.MAX_EPOCHS_PER_CALL + 4, c=1, nf=8)
     with pytest.raises(ValueError):
         fused.fused_itc_from_bank(jnp.asarray(sig), jnp.asarray(bank),
                                   True, interpret=True)
