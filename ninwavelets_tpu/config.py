@@ -62,3 +62,29 @@ class PipelineConfig:
     engine: EngineConfig = field(default_factory=EngineConfig)
     baseline: Optional[Tuple[float, float]] = None   # (start_s, stop_s)
     baseline_method: str = "zscore"
+
+
+def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
+    """Execute a configured analysis pipeline over an MNE-style epochs
+    container: build the wavelet, compute the all-channel epoch-mean power
+    TFR (fused kernel where eligible), optionally baseline-correct it, and
+    return the results.
+
+    Returns a dict with ``power`` (C, F, N) and ``itc`` (C, F, N) device
+    arrays (baseline correction applied to ``power`` when configured).
+    """
+    import numpy as np
+
+    from .ops.baseline import baseline_tf
+    from .utils.mne_adapter import EpochsWavelet
+
+    wavelet = cfg.wavelet.build()
+    ew = EpochsWavelet(epochs, wavelet)
+    sfreq = wavelet.sfreq
+    freqs = np.arange(1.0, 101.0)
+    power = ew.power_all(freqs)
+    itc = ew.itc_all(freqs)
+    if cfg.baseline is not None:
+        start, stop = cfg.baseline
+        power = baseline_tf(power, sfreq, start, stop, cfg.baseline_method)
+    return {"power": power, "itc": itc, "freqs": freqs, "wavelet": wavelet}

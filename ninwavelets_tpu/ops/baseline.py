@@ -22,6 +22,16 @@ import jax.numpy as jnp
 METHODS = ("mean", "ratio", "percent", "log", "zscore", "zlog")
 
 
+def _std(x, axis=None, keepdims=False):
+    """Two-pass population std (like numpy's): ``sqrt(mean((x - mean)^2))``.
+    jnp.std can return NaN on near-constant float32 data (one-pass
+    cancellation yields a slightly negative variance under sqrt).
+    """
+    mean = x.mean(axis=axis, keepdims=True)
+    var = jnp.square(x - mean).mean(axis=axis, keepdims=keepdims)
+    return jnp.sqrt(var)
+
+
 def _correct(wave, basemean, basestd, method: str):
     if method == "mean":
         return wave - basemean
@@ -53,7 +63,7 @@ class Baseline:
         self.wave = jnp.asarray(wave)
         self.baseline = self.wave[int(start * sfreq): int(stop * sfreq)]
         self.basemean = self.baseline.mean()
-        self._basestd = jnp.std(self.baseline)
+        self._basestd = _std(self.baseline)
 
     def mean(self):
         return _correct(self.wave, self.basemean, self._basestd, "mean")
@@ -86,7 +96,7 @@ def baseline_correct(wave: jnp.ndarray, sfreq: float, start: float,
     statistics — reference semantics).
     """
     base = jnp.asarray(wave)[int(start * sfreq): int(stop * sfreq)]
-    return _correct(jnp.asarray(wave), base.mean(), jnp.std(base), method)
+    return _correct(jnp.asarray(wave), base.mean(), _std(base), method)
 
 
 def baseline_tf(tf: jnp.ndarray, sfreq: float, start: float, stop: float,
@@ -103,5 +113,10 @@ def baseline_tf(tf: jnp.ndarray, sfreq: float, start: float, stop: float,
     lo, hi = int(start * sfreq), int(stop * sfreq)
     window = tf[..., lo:hi]
     mean = window.mean(axis=-1, keepdims=True)
-    std = jnp.std(window, axis=-1, keepdims=True)
+    std = _std(window, axis=-1, keepdims=True)
+    # A degenerate (constant-in-float32) baseline row would turn the whole
+    # row into inf/NaN; fall back to unit scale there — zscore degrades to
+    # mean-correction instead of poisoning the TFR.  (The scalar
+    # ``Baseline`` class keeps exact reference semantics instead.)
+    std = jnp.where(std > 0, std, 1.0)
     return _correct(tf, mean, std, method)

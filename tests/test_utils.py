@@ -135,3 +135,25 @@ class TestStreaming:
         morse = nw.Morse(1000)
         with pytest.raises(ValueError):
             StreamingCWT(morse._wdef(), [1.0], 1000.0, window=128)
+
+
+class TestPipeline:
+    def test_run_pipeline(self):
+        import numpy as np
+
+        class FakeEpochs:
+            info = {'sfreq': 1000.0}
+            ch_names = ['a', 'b']
+            def get_data(self):
+                rng = np.random.default_rng(0)
+                t = np.arange(600) / 1000.0
+                return (np.sin(2 * np.pi * 30 * t)[None, None, :]
+                        + 0.2 * rng.standard_normal((4, 2, 600)))
+
+        p = cfg.PipelineConfig(baseline=(0.0, 0.1))
+        out = cfg.run_pipeline(p, FakeEpochs())
+        assert np.asarray(out["power"]).shape == (2, 100, 600)
+        assert np.asarray(out["itc"]).shape == (2, 100, 600)
+        # zscore baseline: the corrected window should center near zero
+        win = np.asarray(out["power"])[:, :, :100]
+        assert abs(win.mean()) < 1.0
