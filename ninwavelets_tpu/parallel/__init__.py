@@ -8,6 +8,7 @@ and the whole-signal FFT (``base.py:399``) — as ``shard_map`` programs over a
 (data, freq, time) ``jax.sharding.Mesh`` with XLA collectives (``pmean`` for
 epoch reductions, ``ppermute`` for time-axis halos).
 """
+from .api import distributed_itc, distributed_mean_power
 from .chunked import (chunk_bank, chunked_abs, chunked_cwt_ri, chunked_power,
                       halo_samples, pow2_halo)
 from .mesh import (DATA_AXIS, FREQ_AXIS, TIME_AXIS, auto_mesh, flat_mesh,
@@ -23,6 +24,7 @@ __all__ = [
     "init_multihost",
     "sharded_mean_power", "sharded_itc", "sharded_cwt_ri", "sharded_power",
     "sharded_fused_mean_power", "sharded_fused_itc",
+    "distributed_mean_power", "distributed_itc",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",
     "halo_samples", "pow2_halo", "StreamingCWT",
 ]

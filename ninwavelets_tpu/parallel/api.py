@@ -1,0 +1,114 @@
+"""High-level distributed transforms: wavelet object in, sharded TFR out.
+
+The lower-level ``sharded_*`` functions take a prebuilt (F, N) bank; these
+wrappers accept a ``WaveletBase`` (or ``WaveletDef``) plus frequencies,
+build the bank on device, choose the mesh, shard the batch, and dispatch —
+the fused Pallas kernel per shard on TPU meshes, the XLA path elsewhere.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..ops.bank import WaveletDef, make_fft_bank
+from .mesh import DATA_AXIS, auto_mesh, shard_batch
+from .sharded import (sharded_fused_itc, sharded_fused_mean_power,
+                      sharded_itc, sharded_mean_power)
+
+
+def _resolve(wavelet):
+    """(wdef, interpolate) from a WaveletBase instance or a raw WaveletDef."""
+    if isinstance(wavelet, WaveletDef):
+        return wavelet, False
+    return wavelet._wdef(), bool(getattr(wavelet, "interpolate", False))
+
+
+def _build(wavelet, freqs, n, sfreq, interpolate):
+    wdef, _ = _resolve(wavelet)
+    bank = make_fft_bank(wdef, jnp.asarray(np.asarray(freqs, np.float32)),
+                         n, sfreq, interpolate)
+    if jnp.iscomplexobj(bank):
+        return bank.real.astype(jnp.float32), bank.imag.astype(jnp.float32)
+    return bank.astype(jnp.float32), None
+
+
+def _use_fused(bank_i, interpolate) -> bool:
+    return bank_i is None and jax.default_backend() == "tpu"
+
+
+def distributed_mean_power(signals, wavelet, freqs, sfreq: float,
+                           mesh=None, interpolate: Optional[bool] = None
+                           ) -> jnp.ndarray:
+    """Epoch-mean power TFR of an (E, C, N) batch over a device mesh.
+
+    Epochs are sharded over the mesh ``data`` axis (zero-padded to
+    divisibility; the mean is rescaled to the true count), bank rows over
+    ``freq``.  On TPU meshes with a real bank each shard runs the fused
+    Pallas kernel.
+
+    Args:
+      signals: (E, C, N) host or device array.
+      wavelet: a ``WaveletBase`` instance (its ``interpolate`` is used
+        unless overridden) or a raw ``WaveletDef``.
+      freqs: analysis frequencies (Hz).
+      sfreq: sampling frequency (Hz).
+      mesh: a mesh from ``make_mesh``/``auto_mesh`` (default: all devices).
+    Returns:
+      (C, F, N) float32, sharded over ``freq``.
+    """
+    _, w_interp = _resolve(wavelet)
+    interpolate = w_interp if interpolate is None else interpolate
+    if mesh is None:
+        mesh = auto_mesh()
+    signals = np.asarray(signals, dtype=np.float32)
+    e, _, n = signals.shape
+    d = mesh.shape[DATA_AXIS]
+    pad_e = (-e) % d
+    if pad_e:
+        signals = np.pad(signals, ((0, pad_e), (0, 0), (0, 0)))
+    bank_r, bank_i = _build(wavelet, freqs, n, sfreq, interpolate)
+    dev = shard_batch(jnp.asarray(signals), mesh, P(DATA_AXIS))
+    fn = (sharded_fused_mean_power if _use_fused(bank_i, interpolate)
+          else sharded_mean_power)
+    if fn is sharded_fused_mean_power:
+        out = fn(dev, bank_r, mesh=mesh, interpolate=interpolate)
+    else:
+        out = fn(dev, bank_r, bank_i, mesh=mesh, interpolate=interpolate)
+    if pad_e:
+        out = out * ((e + pad_e) / e)   # zero epochs add zero power
+    return out
+
+
+def distributed_itc(signals, wavelet, freqs, sfreq: float, mesh=None,
+                    interpolate: Optional[bool] = None) -> jnp.ndarray:
+    """Inter-trial coherence of an (E, C, N) batch over a device mesh.
+
+    E must be divisible by the mesh ``data`` axis (the unit-phase mean
+    cannot be zero-padded — zero coefficients have no phase).
+    """
+    _, w_interp = _resolve(wavelet)
+    interpolate = w_interp if interpolate is None else interpolate
+    if mesh is None:
+        mesh = auto_mesh()
+    signals = np.asarray(signals, dtype=np.float32)
+    e, _, n = signals.shape
+    d = mesh.shape[DATA_AXIS]
+    if e % d:
+        raise ValueError(f"epochs ({e}) must divide the data axis ({d}) "
+                         "for itc — zero-padding would inject NaN phases")
+    bank_r, bank_i = _build(wavelet, freqs, n, sfreq, interpolate)
+    dev = shard_batch(jnp.asarray(signals), mesh, P(DATA_AXIS))
+    from ..ops.fused import MAX_EPOCHS_PER_CALL
+    local = e // d
+    fused_ok = (_use_fused(bank_i, interpolate)
+                and (local <= MAX_EPOCHS_PER_CALL
+                     or local % MAX_EPOCHS_PER_CALL == 0))
+    if fused_ok:
+        return sharded_fused_itc(dev, bank_r, mesh=mesh,
+                                 interpolate=interpolate)
+    return sharded_itc(dev, bank_r, bank_i, mesh=mesh,
+                       interpolate=interpolate)

@@ -232,3 +232,54 @@ class TestDifferentiability:
         assert np.isfinite(float(g))
         # Moving the analysis freq toward the signal's 40 Hz raises power.
         assert float(g) > 0
+
+
+class TestDistributedAPI:
+    """High-level wavelet-object-in, sharded-TFR-out wrappers."""
+
+    def test_distributed_mean_power_matches_single_device(self):
+        from ninwavelets_tpu.ops import cwt as ops_cwt
+        sig = _epochs_block(e=8, c=2, n=512)
+        morse = nw.Morse(1000.0, interpolate=True)
+        mesh = par.make_mesh(data=4, freq=2)
+        got = np.asarray(par.distributed_mean_power(
+            sig, morse, np.arange(10.0, 42.0), 1000.0, mesh=mesh))
+        bank = make_fft_bank(morse._wdef(), jnp.arange(10.0, 42.0), 512,
+                             1000.0, True)
+        want = np.asarray(ops_cwt.mean_power(
+            jnp.asarray(sig), jnp.asarray(np.asarray(bank, np.float32)),
+            interpolate=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+    def test_distributed_mean_power_ragged_epochs(self):
+        """E not divisible by the data axis: zero-pad + rescale."""
+        from ninwavelets_tpu.ops import cwt as ops_cwt
+        sig = _epochs_block(e=7, c=2, n=512)
+        morse = nw.Morse(1000.0)
+        mesh = par.make_mesh(data=4, freq=1)
+        got = np.asarray(par.distributed_mean_power(
+            sig, morse, np.arange(10.0, 26.0), 1000.0, mesh=mesh))
+        bank = make_fft_bank(morse._wdef(), jnp.arange(10.0, 26.0), 512,
+                             1000.0, False)
+        want = np.asarray(ops_cwt.mean_power(
+            jnp.asarray(sig), jnp.asarray(np.asarray(bank, np.float32))))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+    def test_distributed_itc_divisibility(self):
+        sig = _epochs_block(e=7, c=1, n=512)
+        with pytest.raises(ValueError, match="divide"):
+            par.distributed_itc(sig, nw.Morse(1000.0), [20.0], 1000.0,
+                                mesh=par.make_mesh(data=4, freq=1))
+
+    def test_distributed_itc_matches_single_device(self):
+        from ninwavelets_tpu.ops import cwt as ops_cwt
+        sig = _epochs_block(e=8, c=2, n=512)
+        morse = nw.Morse(1000.0)
+        mesh = par.make_mesh(data=2, freq=2)
+        got = np.asarray(par.distributed_itc(
+            sig, morse, np.arange(10.0, 42.0), 1000.0, mesh=mesh))
+        bank = make_fft_bank(morse._wdef(), jnp.arange(10.0, 42.0), 512,
+                             1000.0, False)
+        want = np.asarray(ops_cwt.itc(
+            jnp.asarray(sig), jnp.asarray(np.asarray(bank, np.float32))))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
