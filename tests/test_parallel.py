@@ -283,3 +283,18 @@ class TestDistributedAPI:
         want = np.asarray(ops_cwt.itc(
             jnp.asarray(sig), jnp.asarray(np.asarray(bank, np.float32))))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_chunked_abs_matches_sqrt_power():
+    mesh = par.flat_mesh(par.TIME_AXIS)
+    n_dev = mesh.shape[par.TIME_AXIS]
+    n = 256 * n_dev
+    sig = np.random.default_rng(2).standard_normal(n).astype(np.float32)
+    freqs = np.arange(30.0, 46.0, dtype=np.float32)
+    morse = nw.Morse(1000)
+    br, bi = par.chunk_bank(morse._wdef(), freqs, 256, 64, 1000.0)
+    a = np.asarray(par.chunked_abs(jnp.asarray(sig), br, bi, mesh=mesh,
+                                   halo=64))
+    p = np.asarray(par.chunked_power(jnp.asarray(sig), br, bi, mesh=mesh,
+                                     halo=64))
+    np.testing.assert_allclose(a * a, p, rtol=1e-4, atol=1e-6)
