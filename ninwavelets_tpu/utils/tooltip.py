@@ -74,8 +74,13 @@ def _n_workers(core: Optional[int]) -> int:
 
 
 def _pool(core: int, processes: bool):
-    cls = ProcessPoolExecutor if processes else ThreadPoolExecutor
-    return cls(max_workers=core)
+    if processes:
+        # spawn, not fork: fork deadlocks under multithreaded runtimes
+        # (JAX is multithreaded in any process that imported it).
+        import multiprocessing
+        return ProcessPoolExecutor(
+            max_workers=core, mp_context=multiprocessing.get_context("spawn"))
+    return ThreadPoolExecutor(max_workers=core)
 
 
 class Parallel:
