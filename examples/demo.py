@@ -142,10 +142,10 @@ def demo_icwt(interpolate: bool) -> None:
     from ninwavelets_tpu.ops.cwt import cwt_from_bank
     from ninwavelets_tpu.ops.icwt import icwt_from_bank
     sig = make_example(1.0).astype(np.float32)
-    morse = nw.Morse(1000, interpolate=True)
+    morse = nw.Morse(1000, interpolate=interpolate)
     bank = make_fft_bank(morse._wdef(), jnp.arange(5.0, 400.0), 1000,
-                         1000.0, True)
-    c = cwt_from_bank(jnp.asarray(sig), bank, True)
+                         1000.0, interpolate)
+    c = cwt_from_bank(jnp.asarray(sig), bank, interpolate)
     rec = np.asarray(icwt_from_bank(c, bank).real)
     err = np.abs(rec - sig).max()
     plt.figure(figsize=(9, 4))

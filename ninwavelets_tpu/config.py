@@ -60,6 +60,7 @@ class PipelineConfig:
     """A full analysis pipeline: wavelet + engine + baseline window."""
     wavelet: MorseConfig = field(default_factory=MorseConfig)
     engine: EngineConfig = field(default_factory=EngineConfig)
+    freqs: Tuple[float, float, float] = (1.0, 101.0, 1.0)  # (lo, hi, step) Hz
     baseline: Optional[Tuple[float, float]] = None   # (start_s, stop_s)
     baseline_method: str = "zscore"
 
@@ -67,23 +68,36 @@ class PipelineConfig:
 def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
     """Execute a configured analysis pipeline over an MNE-style epochs
     container: build the wavelet, compute the all-channel epoch-mean power
-    TFR (fused kernel where eligible), optionally baseline-correct it, and
-    return the results.
+    TFR and ITC at ``cfg.freqs`` — through the fused Pallas kernel at
+    ``cfg.engine.precision`` where eligible (``cfg.engine.use_fused``), the
+    XLA path otherwise — and optionally baseline-correct the power.
 
     Returns a dict with ``power`` (C, F, N) and ``itc`` (C, F, N) device
-    arrays (baseline correction applied to ``power`` when configured).
+    arrays plus the frequency grid and wavelet instance.
     """
     import numpy as np
 
     from .ops.baseline import baseline_tf
+    from .ops.cwt import itc as xla_itc
+    from .ops.cwt import mean_power as xla_mean_power
+    from .ops.fused import itc_auto, mean_power_auto
     from .utils.mne_adapter import EpochsWavelet
 
     wavelet = cfg.wavelet.build()
-    ew = EpochsWavelet(epochs, wavelet)
+    ew = EpochsWavelet(epochs, wavelet)       # sets wavelet.sfreq
     sfreq = wavelet.sfreq
-    freqs = np.arange(1.0, 101.0)
-    power = ew.power_all(freqs)
-    itc = ew.itc_all(freqs)
+    freqs = np.arange(*cfg.freqs)
+    waves = ew._all_data()
+    bank_r, bank_i = ew._bank_for(waves, freqs)
+    interp = wavelet.interpolate
+    if cfg.engine.use_fused:
+        power = mean_power_auto(waves, bank_r, bank_i, interpolate=interp,
+                                precision=cfg.engine.precision)
+        itc = itc_auto(waves, bank_r, bank_i, interpolate=interp,
+                       precision=cfg.engine.precision)
+    else:
+        power = xla_mean_power(waves, bank_r, bank_i, interpolate=interp)
+        itc = xla_itc(waves, bank_r, bank_i, interpolate=interp)
     if cfg.baseline is not None:
         start, stop = cfg.baseline
         power = baseline_tf(power, sfreq, start, stop, cfg.baseline_method)

@@ -94,7 +94,7 @@ def cross_power_from_bank(sig_a: jnp.ndarray, sig_b: jnp.ndarray,
 
 def epoch_coherence_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
                               bank: jnp.ndarray, interpolate: bool = False,
-                              eps: float = 0.0) -> jnp.ndarray:
+                              eps: float = 1e-12) -> jnp.ndarray:
     """Epoch-wise magnitude-squared wavelet coherence:
 
         ``|mean_E Wa conj(Wb)|**2 / (mean_E |Wa|**2 * mean_E |Wb|**2)``
@@ -128,5 +128,8 @@ def epoch_coherence_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
     num = (jnp.square(xr) + jnp.square(xi)) / (n_epochs * n_epochs)
     den = (pa / n_epochs) * (pb / n_epochs)
     if eps:
-        den = jnp.maximum(den, eps)
+        # Relative floor: rows with no spectral support (den == 0, e.g. a
+        # Bump row outside its band) return coherence 0 instead of 0/0 NaN,
+        # keeping the documented [0, 1] contract.
+        den = jnp.maximum(den, eps * jnp.max(den))
     return num / den

@@ -159,8 +159,6 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
         mul2 = lambda b: dot(b, w2c)
 
     e_total = n_epochs
-    rows = bank.shape[0]                              # FB*K1
-
     # Stage 0 (VPU): bank * spectrum for every epoch, epochs along lanes,
     # real block stacked over imag block in sublanes.
     mr = jnp.concatenate(
@@ -318,8 +316,9 @@ def fused_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
 
     Args:
       signals: (E, C, N) float32, any E (epochs are processed in VMEM-sized
-        chunks of 8; a ragged tail is zero-padded — zero epochs contribute
-        zero power, and the mean is rescaled to the true count).
+        chunks of ``MAX_EPOCHS_PER_CALL``; a ragged tail is zero-padded —
+        zero epochs contribute zero power, and the mean is rescaled to the
+        true count).
       bank: (F, N) float32 — a REAL frequency-domain bank (Morse / Morlet /
         Shannon; Normal/Twice-mode complex banks use the XLA path).
       interpolate: the analytic trick (upper spectrum half zeroed).  True
@@ -466,7 +465,7 @@ def supports(signals_shape, bank, epilogue: str = "power") -> bool:
     geometry) — callers fall back to the XLA path otherwise.  The power
     path accepts any epoch count (ragged tails are zero-padded); the itc
     path cannot pad (zero epochs would inject NaN phases), so E must be
-    <= 8 or a multiple of 8 there."""
+    <= MAX_EPOCHS_PER_CALL or a multiple of it there."""
     if bank is None or len(signals_shape) != 3:
         return False
     if bank.ndim != 2 or bank.shape[-1] != signals_shape[-1]:

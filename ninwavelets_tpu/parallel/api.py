@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from ..ops.bank import WaveletDef, make_fft_bank
+from ..ops.bank import WaveletDef, make_fft_bank_ri
 from .mesh import DATA_AXIS, auto_mesh, shard_batch
 from .sharded import (sharded_fused_itc, sharded_fused_mean_power,
                       sharded_itc, sharded_mean_power)
@@ -28,16 +28,22 @@ def _resolve(wavelet):
 
 
 def _build(wavelet, freqs, n, sfreq, interpolate):
+    """(real, imag-or-None) bank via the jitted builder — complex64 must
+    never appear eagerly on the TPU runtime (see CLAUDE.md)."""
     wdef, _ = _resolve(wavelet)
-    bank = make_fft_bank(wdef, jnp.asarray(np.asarray(freqs, np.float32)),
-                         n, sfreq, interpolate)
-    if jnp.iscomplexobj(bank):
-        return bank.real.astype(jnp.float32), bank.imag.astype(jnp.float32)
-    return bank.astype(jnp.float32), None
+    rwl = float(getattr(wavelet, "real_wave_length", 1.0))
+    return make_fft_bank_ri(wdef,
+                            jnp.asarray(np.asarray(freqs, np.float32)),
+                            n, float(sfreq), interpolate, rwl)
 
 
-def _use_fused(bank_i, interpolate) -> bool:
-    return bank_i is None and jax.default_backend() == "tpu"
+def _use_fused(bank_i, n: int) -> bool:
+    """Fused kernel only for real banks on TPU with conforming geometry
+    (N = N1*128, N1 a power of two in [8, 128]) — same gate as
+    ``ops.fused.supports``; everything else takes the XLA path."""
+    from ..ops.fused import _supported
+    return (bank_i is None and jax.default_backend() == "tpu"
+            and _supported(n))
 
 
 def distributed_mean_power(signals, wavelet, freqs, sfreq: float,
@@ -72,7 +78,7 @@ def distributed_mean_power(signals, wavelet, freqs, sfreq: float,
         signals = np.pad(signals, ((0, pad_e), (0, 0), (0, 0)))
     bank_r, bank_i = _build(wavelet, freqs, n, sfreq, interpolate)
     dev = shard_batch(jnp.asarray(signals), mesh, P(DATA_AXIS))
-    fn = (sharded_fused_mean_power if _use_fused(bank_i, interpolate)
+    fn = (sharded_fused_mean_power if _use_fused(bank_i, n)
           else sharded_mean_power)
     if fn is sharded_fused_mean_power:
         out = fn(dev, bank_r, mesh=mesh, interpolate=interpolate)
@@ -104,7 +110,7 @@ def distributed_itc(signals, wavelet, freqs, sfreq: float, mesh=None,
     dev = shard_batch(jnp.asarray(signals), mesh, P(DATA_AXIS))
     from ..ops.fused import MAX_EPOCHS_PER_CALL
     local = e // d
-    fused_ok = (_use_fused(bank_i, interpolate)
+    fused_ok = (_use_fused(bank_i, n)
                 and (local <= MAX_EPOCHS_PER_CALL
                      or local % MAX_EPOCHS_PER_CALL == 0))
     if fused_ok:

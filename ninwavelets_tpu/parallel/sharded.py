@@ -144,7 +144,8 @@ def sharded_fused_mean_power(signals_r, bank_r, *, mesh: Mesh,
     bank rows over ``freq``, one ``pmean``), but each shard runs the
     matmul-iDFT mega-kernel instead of the XLA FFT path — multi-chip
     scale-out AND the fused hot loop at once.  Constraints: local epoch
-    count E/data must be <= 8 or a multiple of 8; N = (N/128)*128 with
+    count E/data must be <= ops.fused.MAX_EPOCHS_PER_CALL or a multiple of
+    it; N = (N/128)*128 with
     N/128 a power of two in [8, 128]; real bank only.  ``interpret=True``
     runs the kernel in the Pallas interpreter (CPU-mesh tests).
     """

@@ -45,9 +45,19 @@ class EpochsWavelet:
 
     # -- internals -------------------------------------------------------
 
+    def _host_data(self) -> np.ndarray:
+        """Host copy of ``epochs.get_data()``, fetched once — MNE may
+        load/copy the full array on every call."""
+        if not hasattr(self, '_host'):
+            self._host = np.asarray(self.epochs.get_data()).astype(
+                np.float32)
+        return self._host
+
     def _channel_data(self, ch_name: str) -> jnp.ndarray:
+        # Slice on host so a single-channel request transfers only (E, N),
+        # not the whole (E, C, N) recording.
         idx = self.epochs.ch_names.index(ch_name)
-        return self._all_data()[:, idx, :]
+        return jnp.asarray(self._host_data()[:, idx, :])
 
     def _bank_for(self, waves: jnp.ndarray, freqs: Optional[Numbers]):
         w = self.wavelet
@@ -90,12 +100,10 @@ class EpochsWavelet:
     # -- TPU-native batched extensions ------------------------------------
 
     def _all_data(self) -> jnp.ndarray:
-        """Device copy of ``epochs.get_data()``, fetched once — MNE may
-        load/copy the full array per call, and every per-channel method
-        would otherwise re-pay that cost."""
+        """Device copy of the full (E, C, N) block for the ``*_all``
+        methods (cached)."""
         if not hasattr(self, '_data'):
-            self._data = jnp.asarray(np.asarray(self.epochs.get_data())
-                                     .astype(np.float32))
+            self._data = jnp.asarray(self._host_data())
         return self._data
 
     def cwt_all(self, freqs: Numbers) -> jnp.ndarray:

@@ -14,7 +14,10 @@ so they are provided and tested.  Two deliberate deviations:
 * workers default to *threads* (``concurrent.futures``), because host-side
   workloads here are IO- or device-dispatch-bound and thread pools accept
   lambdas/closures that ``multiprocessing`` cannot pickle; pass
-  ``processes=True`` for CPU-bound fan-out;
+  ``processes=True`` for CPU-bound fan-out — process pools use the *spawn*
+  context (fork deadlocks under multithreaded runtimes like JAX), so their
+  callables must be picklable module-level functions and user scripts need
+  an ``if __name__ == "__main__"`` guard;
 * ``Sequence`` is immutable-by-convention: every operation returns a new
   ``Sequence``.
 """

@@ -150,13 +150,19 @@ class TestPipeline:
                 return (np.sin(2 * np.pi * 30 * t)[None, None, :]
                         + 0.2 * rng.standard_normal((4, 2, 600)))
 
-        p = cfg.PipelineConfig(baseline=(0.0, 0.1))
+        p = cfg.PipelineConfig(baseline=(0.0, 0.1),
+                               freqs=(5.0, 65.0, 1.0))
         out = cfg.run_pipeline(p, FakeEpochs())
-        assert np.asarray(out["power"]).shape == (2, 100, 600)
-        assert np.asarray(out["itc"]).shape == (2, 100, 600)
+        assert np.asarray(out["power"]).shape == (2, 60, 600)
+        assert np.asarray(out["itc"]).shape == (2, 60, 600)
         # zscore baseline: the corrected window should center near zero
         win = np.asarray(out["power"])[:, :, :100]
         assert abs(win.mean()) < 1.0
+        # engine config is honored: the XLA-forced path agrees
+        p2 = cfg.PipelineConfig(freqs=(5.0, 65.0, 1.0),
+                                engine=cfg.EngineConfig(use_fused=False))
+        out2 = cfg.run_pipeline(p2, FakeEpochs())
+        assert np.asarray(out2["power"]).shape == (2, 60, 600)
 
 
 class TestCoverageGaps:
