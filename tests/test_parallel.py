@@ -4,6 +4,8 @@ Correctness bar (SURVEY §4): the same math on one device and on a sharded
 mesh must agree to float32 round-off — the sharded programs are the single-
 chip programs plus collectives, nothing else.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -300,3 +302,31 @@ def test_chunked_abs_matches_sqrt_power():
     p = np.asarray(par.chunked_power(jnp.asarray(sig), br, bi, mesh=mesh,
                                      halo=64))
     np.testing.assert_allclose(a * a, p, rtol=1e-4, atol=1e-6)
+
+
+def test_multihost_two_processes():
+    """Real jax.distributed across two CPU processes: 2 x 4 local devices
+    form an 8-device global mesh and the sharded epoch-mean runs with the
+    pmean crossing the process boundary (examples/multihost_demo.py)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:        # free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = os.path.join(os.path.dirname(__file__), "..", "examples",
+                          "multihost_demo.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")}
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(i), "2", f"127.0.0.1:{port}"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=180)
+        outs.append(out)
+        assert p.returncode == 0, out
+    assert any("global=8" in o for o in outs), outs
+    assert all("finite=True" in o for o in outs), outs
