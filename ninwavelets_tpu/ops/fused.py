@@ -302,9 +302,38 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
     return to_natural(out[0]), to_natural(out[1])
 
 
+@functools.lru_cache(maxsize=32)
+def _fused_power_mean_vjp(interpolate: bool, interpret: bool,
+                          precision: str):
+    """``_fused_call`` with a custom VJP: pallas_call has no derivative
+    rule, so the forward runs the fused kernel and the backward
+    differentiates the mathematically identical XLA implementation
+    (``ops.cwt.mean_power_from_bank``).  Gradients are the rare path; the
+    extra XLA forward inside ``jax.vjp`` is acceptable there."""
+    from .cwt import mean_power_from_bank
+
+    @jax.custom_vjp
+    def f(signals, bank):
+        return _fused_call(signals, bank, interpolate, interpret, precision,
+                           "power")
+
+    def fwd(signals, bank):
+        return f(signals, bank), (signals, bank)
+
+    def bwd(res, g):
+        signals, bank = res
+        _, vjp = jax.vjp(
+            lambda s, b: mean_power_from_bank(s, b, interpolate),
+            res[0], res[1])
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _fused_power_mean(signals, bank, interpolate, interpret, precision):
-    return _fused_call(signals, bank, interpolate, interpret, precision,
-                       "power")
+    return _fused_power_mean_vjp(interpolate, interpret,
+                                 precision)(signals, bank)
 
 
 def fused_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,

@@ -165,3 +165,19 @@ def test_itc_auto_falls_back_on_cpu():
     got = np.asarray(fused.itc_auto(jnp.asarray(sig), jnp.asarray(bank),
                                     interpolate=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_grad_flows_through_fused_kernel():
+    """pallas_call has no derivative rule; the custom VJP runs the fused
+    forward and the XLA backward, so jax.grad works on the fused path and
+    matches the XLA gradient."""
+    from ninwavelets_tpu.ops.cwt import mean_power_from_bank
+    sig, bank = _workload(e=4, c=2, nf=16)
+    sig_j, bank_j = jnp.asarray(sig), jnp.asarray(bank)
+
+    g_fused = jax.grad(lambda s: fused.fused_mean_power_from_bank(
+        s, bank_j, True, interpret=True, precision="exact").sum())(sig_j)
+    g_xla = jax.grad(lambda s: mean_power_from_bank(s, bank_j,
+                                                    True).sum())(sig_j)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),
+                               rtol=1e-4, atol=1e-6)
