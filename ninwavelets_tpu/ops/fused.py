@@ -309,7 +309,10 @@ def _fused_power_mean_vjp(interpolate: bool, interpret: bool,
     rule, so the forward runs the fused kernel and the backward
     differentiates the mathematically identical XLA implementation
     (``ops.cwt.mean_power_from_bank``).  Gradients are the rare path; the
-    extra XLA forward inside ``jax.vjp`` is acceptable there."""
+    extra XLA forward inside ``jax.vjp`` is acceptable there.  On the TPU
+    runtime wrap the grad in ``jax.jit`` — the backward's complex FFT
+    adjoints must stay inside a compiled program (eager complex ops are
+    unsupported at this backend's boundaries)."""
     from .cwt import mean_power_from_bank
 
     @jax.custom_vjp
