@@ -16,7 +16,8 @@ from .extensions import (bump_spectrum, cross_power_from_bank,
                          paul_spectrum)
 from .fused import (fused_itc, fused_itc_from_bank, fused_mean_power,
                     fused_mean_power_from_bank, itc_auto, mean_power_auto)
-from .grids import analytic_mask, fft_bin_freqs, reverse_timeline, wavelet_timeline
+from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
+                    reverse_timeline, wavelet_timeline)
 from .icwt import coverage, icwt_from_bank, icwt_ri
 from .signal_utils import (MNE_CONSTANT, SizeError, hamming_window,
                            interpolate_alias, normalize, pad_to)
@@ -39,7 +40,8 @@ __all__ = [
     "paul_spectrum", "dog_spectrum", "bump_spectrum",
     "cross_power_from_bank", "epoch_coherence_from_bank",
     "icwt_from_bank", "icwt_ri", "coverage",
-    "analytic_mask", "fft_bin_freqs", "reverse_timeline", "wavelet_timeline",
+    "analytic_mask", "fft_bin_freqs", "log_freqs", "reverse_timeline",
+    "wavelet_timeline",
     "MNE_CONSTANT", "SizeError", "hamming_window", "interpolate_alias",
     "normalize", "pad_to",
     "MEXICAN_HAT_PEAK_FREQ", "haar_time", "mexican_hat_time",

@@ -81,3 +81,13 @@ def reverse_timeline(sfreq: float, freq, real_wave_length: float,
     n = int(round(sfreq * real_wave_length))
     i = jnp.arange(n, dtype=dtype)
     return i / jnp.asarray(freq, dtype)
+
+
+def log_freqs(lo: float, hi: float, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """``n`` log-spaced analysis frequencies in [lo, hi] — the natural grid
+    for constant-Q wavelets like Morse/Morlet, whose bandwidth scales with
+    frequency (linear grids oversample the top of the band)."""
+    import math
+    if lo <= 0 or hi <= lo or n < 2:
+        raise ValueError("need 0 < lo < hi and n >= 2")
+    return jnp.logspace(math.log10(lo), math.log10(hi), n, dtype=dtype)

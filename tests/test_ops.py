@@ -111,3 +111,15 @@ def test_cwt_batch_shapes():
     out = ops.cwt_from_bank(sig, bank)
     assert out.shape == (2, 3, 7, 500)
     assert out.dtype == jnp.complex64
+
+
+def test_log_freqs():
+    from ninwavelets_tpu.ops.grids import log_freqs
+    f = np.asarray(log_freqs(1.0, 100.0, 21))
+    assert f.shape == (21,)
+    assert f[0] == pytest.approx(1.0, rel=1e-5)
+    assert f[-1] == pytest.approx(100.0, rel=1e-5)
+    ratios = f[1:] / f[:-1]
+    np.testing.assert_allclose(ratios, ratios[0], rtol=1e-4)
+    with pytest.raises(ValueError):
+        log_freqs(0.0, 10.0, 5)
