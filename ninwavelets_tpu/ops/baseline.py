@@ -100,7 +100,8 @@ def baseline_correct(wave: jnp.ndarray, sfreq: float, start: float,
 
 
 def baseline_tf(tf: jnp.ndarray, sfreq: float, start: float, stop: float,
-                method: str = "zscore") -> jnp.ndarray:
+                method: str = "zscore",
+                degenerate: str = "unit") -> jnp.ndarray:
     """TPU-native extension: per-frequency-row baseline correction of a
     (..., F, N) time-frequency plane along the TIME axis.
 
@@ -108,15 +109,20 @@ def baseline_tf(tf: jnp.ndarray, sfreq: float, start: float, stop: float,
     global-scalar case above); this is the fused epilogue the EEG pipeline
     needs — statistics are computed per row over the time window and
     broadcast, all inside the same jitted program as the power reduction.
+
+    ``degenerate`` controls rows whose baseline std is zero (constant in
+    float32): ``"unit"`` (default) substitutes std=1 so zscore/zlog degrade
+    to mean-correction instead of poisoning the row with inf/NaN;
+    ``"strict"`` keeps the exact reference division semantics (inf/NaN),
+    matching the scalar ``Baseline`` class.
     """
+    if degenerate not in ("unit", "strict"):
+        raise ValueError("degenerate must be 'unit' or 'strict'")
     tf = jnp.asarray(tf)
     lo, hi = int(start * sfreq), int(stop * sfreq)
     window = tf[..., lo:hi]
     mean = window.mean(axis=-1, keepdims=True)
     std = _std(window, axis=-1, keepdims=True)
-    # A degenerate (constant-in-float32) baseline row would turn the whole
-    # row into inf/NaN; fall back to unit scale there — zscore degrades to
-    # mean-correction instead of poisoning the TFR.  (The scalar
-    # ``Baseline`` class keeps exact reference semantics instead.)
-    std = jnp.where(std > 0, std, 1.0)
+    if degenerate == "unit":
+        std = jnp.where(std > 0, std, 1.0)
     return _correct(tf, mean, std, method)

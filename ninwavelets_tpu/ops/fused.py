@@ -212,7 +212,7 @@ def _prepare_bank(bank: jnp.ndarray, n: int, analytic: bool,
 
 def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
                 interpret: bool, precision: str, epilogue: str):
-    """Run the kernel over (E<=8, C, N) x (F, N).
+    """Run the kernel over (E<=MAX_EPOCHS_PER_CALL, C, N) x (F, N).
 
     epilogue="power": returns the (C, F, N) epoch-MEAN power (the 1/E is
     folded into the bank scale in ``_prepare_bank``).

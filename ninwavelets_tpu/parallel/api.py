@@ -20,6 +20,16 @@ from .sharded import (sharded_fused_itc, sharded_fused_mean_power,
                       sharded_itc, sharded_mean_power)
 
 
+def _as_f32(signals):
+    """float32 array without forcing a host round trip: an already
+    device-resident ``jax.Array`` is cast (or passed through) on device;
+    only host inputs go through numpy."""
+    if isinstance(signals, jax.Array):
+        return signals if signals.dtype == jnp.float32 \
+            else signals.astype(jnp.float32)
+    return jnp.asarray(np.asarray(signals, dtype=np.float32))
+
+
 def _resolve(wavelet):
     """(wdef, interpolate) from a WaveletBase instance or a raw WaveletDef."""
     if isinstance(wavelet, WaveletDef):
@@ -70,14 +80,14 @@ def distributed_mean_power(signals, wavelet, freqs, sfreq: float,
     interpolate = w_interp if interpolate is None else interpolate
     if mesh is None:
         mesh = auto_mesh()
-    signals = np.asarray(signals, dtype=np.float32)
+    signals = _as_f32(signals)
     e, _, n = signals.shape
     d = mesh.shape[DATA_AXIS]
     pad_e = (-e) % d
     if pad_e:
-        signals = np.pad(signals, ((0, pad_e), (0, 0), (0, 0)))
+        signals = jnp.pad(signals, ((0, pad_e), (0, 0), (0, 0)))
     bank_r, bank_i = _build(wavelet, freqs, n, sfreq, interpolate)
-    dev = shard_batch(jnp.asarray(signals), mesh, P(DATA_AXIS))
+    dev = shard_batch(signals, mesh, P(DATA_AXIS))
     fn = (sharded_fused_mean_power if _use_fused(bank_i, n)
           else sharded_mean_power)
     if fn is sharded_fused_mean_power:
@@ -100,14 +110,14 @@ def distributed_itc(signals, wavelet, freqs, sfreq: float, mesh=None,
     interpolate = w_interp if interpolate is None else interpolate
     if mesh is None:
         mesh = auto_mesh()
-    signals = np.asarray(signals, dtype=np.float32)
+    signals = _as_f32(signals)
     e, _, n = signals.shape
     d = mesh.shape[DATA_AXIS]
     if e % d:
         raise ValueError(f"epochs ({e}) must divide the data axis ({d}) "
                          "for itc — zero-padding would inject NaN phases")
     bank_r, bank_i = _build(wavelet, freqs, n, sfreq, interpolate)
-    dev = shard_batch(jnp.asarray(signals), mesh, P(DATA_AXIS))
+    dev = shard_batch(signals, mesh, P(DATA_AXIS))
     from ..ops.fused import MAX_EPOCHS_PER_CALL
     local = e // d
     fused_ok = (_use_fused(bank_i, n)

@@ -36,7 +36,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.bank import WaveletDef, make_fft_bank
+from ..ops.bank import WaveletDef, make_fft_bank_ri
 from ..ops.cwt import _as_bank
 from ..ops.grids import analytic_mask, fft_bin_freqs
 from .mesh import TIME_AXIS
@@ -101,12 +101,13 @@ def pow2_halo(window: int, min_halo: int) -> int:
 def chunk_bank(wdef: WaveletDef, freqs, chunk_len: int, halo: int,
                sfreq: float, interpolate: bool = False):
     """(F, chunk_len + 2*halo) bank for the extended chunks, as a float
-    (real, imag-or-None) pair ready for ``chunked_*`` below."""
-    bank = make_fft_bank(wdef, jnp.asarray(np.asarray(freqs, np.float32)),
-                         chunk_len + 2 * halo, sfreq, interpolate)
-    if jnp.iscomplexobj(bank):
-        return bank.real, bank.imag
-    return bank, None
+    (real, imag-or-None) pair ready for ``chunked_*`` below.
+
+    Built through the jitted float-boundary ``make_fft_bank_ri`` — an eager
+    ``bank.real``/``bank.imag`` on a complex bank would hit the TPU
+    runtime's unsupported eager-complex path (see CLAUDE.md)."""
+    return make_fft_bank_ri(wdef, jnp.asarray(np.asarray(freqs, np.float32)),
+                            chunk_len + 2 * halo, sfreq, interpolate)
 
 
 def _exchange_halos(sig: jnp.ndarray, halo: int, n_dev: int) -> jnp.ndarray:

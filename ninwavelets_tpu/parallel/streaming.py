@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.bank import WaveletDef, make_fft_bank
+from ..ops.bank import WaveletDef, make_fft_bank_ri
 from ..ops.cwt import _as_bank
 from ..ops.grids import analytic_mask
 from .chunked import halo_samples, pow2_halo
@@ -76,14 +76,11 @@ class StreamingCWT:
         halo = pow2_halo(self.window, int(halo))
         self.halo = int(halo)
         self.interpolate = interpolate
-        bank = make_fft_bank(wdef, jnp.asarray(self.freqs),
-                             self.window + 2 * self.halo, self.sfreq,
-                             interpolate)
-        if jnp.iscomplexobj(bank):
-            self._bank = (bank.real.astype(jnp.float32),
-                          bank.imag.astype(jnp.float32))
-        else:
-            self._bank = (bank.astype(jnp.float32), None)
+        # Jitted float-boundary builder: eager .real/.imag on a complex bank
+        # would hit the TPU runtime's unsupported eager-complex path.
+        self._bank = make_fft_bank_ri(wdef, jnp.asarray(self.freqs),
+                                      self.window + 2 * self.halo, self.sfreq,
+                                      interpolate)
 
     def blocks(self, signal: np.ndarray) -> Iterator[Tuple[int, np.ndarray]]:
         """Yield ``(start_sample, (F, block_len) power)`` blocks in order.

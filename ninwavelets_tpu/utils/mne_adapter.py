@@ -45,9 +45,34 @@ class EpochsWavelet:
 
     # -- internals -------------------------------------------------------
 
+    def _fingerprint(self):
+        """Cheap identity of the epochs' current state: the reference
+        refetches ``get_data()`` per call; we cache, but invalidate when the
+        epochs object is visibly mutated (cropped / decimated / channel-
+        picked change len, channel count, or sample count)."""
+        try:
+            n_times = len(self.epochs.times)
+        except (AttributeError, TypeError):
+            n_times = None
+        return (id(self.epochs), len(self.epochs.ch_names),
+                getattr(self.epochs, '__len__', lambda: None)(), n_times)
+
+    def invalidate(self) -> None:
+        """Drop the cached ``get_data()`` snapshot (host and device) — call
+        after in-place mutations the fingerprint can't see (e.g. filtering
+        that keeps every shape identical)."""
+        for attr in ('_host', '_data', '_fp'):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
     def _host_data(self) -> np.ndarray:
-        """Host copy of ``epochs.get_data()``, fetched once — MNE may
-        load/copy the full array on every call."""
+        """Host copy of ``epochs.get_data()``, fetched once per epochs state
+        (MNE may load/copy the full array on every call); the cache is keyed
+        on a shape/length fingerprint so crops or channel picks refetch."""
+        fp = self._fingerprint()
+        if getattr(self, '_fp', None) != fp:
+            self.invalidate()
+            self._fp = fp
         if not hasattr(self, '_host'):
             self._host = np.asarray(self.epochs.get_data()).astype(
                 np.float32)
@@ -101,9 +126,10 @@ class EpochsWavelet:
 
     def _all_data(self) -> jnp.ndarray:
         """Device copy of the full (E, C, N) block for the ``*_all``
-        methods (cached)."""
+        methods (cached; invalidated with the host snapshot)."""
+        host = self._host_data()   # refreshes the fingerprint/cache first
         if not hasattr(self, '_data'):
-            self._data = jnp.asarray(self._host_data())
+            self._data = jnp.asarray(host)
         return self._data
 
     def cwt_all(self, freqs: Numbers) -> jnp.ndarray:

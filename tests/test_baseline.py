@@ -56,3 +56,18 @@ def test_baseline_tf_rowwise():
 def test_unknown_method_raises(wave):
     with pytest.raises(ValueError):
         baseline_correct(wave, 1000.0, 0.0, 0.2, "nope")
+
+
+def test_baseline_tf_degenerate_modes():
+    """Constant baseline rows: 'unit' degrades zscore to mean-correction;
+    'strict' keeps the reference's divide-by-zero semantics (ADVICE r1)."""
+    tf = np.ones((2, 100))
+    tf[1, 50:] = 3.0
+    unit = np.asarray(baseline_tf(tf, 100.0, 0.0, 0.2, "zscore"))
+    np.testing.assert_allclose(unit[0], 0.0)         # (1-1)/1
+    strict = np.asarray(baseline_tf(tf, 100.0, 0.0, 0.2, "zscore",
+                                    degenerate="strict"))
+    assert np.all(np.isnan(strict[0]))               # 0/0, like Baseline
+    assert np.all(np.isinf(strict[1, 50:]))          # (3-1)/0
+    with pytest.raises(ValueError):
+        baseline_tf(tf, 100.0, 0.0, 0.2, "zscore", degenerate="nope")

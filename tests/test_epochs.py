@@ -20,6 +20,13 @@ class FakeEpochs:
     def get_data(self):
         return self._data
 
+    def __len__(self):
+        return self._data.shape[0]
+
+    @property
+    def times(self):
+        return np.arange(self._data.shape[-1]) / self.info["sfreq"]
+
 
 @pytest.fixture
 def epochs():
@@ -90,3 +97,19 @@ def test_all_channel_batch(epochs):
     p_one = np.asarray(
         nw.EpochsWavelet(epochs, nw.Morse(1000.0)).power("EEG 001", FREQS))
     np.testing.assert_allclose(p_all[1], p_one, rtol=1e-4, atol=1e-7)
+
+
+def test_cache_invalidation_on_mutation(epochs):
+    """The data cache refetches when the epochs object visibly changes
+    (crop / pick); invalidate() forces a refetch for invisible mutations."""
+    ew = nw.EpochsWavelet(epochs, nw.Morse(1000.0))
+    p0 = np.asarray(ew.power("EEG 000", FREQS))
+    # Visible mutation: crop the epochs to half length.
+    epochs._data = epochs._data[..., :500]
+    p1 = np.asarray(ew.power("EEG 000", FREQS[:1]))
+    assert p1.shape[-1] == 500          # refetched, not the stale 1000
+    # Invisible mutation (same shapes): scaled data, explicit invalidate.
+    epochs._data = epochs._data * 2.0
+    ew.invalidate()
+    p2 = np.asarray(ew.power("EEG 000", FREQS[:1]))
+    np.testing.assert_allclose(p2, p1 * 4.0, rtol=1e-5)
