@@ -84,7 +84,26 @@ def main():
 
     eeg_seconds = epochs * (n / sfreq) * iters
     value = eeg_seconds / elapsed
-    print(json.dumps({
+
+    # Roofline: the MXU matmul passes the fused kernel actually dispatches
+    # (kernel_flops is the corrected per-call model; fast3 runs each matmul
+    # as 3 bf16 passes, "exact" as ~6).  MFU is against the chip's bf16
+    # matmul peak (v5e: ~197 TFLOP/s; override with BENCH_PEAK_TFLOPS).
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+    mfu = tflops = None
+    passes = {"bf16": 1.0, "fast3": 3.0, "exact": 6.0}.get(precision)
+    if passes is not None and fused.supports(signals.shape, bank):
+        import math
+        fb = 128 // (n // 128)
+        n_blocks = math.ceil(n_freqs / fb)
+        e_cap = fused.MAX_EPOCHS_PER_CALL
+        n_chunks = math.ceil(epochs / e_cap)
+        per_call = fused.kernel_flops(channels, n_blocks, e_cap, n, True)
+        total = per_call * n_chunks * iters * passes
+        tflops = total / elapsed / 1e12
+        mfu = tflops / peak_tflops
+
+    record = {
         "metric": "eeg_seconds_per_s_per_chip",
         "value": round(value, 2),
         "unit": "EEG-s/s",
@@ -95,7 +114,11 @@ def main():
                    "epochs_per_call": epochs, "iters": iters,
                    "precision": precision,
                    "device": str(jax.devices()[0])},
-    }))
+    }
+    if mfu is not None:
+        record["mxu_tflops"] = round(tflops, 1)
+        record["mxu_utilization"] = round(mfu, 3)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -55,7 +55,11 @@ MAX_EPOCHS_PER_CALL = 16  # VMEM budget: stage tensors are O(E * 128 * 128)
 #: doesn't expose: a manual 3-pass bf16 split (a_hi@b_hi + a_hi@b_lo +
 #: a_lo@b_hi, the classic precision-doubling trick), ~1e-5 relative error at
 #: ~3x the bf16 cost — still ~1.7x faster than "exact" end to end.
-PRECISIONS = ("fast3", "exact", "bf16")
+#: "mixed" (bf16 stage 1 + fast3 stage 2) exists to document why stage-wise
+#: error budgeting does NOT work here: one bf16 stage quantizes the live
+#: data to ~2^-9 and the end-to-end error lands at ~1e-3 — outside the
+#: float32 parity gate (see ROOFLINE.md and benchmarks/kernel_sweep.py).
+PRECISIONS = ("fast3", "exact", "bf16", "mixed")
 DEFAULT_PRECISION = "fast3"
 
 
@@ -81,17 +85,42 @@ def _f_block(n: int) -> int:
     return LANES // (n // LANES)
 
 
+def kernel_flops(c: int, n_blocks: int, e: int, n: int,
+                 analytic: bool) -> int:
+    """Single-pass real-matmul FLOPs actually dispatched to the MXU by one
+    pallas_call over grid (n_blocks, c) with E epochs packed in.
+
+    Per program: stage 1 is (2*128, 2*FB*K1) @ (2*FB*K1, E*128) — the
+    block-diagonal W1 embedding; its zero blocks are genuinely multiplied
+    (that IS the MXU-efficient form for K1 < 128), so they count.  Stage 2
+    is 3 x (E*128, 128) @ (128, 128) (the 3-mult complex product).
+    Multiply by 3 for "fast3" (three bf16 passes per matmul) or ~6 for
+    "exact" when converting to hardware-pass FLOPs.  (The round-1 estimate
+    dropped the epoch factor in stage 2 — the corrected model is what
+    ``bench.py`` reports MFU from.)
+    """
+    fb = _f_block(n)
+    n1_dim = n // LANES
+    k1_dim = n1_dim // 2 if analytic else n1_dim
+    stage1 = 2 * (2 * LANES) * (2 * fb * k1_dim) * (e * LANES)
+    stage2 = 3 * 2 * (e * LANES) * LANES * LANES
+    return (stage1 + stage2) * c * n_blocks
+
+
 @functools.lru_cache(maxsize=16)
 def _dft_constants(n: int, analytic: bool):
     """Host-precomputed f32 DFT factors (cached as numpy — device arrays
     created inside a jit trace must not leak into a cross-trace cache).
 
-    Returns (w1c, twr, twi, w2c) for N1 = n/128, K1 = N1/2 if analytic,
-    FB = 128/N1 bank rows per program:
+    Returns (w1c, twr, twi, w2r, w2i, w2s) for N1 = n/128, K1 = N1/2 if
+    analytic, FB = 128/N1 bank rows per program:
       w1c (2*128, 2*FB*K1): [[W1r, -W1i], [W1i, W1r]] with W1 =
           blockdiag(FB copies of w_N1^{n1 k1}) — rows (fb, n1)
       twr/twi (128, 128): twiddle w_N^{n1 k2} tiled FB times down sublanes
-      w2c (2*128, 2*128): [[W2r, W2i], [-W2i, W2r]], W2[k2,n2]=w_128^{k2 n2}
+      w2r/w2i/w2s (128, 128): real / imag / real+imag of
+          W2[k2,n2]=w_128^{k2 n2} — stage 2 runs the 3-multiplication
+          (Karatsuba) complex product, 25% fewer MXU passes than the
+          [[r, i], [-i, r]] embedded form.
     """
     n1_dim = n // LANES
     k1_dim = n1_dim // 2 if analytic else n1_dim
@@ -110,62 +139,73 @@ def _dft_constants(n: int, analytic: bool):
     tw = np.tile(np.exp(2j * np.pi * np.outer(n1, k2) / n), (fb, 1))
 
     w2 = np.exp(2j * np.pi * np.outer(k2, k2) / LANES)          # (128, 128)
-    w2c = np.block([[w2.real, w2.imag], [-w2.imag, w2.real]])
 
     as_f32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
-    return as_f32(w1c), as_f32(tw.real), as_f32(tw.imag), as_f32(w2c)
+    return (as_f32(w1c), as_f32(tw.real), as_f32(tw.imag),
+            as_f32(w2.real), as_f32(w2.imag), as_f32(w2.real + w2.imag))
 
 
 def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
-            w2c_ref, *out_refs, n_epochs: int, n1_dim: int, precision: str,
-            epilogue: str = "power"):
-    """One (channel, frequency-block) program, FB = 128/N1 bank rows.
+            w2r_ref, w2i_ref, w2s_ref, *out_refs, n_epochs: int,
+            n1_dim: int, precision: str, epilogue: str = "power"):
+    """One (frequency-block, channel) program, FB = 128/N1 bank rows.
 
     Layouts (K1 = N1/2 on the analytic path; rows ordered (fb, k1) or
-    (fb, n1) — FB*N1 = 128 fills the sublanes exactly):
-      spec_*: (E, 1, FB*K1, 128)  — z.reshape(N1,128)[:K1] tiled FB times
-                                    down sublanes (done in XLA)
-      bank:   (1, FB*K1, 128)     — FB bank rows stacked, pre-scaled
-      out:    (1, 1, 128, 128)    — [(fb, n1), n2] split layout; one buffer
-                                    for power, two (real, imag) for itc
+    (fb, n1) — FB*N1 = 128 fills the sublanes exactly; lanes ordered
+    (e, k2) or (e, n2) — epochs packed along lanes end to end):
+      spec_*: (1, K1, E*128)     — UNTILED spectrum rows k1, one channel
+      bank:   (1, FB*K1, E*128)  — FB bank rows stacked, pre-scaled, tiled
+                                   E times along lanes in XLA (loop-
+                                   invariant: hoisted out of the epoch scan)
+      out:    (1, 1, 128, 128)   — [(fb, n1), n2] split layout; one buffer
+                                   for power, two (real, imag) for itc
 
-    Matmul structure per program (mulN = 1 dispatch, or 3 at "fast3"):
+    Matmul structure per program (each x3 bf16 passes at "fast3"):
       stage 1:  A = W1blk (256 x 2*FB*K1) @ M (2*FB*K1 x E*128)
       twiddle:  per-epoch elementwise on (128, 128) blocks
-      stage 2:  X = B (E*128 x 256) @ W2C (256 x 256)  — ALL epochs and
-                bank rows in ONE dense dispatch (M = E*128)
+      stage 2:  3-multiplication complex product — t1 = Br@W2r,
+                t2 = Bi@W2i, t3 = (Br+Bi)@(W2r+W2i); Xr = t1-t2,
+                Xi = t3-t1-t2.  Three K=128 dispatches with M = E*128
+                replace the embedded (E*128 x 256)@(256 x 256) form:
+                48 vs 64 MXU tile-passes per program.
     """
-    bank = bank_ref[0]                                # (FB*K1, 128)
+    bank = bank_ref[0]                                # (FB*K1, E*128)
     w1c = w1c_ref[...]
     twr, twi = twr_ref[...], twi_ref[...]
-    w2c = w2c_ref[...]
+    w2r, w2i, w2s = w2r_ref[...], w2i_ref[...], w2s_ref[...]
     mxu_prec = (lax.Precision.HIGHEST if precision == "exact"
                 else lax.Precision.DEFAULT)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=mxu_prec)
-    if precision == "fast3":
+    if precision in ("fast3", "mixed"):
         w1c_h, w1c_l = _split_hi_lo(w1c)
-        w2c_h, w2c_l = _split_hi_lo(w2c)
+        w2_hl = [_split_hi_lo(w) for w in (w2r, w2i, w2s)]
 
-        def mul1(m):
-            mh, ml = _split_hi_lo(m)
-            return dot(w1c_h, mh) + dot(w1c_h, ml) + dot(w1c_l, mh)
+        if precision == "mixed":                 # single-pass bf16 stage 1
+            mul1 = lambda m: dot(w1c, m)
+        else:
+            def mul1(m):
+                mh, ml = _split_hi_lo(m)
+                return dot(w1c_h, mh) + dot(w1c_h, ml) + dot(w1c_l, mh)
 
-        def mul2(b):
+        def mul2(b, wi):
             bh, bl = _split_hi_lo(b)
-            return dot(bh, w2c_h) + dot(bl, w2c_h) + dot(bh, w2c_l)
+            wh, wl = w2_hl[wi]
+            return dot(bh, wh) + dot(bl, wh) + dot(bh, wl)
     else:
+        w2 = (w2r, w2i, w2s)
         mul1 = lambda m: dot(w1c, m)
-        mul2 = lambda b: dot(b, w2c)
+        mul2 = lambda b, wi: dot(b, w2[wi])
 
     e_total = n_epochs
-    # Stage 0 (VPU): bank * spectrum for every epoch, epochs along lanes,
-    # real block stacked over imag block in sublanes.
-    mr = jnp.concatenate(
-        [bank * spec_r_ref[e, 0] for e in range(e_total)], 1)
-    mi = jnp.concatenate(
-        [bank * spec_i_ref[e, 0] for e in range(e_total)], 1)
-    m = jnp.concatenate([mr, mi], 0)                  # (2*FB*K1, E*128)
+    fb = LANES // n1_dim
+    # Stage 0 (VPU): tile the spectrum FB times down sublanes to line up
+    # with the (fb, k1)-ordered bank rows, then bank * spectrum.
+    spec_r, spec_i = spec_r_ref[0], spec_i_ref[0]     # (K1, E*128)
+    if fb > 1:
+        spec_r = jnp.concatenate([spec_r] * fb, 0)    # (FB*K1, E*128)
+        spec_i = jnp.concatenate([spec_i] * fb, 0)
+    m = jnp.concatenate([bank * spec_r, bank * spec_i], 0)
 
     # Stage 1 (MXU): A = W1blk @ M — all epochs, one dispatch.
     a = mul1(m)                                       # (256, E*128)
@@ -181,10 +221,13 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
     br = jnp.concatenate(brs, 0)                      # (E*128, 128)
     bi = jnp.concatenate(bis, 0)
 
-    # Stage 2 (MXU, dense K=128): one dispatch for everything.
-    x = mul2(jnp.concatenate([br, bi], 1))            # (E*128, 256)
-    xr, xi = x[:, :LANES], x[:, LANES:]
-    p = xr * xr + xi * xi                             # rows (e, fb, n1)
+    # Stage 2 (MXU): 3-mult complex product, M = E*128 dense dispatches.
+    t1 = mul2(br, 0)
+    t2 = mul2(bi, 1)
+    t3 = mul2(br + bi, 2)
+    xr = t1 - t2                                      # rows (e, fb, n1)
+    xi = t3 - t1 - t2
+    p = xr * xr + xi * xi
 
     if epilogue == "power":
         out_refs[0][0, 0] = p.reshape(e_total, LANES, LANES).sum(0)
@@ -241,40 +284,53 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
     else:
         spec = jnp.fft.fft(signals.astype(jnp.complex64))
         spec = spec[..., :k1_dim * LANES]
-    # Tile the (K1, 128) spectrum FB times down the sublanes so it lines up
-    # with the (fb, k1)-ordered bank rows.
-    spec_r = jnp.tile(spec.real.reshape(e, c, 1, k1_dim, LANES),
-                      (1, 1, fb, 1, 1)).reshape(e, c, fb * k1_dim, LANES)
-    spec_i = jnp.tile(spec.imag.reshape(e, c, 1, k1_dim, LANES),
-                      (1, 1, fb, 1, 1)).reshape(e, c, fb * k1_dim, LANES)
-    bank_t = _prepare_bank(bank, n, interpolate, e)
+    # UNTILED spectra, epochs packed along lanes: (E, C, K1*128) ->
+    # (C, K1, E*128) with lane index e*128 + k2.  (The FB-times sublane
+    # tiling happens on the tiny block inside the kernel — tiling here in
+    # XLA would write an FB-times-redundant tensor to HBM.)
+    def to_lanes(x):
+        x = x.reshape(e, c, k1_dim, LANES)
+        return jnp.transpose(x, (1, 2, 0, 3)).reshape(c, k1_dim, e * LANES)
+    spec_r, spec_i = to_lanes(spec.real), to_lanes(spec.imag)
+    # The bank is epoch-invariant: tile it E times along lanes ONCE in XLA
+    # (a few MB, hoisted out of the epoch-chunk scan) so stage 0 is a plain
+    # elementwise multiply against the lane-packed spectra.
+    bank_t = _prepare_bank(bank, n, interpolate, e)       # (Fb, FB*K1, 128)
+    bank_t = jnp.broadcast_to(bank_t[:, :, None, :],
+                              (n_blocks, fb * k1_dim, e, LANES)
+                              ).reshape(n_blocks, fb * k1_dim, e * LANES)
     consts = _dft_constants(n, interpolate)
 
-    rep = lambda shape: pl.BlockSpec(shape, lambda ci, fi: (0,) * len(shape),
+    rep = lambda shape: pl.BlockSpec(shape, lambda fi, ci: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
     plane = jax.ShapeDtypeStruct((c, n_blocks, LANES, LANES), jnp.float32)
     out_spec = pl.BlockSpec((1, 1, LANES, LANES),
-                            lambda ci, fi: (ci, fi, 0, 0),
+                            lambda fi, ci: (ci, fi, 0, 0),
                             memory_space=pltpu.VMEM)
     n_outs = 1 if epilogue == "power" else 2
+    # Grid order (freq-block MAJOR, channel minor): the large tiled-bank
+    # block is re-fetched only when fi changes — once per n_blocks, not per
+    # program; the small per-channel spectra stream underneath.
     out = pl.pallas_call(
         functools.partial(_kernel, n_epochs=e, n1_dim=n1_dim,
                           precision=precision, epilogue=epilogue),
-        grid=(c, n_blocks),
+        grid=(n_blocks, c),
         in_specs=[
-            pl.BlockSpec((e, 1, fb * k1_dim, LANES),
-                         lambda ci, fi: (0, ci, 0, 0),
+            pl.BlockSpec((1, k1_dim, e * LANES),
+                         lambda fi, ci: (ci, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((e, 1, fb * k1_dim, LANES),
-                         lambda ci, fi: (0, ci, 0, 0),
+            pl.BlockSpec((1, k1_dim, e * LANES),
+                         lambda fi, ci: (ci, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, fb * k1_dim, LANES),
-                         lambda ci, fi: (fi, 0, 0),
+            pl.BlockSpec((1, fb * k1_dim, e * LANES),
+                         lambda fi, ci: (fi, 0, 0),
                          memory_space=pltpu.VMEM),
             rep((2 * LANES, 2 * fb * k1_dim)),
             rep((LANES, LANES)),
             rep((LANES, LANES)),
-            rep((2 * LANES, 2 * LANES)),
+            rep((LANES, LANES)),
+            rep((LANES, LANES)),
+            rep((LANES, LANES)),
         ],
         out_specs=out_spec if n_outs == 1 else (out_spec, out_spec),
         out_shape=plane if n_outs == 1 else (plane, plane),
@@ -282,11 +338,10 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
-            flops=8 * c * n_blocks * e * LANES
-                  * (fb * n1_dim * k1_dim + LANES * LANES // max(e, 1)),
-            bytes_accessed=c * (e * 2 * fb * k1_dim * LANES * 4
-                                + n_blocks * (fb * k1_dim + LANES)
-                                * LANES * 4 * n_outs),
+            flops=kernel_flops(c, n_blocks, e, n, interpolate),
+            bytes_accessed=c * n_blocks * (2 * k1_dim * e * LANES * 4
+                                           + LANES * LANES * 4 * n_outs)
+                           + n_blocks * fb * k1_dim * e * LANES * 4,
             transcendentals=0),
     )(spec_r, spec_i, bank_t, *consts)
 
