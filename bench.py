@@ -29,6 +29,68 @@ REF_README_EEG_SECONDS_PER_S = 3.1446541 / 64.0   # README.md:465 at 64 ch
 TARGET_EEG_SECONDS_PER_S = 3600.0          # BASELINE.json north star
 
 
+def main_streaming():
+    """BENCH_MODE=streaming: the long-recording workload (SURVEY §5 /
+    BASELINE's 10-min 1 kHz case) through StreamingCWT with the fused
+    kernel per window batch.  Reports signal-seconds/s for a single
+    channel; the reference's analog is one whole-signal host FFT per
+    frequency (README.md:464-465: 50 s in 15.9 s numpy / 7.25 s cupy =
+    3.1 / 6.9 signal-s/s)."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import ninwavelets_tpu as nw
+    from ninwavelets_tpu.parallel import StreamingCWT
+    from ninwavelets_tpu.parallel.chunked import halo_samples
+
+    sfreq = 1000.0
+    n = int(os.environ.get("BENCH_N", 600_000))        # 10 min at 1 kHz
+    n_freqs = int(os.environ.get("BENCH_FREQS", 100))
+    # 2 Hz default: the 1 Hz Morse halo (~6.5k samples) would not leave a
+    # usable window inside the kernel's 16384-sample ceiling.
+    min_freq = float(os.environ.get("BENCH_MIN_FREQ", 2.0))
+    precision = os.environ.get("BENCH_PRECISION", "fast3")
+    freqs = np.linspace(min_freq, 100.0, n_freqs).astype(np.float32)
+    wdef = nw.Morse(sfreq)._wdef()
+    # Geometry: pick the window so the extended window is exactly 16384
+    # (the kernel's largest supported length) — pow2_halo then keeps the
+    # derived halo.
+    halo = halo_samples(wdef, min_freq, sfreq)
+    window = 16384 - 2 * halo
+    window -= window % 2
+    s = StreamingCWT(wdef, freqs, sfreq, window=window, halo=halo,
+                     interpolate=True,
+                     use_fused=False if precision == "xla" else "auto",
+                     precision=precision if precision != "xla" else "fast3",
+                     batch=int(os.environ.get("BENCH_STREAM_BATCH", 8)))
+    rng = np.random.default_rng(0)
+    sig = rng.standard_normal(n).astype(np.float32)
+    # Warm up at the FULL signal length: the device buffer shape (and so
+    # the compiled program) depends on it.
+    jax.block_until_ready(s.power_device(sig))
+    t0 = time.perf_counter()
+    out = s.power_device(sig)          # TFR stays on device, like main()
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    value = (n / sfreq) / elapsed
+    print(json.dumps({
+        "metric": "streaming_signal_seconds_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "signal-s/s",
+        "vs_baseline": round(value / 3.1446541, 1),   # README 50 s numpy
+        "config": {"samples": n, "freqs": n_freqs, "min_freq": min_freq,
+                   "window": s.window, "halo": s.halo,
+                   "fused": bool(s._fused), "precision": precision,
+                   "out_shape": list(out.shape),
+                   "device": str(jax.devices()[0])},
+    }))
+
+
 def main():
     import jax
     # Persistent compilation cache: repeated bench runs (and the driver's
@@ -122,4 +184,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE", "").lower() == "streaming":
+        main_streaming()
+    else:
+        main()

@@ -231,6 +231,8 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
 
     if epilogue == "power":
         out_refs[0][0, 0] = p.reshape(e_total, LANES, LANES).sum(0)
+    elif epilogue == "power_each":   # per-epoch power, no reduction
+        out_refs[0][0, 0] = p
     else:  # itc: accumulate the unit-phase coefficients c/|c|
         inv = lax.rsqrt(p)        # |c|=0 -> inf -> NaN, matching the
         ur, ui = xr * inv, xi * inv   # reference's 0/0 behavior
@@ -259,6 +261,9 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
 
     epilogue="power": returns the (C, F, N) epoch-MEAN power (the 1/E is
     folded into the bank scale in ``_prepare_bank``).
+    epilogue="power_each": returns the (E, C, F, N) PER-EPOCH power — no
+    reduction; the long-recording paths ride window batches on the epoch
+    axis so each program carries E*128-row stage-2 matmuls instead of 128.
     epilogue="itc":   returns ((C, F, N), (C, F, N)) — the epoch-SUMMED
     unit-phase coefficient real/imag planes (scale-invariant, so the bank
     folding is harmless).
@@ -295,7 +300,10 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
     # The bank is epoch-invariant: tile it E times along lanes ONCE in XLA
     # (a few MB, hoisted out of the epoch-chunk scan) so stage 0 is a plain
     # elementwise multiply against the lane-packed spectra.
-    bank_t = _prepare_bank(bank, n, interpolate, e)       # (Fb, FB*K1, 128)
+    # power folds the 1/E epoch mean into the bank; power_each and itc do
+    # not reduce (itc's unit-phase is scale-invariant anyway).
+    bank_t = _prepare_bank(bank, n, interpolate,
+                           e if epilogue == "power" else 1)  # (Fb, FB*K1, 128)
     bank_t = jnp.broadcast_to(bank_t[:, :, None, :],
                               (n_blocks, fb * k1_dim, e, LANES)
                               ).reshape(n_blocks, fb * k1_dim, e * LANES)
@@ -303,11 +311,12 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
 
     rep = lambda shape: pl.BlockSpec(shape, lambda fi, ci: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
-    plane = jax.ShapeDtypeStruct((c, n_blocks, LANES, LANES), jnp.float32)
-    out_spec = pl.BlockSpec((1, 1, LANES, LANES),
+    out_rows = e * LANES if epilogue == "power_each" else LANES
+    plane = jax.ShapeDtypeStruct((c, n_blocks, out_rows, LANES), jnp.float32)
+    out_spec = pl.BlockSpec((1, 1, out_rows, LANES),
                             lambda fi, ci: (ci, fi, 0, 0),
                             memory_space=pltpu.VMEM)
-    n_outs = 1 if epilogue == "power" else 2
+    n_outs = 2 if epilogue == "itc" else 1
     # Grid order (freq-block MAJOR, channel minor): the large tiled-bank
     # block is re-fetched only when fi changes — once per n_blocks, not per
     # program; the small per-channel spectra stream underneath.
@@ -352,6 +361,12 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
         tf = jnp.transpose(tf, (0, 1, 2, 4, 3)).reshape(c, n_blocks * fb, n)
         return tf[:, :f_total] if pad_f else tf
 
+    if epilogue == "power_each":
+        # rows (e, fb, n1) -> (E, C, F, N) natural layout.
+        tf = out.reshape(c, n_blocks, e, fb, n1_dim, LANES)
+        tf = jnp.transpose(tf, (2, 0, 1, 3, 5, 4)).reshape(
+            e, c, n_blocks * fb, n)
+        return tf[:, :, :f_total] if pad_f else tf
     if n_outs == 1:
         return to_natural(out)
     return to_natural(out[0]), to_natural(out[1])
@@ -444,6 +459,45 @@ def fused_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
     # total/n_chunks is the mean over e_padded; rescale to the true E.
     return total * (float(e_padded) / float(e)
                     / (e_padded // MAX_EPOCHS_PER_CALL))
+
+
+def fused_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
+                          interpolate: bool = True,
+                          interpret: bool = False,
+                          precision: str = DEFAULT_PRECISION) -> jnp.ndarray:
+    """Per-signal ``|cwt|**2`` via the fused kernel: (..., N) -> (..., F, N).
+
+    The batch rides the kernel's EPOCH axis with the ``power_each``
+    epilogue (no reduction): each program then carries dense B*128-row
+    stage-2 matmuls — for the long-window geometries (N up to 16384, where
+    FB = 1) a batch-on-the-channel-axis layout would leave each program a
+    single 128-row matmul and go per-program-overhead-bound.  This is what
+    the chunked / streaming long-recording paths dispatch per window batch
+    (``parallel.chunked``, ``parallel.streaming``), where the extended
+    window length satisfies ``_supported`` by construction (``pow2_halo``).
+    """
+    lead = signals.shape[:-1]
+    n = signals.shape[-1]
+    b = 1
+    for d in lead:
+        b *= int(d)
+    b = max(b, 1)
+    flat = signals.reshape(b, 1, n)
+    if b <= MAX_EPOCHS_PER_CALL:
+        out = _fused_call(flat, bank, interpolate, interpret, precision,
+                          "power_each")
+    else:
+        pad_b = (-b) % MAX_EPOCHS_PER_CALL
+        if pad_b:
+            flat = jnp.pad(flat, ((0, pad_b), (0, 0), (0, 0)))
+        chunks = flat.reshape((b + pad_b) // MAX_EPOCHS_PER_CALL,
+                              MAX_EPOCHS_PER_CALL, 1, n)
+        _, ys = lax.scan(
+            lambda _, s: (None, _fused_call(s, bank, interpolate, interpret,
+                                            precision, "power_each")),
+            None, chunks)
+        out = ys.reshape(b + pad_b, 1, bank.shape[0], n)[:b]
+    return out.reshape(*lead, bank.shape[0], n)
 
 
 def _itc_sums(signals, bank, interpolate, interpret, precision,

@@ -9,7 +9,8 @@ and the whole-signal FFT (``base.py:399``) — as ``shard_map`` programs over a
 epoch reductions, ``ppermute`` for time-axis halos).
 """
 from .api import distributed_itc, distributed_mean_power
-from .chunked import (chunk_bank, chunked_abs, chunked_cwt_ri, chunked_power,
+from .chunked import (chunk_bank, chunked_abs, chunked_cwt_ri,
+                      chunked_fused_power, chunked_power, chunked_power_auto,
                       halo_samples, pow2_halo)
 from .mesh import (DATA_AXIS, FREQ_AXIS, TIME_AXIS, auto_mesh, flat_mesh,
                    init_multihost, make_mesh, pad_to_multiple, shard_batch)
@@ -26,5 +27,6 @@ __all__ = [
     "sharded_fused_mean_power", "sharded_fused_itc",
     "distributed_mean_power", "distributed_itc",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",
+    "chunked_fused_power", "chunked_power_auto",
     "halo_samples", "pow2_halo", "StreamingCWT",
 ]

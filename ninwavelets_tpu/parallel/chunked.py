@@ -42,6 +42,16 @@ from ..ops.grids import analytic_mask, fft_bin_freqs
 from .mesh import TIME_AXIS
 
 
+@partial(jax.jit, static_argnames=("wdef",))
+def _probe_spectrum(wdef: WaveletDef, grid, freq):
+    """(real, imag) of ``trans_formula`` on the probe grid, compiled once
+    per (wavelet, probe length)."""
+    spec = jnp.asarray(wdef.trans_formula(grid, freq))
+    if jnp.iscomplexobj(spec):
+        return spec.real, spec.imag
+    return spec, jnp.zeros_like(spec)
+
+
 def halo_samples(wdef: WaveletDef, min_freq: float, sfreq: float,
                  tol: float = 1e-4,
                  probe_seconds: Optional[float] = None) -> int:
@@ -72,8 +82,12 @@ def halo_samples(wdef: WaveletDef, min_freq: float, sfreq: float,
     n = int(2 ** np.ceil(np.log2(sfreq * probe_seconds)))
     grid = np.asarray(fft_bin_freqs(n, sfreq, dtype=jnp.float32),
                       dtype=np.float64)
-    spec = np.asarray(wdef.trans_formula(jnp.asarray(grid, jnp.float32),
-                                         float(min_freq)), dtype=np.complex128)
+    # One jitted program with float boundaries: eager jnp formula evaluation
+    # compiles per-op on the TPU runtime (minutes at 16k-sample probes) and
+    # complex outputs cannot cross the boundary there.
+    sr, si = _probe_spectrum(wdef, jnp.asarray(grid, jnp.float32),
+                             jnp.float32(min_freq))
+    spec = np.asarray(sr, np.float64) + 1j * np.asarray(si, np.float64)
     w = np.fft.ifft(spec)
     env = np.abs(w)
     peak = env.max()
@@ -178,3 +192,56 @@ def chunked_cwt_ri(signal_r, bank_r, bank_i=None, *, mesh: Mesh, halo: int,
     """Sequence-parallel raw coefficients as a (real, imag) float pair."""
     return _chunk_call(mesh, signal_r, bank_r, bank_i, halo, interpolate,
                        lambda c: (c.real, c.imag), n_outs=2)
+
+
+@partial(jax.jit, static_argnames=("mesh", "halo", "interpolate",
+                                   "precision", "interpret"))
+def chunked_fused_power(signal_r, bank_r, *, mesh: Mesh, halo: int,
+                        interpolate: bool = True,
+                        precision: str = "fast3",
+                        interpret: bool = False):
+    """Sequence-parallel ``|cwt|**2`` with the fused Pallas kernel as the
+    per-chunk compute: same halo exchange and output layout as
+    ``chunked_power``, but each chip runs the matmul-iDFT mega-kernel on
+    its extended chunk instead of the XLA FFT path.
+
+    Constraints: real bank only, and the EXTENDED chunk length
+    (N/n_time + 2*halo) must satisfy ``ops.fused._supported`` — the
+    ``pow2_halo`` sizing produces exactly such lengths up to 16384.
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU-mesh
+    tests).
+    """
+    from ..ops.fused import fused_power_from_bank
+    n_dev = mesh.shape[TIME_AXIS]
+    ndim = signal_r.ndim
+    sig_spec = P(*([None] * (ndim - 1)), TIME_AXIS)
+    out_spec = P(*([None] * (ndim - 1)), None, TIME_AXIS)
+
+    def local(sig, br):
+        ext = _exchange_halos(sig, halo, n_dev)
+        p = fused_power_from_bank(ext, br, interpolate, interpret, precision)
+        return p[..., halo:p.shape[-1] - halo]
+
+    # check_vma=False: pallas_call outputs carry no varying-axes type (see
+    # sharded.py); the out_specs are explicit.
+    return jax.shard_map(local, mesh=mesh, in_specs=(sig_spec, P(None, None)),
+                         out_specs=out_spec,
+                         check_vma=False)(signal_r, bank_r)
+
+
+def chunked_power_auto(signal_r, bank_r, bank_i=None, *, mesh: Mesh,
+                       halo: int, interpolate: bool = False,
+                       precision: str = "fast3"):
+    """``chunked_power`` with automatic kernel dispatch: the fused Pallas
+    kernel when the per-chip extended chunk conforms (real bank, TPU,
+    extended length = N1*128 with N1 a power of two in [8, 128]), the XLA
+    FFT path otherwise — same result either way."""
+    from ..ops.fused import _supported
+    ext_len = signal_r.shape[-1] // mesh.shape[TIME_AXIS] + 2 * halo
+    if (bank_i is None and jax.default_backend() == "tpu"
+            and _supported(ext_len)):
+        return chunked_fused_power(signal_r, bank_r, mesh=mesh, halo=halo,
+                                   interpolate=interpolate,
+                                   precision=precision)
+    return chunked_power(signal_r, bank_r, bank_i, mesh=mesh, halo=halo,
+                         interpolate=interpolate)

@@ -42,6 +42,42 @@ def _window_power(ext_window, bank_r, bank_i=None, *, halo: int,
     return p[..., halo:p.shape[-1] - halo]
 
 
+@partial(jax.jit, static_argnames=("halo", "interpolate", "precision",
+                                   "interpret"))
+def _window_power_fused(ext_windows, bank_r, *, halo: int,
+                        interpolate: bool = False, precision: str = "fast3",
+                        interpret: bool = False):
+    """Fused-kernel window power: (W, L+2h) -> (W, F, L).  The window batch
+    W rides the kernel's channel axis, so a whole batch of windows is one
+    Pallas dispatch — the long-recording path's hot loop."""
+    from ..ops.fused import fused_power_from_bank
+    p = fused_power_from_bank(ext_windows, bank_r, interpolate, interpret,
+                              precision)
+    return p[..., halo:p.shape[-1] - halo]
+
+
+@partial(jax.jit, static_argnames=("halo", "fused", "interpolate",
+                                   "precision", "interpret"))
+def _paste_batch(buf, ext_batch, bank_r, bank_i, start, *, halo: int,
+                 fused: bool, interpolate: bool, precision: str,
+                 interpret: bool):
+    """Window-batch power pasted into the on-device (F, N_padded) plane.
+    The batch's windows are time-contiguous, so the (W, F, window) block
+    transposes to one (F, W*window) slab and lands in a single
+    ``dynamic_update_slice`` at a traced start offset (one compile total).
+    """
+    if fused:
+        block = _window_power_fused(ext_batch, bank_r, halo=halo,
+                                    interpolate=interpolate,
+                                    precision=precision, interpret=interpret)
+    else:
+        block = _window_power(ext_batch, bank_r, bank_i, halo=halo,
+                              interpolate=interpolate)
+    w_count, n_f, w_len = block.shape
+    slab = jnp.transpose(block, (1, 0, 2)).reshape(n_f, w_count * w_len)
+    return jax.lax.dynamic_update_slice(buf, slab, (jnp.int32(0), start))
+
+
 class StreamingCWT:
     """Overlap-discard streaming power TFR over an arbitrarily long signal.
 
@@ -58,11 +94,19 @@ class StreamingCWT:
         rounded UP so the extended window is a power of two — XLA lowers
         non-power-of-two FFT lengths on TPU to a dense O(N^2) DFT matmul.
     interpolate: the reference's analytic / Nyquist-alias trick.
+    use_fused: "auto" (fused Pallas kernel on TPU when the extended window
+        conforms and the bank is real), True (force; raises if unsupported),
+        or False (XLA FFT path).
+    batch: windows per device call — batching rides the fused kernel's
+        channel axis, amortizing dispatch overhead for single-channel
+        recordings (both paths accept the batch).
     """
 
     def __init__(self, wdef: WaveletDef, freqs, sfreq: float,
                  window: int = 65536, halo: Optional[int] = None,
-                 interpolate: bool = False, halo_tol: float = 1e-4) -> None:
+                 interpolate: bool = False, halo_tol: float = 1e-4,
+                 use_fused="auto", batch: int = 8,
+                 precision: str = "fast3", interpret: bool = False) -> None:
         self.wdef = wdef
         self.freqs = np.asarray(freqs, dtype=np.float32)
         self.sfreq = float(sfreq)
@@ -76,33 +120,72 @@ class StreamingCWT:
         halo = pow2_halo(self.window, int(halo))
         self.halo = int(halo)
         self.interpolate = interpolate
+        self.batch = max(int(batch), 1)
+        self.precision = precision
+        self.interpret = interpret
         # Jitted float-boundary builder: eager .real/.imag on a complex bank
         # would hit the TPU runtime's unsupported eager-complex path.
         self._bank = make_fft_bank_ri(wdef, jnp.asarray(self.freqs),
                                       self.window + 2 * self.halo, self.sfreq,
                                       interpolate)
+        from ..ops.fused import _supported
+        ext = self.window + 2 * self.halo
+        conforms = (self._bank[1] is None and _supported(ext)
+                    and (interpret or jax.default_backend() == "tpu"))
+        if use_fused == "auto":
+            self._fused = conforms
+        elif use_fused:
+            if not conforms:
+                raise ValueError(
+                    f"fused streaming needs a real bank and an extended "
+                    f"window (window + 2*halo = {ext}) of N1*128 with N1 a "
+                    f"power of two in [8, 128] on a TPU backend")
+            self._fused = True
+        else:
+            self._fused = False
+
+    def _device_power(self, ext_batch: np.ndarray) -> np.ndarray:
+        """(W, ext) -> (W, F, window) on device, fused or XLA."""
+        if self._fused:
+            out = _window_power_fused(jnp.asarray(ext_batch), self._bank[0],
+                                      halo=self.halo,
+                                      interpolate=self.interpolate,
+                                      precision=self.precision,
+                                      interpret=self.interpret)
+        else:
+            out = _window_power(jnp.asarray(ext_batch), self._bank[0],
+                                self._bank[1], halo=self.halo,
+                                interpolate=self.interpolate)
+        return np.asarray(out)
 
     def blocks(self, signal: np.ndarray) -> Iterator[Tuple[int, np.ndarray]]:
         """Yield ``(start_sample, (F, block_len) power)`` blocks in order.
 
-        The signal is consumed window by window; edges are zero-padded
-        (linear convolution at the global boundary, like the chunked mesh
-        path).  The final block may be shorter than ``window``.
+        The signal is consumed ``batch`` windows at a time (one device call
+        per batch); edges are zero-padded (linear convolution at the global
+        boundary, like the chunked mesh path).  The final block may be
+        shorter than ``window``.
         """
         signal = np.asarray(signal, dtype=np.float32)
         n = signal.shape[-1]
         h, w = self.halo, self.window
-        for start in range(0, n, w):
-            stop = min(start + w, n)
-            lo, hi = start - h, stop + h
-            ext = np.zeros(w + 2 * h, dtype=np.float32)
-            src_lo, src_hi = max(lo, 0), min(hi, n)
-            ext[src_lo - lo:src_lo - lo + (src_hi - src_lo)] = (
-                signal[src_lo:src_hi])
-            block = _window_power(jnp.asarray(ext), self._bank[0],
-                                  self._bank[1], halo=h,
-                                  interpolate=self.interpolate)
-            yield start, np.asarray(block)[..., :stop - start]
+        starts = list(range(0, n, w))
+        for group in range(0, len(starts), self.batch):
+            batch_starts = starts[group:group + self.batch]
+            # Always dispatch the full (batch, ext) shape — a ragged tail
+            # batch would be a second compiled program (minutes of Mosaic
+            # compile for one partial batch); unused rows stay zero.
+            ext = np.zeros((self.batch, w + 2 * h), dtype=np.float32)
+            for row, start in enumerate(batch_starts):
+                stop = min(start + w, n)
+                lo, hi = start - h, stop + h
+                src_lo, src_hi = max(lo, 0), min(hi, n)
+                ext[row, src_lo - lo:src_lo - lo + (src_hi - src_lo)] = (
+                    signal[src_lo:src_hi])
+            block = self._device_power(ext)
+            for row, start in enumerate(batch_starts):
+                stop = min(start + w, n)
+                yield start, block[row][..., :stop - start]
 
     def power(self, signal: np.ndarray) -> np.ndarray:
         """Full (F, N) power TFR assembled on host from streamed blocks."""
@@ -112,3 +195,40 @@ class StreamingCWT:
         for start, block in self.blocks(signal):
             out[:, start:start + block.shape[-1]] = block
         return out
+
+    def power_device(self, signal: np.ndarray):
+        """Full (F, N) power TFR assembled ON DEVICE (one
+        ``dynamic_update_slice`` per window batch; a batch's windows are
+        contiguous in time, so each batch is a single update).
+
+        Use this when the TFR feeds further on-device work (baseline
+        correction, reductions, plotting decimation): fetching the full
+        plane to host costs more than computing it — on this environment's
+        tunneled chip D2H runs at a few MB/s, and even on directly-attached
+        hardware the (F, N) plane is the largest tensor in the pipeline.
+        """
+        signal = np.asarray(signal, dtype=np.float32)
+        n = signal.shape[-1]
+        h, w = self.halo, self.window
+        n_f = self.freqs.shape[0]
+        span = self.batch * w
+        n_batches = -(-n // span)
+        buf = jnp.zeros((n_f, n_batches * span), jnp.float32)
+        starts = list(range(0, n, w))
+        for group in range(0, len(starts), self.batch):
+            batch_starts = starts[group:group + self.batch]
+            ext = np.zeros((self.batch, w + 2 * h), dtype=np.float32)
+            for row, start in enumerate(batch_starts):
+                stop = min(start + w, n)
+                lo, hi = start - h, stop + h
+                src_lo, src_hi = max(lo, 0), min(hi, n)
+                ext[row, src_lo - lo:src_lo - lo + (src_hi - src_lo)] = (
+                    signal[src_lo:src_hi])
+            buf = _paste_batch(buf, jnp.asarray(ext), self._bank[0],
+                               self._bank[1],
+                               jnp.int32(batch_starts[0]), halo=h,
+                               fused=self._fused,
+                               interpolate=self.interpolate,
+                               precision=self.precision,
+                               interpret=self.interpret)
+        return buf[:, :n]

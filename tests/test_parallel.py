@@ -330,3 +330,50 @@ def test_multihost_two_processes():
         assert p.returncode == 0, out
     assert any("global=8" in o for o in outs), outs
     assert all("finite=True" in o for o in outs), outs
+
+
+def test_chunked_fused_power_matches_xla_chunked():
+    """The fused Pallas kernel as the per-chunk compute (interpret mode on
+    the CPU mesh) must match the XLA chunked path bit-for-tolerance — same
+    halo exchange, same bank, different iDFT engine (VERDICT r1 item 2)."""
+    sfreq = 1000.0
+    mesh = par.flat_mesh(par.TIME_AXIS)
+    n_dev = mesh.shape[par.TIME_AXIS]
+    chunk, halo = 1024, 512                  # ext = 2048 = 16*128, N1=16
+    n = chunk * n_dev
+    t = np.arange(n) / sfreq
+    sig = (np.sin(2 * np.pi * 60 * t)
+           + 0.5 * np.sin(2 * np.pi * 23 * t)).astype(np.float32)
+    freqs = np.arange(20, 80, 4, dtype=np.float32)
+    morse = nw.Morse(sfreq)
+    br, bi = par.chunk_bank(morse._wdef(), freqs, chunk, halo, sfreq)
+    assert bi is None                        # Morse bank is real
+    want = np.asarray(par.chunked_power(jnp.asarray(sig), br, None,
+                                        mesh=mesh, halo=halo,
+                                        interpolate=True))
+    got = np.asarray(par.chunked_fused_power(jnp.asarray(sig), br,
+                                             mesh=mesh, halo=halo,
+                                             interpolate=True,
+                                             interpret=True,
+                                             precision="exact"))
+    assert got.shape == want.shape == (len(freqs), n)
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-5 * np.abs(want).max())
+
+
+def test_chunked_power_auto_dispatches_xla_on_cpu():
+    """On the CPU backend the auto wrapper must take the XLA path (the
+    compiled kernel is TPU-only) and still produce the right numbers."""
+    mesh = par.flat_mesh(par.TIME_AXIS)
+    n_dev = mesh.shape[par.TIME_AXIS]
+    chunk, halo = 1024, 512
+    sig = np.random.default_rng(3).standard_normal(
+        chunk * n_dev).astype(np.float32)
+    freqs = np.arange(30, 46, dtype=np.float32)
+    morse = nw.Morse(1000)
+    br, bi = par.chunk_bank(morse._wdef(), freqs, chunk, halo, 1000.0)
+    got = np.asarray(par.chunked_power_auto(jnp.asarray(sig), br, bi,
+                                            mesh=mesh, halo=halo))
+    want = np.asarray(par.chunked_power(jnp.asarray(sig), br, bi,
+                                        mesh=mesh, halo=halo))
+    np.testing.assert_allclose(got, want, rtol=1e-6)

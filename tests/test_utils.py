@@ -194,3 +194,43 @@ class TestCoverageGaps:
         c = cwt_from_bank(jnp.asarray(analytic), bank)
         rec = np.asarray(icwt_from_bank(c, bank, real_signal=False))
         assert np.abs(rec - analytic).max() < 1e-3
+
+
+class TestStreamingFused:
+    def test_fused_streaming_matches_xla_streaming(self):
+        """Window batching + the fused kernel (interpret mode) against the
+        plain XLA streaming path — identical blocks (VERDICT r1 item 2)."""
+        sfreq, n = 1000.0, 8192
+        t = np.arange(n) / sfreq
+        sig = (np.sin(2 * np.pi * 60 * t)
+               + 0.3 * np.sin(2 * np.pi * 31 * t)).astype(np.float32)
+        freqs = np.arange(25.0, 80.0, 5.0, dtype=np.float32)
+        morse = nw.Morse(sfreq)
+        kw = dict(window=1024, halo=512, interpolate=True)
+        ref = StreamingCWT(morse._wdef(), freqs, sfreq, use_fused=False,
+                           **kw)
+        fus = StreamingCWT(morse._wdef(), freqs, sfreq, use_fused=True,
+                           interpret=True, precision="exact", batch=3, **kw)
+        assert fus._fused and not ref._fused
+        want, got = ref.power(sig), fus.power(sig)
+        np.testing.assert_allclose(got, want, rtol=1e-4,
+                                   atol=1e-5 * np.abs(want).max())
+
+    def test_fused_force_raises_on_bad_geometry(self):
+        morse = nw.Morse(1000)
+        with pytest.raises(ValueError):
+            StreamingCWT(morse._wdef(), [40.0], 1000.0, window=1000,
+                         halo=300, use_fused=True)   # ext=1600 not N1*128
+
+
+def test_power_device_matches_host_blocks():
+    """On-device assembly (one dynamic_update_slice per window batch)
+    must equal the host-assembled plane, including the ragged tail."""
+    morse = nw.Morse(1000)
+    s = StreamingCWT(morse._wdef(), [30.0, 60.0], 1000.0, window=1000,
+                     halo=300, batch=2)
+    sig = np.random.default_rng(5).standard_normal(3500).astype(np.float32)
+    host = s.power(sig)
+    dev = np.asarray(s.power_device(sig))
+    assert dev.shape == host.shape == (2, 3500)
+    np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-8)
