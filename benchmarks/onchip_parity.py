@@ -1,0 +1,116 @@
+"""On-chip compiled-kernel parity sweep (VERDICT r1 item 4).
+
+The Pallas interpreter cannot see Mosaic's compiled numerics (DEFAULT
+matmuls run in full f32 there), so the compiled kernel's accuracy is
+recorded HERE, on the real chip, and committed as an artifact the CPU test
+suite gates on (``tests/artifacts/onchip_parity_r02.json``,
+``tests/test_onchip_parity.py``).
+
+Run on the TPU host:  python benchmarks/onchip_parity.py
+(Each (N, precision) pair is a fresh Mosaic compile; the full sweep takes
+tens of minutes cold, minutes warm via the persistent compile cache.)
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "artifacts",
+                   "onchip_parity_r02.json")
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import ninwavelets_tpu as nw
+    from ninwavelets_tpu.ops import fused
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+    from ninwavelets_tpu.ops.cwt import itc as xla_itc
+    from ninwavelets_tpu.ops.cwt import mean_power as xla_mean_power
+
+    assert jax.default_backend() == "tpu", "run this on the TPU host"
+    sfreq = 1000.0
+    rng = np.random.default_rng(0)
+    morse = nw.Morse(sfreq)
+    rows = []
+
+    def bank_for(n):
+        return jnp.asarray(np.asarray(
+            make_fft_bank(morse._wdef(), jnp.arange(1.0, 101.0), n, sfreq,
+                          True), np.float32))
+
+    def record(**row):
+        rows.append(row)
+        os.makedirs(os.path.dirname(OUT), exist_ok=True)
+        with open(OUT, "w") as f:
+            json.dump({"device": str(jax.devices()[0]), "rows": rows}, f,
+                      indent=1)
+        print(json.dumps(row), flush=True)
+
+    def compare(want, got):
+        err = np.abs(got - want)
+        scale = np.abs(want).max()
+        snr = 20.0 * np.log10(
+            np.linalg.norm(want) / max(np.linalg.norm(err), 1e-30))
+        return float(err.max() / scale), float(snr)
+
+    # --- power: N geometries x precisions x {aligned, ragged} epochs -----
+    for n in (1024, 2048, 4096, 8192, 16384):
+        bank = bank_for(n)
+        c = 4
+        for e in (16, 40):            # 40: ragged tail -> zero-pad + scan
+            sig = jnp.asarray(rng.standard_normal((e, c, n))
+                              .astype(np.float32))
+            want = np.asarray(xla_mean_power(sig, bank, interpolate=True))
+            for prec in fused.PRECISIONS:
+                t0 = time.time()
+                got = np.asarray(fused.fused_mean_power(
+                    sig, bank, interpolate=True, precision=prec))
+                rel, snr = compare(want, got)
+                record(epilogue="power", n=n, e=e, c=c, precision=prec,
+                       rel_err=rel, snr_db=round(snr, 1),
+                       wall_s=round(time.time() - t0, 1))
+
+    # --- itc: the unit-phase epilogue at the bench geometry --------------
+    n, c, e = 2048, 4, 16
+    bank = bank_for(n)
+    sig = jnp.asarray(rng.standard_normal((e, c, n)).astype(np.float32))
+    want = np.asarray(xla_itc(sig, bank, interpolate=True))
+    finite = np.isfinite(want)
+    for prec in fused.PRECISIONS:
+        got = np.asarray(fused.fused_itc(sig, bank, interpolate=True,
+                                         precision=prec))
+        err = np.abs(got - want)[finite]
+        rel = float(err.max())          # itc is already in [0, 1]
+        snr = 20.0 * np.log10(np.linalg.norm(want[finite])
+                              / max(np.linalg.norm(err), 1e-30))
+        record(epilogue="itc", n=n, e=e, c=c, precision=prec,
+               rel_err=rel, snr_db=round(float(snr), 1), wall_s=0.0)
+
+    # --- power_each: the long-recording epilogue -------------------------
+    n = 16384
+    bank = bank_for(n)
+    from ninwavelets_tpu.ops.cwt import power as xla_power
+    sig = jnp.asarray(rng.standard_normal((8, n)).astype(np.float32))
+    want = np.asarray(xla_power(sig, bank, interpolate=True))
+    for prec in ("fast3", "exact"):
+        got = np.asarray(jax.jit(
+            lambda s, b, p=prec: fused.fused_power_from_bank(
+                s, b, True, precision=p))(sig, bank))
+        rel, snr = compare(want, got)
+        record(epilogue="power_each", n=n, e=8, c=1, precision=prec,
+               rel_err=rel, snr_db=round(snr, 1), wall_s=0.0)
+
+    print(f"wrote {len(rows)} rows -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Scaling-efficiency harness (VERDICT r1 item 5; BASELINE target: >= 0.85
+efficiency at 2+ hosts).
+
+Times the sharded epoch-mean power path on meshes of 1/2/4/8 devices and
+emits weak- and strong-scaling efficiency.  On this environment only a
+virtual CPU mesh exists (all virtual devices share one physical CPU, so
+the numbers measure sharding/collective PLUMBING overhead, not real
+scale-out); the same harness runs unchanged on a real multi-chip TPU slice
+the day one is attached — the fused Pallas kernel is auto-selected there.
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python benchmarks/scaling.py
+
+Definitions (t(d) = wall per call on d devices):
+  weak  — per-device problem fixed (E = E_LOCAL*d): eff = t(1)/t(d)
+  strong — global problem fixed (E = E_GLOBAL):      eff = t(1)/(d*t(d))
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+E_LOCAL = 8        # epochs per device (weak)
+E_GLOBAL = 32      # total epochs (strong)
+C, N, NF = 8, 2048, 64
+OUT = os.path.join(os.path.dirname(__file__), "scaling_results.json")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    import ninwavelets_tpu as nw
+    from ninwavelets_tpu import parallel as par
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+
+    n_avail = len(jax.devices())
+    sizes = [d for d in (1, 2, 4, 8) if d <= n_avail]
+    backend = jax.default_backend()
+    use_fused = backend == "tpu"
+    sfreq = 1000.0
+    morse = nw.Morse(sfreq)
+    bank = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.arange(1.0, NF + 1.0), N, sfreq, True),
+        np.float32))
+    rng = np.random.default_rng(0)
+
+    def run(d, e):
+        mesh = par.make_mesh(data=d, freq=1, devices=jax.devices()[:d])
+        sig = par.shard_batch(
+            jnp.asarray(rng.standard_normal((e, C, N)).astype(np.float32)),
+            mesh, P(par.DATA_AXIS))
+        if use_fused:
+            fn = lambda: par.sharded_fused_mean_power(
+                sig, bank, mesh=mesh, interpolate=True)
+        else:
+            fn = lambda: par.sharded_mean_power(sig, bank, mesh=mesh,
+                                                interpolate=True)
+        jax.block_until_ready(fn())          # compile
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    results = {"backend": backend, "fused": use_fused, "devices": n_avail,
+               "config": {"c": C, "n": N, "freqs": NF,
+                          "e_local": E_LOCAL, "e_global": E_GLOBAL},
+               "weak": [], "strong": []}
+    t1_weak = t1_strong = None
+    for d in sizes:
+        tw = run(d, E_LOCAL * d)
+        ts = run(d, E_GLOBAL)
+        t1_weak = tw if d == 1 else t1_weak
+        t1_strong = ts if d == 1 else t1_strong
+        row_w = {"devices": d, "ms": round(tw * 1e3, 3),
+                 "efficiency": round(t1_weak / tw, 3)}
+        row_s = {"devices": d, "ms": round(ts * 1e3, 3),
+                 "efficiency": round(t1_strong / (d * ts), 3)}
+        results["weak"].append(row_w)
+        results["strong"].append(row_s)
+        print(json.dumps({"weak": row_w, "strong": row_s}), flush=True)
+
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
