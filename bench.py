@@ -91,6 +91,62 @@ def main_streaming():
     }))
 
 
+def main_grad():
+    """BENCH_MODE=grad: one backward step through the fused mean-power
+    pipeline (fused forward + analytic adjoint backward).  Reported in the
+    same EEG-s/s unit as the forward bench so the grad:forward cost ratio
+    is directly readable.  The reference has no gradients at all."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import ninwavelets_tpu as nw
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+    from ninwavelets_tpu.ops import fused
+
+    sfreq = 1000.0
+    n = int(os.environ.get("BENCH_N", 2048))
+    channels = int(os.environ.get("BENCH_CHANNELS", 64))
+    epochs = int(os.environ.get("BENCH_EPOCHS", 64))
+    n_freqs = int(os.environ.get("BENCH_FREQS", 100))
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+    precision = os.environ.get("BENCH_PRECISION", fused.DEFAULT_PRECISION)
+
+    morse = nw.Morse(sfreq)
+    bank = jnp.asarray(np.asarray(
+        make_fft_bank(morse._wdef(), jnp.arange(1.0, n_freqs + 1.0), n,
+                      sfreq, True), dtype=np.float32))
+    rng = np.random.default_rng(0)
+    signals = jnp.asarray(
+        rng.standard_normal((epochs, channels, n)).astype(np.float32))
+
+    grad_step = jax.jit(jax.grad(lambda s, b: jnp.sum(
+        fused.fused_mean_power_from_bank(s, b, True,
+                                         precision=precision))))
+    jax.block_until_ready(grad_step(signals, bank))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = grad_step(signals, bank)
+    jax.block_until_ready(g)
+    elapsed = time.perf_counter() - t0
+    value = epochs * (n / sfreq) * iters / elapsed
+    print(json.dumps({
+        "metric": "grad_eeg_seconds_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "EEG-s/s",
+        "vs_baseline": round(value / REF_EEG_SECONDS_PER_S, 1),
+        "config": {"channels": channels, "freqs": n_freqs, "segment_n": n,
+                   "epochs_per_call": epochs, "iters": iters,
+                   "precision": precision,
+                   "device": str(jax.devices()[0])},
+    }))
+
+
 def main():
     import jax
     # Persistent compilation cache: repeated bench runs (and the driver's
@@ -184,7 +240,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE", "").lower() == "streaming":
+    mode = os.environ.get("BENCH_MODE", "").lower()
+    if mode == "streaming":
         main_streaming()
+    elif mode == "grad":
+        main_grad()
     else:
         main()

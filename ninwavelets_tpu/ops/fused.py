@@ -372,18 +372,59 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
     return to_natural(out[0]), to_natural(out[1])
 
 
+def _mean_power_bwd(signals, bank, interpolate: bool, g):
+    """Analytic adjoint of ``mean_power_from_bank`` for a REAL bank.
+
+    Forward per epoch: S = mask*fft(s); x_f = ifft(bank_f * S);
+    P += |x|^2 / E.  With cotangent g = dL/dP (real, (C, F, N)):
+
+      omega = (2/E) * g * x                  (adjoint of |.|^2 / E)
+      zeta  = fft(omega) / N                 (adjoint of ifft)
+      dS    = sum_f bank_f * zeta_f          (bank is real)
+      ds    = N * Re(ifft(mask * dS))        (adjoint of masked fft, s real)
+      dbank_f = sum_{e,c} Re(zeta_f * conj(S))
+
+    Recomputes x per epoch under a scan — O(C*F*N) memory independent of E,
+    where differentiating the XLA forward (the round-1 backward) stored
+    per-epoch scan residuals, O(E*C*F*N).  FLOPs ~ 2x one XLA forward (the
+    recompute plus the adjoint FFT pipeline), vs the round-1 cost of a full
+    extra forward PLUS the AD backward.  Reference has no gradients at all;
+    this is TPU-build surface (PARITY.md).
+    """
+    from .cwt import analytic_spectrum
+    from .grids import analytic_mask
+
+    e = signals.shape[0]
+    n = signals.shape[-1]
+    scale = 2.0 / e
+    mask = analytic_mask(n, jnp.float32) if interpolate else None
+
+    def per_epoch(dbank_acc, sig):
+        spec = analytic_spectrum(sig, interpolate)           # (C, N)
+        x = jnp.fft.ifft(spec[..., None, :] * bank)          # (C, F, N)
+        u = jnp.fft.fft(scale * g * x)                       # fft(omega)
+        t = jnp.sum(bank * u, axis=-2)                       # (C, N)
+        if mask is not None:
+            t = t * mask
+        ds = jnp.real(jnp.fft.ifft(t)).astype(signals.dtype)
+        dbank = jnp.sum(jnp.real(u * jnp.conj(spec[..., None, :])),
+                        axis=0) / n                          # sum over C
+        return dbank_acc + dbank, ds
+
+    dbank, ds = lax.scan(per_epoch, jnp.zeros_like(bank), signals)
+    return ds, dbank
+
+
 @functools.lru_cache(maxsize=32)
 def _fused_power_mean_vjp(interpolate: bool, interpret: bool,
                           precision: str):
     """``_fused_call`` with a custom VJP: pallas_call has no derivative
-    rule, so the forward runs the fused kernel and the backward
-    differentiates the mathematically identical XLA implementation
-    (``ops.cwt.mean_power_from_bank``).  Gradients are the rare path; the
-    extra XLA forward inside ``jax.vjp`` is acceptable there.  On the TPU
-    runtime wrap the grad in ``jax.jit`` — the backward's complex FFT
-    adjoints must stay inside a compiled program (eager complex ops are
-    unsupported at this backend's boundaries)."""
-    from .cwt import mean_power_from_bank
+    rule, so the forward runs the fused kernel and the backward is the
+    ANALYTIC adjoint pipeline (``_mean_power_bwd``) — no second forward, no
+    per-epoch AD residuals.  On the TPU runtime wrap the grad in
+    ``jax.jit`` — the backward's complex FFT adjoints must stay inside a
+    compiled program (eager complex ops are unsupported at this backend's
+    boundaries)."""
 
     @jax.custom_vjp
     def f(signals, bank):
@@ -395,10 +436,7 @@ def _fused_power_mean_vjp(interpolate: bool, interpret: bool,
 
     def bwd(res, g):
         signals, bank = res
-        _, vjp = jax.vjp(
-            lambda s, b: mean_power_from_bank(s, b, interpolate),
-            res[0], res[1])
-        return vjp(g)
+        return _mean_power_bwd(signals, bank, interpolate, g)
 
     f.defvjp(fwd, bwd)
     return f

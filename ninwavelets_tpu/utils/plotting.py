@@ -44,34 +44,43 @@ def plot_wavelet(wavelet_obj, freq: float, show: bool = True):
     return fig
 
 
+def _tick_spec(n_cells: int, rng, cells_per_unit: float):
+    """(positions, labels) for a ``(start, stop, step)`` range spec laid
+    over an axis of ``n_cells`` image cells.  Matches the reference's tick
+    arithmetic (``base.py:506-510``): labels are ``arange(start, stop,
+    step)`` and positions advance ``step * cells_per_unit`` cells.
+    """
+    labels = np.arange(*rng)
+    positions = np.arange(0, n_cells, rng[2] * cells_per_unit)
+    return positions, labels
+
+
 def plot_tf(data, sfreq: float = 1000, frange: Floats = None,
             trange: Floats = None, vmin: Optional[float] = None,
             vmax: Optional[float] = None, cmap: str = 'RdBu_r',
             show: bool = True):
-    """Time-frequency heatmap with inverted y-axis and a side colorbar
-    (reference ``base.py:492-520``).  ``frange``/``trange`` are
-    ``(start, stop, step)`` tick specs, as in the reference.
+    """Time-frequency heatmap, rendered like the reference's
+    (``base.py:492-520``): frequency rows bottom-up (inverted image y),
+    a slim colorbar hugging the right edge, and ``frange``/``trange`` as
+    ``(start, stop, step)`` tick specs — frequency steps in rows-per-Hz
+    units derived from the plotted band, time steps in seconds at
+    ``sfreq``.
     """
     import matplotlib.pyplot as plt
-    from mpl_toolkits.axes_grid1 import make_axes_locatable
 
     data = np.asarray(data)
-    fig = plt.figure()
-    ax = fig.add_subplot(1, 1, 1)
-    ax.set_aspect('auto')
+    n_f, n_t = data.shape
+    fig, ax = plt.subplots()
+    image = ax.imshow(data, vmin=vmin, vmax=vmax, cmap=cmap, aspect='auto',
+                      origin='lower')
     if frange is not None:
-        length = frange[2] / (frange[1] - frange[0]) * data.shape[0]
-        plt.yticks(np.arange(0, data.shape[0], length), np.arange(*frange))
+        ax.set_yticks(*_tick_spec(n_f, frange,
+                                  n_f / (frange[1] - frange[0])))
     if trange is not None:
-        plt.xticks(np.arange(0, data.shape[1], sfreq * trange[2]),
-                   np.arange(*trange))
-    image = ax.imshow(data, vmin=vmin, vmax=vmax, cmap=cmap)
-    ax.invert_yaxis()
-    ax.set_aspect('auto')
-    divider = make_axes_locatable(ax)
-    ax_cb = divider.new_horizontal(size="2%", pad=0.05)
-    fig.add_axes(ax_cb)
-    plt.colorbar(image, cax=ax_cb)
+        ax.set_xticks(*_tick_spec(n_t, trange, sfreq))
+    # Slim bar pinned to the image's right edge (the reference uses an
+    # axes_grid1 divider for the same 2%-wide geometry).
+    fig.colorbar(image, cax=ax.inset_axes((1.01, 0.0, 0.02, 1.0)))
     if show:
         plt.show()
     return ax

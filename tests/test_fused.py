@@ -169,8 +169,8 @@ def test_itc_auto_falls_back_on_cpu():
 
 def test_grad_flows_through_fused_kernel():
     """pallas_call has no derivative rule; the custom VJP runs the fused
-    forward and the XLA backward, so jax.grad works on the fused path and
-    matches the XLA gradient."""
+    forward and the analytic adjoint backward, so jax.grad works on the
+    fused path and matches the XLA gradient."""
     from ninwavelets_tpu.ops.cwt import mean_power_from_bank
     sig, bank = _workload(e=4, c=2, nf=16)
     sig_j, bank_j = jnp.asarray(sig), jnp.asarray(bank)
@@ -212,3 +212,29 @@ def test_kernel_flops_model():
     stage2 = 6 * (16 * 128) * 128 * 128
     assert fused.kernel_flops(64, 13, 16, 2048, True) == \
         (stage1 + stage2) * 64 * 13
+
+
+def test_analytic_backward_matches_xla_both_args():
+    """The analytic adjoint (no second forward, no AD residuals) must match
+    XLA autodiff for BOTH gradients — signals and bank — including the
+    chunked E > MAX_EPOCHS_PER_CALL path and a weighted (non-uniform)
+    cotangent."""
+    from ninwavelets_tpu.ops.cwt import mean_power_from_bank
+    rng = np.random.default_rng(7)
+    sig, bank = _workload(e=fused.MAX_EPOCHS_PER_CALL + 3, c=2, nf=16)
+    w = jnp.asarray(rng.standard_normal((2, 16, 2048)).astype(np.float32))
+    sig_j, bank_j = jnp.asarray(sig), jnp.asarray(bank)
+
+    def loss_fused(s, b):
+        return jnp.sum(w * fused.fused_mean_power_from_bank(
+            s, b, True, interpret=True, precision="exact"))
+
+    def loss_xla(s, b):
+        return jnp.sum(w * mean_power_from_bank(s, b, True))
+
+    gs_f, gb_f = jax.grad(loss_fused, argnums=(0, 1))(sig_j, bank_j)
+    gs_x, gb_x = jax.grad(loss_xla, argnums=(0, 1))(sig_j, bank_j)
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x),
+                               rtol=1e-4, atol=1e-6)
