@@ -186,9 +186,13 @@ def main():
         rng.standard_normal((epochs, channels, n)).astype(np.float32))
 
     if precision == "xla":
+        from ninwavelets_tpu.ops.cwt import itc as xla_itc
         step = jax.jit(lambda s, b: mean_power_from_bank(s, b, True))
+        itc_step = jax.jit(lambda s, b: xla_itc(s, b, interpolate=True))
     else:
         step = lambda s, b: fused.mean_power_auto(
+            s, b, interpolate=True, precision=precision)
+        itc_step = lambda s, b: fused.itc_auto(
             s, b, interpolate=True, precision=precision)
     # Warmup / compile.
     jax.block_until_ready(step(signals, bank))
@@ -236,6 +240,18 @@ def main():
     if mfu is not None:
         record["mxu_tflops"] = round(tflops, 1)
         record["mxu_utilization"] = round(mfu, 3)
+
+    # Inter-trial coherence on the same workload (mneutils.py:57-71 path);
+    # reported alongside power so both epoch reductions carry numbers.
+    itc_iters = max(iters // 2, 1)
+    jax.block_until_ready(itc_step(signals, bank))
+    t0 = time.perf_counter()
+    for _ in range(itc_iters):
+        out = itc_step(signals, bank)
+    jax.block_until_ready(out)
+    itc_elapsed = time.perf_counter() - t0
+    record["itc_eeg_seconds_per_s"] = round(
+        epochs * (n / sfreq) * itc_iters / itc_elapsed, 2)
     print(json.dumps(record))
 
 

@@ -94,7 +94,8 @@ def cross_power_from_bank(sig_a: jnp.ndarray, sig_b: jnp.ndarray,
 
 def epoch_coherence_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
                               bank: jnp.ndarray, interpolate: bool = False,
-                              eps: float = 1e-12) -> jnp.ndarray:
+                              eps: float = 1e-12,
+                              vma_axes=()) -> jnp.ndarray:
     """Epoch-wise magnitude-squared wavelet coherence:
 
         ``|mean_E Wa conj(Wb)|**2 / (mean_E |Wa|**2 * mean_E |Wb|**2)``
@@ -109,9 +110,22 @@ def epoch_coherence_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
     Returns:
       (..., F, N) float32 in [0, 1] (up to float error).
     """
-    n_epochs = sigs_a.shape[0]
+    xr, xi, pa, pb = coherence_sums(sigs_a, sigs_b, bank, interpolate,
+                                    vma_axes)
+    return coherence_from_sums(xr, xi, pa, pb, sigs_a.shape[0], eps)
+
+
+def coherence_sums(sigs_a, sigs_b, bank, interpolate: bool = False,
+                   vma_axes=()):
+    """Epoch-SUMMED coherence accumulators ``(sum cross_r, sum cross_i,
+    sum |Wa|^2, sum |Wb|^2)`` — the shard-local half of
+    ``epoch_coherence_from_bank``; a mesh reduction (``pmean`` over the
+    epoch shards) followed by ``coherence_from_sums`` completes the global
+    statistic (``parallel.sharded.sharded_coherence``)."""
     shape = sigs_a.shape[1:-1] + (bank.shape[0], sigs_a.shape[-1])
     zeros = jnp.zeros(shape, jnp.float32)
+    if vma_axes:
+        zeros = lax.pcast(zeros, tuple(vma_axes), to="varying")
 
     def step(acc, sigs):
         sa, sb = sigs
@@ -123,8 +137,14 @@ def epoch_coherence_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
                 pa + jnp.square(ca.real) + jnp.square(ca.imag),
                 pb + jnp.square(cb.real) + jnp.square(cb.imag)), None
 
-    (xr, xi, pa, pb), _ = lax.scan(step, (zeros, zeros, zeros, zeros),
-                                   (sigs_a, sigs_b))
+    (xr, xi, pa, pb), _ = lax.scan(step, (zeros,) * 4, (sigs_a, sigs_b))
+    return xr, xi, pa, pb
+
+
+def coherence_from_sums(xr, xi, pa, pb, n_epochs: int,
+                        eps: float = 1e-12) -> jnp.ndarray:
+    """``|mean cross|^2 / (mean power_a * mean power_b)`` from the epoch
+    sums."""
     num = (jnp.square(xr) + jnp.square(xi)) / (n_epochs * n_epochs)
     den = (pa / n_epochs) * (pb / n_epochs)
     if eps:

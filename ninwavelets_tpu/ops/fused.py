@@ -540,18 +540,23 @@ def fused_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
 
 def _itc_sums(signals, bank, interpolate, interpret, precision,
               vma_axes=()):
-    """Epoch-SUMMED unit-phase planes (sum_r, sum_i) over any supported E,
-    chunking epochs by MAX_EPOCHS_PER_CALL.  Shared by the single-program
-    path and the sharded per-shard path (``parallel.sharded``)."""
+    """Epoch-SUMMED unit-phase planes (sum_r, sum_i) over ANY epoch count.
+
+    Zero epochs cannot be padded in (a zero coefficient's phase is 0/0 ->
+    NaN), so a ragged count runs as a scan over full
+    ``MAX_EPOCHS_PER_CALL`` chunks plus ONE remainder-sized call (a second
+    compiled kernel body for the tail geometry).  Shared by the
+    single-program path and the sharded per-shard path
+    (``parallel.sharded``)."""
     e = signals.shape[0]
     if e <= MAX_EPOCHS_PER_CALL:
         return _fused_call(signals, bank, interpolate, interpret, precision,
                            "itc")
-    if e % MAX_EPOCHS_PER_CALL:
-        raise ValueError(f"epochs must be <= {MAX_EPOCHS_PER_CALL} or a "
-                         f"multiple of it for itc, got {e}")
-    chunks = signals.reshape(
-        (e // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL) + signals.shape[1:])
+    rem = e % MAX_EPOCHS_PER_CALL
+    full = e - rem
+    chunks = signals[:full].reshape(
+        (full // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL)
+        + signals.shape[1:])
     zero = jnp.zeros((signals.shape[1], bank.shape[0], signals.shape[2]),
                      jnp.float32)
     if vma_axes:
@@ -562,6 +567,10 @@ def _itc_sums(signals, bank, interpolate, interpret, precision,
         return (acc[0] + r, acc[1] + i), None
 
     (sr, si), _ = lax.scan(step, (zero, zero), chunks)
+    if rem:
+        tr, ti = _fused_call(signals[full:], bank, interpolate, interpret,
+                             precision, "itc")
+        sr, si = sr + tr, si + ti
     return sr, si
 
 
@@ -641,18 +650,14 @@ def itc_auto(signal_r, bank_r, bank_i=None, *, interpolate: bool = False,
 
 def supports(signals_shape, bank, epilogue: str = "power") -> bool:
     """True when the fused kernel can run this workload (real bank, conform
-    geometry) — callers fall back to the XLA path otherwise.  The power
-    path accepts any epoch count (ragged tails are zero-padded); the itc
-    path cannot pad (zero epochs would inject NaN phases), so E must be
-    <= MAX_EPOCHS_PER_CALL or a multiple of it there."""
+    geometry) — callers fall back to the XLA path otherwise.  Any epoch
+    count works for both epilogues (power zero-pads ragged tails; itc runs
+    one remainder-sized tail call instead, since zero epochs have no
+    phase)."""
     if bank is None or len(signals_shape) != 3:
         return False
     if bank.ndim != 2 or bank.shape[-1] != signals_shape[-1]:
         # A bank built for a different signal length would be silently
         # resampled at the wrong frequency resolution — hard requirement.
-        return False
-    e = signals_shape[0]
-    if (epilogue != "power" and e > MAX_EPOCHS_PER_CALL
-            and e % MAX_EPOCHS_PER_CALL):
         return False
     return _supported(signals_shape[-1]) and not jnp.iscomplexobj(bank)

@@ -14,7 +14,8 @@ from .chunked import (chunk_bank, chunked_abs, chunked_cwt_ri,
                       halo_samples, pow2_halo)
 from .mesh import (DATA_AXIS, FREQ_AXIS, TIME_AXIS, auto_mesh, flat_mesh,
                    init_multihost, make_mesh, pad_to_multiple, shard_batch)
-from .sharded import (sharded_cwt_ri, sharded_fused_itc,
+from .sharded import (sharded_coherence, sharded_cross_power,
+                      sharded_cwt_ri, sharded_fused_itc,
                       sharded_fused_mean_power, sharded_itc,
                       sharded_mean_power, sharded_power)
 from .streaming import StreamingCWT
@@ -25,6 +26,7 @@ __all__ = [
     "init_multihost",
     "sharded_mean_power", "sharded_itc", "sharded_cwt_ri", "sharded_power",
     "sharded_fused_mean_power", "sharded_fused_itc",
+    "sharded_cross_power", "sharded_coherence",
     "distributed_mean_power", "distributed_itc",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",
     "chunked_fused_power", "chunked_power_auto",

@@ -118,12 +118,7 @@ def distributed_itc(signals, wavelet, freqs, sfreq: float, mesh=None,
                          "for itc — zero-padding would inject NaN phases")
     bank_r, bank_i = _build(wavelet, freqs, n, sfreq, interpolate)
     dev = shard_batch(signals, mesh, P(DATA_AXIS))
-    from ..ops.fused import MAX_EPOCHS_PER_CALL
-    local = e // d
-    fused_ok = (_use_fused(bank_i, n)
-                and (local <= MAX_EPOCHS_PER_CALL
-                     or local % MAX_EPOCHS_PER_CALL == 0))
-    if fused_ok:
+    if _use_fused(bank_i, n):
         return sharded_fused_itc(dev, bank_r, mesh=mesh,
                                  interpolate=interpolate)
     return sharded_itc(dev, bank_r, bank_i, mesh=mesh,

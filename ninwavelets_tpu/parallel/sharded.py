@@ -143,11 +143,10 @@ def sharded_fused_mean_power(signals_r, bank_r, *, mesh: Mesh,
     Same sharding layout as ``sharded_mean_power`` (epochs over ``data``,
     bank rows over ``freq``, one ``pmean``), but each shard runs the
     matmul-iDFT mega-kernel instead of the XLA FFT path — multi-chip
-    scale-out AND the fused hot loop at once.  Constraints: local epoch
-    count E/data must be <= ops.fused.MAX_EPOCHS_PER_CALL or a multiple of
-    it; N = (N/128)*128 with
-    N/128 a power of two in [8, 128]; real bank only.  ``interpret=True``
-    runs the kernel in the Pallas interpreter (CPU-mesh tests).
+    scale-out AND the fused hot loop at once.  Constraints:
+    N = (N/128)*128 with N/128 a power of two in [8, 128]; real bank only;
+    any local epoch count.  ``interpret=True`` runs the kernel in the
+    Pallas interpreter (CPU-mesh tests).
     """
     from ..ops.fused import fused_mean_power_from_bank
 
@@ -163,6 +162,70 @@ def sharded_fused_mean_power(signals_r, bank_r, *, mesh: Mesh,
     return jax.shard_map(local, mesh=mesh, in_specs=(P(DATA_AXIS), _BANK_SPEC),
                          out_specs=out_spec,
                          check_vma=False)(signals_r, bank_r)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate"))
+def sharded_cross_power(sigs_a, sigs_b, bank_r, bank_i=None, *, mesh: Mesh,
+                        interpolate: bool = False):
+    """Cross-wavelet product ``Wa * conj(Wb)`` over the mesh as a (real,
+    imag) float pair: (E, ..., N) x2 -> (E, ..., F, N) x2.
+
+    Epochs sharded over ``data``, bank rows over ``freq`` — both axes
+    embarrassingly parallel, no collective (extension op; no reference
+    counterpart — see ``ops.extensions.cross_power_from_bank``).
+    """
+    from ..ops.extensions import cross_power_from_bank
+    ndim = sigs_a.ndim
+    sig_spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    out_spec = P(DATA_AXIS, *([None] * (ndim - 2)), FREQ_AXIS, None)
+
+    def local(sa, sb, br, bi):
+        return cross_power_from_bank(sa, sb, _as_bank(br, bi), interpolate)
+
+    if bank_i is None:
+        fn = lambda sa, sb, br: local(sa, sb, br, None)
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=(sig_spec, sig_spec, _BANK_SPEC),
+            out_specs=(out_spec, out_spec))(sigs_a, sigs_b, bank_r)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(sig_spec, sig_spec, _BANK_SPEC, _BANK_SPEC),
+        out_specs=(out_spec, out_spec))(sigs_a, sigs_b, bank_r, bank_i)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "eps"))
+def sharded_coherence(sigs_a, sigs_b, bank_r, bank_i=None, *, mesh: Mesh,
+                      interpolate: bool = False, eps: float = 1e-12):
+    """Epoch-wise wavelet coherence over the mesh: (E, ..., N) x2 ->
+    (..., F, N) in [0, 1].
+
+    Each shard accumulates its local cross/power sums
+    (``ops.extensions.coherence_sums``); one ``pmean`` over ``data``
+    completes all four global reductions, and the ratio is taken on the
+    reduced values — mesh result == single-device result.  E must divide
+    the ``data`` axis size.
+    """
+    from ..ops.extensions import coherence_from_sums, coherence_sums
+    n_epochs = sigs_a.shape[0]
+    ndim = sigs_a.ndim
+    sig_spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    out_spec = P(*([None] * (ndim - 2)), FREQ_AXIS, None)
+
+    def local(sa, sb, br, bi):
+        sums = coherence_sums(sa, sb, _as_bank(br, bi), interpolate,
+                              vma_axes=(DATA_AXIS, FREQ_AXIS))
+        xr, xi, pa, pb = (lax.psum(s, DATA_AXIS) for s in sums)
+        return coherence_from_sums(xr, xi, pa, pb, n_epochs, eps)
+
+    if bank_i is None:
+        fn = lambda sa, sb, br: local(sa, sb, br, None)
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=(sig_spec, sig_spec, _BANK_SPEC),
+            out_specs=out_spec)(sigs_a, sigs_b, bank_r)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(sig_spec, sig_spec, _BANK_SPEC, _BANK_SPEC),
+        out_specs=out_spec)(sigs_a, sigs_b, bank_r, bank_i)
 
 
 @partial(jax.jit, static_argnames=("mesh", "interpolate", "precision",

@@ -83,7 +83,7 @@ def test_supports_geometry():
     assert fused.supports((2 * chunk, 64, 1024), bank[:, :1024])
     ragged = chunk + 1
     assert fused.supports((ragged, 64, 2048), bank)       # ragged: padded
-    assert not fused.supports((ragged, 64, 2048), bank, epilogue="itc")
+    assert fused.supports((ragged, 64, 2048), bank, epilogue="itc")
     assert not fused.supports((chunk, 2048), bank)        # missing channel
     assert not fused.supports((chunk, 64, 2000), bank)    # N not N1*128
     assert not fused.supports((chunk, 64, 2048), None)
@@ -111,11 +111,18 @@ def test_ragged_epoch_count_pads_correctly():
     assert rel < 1e-4, rel
 
 
-def test_itc_bad_epoch_count_raises():
+def test_itc_ragged_epoch_count():
+    """A ragged epoch count runs as full chunks + one remainder-sized tail
+    call (zero-padding is impossible for itc — no phase at |c| = 0)."""
+    from ninwavelets_tpu.ops.cwt import itc as xla_itc
     sig, bank = _workload(e=fused.MAX_EPOCHS_PER_CALL + 4, c=1, nf=8)
-    with pytest.raises(ValueError):
-        fused.fused_itc_from_bank(jnp.asarray(sig), jnp.asarray(bank),
-                                  True, interpret=True)
+    want = np.asarray(jax.jit(
+        lambda s, b: xla_itc(s, b, interpolate=True))(
+            jnp.asarray(sig), jnp.asarray(bank)))
+    got = np.asarray(fused.fused_itc_from_bank(
+        jnp.asarray(sig), jnp.asarray(bank), True, interpret=True,
+        precision="exact"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_auto_dispatch_falls_back_on_cpu():

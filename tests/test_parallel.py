@@ -377,3 +377,47 @@ def test_chunked_power_auto_dispatches_xla_on_cpu():
     want = np.asarray(par.chunked_power(jnp.asarray(sig), br, bi,
                                         mesh=mesh, halo=halo))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestShardedCrossSignal:
+    """Mesh variants of the cross-signal extensions (VERDICT r1 item 8)."""
+
+    def _pair(self, e=8, c=2, n=1024, seed=0):
+        rng = np.random.default_rng(seed)
+        base = rng.standard_normal((e, c, n)).astype(np.float32)
+        other = (0.6 * base
+                 + 0.4 * rng.standard_normal((e, c, n))).astype(np.float32)
+        freqs = np.arange(20, 52, 4, dtype=np.float32)
+        bank, _ = _morse_bank(n, 1000.0, freqs)
+        return jnp.asarray(base), jnp.asarray(other), jnp.asarray(bank)
+
+    def test_cross_power_matches_single_device(self):
+        from ninwavelets_tpu.ops.extensions import cross_power_from_bank
+        sa, sb, bank = self._pair()
+        mesh = par.auto_mesh()
+        gr, gi = par.sharded_cross_power(sa, sb, bank, mesh=mesh,
+                                         interpolate=True)
+        wr, wi = jax.jit(lambda a, b, bk: cross_power_from_bank(
+            a, b, bk, True))(sa, sb, bank)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(wr),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_coherence_matches_single_device(self):
+        from ninwavelets_tpu.ops.extensions import epoch_coherence_from_bank
+        sa, sb, bank = self._pair()
+        mesh = par.auto_mesh()
+        got = np.asarray(par.sharded_coherence(sa, sb, bank, mesh=mesh,
+                                               interpolate=True))
+        want = np.asarray(jax.jit(lambda a, b, bk: epoch_coherence_from_bank(
+            a, b, bk, True))(sa, sb, bank))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+        assert got.max() <= 1.0 + 1e-4
+
+    def test_self_coherence_is_one(self):
+        sa, _, bank = self._pair()
+        mesh = par.auto_mesh()
+        got = np.asarray(par.sharded_coherence(sa, sa, bank, mesh=mesh,
+                                               interpolate=True))
+        np.testing.assert_allclose(got, 1.0, atol=1e-3)
