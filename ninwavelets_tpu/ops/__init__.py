@@ -19,6 +19,10 @@ from .fused import (fused_itc, fused_itc_from_bank, fused_mean_power,
 from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
                     reverse_timeline, wavelet_timeline)
 from .icwt import coverage, icwt_from_bank, icwt_ri
+from .sst import ssq_power, ssq_power_from_bank
+from .tc_stats import (ar1_coefficient, background_power, coi_mask,
+                       efolding_times, global_spectrum, red_noise_spectrum,
+                       significance_level, significant_mask)
 from .signal_utils import (MNE_CONSTANT, SizeError, hamming_window,
                            interpolate_alias, normalize, pad_to)
 from .spectra import (MEXICAN_HAT_PEAK_FREQ, haar_time, mexican_hat_time,
@@ -40,6 +44,10 @@ __all__ = [
     "paul_spectrum", "dog_spectrum", "bump_spectrum",
     "cross_power_from_bank", "epoch_coherence_from_bank",
     "icwt_from_bank", "icwt_ri", "coverage",
+    "ssq_power", "ssq_power_from_bank",
+    "ar1_coefficient", "background_power", "coi_mask", "efolding_times",
+    "global_spectrum", "red_noise_spectrum", "significance_level",
+    "significant_mask",
     "analytic_mask", "fft_bin_freqs", "log_freqs", "reverse_timeline",
     "wavelet_timeline",
     "MNE_CONSTANT", "SizeError", "hamming_window", "interpolate_alias",

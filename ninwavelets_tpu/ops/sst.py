@@ -1,0 +1,114 @@
+"""Synchrosqueezed CWT: frequency-reassigned scalograms.
+
+No reference counterpart — synchrosqueezing (Daubechies, Lu & Wu 2011) is
+the standard modern sharpening of the CWT: each (f, t) cell's energy is
+moved to the analysis row nearest its INSTANTANEOUS frequency
+
+    omega(f, t) = Im[ dW/dt / W ] / (2 pi),
+
+collapsing the wavelet's frequency smear onto the true ridge.  The time
+derivative costs one extra bank multiply (the spectrum times ``i 2 pi
+nu``), so the whole transform is two CWTs plus an elementwise phase
+transform and a scatter-add — all inside one jitted program.
+
+TPU notes: the reassignment scatter lowers to an XLA scatter-add (not an
+MXU op); it is a feature path, not the hot loop, and runs at full accuracy
+for any monotone analysis-frequency grid (bin edges via midpoints +
+``searchsorted``).  Boundaries are float-only as everywhere in this
+package (complex exists only inside the program).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cwt import analytic_spectrum
+
+__all__ = ["ssq_power_from_bank", "ssq_power"]
+
+
+def _bin_nu(n: int, sfreq: float) -> jnp.ndarray:
+    """Signed physical frequency of each FFT bin (Hz): k*sfreq/n for the
+    lower half, negative mirror for the upper half."""
+    k = jnp.arange(n)
+    return jnp.where(k < (n + 1) // 2, k, k - n) * (sfreq / n)
+
+
+def ssq_power_from_bank(signal: jnp.ndarray, bank: jnp.ndarray, freqs,
+                        sfreq: float, interpolate: bool = True,
+                        rel_threshold: float = 1e-6) -> jnp.ndarray:
+    """Synchrosqueezed power: (..., N) -> (..., F, N) with the energy of
+    each scalogram cell reassigned to the analysis row nearest its
+    instantaneous frequency.
+
+    Args:
+      signal: (..., N) real.
+      bank: (F, N) frequency-domain bank (real — analytic families).
+      freqs: the F analysis frequencies (Hz), monotone increasing; both
+        the source rows and the reassignment target grid.
+      rel_threshold: cells with power below ``rel_threshold * max power``
+        (per leading batch element) keep their energy IN PLACE rather than
+        trusting a noise-dominated phase estimate.
+
+    Returns:
+      (..., F, N) float32; total energy equals the plain scalogram's
+      (reassignment only moves energy between rows).
+    """
+    n = signal.shape[-1]
+    f_grid = jnp.asarray(freqs, jnp.float32)
+    n_f = bank.shape[0]
+
+    spec = analytic_spectrum(signal, interpolate)
+    w = jnp.fft.ifft(spec[..., None, :] * bank)
+    dw = jnp.fft.ifft(spec[..., None, :]
+                      * (bank * (1j * 2.0 * jnp.pi
+                                 * _bin_nu(n, sfreq))))
+    power = jnp.square(w.real) + jnp.square(w.imag)
+
+    # omega = Im(dW / W) / 2pi, computed as Im(dW * conj(W)) / (2pi |W|^2)
+    # to keep the division real and guarded.
+    num = dw.imag * w.real - dw.real * w.imag
+    omega = num / (2.0 * jnp.pi * jnp.maximum(power, 1e-30))
+
+    # Row edges: midpoints of the monotone analysis grid; searchsorted
+    # maps each instantaneous frequency to its nearest row.
+    edges = 0.5 * (f_grid[1:] + f_grid[:-1])
+    idx = jnp.searchsorted(edges, omega)
+
+    # Noise gate: keep weak cells where they are (their phase is noise).
+    floor = rel_threshold * jnp.max(power, axis=(-2, -1), keepdims=True)
+    keep = power >= floor
+    src = jnp.broadcast_to(jnp.arange(n_f)[:, None], omega.shape)
+    idx = jnp.where(keep, idx, src)
+
+    # Scatter-add per signal (vmapped over flattened leading dims — mixing
+    # batch ellipses with advanced index arrays would trigger NumPy's
+    # outer-indexing semantics and cross the batch).
+    lead = power.shape[:-2]
+    p_flat = power.reshape((-1,) + power.shape[-2:])
+    i_flat = idx.reshape(p_flat.shape)
+
+    def reassign_one(p, i):
+        t = jnp.broadcast_to(jnp.arange(n), p.shape)
+        return jnp.zeros_like(p).at[i, t].add(p)
+
+    out = jax.vmap(reassign_one)(p_flat, i_flat)
+    return out.reshape(lead + power.shape[-2:])
+
+
+@partial(jax.jit, static_argnames=("sfreq", "interpolate", "rel_threshold"))
+def _ssq_jit(signal_r, bank_r, f_grid, *, sfreq, interpolate, rel_threshold):
+    return ssq_power_from_bank(signal_r, bank_r, f_grid, sfreq, interpolate,
+                               rel_threshold)
+
+
+def ssq_power(signal_r, bank_r, freqs, sfreq: float,
+              interpolate: bool = True, rel_threshold: float = 1e-6):
+    """Jitted float-boundary wrapper for ``ssq_power_from_bank``."""
+    return _ssq_jit(signal_r, bank_r,
+                    jnp.asarray(np.asarray(freqs, np.float32)),
+                    sfreq=float(sfreq), interpolate=interpolate,
+                    rel_threshold=float(rel_threshold))

@@ -1,0 +1,151 @@
+"""Torrence-Compo statistics and synchrosqueezing (beyond-reference
+extensions; no reference counterpart — the reference stops at the raw
+power plane)."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ninwavelets_tpu as nw
+from ninwavelets_tpu.ops import tc_stats
+from ninwavelets_tpu.ops.bank import make_fft_bank
+from ninwavelets_tpu.ops.cwt import power as cwt_power
+from ninwavelets_tpu.ops.sst import ssq_power
+
+SFREQ = 1000.0
+
+
+def _bank(freqs, n, interpolate=True):
+    morse = nw.Morse(SFREQ)
+    return morse._wdef(), jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(freqs, jnp.float32), n, SFREQ,
+        interpolate), np.float32))
+
+
+class TestTorrenceCompo:
+    def test_ar1_recovers_known_coefficient(self):
+        rng = np.random.default_rng(0)
+        alpha = 0.7
+        x = np.zeros(20000)
+        for i in range(1, x.size):
+            x[i] = alpha * x[i - 1] + rng.standard_normal()
+        est = tc_stats.ar1_coefficient(x)
+        assert abs(est - alpha) < 0.05, est
+
+    def test_red_noise_spectrum_white_is_flat(self):
+        p = np.asarray(tc_stats.red_noise_spectrum(
+            np.arange(1.0, 100.0), SFREQ, 0.0))
+        np.testing.assert_allclose(p, 1.0)
+
+    def test_background_matches_measured_white_noise_power(self):
+        """The bank-aware null level must equal the measured mean power of
+        white noise row by row (the whole point of background_power)."""
+        rng = np.random.default_rng(3)
+        sig = rng.standard_normal((16, 4096)).astype(np.float32)
+        freqs = np.arange(20.0, 120.0, 10.0)
+        _, bank = _bank(freqs, 4096)
+        p = np.asarray(cwt_power(jnp.asarray(sig), bank, interpolate=True))
+        measured = p.mean(axis=(0, -1))
+        want = np.asarray(tc_stats.background_power(bank, SFREQ, 0.0, 1.0))
+        np.testing.assert_allclose(measured, want, rtol=0.1)
+
+    def test_white_noise_exceedance_rate(self):
+        """~5% of scalogram points in white noise exceed the 95% level."""
+        rng = np.random.default_rng(1)
+        sig = rng.standard_normal(8192).astype(np.float32)
+        freqs = np.arange(20.0, 120.0, 5.0)
+        _, bank = _bank(freqs, sig.size)
+        p = cwt_power(jnp.asarray(sig), bank, interpolate=True)
+        mask = np.asarray(tc_stats.significant_mask(
+            p, bank, SFREQ, 0.0, float(np.var(sig))))
+        assert 0.02 < mask.mean() < 0.09, mask.mean()
+
+    def test_tone_is_significant_noise_is_mostly_not(self):
+        rng = np.random.default_rng(2)
+        t = np.arange(0, 4.0, 1 / SFREQ)
+        sig = (np.sin(2 * np.pi * 60 * t)
+               + 0.3 * rng.standard_normal(t.size)).astype(np.float32)
+        freqs = np.arange(20.0, 120.0, 5.0)
+        _, bank = _bank(freqs, sig.size)
+        p = cwt_power(jnp.asarray(sig), bank, interpolate=True)
+        mask = np.asarray(tc_stats.significant_mask(
+            p, bank, SFREQ, tc_stats.ar1_coefficient(sig),
+            float(np.var(sig))))
+        tone_row = int(np.argmin(np.abs(freqs - 60.0)))
+        far_rows = np.abs(freqs - 60.0) > 25.0
+        assert mask[tone_row].mean() > 0.5
+        assert mask[far_rows].mean() < mask[tone_row].mean() / 3
+
+    def test_efolding_and_coi_mask(self):
+        freqs = np.array([10.0, 40.0])
+        wdef, _ = _bank(freqs, 1024)
+        tau = tc_stats.efolding_times(wdef, freqs, SFREQ)
+        assert tau[0] > tau[1] > 0          # lower freq -> wider cone
+        assert tau[0] < 2.0                 # sane: sub-2-seconds at 10 Hz
+        m = tc_stats.coi_mask(4000, SFREQ, tau)
+        assert m.shape == (2, 4000)
+        assert m[:, 2000].all()             # record center always valid
+        assert not m[0, 0] and not m[0, -1] # edges excluded
+        assert m[1].sum() > m[0].sum()      # higher freq keeps more
+
+    def test_global_spectrum_peaks_at_tone(self):
+        t = np.arange(0, 2.0, 1 / SFREQ)
+        sig = np.sin(2 * np.pi * 45 * t).astype(np.float32)
+        freqs = np.arange(10.0, 100.0, 5.0)
+        wdef, bank = _bank(freqs, sig.size)
+        p = cwt_power(jnp.asarray(sig), bank, interpolate=True)
+        tau = tc_stats.efolding_times(wdef, freqs, SFREQ)
+        gs = np.asarray(tc_stats.global_spectrum(
+            p, jnp.asarray(tc_stats.coi_mask(sig.size, SFREQ, tau))))
+        assert freqs[int(np.argmax(gs))] == 45.0
+
+
+class TestSynchrosqueeze:
+    FREQS = np.arange(20.0, 80.0, 1.0)
+
+    def test_energy_conserved_and_concentrated_on_tone(self):
+        t = np.arange(0, 2.048, 1 / SFREQ)
+        sig = np.sin(2 * np.pi * 40 * t).astype(np.float32)
+        _, bank = _bank(self.FREQS, sig.size)
+        raw = np.asarray(cwt_power(jnp.asarray(sig), bank,
+                                   interpolate=True))
+        ssq = np.asarray(ssq_power(jnp.asarray(sig), bank, self.FREQS,
+                                   SFREQ))
+        assert ssq.shape == raw.shape
+        np.testing.assert_allclose(ssq.sum(), raw.sum(), rtol=1e-4)
+        # Concentration: fraction of energy within +-2 Hz of the tone.
+        band = np.abs(self.FREQS - 40.0) <= 2.0
+        m = 200   # interior (skip edge transients)
+        conc_ssq = ssq[band, m:-m].sum() / ssq[:, m:-m].sum()
+        conc_raw = raw[band, m:-m].sum() / raw[:, m:-m].sum()
+        assert conc_ssq > 0.95, conc_ssq
+        assert conc_ssq > conc_raw + 0.2    # genuinely sharper
+
+    def test_chirp_ridge_tracks_instantaneous_frequency(self):
+        t = np.arange(0, 2.048, 1 / SFREQ)
+        f0, f1 = 30.0, 70.0
+        finst = f0 + (f1 - f0) * t / t[-1]
+        phase = 2 * np.pi * np.cumsum(finst) / SFREQ
+        sig = np.sin(phase).astype(np.float32)
+        _, bank = _bank(self.FREQS, sig.size)
+        ssq = np.asarray(ssq_power(jnp.asarray(sig), bank, self.FREQS,
+                                   SFREQ))
+        m = 300
+        ridge = self.FREQS[np.argmax(ssq[:, m:-m], axis=0)]
+        err = np.abs(ridge - finst[m:-m])
+        assert np.median(err) < 1.5, np.median(err)
+
+    def test_batched_signals_do_not_cross(self):
+        """Two different tones in one batch must reassign independently."""
+        t = np.arange(0, 2.048, 1 / SFREQ)
+        sig = np.stack([np.sin(2 * np.pi * 30 * t),
+                        np.sin(2 * np.pi * 60 * t)]).astype(np.float32)
+        _, bank = _bank(self.FREQS, t.size)
+        ssq = np.asarray(ssq_power(jnp.asarray(sig), bank, self.FREQS,
+                                   SFREQ))
+        assert ssq.shape == (2, self.FREQS.size, t.size)
+        m = 200
+        assert self.FREQS[np.argmax(ssq[0, :, m:-m].sum(-1))] == 30.0
+        assert self.FREQS[np.argmax(ssq[1, :, m:-m].sum(-1))] == 60.0
