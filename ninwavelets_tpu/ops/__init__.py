@@ -19,6 +19,7 @@ from .fused import (fused_itc, fused_itc_from_bank, fused_mean_power,
 from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
                     reverse_timeline, wavelet_timeline)
 from .icwt import coverage, icwt_from_bank, icwt_ri
+from .ridge import extract_ridge, ridge_frequencies
 from .sst import ssq_power, ssq_power_from_bank
 from .tc_stats import (ar1_coefficient, background_power, coi_mask,
                        efolding_times, global_spectrum, red_noise_spectrum,
@@ -45,6 +46,7 @@ __all__ = [
     "cross_power_from_bank", "epoch_coherence_from_bank",
     "icwt_from_bank", "icwt_ri", "coverage",
     "ssq_power", "ssq_power_from_bank",
+    "extract_ridge", "ridge_frequencies",
     "ar1_coefficient", "background_power", "coi_mask", "efolding_times",
     "global_spectrum", "red_noise_spectrum", "significance_level",
     "significant_mask",

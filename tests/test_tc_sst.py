@@ -149,3 +149,51 @@ class TestSynchrosqueeze:
         m = 200
         assert self.FREQS[np.argmax(ssq[0, :, m:-m].sum(-1))] == 30.0
         assert self.FREQS[np.argmax(ssq[1, :, m:-m].sum(-1))] == 60.0
+
+
+class TestRidge:
+    FREQS = np.arange(20.0, 80.0, 1.0)
+
+    def _chirp(self, noise=0.0, seed=0):
+        t = np.arange(0, 2.048, 1 / SFREQ)
+        finst = 30.0 + 40.0 * t / t[-1]
+        phase = 2 * np.pi * np.cumsum(finst) / SFREQ
+        sig = np.sin(phase)
+        if noise:
+            sig = sig + noise * np.random.default_rng(seed
+                                                      ).standard_normal(t.size)
+        return sig.astype(np.float32), finst
+
+    def test_tone_ridge_is_flat_and_exact(self):
+        from ninwavelets_tpu.ops.ridge import ridge_frequencies
+        t = np.arange(0, 2.048, 1 / SFREQ)
+        sig = np.sin(2 * np.pi * 47 * t).astype(np.float32)
+        _, bank = _bank(self.FREQS, t.size)
+        p = cwt_power(jnp.asarray(sig), bank, interpolate=True)
+        ridge = ridge_frequencies(p, self.FREQS)
+        m = 200
+        assert np.abs(ridge[m:-m] - 47.0).max() < 1.0
+
+    def test_noisy_chirp_penalty_beats_argmax(self):
+        """On a noisy chirp the DP ridge (smoothness penalty) must track
+        the true instantaneous frequency better than per-column argmax."""
+        from ninwavelets_tpu.ops.ridge import ridge_frequencies
+        sig, finst = self._chirp(noise=1.0)
+        _, bank = _bank(self.FREQS, sig.size)
+        p = np.asarray(cwt_power(jnp.asarray(sig), bank, interpolate=True))
+        m = 300
+        dp = ridge_frequencies(p, self.FREQS, penalty=1.0)
+        am = self.FREQS[np.argmax(p, axis=0)]
+        err_dp = np.abs(dp[m:-m] - finst[m:-m]).mean()
+        err_am = np.abs(am[m:-m] - finst[m:-m]).mean()
+        assert err_dp < err_am
+        assert err_dp < 2.0, err_dp
+
+    def test_ridge_on_synchrosqueezed_plane(self):
+        from ninwavelets_tpu.ops.ridge import ridge_frequencies
+        sig, finst = self._chirp()
+        _, bank = _bank(self.FREQS, sig.size)
+        ssq = ssq_power(jnp.asarray(sig), bank, self.FREQS, SFREQ)
+        ridge = ridge_frequencies(np.asarray(ssq), self.FREQS, penalty=0.5)
+        m = 300
+        assert np.median(np.abs(ridge[m:-m] - finst[m:-m])) < 1.0
