@@ -137,6 +137,7 @@ class WaveletBase:
         if freqs.shape[0] > 1:
             self.freq_dist = float(freqs[1] - freqs[0])
         n = int(round(self.sfreq * real_wave_length))
+        self._bank_freqs = np.asarray(freqs, np.float32)
         self._bank_r, self._bank_i = _bank.make_fft_bank_ri(
             self._wdef(), freqs, n, self.sfreq, self.interpolate,
             self.real_wave_length)
@@ -228,6 +229,27 @@ class WaveletBase:
         reference computes phases only implicitly inside ITC)."""
         c = self.cwt(wave, freqs, reuse)
         return np.angle(c)
+
+    def ssq_power(self, wave, freqs: Optional[Numbers] = None,
+                  reuse: bool = True,
+                  rel_threshold: float = 1e-6) -> jnp.ndarray:
+        """Synchrosqueezed power (extension — see ``ops.sst``): scalogram
+        energy reassigned to the analysis row nearest each cell's
+        instantaneous frequency.  Same bank-reuse contract as ``cwt``;
+        requires a real (analytic-family) bank and a monotone freqs grid.
+        Returns a float32 device array.
+        """
+        from ..ops.sst import ssq_power as _ssq
+        wave_r, wave_i, bank_r, bank_i = self._prepare(wave, freqs, reuse)
+        if bank_i is not None:
+            raise ValueError(
+                "synchrosqueezing needs an analytic (real-bank) family — "
+                "Normal/Twice-mode banks carry no usable phase")
+        if wave_i is not None:
+            raise ValueError("synchrosqueezing expects a real signal")
+        return _ssq(wave_r, bank_r, self._bank_freqs, self.sfreq,
+                    interpolate=self.interpolate,
+                    rel_threshold=rel_threshold)
 
     def plot(self, freq: float, show: bool = True):
         from ..utils.plotting import plot_wavelet

@@ -45,8 +45,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 LANES = 128
-MAX_EPOCHS_PER_CALL = 16  # VMEM budget: stage tensors are O(E * 128 * 128)
+#: Epochs packed into one kernel dispatch.  VMEM budget: stage tensors are
+#: O(E * 128 * 128); 16 is the measured sweet spot on v5e (32 fits but
+#: gains nothing — stage-2 M = 2048 already saturates the MXU).  Env
+#: override for experiments only.
+MAX_EPOCHS_PER_CALL = int(os.environ.get("NINW_MAX_EPOCHS_PER_CALL", 16))
 
 #: Matmul precision for the DFT stages.  The MXU is the kernel bottleneck:
 #: measured on v5e at the BASELINE workload, "exact" (Precision.HIGHEST,

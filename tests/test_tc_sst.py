@@ -197,3 +197,35 @@ class TestRidge:
         ridge = ridge_frequencies(np.asarray(ssq), self.FREQS, penalty=0.5)
         m = 300
         assert np.median(np.abs(ridge[m:-m] - finst[m:-m])) < 1.0
+
+
+def test_analysis_demo_headless(capsys):
+    """The examples walkthrough runs end to end (no plot)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "analysis_demo", os.path.join(os.path.dirname(__file__), "..",
+                                      "examples", "analysis_demo.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(plot=False)
+    out = capsys.readouterr().out
+    assert "60 Hz row: significant fraction 1.00" in out
+    assert "ridge" in out
+
+
+def test_class_level_ssq_power():
+    """WaveletBase.ssq_power: same numbers as the ops-level call, bank
+    cached/reused; Normal-mode (complex-bank) families are rejected."""
+    t = np.arange(0, 2.048, 1 / SFREQ)
+    sig = np.sin(2 * np.pi * 40 * t).astype(np.float32)
+    freqs = np.arange(20.0, 80.0, 2.0)
+    morse = nw.Morse(SFREQ)
+    got = np.asarray(morse.ssq_power(sig, freqs))
+    _, bank = _bank(freqs, t.size, interpolate=False)
+    want = np.asarray(ssq_power(jnp.asarray(sig), bank, freqs, SFREQ,
+                                interpolate=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-5 * want.max())
+    with pytest.raises(ValueError, match="analytic"):
+        nw.MexicanHat(SFREQ).ssq_power(sig, freqs)
