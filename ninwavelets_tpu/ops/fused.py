@@ -153,7 +153,8 @@ def _dft_constants(n: int, analytic: bool):
 
 def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
             w2r_ref, w2i_ref, w2s_ref, *out_refs, n_epochs: int,
-            n1_dim: int, precision: str, epilogue: str = "power"):
+            n1_dim: int, precision: str, epilogue: str = "power",
+            complex_bank: bool = False):
     """One (frequency-block, channel) program, FB = 128/N1 bank rows.
 
     Layouts (K1 = N1/2 on the analytic path; rows ordered (fb, k1) or
@@ -206,12 +207,21 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
     e_total = n_epochs
     fb = LANES // n1_dim
     # Stage 0 (VPU): tile the spectrum FB times down sublanes to line up
-    # with the (fb, k1)-ordered bank rows, then bank * spectrum.
+    # with the (fb, k1)-ordered bank rows, then bank * spectrum.  A complex
+    # (Normal/Twice-mode) bank arrives as stacked [real; imag] sublane
+    # halves in the same buffer; the multiply is then the full complex
+    # product — stages 1/2 are bank-agnostic.
     spec_r, spec_i = spec_r_ref[0], spec_i_ref[0]     # (K1, E*128)
     if fb > 1:
         spec_r = jnp.concatenate([spec_r] * fb, 0)    # (FB*K1, E*128)
         spec_i = jnp.concatenate([spec_i] * fb, 0)
-    m = jnp.concatenate([bank * spec_r, bank * spec_i], 0)
+    if complex_bank:
+        half = bank.shape[0] // 2
+        br, bi = bank[:half], bank[half:]
+        m = jnp.concatenate([br * spec_r - bi * spec_i,
+                             br * spec_i + bi * spec_r], 0)
+    else:
+        m = jnp.concatenate([bank * spec_r, bank * spec_i], 0)
 
     # Stage 1 (MXU): A = W1blk @ M — all epochs, one dispatch.
     a = mul1(m)                                       # (256, E*128)
@@ -248,17 +258,26 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
 
 def _prepare_bank(bank: jnp.ndarray, n: int, analytic: bool,
                   n_epochs: int) -> jnp.ndarray:
-    """(F, N) real bank -> (F/FB, FB*K1, 128) pre-scaled by 1/(N*sqrt(E)):
+    """(F, N) bank -> (F/FB, FB*K1, 128) pre-scaled by 1/(N*sqrt(E)):
     the iDFT 1/N and the epoch-mean 1/E (power is quadratic in the bank)
     both fold into the bank, saving a full output pass.  Rows are ordered
     (fb, k1) — row f becomes bank[f].reshape(N1, 128)[:K1], a pure
-    reshape."""
+    reshape.  A complex (Normal/Twice-mode) bank returns the stacked
+    [real; imag] layout (F/FB, 2*FB*K1, 128) the kernel's complex stage-0
+    expects."""
     n1_dim = n // LANES
     k1_dim = n1_dim // 2 if analytic else n1_dim
     fb = _f_block(n)
     f_total = bank.shape[0]
+    scale = 1.0 / (float(n) * float(n_epochs) ** 0.5)
+    if jnp.iscomplexobj(bank):
+        def part(x):
+            return (x[:, :k1_dim * LANES]
+                    .reshape(f_total // fb, fb * k1_dim, LANES)
+                    * scale).astype(jnp.float32)
+        return jnp.concatenate([part(bank.real), part(bank.imag)], axis=1)
     b = bank[:, :k1_dim * LANES].reshape(f_total // fb, fb * k1_dim, LANES)
-    return (b / (float(n) * float(n_epochs) ** 0.5)).astype(jnp.float32)
+    return (b * scale).astype(jnp.float32)
 
 
 def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
@@ -308,11 +327,13 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
     # elementwise multiply against the lane-packed spectra.
     # power folds the 1/E epoch mean into the bank; power_each and itc do
     # not reduce (itc's unit-phase is scale-invariant anyway).
+    cx = bool(jnp.iscomplexobj(bank))
+    bank_rows = (2 if cx else 1) * fb * k1_dim
     bank_t = _prepare_bank(bank, n, interpolate,
-                           e if epilogue == "power" else 1)  # (Fb, FB*K1, 128)
+                           e if epilogue == "power" else 1)  # (Fb, rows, 128)
     bank_t = jnp.broadcast_to(bank_t[:, :, None, :],
-                              (n_blocks, fb * k1_dim, e, LANES)
-                              ).reshape(n_blocks, fb * k1_dim, e * LANES)
+                              (n_blocks, bank_rows, e, LANES)
+                              ).reshape(n_blocks, bank_rows, e * LANES)
     consts = _dft_constants(n, interpolate)
 
     rep = lambda shape: pl.BlockSpec(shape, lambda fi, ci: (0,) * len(shape),
@@ -328,7 +349,8 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
     # program; the small per-channel spectra stream underneath.
     out = pl.pallas_call(
         functools.partial(_kernel, n_epochs=e, n1_dim=n1_dim,
-                          precision=precision, epilogue=epilogue),
+                          precision=precision, epilogue=epilogue,
+                          complex_bank=cx),
         grid=(n_blocks, c),
         in_specs=[
             pl.BlockSpec((1, k1_dim, e * LANES),
@@ -337,7 +359,7 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
             pl.BlockSpec((1, k1_dim, e * LANES),
                          lambda fi, ci: (ci, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, fb * k1_dim, e * LANES),
+            pl.BlockSpec((1, bank_rows, e * LANES),
                          lambda fi, ci: (fi, 0, 0),
                          memory_space=pltpu.VMEM),
             rep((2 * LANES, 2 * fb * k1_dim)),
@@ -449,6 +471,12 @@ def _fused_power_mean_vjp(interpolate: bool, interpret: bool,
 
 
 def _fused_power_mean(signals, bank, interpolate, interpret, precision):
+    if jnp.iscomplexobj(bank):
+        # Complex (Normal/Twice-mode) banks skip the custom VJP — the
+        # analytic backward is derived for real banks; gradients through
+        # complex-bank families route via the XLA path.
+        return _fused_call(signals, bank, interpolate, interpret, precision,
+                           "power")
     return _fused_power_mean_vjp(interpolate, interpret,
                                  precision)(signals, bank)
 
@@ -465,8 +493,10 @@ def fused_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
         chunks of ``MAX_EPOCHS_PER_CALL``; a ragged tail is zero-padded —
         zero epochs contribute zero power, and the mean is rescaled to the
         true count).
-      bank: (F, N) float32 — a REAL frequency-domain bank (Morse / Morlet /
-        Shannon; Normal/Twice-mode complex banks use the XLA path).
+      bank: (F, N) frequency-domain bank — real float32 (Morse / Morlet /
+        Shannon) or complex64 (Normal/Twice-mode families: MexicanHat /
+        Haar; the complex product runs in stage 0, everything downstream
+        is identical).
       interpolate: the analytic trick (upper spectrum half zeroed).  True
         halves stage 1; False keeps the full K1 = N1.
       interpret: run the kernel in the Pallas interpreter (CPU tests).
@@ -611,32 +641,53 @@ def _jitted(fn, interpolate: bool, interpret: bool, precision: str):
                                      precision=precision))
 
 
-def fused_mean_power(signal_r, bank_r, *, interpolate: bool = True,
+def _as_bank(bank_r, bank_i):
+    return bank_r if bank_i is None else lax.complex(bank_r, bank_i)
+
+
+def _mean_power_entry(signal_r, bank_r, bank_i=None, *, interpolate,
+                      interpret, precision):
+    return fused_mean_power_from_bank(signal_r, _as_bank(bank_r, bank_i),
+                                      interpolate, interpret, precision)
+
+
+def _itc_entry(signal_r, bank_r, bank_i=None, *, interpolate, interpret,
+               precision):
+    return fused_itc_from_bank(signal_r, _as_bank(bank_r, bank_i),
+                               interpolate, interpret, precision)
+
+
+def fused_mean_power(signal_r, bank_r, bank_i=None, *,
+                     interpolate: bool = True,
                      interpret: bool = False,
                      precision: str = DEFAULT_PRECISION):
-    """Jitted float-boundary wrapper (complex never crosses the boundary)."""
-    return _jitted(fused_mean_power_from_bank, interpolate, interpret,
-                   precision)(signal_r, bank_r)
+    """Jitted float-boundary wrapper (complex never crosses the boundary;
+    a complex Normal/Twice-mode bank is passed as the (real, imag) pair
+    and assembled inside the program)."""
+    return _jitted(_mean_power_entry, interpolate, interpret,
+                   precision)(signal_r, bank_r, bank_i)
 
 
-def fused_itc(signal_r, bank_r, *, interpolate: bool = True,
+def fused_itc(signal_r, bank_r, bank_i=None, *, interpolate: bool = True,
               interpret: bool = False,
               precision: str = DEFAULT_PRECISION):
     """Jitted float-boundary ITC wrapper."""
-    return _jitted(fused_itc_from_bank, interpolate, interpret,
-                   precision)(signal_r, bank_r)
+    return _jitted(_itc_entry, interpolate, interpret,
+                   precision)(signal_r, bank_r, bank_i)
 
 
 def mean_power_auto(signal_r, bank_r, bank_i=None, *,
                     interpolate: bool = False,
                     precision: str = DEFAULT_PRECISION):
     """Epoch-mean power with automatic kernel dispatch: the fused Pallas
-    kernel on TPU when the workload conforms (real bank, (E, C, N) batch,
-    N = N1*128), otherwise the XLA FFT path — same result either way."""
+    kernel on TPU when the workload conforms ((E, C, N) batch, N = N1*128
+    with N1 a power of two in [8, 128]; real OR complex bank), otherwise
+    the XLA FFT path — same result either way."""
     from .cwt import mean_power as _xla_mean_power
-    if (bank_i is None and jax.default_backend() == "tpu"
+    if (jax.default_backend() == "tpu"
             and supports(signal_r.shape, bank_r)):
-        return fused_mean_power(signal_r, bank_r, interpolate=interpolate,
+        return fused_mean_power(signal_r, bank_r, bank_i,
+                                interpolate=interpolate,
                                 precision=precision)
     return _xla_mean_power(signal_r, bank_r, bank_i,
                            interpolate=interpolate)
@@ -647,9 +698,9 @@ def itc_auto(signal_r, bank_r, bank_i=None, *, interpolate: bool = False,
     """Inter-trial coherence with automatic kernel dispatch (see
     ``mean_power_auto``)."""
     from .cwt import itc as _xla_itc
-    if (bank_i is None and jax.default_backend() == "tpu"
+    if (jax.default_backend() == "tpu"
             and supports(signal_r.shape, bank_r, epilogue="itc")):
-        return fused_itc(signal_r, bank_r, interpolate=interpolate,
+        return fused_itc(signal_r, bank_r, bank_i, interpolate=interpolate,
                          precision=precision)
     return _xla_itc(signal_r, bank_r, bank_i, interpolate=interpolate)
 

@@ -245,3 +245,44 @@ def test_analytic_backward_matches_xla_both_args():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_complex_bank_parity_vs_xla():
+    """Normal/Twice-mode families (complex banks) through the fused
+    kernel: the complex stage-0 product must match the XLA path for both
+    power and itc (these families previously always fell back)."""
+    from ninwavelets_tpu.ops.cwt import itc as xla_itc
+    sfreq, n = 1000.0, 2048
+    mh = nw.MexicanHat(sfreq)
+    bank = make_fft_bank(mh._wdef(), jnp.arange(5.0, 45.0), n, sfreq, True)
+    assert jnp.iscomplexobj(bank)
+    sig = jnp.asarray(np.random.default_rng(4)
+                      .standard_normal((6, 2, n)).astype(np.float32))
+    want_p = np.asarray(jax.jit(
+        lambda s, b: mean_power_from_bank(s, b, True))(sig, bank))
+    got_p = np.asarray(fused.fused_mean_power_from_bank(
+        sig, bank, True, interpret=True, precision="exact"))
+    np.testing.assert_allclose(got_p, want_p, rtol=1e-4,
+                               atol=1e-5 * np.abs(want_p).max())
+    want_i = np.asarray(jax.jit(
+        lambda s, b: xla_itc(s, b, interpolate=True))(sig, bank))
+    got_i = np.asarray(fused.fused_itc_from_bank(
+        sig, bank, True, interpret=True, precision="exact"))
+    np.testing.assert_allclose(got_i, want_i, rtol=1e-4, atol=1e-5)
+
+
+def test_complex_bank_float_pair_wrapper():
+    """The public wrapper takes the (real, imag) float pair and assembles
+    the complex bank inside the program (TPU boundary rule)."""
+    sfreq, n = 1000.0, 1024
+    mh = nw.MexicanHat(sfreq)
+    bank = make_fft_bank(mh._wdef(), jnp.arange(10.0, 26.0), n, sfreq, True)
+    sig = jnp.asarray(np.random.default_rng(5)
+                      .standard_normal((3, 2, n)).astype(np.float32))
+    want = np.asarray(jax.jit(
+        lambda s, b: mean_power_from_bank(s, b, True))(sig, bank))
+    got = np.asarray(fused.fused_mean_power(
+        sig, jnp.asarray(bank.real), jnp.asarray(bank.imag),
+        interpolate=True, interpret=True, precision="exact"))
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-5 * np.abs(want).max())
