@@ -95,6 +95,28 @@ def main():
         record(epilogue="itc", n=n, e=e, c=c, precision=prec,
                rel_err=rel, snr_db=round(float(snr), 1), wall_s=0.0)
 
+    # --- complex (Twice-mode) bank: MexicanHat through the kernel --------
+    n, c, e = 2048, 4, 16
+    mh = nw.MexicanHat(sfreq)
+    # jitted float-boundary builder — eager complex arrays are rejected by
+    # this TPU runtime (CLAUDE.md).
+    from ninwavelets_tpu.ops.bank import make_fft_bank_ri
+    br, bi = make_fft_bank_ri(mh._wdef(), jnp.arange(1.0, 101.0), n, sfreq,
+                              True)
+    assert bi is not None
+    sig = jnp.asarray(rng.standard_normal((e, c, n)).astype(np.float32))
+    want = np.asarray(jax.jit(
+        lambda s, r, i: xla_mean_power(s, r, i, interpolate=True))(
+            sig, br, bi))
+    for prec in ("fast3", "exact"):
+        got = np.asarray(fused.fused_mean_power(sig, br, bi,
+                                                interpolate=True,
+                                                precision=prec))
+        rel, snr = compare(want, got)
+        record(epilogue="power", n=n, e=e, c=c, precision=prec,
+               bank="complex", rel_err=rel, snr_db=round(snr, 1),
+               wall_s=0.0)
+
     # --- power_each: the long-recording epilogue -------------------------
     n = 16384
     bank = bank_for(n)

@@ -84,17 +84,26 @@ class WaveletBase:
     # -- engine --------------------------------------------------------------
 
     def _params(self) -> tuple:
-        """Hashable snapshot of the scalar hyper-parameters the formulas
-        read from ``self`` — part of the jit-cache key, so runtime mutation
+        """Hashable snapshot of the hyper-parameters the formulas read from
+        ``self`` — part of the jit-cache key, so runtime mutation
         (``morse.b = 5``) retraces instead of silently reusing the program
         compiled with the old value.  Engine-level knobs that are passed to
-        the engine explicitly are excluded.
+        the engine explicitly are excluded.  Array-valued attributes (a
+        custom family with, say, a taps vector) are keyed by value bytes so
+        mutation cannot silently miss the cache key.
         """
         skip = {"sfreq", "real_wave_length", "freq_dist", "interpolate",
                 "cuda", "help", "mode"}
-        return tuple((k, v) for k, v in sorted(vars(self).items())
-                     if k not in skip and not k.startswith("_")
-                     and isinstance(v, (int, float, bool, str)))
+        out = []
+        for k, v in sorted(vars(self).items()):
+            if k in skip or k.startswith("_"):
+                continue
+            if isinstance(v, (int, float, bool, str)):
+                out.append((k, v))
+            elif isinstance(v, (np.ndarray, jnp.ndarray, list, tuple)):
+                a = np.asarray(v)
+                out.append((k, (a.shape, str(a.dtype), a.tobytes())))
+        return tuple(out)
 
     def _wdef(self) -> WaveletDef:
         """Assemble the functional wavelet definition from the bound hooks.

@@ -47,13 +47,13 @@ def _build(wavelet, freqs, n, sfreq, interpolate):
                             n, float(sfreq), interpolate, rwl)
 
 
-def _use_fused(bank_i, n: int) -> bool:
-    """Fused kernel only for real banks on TPU with conforming geometry
-    (N = N1*128, N1 a power of two in [8, 128]) — same gate as
-    ``ops.fused.supports``; everything else takes the XLA path."""
+def _use_fused(n: int) -> bool:
+    """Fused kernel on TPU with conforming geometry (N = N1*128, N1 a
+    power of two in [8, 128]) — same gate as ``ops.fused.supports``
+    (real and complex banks both ride the kernel); everything else takes
+    the XLA path."""
     from ..ops.fused import _supported
-    return (bank_i is None and jax.default_backend() == "tpu"
-            and _supported(n))
+    return jax.default_backend() == "tpu" and _supported(n)
 
 
 def distributed_mean_power(signals, wavelet, freqs, sfreq: float,
@@ -88,12 +88,9 @@ def distributed_mean_power(signals, wavelet, freqs, sfreq: float,
         signals = jnp.pad(signals, ((0, pad_e), (0, 0), (0, 0)))
     bank_r, bank_i = _build(wavelet, freqs, n, sfreq, interpolate)
     dev = shard_batch(signals, mesh, P(DATA_AXIS))
-    fn = (sharded_fused_mean_power if _use_fused(bank_i, n)
+    fn = (sharded_fused_mean_power if _use_fused(n)
           else sharded_mean_power)
-    if fn is sharded_fused_mean_power:
-        out = fn(dev, bank_r, mesh=mesh, interpolate=interpolate)
-    else:
-        out = fn(dev, bank_r, bank_i, mesh=mesh, interpolate=interpolate)
+    out = fn(dev, bank_r, bank_i, mesh=mesh, interpolate=interpolate)
     if pad_e:
         out = out * ((e + pad_e) / e)   # zero epochs add zero power
     return out
@@ -118,8 +115,5 @@ def distributed_itc(signals, wavelet, freqs, sfreq: float, mesh=None,
                          "for itc — zero-padding would inject NaN phases")
     bank_r, bank_i = _build(wavelet, freqs, n, sfreq, interpolate)
     dev = shard_batch(signals, mesh, P(DATA_AXIS))
-    if _use_fused(bank_i, n):
-        return sharded_fused_itc(dev, bank_r, mesh=mesh,
-                                 interpolate=interpolate)
-    return sharded_itc(dev, bank_r, bank_i, mesh=mesh,
-                       interpolate=interpolate)
+    fn = sharded_fused_itc if _use_fused(n) else sharded_itc
+    return fn(dev, bank_r, bank_i, mesh=mesh, interpolate=interpolate)

@@ -133,7 +133,7 @@ def sharded_power(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
 
 @partial(jax.jit, static_argnames=("mesh", "interpolate", "precision",
                                    "interpret"))
-def sharded_fused_mean_power(signals_r, bank_r, *, mesh: Mesh,
+def sharded_fused_mean_power(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
                              interpolate: bool = True,
                              precision: str = "fast3",
                              interpret: bool = False):
@@ -144,24 +144,31 @@ def sharded_fused_mean_power(signals_r, bank_r, *, mesh: Mesh,
     bank rows over ``freq``, one ``pmean``), but each shard runs the
     matmul-iDFT mega-kernel instead of the XLA FFT path — multi-chip
     scale-out AND the fused hot loop at once.  Constraints:
-    N = (N/128)*128 with N/128 a power of two in [8, 128]; real bank only;
-    any local epoch count.  ``interpret=True`` runs the kernel in the
-    Pallas interpreter (CPU-mesh tests).
+    N = (N/128)*128 with N/128 a power of two in [8, 128]; real or complex
+    bank (as a float pair); any local epoch count.  ``interpret=True``
+    runs the kernel in the Pallas interpreter (CPU-mesh tests).
     """
     from ..ops.fused import fused_mean_power_from_bank
 
-    def local(sig, br):
-        local_mean = fused_mean_power_from_bank(sig, br, interpolate,
-                                                interpret, precision)
+    def local(sig, br, bi=None):
+        local_mean = fused_mean_power_from_bank(sig, _as_bank(br, bi),
+                                                interpolate, interpret,
+                                                precision)
         return lax.pmean(local_mean, DATA_AXIS)
 
     # check_vma=False: pallas_call outputs carry no varying-axes type, so
     # shard_map's replication checker cannot track them; the out_specs are
     # explicit and the pmean makes the data axis replicated by construction.
     out_spec = P(*([None] * (signals_r.ndim - 2)), FREQ_AXIS, None)
-    return jax.shard_map(local, mesh=mesh, in_specs=(P(DATA_AXIS), _BANK_SPEC),
+    if bank_i is None:
+        return jax.shard_map(local, mesh=mesh,
+                             in_specs=(P(DATA_AXIS), _BANK_SPEC),
+                             out_specs=out_spec,
+                             check_vma=False)(signals_r, bank_r)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(DATA_AXIS), _BANK_SPEC, _BANK_SPEC),
                          out_specs=out_spec,
-                         check_vma=False)(signals_r, bank_r)
+                         check_vma=False)(signals_r, bank_r, bank_i)
 
 
 @partial(jax.jit, static_argnames=("mesh", "interpolate"))
@@ -230,7 +237,7 @@ def sharded_coherence(sigs_a, sigs_b, bank_r, bank_i=None, *, mesh: Mesh,
 
 @partial(jax.jit, static_argnames=("mesh", "interpolate", "precision",
                                    "interpret"))
-def sharded_fused_itc(signals_r, bank_r, *, mesh: Mesh,
+def sharded_fused_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
                       interpolate: bool = True, precision: str = "fast3",
                       interpret: bool = False):
     """Inter-trial coherence over the mesh with the fused kernel per shard.
@@ -242,14 +249,21 @@ def sharded_fused_itc(signals_r, bank_r, *, mesh: Mesh,
     """
     from ..ops.fused import _itc_sums
 
-    def local(sig, br):
+    def local(sig, br, bi=None):
         e = sig.shape[0]
-        sr, si = _itc_sums(sig, br, interpolate, interpret, precision)
+        sr, si = _itc_sums(sig, _as_bank(br, bi), interpolate, interpret,
+                           precision)
         sr = lax.pmean(sr / e, DATA_AXIS)
         si = lax.pmean(si / e, DATA_AXIS)
         return jnp.sqrt(sr * sr + si * si)
 
     out_spec = P(*([None] * (signals_r.ndim - 2)), FREQ_AXIS, None)
-    return jax.shard_map(local, mesh=mesh, in_specs=(P(DATA_AXIS), _BANK_SPEC),
+    if bank_i is None:
+        return jax.shard_map(local, mesh=mesh,
+                             in_specs=(P(DATA_AXIS), _BANK_SPEC),
+                             out_specs=out_spec,
+                             check_vma=False)(signals_r, bank_r)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(DATA_AXIS), _BANK_SPEC, _BANK_SPEC),
                          out_specs=out_spec,
-                         check_vma=False)(signals_r, bank_r)
+                         check_vma=False)(signals_r, bank_r, bank_i)

@@ -51,6 +51,7 @@ def test_artifact_covers_the_sweep():
     assert precs == {"fast3", "exact", "bf16", "mixed"}
     assert any(r["epilogue"] == "itc" for r in rows)
     assert any(r["epilogue"] == "power_each" for r in rows)
+    assert any(r.get("bank") == "complex" for r in rows)   # Twice-mode
 
 
 def test_compiled_kernel_within_gates():

@@ -123,3 +123,32 @@ def test_log_freqs():
     np.testing.assert_allclose(ratios, ratios[0], rtol=1e-4)
     with pytest.raises(ValueError):
         log_freqs(0.0, 10.0, 5)
+
+
+def test_array_valued_hyperparameter_keys_the_jit_cache():
+    """A custom family with an ARRAY hyper-parameter: mutating the array
+    must retrace (round-1 review noted scalars-only snapshotting would
+    silently reuse the stale compiled bank)."""
+    import ninwavelets_tpu as nw
+
+    class Comb(nw.WaveletBase):
+        def __init__(self, sfreq=1000.0):
+            super().__init__(sfreq, interpolate=False)
+            self.mode = nw.WaveletMode.Reverse
+            self.weights = np.array([1.0, 0.5], np.float32)
+
+        def trans_formula(self, freqs, freq=1.0):
+            w = freqs / freq
+            ws = jnp.asarray(self.weights)
+            return (ws[0] * jnp.exp(-jnp.square(w - 1.0) * 8.0)
+                    + ws[1] * jnp.exp(-jnp.square(w - 2.0) * 8.0))
+
+        def peak_freq(self, freq):
+            return freq
+
+    c = Comb()
+    sig = np.random.default_rng(0).standard_normal(1000).astype(np.float32)
+    p1 = np.asarray(c.power(sig, [20.0]))
+    c.weights = np.array([1.0, 0.0], np.float32)   # kill the 2nd harmonic
+    p2 = np.asarray(c.power(sig, [20.0], reuse=False))
+    assert not np.allclose(p1, p2)                 # retraced, not stale

@@ -421,3 +421,24 @@ class TestShardedCrossSignal:
         got = np.asarray(par.sharded_coherence(sa, sa, bank, mesh=mesh,
                                                interpolate=True))
         np.testing.assert_allclose(got, 1.0, atol=1e-3)
+
+
+def test_sharded_fused_complex_bank_interpret():
+    """The fused per-shard kernel with a complex (Twice-mode) bank on the
+    CPU mesh (interpret) must match the XLA sharded reduction."""
+    mh = nw.MexicanHat(1000.0)
+    from ninwavelets_tpu.ops.bank import make_fft_bank_ri
+    n, e, c = 1024, 8, 2
+    br, bi = make_fft_bank_ri(mh._wdef(), jnp.arange(8.0, 24.0), n,
+                              1000.0, True)
+    assert bi is not None
+    mesh = par.auto_mesh()
+    sig = jnp.asarray(np.random.default_rng(9)
+                      .standard_normal((e, c, n)).astype(np.float32))
+    want = np.asarray(par.sharded_mean_power(sig, br, bi, mesh=mesh,
+                                             interpolate=True))
+    got = np.asarray(par.sharded_fused_mean_power(
+        sig, br, bi, mesh=mesh, interpolate=True, interpret=True,
+        precision="exact"))
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-5 * np.abs(want).max())
