@@ -18,6 +18,7 @@ from .fused import (fused_itc, fused_itc_from_bank, fused_mean_power,
                     fused_mean_power_from_bank, itc_auto, mean_power_auto)
 from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
                     reverse_timeline, wavelet_timeline)
+from .denoise import denoise, denoise_from_bank
 from .icwt import coverage, icwt_from_bank, icwt_ri
 from .ridge import extract_ridge, ridge_frequencies
 from .sst import ssq_power, ssq_power_from_bank
@@ -45,6 +46,7 @@ __all__ = [
     "paul_spectrum", "dog_spectrum", "bump_spectrum",
     "cross_power_from_bank", "epoch_coherence_from_bank",
     "icwt_from_bank", "icwt_ri", "coverage",
+    "denoise", "denoise_from_bank",
     "ssq_power", "ssq_power_from_bank",
     "extract_ridge", "ridge_frequencies",
     "ar1_coefficient", "background_power", "coi_mask", "efolding_times",

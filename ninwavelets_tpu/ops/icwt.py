@@ -26,7 +26,8 @@ from jax import lax
 
 def icwt_from_bank(coeffs: jnp.ndarray, bank: jnp.ndarray,
                    eps: float = 1e-6,
-                   real_signal: bool = True) -> jnp.ndarray:
+                   real_signal: bool = True,
+                   support_floor: float = 0.0) -> jnp.ndarray:
     """Least-squares signal estimate from (..., F, N) complex coefficients.
 
     Args:
@@ -41,6 +42,13 @@ def icwt_from_bank(coeffs: jnp.ndarray, bank: jnp.ndarray,
         negative half is its conjugate mirror, which this restores (without
         it the real part comes back at half amplitude).  Set False when
         reconstructing a genuinely complex signal.
+      support_floor: zero the estimate at bins whose coverage is below
+        this fraction of the peak (band-limited inverse).  0 keeps the
+        pure Tikhonov behavior — correct for coefficients that genuinely
+        came from this bank; NONLINEARLY modified coefficients (e.g. the
+        shrinkage in ``ops.denoise``) leak energy outside the covered
+        band, where 1/coverage would amplify it enormously — use ~1e-3
+        there.
 
     Returns:
       (..., N) complex reconstruction (take ``.real`` for real signals).
@@ -52,6 +60,9 @@ def icwt_from_bank(coeffs: jnp.ndarray, bank: jnp.ndarray,
     energy = jnp.sum(jnp.abs(bank) ** 2, axis=0)       # (N,)
     floor = float(eps) * jnp.max(energy)
     x_spec = num / jnp.maximum(energy, floor)
+    if support_floor:
+        x_spec = jnp.where(energy >= float(support_floor) * jnp.max(energy),
+                           x_spec, 0.0)
     if real_signal:
         # Hermitian completion: bin k > N/2 := conj(bin N-k).
         rev = jnp.conj(jnp.roll(jnp.flip(x_spec, -1), 1, -1))

@@ -1,6 +1,7 @@
 """Inverse CWT round-trip tests."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import ninwavelets_tpu as nw
 from ninwavelets_tpu.ops import icwt
@@ -87,3 +88,51 @@ def test_batched_round_trip():
     c_tone = cwt_from_bank(jnp.asarray(tone.astype(np.float32)), bank, True)
     rec_tone = np.asarray(icwt.icwt_from_bank(c_tone, bank).real)
     assert np.abs(rec_tone - tone).max() < 2e-3
+
+
+class TestDenoise:
+    SFREQ = 1000.0
+
+    def _bank(self, n):
+        import ninwavelets_tpu as nw
+        from ninwavelets_tpu.ops.bank import make_fft_bank
+        morse = nw.Morse(self.SFREQ)
+        freqs = np.geomspace(5.0, 300.0, 60).astype(np.float32)
+        return jnp.asarray(np.asarray(make_fft_bank(
+            morse._wdef(), jnp.asarray(freqs), n, self.SFREQ, False),
+            np.float32))
+
+    def _snr(self, clean, est):
+        m = slice(200, -200)          # interior (edge transients)
+        err = est[m] - clean[m]
+        return 10 * np.log10(np.sum(clean[m] ** 2) / np.sum(err ** 2))
+
+    def test_soft_denoise_improves_snr(self):
+        from ninwavelets_tpu.ops.denoise import denoise
+        rng = np.random.default_rng(0)
+        t = np.arange(0, 2.0, 1 / self.SFREQ)
+        clean = (np.sin(2 * np.pi * 40 * t)
+                 + 0.5 * np.sin(2 * np.pi * 11 * t))
+        noisy = (clean + 0.7 * rng.standard_normal(t.size)).astype(
+            np.float32)
+        bank = self._bank(t.size)
+        out = np.asarray(denoise(jnp.asarray(noisy), bank))
+        snr_in = self._snr(clean, noisy.astype(np.float64))
+        snr_out = self._snr(clean, out.astype(np.float64))
+        assert snr_out > snr_in + 5.0, (snr_in, snr_out)
+
+    def test_hard_runs_and_clean_signal_roundtrips(self):
+        from ninwavelets_tpu.ops.denoise import denoise
+        t = np.arange(0, 2.0, 1 / self.SFREQ)
+        clean = np.sin(2 * np.pi * 40 * t).astype(np.float32)
+        bank = self._bank(t.size)
+        out = np.asarray(denoise(jnp.asarray(clean), bank, method="hard"))
+        # A noiseless tone must survive nearly untouched.
+        assert self._snr(clean.astype(np.float64),
+                         out.astype(np.float64)) > 20.0
+
+    def test_bad_method_raises(self):
+        from ninwavelets_tpu.ops.denoise import denoise_from_bank
+        with pytest.raises(ValueError):
+            denoise_from_bank(jnp.zeros(256), jnp.ones((4, 256)),
+                              method="median")
