@@ -106,14 +106,37 @@ class EpochsWavelet:
                         interpolate=self.wavelet.interpolate)
         return np.asarray(r) + 1j * np.asarray(i)
 
-    def power(self, ch_name: str, freqs: Numbers) -> jnp.ndarray:
+    @staticmethod
+    def _post(tf, sfreq, baseline, baseline_method, decim):
+        """Shared epilogue: optional per-row baseline correction (the
+        reference's separate ``Baseline`` step folded in, mne-style), then
+        time decimation (mne's ``decim`` — plain slicing AFTER the
+        transform, so no aliasing of the TFR statistics)."""
+        if baseline is not None:
+            from ..ops.baseline import baseline_tf
+            tf = baseline_tf(tf, sfreq, baseline[0], baseline[1],
+                             baseline_method)
+        if decim and decim != 1:
+            tf = tf[..., ::int(decim)]
+        return tf
+
+    def power(self, ch_name: str, freqs: Numbers,
+              baseline=None, baseline_method: str = "zscore",
+              decim: int = 1) -> jnp.ndarray:
         """(F, N) epoch-mean power TFR (``mneutils.py:42-55``), with the
         |cwt|^2 + mean fused on device.
+
+        Extensions over the reference (mne-style conveniences):
+        ``baseline=(start_s, stop_s)`` applies the per-row correction of
+        ``ops.baseline.baseline_tf`` in the same device program;
+        ``decim`` slices the time axis of the RESULT by that factor.
         """
         waves = self._channel_data(ch_name)
         bank = self._bank_for(waves, freqs)
-        return _mean_power_jit(waves[:, None, :], bank[0], bank[1],
-                               interpolate=self.wavelet.interpolate)[0]
+        tf = _mean_power_jit(waves[:, None, :], bank[0], bank[1],
+                             interpolate=self.wavelet.interpolate)[0]
+        return self._post(tf, self.wavelet.sfreq, baseline,
+                          baseline_method, decim)
 
     def itc(self, ch_name: str, freqs: Numbers) -> jnp.ndarray:
         """(F, N) inter-trial coherence (``mneutils.py:57-71``)."""
@@ -143,12 +166,17 @@ class EpochsWavelet:
                         interpolate=self.wavelet.interpolate)
         return np.asarray(r) + 1j * np.asarray(i)
 
-    def power_all(self, freqs: Numbers) -> jnp.ndarray:
-        """(C, F, N) epoch-mean power for ALL channels, one fused program."""
+    def power_all(self, freqs: Numbers, baseline=None,
+                  baseline_method: str = "zscore",
+                  decim: int = 1) -> jnp.ndarray:
+        """(C, F, N) epoch-mean power for ALL channels, one fused program.
+        Same ``baseline``/``decim`` conveniences as ``power``."""
         waves = self._all_data()
         bank = self._bank_for(waves, freqs)
-        return _mean_power_jit(waves, bank[0], bank[1],
-                               interpolate=self.wavelet.interpolate)
+        tf = _mean_power_jit(waves, bank[0], bank[1],
+                             interpolate=self.wavelet.interpolate)
+        return self._post(tf, self.wavelet.sfreq, baseline,
+                          baseline_method, decim)
 
     def itc_all(self, freqs: Numbers) -> jnp.ndarray:
         """(C, F, N) inter-trial coherence for ALL channels."""

@@ -113,3 +113,20 @@ def test_cache_invalidation_on_mutation(epochs):
     ew.invalidate()
     p2 = np.asarray(ew.power("EEG 000", FREQS[:1]))
     np.testing.assert_allclose(p2, p1 * 4.0, rtol=1e-5)
+
+
+def test_power_baseline_and_decim(epochs):
+    """mne-style conveniences on the adapter: baseline window z-score per
+    row + result decimation."""
+    from ninwavelets_tpu.ops.baseline import baseline_tf
+    ew = nw.EpochsWavelet(epochs, nw.Morse(1000.0))
+    plain = ew.power("EEG 000", FREQS)
+    got = np.asarray(ew.power("EEG 000", FREQS, baseline=(0.0, 0.2),
+                              decim=4))
+    want = np.asarray(baseline_tf(plain, 1000.0, 0.0, 0.2,
+                                  "zscore"))[..., ::4]
+    assert got.shape == (len(FREQS), 250)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    all_got = np.asarray(ew.power_all(FREQS, baseline=(0.0, 0.2), decim=4))
+    assert all_got.shape == (3, len(FREQS), 250)
+    np.testing.assert_allclose(all_got[0], got, rtol=1e-4, atol=1e-5)

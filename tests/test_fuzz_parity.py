@@ -69,3 +69,36 @@ def test_other_families_random_signal(idx, family):
     want = oracle.cwt(sig, family, freqs, SFREQ, False)
     snr = oracle.snr_db(want, got)
     assert snr > 85.0, (family, snr)
+
+
+@pytest.mark.parametrize("seed", range(N_DRAWS))
+def test_fused_kernel_random_geometry(seed):
+    """Randomized fused-kernel (interpret) parity across supported
+    geometries: N in {1024..8192}, random F/E/C, real or complex bank,
+    random interpolate."""
+    import jax
+    import jax.numpy as jnp
+    from ninwavelets_tpu.ops import fused
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+    from ninwavelets_tpu.ops.cwt import mean_power_from_bank
+
+    rng = np.random.default_rng(500 + seed)
+    n = int(rng.choice([1024, 2048, 4096, 8192]))
+    e = int(rng.integers(1, 20))
+    c = int(rng.integers(1, 4))
+    nf = int(rng.integers(3, 60))
+    interp = bool(rng.integers(0, 2))
+    complex_bank = bool(rng.integers(0, 2))
+    w = (nw.MexicanHat(SFREQ) if complex_bank
+         else nw.Morse(SFREQ, b=float(rng.uniform(8, 25))))
+    freqs = jnp.asarray(np.linspace(rng.uniform(2, 10),
+                                    rng.uniform(50, 300), nf),
+                        jnp.float32)
+    bank = make_fft_bank(w._wdef(), freqs, n, SFREQ, interp)
+    sig = jnp.asarray(rng.standard_normal((e, c, n)).astype(np.float32))
+    want = np.asarray(jax.jit(
+        lambda s, b: mean_power_from_bank(s, b, interp))(sig, bank))
+    got = np.asarray(fused.fused_mean_power_from_bank(
+        sig, bank, interp, interpret=True, precision="exact"))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-4, (n, e, c, nf, interp, complex_bank, rel)
