@@ -218,9 +218,13 @@ def main():
         import math
         fb = 128 // (n // 128)
         n_blocks = math.ceil(n_freqs / fb)
+        # Dispatched epochs: a batch under the cap runs at its true size
+        # (no padding); above it, every chunk is a full e_cap (the ragged
+        # tail IS padded and dispatched).
         e_cap = fused.MAX_EPOCHS_PER_CALL
         n_chunks = math.ceil(epochs / e_cap)
-        per_call = fused.kernel_flops(channels, n_blocks, e_cap, n, True)
+        per_call = fused.kernel_flops(channels, n_blocks,
+                                      min(epochs, e_cap), n, True)
         total = per_call * n_chunks * iters * passes
         tflops = total / elapsed / 1e12
         mfu = tflops / peak_tflops

@@ -92,8 +92,12 @@ class WaveletBase:
         custom family with, say, a taps vector) are keyed by value bytes so
         mutation cannot silently miss the cache key.
         """
+        # 'wavelets' is the reference-parity DERIVED cache of time-domain
+        # wavelets (make_wavelets), not a hyper-parameter: keying on it
+        # would invalidate every compiled program the moment a user plots
+        # (and hash MB-scale arrays on every static-key lookup).
         skip = {"sfreq", "real_wave_length", "freq_dist", "interpolate",
-                "cuda", "help", "mode"}
+                "cuda", "help", "mode", "wavelets"}
         out = []
         for k, v in sorted(vars(self).items()):
             if k in skip or k.startswith("_"):
@@ -101,8 +105,11 @@ class WaveletBase:
             if isinstance(v, (int, float, bool, str)):
                 out.append((k, v))
             elif isinstance(v, (np.ndarray, jnp.ndarray, list, tuple)):
-                a = np.asarray(v)
-                out.append((k, (a.shape, str(a.dtype), a.tobytes())))
+                try:
+                    a = np.asarray(v)
+                    out.append((k, (a.shape, str(a.dtype), a.tobytes())))
+                except (ValueError, TypeError):
+                    pass   # ragged/non-numeric container: not a formula knob
         return tuple(out)
 
     def _wdef(self) -> WaveletDef:

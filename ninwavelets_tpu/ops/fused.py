@@ -470,13 +470,39 @@ def _fused_power_mean_vjp(interpolate: bool, interpret: bool,
     return f
 
 
-def _fused_power_mean(signals, bank, interpolate, interpret, precision):
-    if jnp.iscomplexobj(bank):
-        # Complex (Normal/Twice-mode) banks skip the custom VJP — the
-        # analytic backward is derived for real banks; gradients through
-        # complex-bank families route via the XLA path.
+@functools.lru_cache(maxsize=32)
+def _fused_power_mean_vjp_complex(interpolate: bool, interpret: bool,
+                                  precision: str):
+    """Complex-bank variant: fused forward, XLA-autodiff backward.  The
+    analytic adjoint (``_mean_power_bwd``) is derived for real banks;
+    rather than wrestling complex-cotangent conventions by hand, the
+    backward differentiates the mathematically identical XLA program —
+    gradients through Normal/Twice-mode families are the rare path."""
+    from .cwt import mean_power_from_bank
+
+    @jax.custom_vjp
+    def f(signals, bank):
         return _fused_call(signals, bank, interpolate, interpret, precision,
                            "power")
+
+    def fwd(signals, bank):
+        return f(signals, bank), (signals, bank)
+
+    def bwd(res, g):
+        signals, bank = res
+        _, vjp = jax.vjp(
+            lambda s, b: mean_power_from_bank(s, b, interpolate),
+            signals, bank)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _fused_power_mean(signals, bank, interpolate, interpret, precision):
+    if jnp.iscomplexobj(bank):
+        return _fused_power_mean_vjp_complex(interpolate, interpret,
+                                             precision)(signals, bank)
     return _fused_power_mean_vjp(interpolate, interpret,
                                  precision)(signals, bank)
 

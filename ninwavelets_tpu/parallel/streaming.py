@@ -48,16 +48,18 @@ def _window_power_fused(ext_windows, bank_r, *, halo: int,
                         interpolate: bool = False, precision: str = "fast3",
                         interpret: bool = False):
     """Fused-kernel window power: (W, L+2h) -> (W, F, L).  The window batch
-    W rides the kernel's channel axis, so a whole batch of windows is one
-    Pallas dispatch — the long-recording path's hot loop."""
+    W rides the kernel's EPOCH axis (``power_each`` epilogue, C = 1), so a
+    whole batch of windows is one Pallas dispatch with dense W*128-row
+    stage-2 matmuls — the long-recording path's hot loop."""
     from ..ops.fused import fused_power_from_bank
     p = fused_power_from_bank(ext_windows, bank_r, interpolate, interpret,
                               precision)
     return p[..., halo:p.shape[-1] - halo]
 
 
-@partial(jax.jit, static_argnames=("halo", "fused", "interpolate",
-                                   "precision", "interpret"))
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=("halo", "fused", "interpolate",
+                          "precision", "interpret"))
 def _paste_batch(buf, ext_batch, bank_r, bank_i, start, *, halo: int,
                  fused: bool, interpolate: bool, precision: str,
                  interpret: bool):
@@ -65,6 +67,8 @@ def _paste_batch(buf, ext_batch, bank_r, bank_i, start, *, halo: int,
     The batch's windows are time-contiguous, so the (W, F, window) block
     transposes to one (F, W*window) slab and lands in a single
     ``dynamic_update_slice`` at a traced start offset (one compile total).
+    ``buf`` is donated: the update happens in place instead of copying the
+    full (F, N) plane every batch.
     """
     if fused:
         block = _window_power_fused(ext_batch, bank_r, halo=halo,
@@ -97,9 +101,9 @@ class StreamingCWT:
     use_fused: "auto" (fused Pallas kernel on TPU when the extended window
         conforms and the bank is real), True (force; raises if unsupported),
         or False (XLA FFT path).
-    batch: windows per device call — batching rides the fused kernel's
-        channel axis, amortizing dispatch overhead for single-channel
-        recordings (both paths accept the batch).
+    batch: windows per device call — the batch rides the fused kernel's
+        epoch axis (``power_each``), amortizing dispatch overhead for
+        single-channel recordings (both paths accept the batch).
     """
 
     def __init__(self, wdef: WaveletDef, freqs, sfreq: float,
@@ -168,13 +172,26 @@ class StreamingCWT:
         """
         signal = np.asarray(signal, dtype=np.float32)
         n = signal.shape[-1]
+        for batch_starts, ext in self._ext_batches(signal):
+            block = self._device_power(ext)
+            for row, start in enumerate(batch_starts):
+                stop = min(start + self.window, n)
+                yield start, block[row][..., :stop - start]
+
+    def _ext_batches(self, signal: np.ndarray):
+        """Yield ``(batch_starts, (batch, window + 2*halo) ext array)``
+        groups — the one place the halo-window extraction arithmetic
+        lives (consumed by both ``blocks`` and ``power_device``).
+
+        Always the full (batch, ext) shape — a ragged tail batch would be
+        a second compiled program (minutes of Mosaic compile for one
+        partial batch); unused rows stay zero.
+        """
+        n = signal.shape[-1]
         h, w = self.halo, self.window
         starts = list(range(0, n, w))
         for group in range(0, len(starts), self.batch):
             batch_starts = starts[group:group + self.batch]
-            # Always dispatch the full (batch, ext) shape — a ragged tail
-            # batch would be a second compiled program (minutes of Mosaic
-            # compile for one partial batch); unused rows stay zero.
             ext = np.zeros((self.batch, w + 2 * h), dtype=np.float32)
             for row, start in enumerate(batch_starts):
                 stop = min(start + w, n)
@@ -182,10 +199,7 @@ class StreamingCWT:
                 src_lo, src_hi = max(lo, 0), min(hi, n)
                 ext[row, src_lo - lo:src_lo - lo + (src_hi - src_lo)] = (
                     signal[src_lo:src_hi])
-            block = self._device_power(ext)
-            for row, start in enumerate(batch_starts):
-                stop = min(start + w, n)
-                yield start, block[row][..., :stop - start]
+            yield batch_starts, ext
 
     def power(self, signal: np.ndarray) -> np.ndarray:
         """Full (F, N) power TFR assembled on host from streamed blocks."""
@@ -209,24 +223,14 @@ class StreamingCWT:
         """
         signal = np.asarray(signal, dtype=np.float32)
         n = signal.shape[-1]
-        h, w = self.halo, self.window
-        n_f = self.freqs.shape[0]
-        span = self.batch * w
+        span = self.batch * self.window
         n_batches = -(-n // span)
-        buf = jnp.zeros((n_f, n_batches * span), jnp.float32)
-        starts = list(range(0, n, w))
-        for group in range(0, len(starts), self.batch):
-            batch_starts = starts[group:group + self.batch]
-            ext = np.zeros((self.batch, w + 2 * h), dtype=np.float32)
-            for row, start in enumerate(batch_starts):
-                stop = min(start + w, n)
-                lo, hi = start - h, stop + h
-                src_lo, src_hi = max(lo, 0), min(hi, n)
-                ext[row, src_lo - lo:src_lo - lo + (src_hi - src_lo)] = (
-                    signal[src_lo:src_hi])
+        buf = jnp.zeros((self.freqs.shape[0], n_batches * span),
+                        jnp.float32)
+        for batch_starts, ext in self._ext_batches(signal):
             buf = _paste_batch(buf, jnp.asarray(ext), self._bank[0],
                                self._bank[1],
-                               jnp.int32(batch_starts[0]), halo=h,
+                               jnp.int32(batch_starts[0]), halo=self.halo,
                                fused=self._fused,
                                interpolate=self.interpolate,
                                precision=self.precision,

@@ -286,3 +286,24 @@ def test_complex_bank_float_pair_wrapper():
         interpolate=True, interpret=True, precision="exact"))
     np.testing.assert_allclose(got, want, rtol=1e-4,
                                atol=1e-5 * np.abs(want).max())
+
+
+def test_grad_through_complex_bank_fused():
+    """jax.grad must work on the complex-bank fused path (custom VJP with
+    an XLA-autodiff backward) — a review found the first complex-bank
+    version silently dropped differentiability."""
+    sfreq, n = 1000.0, 1024
+    mh = nw.MexicanHat(sfreq)
+    bank = make_fft_bank(mh._wdef(), jnp.arange(10.0, 26.0), n, sfreq, True)
+    assert jnp.iscomplexobj(bank)
+    sig = jnp.asarray(np.random.default_rng(6)
+                      .standard_normal((3, 2, n)).astype(np.float32))
+    g_fused = jax.grad(lambda s: fused.fused_mean_power_from_bank(
+        s, bank, True, interpret=True, precision="exact").sum())(sig)
+    g_xla = jax.grad(lambda s: mean_power_from_bank(s, bank,
+                                                    True).sum())(sig)
+    # Scale-relative atol: separate executables of the same FFT program
+    # can differ by ~1e-5 on the CPU backend (thread scheduling).
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),
+                               rtol=1e-4,
+                               atol=1e-5 * np.abs(np.asarray(g_xla)).max())

@@ -152,3 +152,15 @@ def test_array_valued_hyperparameter_keys_the_jit_cache():
     c.weights = np.array([1.0, 0.0], np.float32)   # kill the 2nd harmonic
     p2 = np.asarray(c.power(sig, [20.0], reuse=False))
     assert not np.allclose(p1, p2)                 # retraced, not stale
+
+
+def test_derived_wavelet_cache_does_not_churn_jit_key():
+    """make_wavelets caches self.wavelets (reference parity) — a DERIVED
+    value, which must NOT enter the static jit key (a review found it
+    invalidated every compiled program after any plotting call)."""
+    import ninwavelets_tpu as nw
+    m = nw.Morse(1000.0)
+    before = m._wdef()
+    m.make_wavelets([10.0, 20.0])          # populates m.wavelets
+    after = m._wdef()
+    assert before == after and hash(before) == hash(after)
