@@ -57,12 +57,16 @@ class EngineConfig:
 
 @dataclass(frozen=True)
 class PipelineConfig:
-    """A full analysis pipeline: wavelet + engine + baseline window."""
+    """A full analysis pipeline: wavelet + engine + baseline window, plus
+    the optional statistics stages (``ops.tc_stats`` / ``ops.ridge``)."""
     wavelet: MorseConfig = field(default_factory=MorseConfig)
     engine: EngineConfig = field(default_factory=EngineConfig)
     freqs: Tuple[float, float, float] = (1.0, 101.0, 1.0)  # (lo, hi, step) Hz
     baseline: Optional[Tuple[float, float]] = None   # (start_s, stop_s)
     baseline_method: str = "zscore"
+    significance: Optional[float] = None   # p-level (e.g. 0.95) -> mask
+    global_spectrum: bool = False          # COI-masked time average
+    ridge: bool = False                    # per-channel DP ridge (Hz)
 
 
 def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
@@ -73,7 +77,11 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
     XLA path otherwise — and optionally baseline-correct the power.
 
     Returns a dict with ``power`` (C, F, N) and ``itc`` (C, F, N) device
-    arrays plus the frequency grid and wavelet instance.
+    arrays plus the frequency grid and wavelet instance.  Optional stages
+    add: ``significant`` ((C, F, N) bool mask of the UNCORRECTED epoch-mean
+    power against each channel's AR(1) background, chi-square 2E DOF),
+    ``global_spectrum`` ((C, F), COI-masked time average) with ``coi``
+    ((F, N) bool), and ``ridge_hz`` ((C, N) dominant-ridge track).
     """
     import numpy as np
 
@@ -98,7 +106,43 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
     else:
         power = xla_mean_power(waves, bank_r, bank_i, interpolate=interp)
         itc = xla_itc(waves, bank_r, bank_i, interpolate=interp)
+    out = {"itc": itc, "freqs": freqs, "wavelet": wavelet}
+
+    if cfg.significance is not None:
+        # Per-channel AR(1) fit on the raw epochs; the epoch-mean power is
+        # chi-square with 2E DOF against the bank-aware background.
+        from .ops import tc_stats
+        host = np.asarray(waves)                      # (E, C, N)
+        e_count = host.shape[0]
+        masks = []
+        for ch in range(host.shape[1]):
+            x = host[:, ch, :]
+            alpha = float(np.mean([tc_stats.ar1_coefficient(row)
+                                   for row in x]))
+            var = float(np.mean(np.var(x, axis=-1)))
+            masks.append(tc_stats.significant_mask(
+                power[ch], bank_r, sfreq, alpha, var,
+                p=float(cfg.significance), n_epochs=e_count))
+        import jax.numpy as jnp
+        out["significant"] = jnp.stack(masks)
+
+    if cfg.global_spectrum or cfg.ridge:
+        from .ops import tc_stats
+        if cfg.global_spectrum:
+            tau = tc_stats.efolding_times(wavelet._wdef(), freqs, sfreq)
+            coi = tc_stats.coi_mask(power.shape[-1], sfreq, tau)
+            import jax.numpy as jnp
+            out["coi"] = coi
+            out["global_spectrum"] = tc_stats.global_spectrum(
+                power, jnp.asarray(coi))
+        if cfg.ridge:
+            from .ops.ridge import ridge_frequencies
+            out["ridge_hz"] = np.stack([
+                ridge_frequencies(np.asarray(power[ch]), freqs)
+                for ch in range(power.shape[0])])
+
     if cfg.baseline is not None:
         start, stop = cfg.baseline
         power = baseline_tf(power, sfreq, start, stop, cfg.baseline_method)
-    return {"power": power, "itc": itc, "freqs": freqs, "wavelet": wavelet}
+    out["power"] = power
+    return out

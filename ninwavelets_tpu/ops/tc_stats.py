@@ -70,6 +70,18 @@ def _chi2_ppf_2dof(p: float) -> float:
     return -2.0 * math.log(1.0 - p)
 
 
+def _chi2_ppf(p: float, dof: int) -> float:
+    """Inverse chi-square CDF: exact for 2 DOF; the Wilson-Hilferty cube
+    approximation otherwise (relative error ~1e-3 for dof >= 4 at the
+    quantiles used here) — keeps the module scipy-free."""
+    if dof == 2:
+        return _chi2_ppf_2dof(p)
+    from statistics import NormalDist
+    z = NormalDist().inv_cdf(p)
+    a = 2.0 / (9.0 * dof)
+    return dof * (1.0 - a + z * math.sqrt(a)) ** 3
+
+
 def background_power(bank_r: jnp.ndarray, sfreq: float, alpha: float,
                      variance: float) -> jnp.ndarray:
     """Expected scalogram power (F,) of AR(1) noise through THIS bank.
@@ -91,28 +103,36 @@ def background_power(bank_r: jnp.ndarray, sfreq: float, alpha: float,
 
 
 def significance_level(bank_r: jnp.ndarray, sfreq: float, alpha: float,
-                       variance: float, p: float = 0.95) -> jnp.ndarray:
+                       variance: float, p: float = 0.95,
+                       n_epochs: int = 1) -> jnp.ndarray:
     """Pointwise scalogram significance threshold (F,) — power above it is
     significant at level ``p`` against an AR(1) background of the given
     lag-1 coefficient and series variance (T&C eq. 18, adapted to this
     engine's bank normalization via ``background_power``).
 
-    Analytic (complex) wavelets: each point is exponentially distributed
-    (chi-square, 2 DOF), so ``threshold = E|W|^2 * (-2 ln(1-p)) / 2``.
+    Analytic (complex) wavelets: each single-trial point is exponential
+    (chi-square, 2 DOF); the EPOCH-MEAN power over E independent trials is
+    chi-square with 2E DOF scaled by 1/(2E), so
+    ``threshold = E|W|^2 * chi2_ppf(p, 2E) / (2E)`` — pass ``n_epochs``
+    when gating the epoch-mean TFR (``EpochsWavelet.power`` /
+    ``mean_power``), which tightens the threshold toward the mean as E
+    grows.
     """
+    dof = 2 * int(n_epochs)
     return background_power(bank_r, sfreq, alpha, variance) \
-        * (_chi2_ppf_2dof(p) / 2.0)
+        * (_chi2_ppf(p, dof) / dof)
 
 
 def significant_mask(power: jnp.ndarray, bank_r: jnp.ndarray, sfreq: float,
                      alpha: float, variance: float,
-                     p: float = 0.95) -> jnp.ndarray:
+                     p: float = 0.95, n_epochs: int = 1) -> jnp.ndarray:
     """Boolean (..., F, N) mask of scalogram points significant at ``p``.
 
     ``power`` is the |cwt|^2 plane from this engine (``ops.cwt.power`` /
-    the fused kernel) computed with the same ``bank_r``.
+    the fused kernel, or the epoch MEAN with ``n_epochs`` set) computed
+    with the same ``bank_r``.
     """
-    thr = significance_level(bank_r, sfreq, alpha, variance, p)
+    thr = significance_level(bank_r, sfreq, alpha, variance, p, n_epochs)
     return jnp.asarray(power) > thr[..., :, None]
 
 

@@ -229,3 +229,61 @@ def test_class_level_ssq_power():
                                atol=1e-5 * want.max())
     with pytest.raises(ValueError, match="analytic"):
         nw.MexicanHat(SFREQ).ssq_power(sig, freqs)
+
+
+def test_epoch_mean_significance_tightens_with_e():
+    """The epoch-mean null is chi2 with 2E DOF / 2E: thresholds shrink
+    toward the mean as E grows, and white-noise epoch-mean exceedance at
+    p=0.95 stays ~5%."""
+    rng = np.random.default_rng(11)
+    e, n = 12, 4096
+    sig = rng.standard_normal((e, 1, n)).astype(np.float32)
+    freqs = np.arange(20.0, 120.0, 10.0)
+    _, bank = _bank(freqs, n)
+    from ninwavelets_tpu.ops.cwt import mean_power
+    p = mean_power(jnp.asarray(sig), bank, interpolate=True)[0]
+    thr1 = np.asarray(tc_stats.significance_level(bank, SFREQ, 0.0, 1.0,
+                                                  n_epochs=1))
+    thrE = np.asarray(tc_stats.significance_level(bank, SFREQ, 0.0, 1.0,
+                                                  n_epochs=e))
+    assert np.all(thrE < thr1)
+    mask = np.asarray(tc_stats.significant_mask(p, bank, SFREQ, 0.0, 1.0,
+                                                n_epochs=e))
+    assert 0.01 < mask.mean() < 0.12, mask.mean()
+
+
+def test_pipeline_statistics_stages():
+    """run_pipeline with the optional stages: significance mask, COI-masked
+    global spectrum, ridge tracks."""
+    import ninwavelets_tpu.config as cfg
+    rng = np.random.default_rng(3)
+    t = np.arange(2048) / SFREQ
+    base = np.sin(2 * np.pi * 60 * t)
+    data = np.stack([np.stack([base + 0.2 * rng.normal(size=t.size)] * 2)
+                     for _ in range(5)])
+
+    class Fake:
+        def __init__(self, d):
+            self._data, self.info = d, {"sfreq": SFREQ}
+            self.ch_names = ["a", "b"]
+        def get_data(self):
+            return self._data
+        def __len__(self):
+            return self._data.shape[0]
+
+    pipe = cfg.PipelineConfig(freqs=(10.0, 100.0, 10.0),
+                              significance=0.95, global_spectrum=True,
+                              ridge=True)
+    out = cfg.run_pipeline(pipe, Fake(data))
+    assert out["power"].shape == (2, 9, 2048)
+    assert out["significant"].shape == (2, 9, 2048)
+    assert out["global_spectrum"].shape == (2, 9)
+    assert out["coi"].shape == (9, 2048)
+    assert out["ridge_hz"].shape == (2, 2048)
+    freqs = out["freqs"]
+    row60 = int(np.argmin(np.abs(freqs - 60.0)))
+    sig_mask = np.asarray(out["significant"])
+    assert sig_mask[:, row60].mean() > 0.8          # the tone is detected
+    gs = np.asarray(out["global_spectrum"])
+    assert int(np.argmax(gs[0])) == row60
+    assert np.abs(np.asarray(out["ridge_hz"])[:, 500:-500] - 60.0).max() < 10.0
