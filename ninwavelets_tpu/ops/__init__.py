@@ -21,6 +21,8 @@ from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
 from .denoise import denoise, denoise_from_bank
 from .icwt import coverage, icwt_from_bank, icwt_ri
 from .ridge import extract_ridge, ridge_frequencies
+from .scattering import (lowpass_spectrum, scattering,
+                         scattering_from_banks)
 from .sst import ssq_power, ssq_power_from_bank
 from .tc_stats import (ar1_coefficient, background_power, coi_mask,
                        efolding_times, global_spectrum, red_noise_spectrum,
@@ -49,6 +51,7 @@ __all__ = [
     "denoise", "denoise_from_bank",
     "ssq_power", "ssq_power_from_bank",
     "extract_ridge", "ridge_frequencies",
+    "scattering", "scattering_from_banks", "lowpass_spectrum",
     "ar1_coefficient", "background_power", "coi_mask", "efolding_times",
     "global_spectrum", "red_noise_spectrum", "significance_level",
     "significant_mask",
