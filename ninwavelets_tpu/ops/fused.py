@@ -53,6 +53,8 @@ LANES = 128
 #: gains nothing — stage-2 M = 2048 already saturates the MXU).  Env
 #: override for experiments only.
 MAX_EPOCHS_PER_CALL = int(os.environ.get("NINW_MAX_EPOCHS_PER_CALL", 16))
+#: Experimental stage-2 layout toggle (see _kernel); default "batched".
+_PER_EPOCH_STAGE2 = os.environ.get("NINW_STAGE2", "") == "per_epoch"
 
 #: Matmul precision for the DFT stages.  The MXU is the kernel bottleneck:
 #: measured on v5e at the BASELINE workload, "exact" (Precision.HIGHEST,
@@ -226,6 +228,27 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
     # Stage 1 (MXU): A = W1blk @ M — all epochs, one dispatch.
     a = mul1(m)                                       # (256, E*128)
     ar, ai = a[:LANES], a[LANES:]                     # rows (fb, n1)
+
+    if _PER_EPOCH_STAGE2 and epilogue == "power":
+        # Experimental layout (NINW_STAGE2=per_epoch): twiddle + 3-mult
+        # stage 2 + power accumulate PER EPOCH on (128, 128) tiles — no
+        # sublane restack concats, no final reshape-sum; same MXU tile
+        # count.  Measured ~equal to the batched layout on v5e (see
+        # CLAUDE.md round-2 notes); kept for geometry experiments.
+        acc = jnp.zeros((LANES, LANES), jnp.float32)
+        for e in range(e_total):
+            s = slice(e * LANES, (e + 1) * LANES)
+            are, aie = ar[:, s], ai[:, s]
+            br_e = are * twr - aie * twi
+            bi_e = are * twi + aie * twr
+            t1 = mul2(br_e, 0)
+            t2 = mul2(bi_e, 1)
+            t3 = mul2(br_e + bi_e, 2)
+            xr = t1 - t2
+            xi = t3 - t1 - t2
+            acc = acc + xr * xr + xi * xi
+        out_refs[0][0, 0] = acc
+        return
 
     # Twiddle (VPU) per epoch, stacking epochs down the sublanes.
     brs, bis = [], []
