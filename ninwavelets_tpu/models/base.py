@@ -151,6 +151,10 @@ class WaveletBase:
         the hot paths (cwt/power/abs) keep everything on device."""
         freqs = self._check_freqs(freqs)
         if freqs.shape[0] > 1:
+            # Documented deviation: the reference indexes freqs[1]
+            # unconditionally (base.py:272) and would IndexError on a
+            # single-frequency list; here freq_dist simply keeps its
+            # previous value (0.0 initially) for one-element grids.
             self.freq_dist = float(freqs[1] - freqs[0])
         n = int(round(self.sfreq * real_wave_length))
         self._bank_freqs = np.asarray(freqs, np.float32)
@@ -245,6 +249,23 @@ class WaveletBase:
         reference computes phases only implicitly inside ITC)."""
         c = self.cwt(wave, freqs, reuse)
         return np.angle(c)
+
+    def denoise(self, wave, freqs: Optional[Numbers] = None,
+                reuse: bool = True, method: str = "soft",
+                threshold_scale: float = 1.0) -> jnp.ndarray:
+        """Wavelet-domain denoising (extension — see ``ops.denoise``):
+        CWT -> soft/hard shrinkage -> band-limited least-squares inverse.
+        The bank should cover the signal band (``ops.coverage``); same
+        bank-reuse contract as ``cwt``.  Returns the real (..., N) estimate
+        as a float32 device array.
+        """
+        from ..ops.denoise import denoise as _denoise
+        wave_r, wave_i, bank_r, bank_i = self._prepare(wave, freqs, reuse)
+        if wave_i is not None:
+            raise ValueError("denoise expects a real signal")
+        return _denoise(wave_r, bank_r, bank_i,
+                        interpolate=self.interpolate, method=method,
+                        threshold_scale=threshold_scale)
 
     def ssq_power(self, wave, freqs: Optional[Numbers] = None,
                   reuse: bool = True,

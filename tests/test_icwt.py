@@ -136,3 +136,22 @@ class TestDenoise:
         with pytest.raises(ValueError):
             denoise_from_bank(jnp.zeros(256), jnp.ones((4, 256)),
                               method="median")
+
+
+def test_class_level_denoise():
+    """WaveletBase.denoise: same numbers as the ops-level call through the
+    class bank cache."""
+    import ninwavelets_tpu as nw
+    from ninwavelets_tpu.ops.denoise import denoise as ops_denoise
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+    rng = np.random.default_rng(2)
+    t = np.arange(0, 2.0, 1 / 1000.0)
+    noisy = (np.sin(2 * np.pi * 40 * t)
+             + 0.5 * rng.standard_normal(t.size)).astype(np.float32)
+    freqs = np.geomspace(5.0, 300.0, 40).astype(np.float32)
+    m = nw.Morse(1000.0)
+    got = np.asarray(m.denoise(noisy, freqs))
+    bank = jnp.asarray(np.asarray(make_fft_bank(
+        m._wdef(), jnp.asarray(freqs), t.size, 1000.0, False), np.float32))
+    want = np.asarray(ops_denoise(jnp.asarray(noisy), bank))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
