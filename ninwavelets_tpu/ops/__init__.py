@@ -23,7 +23,8 @@ from .icwt import coverage, icwt_from_bank, icwt_ri
 from .ridge import extract_ridge, ridge_frequencies
 from .scattering import (lowpass_spectrum, scattering,
                          scattering_from_banks)
-from .sst import ssq_power, ssq_power_from_bank
+from .sst import (ssq_mean_power, ssq_mean_power_from_bank, ssq_power,
+                  ssq_power_from_bank)
 from .tc_stats import (ar1_coefficient, background_power, coi_mask,
                        efolding_times, global_spectrum, red_noise_spectrum,
                        significance_level, significant_mask)
@@ -49,7 +50,8 @@ __all__ = [
     "cross_power_from_bank", "epoch_coherence_from_bank",
     "icwt_from_bank", "icwt_ri", "coverage",
     "denoise", "denoise_from_bank",
-    "ssq_power", "ssq_power_from_bank",
+    "ssq_power", "ssq_power_from_bank", "ssq_mean_power",
+    "ssq_mean_power_from_bank",
     "extract_ridge", "ridge_frequencies",
     "scattering", "scattering_from_banks", "lowpass_spectrum",
     "ar1_coefficient", "background_power", "coi_mask", "efolding_times",

@@ -55,7 +55,10 @@ def _smooth_decimate(u: jnp.ndarray, phi: jnp.ndarray,
 def scattering_from_banks(signal: jnp.ndarray, bank1: jnp.ndarray,
                           bank2: jnp.ndarray, sfreq: float,
                           stride: int = 32,
-                          interpolate: bool = True):
+                          interpolate: bool = True,
+                          use_fused: bool = False,
+                          precision: str = "fast3",
+                          interpret: bool = False):
     """Order-2 time scattering: (..., N) -> (S1, S2).
 
     Args:
@@ -66,6 +69,12 @@ def scattering_from_banks(signal: jnp.ndarray, bank1: jnp.ndarray,
         rates (typically lower, e.g. 1-64 Hz).
       stride: output downsampling; the lowpass cutoff is sfreq/(2*stride),
         so features are stable to translations up to ~stride samples.
+      use_fused: run BOTH modulus layers through the fused Pallas
+        matmul-iDFT kernel (``ops.fused``) with the per-batch power
+        epilogue + sqrt instead of the XLA FFT path.  The second layer is
+        where this pays: its batch is F1 x the first's.  Requires real
+        banks and the kernel geometry (N = N1*128, N1 a power of two in
+        [8, 128]); the ``scattering`` wrapper auto-detects.
 
     Returns:
       S1: (..., F1, N//stride) float32
@@ -73,27 +82,52 @@ def scattering_from_banks(signal: jnp.ndarray, bank1: jnp.ndarray,
     """
     n = signal.shape[-1]
     phi = lowpass_spectrum(n, sfreq, sfreq / (2.0 * stride))
-    u1 = abs_from_bank(signal, bank1, interpolate)        # (..., F1, N)
+    if use_fused:
+        from .fused import fused_power_from_bank
+        modulus = lambda x, bank, analytic: jnp.sqrt(fused_power_from_bank(
+            x, bank, analytic, interpret, precision))
+    else:
+        modulus = lambda x, bank, analytic: abs_from_bank(x, bank, analytic)
+    u1 = modulus(signal, bank1, interpolate)              # (..., F1, N)
     s1 = _smooth_decimate(u1, phi, stride)
     # Second layer: U1 rows are real nonnegative signals; batch them all
     # through bank2 in one program.  No analytic trick here — U1 is not
     # zero-mean, and its spectrum is genuinely two-sided.
-    u2 = abs_from_bank(u1, bank2, False)                  # (..., F1, F2, N)
+    u2 = modulus(u1, bank2, False)                        # (..., F1, F2, N)
     u2 = jnp.moveaxis(u2, -2, -3)                         # (..., F2, F1, N)
     s2 = _smooth_decimate(u2, phi, stride)
     return s1, s2
 
 
-@partial(jax.jit, static_argnames=("sfreq", "stride", "interpolate"))
+@partial(jax.jit, static_argnames=("sfreq", "stride", "interpolate",
+                                   "use_fused", "precision", "interpret"))
 def _scattering_jit(signal_r, bank1_r, bank2_r, *, sfreq, stride,
-                    interpolate):
+                    interpolate, use_fused, precision, interpret):
     return scattering_from_banks(signal_r, bank1_r, bank2_r, sfreq, stride,
-                                 interpolate)
+                                 interpolate, use_fused, precision,
+                                 interpret)
+
+
+def _fused_ok(n: int, *banks) -> bool:
+    from .fused import _supported
+    return _supported(n) and all(
+        b.ndim == 2 and b.shape[-1] == n and not jnp.iscomplexobj(b)
+        for b in banks)
 
 
 def scattering(signal_r, bank1_r, bank2_r, sfreq: float, stride: int = 32,
-               interpolate: bool = True):
+               interpolate: bool = True, use_fused="auto",
+               precision: str = "fast3", interpret: bool = False):
     """Jitted float-boundary wrapper for ``scattering_from_banks``
-    (real banks; Normal/Twice complex banks are not meaningful here)."""
+    (real banks; Normal/Twice complex banks are not meaningful here).
+    ``use_fused="auto"`` dispatches both modulus layers to the fused
+    Pallas kernel on TPU when the geometry conforms (see
+    ``scattering_from_banks``)."""
+    if use_fused == "auto":
+        use_fused = (jax.default_backend() == "tpu"
+                     and _fused_ok(signal_r.shape[-1], bank1_r, bank2_r))
     return _scattering_jit(signal_r, bank1_r, bank2_r, sfreq=float(sfreq),
-                           stride=int(stride), interpolate=interpolate)
+                           stride=int(stride), interpolate=interpolate,
+                           use_fused=bool(use_fused),
+                           precision=str(precision),
+                           interpret=bool(interpret))

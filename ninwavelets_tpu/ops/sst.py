@@ -25,9 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax import lax
+
 from .cwt import analytic_spectrum
 
-__all__ = ["ssq_power_from_bank", "ssq_power"]
+__all__ = ["ssq_power_from_bank", "ssq_power", "ssq_mean_power_from_bank",
+           "ssq_mean_power"]
 
 
 def _bin_nu(n: int, sfreq: float) -> jnp.ndarray:
@@ -35,6 +38,65 @@ def _bin_nu(n: int, sfreq: float) -> jnp.ndarray:
     lower half, negative mirror for the upper half."""
     k = jnp.arange(n)
     return jnp.where(k < (n + 1) // 2, k, k - n) * (sfreq / n)
+
+
+def _reassigned_power(signal, bank, f_grid, sfreq: float, interpolate: bool,
+                      rel_threshold: float, row_offset: int = 0,
+                      n_rows_out: int | None = None,
+                      freq_axis: str | None = None) -> jnp.ndarray:
+    """Core reassignment: (..., N) x (F_local, N) -> (..., F_out, N).
+
+    ``bank`` may be a SLICE of the full bank (rows [row_offset,
+    row_offset + F_local) of the grid ``f_grid``); the scatter targets the
+    full ``n_rows_out`` rows regardless — that is what makes the sharded
+    variant work: each frequency shard reassigns its own source rows into
+    a full-height partial plane and a ``psum`` over ``freq_axis``
+    completes it.  When ``freq_axis`` is set the noise-gate floor is
+    ``pmax``-reduced so every shard gates against the GLOBAL power peak.
+    """
+    n = signal.shape[-1]
+    n_f_local = bank.shape[0]
+    n_out = int(n_rows_out) if n_rows_out is not None else n_f_local
+
+    spec = analytic_spectrum(signal, interpolate)
+    w = jnp.fft.ifft(spec[..., None, :] * bank)
+    dw = jnp.fft.ifft(spec[..., None, :]
+                      * (bank * (1j * 2.0 * jnp.pi
+                                 * _bin_nu(n, sfreq))))
+    power = jnp.square(w.real) + jnp.square(w.imag)
+
+    # omega = Im(dW / W) / 2pi, computed as Im(dW * conj(W)) / (2pi |W|^2)
+    # to keep the division real and guarded.
+    num = dw.imag * w.real - dw.real * w.imag
+    omega = num / (2.0 * jnp.pi * jnp.maximum(power, 1e-30))
+
+    # Row edges: midpoints of the monotone analysis grid; searchsorted
+    # maps each instantaneous frequency to its nearest row.
+    edges = 0.5 * (f_grid[1:] + f_grid[:-1])
+    idx = jnp.searchsorted(edges, omega)
+
+    # Noise gate: keep weak cells where they are (their phase is noise).
+    floor = rel_threshold * jnp.max(power, axis=(-2, -1), keepdims=True)
+    if freq_axis is not None:
+        floor = lax.pmax(floor, freq_axis)
+    keep = power >= floor
+    src = jnp.broadcast_to(row_offset + jnp.arange(n_f_local)[:, None],
+                           omega.shape)
+    idx = jnp.where(keep, idx, src)
+
+    # Scatter-add per signal (vmapped over flattened leading dims — mixing
+    # batch ellipses with advanced index arrays would trigger NumPy's
+    # outer-indexing semantics and cross the batch).
+    lead = power.shape[:-2]
+    p_flat = power.reshape((-1,) + power.shape[-2:])
+    i_flat = idx.reshape(p_flat.shape)
+
+    def reassign_one(p, i):
+        t = jnp.broadcast_to(jnp.arange(n), p.shape)
+        return jnp.zeros((n_out, n), p.dtype).at[i, t].add(p)
+
+    out = jax.vmap(reassign_one)(p_flat, i_flat)
+    return out.reshape(lead + (n_out, n))
 
 
 def ssq_power_from_bank(signal: jnp.ndarray, bank: jnp.ndarray, freqs,
@@ -57,46 +119,38 @@ def ssq_power_from_bank(signal: jnp.ndarray, bank: jnp.ndarray, freqs,
       (..., F, N) float32; total energy equals the plain scalogram's
       (reassignment only moves energy between rows).
     """
-    n = signal.shape[-1]
     f_grid = jnp.asarray(freqs, jnp.float32)
-    n_f = bank.shape[0]
+    return _reassigned_power(signal, bank, f_grid, sfreq, interpolate,
+                             rel_threshold)
 
-    spec = analytic_spectrum(signal, interpolate)
-    w = jnp.fft.ifft(spec[..., None, :] * bank)
-    dw = jnp.fft.ifft(spec[..., None, :]
-                      * (bank * (1j * 2.0 * jnp.pi
-                                 * _bin_nu(n, sfreq))))
-    power = jnp.square(w.real) + jnp.square(w.imag)
 
-    # omega = Im(dW / W) / 2pi, computed as Im(dW * conj(W)) / (2pi |W|^2)
-    # to keep the division real and guarded.
-    num = dw.imag * w.real - dw.real * w.imag
-    omega = num / (2.0 * jnp.pi * jnp.maximum(power, 1e-30))
+def ssq_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray, freqs,
+                             sfreq: float, interpolate: bool = True,
+                             rel_threshold: float = 1e-6,
+                             vma_axes=()) -> jnp.ndarray:
+    """Epoch-mean synchrosqueezed power: (E, ..., N) -> (..., F, N).
 
-    # Row edges: midpoints of the monotone analysis grid; searchsorted
-    # maps each instantaneous frequency to its nearest row.
-    edges = 0.5 * (f_grid[1:] + f_grid[:-1])
-    idx = jnp.searchsorted(edges, omega)
+    The epochs analog of ``ops.cwt.mean_power`` for the reassigned
+    scalogram (reference epochs semantics: ``mneutils.py:42-55``, with the
+    per-epoch TFR replaced by its synchrosqueezed counterpart).  Epochs
+    are streamed through a ``lax.scan`` so memory stays O(C*F*N)
+    independent of E — the per-epoch complex CWT + derivative planes never
+    coexist.  The noise gate is applied PER EPOCH (each epoch's floor is
+    relative to its own peak), matching ``mean of ssq_power`` exactly.
+    """
+    f_grid = jnp.asarray(freqs, jnp.float32)
+    e = signals.shape[0]
+    zero = jnp.zeros(signals.shape[1:-1] + (bank.shape[0],
+                                            signals.shape[-1]), jnp.float32)
+    if vma_axes:
+        zero = lax.pcast(zero, tuple(vma_axes), to="varying")
 
-    # Noise gate: keep weak cells where they are (their phase is noise).
-    floor = rel_threshold * jnp.max(power, axis=(-2, -1), keepdims=True)
-    keep = power >= floor
-    src = jnp.broadcast_to(jnp.arange(n_f)[:, None], omega.shape)
-    idx = jnp.where(keep, idx, src)
+    def step(acc, sig):
+        return acc + _reassigned_power(sig, bank, f_grid, sfreq, interpolate,
+                                       rel_threshold), None
 
-    # Scatter-add per signal (vmapped over flattened leading dims — mixing
-    # batch ellipses with advanced index arrays would trigger NumPy's
-    # outer-indexing semantics and cross the batch).
-    lead = power.shape[:-2]
-    p_flat = power.reshape((-1,) + power.shape[-2:])
-    i_flat = idx.reshape(p_flat.shape)
-
-    def reassign_one(p, i):
-        t = jnp.broadcast_to(jnp.arange(n), p.shape)
-        return jnp.zeros_like(p).at[i, t].add(p)
-
-    out = jax.vmap(reassign_one)(p_flat, i_flat)
-    return out.reshape(lead + power.shape[-2:])
+    total = lax.scan(step, zero, signals)[0]
+    return total / e
 
 
 @partial(jax.jit, static_argnames=("sfreq", "interpolate", "rel_threshold"))
@@ -112,3 +166,19 @@ def ssq_power(signal_r, bank_r, freqs, sfreq: float,
                     jnp.asarray(np.asarray(freqs, np.float32)),
                     sfreq=float(sfreq), interpolate=interpolate,
                     rel_threshold=float(rel_threshold))
+
+
+@partial(jax.jit, static_argnames=("sfreq", "interpolate", "rel_threshold"))
+def _ssq_mean_jit(signals_r, bank_r, f_grid, *, sfreq, interpolate,
+                  rel_threshold):
+    return ssq_mean_power_from_bank(signals_r, bank_r, f_grid, sfreq,
+                                    interpolate, rel_threshold)
+
+
+def ssq_mean_power(signals_r, bank_r, freqs, sfreq: float,
+                   interpolate: bool = True, rel_threshold: float = 1e-6):
+    """Jitted float-boundary wrapper for ``ssq_mean_power_from_bank``."""
+    return _ssq_mean_jit(signals_r, bank_r,
+                         jnp.asarray(np.asarray(freqs, np.float32)),
+                         sfreq=float(sfreq), interpolate=interpolate,
+                         rel_threshold=float(rel_threshold))

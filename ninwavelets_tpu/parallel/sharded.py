@@ -235,6 +235,53 @@ def sharded_coherence(sigs_a, sigs_b, bank_r, bank_i=None, *, mesh: Mesh,
         out_specs=out_spec)(sigs_a, sigs_b, bank_r, bank_i)
 
 
+@partial(jax.jit, static_argnames=("mesh", "sfreq", "interpolate",
+                                   "rel_threshold"))
+def sharded_ssq_mean_power(signals_r, bank_r, f_grid, *, mesh: Mesh,
+                           sfreq: float, interpolate: bool = True,
+                           rel_threshold: float = 1e-6):
+    """Epoch-mean synchrosqueezed power over the mesh:
+    (E, ..., N) -> (..., F, N).
+
+    Synchrosqueezing is NOT embarrassingly parallel on the frequency axis —
+    reassignment moves energy BETWEEN analysis rows — so the layout differs
+    from the plain power reductions: epochs shard over ``data`` as usual,
+    the SOURCE rows (bank slices) shard over ``freq``, and each shard
+    scatters its sources into a full-height partial target plane; one
+    ``psum`` over ``freq`` completes the plane and one ``pmean`` over
+    ``data`` completes the epoch mean.  The noise-gate floor is
+    ``pmax``-reduced inside the core so shards gate against the global
+    per-epoch peak — mesh result == single-device
+    ``ops.sst.ssq_mean_power``.  F must divide the ``freq`` axis size and
+    E the ``data`` axis size.
+    """
+    from ..ops.sst import _reassigned_power
+
+    e = signals_r.shape[0]
+
+    def local(sig, br, fg):
+        offset = lax.axis_index(FREQ_AXIS) * br.shape[0]
+        zero = jnp.zeros(sig.shape[1:-1] + (fg.shape[0], sig.shape[-1]),
+                         jnp.float32)
+        zero = lax.pcast(zero, (DATA_AXIS, FREQ_AXIS), to="varying")
+
+        def step(acc, s):
+            return acc + _reassigned_power(
+                s, br, fg, sfreq, interpolate, rel_threshold,
+                row_offset=offset, n_rows_out=fg.shape[0],
+                freq_axis=FREQ_AXIS), None
+
+        total = lax.scan(step, zero, sig)[0]
+        total = lax.psum(total, FREQ_AXIS)        # complete target rows
+        return lax.psum(total, DATA_AXIS) / e     # global epoch mean
+
+    out_spec = P(*([None] * (signals_r.ndim - 2)), None, None)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS), _BANK_SPEC, P(None)),
+        out_specs=out_spec)(signals_r, bank_r, f_grid)
+
+
 @partial(jax.jit, static_argnames=("mesh", "interpolate", "precision",
                                    "interpret"))
 def sharded_fused_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,

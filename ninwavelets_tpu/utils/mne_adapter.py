@@ -184,3 +184,38 @@ class EpochsWavelet:
         bank = self._bank_for(waves, freqs)
         return _itc_jit(waves, bank[0], bank[1],
                         interpolate=self.wavelet.interpolate)
+
+    def _ssq_bank(self, waves, freqs):
+        bank_r, bank_i = self._bank_for(waves, freqs)
+        if bank_i is not None:
+            raise ValueError(
+                "synchrosqueezing needs an analytic (real-bank) family — "
+                "Normal/Twice-mode banks carry no usable phase")
+        return bank_r
+
+    def ssq_power(self, ch_name: str, freqs: Numbers,
+                  rel_threshold: float = 1e-6) -> jnp.ndarray:
+        """(F, N) epoch-mean SYNCHROSQUEEZED power of one channel
+        (extension — ``ops.sst``): each epoch's scalogram energy is
+        reassigned to its instantaneous-frequency row before the epoch
+        mean, sharpening evoked ridges the plain ``power`` smears over the
+        wavelet bandwidth.  Epochs stream through a scan (O(F*N) memory).
+        """
+        from ..ops.sst import ssq_mean_power as _ssq_mean
+        waves = self._channel_data(ch_name)
+        bank_r = self._ssq_bank(waves, freqs)
+        return _ssq_mean(waves[:, None, :], bank_r,
+                         self.wavelet._bank_freqs, self.wavelet.sfreq,
+                         interpolate=self.wavelet.interpolate,
+                         rel_threshold=rel_threshold)[0]
+
+    def ssq_power_all(self, freqs: Numbers,
+                      rel_threshold: float = 1e-6) -> jnp.ndarray:
+        """(C, F, N) epoch-mean synchrosqueezed power for ALL channels."""
+        from ..ops.sst import ssq_mean_power as _ssq_mean
+        waves = self._all_data()
+        bank_r = self._ssq_bank(waves, freqs)
+        return _ssq_mean(waves, bank_r, self.wavelet._bank_freqs,
+                         self.wavelet.sfreq,
+                         interpolate=self.wavelet.interpolate,
+                         rel_threshold=rel_threshold)

@@ -442,3 +442,22 @@ def test_sharded_fused_complex_bank_interpret():
         precision="exact"))
     np.testing.assert_allclose(got, want, rtol=1e-4,
                                atol=1e-5 * np.abs(want).max())
+
+
+def test_sharded_ssq_mean_power_matches_single_device():
+    """Synchrosqueezing shards sources over freq and epochs over data;
+    psum-completed target planes must equal the single-device epoch mean
+    (including the pmax-global noise-gate floor)."""
+    from ninwavelets_tpu.ops.sst import ssq_mean_power
+
+    mesh = par.make_mesh(data=2, freq=4)
+    sig = _epochs_block(e=4, c=2, n=1024, seed=5)
+    freqs = np.arange(20.0, 84.0, 2.0, dtype=np.float32)   # 32 rows / 4
+    bank, _ = _morse_bank(1024, freqs=freqs, interpolate=True)
+    f_grid = jnp.asarray(freqs)
+    want = np.asarray(ssq_mean_power(jnp.asarray(sig), jnp.asarray(bank),
+                                     f_grid, 1000.0, interpolate=True))
+    got = np.asarray(par.sharded_ssq_mean_power(
+        jnp.asarray(sig), jnp.asarray(bank), f_grid, mesh=mesh,
+        sfreq=1000.0, interpolate=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)

@@ -75,3 +75,18 @@ def test_batched_signals():
     s1, s2 = scattering(sig, b1, b2, SFREQ, stride=STRIDE)
     assert s1.shape == (3, 24, N // STRIDE)
     assert s2.shape == (3, 8, 24, N // STRIDE)
+
+
+def test_fused_scattering_matches_xla_interpret():
+    """use_fused=True (both modulus layers through the Pallas kernel, run
+    in the interpreter on CPU) must match the XLA path to fast3 accuracy."""
+    f1, f2, b1, b2 = _banks()
+    sig = jnp.asarray(np.random.default_rng(3)
+                      .standard_normal((2, N)).astype(np.float32))
+    s1_x, s2_x = scattering(sig, b1, b2, SFREQ, stride=STRIDE,
+                            use_fused=False)
+    s1_f, s2_f = scattering(sig, b1, b2, SFREQ, stride=STRIDE,
+                            use_fused=True, interpret=True)
+    for want, got in ((s1_x, s1_f), (s2_x, s2_f)):
+        w, g = np.asarray(want), np.asarray(got)
+        assert np.abs(g - w).max() <= 2e-4 * np.abs(w).max()

@@ -287,3 +287,62 @@ def test_pipeline_statistics_stages():
     gs = np.asarray(out["global_spectrum"])
     assert int(np.argmax(gs[0])) == row60
     assert np.abs(np.asarray(out["ridge_hz"])[:, 500:-500] - 60.0).max() < 10.0
+
+
+class TestSsqEpochMean:
+    FREQS = np.arange(20.0, 80.0, 2.0)
+
+    def test_mean_matches_batched_per_epoch_mean(self):
+        """ssq_mean_power (scanned, O(C*F*N) memory) must equal the mean of
+        per-epoch ssq_power planes exactly — same math, different
+        streaming."""
+        from ninwavelets_tpu.ops.sst import ssq_mean_power
+        rng = np.random.default_rng(7)
+        t = np.arange(0, 1.024, 1 / SFREQ)
+        base = np.sin(2 * np.pi * 40 * t)
+        sig = (base[None, None, :]
+               + 0.2 * rng.standard_normal((5, 2, t.size))).astype(
+                   np.float32)
+        _, bank = _bank(self.FREQS, t.size)
+        per = np.asarray(ssq_power(jnp.asarray(sig), bank, self.FREQS,
+                                   SFREQ))
+        want = per.mean(axis=0)
+        got = np.asarray(ssq_mean_power(jnp.asarray(sig), bank, self.FREQS,
+                                        SFREQ))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
+
+    def test_epochs_adapter_ssq_power(self):
+        """EpochsWavelet.ssq_power: epoch-mean reassigned plane for one
+        channel, matching the ops-level call; complex-bank families
+        rejected."""
+        from ninwavelets_tpu.ops.sst import ssq_mean_power
+        from ninwavelets_tpu.utils.mne_adapter import EpochsWavelet
+
+        class FakeEpochs:
+            def __init__(self, data, sfreq):
+                self._d = data
+                self.info = {"sfreq": sfreq}
+                self.ch_names = [f"ch{i}" for i in range(data.shape[1])]
+                self.times = np.arange(data.shape[-1]) / sfreq
+
+            def __len__(self):
+                return self._d.shape[0]
+
+            def get_data(self):
+                return self._d
+
+        rng = np.random.default_rng(8)
+        t = np.arange(0, 1.024, 1 / SFREQ)
+        data = (np.sin(2 * np.pi * 40 * t)[None, None, :]
+                + 0.2 * rng.standard_normal((4, 2, t.size)))
+        ew = EpochsWavelet(FakeEpochs(data, SFREQ), nw.Morse(SFREQ))
+        got = np.asarray(ew.ssq_power("ch1", self.FREQS))
+        sig = jnp.asarray(data[:, 1:2, :].astype(np.float32))
+        _, bank = _bank(self.FREQS, t.size)
+        want = np.asarray(ssq_mean_power(sig, bank, self.FREQS, SFREQ))[0]
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
+        allp = np.asarray(ew.ssq_power_all(self.FREQS))
+        np.testing.assert_allclose(allp[1], got, rtol=2e-5, atol=1e-7)
+        with pytest.raises(ValueError):
+            EpochsWavelet(FakeEpochs(data, SFREQ),
+                          nw.MexicanHat(SFREQ)).ssq_power("ch0", self.FREQS)
