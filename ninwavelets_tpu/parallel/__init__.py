@@ -17,7 +17,7 @@ from .mesh import (DATA_AXIS, FREQ_AXIS, TIME_AXIS, auto_mesh, flat_mesh,
 from .sharded import (sharded_coherence, sharded_cross_power,
                       sharded_cwt_ri, sharded_fused_itc,
                       sharded_fused_mean_power, sharded_itc,
-                      sharded_mean_power, sharded_power,
+                      sharded_mean_power, sharded_plv, sharded_power,
                       sharded_ssq_mean_power)
 from .streaming import StreamingCWT
 
@@ -28,6 +28,7 @@ __all__ = [
     "sharded_mean_power", "sharded_itc", "sharded_cwt_ri", "sharded_power",
     "sharded_fused_mean_power", "sharded_fused_itc",
     "sharded_cross_power", "sharded_coherence", "sharded_ssq_mean_power",
+    "sharded_plv",
     "distributed_mean_power", "distributed_itc",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",
     "chunked_fused_power", "chunked_power_auto",

@@ -235,6 +235,36 @@ def sharded_coherence(sigs_a, sigs_b, bank_r, bank_i=None, *, mesh: Mesh,
         out_specs=out_spec)(sigs_a, sigs_b, bank_r, bank_i)
 
 
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "eps"))
+def sharded_plv(sigs_a, sigs_b, bank_r, *, mesh: Mesh,
+                interpolate: bool = False, eps: float = 0.0):
+    """Phase-locking value over the mesh: (E, ..., N) x2 -> (..., F, N).
+
+    The unit cross-phase mean is linear in epochs (exactly like ITC), so
+    shards accumulate their local sums (``ops.connectivity.plv_sums``),
+    one ``psum`` over ``data`` completes the global mean, and the final
+    abs runs on the reduced planes.  Epochs shard over ``data``, bank
+    rows over ``freq`` — mesh result == single-device
+    ``ops.connectivity.plv_from_bank``.
+    """
+    from ..ops.connectivity import plv_sums
+    n_epochs = sigs_a.shape[0]
+    ndim = sigs_a.ndim
+    sig_spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    out_spec = P(*([None] * (ndim - 2)), FREQ_AXIS, None)
+
+    def local(sa, sb, br):
+        sr, si = plv_sums(sa, sb, br, interpolate, eps,
+                          vma_axes=(DATA_AXIS, FREQ_AXIS))
+        sr = lax.psum(sr, DATA_AXIS)
+        si = lax.psum(si, DATA_AXIS)
+        return jnp.sqrt(sr * sr + si * si) / n_epochs
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(sig_spec, sig_spec, _BANK_SPEC),
+        out_specs=out_spec)(sigs_a, sigs_b, bank_r)
+
+
 @partial(jax.jit, static_argnames=("mesh", "sfreq", "interpolate",
                                    "rel_threshold"))
 def sharded_ssq_mean_power(signals_r, bank_r, f_grid, *, mesh: Mesh,

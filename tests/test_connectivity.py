@@ -1,0 +1,117 @@
+"""Phase-locking value and phase-amplitude coupling (beyond-reference
+extensions; the reference stops at single-channel TFRs + ITC)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ninwavelets_tpu as nw
+from ninwavelets_tpu import parallel as par
+from ninwavelets_tpu.ops.bank import make_fft_bank
+from ninwavelets_tpu.ops.connectivity import (pac, plv, plv_from_bank)
+
+SFREQ = 1000.0
+
+
+def _bank(freqs, n, interpolate=True):
+    morse = nw.Morse(SFREQ)
+    return jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(np.asarray(freqs, np.float32)), n, SFREQ,
+        interpolate), np.float32))
+
+
+class TestPLV:
+    FREQS = np.arange(20.0, 80.0, 4.0)
+
+    def _epochs(self, locked: bool, e=24, n=2048, seed=0):
+        """Two channels sharing a 40 Hz tone; 'locked' keeps a fixed 60-deg
+        lag across epochs, unlocked draws an independent phase per epoch."""
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / SFREQ
+        a = np.empty((e, n), np.float32)
+        b = np.empty((e, n), np.float32)
+        for i in range(e):
+            pa = rng.uniform(0, 2 * np.pi)
+            pb = pa + (np.pi / 3 if locked else rng.uniform(0, 2 * np.pi))
+            a[i] = np.sin(2 * np.pi * 40 * t + pa) + \
+                0.3 * rng.standard_normal(n)
+            b[i] = np.sin(2 * np.pi * 40 * t + pb) + \
+                0.3 * rng.standard_normal(n)
+        return jnp.asarray(a[:, None, :]), jnp.asarray(b[:, None, :])
+
+    def test_locked_high_unlocked_low(self):
+        bank = _bank(self.FREQS, 2048)
+        row = int(np.argmin(np.abs(self.FREQS - 40.0)))
+        sa, sb = self._epochs(True)
+        v = np.asarray(plv(sa, sb, bank, interpolate=True))[0]
+        assert v.shape == (self.FREQS.size, 2048)
+        assert v[row, 500:-500].mean() > 0.9
+        sa, sb = self._epochs(False, seed=1)
+        v = np.asarray(plv(sa, sb, bank, interpolate=True))[0]
+        assert v[row, 500:-500].mean() < 0.45   # ~1/sqrt(E) + noise
+
+    def test_self_plv_is_one(self):
+        bank = _bank(self.FREQS, 2048)
+        sa, _ = self._epochs(True, e=4)
+        v = np.asarray(plv(sa, sa, bank, interpolate=True))
+        np.testing.assert_allclose(v, 1.0, atol=1e-5)
+
+    def test_sharded_matches_single_device(self):
+        mesh = par.make_mesh(data=2, freq=4)
+        bank = _bank(self.FREQS[:8], 1024)
+        sa, sb = self._epochs(True, e=4, n=1024, seed=2)
+        want = np.asarray(plv_from_bank(sa, sb, bank, interpolate=True))
+        got = np.asarray(par.sharded_plv(sa, sb, bank, mesh=mesh,
+                                         interpolate=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+class TestPAC:
+    F_PHASE = np.arange(4.0, 13.0, 1.0)     # 9 low rows
+    F_AMP = np.arange(40.0, 100.0, 5.0)     # 12 high rows
+
+    def _coupled(self, coupled: bool, n=8192, seed=0):
+        """60 Hz carrier whose envelope follows the 8 Hz phase (coupled) or
+        an independent envelope (uncoupled)."""
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / SFREQ
+        slow = np.sin(2 * np.pi * 8 * t)
+        # Control: same slow + carrier content but a CONSTANT envelope —
+        # the amplitude carries no phase information at all.
+        env = (1 + slow) if coupled else np.ones_like(t)
+        sig = slow + env * np.sin(2 * np.pi * 60 * t) \
+            + 0.2 * rng.standard_normal(n)
+        return jnp.asarray(sig.astype(np.float32))
+
+    @pytest.mark.parametrize("method", ["mvl", "tort"])
+    def test_comodulogram_peaks_at_coupled_pair(self, method):
+        bp = _bank(self.F_PHASE, 8192)
+        ba = _bank(self.F_AMP, 8192)
+        mi = np.asarray(pac(self._coupled(True), bp, ba, interpolate=True,
+                            method=method))
+        assert mi.shape == (self.F_PHASE.size, self.F_AMP.size)
+        assert np.all(mi >= -1e-6) and np.all(mi <= 1 + 1e-6)
+        ip, ia = np.unravel_index(np.argmax(mi), mi.shape)
+        assert self.F_PHASE[ip] == 8.0
+        assert abs(self.F_AMP[ia] - 60.0) <= 10.0
+
+    def test_coupled_beats_shuffled(self):
+        bp = _bank(self.F_PHASE, 8192)
+        ba = _bank(self.F_AMP, 8192)
+        row = int(np.argmin(np.abs(self.F_PHASE - 8.0)))
+        col = int(np.argmin(np.abs(self.F_AMP - 60.0)))
+        hi = np.asarray(pac(self._coupled(True), bp, ba, interpolate=True,
+                            method="tort"))[row, col]
+        lo = np.asarray(pac(self._coupled(False, seed=3), bp, ba,
+                            interpolate=True, method="tort"))[row, col]
+        assert hi > 5 * lo, (hi, lo)
+
+    def test_epoch_mean_matches_loop(self):
+        bp = _bank(self.F_PHASE, 2048)
+        ba = _bank(self.F_AMP, 2048)
+        rng = np.random.default_rng(5)
+        sig = jnp.asarray(rng.standard_normal((3, 2, 2048))
+                          .astype(np.float32))
+        got = np.asarray(pac(sig, bp, ba, method="mvl", mean_epochs=True))
+        want = np.mean([np.asarray(pac(sig[i], bp, ba, method="mvl"))
+                        for i in range(3)], axis=0)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
