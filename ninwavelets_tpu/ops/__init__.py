@@ -11,7 +11,10 @@ from .baseline import (Baseline, baseline_correct, baseline_of, baseline_tf,
 from .cwt import (abs_from_bank, analytic_spectrum, cwt_abs, cwt_from_bank,
                   cwt_ri, itc, itc_from_bank, mean_power,
                   mean_power_from_bank, power, power_from_bank, split_complex)
-from .connectivity import pac, pac_from_banks, plv, plv_from_bank, plv_sums
+from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
+                           pac, pac_from_banks, pair_matrix_scan, plv,
+                           plv_from_bank, plv_matrix, plv_matrix_from_bank,
+                           plv_sums)
 from .extensions import (bump_spectrum, cross_power_from_bank,
                          dog_spectrum, epoch_coherence_from_bank,
                          paul_spectrum)
@@ -50,6 +53,8 @@ __all__ = [
     "paul_spectrum", "dog_spectrum", "bump_spectrum",
     "cross_power_from_bank", "epoch_coherence_from_bank",
     "plv", "plv_from_bank", "plv_sums", "pac", "pac_from_banks",
+    "pair_matrix_scan", "plv_matrix", "plv_matrix_from_bank",
+    "coherence_matrix", "coherence_matrix_from_bank",
     "icwt_from_bank", "icwt_ri", "coverage",
     "denoise", "denoise_from_bank",
     "ssq_power", "ssq_power_from_bank", "ssq_mean_power",

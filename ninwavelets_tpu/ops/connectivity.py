@@ -14,6 +14,11 @@ formulated for the TPU:
   comodulogram is ``unit_phase @ amplitude.T`` and the Tort binned-
   amplitude histogram is ``one_hot(phase_bin) @ amplitude.T`` — both MXU
   contractions over N, not scatter loops.
+* The all-pairs matrices (``plv_matrix``, ``coherence_matrix``) contract
+  the EPOCH axis with matmuls: the (C, C) pairwise epoch sums at every
+  (frequency, time) cell are one batched ``(C, 2E) @ (2E, C)`` product,
+  streamed one bank row at a time (one signal FFT up front, one iFFT per
+  row) so memory stays O(E*C*N + C*C*N).
 """
 from __future__ import annotations
 
@@ -24,9 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .cwt import cwt_from_bank
+from .cwt import analytic_spectrum, cwt_from_bank
 
-__all__ = ["plv_from_bank", "plv", "plv_sums", "pac_from_banks", "pac"]
+__all__ = ["plv_from_bank", "plv", "plv_sums", "pac_from_banks", "pac",
+           "pair_matrix_scan", "plv_matrix_from_bank", "plv_matrix",
+           "coherence_matrix_from_bank", "coherence_matrix"]
 
 
 # ----------------------------------------------------------------------------
@@ -184,3 +191,141 @@ def pac(signal_r, bank_phase_r, bank_amp_r, interpolate: bool = False,
     return _pac_jit(signal_r, bank_phase_r, bank_amp_r,
                     interpolate=bool(interpolate), method=str(method),
                     n_bins=int(n_bins), mean_epochs=bool(mean_epochs))
+
+
+# ----------------------------------------------------------------------------
+# All-pairs connectivity matrices
+# ----------------------------------------------------------------------------
+
+def _pair_sums(w: jnp.ndarray):
+    """Pairwise epoch sums ``S[a, b, n] = sum_e w[e, a, n] conj(w[e, b, n])``
+    as a (real, imag) pair of (C, C, n) planes.
+
+    One complex Hermitian contraction folded into TWO real batched matmuls
+    of shape (n: C x 2E @ 2E x C): with ``u = [wr; wi]`` stacked on the
+    epoch axis, ``S_r = u . u`` and ``S_i = [wi; -wr] . u`` — the epoch
+    axis is the MXU contraction, the time axis the batch.
+    """
+    u = jnp.concatenate([w.real, w.imag], axis=0)             # (2E, C, n)
+    v = jnp.concatenate([w.imag, -w.real], axis=0)
+    sr = jnp.einsum('ean,ebn->abn', u, u)
+    si = jnp.einsum('ean,ebn->abn', v, u)
+    return sr, si
+
+
+def pair_matrix_scan(sigs: jnp.ndarray, bank: jnp.ndarray, per_row,
+                     interpolate: bool = False, unit: bool = False,
+                     eps: float = 0.0, time_range=None):
+    """Stream an all-pairs statistic over the bank rows.
+
+    For each frequency row: iFFT the (E, C, N) coefficient slab (the
+    signal spectrum is computed ONCE up front), optionally unit-normalize
+    (PLV), window the time axis, form the pairwise epoch sums with
+    ``_pair_sums``, and hand ``(sr, si)`` to ``per_row`` to finish the
+    statistic.  Memory is O(E*C*N + C*C*n) — the (E, C, F, N) coefficient
+    tensor never exists.
+
+    Args:
+      sigs: (E, C, N) epochs-by-channels batch.
+      bank: (F, N) frequency-domain bank (real or complex).
+      per_row: ``(sr, si) -> (C, C)`` row epilogue (runs traced).
+      unit: normalize coefficients to unit magnitude (phase-only).
+      eps: magnitude floor for the unit normalization; 0 keeps the ITC
+        convention that zero-power cells go NaN.
+      time_range: optional (start, stop) SAMPLE window the statistic is
+        averaged over (transform first, window after — no edge aliasing).
+    Returns:
+      (F, C, C) stacked row results.
+    """
+    spec = analytic_spectrum(sigs, interpolate)               # (E, C, N)
+    n0, n1 = time_range if time_range is not None else (0, sigs.shape[-1])
+
+    def row(_, bank_row):
+        w = jnp.fft.ifft(spec * bank_row)                     # (E, C, N)
+        if unit:
+            mag = jnp.abs(w)
+            if eps:
+                mag = jnp.maximum(mag, eps)
+            w = w / mag
+        return None, per_row(*_pair_sums(w[..., n0:n1]))
+
+    return lax.scan(row, None, bank)[1]
+
+
+def plv_matrix_from_bank(sigs: jnp.ndarray, bank: jnp.ndarray,
+                         interpolate: bool = False, eps: float = 0.0,
+                         time_range=None) -> jnp.ndarray:
+    """All-pairs phase-locking matrix: (E, C, N) -> (F, C, C).
+
+    ``PLV[f, a, b] = mean_t | mean_E exp(i (phi_a - phi_b)) |`` — the
+    pairwise form of ``plv_from_bank`` for every channel pair at once,
+    time-averaged (over ``time_range`` samples if given) into the (C, C)
+    connectivity matrix per frequency that source-connectivity pipelines
+    consume.  Symmetric with unit diagonal; ~1/sqrt(E) under independence.
+    """
+    e = sigs.shape[0]
+
+    def per_row(sr, si):
+        return jnp.mean(jnp.sqrt(sr * sr + si * si), axis=-1) / e
+
+    return pair_matrix_scan(sigs, bank, per_row, interpolate, unit=True,
+                            eps=eps, time_range=time_range)
+
+
+def coherence_matrix_from_bank(sigs: jnp.ndarray, bank: jnp.ndarray,
+                               interpolate: bool = False,
+                               eps: float = 1e-12,
+                               time_range=None) -> jnp.ndarray:
+    """All-pairs epoch-wise wavelet coherence: (E, C, N) -> (F, C, C).
+
+    ``|mean_E Wa conj(Wb)|^2 / (mean_E |Wa|^2 mean_E |Wb|^2)`` per cell
+    (the pairwise form of ``extensions.epoch_coherence_from_bank``),
+    time-averaged into the (C, C) matrix per frequency.  The per-channel
+    power sums are the DIAGONAL of the pairwise sums — free.
+    """
+    e = sigs.shape[0]
+
+    def per_row(sr, si):
+        num = (sr * sr + si * si) / (e * e)                   # (C, C, n)
+        p = jnp.einsum('aan->an', sr) / e                     # (C, n)
+        den = p[:, None, :] * p[None, :, :]
+        if eps:
+            # Relative floor (matches coherence_from_sums): dead rows -> 0.
+            den = jnp.maximum(den, eps * jnp.max(den))
+        return jnp.mean(num / den, axis=-1)
+
+    return pair_matrix_scan(sigs, bank, per_row, interpolate,
+                            time_range=time_range)
+
+
+@partial(jax.jit, static_argnames=("interpolate", "eps", "time_range"))
+def _plv_matrix_jit(sigs, bank_r, *, interpolate, eps, time_range):
+    return plv_matrix_from_bank(sigs, bank_r, interpolate, eps, time_range)
+
+
+def plv_matrix(sigs_r, bank_r, interpolate: bool = False, eps: float = 0.0,
+               time_range=None):
+    """Jitted float-boundary wrapper for ``plv_matrix_from_bank`` (real
+    analytic banks only — phase needs the analytic signal)."""
+    tr = None if time_range is None else (int(time_range[0]),
+                                          int(time_range[1]))
+    return _plv_matrix_jit(sigs_r, bank_r, interpolate=bool(interpolate),
+                           eps=float(eps), time_range=tr)
+
+
+@partial(jax.jit, static_argnames=("interpolate", "eps", "time_range"))
+def _coh_matrix_jit(sigs, bank_r, bank_i, *, interpolate, eps, time_range):
+    bank = bank_r if bank_i is None else lax.complex(bank_r, bank_i)
+    return coherence_matrix_from_bank(sigs, bank, interpolate, eps,
+                                      time_range)
+
+
+def coherence_matrix(sigs_r, bank_r, bank_i=None, interpolate: bool = False,
+                     eps: float = 1e-12, time_range=None):
+    """Jitted float-boundary wrapper for ``coherence_matrix_from_bank``
+    (real or complex banks, the latter as a float pair)."""
+    tr = None if time_range is None else (int(time_range[0]),
+                                          int(time_range[1]))
+    return _coh_matrix_jit(sigs_r, bank_r, bank_i,
+                           interpolate=bool(interpolate), eps=float(eps),
+                           time_range=tr)

@@ -265,6 +265,79 @@ def sharded_plv(sigs_a, sigs_b, bank_r, *, mesh: Mesh,
         out_specs=out_spec)(sigs_a, sigs_b, bank_r)
 
 
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "eps",
+                                   "time_range"))
+def sharded_plv_matrix(sigs, bank_r, *, mesh: Mesh,
+                       interpolate: bool = False, eps: float = 0.0,
+                       time_range=None):
+    """All-pairs phase-locking matrix over the mesh:
+    (E, C, N) -> (F, C, C), time-averaged.
+
+    Epochs shard over ``data`` (each shard contracts its local epochs into
+    partial (C, C, n) pairwise sums; one ``psum`` per row completes them
+    before the abs), bank rows over ``freq`` (independent — the output
+    stays sharded on its leading axis).  Mesh result == single-device
+    ``ops.connectivity.plv_matrix_from_bank``.
+    """
+    from ..ops.connectivity import pair_matrix_scan
+    n_epochs = sigs.shape[0]
+
+    def local(sg, br):
+        def per_row(sr, si):
+            sr = lax.psum(sr, DATA_AXIS)
+            si = lax.psum(si, DATA_AXIS)
+            return jnp.mean(jnp.sqrt(sr * sr + si * si), axis=-1) / n_epochs
+
+        return pair_matrix_scan(sg, br, per_row, interpolate, unit=True,
+                                eps=eps, time_range=time_range)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(DATA_AXIS), _BANK_SPEC),
+        out_specs=P(FREQ_AXIS, None, None))(sigs, bank_r)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "eps",
+                                   "time_range"))
+def sharded_coherence_matrix(sigs, bank_r, bank_i=None, *, mesh: Mesh,
+                             interpolate: bool = False, eps: float = 1e-12,
+                             time_range=None):
+    """All-pairs epoch-wise wavelet coherence over the mesh:
+    (E, C, N) -> (F, C, C), time-averaged.
+
+    Same layout as ``sharded_plv_matrix``; the cross and power sums are
+    both completed by the one ``psum`` over ``data`` (the power sums are
+    the diagonal of the pairwise sums), so the ratio runs on global
+    values — mesh result == single-device
+    ``ops.connectivity.coherence_matrix_from_bank``.
+    """
+    from ..ops.connectivity import pair_matrix_scan
+    n_epochs = sigs.shape[0]
+
+    def local(sg, br, bi=None):
+        def per_row(sr, si):
+            sr = lax.psum(sr, DATA_AXIS)
+            si = lax.psum(si, DATA_AXIS)
+            num = (sr * sr + si * si) / (n_epochs * n_epochs)
+            p = jnp.einsum('aan->an', sr) / n_epochs
+            den = p[:, None, :] * p[None, :, :]
+            if eps:
+                den = jnp.maximum(den, eps * jnp.max(den))
+            return jnp.mean(num / den, axis=-1)
+
+        return pair_matrix_scan(sg, _as_bank(br, bi), per_row, interpolate,
+                                time_range=time_range)
+
+    out_spec = P(FREQ_AXIS, None, None)
+    if bank_i is None:
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(P(DATA_AXIS), _BANK_SPEC),
+            out_specs=out_spec)(sigs, bank_r)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS), _BANK_SPEC, _BANK_SPEC),
+        out_specs=out_spec)(sigs, bank_r, bank_i)
+
+
 @partial(jax.jit, static_argnames=("mesh", "sfreq", "interpolate",
                                    "rel_threshold"))
 def sharded_ssq_mean_power(signals_r, bank_r, f_grid, *, mesh: Mesh,

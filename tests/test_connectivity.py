@@ -7,7 +7,9 @@ import pytest
 import ninwavelets_tpu as nw
 from ninwavelets_tpu import parallel as par
 from ninwavelets_tpu.ops.bank import make_fft_bank
-from ninwavelets_tpu.ops.connectivity import (pac, plv, plv_from_bank)
+from ninwavelets_tpu.ops.connectivity import (coherence_matrix, pac, plv,
+                                              plv_from_bank, plv_matrix)
+from ninwavelets_tpu.ops.extensions import epoch_coherence_from_bank
 
 SFREQ = 1000.0
 
@@ -115,3 +117,85 @@ class TestPAC:
         want = np.mean([np.asarray(pac(sig[i], bp, ba, method="mvl"))
                         for i in range(3)], axis=0)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
+
+
+class TestPairMatrix:
+    """All-pairs (F, C, C) connectivity matrices vs the pairwise
+    primitives they batch."""
+    FREQS = np.arange(20.0, 60.0, 5.0)      # 8 rows
+
+    def _epochs(self, e=6, c=3, n=1024, seed=0):
+        """Channels 0/1 keep a fixed 45-deg lag across epochs; channel 2
+        draws an independent phase per epoch (unlocked)."""
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / SFREQ
+        sig = np.empty((e, c, n), np.float32)
+        for i in range(e):
+            base = rng.uniform(0, 2 * np.pi)
+            for ch in range(c):
+                lag = ch * np.pi / 4 if ch < 2 else rng.uniform(0, 2 * np.pi)
+                sig[i, ch] = np.sin(2 * np.pi * 40 * t + base + lag) + \
+                    0.3 * rng.standard_normal(n)
+        return jnp.asarray(sig)
+
+    def test_plv_matrix_matches_pairwise(self):
+        bank = _bank(self.FREQS, 1024)
+        sigs = self._epochs()
+        m = np.asarray(plv_matrix(sigs, bank, interpolate=True))
+        assert m.shape == (self.FREQS.size, 3, 3)
+        np.testing.assert_allclose(m, np.swapaxes(m, 1, 2),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(m[:, np.arange(3), np.arange(3)], 1.0,
+                                   atol=1e-5)
+        for a in range(3):
+            for b in range(3):
+                full = np.asarray(plv_from_bank(
+                    sigs[:, a], sigs[:, b], bank, interpolate=True))
+                np.testing.assert_allclose(m[:, a, b], full.mean(-1),
+                                           rtol=2e-4, atol=1e-5)
+
+    def test_plv_matrix_separates_locked_pair(self):
+        bank = _bank(self.FREQS, 1024)
+        row = int(np.argmin(np.abs(self.FREQS - 40.0)))
+        m = np.asarray(plv_matrix(self._epochs(e=24), bank,
+                                  interpolate=True))
+        assert m[row, 0, 1] > 0.85
+        assert m[row, 0, 2] < 0.5
+
+    def test_coherence_matrix_matches_pairwise(self):
+        bank = _bank(self.FREQS, 1024)
+        sigs = self._epochs(seed=1)
+        m = np.asarray(coherence_matrix(sigs, bank, interpolate=True,
+                                        eps=0.0))
+        assert m.shape == (self.FREQS.size, 3, 3)
+        np.testing.assert_allclose(m[:, np.arange(3), np.arange(3)], 1.0,
+                                   rtol=1e-4)
+        for a in range(3):
+            for b in range(3):
+                full = np.asarray(epoch_coherence_from_bank(
+                    sigs[:, a], sigs[:, b], bank, True, eps=0.0))
+                np.testing.assert_allclose(m[:, a, b], full.mean(-1),
+                                           rtol=5e-4, atol=1e-5)
+
+    def test_time_range_windows_the_average(self):
+        bank = _bank(self.FREQS, 1024)
+        sigs = self._epochs(seed=2)
+        m = np.asarray(plv_matrix(sigs, bank, interpolate=True,
+                                  time_range=(256, 768)))
+        full = np.asarray(plv_from_bank(sigs[:, 0], sigs[:, 1], bank,
+                                        interpolate=True))
+        np.testing.assert_allclose(m[:, 0, 1], full[:, 256:768].mean(-1),
+                                   rtol=2e-4, atol=1e-5)
+
+    def test_sharded_matrices_match_single_device(self):
+        mesh = par.make_mesh(data=2, freq=4)
+        bank = _bank(self.FREQS, 1024)
+        sigs = self._epochs(e=4, seed=3)
+        want = np.asarray(plv_matrix(sigs, bank, interpolate=True))
+        got = np.asarray(par.sharded_plv_matrix(sigs, bank, mesh=mesh,
+                                                interpolate=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+        want = np.asarray(coherence_matrix(sigs, bank, interpolate=True))
+        got = np.asarray(par.sharded_coherence_matrix(
+            sigs, bank, mesh=mesh, interpolate=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
