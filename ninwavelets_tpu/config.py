@@ -67,6 +67,8 @@ class PipelineConfig:
     significance: Optional[float] = None   # p-level (e.g. 0.95) -> mask
     global_spectrum: bool = False          # COI-masked time average
     ridge: bool = False                    # per-channel DP ridge (Hz)
+    connectivity: Optional[str] = None     # None | "plv" | "coherence" | "both"
+    connectivity_window: Optional[Tuple[float, float]] = None  # (start_s, stop_s)
 
 
 def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
@@ -125,6 +127,30 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
                 p=float(cfg.significance), n_epochs=e_count))
         import jax.numpy as jnp
         out["significant"] = jnp.stack(masks)
+
+    if cfg.connectivity is not None:
+        # All-pairs (F, C, C) matrices over every channel (extension —
+        # ``ops.connectivity``); reuses the bank already built for the TFR.
+        if cfg.connectivity not in ("plv", "coherence", "both"):
+            raise ValueError(
+                f"connectivity must be 'plv', 'coherence' or 'both', "
+                f"got {cfg.connectivity!r}")
+        from .ops.connectivity import coherence_matrix, plv_matrix
+        trange = None
+        if cfg.connectivity_window is not None:
+            start_s, stop_s = cfg.connectivity_window
+            trange = (int(round(start_s * sfreq)),
+                      int(round(stop_s * sfreq)))
+        if cfg.connectivity in ("plv", "both"):
+            if bank_i is not None:
+                raise ValueError(
+                    "plv connectivity needs an analytic (real-bank) wavelet "
+                    "family — Normal/Twice-mode banks carry no usable phase")
+            out["plv_matrix"] = plv_matrix(
+                waves, bank_r, interpolate=interp, time_range=trange)
+        if cfg.connectivity in ("coherence", "both"):
+            out["coherence_matrix"] = coherence_matrix(
+                waves, bank_r, bank_i, interpolate=interp, time_range=trange)
 
     if cfg.global_spectrum or cfg.ridge:
         from .ops import tc_stats

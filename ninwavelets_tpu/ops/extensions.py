@@ -12,6 +12,9 @@ vmappable over the analysis-frequency axis, like ``ops.spectra``.
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -153,3 +156,18 @@ def coherence_from_sums(xr, xi, pa, pb, n_epochs: int,
         # keeping the documented [0, 1] contract.
         den = jnp.maximum(den, eps * jnp.max(den))
     return num / den
+
+
+@partial(jax.jit, static_argnames=("interpolate", "eps"))
+def _epoch_coherence_jit(sa, sb, bank_r, bank_i, *, interpolate, eps):
+    bank = bank_r if bank_i is None else lax.complex(bank_r, bank_i)
+    return epoch_coherence_from_bank(sa, sb, bank, interpolate, eps)
+
+
+def epoch_coherence(sigs_a_r, sigs_b_r, bank_r, bank_i=None,
+                    interpolate: bool = False, eps: float = 1e-12):
+    """Jitted float-boundary wrapper for ``epoch_coherence_from_bank``
+    (real or complex banks, the latter as a float pair)."""
+    return _epoch_coherence_jit(sigs_a_r, sigs_b_r, bank_r, bank_i,
+                                interpolate=bool(interpolate),
+                                eps=float(eps))

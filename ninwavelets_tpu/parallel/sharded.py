@@ -417,3 +417,40 @@ def sharded_fused_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
                          in_specs=(P(DATA_AXIS), _BANK_SPEC, _BANK_SPEC),
                          out_specs=out_spec,
                          check_vma=False)(signals_r, bank_r, bank_i)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "method",
+                                   "n_bins"))
+def sharded_pac(sigs_r, bank_phase_r, bank_amp_r, *, mesh: Mesh,
+                interpolate: bool = False, method: str = "mvl",
+                n_bins: int = 18):
+    """Epoch-mean phase-amplitude comodulogram over the mesh:
+    (E, ..., N) -> (..., Fp, Fa).
+
+    Every phase row pairs with every amp row, so only one frequency axis
+    can shard: phase-bank rows go over ``freq`` and the amp bank is
+    replicated.  Epochs shard over ``data``; per-epoch comodulograms
+    (``ops.connectivity.pac_from_banks``) accumulate locally under a scan,
+    then one ``pmean`` over ``data`` completes the epoch mean.  The output
+    stays sharded on the phase-frequency axis.  E must divide the ``data``
+    axis size and Fp the ``freq`` axis size.
+    """
+    from ..ops.connectivity import pac_from_banks
+
+    def local(sig, bp, ba):
+        zero = jnp.zeros(sig.shape[1:-1] + (bp.shape[0], ba.shape[0]),
+                         jnp.float32)
+        zero = lax.pcast(zero, (DATA_AXIS, FREQ_AXIS), to="varying")
+
+        def step(acc, s):
+            return acc + pac_from_banks(s, bp, ba, interpolate, method,
+                                        n_bins), None
+
+        total = lax.scan(step, zero, sig)[0] / sig.shape[0]
+        return lax.pmean(total, DATA_AXIS)
+
+    out_spec = P(*([None] * (sigs_r.ndim - 2)), FREQ_AXIS, None)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS), _BANK_SPEC, P(None, None)),
+        out_specs=out_spec)(sigs_r, bank_phase_r, bank_amp_r)

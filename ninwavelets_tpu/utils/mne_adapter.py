@@ -219,3 +219,84 @@ class EpochsWavelet:
                          self.wavelet.sfreq,
                          interpolate=self.wavelet.interpolate,
                          rel_threshold=rel_threshold)
+
+    # -- connectivity extensions ------------------------------------------
+
+    def _conn_bank(self, n: int, freqs: Numbers, need_phase: bool = True):
+        """Signal-length bank for the connectivity metrics, built directly
+        (NOT via the wavelet's cached bank — connectivity runs at the
+        epochs' sample count and must not stomp the cwt/power cache)."""
+        from ..ops import bank as _bank
+        w = self.wavelet
+        arr = w._check_freqs(freqs)
+        br, bi = _bank.make_fft_bank_ri(w._wdef(), arr, int(n), w.sfreq,
+                                        w.interpolate, w.real_wave_length)
+        if need_phase and bi is not None:
+            raise ValueError(
+                "phase metrics need an analytic (real-bank) family — "
+                "Normal/Twice-mode banks carry no usable phase")
+        return br, bi
+
+    def plv(self, ch_a: str, ch_b: str, freqs: Numbers,
+            eps: float = 0.0) -> jnp.ndarray:
+        """(F, N) phase-locking value between two channels across epochs
+        (extension — ``ops.connectivity.plv``): the cross-channel analog
+        of ``itc``."""
+        from ..ops.connectivity import plv as _plv
+        sa = self._channel_data(ch_a)
+        sb = self._channel_data(ch_b)
+        br, _ = self._conn_bank(sa.shape[-1], freqs)
+        return _plv(sa, sb, br, interpolate=self.wavelet.interpolate,
+                    eps=eps)
+
+    def coherence(self, ch_a: str, ch_b: str, freqs: Numbers,
+                  eps: float = 1e-12) -> jnp.ndarray:
+        """(F, N) epoch-wise wavelet coherence between two channels
+        (extension — ``ops.extensions.epoch_coherence``)."""
+        from ..ops.extensions import epoch_coherence as _coh
+        sa = self._channel_data(ch_a)
+        sb = self._channel_data(ch_b)
+        br, bi = self._conn_bank(sa.shape[-1], freqs, need_phase=False)
+        return _coh(sa, sb, br, bi, interpolate=self.wavelet.interpolate,
+                    eps=eps)
+
+    def plv_matrix(self, freqs: Numbers, time_range=None,
+                   eps: float = 0.0) -> jnp.ndarray:
+        """(F, C, C) all-pairs phase-locking matrix over every channel,
+        time-averaged (extension — ``ops.connectivity.plv_matrix``).
+        ``time_range=(start_s, stop_s)`` windows the average in SECONDS
+        (converted to samples here, mne-style)."""
+        from ..ops.connectivity import plv_matrix as _plv_m
+        waves = self._all_data()
+        br, _ = self._conn_bank(waves.shape[-1], freqs)
+        return _plv_m(waves, br, interpolate=self.wavelet.interpolate,
+                      eps=eps, time_range=self._samples(time_range))
+
+    def coherence_matrix(self, freqs: Numbers, time_range=None,
+                         eps: float = 1e-12) -> jnp.ndarray:
+        """(F, C, C) all-pairs epoch-wise coherence matrix, time-averaged
+        (extension — ``ops.connectivity.coherence_matrix``)."""
+        from ..ops.connectivity import coherence_matrix as _coh_m
+        waves = self._all_data()
+        br, bi = self._conn_bank(waves.shape[-1], freqs, need_phase=False)
+        return _coh_m(waves, br, bi, interpolate=self.wavelet.interpolate,
+                      eps=eps, time_range=self._samples(time_range))
+
+    def pac(self, ch_name: str, freqs_phase: Numbers, freqs_amp: Numbers,
+            method: str = "mvl", n_bins: int = 18) -> jnp.ndarray:
+        """(F_phase, F_amp) epoch-mean phase-amplitude comodulogram of one
+        channel (extension — ``ops.connectivity.pac``)."""
+        from ..ops.connectivity import pac as _pac
+        waves = self._channel_data(ch_name)
+        bp, _ = self._conn_bank(waves.shape[-1], freqs_phase)
+        ba, _ = self._conn_bank(waves.shape[-1], freqs_amp)
+        return _pac(waves, bp, ba, interpolate=self.wavelet.interpolate,
+                    method=method, n_bins=n_bins, mean_epochs=True)
+
+    def _samples(self, time_range):
+        """(start_s, stop_s) -> integer sample window, or None."""
+        if time_range is None:
+            return None
+        sf = self.wavelet.sfreq
+        return (int(round(time_range[0] * sf)),
+                int(round(time_range[1] * sf)))

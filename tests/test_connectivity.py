@@ -96,6 +96,30 @@ class TestPAC:
         assert self.F_PHASE[ip] == 8.0
         assert abs(self.F_AMP[ia] - 60.0) <= 10.0
 
+    def test_sharded_matches_single_device(self):
+        """Epoch-mean comodulogram: epochs over data, phase rows over
+        freq (amp bank replicated) == single-device scan-mean."""
+        mesh = par.make_mesh(data=2, freq=4)
+        fp = np.arange(4.0, 12.0, 1.0)          # 8 phase rows / freq=4
+        n = 2048
+        bp = _bank(fp, n)
+        ba = _bank(self.F_AMP, n)
+        rng = np.random.default_rng(3)
+        t = np.arange(n) / SFREQ
+        sig = np.empty((4, n), np.float32)
+        for i in range(4):
+            slow = np.sin(2 * np.pi * 8 * t + rng.uniform(0, 2 * np.pi))
+            sig[i] = slow + (1 + slow) * np.sin(2 * np.pi * 60 * t) \
+                + 0.2 * rng.standard_normal(n)
+        sig = jnp.asarray(sig)
+        for method in ("mvl", "tort"):
+            want = np.asarray(pac(sig, bp, ba, interpolate=True,
+                                  method=method, mean_epochs=True))
+            got = np.asarray(par.sharded_pac(sig, bp, ba, mesh=mesh,
+                                             interpolate=True,
+                                             method=method))
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
     def test_coupled_beats_shuffled(self):
         bp = _bank(self.F_PHASE, 8192)
         ba = _bank(self.F_AMP, 8192)

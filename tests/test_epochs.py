@@ -130,3 +130,94 @@ def test_power_baseline_and_decim(epochs):
     all_got = np.asarray(ew.power_all(FREQS, baseline=(0.0, 0.2), decim=4))
     assert all_got.shape == (3, len(FREQS), 250)
     np.testing.assert_allclose(all_got[0], got, rtol=1e-4, atol=1e-5)
+
+
+class TestConnectivity:
+    """Adapter-level connectivity conveniences vs the ops they wrap."""
+
+    def _locked_epochs(self, e=8, n=1024, sfreq=1000.0, seed=0):
+        """ch0/ch1 phase-locked at 40 Hz, ch2 independent."""
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / sfreq
+        data = np.empty((e, 3, n), np.float32)
+        for i in range(e):
+            base = rng.uniform(0, 2 * np.pi)
+            for ch in range(3):
+                lag = ch * np.pi / 4 if ch < 2 else rng.uniform(0, 2 * np.pi)
+                data[i, ch] = np.sin(2 * np.pi * 40 * t + base + lag) + \
+                    0.3 * rng.standard_normal(n)
+        return FakeEpochs(data, sfreq)
+
+    FREQS = np.arange(20.0, 60.0, 5.0)
+
+    def test_plv_matches_op(self):
+        from ninwavelets_tpu.ops.bank import make_fft_bank_ri
+        from ninwavelets_tpu.ops.connectivity import plv as plv_op
+        import jax.numpy as jnp
+        ep = self._locked_epochs()
+        ew = nw.EpochsWavelet(ep, nw.Morse(1000.0))
+        got = np.asarray(ew.plv("EEG 000", "EEG 001", self.FREQS))
+        assert got.shape == (self.FREQS.size, 1024)
+        w = nw.Morse(1000.0)
+        br, _ = make_fft_bank_ri(w._wdef(),
+                                 jnp.asarray(self.FREQS, jnp.float32),
+                                 1024, 1000.0, w.interpolate,
+                                 w.real_wave_length)
+        data = ep.get_data()
+        want = np.asarray(plv_op(jnp.asarray(data[:, 0]),
+                                 jnp.asarray(data[:, 1]), br,
+                                 interpolate=w.interpolate))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        row = int(np.argmin(np.abs(self.FREQS - 40.0)))
+        assert got[row, 200:-200].mean() > 0.9
+
+    def test_coherence_self_is_one(self):
+        ew = nw.EpochsWavelet(self._locked_epochs(), nw.Morse(1000.0))
+        c = np.asarray(ew.coherence("EEG 000", "EEG 000", self.FREQS))
+        np.testing.assert_allclose(c, 1.0, rtol=1e-4)
+
+    def test_matrix_conveniences(self):
+        ew = nw.EpochsWavelet(self._locked_epochs(e=16),
+                              nw.Morse(1000.0))
+        m = np.asarray(ew.plv_matrix(self.FREQS,
+                                     time_range=(0.2, 0.8)))
+        assert m.shape == (self.FREQS.size, 3, 3)
+        row = int(np.argmin(np.abs(self.FREQS - 40.0)))
+        assert m[row, 0, 1] > 0.85 and m[row, 0, 2] < 0.55
+        c = np.asarray(ew.coherence_matrix(self.FREQS))
+        assert c.shape == (self.FREQS.size, 3, 3)
+        np.testing.assert_allclose(c[:, np.arange(3), np.arange(3)], 1.0,
+                                   rtol=1e-4)
+
+    def test_pac_epoch_mean(self):
+        """Coupled envelope peaks at the (8 Hz, ~60 Hz) cell."""
+        rng = np.random.default_rng(1)
+        n, sfreq = 4096, 1000.0
+        t = np.arange(n) / sfreq
+        data = np.empty((4, 1, n), np.float32)
+        for i in range(4):
+            slow = np.sin(2 * np.pi * 8 * t + rng.uniform(0, 2 * np.pi))
+            data[i, 0] = slow + (1 + slow) * np.sin(2 * np.pi * 60 * t) \
+                + 0.2 * rng.standard_normal(n)
+        ew = nw.EpochsWavelet(FakeEpochs(data, sfreq), nw.Morse(sfreq))
+        fp = np.arange(4.0, 13.0, 1.0)
+        fa = np.arange(40.0, 100.0, 5.0)
+        mi = np.asarray(ew.pac("EEG 000", fp, fa, method="mvl"))
+        assert mi.shape == (fp.size, fa.size)
+        # The Morse bank is broad at low frequencies — neighbouring phase
+        # rows are near-identical, so an exact-argmax assertion is a coin
+        # toss.  Assert coupled-vs-uncoupled contrast instead: the
+        # (8 Hz, 60 Hz) cell must dominate both uncoupled axes.
+        r8 = int(np.argmin(np.abs(fp - 8.0)))
+        c60 = int(np.argmin(np.abs(fa - 60.0)))
+        assert mi[r8, c60] > 3 * mi[0, c60]    # 4 Hz phase: uncoupled
+        assert mi[r8, c60] > 3 * mi[r8, 0]     # 40 Hz amp: uncoupled
+
+    def test_phase_metrics_reject_complex_banks(self):
+        ew = nw.EpochsWavelet(self._locked_epochs(),
+                              nw.MexicanHat(1000.0))
+        with pytest.raises(ValueError, match="analytic"):
+            ew.plv("EEG 000", "EEG 001", self.FREQS)
+        # coherence is magnitude-based: complex banks are fine
+        c = np.asarray(ew.coherence("EEG 000", "EEG 000", self.FREQS))
+        assert c.shape == (self.FREQS.size, 1024)

@@ -164,6 +164,35 @@ class TestPipeline:
         out2 = cfg.run_pipeline(p2, FakeEpochs())
         assert np.asarray(out2["power"]).shape == (2, 60, 600)
 
+    def test_connectivity_stages(self):
+        import numpy as np
+
+        class FakeEpochs:
+            info = {'sfreq': 1000.0}
+            ch_names = ['a', 'b', 'c']
+            def get_data(self):
+                rng = np.random.default_rng(1)
+                t = np.arange(512) / 1000.0
+                base = np.sin(2 * np.pi * 40 * t)
+                data = np.stack([base, base, np.cos(2 * np.pi * 25 * t)])
+                return data[None] + 0.2 * rng.standard_normal((6, 3, 512))
+
+        p = cfg.PipelineConfig(freqs=(20.0, 60.0, 5.0),
+                               connectivity="both",
+                               connectivity_window=(0.1, 0.4))
+        out = cfg.run_pipeline(p, FakeEpochs())
+        m = np.asarray(out["plv_matrix"])
+        c = np.asarray(out["coherence_matrix"])
+        assert m.shape == (8, 3, 3) and c.shape == (8, 3, 3)
+        row = 4   # 40 Hz
+        assert m[row, 0, 1] > 0.9 > m[row, 0, 2] + 0.2
+        np.testing.assert_allclose(
+            c[:, np.arange(3), np.arange(3)], 1.0, rtol=1e-4)
+
+        with pytest.raises(ValueError, match="connectivity"):
+            cfg.run_pipeline(
+                cfg.PipelineConfig(connectivity="nope"), FakeEpochs())
+
 
 class TestCoverageGaps:
     def test_profiler_trace_smoke(self, tmp_path):
