@@ -466,6 +466,314 @@ def _mean_power_bwd(signals, bank, interpolate: bool, g):
     return ds, dbank
 
 
+#: Fused backward kernel toggle (NINW_FUSED_BWD=0 falls back to the XLA
+#: adjoint pipeline `_mean_power_bwd` — kept for A/B measurement).
+_FUSED_BWD = os.environ.get("NINW_FUSED_BWD", "1") != "0"
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_constants_bwd(n: int, analytic: bool):
+    """Host-precomputed f32 constants for the ADJOINT (forward-DFT) stages
+    of the fused backward kernel (cached as numpy — see
+    ``_dft_constants``).
+
+    The backward runs the four-step in REVERSE direction: after the
+    recomputed coefficients are multiplied by the cotangent, stage A
+    contracts n2 against conj(W2) (reusing the forward's w2r/w2i plus the
+    ``w2d = w2r - w2i`` 3-mult constant returned here), the conjugate
+    twiddle is elementwise (forward twr/twi with a sign flip), and stage B
+    contracts n1 by a LEFT multiply with
+
+      w1bc (2*FB*K1, 2*FB*N1): [[Wr, -Wi], [Wi, Wr]] with W =
+          blockdiag(FB copies of w_N1^{-n1 k1}) — rows (fb, k1), the
+          complex product on the [zr; zi]-stacked operand.
+
+    Only bins k = 128*k1 + k2 with k1 < K1 are produced: on the analytic
+    path the spectrum and the post-mask signal cotangent live entirely in
+    the lower K1*128 bins, so the upper-half adjoint bins are exactly zero
+    (non-analytic runs K1 = N1 — all bins).
+    """
+    n1_dim = n // LANES
+    k1_dim = n1_dim // 2 if analytic else n1_dim
+    fb = _f_block(n)
+
+    k1 = np.arange(k1_dim)
+    n1 = np.arange(n1_dim)
+    w_small = np.exp(-2j * np.pi * np.outer(k1, n1) / n1_dim)   # (K1, N1)
+    wb = np.zeros((fb * k1_dim, fb * n1_dim), np.complex128)
+    for f in range(fb):
+        wb[f * k1_dim:(f + 1) * k1_dim,
+           f * n1_dim:(f + 1) * n1_dim] = w_small                # blockdiag
+    w1bc = np.block([[wb.real, -wb.imag], [wb.imag, wb.real]])
+
+    k2 = np.arange(LANES)
+    w2 = np.exp(2j * np.pi * np.outer(k2, k2) / LANES)
+    as_f32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+    return as_f32(w1bc), as_f32(w2.real - w2.imag)
+
+
+def _bwd_kernel(spec_r_ref, spec_i_ref, bank_ref, bank_lin_ref, g_ref,
+                w1c_ref, twr_ref, twi_ref, w2r_ref, w2i_ref, w2s_ref,
+                w1bc_ref, w2d_ref, dbank_ref, t_ref, *, n_epochs: int,
+                n1_dim: int, analytic: bool, precision: str):
+    """One (channel, frequency-block) program of the fused BACKWARD.
+
+    Recomputes the coefficients with the forward stages (stage 0 bank
+    multiply, stage 1, twiddle, stage 2 — identical structure to
+    ``_kernel``; the 2/(E*N) VJP scale is folded into the stage-0 bank),
+    multiplies by the cotangent tile g (rows (fb, n1), lanes n2), and runs
+    the adjoint DFT back per epoch: stage A contracts n2 against conj(W2)
+    (3-mult), conjugate twiddle, stage B contracts n1 via ``w1bc`` — giving
+    u = fft((2/E) g * x) on the lower K1*128 bins, layout ((fb, k1), k2).
+
+    Epilogues per program:
+      * dbank_ref (1, 1, FB*K1, 128): sum_e Re(u * conj(S_e)) — the
+        per-channel partial of the bank cotangent (summed over channels in
+        XLA; the extra 1/N of the ``_mean_power_bwd`` formula is applied
+        there too).
+      * t_ref (1, 2*E*FB*K1, 128): sum over THIS program's bank rows of
+        bank * u, per epoch ([real rows; imag rows]); accumulated across
+        the fi sweep IN the output block (grid order (ci, fi), fi minor —
+        the block stays resident), completed to ds in XLA by the final
+        masked iFFT.
+    """
+    fi = pl.program_id(1)
+    fb = LANES // n1_dim
+    k1_dim = n1_dim // 2 if analytic else n1_dim
+    fbk1 = fb * k1_dim
+    e_total = n_epochs
+
+    bank = bank_ref[0]                                # (FB*K1, E*128)
+    bank_lin = bank_lin_ref[0]                        # (FB*K1, 128)
+    g = g_ref[0, 0]                                   # (128, 128)
+    w1c = w1c_ref[...]
+    twr, twi = twr_ref[...], twi_ref[...]
+    w1bc = w1bc_ref[...]
+    mxu_prec = (lax.Precision.HIGHEST if precision == "exact"
+                else lax.Precision.DEFAULT)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=mxu_prec)
+    fast3 = precision == "fast3"
+
+    def left_mul(w):
+        """m -> w @ m at the configured precision (weight split cached)."""
+        if fast3:
+            wh, wl = _split_hi_lo(w)
+            def f(m):
+                mh, ml = _split_hi_lo(m)
+                return dot(wh, mh) + dot(wh, ml) + dot(wl, mh)
+            return f
+        return lambda m: dot(w, m)
+
+    def right_mul(w):
+        if fast3:
+            wh, wl = _split_hi_lo(w)
+            def f(b):
+                bh, bl = _split_hi_lo(b)
+                return dot(bh, wh) + dot(bl, wh) + dot(bh, wl)
+            return f
+        return lambda b: dot(b, w)
+
+    mul1 = left_mul(w1c)
+    mul_w2r = right_mul(w2r_ref[...])
+    mul_w2i = right_mul(w2i_ref[...])
+    mul_w2s = right_mul(w2s_ref[...])
+    mul_w2d = right_mul(w2d_ref[...])
+    mul_b = left_mul(w1bc)
+
+    # ---- forward recompute (see _kernel for the layout walkthrough) ----
+    spec_r, spec_i = spec_r_ref[0], spec_i_ref[0]     # (K1, E*128)
+    if fb > 1:
+        spec_r = jnp.concatenate([spec_r] * fb, 0)    # (FB*K1, E*128)
+        spec_i = jnp.concatenate([spec_i] * fb, 0)
+    m = jnp.concatenate([bank * spec_r, bank * spec_i], 0)
+    a = mul1(m)                                       # (256, E*128)
+    ar, ai = a[:LANES], a[LANES:]
+    brs, bis = [], []
+    for e in range(e_total):
+        s = slice(e * LANES, (e + 1) * LANES)
+        are, aie = ar[:, s], ai[:, s]
+        brs.append(are * twr - aie * twi)
+        bis.append(are * twi + aie * twr)
+    br = jnp.concatenate(brs, 0)                      # (E*128, 128)
+    bi = jnp.concatenate(bis, 0)
+    t1 = mul_w2r(br)
+    t2 = mul_w2i(bi)
+    t3 = mul_w2s(br + bi)
+    xr = t1 - t2                                      # rows (e, fb, n1),
+    xi = t3 - t1 - t2                                 # lanes n2
+
+    # ---- adjoint per epoch ---------------------------------------------
+    dbank_acc = jnp.zeros((fbk1, LANES), jnp.float32)
+    t_rs, t_is = [], []
+    for e in range(e_total):
+        s = slice(e * LANES, (e + 1) * LANES)
+        yr = g * xr[s]
+        yi = g * xi[s]
+        # Stage A: contract n2 against conj(W2) = w2r - i*w2i (3-mult:
+        # real = t1a - (-t2a'), with t2a' = yi @ w2i).
+        t1a = mul_w2r(yr)
+        t2a = mul_w2i(yi)
+        t3a = mul_w2d(yr + yi)
+        bra = t1a + t2a                               # rows (fb, n1), k2
+        bia = t3a - t1a + t2a
+        # Conjugate twiddle.
+        zr = bra * twr + bia * twi
+        zi = bia * twr - bra * twi
+        # Stage B: contract n1 (complex left-multiply on stacked [zr; zi]).
+        u = mul_b(jnp.concatenate([zr, zi], 0))       # (2*FB*K1, 128)
+        ur, ui = u[:fbk1], u[fbk1:]                   # rows (fb, k1), k2
+        # dbank partial: Re(u * conj(S)) = ur*Sr + ui*Si.
+        dbank_acc = dbank_acc + ur * spec_r[:, s] + ui * spec_i[:, s]
+        # t partial: this block's bank rows * u (summed over fb in XLA).
+        t_rs.append(bank_lin * ur)
+        t_is.append(bank_lin * ui)
+
+    dbank_ref[0, 0] = dbank_acc
+    t_contrib = jnp.concatenate(t_rs + t_is, 0)       # (2*E*FB*K1, 128)
+
+    @pl.when(fi == 0)
+    def _():
+        t_ref[0] = t_contrib
+
+    @pl.when(fi > 0)
+    def _():
+        t_ref[0] = t_ref[0] + t_contrib
+
+
+def bwd_kernel_flops(c: int, n_blocks: int, e: int, n: int,
+                     analytic: bool) -> int:
+    """Single-pass real-matmul FLOPs of one fused-backward pallas_call:
+    the forward recompute (``kernel_flops``) plus stage A (the per-epoch
+    3-mult, same tile count as stage 2) and stage B (the per-epoch
+    (2*FB*K1, 2*128) @ (2*128, 128) left multiply)."""
+    fb = _f_block(n)
+    n1_dim = n // LANES
+    k1_dim = n1_dim // 2 if analytic else n1_dim
+    stage_a = 3 * 2 * (e * LANES) * LANES * LANES
+    stage_b = e * 2 * (2 * fb * k1_dim) * (2 * LANES) * LANES
+    return kernel_flops(c, n_blocks, e, n, analytic) \
+        + (stage_a + stage_b) * c * n_blocks
+
+
+def _fused_power_bwd(signals, bank, g, interpolate: bool, interpret: bool,
+                     precision: str):
+    """Fused-kernel backward of the epoch-mean power: (E, C, N) signals,
+    (F, N) REAL bank, (C, F, N) cotangent g -> (ds, dbank).
+
+    Mathematically identical to ``_mean_power_bwd`` (the gated XLA adjoint
+    pipeline); the iDFT recompute and the adjoint DFT run as MXU matmuls
+    in VMEM instead of HBM-bound XLA FFTs — the backward was ~8x the fused
+    forward's wall time on v5e, dominated by per-epoch (C, F, N) complex
+    FFT traffic.  Only the final ifft of the (E, C, K1*128)-binned ``t``
+    (one pass) stays in XLA.
+    """
+    e, c, n = signals.shape
+    f_total = bank.shape[0]
+    n1_dim = n // LANES
+    k1_dim = n1_dim // 2 if interpolate else n1_dim
+    fb = _f_block(n)
+    fbk1 = fb * k1_dim
+    pad_f = (-f_total) % fb
+    if pad_f:
+        bank = jnp.pad(bank, ((0, pad_f), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad_f), (0, 0)))
+    n_blocks = (f_total + pad_f) // fb
+
+    if interpolate:
+        spec = jnp.fft.rfft(signals)[..., :k1_dim * LANES]
+    else:
+        spec = jnp.fft.fft(signals.astype(jnp.complex64))
+        spec = spec[..., :k1_dim * LANES]
+
+    def to_lanes(x):
+        x = x.reshape(e, c, k1_dim, LANES)
+        return jnp.transpose(x, (1, 2, 0, 3)).reshape(c, k1_dim, e * LANES)
+    spec_r, spec_i = to_lanes(spec.real), to_lanes(spec.imag)
+
+    # Stage-0 bank with the VJP scale 2/(E*N) folded in (x carries the
+    # iFFT 1/N and the |.|^2/E adjoint 2/E; everything downstream is
+    # linear in x so one fold covers u, t and dbank alike) — and the
+    # unscaled epilogue bank in the kernel's ((fb, k1), k2) row layout.
+    bank_lin = bank[:, :k1_dim * LANES].reshape(n_blocks, fbk1, LANES)
+    bank_t = bank_lin * (2.0 / (float(e) * float(n)))
+    bank_t = jnp.broadcast_to(bank_t[:, :, None, :],
+                              (n_blocks, fbk1, e, LANES)
+                              ).reshape(n_blocks, fbk1, e * LANES)
+
+    # Cotangent tiles: (C, F, N) -> (C, n_blocks, (fb, n1), n2) — the
+    # stage-2 output layout (n = n1 + N1*n2).
+    gt = g.reshape(c, n_blocks, fb, LANES, n1_dim)
+    gt = jnp.transpose(gt, (0, 1, 2, 4, 3)).reshape(c, n_blocks,
+                                                    LANES, LANES)
+
+    consts = _dft_constants(n, interpolate)
+    w1bc, w2d = _dft_constants_bwd(n, interpolate)
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda ci, fi: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    dbank_part, t_planes = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_epochs=e, n1_dim=n1_dim,
+                          analytic=interpolate, precision=precision),
+        grid=(c, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, k1_dim, e * LANES), lambda ci, fi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k1_dim, e * LANES), lambda ci, fi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fbk1, e * LANES), lambda ci, fi: (fi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fbk1, LANES), lambda ci, fi: (fi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES, LANES), lambda ci, fi: (ci, fi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((2 * LANES, 2 * fbk1)),
+            rep((LANES, LANES)),
+            rep((LANES, LANES)),
+            rep((LANES, LANES)),
+            rep((LANES, LANES)),
+            rep((LANES, LANES)),
+            rep((2 * fbk1, 2 * LANES)),
+            rep((LANES, LANES)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, fbk1, LANES), lambda ci, fi: (ci, fi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * e * fbk1, LANES), lambda ci, fi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, n_blocks, fbk1, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((c, 2 * e * fbk1, LANES), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=bwd_kernel_flops(c, n_blocks, e, n, interpolate),
+            bytes_accessed=c * n_blocks * (2 * k1_dim * e * LANES * 4
+                                           + LANES * LANES * 4)
+                           + c * 2 * e * fbk1 * LANES * 4,
+            transcendentals=0),
+    )(spec_r, spec_i, bank_t, bank_lin, gt, *consts, w1bc, w2d)
+
+    # dbank: sum channel partials; rows ((fb, k1), k2) -> bank row
+    # fi*fb + fbi at bins 128*k1 + k2; the _mean_power_bwd 1/N lands here.
+    dbank = dbank_part.sum(0).reshape(n_blocks * fb, k1_dim * LANES) / n
+    dbank = jnp.pad(dbank, ((0, 0), (0, n - k1_dim * LANES)))
+    if pad_f:
+        dbank = dbank[:f_total]
+
+    # ds: assemble t (rows [real; imag] x (e, fb, k1)), sum fb, lay out the
+    # bins, zero-pad the (masked) upper half, one batched iFFT.
+    t = t_planes.reshape(c, 2, e, fb, k1_dim, LANES).sum(3)
+    t = t.reshape(c, 2, e, k1_dim * LANES)
+    tc = lax.complex(t[:, 0], t[:, 1])                # (C, E, K1*128)
+    tc = jnp.pad(tc, ((0, 0), (0, 0), (0, n - k1_dim * LANES)))
+    ds = jnp.real(jnp.fft.ifft(tc)).astype(signals.dtype)   # (C, E, N)
+    return jnp.transpose(ds, (1, 0, 2)), dbank
+
+
 @functools.lru_cache(maxsize=32)
 def _fused_power_mean_vjp(interpolate: bool, interpret: bool,
                           precision: str):
@@ -487,6 +795,13 @@ def _fused_power_mean_vjp(interpolate: bool, interpret: bool,
 
     def bwd(res, g):
         signals, bank = res
+        # Fused backward where the kernel geometry allows (same conditions
+        # as the forward; "mixed" is a forward-only documentation mode);
+        # the XLA adjoint pipeline otherwise, or under NINW_FUSED_BWD=0.
+        if (_FUSED_BWD and precision in ("fast3", "exact", "bf16")
+                and _supported(signals.shape[-1])):
+            return _fused_power_bwd(signals, bank, g, interpolate,
+                                    interpret, precision)
         return _mean_power_bwd(signals, bank, interpolate, g)
 
     f.defvjp(fwd, bwd)

@@ -307,3 +307,39 @@ def test_grad_through_complex_bank_fused():
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),
                                rtol=1e-4,
                                atol=1e-5 * np.abs(np.asarray(g_xla)).max())
+
+
+@pytest.mark.parametrize("interpolate", [True, False])
+def test_fused_backward_matches_adjoint_pipeline(interpolate):
+    """The fused backward kernel (_fused_power_bwd) must reproduce the
+    gated XLA adjoint (_mean_power_bwd) bit-for-float32 on both cotangents,
+    on both spectrum conventions, including a bank count that does not
+    divide the frequency-block size (pad_f path: F=13, FB=8 at N=2048)."""
+    rng = np.random.default_rng(11)
+    sig, bank = _workload(e=5, c=2, nf=13, interpolate=interpolate)
+    g = jnp.asarray(rng.standard_normal((2, 13, 2048)).astype(np.float32))
+    sig_j, bank_j = jnp.asarray(sig), jnp.asarray(bank)
+
+    ds_w, db_w = jax.jit(
+        lambda s, b, gg: fused._mean_power_bwd(s, b, interpolate, gg))(
+        sig_j, bank_j, g)
+    ds_g, db_g = jax.jit(
+        lambda s, b, gg: fused._fused_power_bwd(s, b, gg, interpolate,
+                                                True, "exact"))(
+        sig_j, bank_j, g)
+    np.testing.assert_allclose(np.asarray(ds_g), np.asarray(ds_w),
+                               rtol=1e-4,
+                               atol=1e-5 * np.abs(np.asarray(ds_w)).max())
+    np.testing.assert_allclose(np.asarray(db_g), np.asarray(db_w),
+                               rtol=1e-4,
+                               atol=1e-5 * np.abs(np.asarray(db_w)).max())
+
+
+def test_fused_backward_flops_model():
+    """bwd = forward recompute + stage A (per-epoch 3-mult, same tile count
+    as stage 2) + stage B (per-epoch left multiply) — all per-epoch-linear."""
+    f1 = fused.bwd_kernel_flops(1, 1, 1, 2048, True)
+    f8 = fused.bwd_kernel_flops(1, 1, 8, 2048, True)
+    assert f8 == 8 * f1
+    assert fused.bwd_kernel_flops(2, 3, 4, 2048, True) > \
+        fused.kernel_flops(2, 3, 4, 2048, True)
