@@ -17,7 +17,8 @@ from .mesh import (DATA_AXIS, FREQ_AXIS, TIME_AXIS, auto_mesh, flat_mesh,
 from .sharded import (sharded_coherence, sharded_coherence_matrix,
                       sharded_cross_power, sharded_cwt_ri,
                       sharded_fused_itc, sharded_fused_mean_power,
-                      sharded_itc, sharded_mean_power, sharded_pac,
+                      sharded_itc, sharded_mean_power,
+                      sharded_mean_power_grad, sharded_pac,
                       sharded_plv, sharded_plv_matrix, sharded_power,
                       sharded_ssq_mean_power)
 from .streaming import StreamingCWT
@@ -30,7 +31,7 @@ __all__ = [
     "sharded_fused_mean_power", "sharded_fused_itc",
     "sharded_cross_power", "sharded_coherence", "sharded_ssq_mean_power",
     "sharded_plv", "sharded_plv_matrix", "sharded_coherence_matrix",
-    "sharded_pac",
+    "sharded_pac", "sharded_mean_power_grad",
     "distributed_mean_power", "distributed_itc",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",
     "chunked_fused_power", "chunked_power_auto",

@@ -454,3 +454,49 @@ def sharded_pac(sigs_r, bank_phase_r, bank_amp_r, *, mesh: Mesh,
         local, mesh=mesh,
         in_specs=(P(DATA_AXIS), _BANK_SPEC, P(None, None)),
         out_specs=out_spec)(sigs_r, bank_phase_r, bank_amp_r)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate"))
+def sharded_mean_power_grad(signals_r, bank_r, g, *, mesh: Mesh,
+                            interpolate: bool = False):
+    """One distributed TRAINING step on the epoch-mean power: the VJP of
+    ``sharded_mean_power`` against a cotangent g (C, F, N) sharded over
+    ``freq`` like the power itself — e.g. the gradient of a loss on the
+    TFR wrt both the signals AND the bank (learnable wavelets).
+
+    Layout: epochs shard over ``data``, bank rows over ``freq`` (the bank
+    gradient stays freq-sharded — each chip owns the gradient of its own
+    rows); the global mean is a pmean of shard means, so each shard's
+    local VJP runs with cotangent g / n_data, the signal gradient stays
+    epoch-sharded with NO collective, and one ``psum`` over ``data``
+    completes the bank gradient.  Returns (power, dsignals, dbank).
+    """
+    from ..ops.fused import _mean_power_bwd
+
+    def local(sig, br, gg):
+        d = lax.psum(1, DATA_AXIS)
+        # Forward: _scan_mean directly (not mean_power_from_bank) so the
+        # scan zero init carries the shard_map varying-axes type
+        # (CLAUDE.md).  Backward: the ANALYTIC adjoint, not jax.vjp —
+        # autodiffing the rfft path under shard_map trips a cotangent
+        # varying-type mismatch in the fft transpose rule, and the
+        # analytic pipeline is the gated gradient path anyway.
+        p_local = _scan_mean(
+            sig, br, interpolate,
+            lambda c: jnp.square(c.real) + jnp.square(c.imag),
+            vma_axes=(DATA_AXIS, FREQ_AXIS))
+        p = lax.pmean(p_local, DATA_AXIS)
+        gg = lax.pcast(gg / d, (DATA_AXIS,), to="varying")
+        br_v = lax.pcast(br, (DATA_AXIS,), to="varying")
+        ds, db = _mean_power_bwd(sig, br_v, interpolate, gg)
+        # Each freq shard covers only its own bank rows: the signal
+        # gradient sums contributions from ALL rows -> psum over freq.
+        return (p, lax.psum(ds, FREQ_AXIS), lax.psum(db, DATA_AXIS))
+
+    nb = signals_r.ndim - 2   # batch dims between epochs and samples
+    p_spec = P(*([None] * nb), FREQ_AXIS, None)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS), _BANK_SPEC, p_spec),
+        out_specs=(p_spec, P(DATA_AXIS), _BANK_SPEC))(
+        signals_r, bank_r, g)

@@ -461,3 +461,33 @@ def test_sharded_ssq_mean_power_matches_single_device():
         jnp.asarray(sig), jnp.asarray(bank), f_grid, mesh=mesh,
         sfreq=1000.0, interpolate=True))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
+
+
+def test_sharded_mean_power_grad_matches_single_device():
+    """The distributed training step: power, signal grad (epoch-sharded, no
+    collective) and bank grad (freq-sharded, data-psum-completed) must all
+    match jax.vjp of the single-device epoch-mean power."""
+    from ninwavelets_tpu.ops.cwt import mean_power_from_bank
+
+    mesh = par.make_mesh(data=2, freq=4)
+    sig = jnp.asarray(_epochs_block(e=4, c=2, n=1024, seed=7))
+    bank, _ = _morse_bank(1024, freqs=np.arange(20.0, 52.0),
+                          interpolate=True)
+    bank = jnp.asarray(bank)
+    g = jnp.asarray(np.random.default_rng(8)
+                    .standard_normal((2, 32, 1024)).astype(np.float32))
+
+    p_want, vjp = jax.vjp(
+        lambda s, b: mean_power_from_bank(s, b, True), sig, bank)
+    ds_want, db_want = vjp(g)
+
+    p, ds, db = par.sharded_mean_power_grad(sig, bank, g, mesh=mesh,
+                                            interpolate=True)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_want),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_want),
+                               rtol=2e-5,
+                               atol=1e-5 * np.abs(np.asarray(ds_want)).max())
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_want),
+                               rtol=2e-5,
+                               atol=1e-5 * np.abs(np.asarray(db_want)).max())
