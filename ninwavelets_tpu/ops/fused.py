@@ -990,9 +990,42 @@ def fused_itc_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
     """
     if precision not in PRECISIONS:
         raise ValueError(f"precision must be one of {PRECISIONS}")
+    if not vma_axes:
+        # Differentiable wrapper (pallas_call has no AD rule): fused
+        # forward, XLA-autodiff backward.  Inside shard_map (vma_axes set)
+        # stay on the raw path — gradients there go through
+        # parallel.sharded_mean_power_grad instead.
+        return _fused_itc_vjp(interpolate, interpret, precision)(signals,
+                                                                 bank)
     sr, si = _itc_sums(signals, bank, interpolate, interpret, precision,
                        vma_axes)
     return jnp.sqrt(sr * sr + si * si) / signals.shape[0]
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_itc_vjp(interpolate: bool, interpret: bool, precision: str):
+    """ITC with a custom VJP: the unit-phase epoch mean has no analytic
+    adjoint shortcut worth hand-deriving (gradients through ITC are a rare
+    path — the statistic is usually a read-only analysis output), so the
+    backward differentiates the mathematically identical XLA program."""
+    from .cwt import itc_from_bank
+
+    @jax.custom_vjp
+    def f(signals, bank):
+        sr, si = _itc_sums(signals, bank, interpolate, interpret, precision)
+        return jnp.sqrt(sr * sr + si * si) / signals.shape[0]
+
+    def fwd(signals, bank):
+        return f(signals, bank), (signals, bank)
+
+    def bwd(res, g):
+        signals, bank = res
+        _, vjp = jax.vjp(
+            lambda s, b: itc_from_bank(s, b, interpolate), signals, bank)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 @functools.lru_cache(maxsize=32)

@@ -343,3 +343,17 @@ def test_fused_backward_flops_model():
     assert f8 == 8 * f1
     assert fused.bwd_kernel_flops(2, 3, 4, 2048, True) > \
         fused.kernel_flops(2, 3, 4, 2048, True)
+
+
+def test_grad_flows_through_fused_itc():
+    """ITC previously had no derivative rule (pallas_call is opaque to AD);
+    the custom VJP runs the fused forward with an XLA-autodiff backward."""
+    from ninwavelets_tpu.ops.cwt import itc_from_bank
+    sig, bank = _workload(e=4, c=2, nf=16)
+    sig_j, bank_j = jnp.asarray(sig), jnp.asarray(bank)
+    g_fused = jax.grad(lambda s: fused.fused_itc_from_bank(
+        s, bank_j, True, interpret=True, precision="exact").sum())(sig_j)
+    g_xla = jax.grad(lambda s: itc_from_bank(s, bank_j, True).sum())(sig_j)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),
+                               rtol=1e-4,
+                               atol=1e-5 * np.abs(np.asarray(g_xla)).max())
