@@ -466,6 +466,44 @@ def _mean_power_bwd(signals, bank, interpolate: bool, g):
     return ds, dbank
 
 
+def _mean_power_bwd_complex(signals, bank, interpolate: bool, g):
+    """Analytic adjoint of ``mean_power_from_bank`` for a COMPLEX
+    (Normal/Twice-mode) bank — the real-bank pipeline above with the two
+    conjugations the complex case adds:
+
+      dS    = sum_f conj(bank_f) * zeta_f     (adjoint of bank * S)
+      dbank_f = sum_{e,c} conj(zeta_f) * S    (JAX complex-cotangent
+                convention: the conjugate of the naive Wirtinger product —
+                validated term-for-term against jax.vjp in
+                tests/test_fused.py)
+
+    Same O(C*F*N) memory / ~2x-forward FLOPs profile as the real-bank
+    adjoint; replaces the round-2 XLA-autodiff backward (a full forward
+    PLUS per-epoch AD residuals).
+    """
+    from .cwt import analytic_spectrum
+    from .grids import analytic_mask
+
+    e = signals.shape[0]
+    n = signals.shape[-1]
+    scale = 2.0 / e
+    mask = analytic_mask(n, jnp.float32) if interpolate else None
+
+    def per_epoch(dbank_acc, sig):
+        spec = analytic_spectrum(sig, interpolate)           # (C, N)
+        x = jnp.fft.ifft(spec[..., None, :] * bank)          # (C, F, N)
+        u = jnp.fft.fft(scale * g * x)                       # fft(omega)
+        t = jnp.sum(jnp.conj(bank) * u, axis=-2)             # (C, N)
+        if mask is not None:
+            t = t * mask
+        ds = jnp.real(jnp.fft.ifft(t)).astype(signals.dtype)
+        dbank = jnp.sum(jnp.conj(u) * spec[..., None, :], axis=0) / n
+        return dbank_acc + dbank, ds
+
+    dbank, ds = lax.scan(per_epoch, jnp.zeros_like(bank), signals)
+    return ds, dbank
+
+
 #: Fused backward kernel toggle (NINW_FUSED_BWD=0 falls back to the XLA
 #: adjoint pipeline `_mean_power_bwd` — kept for A/B measurement).
 _FUSED_BWD = os.environ.get("NINW_FUSED_BWD", "1") != "0"
@@ -811,12 +849,11 @@ def _fused_power_mean_vjp(interpolate: bool, interpret: bool,
 @functools.lru_cache(maxsize=32)
 def _fused_power_mean_vjp_complex(interpolate: bool, interpret: bool,
                                   precision: str):
-    """Complex-bank variant: fused forward, XLA-autodiff backward.  The
-    analytic adjoint (``_mean_power_bwd``) is derived for real banks;
-    rather than wrestling complex-cotangent conventions by hand, the
-    backward differentiates the mathematically identical XLA program —
-    gradients through Normal/Twice-mode families are the rare path."""
-    from .cwt import mean_power_from_bank
+    """Complex-bank variant: fused forward, analytic adjoint backward
+    (``_mean_power_bwd_complex`` — the complex-cotangent conventions are
+    pinned against jax.vjp in tests; the round-2 version differentiated
+    the XLA program instead, paying a full forward plus per-epoch AD
+    residuals)."""
 
     @jax.custom_vjp
     def f(signals, bank):
@@ -828,10 +865,7 @@ def _fused_power_mean_vjp_complex(interpolate: bool, interpret: bool,
 
     def bwd(res, g):
         signals, bank = res
-        _, vjp = jax.vjp(
-            lambda s, b: mean_power_from_bank(s, b, interpolate),
-            signals, bank)
-        return vjp(g)
+        return _mean_power_bwd_complex(signals, bank, interpolate, g)
 
     f.defvjp(fwd, bwd)
     return f

@@ -357,3 +357,29 @@ def test_grad_flows_through_fused_itc():
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),
                                rtol=1e-4,
                                atol=1e-5 * np.abs(np.asarray(g_xla)).max())
+
+
+@pytest.mark.parametrize("interpolate", [True, False])
+def test_complex_bank_analytic_backward_matches_xla(interpolate):
+    """The complex-bank adjoint's conjugation conventions (conj(bank) in
+    dS, conj(u)*S in dbank) must reproduce jax.vjp of the XLA forward for
+    BOTH cotangents."""
+    from ninwavelets_tpu.ops.cwt import mean_power_from_bank
+    rng = np.random.default_rng(3)
+    e, c, f, n = 4, 2, 6, 1024
+    sig = jnp.asarray(rng.standard_normal((e, c, n)).astype(np.float32))
+    bank = jnp.asarray((rng.standard_normal((f, n))
+                        + 1j * rng.standard_normal((f, n))
+                        ).astype(np.complex64))
+    g = jnp.asarray(rng.standard_normal((c, f, n)).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda s, b: mean_power_from_bank(s, b, interpolate),
+                     sig, bank)
+    ds_w, db_w = vjp(g)
+    ds_g, db_g = fused._mean_power_bwd_complex(sig, bank, interpolate, g)
+    np.testing.assert_allclose(np.asarray(ds_g), np.asarray(ds_w),
+                               rtol=1e-4,
+                               atol=1e-5 * np.abs(np.asarray(ds_w)).max())
+    np.testing.assert_allclose(np.asarray(db_g), np.asarray(db_w),
+                               rtol=1e-4,
+                               atol=1e-5 * np.abs(np.asarray(db_w)).max())
