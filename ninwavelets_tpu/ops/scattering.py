@@ -21,6 +21,7 @@ mask; the full rectangle is computed — it is one batched CWT).
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -52,13 +53,35 @@ def _smooth_decimate(u: jnp.ndarray, phi: jnp.ndarray,
     return smoothed[..., ::stride]
 
 
+@functools.lru_cache(maxsize=8)
+def _smooth_decimate_operator(n: int, stride: int, sfreq: float,
+                              cutoff: float):
+    """(N, N//stride) matrix G of the ENTIRE smooth+decimate stage:
+    lowpass-then-decimate is an LTI projection, so ``s = u @ G`` with
+    ``G[j, m] = g[(m*stride - j) mod N]`` and ``g = ifft(phi)`` (real,
+    symmetric).  One MXU matmul and ONE pass over the modulus planes
+    replaces rfft -> multiply -> irfft -> slice (~5 HBM passes of
+    VPU-bound FFT butterflies) — exactly the same circular-convolution
+    math, built on host in float64.  Cached as numpy (lru_cache must never
+    hold device arrays from inside a trace)."""
+    k = np.arange(n)
+    nu = np.where(k < (n + 1) // 2, k, k - n) * (sfreq / n)
+    c = cutoff / np.sqrt(2.0 * np.log(2.0))
+    phi = np.exp(-0.5 * np.square(nu / c))
+    g = np.fft.ifft(phi).real
+    idx = (np.arange(n // stride)[None, :] * stride
+           - np.arange(n)[:, None]) % n
+    return np.ascontiguousarray(g[idx], np.float32)
+
+
 def scattering_from_banks(signal: jnp.ndarray, bank1: jnp.ndarray,
                           bank2: jnp.ndarray, sfreq: float,
                           stride: int = 32,
                           interpolate: bool = True,
                           use_fused: bool = False,
                           precision: str = "fast3",
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          lowpass: str = "auto"):
     """Order-2 time scattering: (..., N) -> (S1, S2).
 
     Args:
@@ -81,7 +104,26 @@ def scattering_from_banks(signal: jnp.ndarray, bank1: jnp.ndarray,
       S2: (..., F2, F1, N//stride) float32
     """
     n = signal.shape[-1]
-    phi = lowpass_spectrum(n, sfreq, sfreq / (2.0 * stride))
+    cutoff = sfreq / (2.0 * stride)
+    if lowpass == "auto":
+        # The matmul operator needs an exact decimation grid; the FFT path
+        # handles ragged strides.
+        lowpass = "matmul" if n % stride == 0 else "fft"
+    if lowpass == "matmul":
+        # Same circular-convolution math as the FFT path, as ONE MXU
+        # matmul and one pass over the modulus planes (the lowpass was the
+        # scattering wall-clock bottleneck — the second-layer rfft/irfft
+        # runs over an (..., F2, F1, N) tensor).  HIGHEST keeps true-f32
+        # accumulation; the operator is tiny (N x N/stride).
+        gmat = jnp.asarray(_smooth_decimate_operator(n, int(stride),
+                                                     float(sfreq),
+                                                     float(cutoff)))
+        mxu_prec = (jax.lax.Precision.DEFAULT if precision == "bf16"
+                    else jax.lax.Precision.HIGHEST)
+        smooth = lambda u: jnp.dot(u, gmat, precision=mxu_prec)
+    else:
+        phi = lowpass_spectrum(n, sfreq, cutoff)
+        smooth = lambda u: _smooth_decimate(u, phi, stride)
     if use_fused:
         from .fused import fused_power_from_bank
         modulus = lambda x, bank, analytic: jnp.sqrt(fused_power_from_bank(
@@ -89,23 +131,24 @@ def scattering_from_banks(signal: jnp.ndarray, bank1: jnp.ndarray,
     else:
         modulus = lambda x, bank, analytic: abs_from_bank(x, bank, analytic)
     u1 = modulus(signal, bank1, interpolate)              # (..., F1, N)
-    s1 = _smooth_decimate(u1, phi, stride)
+    s1 = smooth(u1)
     # Second layer: U1 rows are real nonnegative signals; batch them all
     # through bank2 in one program.  No analytic trick here — U1 is not
     # zero-mean, and its spectrum is genuinely two-sided.
     u2 = modulus(u1, bank2, False)                        # (..., F1, F2, N)
     u2 = jnp.moveaxis(u2, -2, -3)                         # (..., F2, F1, N)
-    s2 = _smooth_decimate(u2, phi, stride)
+    s2 = smooth(u2)
     return s1, s2
 
 
 @partial(jax.jit, static_argnames=("sfreq", "stride", "interpolate",
-                                   "use_fused", "precision", "interpret"))
+                                   "use_fused", "precision", "interpret",
+                                   "lowpass"))
 def _scattering_jit(signal_r, bank1_r, bank2_r, *, sfreq, stride,
-                    interpolate, use_fused, precision, interpret):
+                    interpolate, use_fused, precision, interpret, lowpass):
     return scattering_from_banks(signal_r, bank1_r, bank2_r, sfreq, stride,
                                  interpolate, use_fused, precision,
-                                 interpret)
+                                 interpret, lowpass)
 
 
 def _fused_ok(n: int, *banks) -> bool:
@@ -117,7 +160,8 @@ def _fused_ok(n: int, *banks) -> bool:
 
 def scattering(signal_r, bank1_r, bank2_r, sfreq: float, stride: int = 32,
                interpolate: bool = True, use_fused="auto",
-               precision: str = "fast3", interpret: bool = False):
+               precision: str = "fast3", interpret: bool = False,
+               lowpass: str = "auto"):
     """Jitted float-boundary wrapper for ``scattering_from_banks``
     (real banks; Normal/Twice complex banks are not meaningful here).
     ``use_fused="auto"`` dispatches both modulus layers to the fused
@@ -130,4 +174,5 @@ def scattering(signal_r, bank1_r, bank2_r, sfreq: float, stride: int = 32,
                            stride=int(stride), interpolate=interpolate,
                            use_fused=bool(use_fused),
                            precision=str(precision),
-                           interpret=bool(interpret))
+                           interpret=bool(interpret),
+                           lowpass=str(lowpass))

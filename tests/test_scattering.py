@@ -90,3 +90,19 @@ def test_fused_scattering_matches_xla_interpret():
     for want, got in ((s1_x, s1_f), (s2_x, s2_f)):
         w, g = np.asarray(want), np.asarray(got)
         assert np.abs(g - w).max() <= 2e-4 * np.abs(w).max()
+
+
+def test_matmul_lowpass_matches_fft_path():
+    """The one-matmul smooth+decimate operator is the exact circulant of
+    the FFT lowpass: both paths must agree to float32 on S1 and S2
+    (the default "auto" resolves to matmul when stride | N)."""
+    f1, f2, b1, b2 = _banks()
+    sig = jnp.asarray(np.random.default_rng(5)
+                      .standard_normal((2, N)).astype(np.float32))
+    s1_m, s2_m = scattering(sig, b1, b2, SFREQ, stride=STRIDE,
+                            lowpass="matmul")
+    s1_f, s2_f = scattering(sig, b1, b2, SFREQ, stride=STRIDE,
+                            lowpass="fft")
+    for want, got in ((s1_f, s1_m), (s2_f, s2_m)):
+        w, g = np.asarray(want), np.asarray(got)
+        assert np.abs(g - w).max() <= 1e-5 * np.abs(w).max()
