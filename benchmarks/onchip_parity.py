@@ -131,6 +131,27 @@ def main():
         record(epilogue="power_each", n=n, e=8, c=1, precision=prec,
                rel_err=rel, snr_db=round(snr, 1), wall_s=0.0)
 
+    # --- backward: the fused adjoint kernel vs the XLA adjoint -----------
+    for n in (1024, 2048, 8192):
+        bank = bank_for(n)
+        c, e = 4, 16
+        sig = jnp.asarray(rng.standard_normal((e, c, n)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((c, 100, n)).astype(np.float32))
+        ds_w, db_w = jax.tree.map(np.asarray, jax.jit(
+            lambda s, b, gg: fused._mean_power_bwd(s, b, True, gg))(
+            sig, bank, g))
+        for prec in ("fast3", "exact", "bf16"):
+            t0 = time.time()
+            ds_g, db_g = jax.tree.map(np.asarray, jax.jit(
+                lambda s, b, gg, p=prec: fused._fused_power_bwd(
+                    s, b, gg, True, False, p))(sig, bank, g))
+            rel_s, snr_s = compare(ds_w, ds_g)
+            rel_b, snr_b = compare(db_w, db_g)
+            record(epilogue="backward", n=n, e=e, c=c, precision=prec,
+                   rel_err=max(rel_s, rel_b),
+                   snr_db=round(min(snr_s, snr_b), 1),
+                   wall_s=round(time.time() - t0, 1))
+
     print(f"wrote {len(rows)} rows -> {OUT}")
 
 

@@ -33,6 +33,9 @@ GATES = {
     ("itc", "exact"): 1e-4,
     ("itc", "bf16"): 0.5,
     ("itc", "mixed"): 0.5,
+    ("backward", "fast3"): 1e-4,   # fused adjoint vs XLA adjoint, max of
+    ("backward", "exact"): 5e-6,   # the signal / bank cotangent errors
+    ("backward", "bf16"): 2e-2,
 }
 
 
@@ -52,6 +55,8 @@ def test_artifact_covers_the_sweep():
     assert any(r["epilogue"] == "itc" for r in rows)
     assert any(r["epilogue"] == "power_each" for r in rows)
     assert any(r.get("bank") == "complex" for r in rows)   # Twice-mode
+    bwd_ns = {r["n"] for r in rows if r["epilogue"] == "backward"}
+    assert bwd_ns == {1024, 2048, 8192}        # fused adjoint kernel
 
 
 def test_compiled_kernel_within_gates():
