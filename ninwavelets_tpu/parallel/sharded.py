@@ -372,7 +372,8 @@ def sharded_ssq_mean_power(signals_r, bank_r, f_grid, *, mesh: Mesh,
             return acc + _reassigned_power(
                 s, br, fg, sfreq, interpolate, rel_threshold,
                 row_offset=offset, n_rows_out=fg.shape[0],
-                freq_axis=FREQ_AXIS), None
+                freq_axis=FREQ_AXIS,
+                vma_axes=(DATA_AXIS, FREQ_AXIS)), None
 
         total = lax.scan(step, zero, sig)[0]
         total = lax.psum(total, FREQ_AXIS)        # complete target rows
