@@ -91,6 +91,62 @@ def main_streaming():
     }))
 
 
+def main_ssq():
+    """BENCH_MODE=ssq: epoch-mean synchrosqueezed power (CWT + phase
+    transform + reassignment), EEG-s/s like the main bench.  The
+    reference has no synchrosqueezing; this tracks the reassignment
+    engine (vectorized edge-count + row-wise accumulate — the XLA
+    scatter/searchsorted pair ran ~11x slower on TPU)."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import ninwavelets_tpu as nw
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+    from ninwavelets_tpu.ops.sst import ssq_mean_power
+
+    sfreq = 1000.0
+    n = int(os.environ.get("BENCH_N", 2048))
+    channels = int(os.environ.get("BENCH_CHANNELS", 64))
+    epochs = int(os.environ.get("BENCH_EPOCHS", 16))
+    n_freqs = int(os.environ.get("BENCH_FREQS", 100))
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+
+    morse = nw.Morse(sfreq)
+    freqs = np.arange(1.0, n_freqs + 1.0, dtype=np.float32)
+    bank = jnp.asarray(np.asarray(
+        make_fft_bank(morse._wdef(), jnp.asarray(freqs), n, sfreq, True),
+        dtype=np.float32))
+    rng = np.random.default_rng(0)
+    signals = jnp.asarray(
+        rng.standard_normal((epochs, channels, n)).astype(np.float32))
+    f_grid = jnp.asarray(freqs)
+
+    step = lambda s: ssq_mean_power(s, bank, f_grid, sfreq,
+                                    interpolate=True)
+    jax.block_until_ready(step(signals))
+    t0 = time.perf_counter()
+    for k in range(iters):
+        out = step(signals * (1.0 + 1e-7 * k))   # chained work: tunnel-
+    s = float(jnp.sum(out))                      # honest timing (CLAUDE.md)
+    elapsed = time.perf_counter() - t0
+    value = epochs * (n / sfreq) * iters / elapsed
+    print(json.dumps({
+        "metric": "ssq_eeg_seconds_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "EEG-s/s",
+        "vs_baseline": round(value / REF_EEG_SECONDS_PER_S, 1),
+        "config": {"channels": channels, "freqs": n_freqs, "segment_n": n,
+                   "epochs_per_call": epochs, "iters": iters,
+                   "device": str(jax.devices()[0])},
+    }))
+
+
 def main_grad():
     """BENCH_MODE=grad: one backward step through the fused mean-power
     pipeline (fused forward + analytic adjoint backward).  Reported in the
@@ -265,5 +321,7 @@ if __name__ == "__main__":
         main_streaming()
     elif mode == "grad":
         main_grad()
+    elif mode == "ssq":
+        main_ssq()
     else:
         main()
