@@ -9,13 +9,15 @@ moved to the analysis row nearest its INSTANTANEOUS frequency
 collapsing the wavelet's frequency smear onto the true ridge.  The time
 derivative costs one extra bank multiply (the spectrum times ``i 2 pi
 nu``), so the whole transform is two CWTs plus an elementwise phase
-transform and a scatter-add — all inside one jitted program.
+transform and a reassignment pass — all inside one jitted program.
 
-TPU notes: the reassignment scatter lowers to an XLA scatter-add (not an
-MXU op); it is a feature path, not the hot loop, and runs at full accuracy
-for any monotone analysis-frequency grid (bin edges via midpoints +
-``searchsorted``).  Boundaries are float-only as everywhere in this
-package (complex exists only inside the program).
+TPU notes: neither XLA scatter-add nor ``jnp.searchsorted`` vectorizes on
+TPU (both scalarize — measured 0.56 s / 1.93 s on a (128, 100, 2048)
+plane); the reassignment instead counts bin edges below omega under a
+scan (bitwise left-bisect) and accumulates row-wise selects — exact f32,
+~30x faster combined.  Works for any monotone analysis-frequency grid.
+Boundaries are float-only as everywhere in this package (complex exists
+only inside the program).
 """
 from __future__ import annotations
 
