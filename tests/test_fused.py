@@ -383,3 +383,22 @@ def test_complex_bank_analytic_backward_matches_xla(interpolate):
     np.testing.assert_allclose(np.asarray(db_g), np.asarray(db_w),
                                rtol=1e-4,
                                atol=1e-5 * np.abs(np.asarray(db_w)).max())
+
+
+@pytest.mark.parametrize("e", [4, fused.MAX_EPOCHS_PER_CALL + 3])
+def test_power_itc_combined_epilogue(e):
+    """One kernel pass must reproduce BOTH epoch reductions — including
+    the ragged chunking (full chunks + remainder call)."""
+    from ninwavelets_tpu.ops.cwt import itc as xla_itc
+    from ninwavelets_tpu.ops.cwt import mean_power as xla_mean_power
+    sig, bank = _workload(e=e, c=2, nf=16)
+    sig_j, bank_j = jnp.asarray(sig), jnp.asarray(bank)
+    p_w = np.asarray(xla_mean_power(sig_j, bank_j, interpolate=True))
+    i_w = np.asarray(xla_itc(sig_j, bank_j, interpolate=True))
+    p_g, i_g = fused.fused_power_itc(sig_j, bank_j, interpolate=True,
+                                     interpret=True, precision="exact")
+    np.testing.assert_allclose(np.asarray(p_g), p_w, rtol=1e-4,
+                               atol=1e-5 * np.abs(p_w).max())
+    finite = np.isfinite(i_w)
+    np.testing.assert_allclose(np.asarray(i_g)[finite], i_w[finite],
+                               rtol=1e-3, atol=1e-4)
