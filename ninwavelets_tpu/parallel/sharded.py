@@ -501,3 +501,61 @@ def sharded_mean_power_grad(signals_r, bank_r, g, *, mesh: Mesh,
         in_specs=(P(DATA_AXIS), _BANK_SPEC, p_spec),
         out_specs=(p_spec, P(DATA_AXIS), _BANK_SPEC))(
         signals_r, bank_r, g)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "precision",
+                                   "interpret"))
+def sharded_fused_power_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
+                            interpolate: bool = True,
+                            precision: str = "fast3",
+                            interpret: bool = False):
+    """Epoch-mean power AND inter-trial coherence over the mesh in ONE
+    fused-kernel pass per shard (the ``power_itc`` epilogue): epochs over
+    ``data``, bank rows over ``freq``; all three epoch sums are linear, so
+    one ``pmean`` each over ``data`` completes them and the division by
+    the LOCAL epoch count finishes the global means.  Same constraints as
+    ``sharded_fused_mean_power``; E must divide the ``data`` axis size.
+    """
+    from ..ops.fused import MAX_EPOCHS_PER_CALL, _fused_call
+
+    def local(sig, br, bi=None):
+        e = sig.shape[0]
+        bank = _as_bank(br, bi)
+        if e <= MAX_EPOCHS_PER_CALL:
+            ps, sr, si = _fused_call(sig, bank, interpolate, interpret,
+                                     precision, "power_itc")
+        else:
+            rem = e % MAX_EPOCHS_PER_CALL
+            full = e - rem
+            chunks = sig[:full].reshape(
+                (full // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL)
+                + sig.shape[1:])
+            zero = jnp.zeros((sig.shape[1], br.shape[0], sig.shape[2]),
+                             jnp.float32)
+            zero = lax.pcast(zero, (DATA_AXIS, FREQ_AXIS), to="varying")
+
+            def step(acc, s):
+                p, r, i = _fused_call(s, bank, interpolate, interpret,
+                                      precision, "power_itc")
+                return (acc[0] + p, acc[1] + r, acc[2] + i), None
+
+            (ps, sr, si), _ = lax.scan(step, (zero, zero, zero), chunks)
+            if rem:
+                p, r, i = _fused_call(sig[full:], bank, interpolate,
+                                      interpret, precision, "power_itc")
+                ps, sr, si = ps + p, sr + r, si + i
+        ps = lax.pmean(ps / e, DATA_AXIS)
+        sr = lax.pmean(sr / e, DATA_AXIS)
+        si = lax.pmean(si / e, DATA_AXIS)
+        return ps, jnp.sqrt(sr * sr + si * si)
+
+    out_spec = P(*([None] * (signals_r.ndim - 2)), FREQ_AXIS, None)
+    if bank_i is None:
+        return jax.shard_map(local, mesh=mesh,
+                             in_specs=(P(DATA_AXIS), _BANK_SPEC),
+                             out_specs=(out_spec, out_spec),
+                             check_vma=False)(signals_r, bank_r)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(DATA_AXIS), _BANK_SPEC, _BANK_SPEC),
+                         out_specs=(out_spec, out_spec),
+                         check_vma=False)(signals_r, bank_r, bank_i)

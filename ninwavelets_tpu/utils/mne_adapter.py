@@ -185,6 +185,17 @@ class EpochsWavelet:
         return _itc_jit(waves, bank[0], bank[1],
                         interpolate=self.wavelet.interpolate)
 
+    def power_itc_all(self, freqs: Numbers):
+        """((C, F, N), (C, F, N)) epoch-mean power AND inter-trial
+        coherence for all channels in ONE device pass (extension —
+        ``ops.fused.power_itc_auto``: both reductions share every matmul
+        stage, ~2.6x the two separate calls on TPU)."""
+        from ..ops.fused import power_itc_auto
+        waves = self._all_data()
+        bank = self._bank_for(waves, freqs)
+        return power_itc_auto(waves, bank[0], bank[1],
+                              interpolate=self.wavelet.interpolate)
+
     def _ssq_bank(self, waves, freqs):
         bank_r, bank_i = self._bank_for(waves, freqs)
         if bank_i is not None:

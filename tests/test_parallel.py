@@ -491,3 +491,25 @@ def test_sharded_mean_power_grad_matches_single_device():
     np.testing.assert_allclose(np.asarray(db), np.asarray(db_want),
                                rtol=2e-5,
                                atol=1e-5 * np.abs(np.asarray(db_want)).max())
+
+
+def test_sharded_fused_power_itc_matches_single_device():
+    """One fused pass per shard for BOTH epoch reductions must match the
+    single-device sharded power and itc (interpret-mode kernel)."""
+    mesh = par.make_mesh(data=2, freq=4)
+    sig = jnp.asarray(_epochs_block(e=4, c=2, n=1024, seed=11))
+    bank, _ = _morse_bank(1024, freqs=np.arange(20.0, 52.0),
+                          interpolate=True)
+    bank = jnp.asarray(bank)
+    p_want = np.asarray(par.sharded_mean_power(sig, bank, mesh=mesh,
+                                               interpolate=True))
+    i_want = np.asarray(par.sharded_itc(sig, bank, mesh=mesh,
+                                        interpolate=True))
+    p, i = par.sharded_fused_power_itc(sig, bank, mesh=mesh,
+                                       interpolate=True, interpret=True,
+                                       precision="exact")
+    np.testing.assert_allclose(np.asarray(p), p_want, rtol=1e-4,
+                               atol=1e-5 * np.abs(p_want).max())
+    finite = np.isfinite(i_want)
+    np.testing.assert_allclose(np.asarray(i)[finite], i_want[finite],
+                               rtol=1e-3, atol=1e-4)
