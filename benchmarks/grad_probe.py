@@ -29,9 +29,11 @@ def timeit(fn, *args, iters=5):
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    # scalar fetch forces real completion through the tunnel
+    for k in range(iters):
+        # CHAIN the work (perturbed first operand) — identical un-chained
+        # dispatches can overlap through the tunnel and report dishonest
+        # wall times (CLAUDE.md); the scalar fetch forces completion.
+        out = fn(args[0] * (1.0 + 1e-7 * k), *args[1:])
     s = float(jnp.sum(jax.tree.leaves(out)[0]))
     dt = (time.perf_counter() - t0) / iters
     return dt, s

@@ -1064,29 +1064,43 @@ def fused_power_itc_from_bank(signals: jnp.ndarray, bank: jnp.ndarray,
     if precision not in PRECISIONS:
         raise ValueError(f"precision must be one of {PRECISIONS}")
     e = signals.shape[0]
-    if e <= MAX_EPOCHS_PER_CALL:
-        ps, sr, si = _fused_call(signals, bank, interpolate, interpret,
-                                 precision, "power_itc")
-    else:
-        rem = e % MAX_EPOCHS_PER_CALL
-        full = e - rem
-        chunks = signals[:full].reshape(
-            (full // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL)
-            + signals.shape[1:])
-        zero = jnp.zeros((signals.shape[1], bank.shape[0],
-                          signals.shape[2]), jnp.float32)
-
-        def step(acc, s):
-            p, r, i = _fused_call(s, bank, interpolate, interpret,
-                                  precision, "power_itc")
-            return (acc[0] + p, acc[1] + r, acc[2] + i), None
-
-        (ps, sr, si), _ = lax.scan(step, (zero, zero, zero), chunks)
-        if rem:
-            p, r, i = _fused_call(signals[full:], bank, interpolate,
-                                  interpret, precision, "power_itc")
-            ps, sr, si = ps + p, sr + r, si + i
+    ps, sr, si = _power_itc_sums(signals, bank, interpolate, interpret,
+                                 precision)
     return ps / e, jnp.sqrt(sr * sr + si * si) / e
+
+
+def _power_itc_sums(signals, bank, interpolate, interpret, precision,
+                    vma_axes=()):
+    """Epoch-SUMMED (power, unit-phase real, unit-phase imag) planes over
+    ANY epoch count via the ``power_itc`` epilogue — itc-style chunking
+    (full chunks + one remainder call; zero epochs cannot be padded into
+    the unit-phase sum).  Shared by the single-program wrapper and the
+    sharded per-shard path (``parallel.sharded``), like ``_itc_sums``."""
+    e = signals.shape[0]
+    if e <= MAX_EPOCHS_PER_CALL:
+        return _fused_call(signals, bank, interpolate, interpret,
+                           precision, "power_itc")
+    rem = e % MAX_EPOCHS_PER_CALL
+    full = e - rem
+    chunks = signals[:full].reshape(
+        (full // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL)
+        + signals.shape[1:])
+    zero = jnp.zeros((signals.shape[1], bank.shape[0], signals.shape[2]),
+                     jnp.float32)
+    if vma_axes:
+        zero = lax.pcast(zero, tuple(vma_axes), to="varying")
+
+    def step(acc, s):
+        p, r, i = _fused_call(s, bank, interpolate, interpret, precision,
+                              "power_itc")
+        return (acc[0] + p, acc[1] + r, acc[2] + i), None
+
+    (ps, sr, si), _ = lax.scan(step, (zero, zero, zero), chunks)
+    if rem:
+        p, r, i = _fused_call(signals[full:], bank, interpolate, interpret,
+                              precision, "power_itc")
+        ps, sr, si = ps + p, sr + r, si + i
+    return ps, sr, si
 
 
 def _power_itc_entry(signal_r, bank_r, bank_i=None, *, interpolate,

@@ -110,6 +110,10 @@ def scattering_from_banks(signal: jnp.ndarray, bank1: jnp.ndarray,
         # handles ragged strides.
         lowpass = "matmul" if n % stride == 0 else "fft"
     if lowpass == "matmul":
+        if n % stride:
+            raise ValueError(
+                f"lowpass='matmul' needs stride | N (got N={n}, "
+                f"stride={stride}) — use lowpass='fft' or 'auto'")
         # Same circular-convolution math as the FFT path, as ONE MXU
         # matmul and one pass over the modulus planes (the lowpass was the
         # scattering wall-clock bottleneck — the second-layer rfft/irfft

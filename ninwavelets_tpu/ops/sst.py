@@ -164,8 +164,12 @@ def ssq_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray, freqs,
         zero = lax.pcast(zero, tuple(vma_axes), to="varying")
 
     def step(acc, sig):
+        # vma_axes forwarded: the edge-count scan inside _reassigned_power
+        # zero-inits its own carry, which must match shard_map's
+        # varying-axes type too.
         return acc + _reassigned_power(sig, bank, f_grid, sfreq, interpolate,
-                                       rel_threshold), None
+                                       rel_threshold,
+                                       vma_axes=vma_axes), None
 
     total = lax.scan(step, zero, signals)[0]
     return total / e

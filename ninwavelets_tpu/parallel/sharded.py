@@ -516,34 +516,13 @@ def sharded_fused_power_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
     the LOCAL epoch count finishes the global means.  Same constraints as
     ``sharded_fused_mean_power``; E must divide the ``data`` axis size.
     """
-    from ..ops.fused import MAX_EPOCHS_PER_CALL, _fused_call
+    from ..ops.fused import _power_itc_sums
 
     def local(sig, br, bi=None):
         e = sig.shape[0]
-        bank = _as_bank(br, bi)
-        if e <= MAX_EPOCHS_PER_CALL:
-            ps, sr, si = _fused_call(sig, bank, interpolate, interpret,
-                                     precision, "power_itc")
-        else:
-            rem = e % MAX_EPOCHS_PER_CALL
-            full = e - rem
-            chunks = sig[:full].reshape(
-                (full // MAX_EPOCHS_PER_CALL, MAX_EPOCHS_PER_CALL)
-                + sig.shape[1:])
-            zero = jnp.zeros((sig.shape[1], br.shape[0], sig.shape[2]),
-                             jnp.float32)
-            zero = lax.pcast(zero, (DATA_AXIS, FREQ_AXIS), to="varying")
-
-            def step(acc, s):
-                p, r, i = _fused_call(s, bank, interpolate, interpret,
-                                      precision, "power_itc")
-                return (acc[0] + p, acc[1] + r, acc[2] + i), None
-
-            (ps, sr, si), _ = lax.scan(step, (zero, zero, zero), chunks)
-            if rem:
-                p, r, i = _fused_call(sig[full:], bank, interpolate,
-                                      interpret, precision, "power_itc")
-                ps, sr, si = ps + p, sr + r, si + i
+        ps, sr, si = _power_itc_sums(sig, _as_bank(br, bi), interpolate,
+                                     interpret, precision,
+                                     vma_axes=(DATA_AXIS, FREQ_AXIS))
         ps = lax.pmean(ps / e, DATA_AXIS)
         sr = lax.pmean(sr / e, DATA_AXIS)
         si = lax.pmean(si / e, DATA_AXIS)

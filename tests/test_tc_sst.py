@@ -346,3 +346,32 @@ class TestSsqEpochMean:
         with pytest.raises(ValueError):
             EpochsWavelet(FakeEpochs(data, SFREQ),
                           nw.MexicanHat(SFREQ)).ssq_power("ch0", self.FREQS)
+
+
+def test_ssq_mean_power_vma_axes_inside_shard_map():
+    """Regression (code review): ssq_mean_power_from_bank(vma_axes=...)
+    must forward the axes into _reassigned_power's internal scans, or the
+    edge-count carry lacks the varying-axes type under shard_map."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ninwavelets_tpu import parallel as par
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+    from ninwavelets_tpu.ops.sst import ssq_mean_power_from_bank
+
+    mesh = par.flat_mesh(par.DATA_AXIS)
+    morse = nw.Morse(1000.0)
+    freqs = np.arange(20.0, 52.0, dtype=np.float32)
+    bank = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(freqs), 1024, 1000.0, True), np.float32))
+    sig = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((8, 2, 1024)).astype(np.float32))
+
+    def local(s):
+        return ssq_mean_power_from_bank(s, bank, freqs, 1000.0,
+                                        vma_axes=(par.DATA_AXIS,))
+
+    out = jax.shard_map(local, mesh=mesh, in_specs=P(par.DATA_AXIS),
+                        out_specs=P(par.DATA_AXIS))(sig)
+    # data-sharded epochs -> each shard's epoch mean stacks on axis 0
+    assert np.asarray(out).shape == (2 * mesh.size, freqs.size, 1024)
