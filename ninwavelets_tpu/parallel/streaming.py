@@ -77,9 +77,16 @@ def _paste_batch(buf, ext_batch, bank_r, bank_i, start, *, halo: int,
     else:
         block = _window_power(ext_batch, bank_r, bank_i, halo=halo,
                               interpolate=interpolate)
-    w_count, n_f, w_len = block.shape
-    slab = jnp.transpose(block, (1, 0, 2)).reshape(n_f, w_count * w_len)
-    return jax.lax.dynamic_update_slice(buf, slab, (jnp.int32(0), start))
+    # block: (W, ..., F, window) — windows leading, any channel dims in
+    # the middle.  Slab: (..., F, W*window), windows contiguous in time.
+    w_count = block.shape[0]
+    lead = block.shape[1:-2]
+    n_f, w_len = block.shape[-2:]
+    perm = tuple(range(1, block.ndim - 1)) + (0, block.ndim - 1)
+    slab = jnp.transpose(block, perm).reshape(
+        lead + (n_f, w_count * w_len))
+    idx = (jnp.int32(0),) * (slab.ndim - 1) + (start,)
+    return jax.lax.dynamic_update_slice(buf, slab, idx)
 
 
 class StreamingCWT:
@@ -188,26 +195,45 @@ class StreamingCWT:
         partial batch); unused rows stay zero.
         """
         n = signal.shape[-1]
+        lead = signal.shape[:-1]           # optional channel dims
         h, w = self.halo, self.window
+        batch = self._effective_batch(lead)
         starts = list(range(0, n, w))
-        for group in range(0, len(starts), self.batch):
-            batch_starts = starts[group:group + self.batch]
-            ext = np.zeros((self.batch, w + 2 * h), dtype=np.float32)
+        for group in range(0, len(starts), batch):
+            batch_starts = starts[group:group + batch]
+            ext = np.zeros((batch,) + lead + (w + 2 * h,),
+                           dtype=np.float32)
             for row, start in enumerate(batch_starts):
                 stop = min(start + w, n)
                 lo, hi = start - h, stop + h
                 src_lo, src_hi = max(lo, 0), min(hi, n)
-                ext[row, src_lo - lo:src_lo - lo + (src_hi - src_lo)] = (
-                    signal[src_lo:src_hi])
+                ext[row, ..., src_lo - lo:src_lo - lo + (src_hi - src_lo)] \
+                    = signal[..., src_lo:src_hi]
             yield batch_starts, ext
 
+    def _effective_batch(self, lead) -> int:
+        """Windows per device call, clamped so windows x channels stays
+        within ONE fused-kernel dispatch (rows beyond
+        ``MAX_EPOCHS_PER_CALL`` fall into a chunk scan — measured ~2x
+        slower per window than a single full call on v5e)."""
+        c_total = 1
+        for d in lead:
+            c_total *= int(d)
+        if self._fused and c_total > 1:
+            from ..ops.fused import MAX_EPOCHS_PER_CALL
+            return max(1, min(self.batch, MAX_EPOCHS_PER_CALL // c_total))
+        return self.batch
+
     def power(self, signal: np.ndarray) -> np.ndarray:
-        """Full (F, N) power TFR assembled on host from streamed blocks."""
+        """Full (..., F, N) power TFR assembled on host from streamed
+        blocks (``signal`` may carry leading channel dims — they ride the
+        device batch alongside the windows)."""
         signal = np.asarray(signal, dtype=np.float32)
-        out = np.empty((self.freqs.shape[0], signal.shape[-1]),
+        out = np.empty(signal.shape[:-1]
+                       + (self.freqs.shape[0], signal.shape[-1]),
                        dtype=np.float32)
         for start, block in self.blocks(signal):
-            out[:, start:start + block.shape[-1]] = block
+            out[..., start:start + block.shape[-1]] = block
         return out
 
     def power_device(self, signal: np.ndarray):
@@ -223,9 +249,10 @@ class StreamingCWT:
         """
         signal = np.asarray(signal, dtype=np.float32)
         n = signal.shape[-1]
-        span = self.batch * self.window
+        span = self._effective_batch(signal.shape[:-1]) * self.window
         n_batches = -(-n // span)
-        buf = jnp.zeros((self.freqs.shape[0], n_batches * span),
+        buf = jnp.zeros(signal.shape[:-1]
+                        + (self.freqs.shape[0], n_batches * span),
                         jnp.float32)
         for batch_starts, ext in self._ext_batches(signal):
             buf = _paste_batch(buf, jnp.asarray(ext), self._bank[0],
@@ -235,4 +262,4 @@ class StreamingCWT:
                                interpolate=self.interpolate,
                                precision=self.precision,
                                interpret=self.interpret)
-        return buf[:, :n]
+        return buf[..., :n]

@@ -263,3 +263,20 @@ def test_power_device_matches_host_blocks():
     dev = np.asarray(s.power_device(sig))
     assert dev.shape == host.shape == (2, 3500)
     np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-8)
+
+
+def test_streaming_multichannel_matches_per_channel():
+    """(C, N) signals ride the device batch alongside the windows; the
+    result must equal per-channel streaming exactly."""
+    morse = nw.Morse(1000)
+    s = StreamingCWT(morse._wdef(), [30.0, 50.0], 1000.0, window=1000,
+                     halo=300)
+    sig = np.random.default_rng(3).standard_normal((3, 2500)).astype(
+        np.float32)
+    multi = s.power(sig)
+    assert multi.shape == (3, 2, 2500)
+    for ch in range(3):
+        np.testing.assert_allclose(multi[ch], s.power(sig[ch]),
+                                   rtol=1e-6, atol=1e-7)
+    dev = np.asarray(s.power_device(sig))
+    np.testing.assert_allclose(dev, multi, rtol=1e-5, atol=1e-6)
