@@ -563,7 +563,8 @@ def _dft_constants_bwd(n: int, analytic: bool):
 def _bwd_kernel(spec_r_ref, spec_i_ref, bank_ref, bank_lin_ref, g_ref,
                 w1c_ref, twr_ref, twi_ref, w2r_ref, w2i_ref, w2s_ref,
                 w1bc_ref, w2d_ref, dbank_ref, t_ref, *, n_epochs: int,
-                n1_dim: int, analytic: bool, precision: str):
+                n1_dim: int, analytic: bool, precision: str,
+                complex_bank: bool = False):
     """One (channel, frequency-block) program of the fused BACKWARD.
 
     Recomputes the coefficients with the forward stages (stage 0 bank
@@ -634,7 +635,13 @@ def _bwd_kernel(spec_r_ref, spec_i_ref, bank_ref, bank_lin_ref, g_ref,
     if fb > 1:
         spec_r = jnp.concatenate([spec_r] * fb, 0)    # (FB*K1, E*128)
         spec_i = jnp.concatenate([spec_i] * fb, 0)
-    m = jnp.concatenate([bank * spec_r, bank * spec_i], 0)
+    if complex_bank:
+        half = bank.shape[0] // 2
+        bkr, bki = bank[:half], bank[half:]
+        m = jnp.concatenate([bkr * spec_r - bki * spec_i,
+                             bkr * spec_i + bki * spec_r], 0)
+    else:
+        m = jnp.concatenate([bank * spec_r, bank * spec_i], 0)
     a = mul1(m)                                       # (256, E*128)
     ar, ai = a[:LANES], a[LANES:]
     brs, bis = [], []
@@ -652,7 +659,10 @@ def _bwd_kernel(spec_r_ref, spec_i_ref, bank_ref, bank_lin_ref, g_ref,
     xi = t3 - t1 - t2                                 # lanes n2
 
     # ---- adjoint per epoch ---------------------------------------------
-    dbank_acc = jnp.zeros((fbk1, LANES), jnp.float32)
+    # Complex banks double the dbank accumulator: conj(u)*S has a live
+    # imaginary part ([real rows; imag rows]); real banks keep Re only.
+    dbank_acc = jnp.zeros(((2 if complex_bank else 1) * fbk1, LANES),
+                          jnp.float32)
     t_rs, t_is = [], []
     for e in range(e_total):
         s = slice(e * LANES, (e + 1) * LANES)
@@ -671,11 +681,21 @@ def _bwd_kernel(spec_r_ref, spec_i_ref, bank_ref, bank_lin_ref, g_ref,
         # Stage B: contract n1 (complex left-multiply on stacked [zr; zi]).
         u = mul_b(jnp.concatenate([zr, zi], 0))       # (2*FB*K1, 128)
         ur, ui = u[:fbk1], u[fbk1:]                   # rows (fb, k1), k2
-        # dbank partial: Re(u * conj(S)) = ur*Sr + ui*Si.
-        dbank_acc = dbank_acc + ur * spec_r[:, s] + ui * spec_i[:, s]
-        # t partial: this block's bank rows * u (summed over fb in XLA).
-        t_rs.append(bank_lin * ur)
-        t_is.append(bank_lin * ui)
+        sre, sie = spec_r[:, s], spec_i[:, s]
+        if complex_bank:
+            # dbank partial: conj(u) * S, both parts.
+            dbank_acc = dbank_acc + jnp.concatenate(
+                [ur * sre + ui * sie, ur * sie - ui * sre], 0)
+            # t partial: conj(B) * u (summed over fb in XLA).
+            blr, bli = bank_lin[:fbk1], bank_lin[fbk1:]
+            t_rs.append(blr * ur + bli * ui)
+            t_is.append(blr * ui - bli * ur)
+        else:
+            # dbank partial: Re(u * conj(S)) = ur*Sr + ui*Si.
+            dbank_acc = dbank_acc + ur * sre + ui * sie
+            # t partial: this block's bank rows * u (summed over fb in XLA).
+            t_rs.append(bank_lin * ur)
+            t_is.append(bank_lin * ui)
 
     dbank_ref[0, 0] = dbank_acc
     t_contrib = jnp.concatenate(t_rs + t_is, 0)       # (2*E*FB*K1, 128)
@@ -707,21 +727,30 @@ def bwd_kernel_flops(c: int, n_blocks: int, e: int, n: int,
 def _fused_power_bwd(signals, bank, g, interpolate: bool, interpret: bool,
                      precision: str):
     """Fused-kernel backward of the epoch-mean power: (E, C, N) signals,
-    (F, N) REAL bank, (C, F, N) cotangent g -> (ds, dbank).
+    (F, N) real OR complex bank, (C, F, N) cotangent g -> (ds, dbank).
 
-    Mathematically identical to ``_mean_power_bwd`` (the gated XLA adjoint
-    pipeline); the iDFT recompute and the adjoint DFT run as MXU matmuls
-    in VMEM instead of HBM-bound XLA FFTs — the backward was ~8x the fused
-    forward's wall time on v5e, dominated by per-epoch (C, F, N) complex
-    FFT traffic.  Only the final ifft of the (E, C, K1*128)-binned ``t``
-    (one pass) stays in XLA.
+    Mathematically identical to ``_mean_power_bwd`` /
+    ``_mean_power_bwd_complex`` (the gated XLA adjoint pipelines); the
+    iDFT recompute and the adjoint DFT run as MXU matmuls in VMEM instead
+    of HBM-bound XLA FFTs — the backward was ~8x the fused forward's wall
+    time on v5e, dominated by per-epoch (C, F, N) complex FFT traffic.
+    Only the final ifft of the (E, C, K1*128)-binned ``t`` (one pass)
+    stays in XLA.  A complex (Normal/Twice-mode) bank doubles the bank
+    planes ([real; imag] stacked rows) and the dbank output (conj(u)*S has
+    a live imaginary part — returned complex, matching jax.vjp).
+
+    E here is one VJP chunk (the fused_mean_power_from_bank wrapper scans
+    chunks of MAX_EPOCHS_PER_CALL): the in-kernel working set and the t
+    output scale with E, and E >> 16 overflows scoped VMEM at large C*F.
     """
     e, c, n = signals.shape
+    cx = bool(jnp.iscomplexobj(bank))
     f_total = bank.shape[0]
     n1_dim = n // LANES
     k1_dim = n1_dim // 2 if interpolate else n1_dim
     fb = _f_block(n)
     fbk1 = fb * k1_dim
+    bank_rows = (2 if cx else 1) * fbk1
     pad_f = (-f_total) % fb
     if pad_f:
         bank = jnp.pad(bank, ((0, pad_f), (0, 0)))
@@ -743,11 +772,18 @@ def _fused_power_bwd(signals, bank, g, interpolate: bool, interpret: bool,
     # iFFT 1/N and the |.|^2/E adjoint 2/E; everything downstream is
     # linear in x so one fold covers u, t and dbank alike) — and the
     # unscaled epilogue bank in the kernel's ((fb, k1), k2) row layout.
-    bank_lin = bank[:, :k1_dim * LANES].reshape(n_blocks, fbk1, LANES)
+    # Complex banks stack [real; imag] rows in both.
+    def rows_of(x):
+        return x[:, :k1_dim * LANES].reshape(n_blocks, fbk1, LANES)
+    if cx:
+        bank_lin = jnp.concatenate([rows_of(bank.real), rows_of(bank.imag)],
+                                   axis=1)
+    else:
+        bank_lin = rows_of(bank)
     bank_t = bank_lin * (2.0 / (float(e) * float(n)))
     bank_t = jnp.broadcast_to(bank_t[:, :, None, :],
-                              (n_blocks, fbk1, e, LANES)
-                              ).reshape(n_blocks, fbk1, e * LANES)
+                              (n_blocks, bank_rows, e, LANES)
+                              ).reshape(n_blocks, bank_rows, e * LANES)
 
     # Cotangent tiles: (C, F, N) -> (C, n_blocks, (fb, n1), n2) — the
     # stage-2 output layout (n = n1 + N1*n2).
@@ -762,16 +798,17 @@ def _fused_power_bwd(signals, bank, g, interpolate: bool, interpret: bool,
                                      memory_space=pltpu.VMEM)
     dbank_part, t_planes = pl.pallas_call(
         functools.partial(_bwd_kernel, n_epochs=e, n1_dim=n1_dim,
-                          analytic=interpolate, precision=precision),
+                          analytic=interpolate, precision=precision,
+                          complex_bank=cx),
         grid=(c, n_blocks),
         in_specs=[
             pl.BlockSpec((1, k1_dim, e * LANES), lambda ci, fi: (ci, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k1_dim, e * LANES), lambda ci, fi: (ci, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, fbk1, e * LANES), lambda ci, fi: (fi, 0, 0),
+            pl.BlockSpec((1, bank_rows, e * LANES), lambda ci, fi: (fi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, fbk1, LANES), lambda ci, fi: (fi, 0, 0),
+            pl.BlockSpec((1, bank_rows, LANES), lambda ci, fi: (fi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, LANES, LANES), lambda ci, fi: (ci, fi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -785,13 +822,15 @@ def _fused_power_bwd(signals, bank, g, interpolate: bool, interpret: bool,
             rep((LANES, LANES)),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, fbk1, LANES), lambda ci, fi: (ci, fi, 0, 0),
+            pl.BlockSpec((1, 1, bank_rows, LANES),
+                         lambda ci, fi: (ci, fi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * e * fbk1, LANES), lambda ci, fi: (ci, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((c, n_blocks, fbk1, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((c, n_blocks, bank_rows, LANES),
+                                 jnp.float32),
             jax.ShapeDtypeStruct((c, 2 * e * fbk1, LANES), jnp.float32),
         ),
         interpret=interpret,
@@ -807,7 +846,15 @@ def _fused_power_bwd(signals, bank, g, interpolate: bool, interpret: bool,
 
     # dbank: sum channel partials; rows ((fb, k1), k2) -> bank row
     # fi*fb + fbi at bins 128*k1 + k2; the _mean_power_bwd 1/N lands here.
-    dbank = dbank_part.sum(0).reshape(n_blocks * fb, k1_dim * LANES) / n
+    # Complex banks carry [real; imag] halves per block.
+    dsum = dbank_part.sum(0)                # (nb, bank_rows, 128)
+    if cx:
+        dsum = dsum.reshape(n_blocks, 2, fbk1, LANES)
+        parts = [dsum[:, k].reshape(n_blocks * fb, k1_dim * LANES) / n
+                 for k in (0, 1)]
+        dbank = lax.complex(parts[0], parts[1])
+    else:
+        dbank = dsum.reshape(n_blocks * fb, k1_dim * LANES) / n
     dbank = jnp.pad(dbank, ((0, 0), (0, n - k1_dim * LANES)))
     if pad_f:
         dbank = dbank[:f_total]
@@ -875,6 +922,10 @@ def _fused_power_mean_vjp_complex(interpolate: bool, interpret: bool,
 
     def bwd(res, g):
         signals, bank = res
+        if (_FUSED_BWD and precision in ("fast3", "exact", "bf16")
+                and _supported(signals.shape[-1])):
+            return _fused_power_bwd(signals, bank, g, interpolate,
+                                    interpret, precision)
         return _mean_power_bwd_complex(signals, bank, interpolate, g)
 
     f.defvjp(fwd, bwd)

@@ -402,3 +402,29 @@ def test_power_itc_combined_epilogue(e):
     finite = np.isfinite(i_w)
     np.testing.assert_allclose(np.asarray(i_g)[finite], i_w[finite],
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("interpolate", [True, False])
+def test_fused_backward_complex_bank(interpolate):
+    """The complex-bank fused backward (stacked [real; imag] bank planes,
+    complex dbank output) must match the XLA complex adjoint."""
+    rng = np.random.default_rng(13)
+    e, c, f, n = 4, 2, 13, 2048
+    sig = jnp.asarray(rng.standard_normal((e, c, n)).astype(np.float32))
+    bank = jnp.asarray((rng.standard_normal((f, n))
+                        + 1j * rng.standard_normal((f, n))
+                        ).astype(np.complex64))
+    g = jnp.asarray(rng.standard_normal((c, f, n)).astype(np.float32))
+
+    ds_w, db_w = jax.jit(
+        lambda s, b, gg: fused._mean_power_bwd_complex(s, b, interpolate,
+                                                       gg))(sig, bank, g)
+    ds_g, db_g = jax.jit(
+        lambda s, b, gg: fused._fused_power_bwd(s, b, gg, interpolate,
+                                                True, "exact"))(sig, bank, g)
+    np.testing.assert_allclose(np.asarray(ds_g), np.asarray(ds_w),
+                               rtol=1e-4,
+                               atol=1e-5 * np.abs(np.asarray(ds_w)).max())
+    np.testing.assert_allclose(np.asarray(db_g), np.asarray(db_w),
+                               rtol=1e-4,
+                               atol=1e-5 * np.abs(np.asarray(db_w)).max())
