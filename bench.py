@@ -181,9 +181,13 @@ def main_grad():
     signals = jnp.asarray(
         rng.standard_normal((epochs, channels, n)).astype(np.float32))
 
-    grad_step = jax.jit(jax.grad(lambda s, b: jnp.sum(
+    # value_and_grad: a plain grad-of-sum lets XLA DCE the forward kernel
+    # entirely (the custom VJP's residuals are just the inputs), timing
+    # only the backward; a training step wants the loss too.
+    grad_step = jax.jit(jax.value_and_grad(lambda s, b: jnp.sum(
         fused.fused_mean_power_from_bank(s, b, True,
                                          precision=precision))))
+    jax.block_until_ready(grad_step(signals, bank))
     jax.block_until_ready(grad_step(signals, bank))
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -191,7 +195,7 @@ def main_grad():
     jax.block_until_ready(g)
     elapsed = time.perf_counter() - t0
     value = epochs * (n / sfreq) * iters / elapsed
-    print(json.dumps({
+    record = {
         "metric": "grad_eeg_seconds_per_s_per_chip",
         "value": round(value, 2),
         "unit": "EEG-s/s",
@@ -200,7 +204,26 @@ def main_grad():
                    "epochs_per_call": epochs, "iters": iters,
                    "precision": precision,
                    "device": str(jax.devices()[0])},
-    }))
+    }
+    # MXU utilization of the full grad step (fused forward + fused
+    # backward kernels; the model counts single-pass matmul FLOPs, x
+    # hardware passes per precision).
+    passes = {"bf16": 1.0, "fast3": 3.0, "exact": 6.0}.get(precision)
+    if passes is not None and fused.supports(signals.shape, bank):
+        import math
+        fb = 128 // (n // 128)
+        n_blocks = math.ceil(n_freqs / fb)
+        e_cap = fused.MAX_EPOCHS_PER_CALL
+        n_chunks = math.ceil(epochs / e_cap)
+        per_chunk = (fused.kernel_flops(channels, n_blocks,
+                                        min(epochs, e_cap), n, True)
+                     + fused.bwd_kernel_flops(channels, n_blocks,
+                                              min(epochs, e_cap), n, True))
+        tflops = per_chunk * n_chunks * iters * passes / elapsed / 1e12
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+        record["mxu_tflops"] = round(tflops, 1)
+        record["mxu_utilization"] = round(tflops / peak, 3)
+    print(json.dumps(record))
 
 
 def main():
