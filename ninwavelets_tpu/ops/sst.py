@@ -32,7 +32,7 @@ from jax import lax
 from .cwt import analytic_spectrum
 
 __all__ = ["ssq_power_from_bank", "ssq_power", "ssq_mean_power_from_bank",
-           "ssq_mean_power"]
+           "ssq_mean_power", "uniform_grid_hint"]
 
 
 def _bin_nu(n: int, sfreq: float) -> jnp.ndarray:
@@ -42,11 +42,30 @@ def _bin_nu(n: int, sfreq: float) -> jnp.ndarray:
     return jnp.where(k < (n + 1) // 2, k, k - n) * (sfreq / n)
 
 
+def uniform_grid_hint(freqs):
+    """(edges0, df) when ``freqs`` is uniformly spaced, else None.
+
+    With a uniform grid the edge-count scan that maps instantaneous
+    frequencies to target rows collapses to one closed-form
+    ``ceil((omega - edges0) / df)`` — the scan re-reads the whole omega
+    plane once per edge (~F passes of HBM traffic), the closed form once.
+    Detected on HOST frequencies by the public wrappers and threaded down
+    as a STATIC hint (a traced grid cannot be inspected).
+    """
+    f = np.asarray(freqs, np.float64)
+    if f.size < 2:
+        return None
+    d = np.diff(f)
+    if np.allclose(d, d[0], rtol=1e-6, atol=0.0):
+        return (float((f[0] + f[1]) / 2.0), float(d[0]))
+    return None
+
+
 def _reassigned_power(signal, bank, f_grid, sfreq: float, interpolate: bool,
                       rel_threshold: float, row_offset: int = 0,
                       n_rows_out: int | None = None,
                       freq_axis: str | None = None,
-                      vma_axes=()) -> jnp.ndarray:
+                      vma_axes=(), uniform_grid=None) -> jnp.ndarray:
     """Core reassignment: (..., N) x (F_local, N) -> (..., F_out, N).
 
     ``bank`` may be a SLICE of the full bank (rows [row_offset,
@@ -79,15 +98,25 @@ def _reassigned_power(signal, bank, f_grid, sfreq: float, interpolate: bool,
     # a (128, 100, 2048) plane); counting edges below omega under a scan
     # is the same left-bisect result as one vectorized compare per edge
     # (63 ms, bitwise-identical).
-    edges = 0.5 * (f_grid[1:] + f_grid[:-1])
-    zero_i = jnp.zeros(omega.shape, jnp.int32)
-    if vma_axes:
-        # Inside shard_map the scan body output varies over the mesh axes;
-        # the zero init must carry the same varying-axes type (CLAUDE.md).
-        zero_i = lax.pcast(zero_i, tuple(vma_axes), to="varying")
-    idx, _ = lax.scan(
-        lambda acc, e: (acc + (omega > e).astype(jnp.int32), None),
-        zero_i, edges)
+    n_edges = f_grid.shape[0] - 1
+    if uniform_grid is not None:
+        # Uniform grid: the left-bisect count has a closed form (same
+        # result as the scan up to float rounding AT an edge — measure
+        # zero for real data).
+        e0, df = uniform_grid
+        idx = jnp.clip(jnp.ceil((omega - e0) / df), 0, n_edges
+                       ).astype(jnp.int32)
+    else:
+        edges = 0.5 * (f_grid[1:] + f_grid[:-1])
+        zero_i = jnp.zeros(omega.shape, jnp.int32)
+        if vma_axes:
+            # Inside shard_map the scan body output varies over the mesh
+            # axes; the zero init must carry the same varying-axes type
+            # (CLAUDE.md).
+            zero_i = lax.pcast(zero_i, tuple(vma_axes), to="varying")
+        idx, _ = lax.scan(
+            lambda acc, e: (acc + (omega > e).astype(jnp.int32), None),
+            zero_i, edges)
 
     # Noise gate: keep weak cells where they are (their phase is noise).
     floor = rel_threshold * jnp.max(power, axis=(-2, -1), keepdims=True)
@@ -119,7 +148,8 @@ def _reassigned_power(signal, bank, f_grid, sfreq: float, interpolate: bool,
 
 def ssq_power_from_bank(signal: jnp.ndarray, bank: jnp.ndarray, freqs,
                         sfreq: float, interpolate: bool = True,
-                        rel_threshold: float = 1e-6) -> jnp.ndarray:
+                        rel_threshold: float = 1e-6,
+                        uniform_grid=None) -> jnp.ndarray:
     """Synchrosqueezed power: (..., N) -> (..., F, N) with the energy of
     each scalogram cell reassigned to the analysis row nearest its
     instantaneous frequency.
@@ -139,13 +169,13 @@ def ssq_power_from_bank(signal: jnp.ndarray, bank: jnp.ndarray, freqs,
     """
     f_grid = jnp.asarray(freqs, jnp.float32)
     return _reassigned_power(signal, bank, f_grid, sfreq, interpolate,
-                             rel_threshold)
+                             rel_threshold, uniform_grid=uniform_grid)
 
 
 def ssq_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray, freqs,
                              sfreq: float, interpolate: bool = True,
                              rel_threshold: float = 1e-6,
-                             vma_axes=()) -> jnp.ndarray:
+                             vma_axes=(), uniform_grid=None) -> jnp.ndarray:
     """Epoch-mean synchrosqueezed power: (E, ..., N) -> (..., F, N).
 
     The epochs analog of ``ops.cwt.mean_power`` for the reassigned
@@ -168,39 +198,48 @@ def ssq_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray, freqs,
         # zero-inits its own carry, which must match shard_map's
         # varying-axes type too.
         return acc + _reassigned_power(sig, bank, f_grid, sfreq, interpolate,
-                                       rel_threshold,
-                                       vma_axes=vma_axes), None
+                                       rel_threshold, vma_axes=vma_axes,
+                                       uniform_grid=uniform_grid), None
 
     total = lax.scan(step, zero, signals)[0]
     return total / e
 
 
-@partial(jax.jit, static_argnames=("sfreq", "interpolate", "rel_threshold"))
-def _ssq_jit(signal_r, bank_r, f_grid, *, sfreq, interpolate, rel_threshold):
+@partial(jax.jit, static_argnames=("sfreq", "interpolate", "rel_threshold",
+                                   "uniform_grid"))
+def _ssq_jit(signal_r, bank_r, f_grid, *, sfreq, interpolate, rel_threshold,
+             uniform_grid):
     return ssq_power_from_bank(signal_r, bank_r, f_grid, sfreq, interpolate,
-                               rel_threshold)
+                               rel_threshold, uniform_grid)
 
 
 def ssq_power(signal_r, bank_r, freqs, sfreq: float,
               interpolate: bool = True, rel_threshold: float = 1e-6):
-    """Jitted float-boundary wrapper for ``ssq_power_from_bank``."""
-    return _ssq_jit(signal_r, bank_r,
-                    jnp.asarray(np.asarray(freqs, np.float32)),
+    """Jitted float-boundary wrapper for ``ssq_power_from_bank`` (the
+    uniform-grid closed-form row mapping is detected here, on host
+    frequencies)."""
+    freqs = np.asarray(freqs, np.float32)
+    return _ssq_jit(signal_r, bank_r, jnp.asarray(freqs),
                     sfreq=float(sfreq), interpolate=interpolate,
-                    rel_threshold=float(rel_threshold))
+                    rel_threshold=float(rel_threshold),
+                    uniform_grid=uniform_grid_hint(freqs))
 
 
-@partial(jax.jit, static_argnames=("sfreq", "interpolate", "rel_threshold"))
+@partial(jax.jit, static_argnames=("sfreq", "interpolate", "rel_threshold",
+                                   "uniform_grid"))
 def _ssq_mean_jit(signals_r, bank_r, f_grid, *, sfreq, interpolate,
-                  rel_threshold):
+                  rel_threshold, uniform_grid):
     return ssq_mean_power_from_bank(signals_r, bank_r, f_grid, sfreq,
-                                    interpolate, rel_threshold)
+                                    interpolate, rel_threshold,
+                                    uniform_grid=uniform_grid)
 
 
 def ssq_mean_power(signals_r, bank_r, freqs, sfreq: float,
                    interpolate: bool = True, rel_threshold: float = 1e-6):
-    """Jitted float-boundary wrapper for ``ssq_mean_power_from_bank``."""
-    return _ssq_mean_jit(signals_r, bank_r,
-                         jnp.asarray(np.asarray(freqs, np.float32)),
+    """Jitted float-boundary wrapper for ``ssq_mean_power_from_bank``
+    (uniform-grid mapping detected on host frequencies)."""
+    freqs = np.asarray(freqs, np.float32)
+    return _ssq_mean_jit(signals_r, bank_r, jnp.asarray(freqs),
                          sfreq=float(sfreq), interpolate=interpolate,
-                         rel_threshold=float(rel_threshold))
+                         rel_threshold=float(rel_threshold),
+                         uniform_grid=uniform_grid_hint(freqs))

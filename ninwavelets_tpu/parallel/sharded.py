@@ -339,10 +339,11 @@ def sharded_coherence_matrix(sigs, bank_r, bank_i=None, *, mesh: Mesh,
 
 
 @partial(jax.jit, static_argnames=("mesh", "sfreq", "interpolate",
-                                   "rel_threshold"))
+                                   "rel_threshold", "uniform_grid"))
 def sharded_ssq_mean_power(signals_r, bank_r, f_grid, *, mesh: Mesh,
                            sfreq: float, interpolate: bool = True,
-                           rel_threshold: float = 1e-6):
+                           rel_threshold: float = 1e-6,
+                           uniform_grid=None):
     """Epoch-mean synchrosqueezed power over the mesh:
     (E, ..., N) -> (..., F, N).
 
@@ -373,7 +374,8 @@ def sharded_ssq_mean_power(signals_r, bank_r, f_grid, *, mesh: Mesh,
                 s, br, fg, sfreq, interpolate, rel_threshold,
                 row_offset=offset, n_rows_out=fg.shape[0],
                 freq_axis=FREQ_AXIS,
-                vma_axes=(DATA_AXIS, FREQ_AXIS)), None
+                vma_axes=(DATA_AXIS, FREQ_AXIS),
+                uniform_grid=uniform_grid), None
 
         total = lax.scan(step, zero, sig)[0]
         total = lax.psum(total, FREQ_AXIS)        # complete target rows

@@ -375,3 +375,29 @@ def test_ssq_mean_power_vma_axes_inside_shard_map():
                         out_specs=P(par.DATA_AXIS))(sig)
     # data-sharded epochs -> each shard's epoch mean stacks on axis 0
     assert np.asarray(out).shape == (2 * mesh.size, freqs.size, 1024)
+
+
+def test_uniform_grid_closed_form_matches_scan():
+    """The uniform-grid row mapping (closed-form ceil) must reproduce the
+    edge-count scan bit-for-bit away from edges — and detection must
+    reject non-uniform grids."""
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+    from ninwavelets_tpu.ops.sst import (ssq_power_from_bank,
+                                         uniform_grid_hint)
+    assert uniform_grid_hint(np.arange(5.0, 50.0, 5.0)) is not None
+    assert uniform_grid_hint(np.geomspace(5.0, 50.0, 10)) is None
+    assert uniform_grid_hint([10.0]) is None
+
+    morse = nw.Morse(1000.0)
+    freqs = np.arange(10.0, 90.0, 4.0, dtype=np.float32)
+    n = 1024
+    bank = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(freqs), n, 1000.0, True), np.float32))
+    sig = jnp.asarray(np.random.default_rng(4)
+                      .standard_normal((3, n)).astype(np.float32))
+    f_grid = jnp.asarray(freqs)
+    scan = np.asarray(ssq_power_from_bank(sig, bank, f_grid, 1000.0))
+    closed = np.asarray(ssq_power_from_bank(
+        sig, bank, f_grid, 1000.0,
+        uniform_grid=uniform_grid_hint(freqs)))
+    np.testing.assert_allclose(closed, scan, rtol=1e-6, atol=1e-7)
