@@ -288,6 +288,37 @@ class WaveletBase:
                     interpolate=self.interpolate,
                     rel_threshold=rel_threshold)
 
+    def scattering(self, wave, freqs1: Numbers, freqs2: Numbers,
+                   stride: int = 32, lowpass: str = "auto"):
+        """Order-2 time scattering (extension — see ``ops.scattering``):
+        CWT -> modulus -> CWT -> lowpass, returning (S1, S2) translation-
+        stable features.  ``freqs1`` are analysis frequencies, ``freqs2``
+        MODULATION rates (typically 1-64 Hz).  Banks are built at the
+        signal length directly (two banks — the cwt/power cache is not
+        touched); requires a real-bank (analytic) family.
+        """
+        from ..ops import bank as _bank
+        from ..ops.scattering import scattering as _scat
+        wave_r = jnp.asarray(np.asarray(wave, dtype=np.float32))
+        n = wave_r.shape[-1]
+
+        def build(freqs, analytic):
+            br, bi = _bank.make_fft_bank_ri(
+                self._wdef(), self._check_freqs(freqs), n, self.sfreq,
+                analytic, self.real_wave_length)
+            if bi is not None:
+                raise ValueError(
+                    "scattering needs an analytic (real-bank) family — "
+                    "Normal/Twice-mode banks are not meaningful here")
+            return br
+
+        # Layer 2 sees the (real, nonnegative) modulus — its spectrum is
+        # genuinely two-sided, so no analytic trick there.
+        b1 = build(freqs1, self.interpolate)
+        b2 = build(freqs2, False)
+        return _scat(wave_r, b1, b2, self.sfreq, stride=stride,
+                     interpolate=self.interpolate, lowpass=lowpass)
+
     def plot(self, freq: float, show: bool = True):
         from ..utils.plotting import plot_wavelet
         return plot_wavelet(self, freq, show)

@@ -1,6 +1,7 @@
 """Time-scattering transform (beyond-reference extension)."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import ninwavelets_tpu as nw
 from ninwavelets_tpu.ops.bank import make_fft_bank
@@ -106,3 +107,33 @@ def test_matmul_lowpass_matches_fft_path():
     for want, got in ((s1_f, s1_m), (s2_f, s2_m)):
         w, g = np.asarray(want), np.asarray(got)
         assert np.abs(g - w).max() <= 1e-5 * np.abs(w).max()
+
+
+def test_waveletbase_scattering_convenience():
+    """Morse.scattering == ops.scattering with directly built banks; the
+    complex-bank families are rejected."""
+    import ninwavelets_tpu as nw
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+
+    morse = nw.Morse(SFREQ)
+    f1 = np.geomspace(20.0, 200.0, 12)
+    f2 = np.geomspace(2.0, 32.0, 6)
+    sig = np.random.default_rng(7).standard_normal(N).astype(np.float32)
+    s1, s2 = morse.scattering(sig, f1, f2, stride=STRIDE)
+    assert np.asarray(s1).shape == (12, N // STRIDE)
+    assert np.asarray(s2).shape == (6, 12, N // STRIDE)
+    b1 = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(f1, jnp.float32), N, SFREQ,
+        morse.interpolate), np.float32))
+    b2 = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(f2, jnp.float32), N, SFREQ, False),
+        np.float32))
+    w1, w2 = scattering(jnp.asarray(sig), b1, b2, SFREQ, stride=STRIDE,
+                        interpolate=morse.interpolate)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(w1), rtol=1e-6,
+                               atol=1e-6 * np.abs(np.asarray(w1)).max())
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(w2), rtol=1e-6,
+                               atol=1e-6 * np.abs(np.asarray(w2)).max())
+
+    with pytest.raises(ValueError, match="analytic"):
+        nw.MexicanHat(SFREQ).scattering(sig, f1, f2)
