@@ -49,6 +49,17 @@ def main(proc: int, nproc: int, coordinator: str) -> None:
     print(f"proc {proc}: TFR {out.shape} finite={ok}", flush=True)
     assert ok
 
+    # Full distributed TRAINING step across the processes: the cotangent
+    # is freq-sharded like the power; the bank gradient's data-psum is a
+    # second cross-process collective.
+    g = par.shard_batch(jnp.ones_like(out), mesh,
+                        P(None, par.FREQ_AXIS, None))
+    p, ds, db = par.sharded_mean_power_grad(dev, bank, g, mesh=mesh)
+    ok2 = bool(jnp.isfinite(ds).all()) and bool(jnp.isfinite(db).all())
+    print(f"proc {proc}: train step ds{ds.shape} db{db.shape} "
+          f"finite={ok2}", flush=True)
+    assert ok2
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]),
