@@ -11,6 +11,7 @@ from .baseline import (Baseline, baseline_correct, baseline_of, baseline_tf,
 from .cwt import (abs_from_bank, analytic_spectrum, cwt_abs, cwt_from_bank,
                   cwt_ri, itc, itc_from_bank, mean_power,
                   mean_power_from_bank, power, power_from_bank, split_complex)
+from .fit import fit_frequencies, learn_bank
 from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            pac, pac_from_banks, pair_matrix_scan, plv,
                            plv_from_bank, plv_matrix, plv_matrix_from_bank,
@@ -61,6 +62,7 @@ __all__ = [
     "ssq_mean_power_from_bank",
     "extract_ridge", "ridge_frequencies",
     "scattering", "scattering_from_banks", "lowpass_spectrum",
+    "fit_frequencies", "learn_bank",
     "ar1_coefficient", "background_power", "coi_mask", "efolding_times",
     "global_spectrum", "red_noise_spectrum", "significance_level",
     "significant_mask",

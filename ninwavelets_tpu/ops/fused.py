@@ -886,7 +886,11 @@ def _fused_power_mean_vjp(interpolate: bool, interpret: bool,
                            "power")
 
     def fwd(signals, bank):
-        return f(signals, bank), (signals, bank)
+        # NOT f(...): a custom_vjp self-call in fwd trips a KeyError
+        # ('closed_call') when the grad runs inside lax.scan (optimizer
+        # loops, ops.fit); the underlying call is the standard pattern.
+        return _fused_call(signals, bank, interpolate, interpret,
+                           precision, "power"), (signals, bank)
 
     def bwd(res, g):
         signals, bank = res
@@ -918,7 +922,11 @@ def _fused_power_mean_vjp_complex(interpolate: bool, interpret: bool,
                            "power")
 
     def fwd(signals, bank):
-        return f(signals, bank), (signals, bank)
+        # NOT f(...): a custom_vjp self-call in fwd trips a KeyError
+        # ('closed_call') when the grad runs inside lax.scan (optimizer
+        # loops, ops.fit); the underlying call is the standard pattern.
+        return _fused_call(signals, bank, interpolate, interpret,
+                           precision, "power"), (signals, bank)
 
     def bwd(res, g):
         signals, bank = res
@@ -1199,7 +1207,10 @@ def _fused_itc_vjp(interpolate: bool, interpret: bool, precision: str):
         return jnp.sqrt(sr * sr + si * si) / signals.shape[0]
 
     def fwd(signals, bank):
-        return f(signals, bank), (signals, bank)
+        sr, si = _itc_sums(signals, bank, interpolate, interpret,
+                           precision)
+        return (jnp.sqrt(sr * sr + si * si) / signals.shape[0],
+                (signals, bank))
 
     def bwd(res, g):
         signals, bank = res
