@@ -7,8 +7,8 @@ the surface end to end on one small multi-channel epochs batch:
      all-pairs (F, C, C) matrix, and a phase-amplitude comodulogram
   2. denoising — wavelet shrinkage pulling a tone out of noise
   3. time scattering — telling a pure tone from the same tone tremolo'd
-  4. gradients — one optimization step tuning an analysis frequency to a
-     tone by gradient DESCENT on negative captured power
+  4. gradients — ``ops.fit.fit_frequencies`` learning analysis
+     frequencies onto a tone by gradient descent
   5. the config pipeline — power + ITC (+ connectivity matrices) from a
      dataclass description
 
@@ -104,23 +104,14 @@ def main():
     print(f"scattering order-2 energy: tone {e2[0]:.3f} vs tremolo "
           f"{e2[1]:.3f} (the tremolo's 8 Hz modulation lives here)")
 
-    # 4 — one gradient step on an analysis frequency
-    sig = jnp.asarray(tone)
-
-    def captured(freq_hz):
-        from ninwavelets_tpu.ops.bank import make_fft_bank_ri
-        br, _ = make_fft_bank_ri(morse._wdef(), freq_hz[None], 2048,
-                                 SFREQ, True, morse.real_wave_length)
-        from ninwavelets_tpu.ops.cwt import power_from_bank
-        return -jnp.mean(power_from_bank(sig, br, True))
-
-    f0 = jnp.float32(52.0)
-    grad_fn = jax.grad(captured)
-    f_hz = f0
-    for _ in range(4):
-        f_hz = f_hz - 25.0 * grad_fn(f_hz)   # descent toward the tone
-    print(f"gradient descent on an analysis frequency: 52.0 Hz -> "
-          f"{float(f_hz):.1f} Hz over 4 steps (tone at 60)")
+    # 4 — learn analysis frequencies by gradient descent (ops.fit)
+    from ninwavelets_tpu.ops.fit import fit_frequencies
+    f_fit, losses = fit_frequencies(tone[None, None, :], morse._wdef(),
+                                    [45.0, 80.0], SFREQ, steps=120)
+    print(f"fit_frequencies: [45, 80] Hz -> "
+          f"{np.round(np.asarray(f_fit), 1).tolist()} Hz "
+          f"(tone at 60; loss {float(losses[0]):.3f} -> "
+          f"{float(losses[-1]):.3f})")
 
     # 5 — the config pipeline
     from ninwavelets_tpu import config as cfg
