@@ -67,6 +67,7 @@ class PipelineConfig:
     significance: Optional[float] = None   # p-level (e.g. 0.95) -> mask
     global_spectrum: bool = False          # COI-masked time average
     ridge: bool = False                    # per-channel DP ridge (Hz)
+    ssq: bool = False                      # epoch-mean synchrosqueezed power
     connectivity: Optional[str] = None     # None | "plv" | "coherence" | "both"
     connectivity_window: Optional[Tuple[float, float]] = None  # (start_s, stop_s)
 
@@ -128,6 +129,17 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
                 p=float(cfg.significance), n_epochs=e_count))
         import jax.numpy as jnp
         out["significant"] = jnp.stack(masks)
+
+    if cfg.ssq:
+        # Epoch-mean synchrosqueezed power (extension — ``ops.sst``);
+        # reuses the bank already built (real banks only: phase needed).
+        if bank_i is not None:
+            raise ValueError(
+                "ssq needs an analytic (real-bank) wavelet family — "
+                "Normal/Twice-mode banks carry no usable phase")
+        from .ops.sst import ssq_mean_power
+        out["ssq_power"] = ssq_mean_power(waves, bank_r, freqs, sfreq,
+                                          interpolate=interp)
 
     if cfg.connectivity is not None:
         # All-pairs (F, C, C) matrices over every channel (extension —

@@ -280,3 +280,29 @@ def test_streaming_multichannel_matches_per_channel():
                                    rtol=1e-6, atol=1e-7)
     dev = np.asarray(s.power_device(sig))
     np.testing.assert_allclose(dev, multi, rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_ssq_stage():
+    import numpy as np
+
+    class FakeEpochs:
+        info = {'sfreq': 1000.0}
+        ch_names = ['a']
+        def get_data(self):
+            rng = np.random.default_rng(2)
+            t = np.arange(512) / 1000.0
+            return (np.sin(2 * np.pi * 40 * t)[None, None, :]
+                    + 0.1 * rng.standard_normal((4, 1, 512)))
+
+    out = cfg.run_pipeline(
+        cfg.PipelineConfig(freqs=(20.0, 60.0, 5.0), ssq=True), FakeEpochs())
+    s = np.asarray(out["ssq_power"])
+    p = np.asarray(out["power"])
+    assert s.shape == p.shape == (1, 8, 512)
+    # Reassignment concentrates the 40 Hz tone's band energy
+    row = 4
+    band = slice(3, 6)
+    m = 100
+    conc_s = s[0, row, m:-m].sum() / max(s[0, band, m:-m].sum(), 1e-12)
+    conc_p = p[0, row, m:-m].sum() / max(p[0, band, m:-m].sum(), 1e-12)
+    assert conc_s > conc_p
