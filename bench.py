@@ -209,9 +209,12 @@ def main_grad():
     # backward kernels; the model counts single-pass matmul FLOPs, x
     # hardware passes per precision).
     passes = {"bf16": 1.0, "fast3": 3.0, "exact": 6.0}.get(precision)
-    if passes is not None and fused.supports(signals.shape, bank):
+    if (passes is not None and fused.supports(signals.shape, bank)
+            and fused._FUSED_BWD):
+        # (model gated on _FUSED_BWD: with NINW_FUSED_BWD=0 the backward
+        # is the XLA adjoint and a kernel-FLOP MFU would be fiction)
         import math
-        fb = 128 // (n // 128)
+        fb = fused._f_block(n)
         n_blocks = math.ceil(n_freqs / fb)
         e_cap = fused.MAX_EPOCHS_PER_CALL
         n_chunks = math.ceil(epochs / e_cap)
@@ -295,7 +298,7 @@ def main():
     passes = {"bf16": 1.0, "fast3": 3.0, "exact": 6.0}.get(precision)
     if passes is not None and fused.supports(signals.shape, bank):
         import math
-        fb = 128 // (n // 128)
+        fb = fused._f_block(n)
         n_blocks = math.ceil(n_freqs / fb)
         # Dispatched epochs: a batch under the cap runs at its true size
         # (no padding); above it, every chunk is a full e_cap (the ragged

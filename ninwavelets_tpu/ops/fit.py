@@ -21,7 +21,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from jax import lax
 
 from .bank import WaveletDef, make_fft_bank
@@ -34,6 +33,7 @@ __all__ = ["fit_frequencies", "learn_bank"]
                                    "lr", "n"))
 def _fit_freqs_jit(signals, freqs0, *, wdef, sfreq, interpolate, steps,
                    lr, n):
+    import optax   # lazy: optional dependency, like mne elsewhere
     opt = optax.adam(lr)
 
     def loss_fn(log_f):
@@ -79,38 +79,47 @@ def fit_frequencies(signals, wdef: WaveletDef, freqs0, sfreq: float,
 
 @partial(jax.jit, static_argnames=("loss", "interpolate", "steps", "lr",
                                    "use_fused", "precision", "interpret"))
-def _learn_bank_jit(signals, bank0, target, *, loss, interpolate, steps,
-                    lr, use_fused, precision, interpret):
+def _learn_bank_jit(signals, bank0_r, bank0_i, target, *, loss,
+                    interpolate, steps, lr, use_fused, precision,
+                    interpret):
+    import optax   # lazy: optional dependency, like mne elsewhere
     opt = optax.adam(lr)
 
-    def power_of(bank):
+    def power_of(params):
+        # Optimization variables are float pairs — complex64 must never
+        # cross the jit boundary on the TPU runtime (CLAUDE.md); it is
+        # assembled here, inside the program.
+        br, bi = params
+        bank = br if bi is None else lax.complex(br, bi)
         if use_fused:
             from .fused import fused_mean_power_from_bank
             return fused_mean_power_from_bank(signals, bank, interpolate,
                                               interpret, precision)
         return mean_power_from_bank(signals, bank, interpolate)
 
-    def loss_fn(bank):
-        p = power_of(bank)
+    def loss_fn(params):
+        p = power_of(params)
         if loss == "mse":
             return jnp.mean(jnp.square(p - target))
         return -jnp.mean(p)                       # "power"
 
     def step(carry, _):
-        bank, state = carry
-        val, g = jax.value_and_grad(loss_fn)(bank)
-        updates, state = opt.update(g, state, bank)
-        return (optax.apply_updates(bank, updates), state), val
+        params, state = carry
+        val, g = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(g, state, params)
+        return (optax.apply_updates(params, updates), state), val
 
-    (bank, _), losses = lax.scan(step, (bank0, opt.init(bank0)), None,
-                                 length=steps)
-    return bank, losses
+    params0 = (bank0_r, bank0_i)
+    (params, _), losses = lax.scan(step, (params0, opt.init(params0)),
+                                   None, length=steps)
+    return params, losses
 
 
 def learn_bank(signals, bank0, target=None, loss: str = "mse",
                interpolate: bool = True, steps: int = 200,
                lr: float = 1e-3, use_fused: bool = False,
-               precision: str = "fast3", interpret: bool = False):
+               precision: str = "fast3", interpret: bool = False,
+               bank0_i=None):
     """Learn a free-form (F, N) frequency-domain filterbank by gradient
     descent on a loss over the epoch-mean power TFR.
 
@@ -121,10 +130,17 @@ def learn_bank(signals, bank0, target=None, loss: str = "mse",
     bank cotangent comes from the analytic adjoint).  A wavelet bank
     (``make_fft_bank``) is the natural ``bank0``.
 
-    Returns ``(bank (F, N), losses (steps,))``.
+    A complex (Normal/Twice-mode) initialization is passed as the
+    (``bank0``, ``bank0_i``) float pair — complex64 never crosses the
+    program boundary — and the learned bank returns as the same pair.
+
+    Returns ``(bank (F, N), losses (steps,))`` for real banks,
+    ``((bank_r, bank_i), losses)`` when ``bank0_i`` is given.
     """
     signals = jnp.asarray(signals)
     bank0 = jnp.asarray(bank0)
+    if bank0_i is not None:
+        bank0_i = jnp.asarray(bank0_i)
     if loss == "mse":
         if target is None:
             raise ValueError('loss="mse" needs a target power plane')
@@ -133,8 +149,9 @@ def learn_bank(signals, bank0, target=None, loss: str = "mse",
         target = jnp.zeros((), jnp.float32)       # unused placeholder
     else:
         raise ValueError('loss must be "mse" or "power"')
-    return _learn_bank_jit(signals, bank0, target, loss=str(loss),
-                           interpolate=bool(interpolate), steps=int(steps),
-                           lr=float(lr), use_fused=bool(use_fused),
-                           precision=str(precision),
-                           interpret=bool(interpret))
+    (br, bi), losses = _learn_bank_jit(
+        signals, bank0, bank0_i, target, loss=str(loss),
+        interpolate=bool(interpolate), steps=int(steps), lr=float(lr),
+        use_fused=bool(use_fused), precision=str(precision),
+        interpret=bool(interpret))
+    return ((br, bi) if bank0_i is not None else br), losses

@@ -880,17 +880,17 @@ def _fused_power_mean_vjp(interpolate: bool, interpret: bool,
     compiled program (eager complex ops are unsupported at this backend's
     boundaries)."""
 
-    @jax.custom_vjp
-    def f(signals, bank):
+    # One primal, shared by f and fwd.  fwd must NOT self-call the
+    # custom_vjp-wrapped f: that trips a KeyError('closed_call') when the
+    # grad runs inside lax.scan (optimizer loops, ops.fit).
+    def call(signals, bank):
         return _fused_call(signals, bank, interpolate, interpret, precision,
                            "power")
 
+    f = jax.custom_vjp(call)
+
     def fwd(signals, bank):
-        # NOT f(...): a custom_vjp self-call in fwd trips a KeyError
-        # ('closed_call') when the grad runs inside lax.scan (optimizer
-        # loops, ops.fit); the underlying call is the standard pattern.
-        return _fused_call(signals, bank, interpolate, interpret,
-                           precision, "power"), (signals, bank)
+        return call(signals, bank), (signals, bank)
 
     def bwd(res, g):
         signals, bank = res
@@ -916,17 +916,17 @@ def _fused_power_mean_vjp_complex(interpolate: bool, interpret: bool,
     the XLA program instead, paying a full forward plus per-epoch AD
     residuals)."""
 
-    @jax.custom_vjp
-    def f(signals, bank):
+    # One primal, shared by f and fwd.  fwd must NOT self-call the
+    # custom_vjp-wrapped f: that trips a KeyError('closed_call') when the
+    # grad runs inside lax.scan (optimizer loops, ops.fit).
+    def call(signals, bank):
         return _fused_call(signals, bank, interpolate, interpret, precision,
                            "power")
 
+    f = jax.custom_vjp(call)
+
     def fwd(signals, bank):
-        # NOT f(...): a custom_vjp self-call in fwd trips a KeyError
-        # ('closed_call') when the grad runs inside lax.scan (optimizer
-        # loops, ops.fit); the underlying call is the standard pattern.
-        return _fused_call(signals, bank, interpolate, interpret,
-                           precision, "power"), (signals, bank)
+        return call(signals, bank), (signals, bank)
 
     def bwd(res, g):
         signals, bank = res
@@ -1201,16 +1201,14 @@ def _fused_itc_vjp(interpolate: bool, interpret: bool, precision: str):
     backward differentiates the mathematically identical XLA program."""
     from .cwt import itc_from_bank
 
-    @jax.custom_vjp
-    def f(signals, bank):
+    def call(signals, bank):
         sr, si = _itc_sums(signals, bank, interpolate, interpret, precision)
         return jnp.sqrt(sr * sr + si * si) / signals.shape[0]
 
+    f = jax.custom_vjp(call)
+
     def fwd(signals, bank):
-        sr, si = _itc_sums(signals, bank, interpolate, interpret,
-                           precision)
-        return (jnp.sqrt(sr * sr + si * si) / signals.shape[0],
-                (signals, bank))
+        return call(signals, bank), (signals, bank)
 
     def bwd(res, g):
         signals, bank = res

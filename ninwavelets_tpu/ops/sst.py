@@ -56,7 +56,9 @@ def uniform_grid_hint(freqs):
     if f.size < 2:
         return None
     d = np.diff(f)
-    if np.allclose(d, d[0], rtol=1e-6, atol=0.0):
+    if d[0] > 0 and np.allclose(d, d[0], rtol=1e-6, atol=0.0):
+        # Ascending only: a constant grid (df=0) would divide by zero and
+        # a descending one flips the bisect direction vs the scan path.
         return (float((f[0] + f[1]) / 2.0), float(d[0]))
     return None
 

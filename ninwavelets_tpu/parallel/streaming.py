@@ -221,7 +221,13 @@ class StreamingCWT:
             c_total *= int(d)
         if self._fused and c_total > 1:
             from ..ops.fused import MAX_EPOCHS_PER_CALL
-            return max(1, min(self.batch, MAX_EPOCHS_PER_CALL // c_total))
+            per_call = MAX_EPOCHS_PER_CALL // c_total
+            if per_call == 0:
+                # More channels than the cap: a single call is unreachable
+                # either way — keep the full window batch so dispatch
+                # overhead still amortizes across the chunk scan.
+                return self.batch
+            return max(1, min(self.batch, per_call))
         return self.batch
 
     def power(self, signal: np.ndarray) -> np.ndarray:

@@ -237,6 +237,8 @@ def test_extensions_demo_headless(capsys):
     mod.main()
     out = capsys.readouterr().out
     assert "PLV(ch0, ch1) @ 40 Hz: 0.99" in out
-    assert "-> 4.1 dB" in out or "-> 4." in out
+    import re
+    m = re.search(r"denoise: .* -> ([-\d.]+) dB", out)
+    assert m and float(m.group(1)) > 3.5    # gain floor, not a pin
     assert "tremolo" in out
     assert "fit_frequencies" in out and "60" in out

@@ -78,3 +78,32 @@ def test_learn_bank_fused_interpret_matches_xla():
                                rtol=1e-3, atol=1e-7)
     np.testing.assert_allclose(np.asarray(b_f), np.asarray(b_x),
                                rtol=1e-2, atol=1e-5)
+
+
+def test_learn_bank_complex_pair_boundary():
+    """A complex (Normal/Twice) initialization enters and leaves as a
+    (real, imag) float pair — complex64 never crosses the jit boundary."""
+    mh = nw.MexicanHat(SFREQ)
+    from ninwavelets_tpu.ops.bank import make_fft_bank_ri
+    br, bi = make_fft_bank_ri(mh._wdef(),
+                              jnp.asarray(np.arange(20.0, 60.0, 5.0),
+                                          jnp.float32),
+                              N, SFREQ, True, mh.real_wave_length)
+    assert bi is not None
+    sig = jnp.asarray(_tone_epochs(f0=40.0, seed=3))
+    import jax.lax as lax
+    import jax
+    target = jax.jit(lambda s, r, i: __import__(
+        'ninwavelets_tpu.ops.cwt', fromlist=['mean_power_from_bank']
+    ).mean_power_from_bank(s, lax.complex(r, i), True))(sig, br, bi)
+    (lr_, li_), losses = __import__(
+        'ninwavelets_tpu.ops.fit', fromlist=['learn_bank']).learn_bank(
+        sig, br * 1.2, target, steps=20, lr=2e-3, bank0_i=bi * 1.2)
+    assert lr_.dtype == jnp.float32 and li_.dtype == jnp.float32
+    assert float(losses[-1]) < float(losses[0])
+
+
+def test_uniform_grid_hint_rejects_degenerate():
+    from ninwavelets_tpu.ops.sst import uniform_grid_hint
+    assert uniform_grid_hint([40.0, 40.0, 40.0]) is None   # df = 0
+    assert uniform_grid_hint([50.0, 40.0, 30.0]) is None   # descending
