@@ -29,6 +29,19 @@ REF_README_EEG_SECONDS_PER_S = 3.1446541 / 64.0   # README.md:465 at 64 ch
 TARGET_EEG_SECONDS_PER_S = 3600.0          # BASELINE.json north star
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: repeated bench runs (and the driver's
+    end-of-round run) skip the 1-2 min XLA/Mosaic compile."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass   # cache is an optimization, never a requirement
+
+
 def main_streaming():
     """BENCH_MODE=streaming: the long-recording workload (SURVEY §5 /
     BASELINE's 10-min 1 kHz case) through StreamingCWT with the fused
@@ -37,13 +50,7 @@ def main_streaming():
     frequency (README.md:464-465: 50 s in 15.9 s numpy / 7.25 s cupy =
     3.1 / 6.9 signal-s/s)."""
     import jax
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    _enable_compile_cache()
     import ninwavelets_tpu as nw
     from ninwavelets_tpu.parallel import StreamingCWT
     from ninwavelets_tpu.parallel.chunked import halo_samples
@@ -98,13 +105,7 @@ def main_ssq():
     engine (vectorized edge-count + row-wise accumulate — the XLA
     scatter/searchsorted pair ran ~11x slower on TPU)."""
     import jax
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    _enable_compile_cache()
     import jax.numpy as jnp
     import ninwavelets_tpu as nw
     from ninwavelets_tpu.ops.bank import make_fft_bank
@@ -153,13 +154,7 @@ def main_grad():
     same EEG-s/s unit as the forward bench so the grad:forward cost ratio
     is directly readable.  The reference has no gradients at all."""
     import jax
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    _enable_compile_cache()
     import jax.numpy as jnp
     import ninwavelets_tpu as nw
     from ninwavelets_tpu.ops.bank import make_fft_bank
@@ -231,15 +226,7 @@ def main_grad():
 
 def main():
     import jax
-    # Persistent compilation cache: repeated bench runs (and the driver's
-    # end-of-round run) skip the 1-2 min XLA/Mosaic compile.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass   # cache is an optimization, never a requirement
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     import ninwavelets_tpu as nw

@@ -33,6 +33,7 @@ from .cwt import analytic_spectrum, cwt_from_bank
 
 __all__ = ["plv_from_bank", "plv", "plv_sums", "pac_from_banks", "pac",
            "pair_matrix_scan", "plv_matrix_from_bank", "plv_matrix",
+           "pac_mean_from_banks",
            "coherence_matrix_from_bank", "coherence_matrix"]
 
 
@@ -169,16 +170,29 @@ def pac_from_banks(signal: jnp.ndarray, bank_phase: jnp.ndarray,
     return kl / jnp.log(float(n_bins))
 
 
+def pac_mean_from_banks(sig, bank_phase, bank_amp, interpolate, method,
+                        n_bins, vma_axes=()):
+    """Epoch-mean comodulogram via a scan (O(Fp*Fa) accumulator); shared
+    by the jitted wrapper and the per-shard path (``parallel.sharded`` —
+    vma_axes casts the zero init to the shard_map varying-axes type)."""
+    zero = jnp.zeros(sig.shape[1:-1] + (bank_phase.shape[0],
+                                        bank_amp.shape[0]), jnp.float32)
+    if vma_axes:
+        zero = lax.pcast(zero, tuple(vma_axes), to="varying")
+
+    def step(acc, s):
+        return acc + pac_from_banks(s, bank_phase, bank_amp, interpolate,
+                                    method, n_bins), None
+
+    return lax.scan(step, zero, sig)[0] / sig.shape[0]
+
+
 @partial(jax.jit, static_argnames=("interpolate", "method", "n_bins",
                                    "mean_epochs"))
 def _pac_jit(sig, bp, ba, *, interpolate, method, n_bins, mean_epochs):
     if not mean_epochs:
         return pac_from_banks(sig, bp, ba, interpolate, method, n_bins)
-    one = lambda s: pac_from_banks(s, bp, ba, interpolate, method, n_bins)
-    zero = jnp.zeros(sig.shape[1:-1] + (bp.shape[0], ba.shape[0]),
-                     jnp.float32)
-    total = lax.scan(lambda acc, s: (acc + one(s), None), zero, sig)[0]
-    return total / sig.shape[0]
+    return pac_mean_from_banks(sig, bp, ba, interpolate, method, n_bins)
 
 
 def pac(signal_r, bank_phase_r, bank_amp_r, interpolate: bool = False,

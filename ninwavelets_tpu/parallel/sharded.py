@@ -45,6 +45,24 @@ def _shard_call(mesh, local, sig_spec, out_specs, signals_r, bank_r, bank_i):
                          out_specs=out_specs)(signals_r, bank_r, bank_i)
 
 
+def _shard_call_novma(mesh, local, sig_spec, out_specs, signals_r, bank_r,
+                      bank_i):
+    """``_shard_call`` with ``check_vma=False`` — for locals whose compute
+    runs through ``pallas_call`` (kernel outputs carry no varying-axes
+    type, so shard_map's replication checker cannot track them; the
+    out_specs are explicit and the pmean/psum reductions make the data
+    axis replicated by construction)."""
+    if bank_i is None:
+        fn = lambda sig, br: local(sig, br, None)
+        return jax.shard_map(fn, mesh=mesh, in_specs=(sig_spec, _BANK_SPEC),
+                             out_specs=out_specs,
+                             check_vma=False)(signals_r, bank_r)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(sig_spec, _BANK_SPEC, _BANK_SPEC),
+                         out_specs=out_specs,
+                         check_vma=False)(signals_r, bank_r, bank_i)
+
+
 @partial(jax.jit, static_argnames=("mesh", "interpolate"))
 def sharded_mean_power(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
                        interpolate: bool = False):
@@ -160,15 +178,8 @@ def sharded_fused_mean_power(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
     # shard_map's replication checker cannot track them; the out_specs are
     # explicit and the pmean makes the data axis replicated by construction.
     out_spec = P(*([None] * (signals_r.ndim - 2)), FREQ_AXIS, None)
-    if bank_i is None:
-        return jax.shard_map(local, mesh=mesh,
-                             in_specs=(P(DATA_AXIS), _BANK_SPEC),
-                             out_specs=out_spec,
-                             check_vma=False)(signals_r, bank_r)
-    return jax.shard_map(local, mesh=mesh,
-                         in_specs=(P(DATA_AXIS), _BANK_SPEC, _BANK_SPEC),
-                         out_specs=out_spec,
-                         check_vma=False)(signals_r, bank_r, bank_i)
+    return _shard_call_novma(mesh, local, P(DATA_AXIS), out_spec,
+                             signals_r, bank_r, bank_i)
 
 
 @partial(jax.jit, static_argnames=("mesh", "interpolate"))
@@ -411,15 +422,8 @@ def sharded_fused_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
         return jnp.sqrt(sr * sr + si * si)
 
     out_spec = P(*([None] * (signals_r.ndim - 2)), FREQ_AXIS, None)
-    if bank_i is None:
-        return jax.shard_map(local, mesh=mesh,
-                             in_specs=(P(DATA_AXIS), _BANK_SPEC),
-                             out_specs=out_spec,
-                             check_vma=False)(signals_r, bank_r)
-    return jax.shard_map(local, mesh=mesh,
-                         in_specs=(P(DATA_AXIS), _BANK_SPEC, _BANK_SPEC),
-                         out_specs=out_spec,
-                         check_vma=False)(signals_r, bank_r, bank_i)
+    return _shard_call_novma(mesh, local, P(DATA_AXIS), out_spec,
+                             signals_r, bank_r, bank_i)
 
 
 @partial(jax.jit, static_argnames=("mesh", "interpolate", "method",
@@ -438,18 +442,12 @@ def sharded_pac(sigs_r, bank_phase_r, bank_amp_r, *, mesh: Mesh,
     stays sharded on the phase-frequency axis.  E must divide the ``data``
     axis size and Fp the ``freq`` axis size.
     """
-    from ..ops.connectivity import pac_from_banks
+    from ..ops.connectivity import pac_mean_from_banks
 
     def local(sig, bp, ba):
-        zero = jnp.zeros(sig.shape[1:-1] + (bp.shape[0], ba.shape[0]),
-                         jnp.float32)
-        zero = lax.pcast(zero, (DATA_AXIS, FREQ_AXIS), to="varying")
-
-        def step(acc, s):
-            return acc + pac_from_banks(s, bp, ba, interpolate, method,
-                                        n_bins), None
-
-        total = lax.scan(step, zero, sig)[0] / sig.shape[0]
+        total = pac_mean_from_banks(sig, bp, ba, interpolate, method,
+                                    n_bins,
+                                    vma_axes=(DATA_AXIS, FREQ_AXIS))
         return lax.pmean(total, DATA_AXIS)
 
     out_spec = P(*([None] * (sigs_r.ndim - 2)), FREQ_AXIS, None)
@@ -531,12 +529,6 @@ def sharded_fused_power_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
         return ps, jnp.sqrt(sr * sr + si * si)
 
     out_spec = P(*([None] * (signals_r.ndim - 2)), FREQ_AXIS, None)
-    if bank_i is None:
-        return jax.shard_map(local, mesh=mesh,
-                             in_specs=(P(DATA_AXIS), _BANK_SPEC),
-                             out_specs=(out_spec, out_spec),
-                             check_vma=False)(signals_r, bank_r)
-    return jax.shard_map(local, mesh=mesh,
-                         in_specs=(P(DATA_AXIS), _BANK_SPEC, _BANK_SPEC),
-                         out_specs=(out_spec, out_spec),
-                         check_vma=False)(signals_r, bank_r, bank_i)
+    return _shard_call_novma(mesh, local, P(DATA_AXIS),
+                             (out_spec, out_spec), signals_r, bank_r,
+                             bank_i)
