@@ -306,3 +306,47 @@ def test_pipeline_ssq_stage():
     conc_s = s[0, row, m:-m].sum() / max(s[0, band, m:-m].sum(), 1e-12)
     conc_p = p[0, row, m:-m].sum() / max(p[0, band, m:-m].sum(), 1e-12)
     assert conc_s > conc_p
+
+
+def test_pipeline_all_stages_integration():
+    """Everything-on pipeline over the reference's golden composite signal:
+    power, itc, baseline, significance, COI/global spectrum, ridge, ssq,
+    and connectivity all come back shape-consistent from one config."""
+    import numpy as np
+    from conftest import make_example
+
+    base = make_example(1.0)
+    rng = np.random.default_rng(5)
+
+    class FakeEpochs:
+        info = {'sfreq': 1000.0}
+        ch_names = ['a', 'b']
+        def get_data(self):
+            return np.stack([
+                np.stack([base + 0.05 * rng.standard_normal(base.shape),
+                          base + 0.05 * rng.standard_normal(base.shape)])
+                for _ in range(4)])
+
+    p = cfg.PipelineConfig(freqs=(20.0, 340.0, 20.0),
+                           baseline=(0.0, 0.1),
+                           significance=0.95,
+                           global_spectrum=True,
+                           ridge=True,
+                           ssq=True,
+                           connectivity="both",
+                           connectivity_window=(0.1, 0.9))
+    out = cfg.run_pipeline(p, FakeEpochs())
+    n_f, n = 16, 1000
+    assert np.asarray(out["power"]).shape == (2, n_f, n)
+    assert np.asarray(out["itc"]).shape == (2, n_f, n)
+    assert np.asarray(out["significant"]).dtype == bool
+    assert out["coi"].shape == (n_f, n)
+    assert np.asarray(out["global_spectrum"]).shape == (2, n_f)
+    assert out["ridge_hz"].shape == (2, n)
+    assert np.asarray(out["ssq_power"]).shape == (2, n_f, n)
+    assert np.asarray(out["plv_matrix"]).shape == (n_f, 2, 2)
+    assert np.asarray(out["coherence_matrix"]).shape == (n_f, 2, 2)
+    # The golden signal's steady 60 Hz: both channels share it ->
+    # off-diagonal PLV high at the 60 Hz row.
+    row = int(np.argmin(np.abs(np.arange(20.0, 340.0, 20.0) - 60.0)))
+    assert np.asarray(out["plv_matrix"])[row, 0, 1] > 0.9
