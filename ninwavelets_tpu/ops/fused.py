@@ -282,6 +282,21 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
         ur, ui = xr * inv, xi * inv
         out_refs[1][0, 0] = ur.reshape(e_total, LANES, LANES).sum(0)
         out_refs[2][0, 0] = ui.reshape(e_total, LANES, LANES).sum(0)
+    elif epilogue == "coherence":
+        # Cross-spectral sums: the program's epochs hold the PAIR —
+        # [a_0..a_{Eh-1}, b_0..b_{Eh-1}] packed along lanes — so the
+        # cross product a*conj(b) and both power sums come off one pass
+        # of the shared stages (ops.extensions.coherence_sums semantics;
+        # bank scale 1/N, callers divide by the true epoch count).
+        eh = e_total // 2
+        xr3 = xr.reshape(e_total, LANES, LANES)
+        xi3 = xi.reshape(e_total, LANES, LANES)
+        ar_, ai_ = xr3[:eh], xi3[:eh]
+        br_, bi_ = xr3[eh:], xi3[eh:]
+        out_refs[0][0, 0] = (ar_ * br_ + ai_ * bi_).sum(0)   # Re a conj b
+        out_refs[1][0, 0] = (ai_ * br_ - ar_ * bi_).sum(0)   # Im a conj b
+        out_refs[2][0, 0] = (ar_ * ar_ + ai_ * ai_).sum(0)   # |a|^2
+        out_refs[3][0, 0] = (br_ * br_ + bi_ * bi_).sum(0)   # |b|^2
     else:  # itc: accumulate the unit-phase coefficients c/|c|
         inv = lax.rsqrt(p)        # |c|=0 -> inf -> NaN, matching the
         ur, ui = xr * inv, xi * inv   # reference's 0/0 behavior
@@ -376,7 +391,7 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
     out_spec = pl.BlockSpec((1, 1, out_rows, LANES),
                             lambda fi, ci: (ci, fi, 0, 0),
                             memory_space=pltpu.VMEM)
-    n_outs = {"itc": 2, "power_itc": 3}.get(epilogue, 1)
+    n_outs = {"itc": 2, "power_itc": 3, "coherence": 4}.get(epilogue, 1)
     # Grid order (freq-block MAJOR, channel minor): the large tiled-bank
     # block is re-fetched only when fi changes — once per n_blocks, not per
     # program; the small per-channel spectra stream underneath.
@@ -1160,6 +1175,78 @@ def _power_itc_sums(signals, bank, interpolate, interpret, precision,
                               precision, "power_itc")
         ps, sr, si = ps + p, sr + r, si + i
     return ps, sr, si
+
+
+def fused_coherence_sums(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
+                         bank: jnp.ndarray, interpolate: bool = True,
+                         interpret: bool = False,
+                         precision: str = DEFAULT_PRECISION,
+                         vma_axes=()):
+    """Epoch-SUMMED coherence accumulators via ONE kernel pass per pair
+    chunk: ``(sum cross_r, sum cross_i, sum |Wa|^2, sum |Wb|^2)`` — the
+    fused counterpart of ``ops.extensions.coherence_sums``.
+
+    Each kernel call carries the pair stacked on the epoch axis
+    ([a-chunk; b-chunk], so both coefficient sets live in the same
+    program); zero-padded epochs contribute zero to all four sums, so a
+    ragged count chunks power-style (equal chunks, zero-pad).
+    """
+    e, c, n = sigs_a.shape
+    eh_cap = MAX_EPOCHS_PER_CALL // 2
+    if e <= eh_cap:
+        return _fused_call(jnp.concatenate([sigs_a, sigs_b]), bank,
+                           interpolate, interpret, precision, "coherence")
+    pad_e = (-e) % eh_cap
+    if pad_e:
+        pad = ((0, pad_e), (0, 0), (0, 0))
+        sigs_a = jnp.pad(sigs_a, pad)
+        sigs_b = jnp.pad(sigs_b, pad)
+    n_chunks = (e + pad_e) // eh_cap
+    chunks_a = sigs_a.reshape((n_chunks, eh_cap) + sigs_a.shape[1:])
+    chunks_b = sigs_b.reshape((n_chunks, eh_cap) + sigs_b.shape[1:])
+    zero = jnp.zeros((c, bank.shape[0], n), jnp.float32)
+    if vma_axes:
+        zero = lax.pcast(zero, tuple(vma_axes), to="varying")
+
+    def step(acc, ab):
+        outs = _fused_call(jnp.concatenate([ab[0], ab[1]]), bank,
+                           interpolate, interpret, precision, "coherence")
+        return tuple(a + o for a, o in zip(acc, outs)), None
+
+    sums, _ = lax.scan(step, (zero,) * 4, (chunks_a, chunks_b))
+    return sums
+
+
+def fused_epoch_coherence(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
+                          bank: jnp.ndarray, interpolate: bool = True,
+                          interpret: bool = False,
+                          precision: str = DEFAULT_PRECISION,
+                          eps: float = 1e-12) -> jnp.ndarray:
+    """Epoch-wise magnitude-squared wavelet coherence via the fused kernel
+    (semantics: ``ops.extensions.epoch_coherence_from_bank``)."""
+    from .extensions import coherence_from_sums
+    xr, xi, pa, pb = fused_coherence_sums(sigs_a, sigs_b, bank,
+                                          interpolate, interpret, precision)
+    return coherence_from_sums(xr, xi, pa, pb, sigs_a.shape[0], eps)
+
+
+@functools.lru_cache(maxsize=32)
+def _coherence_jitted(interpolate: bool, interpret: bool, precision: str,
+                      eps: float):
+    """Stable jitted fused-coherence callable per config (see _jitted)."""
+    return jax.jit(lambda sa, sb, br: fused_epoch_coherence(
+        sa, sb, br, interpolate, interpret, precision, eps))
+
+
+def fused_coherence(sigs_a_r, sigs_b_r, bank_r, *, interpolate: bool = True,
+                    interpret: bool = False,
+                    precision: str = DEFAULT_PRECISION, eps: float = 1e-12):
+    """Jitted float-boundary wrapper for ``fused_epoch_coherence`` (real
+    banks; complex pairs go through the XLA path in
+    ``ops.extensions.epoch_coherence``)."""
+    return _coherence_jitted(bool(interpolate), bool(interpret),
+                             str(precision), float(eps))(
+        sigs_a_r, sigs_b_r, bank_r)
 
 
 def _power_itc_entry(signal_r, bank_r, bank_i=None, *, interpolate,

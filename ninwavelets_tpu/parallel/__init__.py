@@ -15,6 +15,7 @@ from .chunked import (chunk_bank, chunked_abs, chunked_cwt_ri,
 from .mesh import (DATA_AXIS, FREQ_AXIS, TIME_AXIS, auto_mesh, flat_mesh,
                    init_multihost, make_mesh, pad_to_multiple, shard_batch)
 from .sharded import (sharded_coherence, sharded_coherence_matrix,
+                      sharded_fused_coherence,
                       sharded_fused_power_itc,
                       sharded_cross_power, sharded_cwt_ri,
                       sharded_fused_itc, sharded_fused_mean_power,
@@ -30,7 +31,7 @@ __all__ = [
     "init_multihost",
     "sharded_mean_power", "sharded_itc", "sharded_cwt_ri", "sharded_power",
     "sharded_fused_mean_power", "sharded_fused_itc",
-    "sharded_fused_power_itc",
+    "sharded_fused_power_itc", "sharded_fused_coherence",
     "sharded_cross_power", "sharded_coherence", "sharded_ssq_mean_power",
     "sharded_plv", "sharded_plv_matrix", "sharded_coherence_matrix",
     "sharded_pac", "sharded_mean_power_grad",

@@ -504,6 +504,39 @@ def sharded_mean_power_grad(signals_r, bank_r, g, *, mesh: Mesh,
 
 
 @partial(jax.jit, static_argnames=("mesh", "interpolate", "precision",
+                                   "interpret", "eps"))
+def sharded_fused_coherence(sigs_a, sigs_b, bank_r, *, mesh: Mesh,
+                            interpolate: bool = True,
+                            precision: str = "fast3",
+                            interpret: bool = False, eps: float = 1e-12):
+    """Epoch-wise wavelet coherence over the mesh with the fused kernel's
+    ``coherence`` epilogue per shard (real banks): epochs over ``data``,
+    bank rows over ``freq``; all four epoch sums are linear, so one
+    ``pmean`` each over ``data`` completes them before the final ratio.
+    Same layout/semantics as ``sharded_coherence`` (the XLA per-shard
+    variant, which also handles complex banks)."""
+    from ..ops.extensions import coherence_from_sums
+    from ..ops.fused import fused_coherence_sums
+
+    e = sigs_a.shape[0]
+
+    def local(sa, sb, br):
+        sums = fused_coherence_sums(sa, sb, br, interpolate, interpret,
+                                    precision,
+                                    vma_axes=(DATA_AXIS, FREQ_AXIS))
+        xr, xi, pa, pb = (lax.pmean(x / e, DATA_AXIS) for x in sums)
+        # pmean of sums/e == global sums / E_total / n_data; the ratio in
+        # coherence_from_sums is scale-invariant in that common factor.
+        return coherence_from_sums(xr, xi, pa, pb, 1, eps)
+
+    out_spec = P(*([None] * (sigs_a.ndim - 2)), FREQ_AXIS, None)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(DATA_AXIS), P(DATA_AXIS), _BANK_SPEC),
+                         out_specs=out_spec,
+                         check_vma=False)(sigs_a, sigs_b, bank_r)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "precision",
                                    "interpret"))
 def sharded_fused_power_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
                             interpolate: bool = True,

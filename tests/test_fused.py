@@ -428,3 +428,26 @@ def test_fused_backward_complex_bank(interpolate):
     np.testing.assert_allclose(np.asarray(db_g), np.asarray(db_w),
                                rtol=1e-4,
                                atol=1e-5 * np.abs(np.asarray(db_w)).max())
+
+
+@pytest.mark.parametrize("e", [4, fused.MAX_EPOCHS_PER_CALL // 2 + 3])
+@pytest.mark.parametrize("interpolate", [True, False])
+def test_coherence_epilogue_matches_xla(e, interpolate):
+    """The coherence epilogue (pair stacked on the epoch axis, four sums
+    off one pass) must match the XLA epoch coherence — aligned and ragged
+    pair counts (zero-padded epochs add zero to every sum)."""
+    from ninwavelets_tpu.ops.extensions import epoch_coherence_from_bank
+    rng = np.random.default_rng(17)
+    sa, bank = _workload(e=e, c=2, nf=13, interpolate=interpolate)
+    sb = rng.standard_normal(sa.shape).astype(np.float32)
+    # a correlated component so coherence is non-trivial
+    sb = (0.6 * sa + 0.8 * sb).astype(np.float32)
+    sa_j, sb_j = jnp.asarray(sa), jnp.asarray(sb)
+    bank_j = jnp.asarray(bank)
+    want = np.asarray(epoch_coherence_from_bank(sa_j, sb_j, bank_j,
+                                                interpolate))
+    got = np.asarray(fused.fused_epoch_coherence(
+        sa_j, sb_j, bank_j, interpolate, interpret=True,
+        precision="exact"))
+    np.testing.assert_allclose(got, want, rtol=1e-3,
+                               atol=1e-4)

@@ -513,3 +513,22 @@ def test_sharded_fused_power_itc_matches_single_device():
     finite = np.isfinite(i_want)
     np.testing.assert_allclose(np.asarray(i)[finite], i_want[finite],
                                rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_fused_coherence_matches_xla_sharded():
+    """Fused coherence epilogue per shard == the XLA sharded coherence
+    (interpret-mode kernel; pmean-of-sums algebra is scale-invariant)."""
+    rng = np.random.default_rng(13)
+    mesh = par.make_mesh(data=2, freq=4)
+    sa = jnp.asarray(_epochs_block(e=4, c=2, n=1024, seed=13))
+    sb = jnp.asarray((0.5 * np.asarray(sa)
+                      + rng.standard_normal(sa.shape)).astype(np.float32))
+    bank, _ = _morse_bank(1024, freqs=np.arange(20.0, 52.0),
+                          interpolate=True)
+    bank = jnp.asarray(bank)
+    want = np.asarray(par.sharded_coherence(sa, sb, bank, mesh=mesh,
+                                            interpolate=True))
+    got = np.asarray(par.sharded_fused_coherence(
+        sa, sb, bank, mesh=mesh, interpolate=True, interpret=True,
+        precision="exact"))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
