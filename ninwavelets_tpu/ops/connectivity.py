@@ -101,7 +101,16 @@ def _plv_jit(sa, sb, bank_r, *, interpolate, eps):
 def plv(sigs_a_r, sigs_b_r, bank_r, interpolate: bool = False,
         eps: float = 0.0):
     """Jitted float-boundary wrapper for ``plv_from_bank`` (real analytic
-    banks)."""
+    banks).  On TPU with a conforming geometry and the default eps=0, the
+    unit cross-phase sums run through the fused kernel's ``plv``
+    epilogue."""
+    if eps == 0.0:
+        from .fused import supports
+        if (jax.default_backend() == "tpu"
+                and supports(sigs_a_r.shape, bank_r, epilogue="itc")):
+            from .fused import fused_plv
+            return fused_plv(sigs_a_r, sigs_b_r, bank_r,
+                             interpolate=interpolate)
     return _plv_jit(sigs_a_r, sigs_b_r, bank_r,
                     interpolate=bool(interpolate), eps=float(eps))
 

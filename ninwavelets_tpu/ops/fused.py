@@ -297,6 +297,20 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
         out_refs[1][0, 0] = (ai_ * br_ - ar_ * bi_).sum(0)   # Im a conj b
         out_refs[2][0, 0] = (ar_ * ar_ + ai_ * ai_).sum(0)   # |a|^2
         out_refs[3][0, 0] = (br_ * br_ + bi_ * bi_).sum(0)   # |b|^2
+    elif epilogue == "plv":
+        # Unit CROSS-phase sums (ops.connectivity.plv_sums): same pair
+        # packing as "coherence", normalized per cell — zero-magnitude
+        # cells go NaN like itc, so ragged counts chunk itc-style.
+        eh = e_total // 2
+        xr3 = xr.reshape(e_total, LANES, LANES)
+        xi3 = xi.reshape(e_total, LANES, LANES)
+        ar_, ai_ = xr3[:eh], xi3[:eh]
+        br_, bi_ = xr3[eh:], xi3[eh:]
+        cr = ar_ * br_ + ai_ * bi_
+        ci = ai_ * br_ - ar_ * bi_
+        inv = lax.rsqrt(cr * cr + ci * ci)
+        out_refs[0][0, 0] = (cr * inv).sum(0)
+        out_refs[1][0, 0] = (ci * inv).sum(0)
     else:  # itc: accumulate the unit-phase coefficients c/|c|
         inv = lax.rsqrt(p)        # |c|=0 -> inf -> NaN, matching the
         ur, ui = xr * inv, xi * inv   # reference's 0/0 behavior
@@ -391,7 +405,8 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
     out_spec = pl.BlockSpec((1, 1, out_rows, LANES),
                             lambda fi, ci: (ci, fi, 0, 0),
                             memory_space=pltpu.VMEM)
-    n_outs = {"itc": 2, "power_itc": 3, "coherence": 4}.get(epilogue, 1)
+    n_outs = {"itc": 2, "power_itc": 3, "coherence": 4,
+              "plv": 2}.get(epilogue, 1)
     # Grid order (freq-block MAJOR, channel minor): the large tiled-bank
     # block is re-fetched only when fi changes — once per n_blocks, not per
     # program; the small per-channel spectra stream underneath.
@@ -1215,6 +1230,64 @@ def fused_coherence_sums(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
 
     sums, _ = lax.scan(step, (zero,) * 4, (chunks_a, chunks_b))
     return sums
+
+
+def fused_plv_sums(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
+                   bank: jnp.ndarray, interpolate: bool = True,
+                   interpret: bool = False,
+                   precision: str = DEFAULT_PRECISION, vma_axes=()):
+    """Epoch-SUMMED unit cross-phase planes via the kernel's ``plv``
+    epilogue (semantics: ``ops.connectivity.plv_sums`` at eps=0).  Zero
+    pairs cannot be padded in (0/0 phase -> NaN), so ragged counts run
+    itc-style: full chunks plus ONE remainder-sized call."""
+    e, c, n = sigs_a.shape
+    eh_cap = MAX_EPOCHS_PER_CALL // 2
+
+    def call(sa, sb):
+        return _fused_call(jnp.concatenate([sa, sb]), bank, interpolate,
+                           interpret, precision, "plv")
+
+    if e <= eh_cap:
+        return call(sigs_a, sigs_b)
+    rem = e % eh_cap
+    full = e - rem
+    chunks_a = sigs_a[:full].reshape((full // eh_cap, eh_cap)
+                                     + sigs_a.shape[1:])
+    chunks_b = sigs_b[:full].reshape((full // eh_cap, eh_cap)
+                                     + sigs_b.shape[1:])
+    zero = jnp.zeros((c, bank.shape[0], n), jnp.float32)
+    if vma_axes:
+        zero = lax.pcast(zero, tuple(vma_axes), to="varying")
+
+    def step(acc, ab):
+        r, i = call(ab[0], ab[1])
+        return (acc[0] + r, acc[1] + i), None
+
+    (sr, si), _ = lax.scan(step, (zero, zero), (chunks_a, chunks_b))
+    if rem:
+        tr, ti = call(sigs_a[full:], sigs_b[full:])
+        sr, si = sr + tr, si + ti
+    return sr, si
+
+
+@functools.lru_cache(maxsize=32)
+def _plv_jitted(interpolate: bool, interpret: bool, precision: str):
+    return jax.jit(lambda sa, sb, br: _plv_from_sums(
+        sa, sb, br, interpolate, interpret, precision))
+
+
+def _plv_from_sums(sa, sb, br, interpolate, interpret, precision):
+    sr, si = fused_plv_sums(sa, sb, br, interpolate, interpret, precision)
+    return jnp.sqrt(sr * sr + si * si) / sa.shape[0]
+
+
+def fused_plv(sigs_a_r, sigs_b_r, bank_r, *, interpolate: bool = True,
+              interpret: bool = False,
+              precision: str = DEFAULT_PRECISION):
+    """Jitted float-boundary wrapper: phase-locking value via the fused
+    kernel (``ops.connectivity.plv_from_bank`` semantics at eps=0)."""
+    return _plv_jitted(bool(interpolate), bool(interpret),
+                       str(precision))(sigs_a_r, sigs_b_r, bank_r)
 
 
 def fused_epoch_coherence(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,

@@ -451,3 +451,21 @@ def test_coherence_epilogue_matches_xla(e, interpolate):
         precision="exact"))
     np.testing.assert_allclose(got, want, rtol=1e-3,
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("e", [4, fused.MAX_EPOCHS_PER_CALL // 2 + 3])
+def test_plv_epilogue_matches_xla(e):
+    """The plv epilogue (unit cross-phase sums, pair on the epoch axis)
+    must match the XLA plv — including the ragged itc-style chunking
+    (zero pairs cannot be padded: 0/0 phase is NaN)."""
+    from ninwavelets_tpu.ops.connectivity import plv_from_bank
+    rng = np.random.default_rng(19)
+    sa, bank = _workload(e=e, c=2, nf=13, interpolate=True)
+    sb = (0.6 * sa + 0.8 * rng.standard_normal(sa.shape)).astype(np.float32)
+    sa_j, sb_j, bank_j = jnp.asarray(sa), jnp.asarray(sb), jnp.asarray(bank)
+    want = np.asarray(plv_from_bank(sa_j, sb_j, bank_j, True))
+    got = np.asarray(fused._plv_from_sums(sa_j, sb_j, bank_j, True,
+                                          True, "exact"))
+    finite = np.isfinite(want)
+    np.testing.assert_allclose(got[finite], want[finite], rtol=1e-3,
+                               atol=1e-4)
