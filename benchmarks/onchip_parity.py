@@ -131,6 +131,36 @@ def main():
         record(epilogue="power_each", n=n, e=8, c=1, precision=prec,
                rel_err=rel, snr_db=round(snr, 1), wall_s=0.0)
 
+    # --- cross-signal epilogues: coherence + plv -------------------------
+    n, c, e = 2048, 4, 16
+    bank = bank_for(n)
+    sa = jnp.asarray(rng.standard_normal((e, c, n)).astype(np.float32))
+    sb = jnp.asarray((0.6 * np.asarray(sa)
+                      + 0.8 * rng.standard_normal((e, c, n))
+                      ).astype(np.float32))
+    from ninwavelets_tpu.ops.connectivity import _plv_jit
+    from ninwavelets_tpu.ops.extensions import _epoch_coherence_jit
+    want_c = np.asarray(_epoch_coherence_jit(sa, sb, bank, None,
+                                             interpolate=True, eps=1e-12))
+    want_p = np.asarray(_plv_jit(sa, sb, bank, interpolate=True, eps=0.0))
+    fin = np.isfinite(want_p)
+    for prec in ("fast3", "exact", "bf16"):
+        got = np.asarray(jax.jit(
+            lambda a, b, bk, p=prec: fused.fused_epoch_coherence(
+                a, b, bk, True, False, p))(sa, sb, bank))
+        rel, snr = compare(want_c, got)
+        record(epilogue="coherence", n=n, e=e, c=c, precision=prec,
+               rel_err=rel, snr_db=round(snr, 1), wall_s=0.0)
+        got = np.asarray(jax.jit(
+            lambda a, b, bk, p=prec: fused._plv_from_sums(
+                a, b, bk, True, False, p))(sa, sb, bank))
+        err = np.abs(got - want_p)[fin]
+        snr = 20.0 * np.log10(np.linalg.norm(want_p[fin])
+                              / max(np.linalg.norm(err), 1e-30))
+        record(epilogue="plv", n=n, e=e, c=c, precision=prec,
+               rel_err=float(err.max()), snr_db=round(float(snr), 1),
+               wall_s=0.0)
+
     # --- backward: the fused adjoint kernel vs the XLA adjoint -----------
     for n in (1024, 2048, 8192):
         bank = bank_for(n)

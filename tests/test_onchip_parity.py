@@ -36,6 +36,12 @@ GATES = {
     ("backward", "fast3"): 1e-4,   # fused adjoint vs XLA adjoint, max of
     ("backward", "exact"): 5e-6,   # the signal / bank cotangent errors
     ("backward", "bf16"): 2e-2,
+    ("coherence", "fast3"): 1e-3,  # ratio of quartics amplifies round-off
+    ("coherence", "exact"): 1e-4,
+    ("coherence", "bf16"): 0.5,
+    ("plv", "fast3"): 3e-3,        # unit-phase class, like itc
+    ("plv", "exact"): 1e-4,
+    ("plv", "bf16"): 0.5,
 }
 
 
