@@ -311,3 +311,60 @@ class EpochsWavelet:
         sf = self.wavelet.sfreq
         return (int(round(time_range[0] * sf)),
                 int(round(time_range[1] * sf)))
+
+
+class RawWavelet:
+    """Wavelet power over a CONTINUOUS MNE-style raw recording (extension —
+    the reference has no Raw adapter; its only MNE surface is epochs).
+
+    Wraps ``parallel.StreamingCWT``: the recording is processed in
+    fixed-size overlap-discard windows (one compiled program reused
+    throughout, O(window) device memory regardless of length), with every
+    channel riding the device batch alongside the windows.
+
+    Parameters
+    ----------
+    raw: an ``mne.io.Raw``-like object (``.info['sfreq']``, ``.ch_names``,
+        ``.get_data() -> (C, N)``).
+    wavelet: a ``WaveletBase`` instance; its ``sfreq`` is overwritten from
+        ``raw.info`` (the EpochsWavelet convention, ``mneutils.py:24``).
+    window / halo: see ``StreamingCWT`` (halo defaults from the wavelet's
+        envelope decay at the lowest analysis frequency; the extended
+        window is rounded to a power of two).
+    """
+
+    def __init__(self, raw, wavelet: WaveletBase, window: int = 16384,
+                 halo=None, batch: int = 8,
+                 precision: str = "fast3") -> None:
+        self.raw = raw
+        self.wavelet = wavelet
+        wavelet.sfreq = float(raw.info['sfreq'])
+        self._window = int(window)
+        self._halo = halo
+        self._batch = int(batch)
+        self._precision = precision
+
+    def _stream_for(self, freqs: Numbers):
+        from ..parallel.streaming import StreamingCWT
+        w = self.wavelet
+        arr = np.asarray(w._check_freqs(freqs), np.float32)
+        return StreamingCWT(w._wdef(), arr, w.sfreq, window=self._window,
+                            halo=self._halo, interpolate=w.interpolate,
+                            batch=self._batch, precision=self._precision)
+
+    def power(self, freqs: Numbers, picks=None):
+        """(C, F, N) power TFR of the whole recording, assembled ON DEVICE
+        (fetching it to host is the caller's choice — the plane is the
+        largest tensor in the pipeline).  ``picks``: optional list of
+        channel names."""
+        data = np.asarray(self.raw.get_data(), np.float32)
+        if picks is not None:
+            idx = [self.raw.ch_names.index(ch) for ch in picks]
+            data = data[idx]
+        return self._stream_for(freqs).power_device(data)
+
+    def power_channel(self, ch_name: str, freqs: Numbers):
+        """(F, N) power TFR of one channel."""
+        data = np.asarray(self.raw.get_data(), np.float32)
+        return self._stream_for(freqs).power_device(
+            data[self.raw.ch_names.index(ch_name)])

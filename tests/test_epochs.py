@@ -242,3 +242,49 @@ def test_extensions_demo_headless(capsys):
     assert m and float(m.group(1)) > 3.5    # gain floor, not a pin
     assert "tremolo" in out
     assert "fit_frequencies" in out and "60" in out
+
+
+class TestRawWavelet:
+    """Continuous-recording adapter over the streaming path."""
+
+    class FakeRaw:
+        def __init__(self, data, sfreq=1000.0):
+            self._data = data
+            self.info = {"sfreq": sfreq}
+            self.ch_names = [f"EEG {i:03d}" for i in range(data.shape[0])]
+
+        def get_data(self):
+            return self._data
+
+    def test_power_matches_whole_signal_interior(self):
+        from ninwavelets_tpu.ops.bank import make_fft_bank
+        from ninwavelets_tpu.ops.cwt import power as power_jit
+        import jax.numpy as jnp
+        sfreq, n = 1000.0, 8192
+        t = np.arange(n) / sfreq
+        data = np.stack([np.sin(2 * np.pi * 60 * t),
+                         np.sin(2 * np.pi * 31 * t)]).astype(np.float32)
+        rw = nw.RawWavelet(self.FakeRaw(data), nw.Morse(sfreq),
+                           window=2048)
+        freqs = np.arange(25.0, 80.0, 5.0)
+        got = np.asarray(rw.power(freqs))
+        assert got.shape == (2, freqs.size, n)
+        bank = make_fft_bank(nw.Morse(sfreq)._wdef(), jnp.asarray(
+            freqs.astype(np.float32)), n, sfreq)
+        want = np.asarray(power_jit(jnp.asarray(data), jnp.asarray(
+            np.asarray(bank, np.float32))))
+        # interiors match the whole-signal transform; edges differ by the
+        # zero-padded halo (linear vs circular convolution)
+        m = 1024
+        err = np.abs(got[..., m:-m] - want[..., m:-m]).max()
+        assert err < 1e-3 * np.abs(want).max()
+        one = np.asarray(rw.power_channel("EEG 001", freqs))
+        np.testing.assert_allclose(one, got[1], rtol=1e-6, atol=1e-7)
+
+    def test_picks(self):
+        data = np.random.default_rng(0).standard_normal((3, 3000)).astype(
+            np.float32)
+        rw = nw.RawWavelet(self.FakeRaw(data), nw.Morse(1000.0),
+                           window=1024)
+        p = np.asarray(rw.power([40.0, 50.0], picks=["EEG 002"]))
+        assert p.shape == (1, 2, 3000)
