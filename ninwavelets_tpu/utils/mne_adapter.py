@@ -231,6 +231,33 @@ class EpochsWavelet:
                          interpolate=self.wavelet.interpolate,
                          rel_threshold=rel_threshold)
 
+    def induced_power(self, ch_name: str, freqs: Numbers,
+                      baseline=None, baseline_method: str = "zscore",
+                      decim: int = 1) -> jnp.ndarray:
+        """(F, N) INDUCED power: the evoked (phase-locked epoch-mean)
+        response is subtracted from every epoch before the TFR, leaving
+        non-phase-locked oscillatory power (standard event-related
+        practice; extension — the reference computes total power only)."""
+        waves = self._channel_data(ch_name)
+        waves = waves - jnp.mean(waves, axis=0, keepdims=True)
+        bank = self._bank_for(waves, freqs)
+        tf = _mean_power_jit(waves[:, None, :], bank[0], bank[1],
+                             interpolate=self.wavelet.interpolate)[0]
+        return self._post(tf, self.wavelet.sfreq, baseline,
+                          baseline_method, decim)
+
+    def evoked_power(self, ch_name: str, freqs: Numbers,
+                     baseline=None, baseline_method: str = "zscore",
+                     decim: int = 1) -> jnp.ndarray:
+        """(F, N) EVOKED power: the TFR of the epoch-mean (phase-locked)
+        response itself."""
+        waves = jnp.mean(self._channel_data(ch_name), axis=0)
+        bank = self._bank_for(waves, freqs)
+        tf = _mean_power_jit(waves[None, None, :], bank[0], bank[1],
+                             interpolate=self.wavelet.interpolate)[0]
+        return self._post(tf, self.wavelet.sfreq, baseline,
+                          baseline_method, decim)
+
     # -- connectivity extensions ------------------------------------------
 
     def _conn_bank(self, n: int, freqs: Numbers, need_phase: bool = True):

@@ -288,3 +288,19 @@ class TestRawWavelet:
                            window=1024)
         p = np.asarray(rw.power([40.0, 50.0], picks=["EEG 002"]))
         assert p.shape == (1, 2, 3000)
+
+
+def test_induced_evoked_power_split(epochs):
+    """induced + evoked decompose total power: a phase-locked tone lives
+    in the evoked part; induced drops it (epoch-mean subtracted)."""
+    ew = nw.EpochsWavelet(epochs, nw.Morse(1000.0))
+    freqs = np.arange(40.0, 90.0, 10.0)
+    total = np.asarray(ew.power("EEG 000", freqs))
+    induced = np.asarray(ew.induced_power("EEG 000", freqs))
+    evoked = np.asarray(ew.evoked_power("EEG 000", freqs))
+    assert induced.shape == evoked.shape == total.shape
+    # the 60 Hz component is phase-consistent across these epochs:
+    row = int(np.argmin(np.abs(freqs - 60.0)))
+    m = 200
+    assert evoked[row, m:-m].mean() > 5 * induced[row, m:-m].mean()
+    assert induced[row, m:-m].mean() < 0.5 * total[row, m:-m].mean()
