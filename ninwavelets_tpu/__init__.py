@@ -17,8 +17,8 @@ from . import config, ops
 from .models import (Bump, DOG, Haar, MexicanHat, Morlet, Morse, MorseMNE,
                      Paul, Shannon, WaveletBase, WaveletMode)
 from .ops.baseline import Baseline, baseline_correct, baseline_tf
-from .utils import (EpochsWavelet, RawWavelet, Parallel, Sequence, compose, dict_map,
-                    plot_tf, plot_wavelet)
+from .utils import (EpochsWavelet, Parallel, RawWavelet, Sequence,
+                    compose, dict_map, plot_tf, plot_wavelet)
 
 __version__ = "0.1.0"
 

@@ -32,7 +32,7 @@ from jax import lax
 from .cwt import analytic_spectrum, cwt_from_bank
 
 __all__ = ["plv_from_bank", "plv", "plv_sums", "pac_from_banks", "pac",
-           "pair_matrix_scan", "plv_matrix_from_bank", "plv_matrix",
+           "plv_auto", "pair_matrix_scan", "plv_matrix_from_bank", "plv_matrix",
            "pac_mean_from_banks",
            "coherence_matrix_from_bank", "coherence_matrix"]
 
@@ -101,16 +101,25 @@ def _plv_jit(sa, sb, bank_r, *, interpolate, eps):
 def plv(sigs_a_r, sigs_b_r, bank_r, interpolate: bool = False,
         eps: float = 0.0):
     """Jitted float-boundary wrapper for ``plv_from_bank`` (real analytic
-    banks).  On TPU with a conforming geometry and the default eps=0, the
-    unit cross-phase sums run through the fused kernel's ``plv``
-    epilogue."""
+    banks) — always the exact XLA path; ``plv_auto`` opts into the fused
+    kernel (the mean_power/mean_power_auto convention)."""
+    return _plv_jit(sigs_a_r, sigs_b_r, bank_r,
+                    interpolate=bool(interpolate), eps=float(eps))
+
+
+def plv_auto(sigs_a_r, sigs_b_r, bank_r, interpolate: bool = False,
+             eps: float = 0.0, precision: str = "fast3"):
+    """PLV with automatic kernel dispatch: the fused ``plv`` epilogue on
+    TPU when the geometry conforms and eps is 0 (the kernel has no floor;
+    unit-phase round-off is the itc class, ~1e-3 at fast3 — see the
+    on-chip parity artifact), the exact XLA path otherwise."""
     if eps == 0.0:
         from .fused import supports
         if (jax.default_backend() == "tpu"
                 and supports(sigs_a_r.shape, bank_r, epilogue="itc")):
             from .fused import fused_plv
             return fused_plv(sigs_a_r, sigs_b_r, bank_r,
-                             interpolate=interpolate)
+                             interpolate=interpolate, precision=precision)
     return _plv_jit(sigs_a_r, sigs_b_r, bank_r,
                     interpolate=bool(interpolate), eps=float(eps))
 

@@ -167,16 +167,28 @@ def _epoch_coherence_jit(sa, sb, bank_r, bank_i, *, interpolate, eps):
 def epoch_coherence(sigs_a_r, sigs_b_r, bank_r, bank_i=None,
                     interpolate: bool = False, eps: float = 1e-12):
     """Jitted float-boundary wrapper for ``epoch_coherence_from_bank``
-    (real or complex banks, the latter as a float pair).  On TPU with a
-    conforming geometry and a real bank, the whole statistic runs through
-    the fused kernel's ``coherence`` epilogue (one pass per pair chunk —
-    all four epoch sums off the shared matmul stages)."""
+    (real or complex banks, the latter as a float pair) — always the exact
+    XLA path; ``epoch_coherence_auto`` opts into the fused kernel."""
+    return _epoch_coherence_jit(sigs_a_r, sigs_b_r, bank_r, bank_i,
+                                interpolate=bool(interpolate),
+                                eps=float(eps))
+
+
+def epoch_coherence_auto(sigs_a_r, sigs_b_r, bank_r, bank_i=None,
+                         interpolate: bool = False, eps: float = 1e-12,
+                         precision: str = "fast3"):
+    """Epoch coherence with automatic kernel dispatch: the fused
+    ``coherence`` epilogue on TPU for conforming real-bank workloads (one
+    pass per pair chunk — all four epoch sums off the shared matmul
+    stages; ~1e-5 rel err at fast3, see the on-chip parity artifact), the
+    exact XLA path otherwise."""
     from .fused import supports
     if (bank_i is None and jax.default_backend() == "tpu"
             and supports(sigs_a_r.shape, bank_r, epilogue="itc")):
         from .fused import fused_coherence
         return fused_coherence(sigs_a_r, sigs_b_r, bank_r,
-                               interpolate=interpolate, eps=eps)
+                               interpolate=interpolate, eps=eps,
+                               precision=precision)
     return _epoch_coherence_jit(sigs_a_r, sigs_b_r, bank_r, bank_i,
                                 interpolate=bool(interpolate),
                                 eps=float(eps))

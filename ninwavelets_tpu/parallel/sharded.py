@@ -32,35 +32,32 @@ from .mesh import DATA_AXIS, FREQ_AXIS
 _BANK_SPEC = P(FREQ_AXIS, None)
 
 
-def _shard_call(mesh, local, sig_spec, out_specs, signals_r, bank_r, bank_i):
+def _shard_call(mesh, local, sig_spec, out_specs, signals_r, bank_r, bank_i,
+                check_vma: bool = True):
     """Dispatch ``local(sig, bank_r, bank_i_or_None)`` through shard_map,
     with the imag bank plumbed only when it exists (its presence is static
-    under jit, so the two traces are distinct programs)."""
-    if bank_i is None:
-        fn = lambda sig, br: local(sig, br, None)
-        return jax.shard_map(fn, mesh=mesh, in_specs=(sig_spec, _BANK_SPEC),
-                             out_specs=out_specs)(signals_r, bank_r)
-    return jax.shard_map(local, mesh=mesh,
-                         in_specs=(sig_spec, _BANK_SPEC, _BANK_SPEC),
-                         out_specs=out_specs)(signals_r, bank_r, bank_i)
-
-
-def _shard_call_novma(mesh, local, sig_spec, out_specs, signals_r, bank_r,
-                      bank_i):
-    """``_shard_call`` with ``check_vma=False`` — for locals whose compute
-    runs through ``pallas_call`` (kernel outputs carry no varying-axes
-    type, so shard_map's replication checker cannot track them; the
-    out_specs are explicit and the pmean/psum reductions make the data
-    axis replicated by construction)."""
+    under jit, so the two traces are distinct programs).
+    ``check_vma=False`` is for locals whose compute runs through
+    ``pallas_call`` (kernel outputs carry no varying-axes type, so
+    shard_map's replication checker cannot track them; the out_specs are
+    explicit and the pmean/psum reductions make the data axis replicated
+    by construction)."""
     if bank_i is None:
         fn = lambda sig, br: local(sig, br, None)
         return jax.shard_map(fn, mesh=mesh, in_specs=(sig_spec, _BANK_SPEC),
                              out_specs=out_specs,
-                             check_vma=False)(signals_r, bank_r)
+                             check_vma=check_vma)(signals_r, bank_r)
     return jax.shard_map(local, mesh=mesh,
                          in_specs=(sig_spec, _BANK_SPEC, _BANK_SPEC),
                          out_specs=out_specs,
-                         check_vma=False)(signals_r, bank_r, bank_i)
+                         check_vma=check_vma)(signals_r, bank_r, bank_i)
+
+
+def _shard_call_novma(mesh, local, sig_spec, out_specs, signals_r, bank_r,
+                      bank_i):
+    """``_shard_call`` with ``check_vma=False`` (see there)."""
+    return _shard_call(mesh, local, sig_spec, out_specs, signals_r, bank_r,
+                       bank_i, check_vma=False)
 
 
 @partial(jax.jit, static_argnames=("mesh", "interpolate"))

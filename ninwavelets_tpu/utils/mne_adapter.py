@@ -280,7 +280,7 @@ class EpochsWavelet:
         """(F, N) phase-locking value between two channels across epochs
         (extension — ``ops.connectivity.plv``): the cross-channel analog
         of ``itc``."""
-        from ..ops.connectivity import plv as _plv
+        from ..ops.connectivity import plv_auto as _plv
         sa = self._channel_data(ch_a)
         sb = self._channel_data(ch_b)
         br, _ = self._conn_bank(sa.shape[-1], freqs)
@@ -291,7 +291,7 @@ class EpochsWavelet:
                   eps: float = 1e-12) -> jnp.ndarray:
         """(F, N) epoch-wise wavelet coherence between two channels
         (extension — ``ops.extensions.epoch_coherence``)."""
-        from ..ops.extensions import epoch_coherence as _coh
+        from ..ops.extensions import epoch_coherence_auto as _coh
         sa = self._channel_data(ch_a)
         sb = self._channel_data(ch_b)
         br, bi = self._conn_bank(sa.shape[-1], freqs, need_phase=False)
@@ -371,27 +371,51 @@ class RawWavelet:
         self._batch = int(batch)
         self._precision = precision
 
+    def invalidate(self) -> None:
+        """Drop the cached ``get_data()`` snapshot and streams — call after
+        mutating the raw object (crop/filter), like
+        ``EpochsWavelet.invalidate``."""
+        for attr in ('_host', '_streams'):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
+    def _host_data(self) -> np.ndarray:
+        """Host copy of ``raw.get_data()``, fetched once (a realistic Raw
+        is hundreds of MB and MNE may load/copy per call)."""
+        if not hasattr(self, '_host'):
+            self._host = np.asarray(self.raw.get_data(), np.float32)
+        return self._host
+
     def _stream_for(self, freqs: Numbers):
+        # One StreamingCWT (bank synthesis + halo derivation + compiled
+        # window program) per frequency grid, cached.
         from ..parallel.streaming import StreamingCWT
         w = self.wavelet
         arr = np.asarray(w._check_freqs(freqs), np.float32)
-        return StreamingCWT(w._wdef(), arr, w.sfreq, window=self._window,
-                            halo=self._halo, interpolate=w.interpolate,
-                            batch=self._batch, precision=self._precision)
+        key = (tuple(arr.tolist()), w.sfreq, w.interpolate)
+        streams = getattr(self, '_streams', None)
+        if streams is None:
+            streams = self._streams = {}
+        if key not in streams:
+            streams[key] = StreamingCWT(
+                w._wdef(), arr, w.sfreq, window=self._window,
+                halo=self._halo, interpolate=w.interpolate,
+                batch=self._batch, precision=self._precision)
+        return streams[key]
 
     def power(self, freqs: Numbers, picks=None):
         """(C, F, N) power TFR of the whole recording, assembled ON DEVICE
         (fetching it to host is the caller's choice — the plane is the
         largest tensor in the pipeline).  ``picks``: optional list of
         channel names."""
-        data = np.asarray(self.raw.get_data(), np.float32)
+        data = self._host_data()
         if picks is not None:
             idx = [self.raw.ch_names.index(ch) for ch in picks]
             data = data[idx]
         return self._stream_for(freqs).power_device(data)
 
     def power_channel(self, ch_name: str, freqs: Numbers):
-        """(F, N) power TFR of one channel."""
-        data = np.asarray(self.raw.get_data(), np.float32)
-        return self._stream_for(freqs).power_device(
-            data[self.raw.ch_names.index(ch_name)])
+        """(F, N) power TFR of one channel (sliced on host — only that
+        channel's samples ride the stream)."""
+        data = self._host_data()[self.raw.ch_names.index(ch_name)]
+        return self._stream_for(freqs).power_device(data)

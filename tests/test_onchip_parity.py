@@ -38,7 +38,7 @@ GATES = {
     ("backward", "bf16"): 2e-2,
     ("coherence", "fast3"): 1e-3,  # ratio of quartics amplifies round-off
     ("coherence", "exact"): 1e-4,
-    ("coherence", "bf16"): 0.5,
+    ("coherence", "bf16"): 2e-2,
     ("plv", "fast3"): 3e-3,        # unit-phase class, like itc
     ("plv", "exact"): 1e-4,
     ("plv", "bf16"): 0.5,
