@@ -89,6 +89,30 @@ def _paste_batch(buf, ext_batch, bank_r, bank_i, start, *, halo: int,
     return jax.lax.dynamic_update_slice(buf, slab, idx)
 
 
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=("halo", "sfreq", "interpolate", "rel_threshold",
+                          "uniform_grid"))
+def _paste_ssq_batch(buf, ext_batch, bank_r, f_grid, start, *, halo: int,
+                     sfreq: float, interpolate: bool, rel_threshold: float,
+                     uniform_grid):
+    """Window-batch SYNCHROSQUEEZED power pasted into the on-device plane
+    (the ssq sibling of ``_paste_batch`` — same slab/update layout)."""
+    from ..ops.sst import _reassigned_power
+
+    block = _reassigned_power(ext_batch, bank_r, f_grid, sfreq,
+                              interpolate, rel_threshold,
+                              uniform_grid=uniform_grid)
+    block = block[..., halo:block.shape[-1] - halo]
+    w_count = block.shape[0]
+    lead = block.shape[1:-2]
+    n_f, w_len = block.shape[-2:]
+    perm = tuple(range(1, block.ndim - 1)) + (0, block.ndim - 1)
+    slab = jnp.transpose(block, perm).reshape(
+        lead + (n_f, w_count * w_len))
+    idx = (jnp.int32(0),) * (slab.ndim - 1) + (start,)
+    return jax.lax.dynamic_update_slice(buf, slab, idx)
+
+
 class StreamingCWT:
     """Overlap-discard streaming power TFR over an arbitrarily long signal.
 
@@ -229,6 +253,44 @@ class StreamingCWT:
                 return self.batch
             return max(1, min(self.batch, per_call))
         return self.batch
+
+    def ssq_power_device(self, signal: np.ndarray,
+                         rel_threshold: float = 1e-6):
+        """(..., F, N) SYNCHROSQUEEZED power of an arbitrarily long
+        recording, assembled on device — frequency reassignment is local
+        in time, so the overlap-discard windows apply exactly as for
+        ``power_device``.
+
+        Semantics note: the noise-gate floor (``rel_threshold`` x peak
+        power) is evaluated PER WINDOW, not over the whole recording —
+        windows with no strong activity keep their energy in place
+        (matching ``ops.sst``'s behavior applied windowwise).  Real banks
+        only (phase needed).
+        """
+        import jax.numpy as jnp
+
+        from ..ops.sst import _reassigned_power, uniform_grid_hint
+
+        if self._bank[1] is not None:
+            raise ValueError(
+                "synchrosqueezing needs an analytic (real-bank) family")
+        signal = np.asarray(signal, dtype=np.float32)
+        n = signal.shape[-1]
+        span = self._effective_batch(signal.shape[:-1]) * self.window
+        n_batches = -(-n // span)
+        buf = jnp.zeros(signal.shape[:-1]
+                        + (self.freqs.shape[0], n_batches * span),
+                        jnp.float32)
+        hint = uniform_grid_hint(self.freqs)
+        f_grid = jnp.asarray(self.freqs)
+        for batch_starts, ext in self._ext_batches(signal):
+            buf = _paste_ssq_batch(buf, jnp.asarray(ext), self._bank[0],
+                                   f_grid, jnp.int32(batch_starts[0]),
+                                   halo=self.halo, sfreq=self.sfreq,
+                                   interpolate=self.interpolate,
+                                   rel_threshold=float(rel_threshold),
+                                   uniform_grid=hint)
+        return buf[..., :n]
 
     def power(self, signal: np.ndarray) -> np.ndarray:
         """Full (..., F, N) power TFR assembled on host from streamed

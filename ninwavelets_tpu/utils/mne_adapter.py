@@ -419,3 +419,15 @@ class RawWavelet:
         channel's samples ride the stream)."""
         data = self._host_data()[self.raw.ch_names.index(ch_name)]
         return self._stream_for(freqs).power_device(data)
+
+    def ssq_power(self, freqs: Numbers, picks=None,
+                  rel_threshold: float = 1e-6):
+        """(C, F, N) SYNCHROSQUEEZED power of the whole recording,
+        streamed windowwise (see ``StreamingCWT.ssq_power_device`` for
+        the per-window noise-gate semantics).  Real banks only."""
+        data = self._host_data()
+        if picks is not None:
+            idx = [self.raw.ch_names.index(ch) for ch in picks]
+            data = data[idx]
+        return self._stream_for(freqs).ssq_power_device(
+            data, rel_threshold=rel_threshold)

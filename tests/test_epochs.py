@@ -304,3 +304,17 @@ def test_induced_evoked_power_split(epochs):
     m = 200
     assert evoked[row, m:-m].mean() > 5 * induced[row, m:-m].mean()
     assert induced[row, m:-m].mean() < 0.5 * total[row, m:-m].mean()
+
+
+def test_rawwavelet_ssq(capsys):
+    data = (np.sin(np.arange(4096) / 1000.0 * 2 * np.pi * 60)
+            .astype(np.float32))[None, :].repeat(2, axis=0)
+    rw = nw.RawWavelet(TestRawWavelet.FakeRaw(data), nw.Morse(1000.0),
+                       window=1024)
+    freqs = np.arange(40.0, 85.0, 5.0)
+    s = np.asarray(rw.ssq_power(freqs))
+    assert s.shape == (2, freqs.size, 4096)
+    row = int(np.argmin(np.abs(freqs - 60.0)))
+    m = 500
+    # reassignment concentrates the tone onto its row
+    assert s[0, row, m:-m].sum() > 0.9 * s[0, :, m:-m].sum()

@@ -350,3 +350,33 @@ def test_pipeline_all_stages_integration():
     # off-diagonal PLV high at the 60 Hz row.
     row = int(np.argmin(np.abs(np.arange(20.0, 340.0, 20.0) - 60.0)))
     assert np.asarray(out["plv_matrix"])[row, 0, 1] > 0.9
+
+
+def test_streaming_ssq_matches_whole_signal_interior():
+    """Streamed synchrosqueezing: interiors must match the whole-signal
+    reassigned plane (frequency reassignment is time-local; edges differ
+    by the per-window noise-gate floor and the halo)."""
+    from ninwavelets_tpu.ops.sst import ssq_power
+
+    sfreq, n = 1000.0, 8192
+    t = np.arange(n) / sfreq
+    sig = (np.sin(2 * np.pi * 60 * t)
+           + 0.5 * np.sin(2 * np.pi * 33 * t)).astype(np.float32)
+    freqs = np.arange(25.0, 80.0, 5.0, dtype=np.float32)
+    morse = nw.Morse(sfreq)
+    s = StreamingCWT(morse._wdef(), freqs, sfreq, window=2048,
+                     halo_tol=1e-5, interpolate=True)
+    got = np.asarray(s.ssq_power_device(sig))
+    bank = make_fft_bank(morse._wdef(), jnp.asarray(freqs), n, sfreq, True)
+    want = np.asarray(ssq_power(sig, jnp.asarray(np.asarray(
+        bank, np.float32)), freqs, sfreq, interpolate=True))
+    assert got.shape == want.shape
+    m = s.halo + 128
+    err = np.abs(got[:, m:-m] - want[:, m:-m]).max()
+    assert err < 2e-3 * np.abs(want).max()
+
+    # complex banks are rejected
+    mh = nw.MexicanHat(sfreq)
+    with pytest.raises(ValueError, match="analytic"):
+        StreamingCWT(mh._wdef(), [40.0], sfreq, window=1024,
+                     halo=256).ssq_power_device(sig[:2048])
