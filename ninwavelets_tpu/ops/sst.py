@@ -43,23 +43,34 @@ def _bin_nu(n: int, sfreq: float) -> jnp.ndarray:
 
 
 def uniform_grid_hint(freqs):
-    """(edges0, df) when ``freqs`` is uniformly spaced, else None.
+    """Closed-form row-mapping hint for regular grids, else None.
 
-    With a uniform grid the edge-count scan that maps instantaneous
-    frequencies to target rows collapses to one closed-form
-    ``ceil((omega - edges0) / df)`` — the scan re-reads the whole omega
-    plane once per edge (~F passes of HBM traffic), the closed form once.
+    The edge-count scan that maps instantaneous frequencies to target
+    rows re-reads the whole omega plane once per edge block; for regular
+    grids the left-bisect count collapses to one closed form:
+
+    * arithmetic (uniform) grids -> ``("lin", edges0, df)``:
+      ``idx = ceil((omega - edges0) / df)``
+    * geometric (log-spaced, the standard wavelet spacing) grids ->
+      ``("log", log(edges0), log(ratio))``: the midpoint edges
+      ``e_k = f0 r^k (1+r)/2`` are uniform in log, so
+      ``idx = ceil((log omega - log e0) / log r)`` (omega <= 0 maps to
+      row 0 — it is below every edge).
+
     Detected on HOST frequencies by the public wrappers and threaded down
-    as a STATIC hint (a traced grid cannot be inspected).
+    as a STATIC hint (a traced grid cannot be inspected); ascending only
+    (a constant/descending grid would break the bisect direction).
     """
     f = np.asarray(freqs, np.float64)
-    if f.size < 2:
+    if f.size < 2 or f[0] <= 0:
         return None
     d = np.diff(f)
     if d[0] > 0 and np.allclose(d, d[0], rtol=1e-6, atol=0.0):
-        # Ascending only: a constant grid (df=0) would divide by zero and
-        # a descending one flips the bisect direction vs the scan path.
-        return (float((f[0] + f[1]) / 2.0), float(d[0]))
+        return ("lin", float((f[0] + f[1]) / 2.0), float(d[0]))
+    r = f[1:] / f[:-1]
+    if r[0] > 1 and np.allclose(r, r[0], rtol=1e-6, atol=0.0):
+        e0 = f[0] * (1.0 + r[0]) / 2.0
+        return ("log", float(np.log(e0)), float(np.log(r[0])))
     return None
 
 
@@ -102,12 +113,18 @@ def _reassigned_power(signal, bank, f_grid, sfreq: float, interpolate: bool,
     # (63 ms, bitwise-identical).
     n_edges = f_grid.shape[0] - 1
     if uniform_grid is not None:
-        # Uniform grid: the left-bisect count has a closed form (same
+        # Regular grid: the left-bisect count has a closed form (same
         # result as the scan up to float rounding AT an edge — measure
         # zero for real data).
-        e0, df = uniform_grid
-        idx = jnp.clip(jnp.ceil((omega - e0) / df), 0, n_edges
-                       ).astype(jnp.int32)
+        kind, e0, step = uniform_grid
+        if kind == "log":
+            # log of a nonpositive omega is undefined; those cells are
+            # below every (positive) edge -> row 0.
+            safe = jnp.log(jnp.maximum(omega, 1e-30))
+            cnt = jnp.where(omega > 0.0, jnp.ceil((safe - e0) / step), 0.0)
+        else:
+            cnt = jnp.ceil((omega - e0) / step)
+        idx = jnp.clip(cnt, 0, n_edges).astype(jnp.int32)
     else:
         # Block K edges per scan step: one read of the omega plane serves
         # K compares (the scan is bandwidth-bound on re-reading the

@@ -384,9 +384,10 @@ def test_uniform_grid_closed_form_matches_scan():
     from ninwavelets_tpu.ops.bank import make_fft_bank
     from ninwavelets_tpu.ops.sst import (ssq_power_from_bank,
                                          uniform_grid_hint)
-    assert uniform_grid_hint(np.arange(5.0, 50.0, 5.0)) is not None
-    assert uniform_grid_hint(np.geomspace(5.0, 50.0, 10)) is None
+    assert uniform_grid_hint(np.arange(5.0, 50.0, 5.0))[0] == "lin"
+    assert uniform_grid_hint(np.geomspace(5.0, 50.0, 10))[0] == "log"
     assert uniform_grid_hint([10.0]) is None
+    assert uniform_grid_hint([5.0, 9.0, 11.0]) is None  # irregular
 
     morse = nw.Morse(1000.0)
     freqs = np.arange(10.0, 90.0, 4.0, dtype=np.float32)
@@ -394,6 +395,31 @@ def test_uniform_grid_closed_form_matches_scan():
     bank = jnp.asarray(np.asarray(make_fft_bank(
         morse._wdef(), jnp.asarray(freqs), n, 1000.0, True), np.float32))
     sig = jnp.asarray(np.random.default_rng(4)
+                      .standard_normal((3, n)).astype(np.float32))
+    f_grid = jnp.asarray(freqs)
+    scan = np.asarray(ssq_power_from_bank(sig, bank, f_grid, 1000.0))
+    closed = np.asarray(ssq_power_from_bank(
+        sig, bank, f_grid, 1000.0,
+        uniform_grid=uniform_grid_hint(freqs)))
+    np.testing.assert_allclose(closed, scan, rtol=1e-6, atol=1e-7)
+
+
+def test_log_grid_closed_form_matches_scan():
+    """Geometric grids get the log-space closed form — must reproduce the
+    edge-count scan (and detection distinguishes lin / log / irregular)."""
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+    from ninwavelets_tpu.ops.sst import (ssq_power_from_bank,
+                                         uniform_grid_hint)
+    assert uniform_grid_hint(np.arange(5.0, 50.0, 5.0))[0] == "lin"
+    assert uniform_grid_hint(np.geomspace(5.0, 80.0, 12))[0] == "log"
+    assert uniform_grid_hint([5.0, 7.0, 20.0]) is None
+
+    morse = nw.Morse(1000.0)
+    freqs = np.geomspace(10.0, 120.0, 20).astype(np.float32)
+    n = 1024
+    bank = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(freqs), n, 1000.0, True), np.float32))
+    sig = jnp.asarray(np.random.default_rng(6)
                       .standard_normal((3, n)).astype(np.float32))
     f_grid = jnp.asarray(freqs)
     scan = np.asarray(ssq_power_from_bank(sig, bank, f_grid, 1000.0))
