@@ -116,7 +116,9 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
         # Per-channel AR(1) fit on the raw epochs; the epoch-mean power is
         # chi-square with 2E DOF against the bank-aware background.
         from .ops import tc_stats
-        host = np.asarray(waves)                      # (E, C, N)
+        # AR(1) fitting is host-side numpy: reuse the adapter's host
+        # snapshot instead of pulling the device copy back down.
+        host = ew._host_data()                        # (E, C, N)
         e_count = host.shape[0]
         masks = []
         for ch in range(host.shape[1]):
@@ -176,8 +178,11 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
                 power, jnp.asarray(coi))
         if cfg.ridge:
             from .ops.ridge import ridge_frequencies
+            # power[ch] stays on device (extract_ridge is jitted); only
+            # the (N,) track crosses to host — pulling the (F, N) plane
+            # would cost seconds over a slow D2H link.
             out["ridge_hz"] = np.stack([
-                ridge_frequencies(np.asarray(power[ch]), freqs)
+                ridge_frequencies(power[ch], freqs)
                 for ch in range(power.shape[0])])
 
     if cfg.baseline is not None:
