@@ -430,15 +430,17 @@ def test_fused_backward_complex_bank(interpolate):
                                atol=1e-5 * np.abs(np.asarray(db_w)).max())
 
 
-@pytest.mark.parametrize("e", [4, fused.MAX_EPOCHS_PER_CALL // 2 + 3])
+@pytest.mark.parametrize("e,n", [(4, 2048), (4, 1024),
+                                 (fused.MAX_EPOCHS_PER_CALL // 2 + 3,
+                                  2048)])
 @pytest.mark.parametrize("interpolate", [True, False])
-def test_coherence_epilogue_matches_xla(e, interpolate):
+def test_coherence_epilogue_matches_xla(e, n, interpolate):
     """The coherence epilogue (pair stacked on the epoch axis, four sums
     off one pass) must match the XLA epoch coherence — aligned and ragged
     pair counts (zero-padded epochs add zero to every sum)."""
     from ninwavelets_tpu.ops.extensions import epoch_coherence_from_bank
     rng = np.random.default_rng(17)
-    sa, bank = _workload(e=e, c=2, nf=13, interpolate=interpolate)
+    sa, bank = _workload(e=e, c=2, nf=13, n=n, interpolate=interpolate)
     sb = rng.standard_normal(sa.shape).astype(np.float32)
     # a correlated component so coherence is non-trivial
     sb = (0.6 * sa + 0.8 * sb).astype(np.float32)
