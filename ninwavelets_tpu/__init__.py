@@ -17,7 +17,8 @@ from . import config, ops
 from .models import (Bump, DOG, Haar, MexicanHat, Morlet, Morse, MorseMNE,
                      Paul, Shannon, WaveletBase, WaveletMode)
 from .ops.baseline import Baseline, baseline_correct, baseline_tf
-from .utils import (EpochsWavelet, Parallel, RawWavelet, Sequence,
+from .utils import (ArrayEpochs, EpochsWavelet, Parallel, RawWavelet,
+                    Sequence,
                     compose, dict_map, plot_tf, plot_wavelet)
 
 __version__ = "0.1.0"
@@ -26,7 +27,7 @@ __all__ = [
     # reference-parity surface (__init__.py:1-3 of the reference)
     "WaveletBase", "WaveletMode", "plot_tf", "Baseline",
     "Morse", "MorseMNE", "Morlet", "Haar", "MexicanHat", "Shannon",
-    "EpochsWavelet", "RawWavelet",
+    "ArrayEpochs", "EpochsWavelet", "RawWavelet",
     # additions
     "plot_wavelet", "baseline_correct", "baseline_tf", "ops", "config",
     "Parallel", "Sequence", "compose", "dict_map",

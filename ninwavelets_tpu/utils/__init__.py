@@ -1,11 +1,11 @@
 from . import observability, tooltip
-from .mne_adapter import EpochsWavelet, RawWavelet
+from .mne_adapter import ArrayEpochs, EpochsWavelet, RawWavelet
 from .observability import CwtCost, Timer, cwt_cost, debug_nans, trace
 from .plotting import plot_tf, plot_wavelet
 from .tooltip import (Parallel, Sequence, compose, dict_map, not_none,
                       oneline_csv)
 
-__all__ = ["EpochsWavelet", "RawWavelet", "plot_tf", "plot_wavelet",
+__all__ = ["ArrayEpochs", "EpochsWavelet", "RawWavelet", "plot_tf", "plot_wavelet",
            "Parallel", "Sequence", "compose", "dict_map", "not_none",
            "oneline_csv", "Timer", "CwtCost", "cwt_cost", "debug_nans",
            "trace", "observability", "tooltip"]

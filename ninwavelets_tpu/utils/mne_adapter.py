@@ -431,3 +431,101 @@ class RawWavelet:
             data = data[idx]
         return self._stream_for(freqs).ssq_power_device(
             data, rel_threshold=rel_threshold)
+
+    # -- event-locked epoching ---------------------------------------------
+
+    def epochs(self, events, tmin: float, tmax: float,
+               picks=None) -> "EpochsWavelet":
+        """Slice event-locked windows out of the recording and return an
+        ``EpochsWavelet`` over them (extension — the reference has no Raw
+        surface at all; this mirrors the ``mne.Epochs(raw, events)``
+        workflow without requiring mne).
+
+        Every epochs-level transform — ``power``/``itc``/``ssq_power``/
+        ``plv``/``pac``/... — then runs on the event-locked batch through
+        the same fused device programs as a real ``mne.Epochs`` input.
+
+        Parameters
+        ----------
+        events: either an ``(E,)`` array of event sample indices, or an
+            MNE-style ``(E, 3)`` int array whose FIRST column is the sample
+            index (the other columns are ignored, as ``mne.Epochs`` does
+            for the duration column).
+        tmin / tmax: window extent in seconds relative to each event; both
+            endpoint samples are included (mne's convention:
+            ``n = round((tmax - tmin) * sfreq) + 1``).
+        picks: optional channel-name list (window extraction then copies
+            only those rows).
+
+        Events whose window would cross either recording edge are dropped,
+        like mne's "too close to the edge" rejection.
+        """
+        ev = np.asarray(events)
+        if ev.ndim == 2:
+            ev = ev[:, 0]
+        ev = ev.astype(np.int64)
+        sf = self.wavelet.sfreq
+        start = int(round(tmin * sf))
+        n_win = int(round((tmax - tmin) * sf)) + 1
+        data = self._host_data()
+        ch_names = list(self.raw.ch_names)
+        if picks is not None:
+            idx = [ch_names.index(ch) for ch in picks]
+            data = data[idx]
+            ch_names = list(picks)
+        n = data.shape[-1]
+        keep = (ev + start >= 0) & (ev + start + n_win <= n)
+        ev = ev[keep]
+        if ev.size == 0:
+            raise ValueError(
+                "no event window fits inside the recording "
+                f"(N={n}, window={n_win} samples at offset {start})")
+        windows = np.stack([data[:, e + start:e + start + n_win]
+                            for e in ev])              # (E, C, Nw)
+        times = tmin + np.arange(n_win) / sf
+        return EpochsWavelet(
+            ArrayEpochs(windows, sf, ch_names, times=times), self.wavelet)
+
+    def itc(self, freqs: Numbers, events, tmin: float, tmax: float,
+            picks=None) -> jnp.ndarray:
+        """(C, F, Nw) inter-trial coherence locked to ``events``
+        (convenience over ``self.epochs(...).itc_all``) — ITC is only
+        defined ACROSS repeated trials, so on a continuous recording it
+        needs event markers."""
+        return self.epochs(events, tmin, tmax, picks=picks).itc_all(freqs)
+
+    def epoch_power(self, freqs: Numbers, events, tmin: float, tmax: float,
+                    picks=None, **kw) -> jnp.ndarray:
+        """(C, F, Nw) event-locked epoch-mean power (convenience over
+        ``self.epochs(...).power_all``; same ``baseline``/``decim``
+        keywords)."""
+        return self.epochs(events, tmin, tmax, picks=picks).power_all(
+            freqs, **kw)
+
+
+class ArrayEpochs:
+    """Minimal epochs container over a plain ``(E, C, N)`` array — the
+    duck-typed MNE surface ``EpochsWavelet`` needs (``.info['sfreq']``,
+    ``.ch_names``, ``.get_data()``, ``len``, ``.times``) without importing
+    mne.  Use it to feed raw numpy trial data straight into the epochs
+    pipeline, or get one from ``RawWavelet.epochs`` for event-locked
+    windows of a continuous recording."""
+
+    def __init__(self, data, sfreq: float, ch_names=None, times=None):
+        data = np.asarray(data)
+        if data.ndim != 3:
+            raise ValueError(f"expected (E, C, N), got {data.shape}")
+        self._data = data
+        self.info = {'sfreq': float(sfreq)}
+        self.ch_names = (list(ch_names) if ch_names is not None
+                         else [f"ch{c}" for c in range(data.shape[1])])
+        if len(self.ch_names) != data.shape[1]:
+            raise ValueError("ch_names length != channel axis")
+        self.times = (np.asarray(times) if times is not None
+                      else np.arange(data.shape[2]) / float(sfreq))
+
+    def __len__(self) -> int:
+        return self._data.shape[0]
+
+    def get_data(self) -> np.ndarray:
+        return self._data

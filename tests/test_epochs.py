@@ -290,6 +290,79 @@ class TestRawWavelet:
         assert p.shape == (1, 2, 3000)
 
 
+class TestRawEpoching:
+    """Event-locked epoching of a continuous recording (RawWavelet.epochs)."""
+
+    def _raw(self, sfreq=1000.0):
+        # 10 s, 2 channels; a 0.2 s 60 Hz burst begins at every event with
+        # the same phase -> strong event-locked ITC at 60 Hz.
+        n = 10_000
+        rng = np.random.default_rng(7)
+        data = 0.05 * rng.standard_normal((2, n)).astype(np.float32)
+        events = np.arange(1_000, 9_000, 1_000)
+        tt = np.arange(200) / sfreq
+        burst = np.sin(2 * np.pi * 60.0 * tt).astype(np.float32)
+        for e in events:
+            data[:, e:e + 200] += burst
+        return TestRawWavelet.FakeRaw(data, sfreq), events
+
+    def test_windows_match_manual_slices(self):
+        raw, events = self._raw()
+        rw = nw.RawWavelet(raw, nw.Morse(1000.0))
+        ew = rw.epochs(events, tmin=-0.1, tmax=0.3)
+        got = ew.epochs.get_data()
+        # mne convention: both endpoints included
+        assert got.shape == (len(events), 2, 401)
+        want = np.stack([raw.get_data()[:, e - 100:e + 301] for e in events])
+        np.testing.assert_array_equal(got, want.astype(np.float32))
+        np.testing.assert_allclose(ew.epochs.times,
+                                   -0.1 + np.arange(401) / 1000.0)
+
+    def test_mne_style_events_and_edge_drop(self):
+        raw, events = self._raw()
+        rw = nw.RawWavelet(raw, nw.Morse(1000.0))
+        # (E, 3) events array; add one event too close to each edge
+        ev3 = np.stack([np.concatenate([[20], events, [9_990]]),
+                        np.zeros(len(events) + 2, int),
+                        np.ones(len(events) + 2, int)], axis=1)
+        ew = rw.epochs(ev3, tmin=-0.1, tmax=0.3)
+        assert len(ew.epochs) == len(events)   # edge events dropped
+        with pytest.raises(ValueError):
+            rw.epochs([5], tmin=-1.0, tmax=11.0)
+
+    def test_event_locked_itc_and_power(self):
+        raw, events = self._raw()
+        rw = nw.RawWavelet(raw, nw.Morse(1000.0))
+        freqs = np.arange(30.0, 95.0, 10.0)
+        itc = np.asarray(rw.itc(freqs, events, tmin=0.0, tmax=0.2))
+        assert itc.shape == (2, freqs.size, 201)
+        row = int(np.argmin(np.abs(freqs - 60.0)))
+        # phase-locked burst: ITC near 1 on its row mid-window, low off-row
+        assert itc[0, row, 50:150].mean() > 0.9
+        assert itc[0, 0, 50:150].mean() < 0.7
+        pw = np.asarray(rw.epoch_power(freqs, events, tmin=0.0, tmax=0.2,
+                                       picks=["EEG 001"]))
+        assert pw.shape == (1, freqs.size, 201)
+        # parity with the epochs adapter over the same windows
+        ew = rw.epochs(events, tmin=0.0, tmax=0.2, picks=["EEG 001"])
+        np.testing.assert_allclose(pw, np.asarray(ew.power_all(freqs)),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_array_epochs_container():
+    data = np.random.default_rng(3).standard_normal((4, 2, 500)).astype(
+        np.float32)
+    ep = nw.ArrayEpochs(data, 250.0, ch_names=["a", "b"])
+    assert len(ep) == 4 and ep.info['sfreq'] == 250.0
+    ew = nw.EpochsWavelet(ep, nw.Morse(250.0))
+    p = np.asarray(ew.power("b", [30.0, 40.0]))
+    assert p.shape == (2, 500)
+    with pytest.raises(ValueError):
+        nw.ArrayEpochs(data[0], 250.0)
+    with pytest.raises(ValueError):
+        nw.ArrayEpochs(data, 250.0, ch_names=["a"])
+
+
 def test_induced_evoked_power_split(epochs):
     """induced + evoked decompose total power: a phase-locked tone lives
     in the evoked part; induced drops it (epoch-mean subtracted)."""
