@@ -43,7 +43,7 @@ def _bin_nu(n: int, sfreq: float) -> jnp.ndarray:
 
 
 def uniform_grid_hint(freqs):
-    """Closed-form row-mapping hint for regular grids, else None.
+    """Closed-form row-mapping hint for (piecewise-)regular grids, else None.
 
     The edge-count scan that maps instantaneous frequencies to target
     rows re-reads the whole omega plane once per edge block; for regular
@@ -56,22 +56,71 @@ def uniform_grid_hint(freqs):
       ``e_k = f0 r^k (1+r)/2`` are uniform in log, so
       ``idx = ceil((log omega - log e0) / log r)`` (omega <= 0 maps to
       row 0 — it is below every edge).
+    * PIECEWISE-regular grids (e.g. two concatenated linear ranges at
+      different resolutions, or a log sweep joined to a linear tail) ->
+      ``("pw", ((kind, p0, step, m), ...))``: the row edges are greedily
+      split into maximal arithmetic/geometric runs and the per-segment
+      closed-form counts (each clipped to its run length ``m``) SUM to
+      the global left-bisect count — S elementwise passes over the omega
+      plane instead of ``ceil(F/8)`` scan steps.  Only returned when
+      that is a strict win (``8*S < n_edges``); truly irregular grids
+      fall back to the blocked scan (``None``).
 
     Detected on HOST frequencies by the public wrappers and threaded down
     as a STATIC hint (a traced grid cannot be inspected); ascending only
     (a constant/descending grid would break the bisect direction).
     """
     f = np.asarray(freqs, np.float64)
-    if f.size < 2 or f[0] <= 0:
+    if f.size < 2 or f[0] <= 0 or np.any(np.diff(f) <= 0):
         return None
     d = np.diff(f)
-    if d[0] > 0 and np.allclose(d, d[0], rtol=1e-6, atol=0.0):
+    if np.allclose(d, d[0], rtol=1e-6, atol=0.0):
         return ("lin", float((f[0] + f[1]) / 2.0), float(d[0]))
     r = f[1:] / f[:-1]
     if r[0] > 1 and np.allclose(r, r[0], rtol=1e-6, atol=0.0):
         e0 = f[0] * (1.0 + r[0]) / 2.0
         return ("log", float(np.log(e0)), float(np.log(r[0])))
+    edges = 0.5 * (f[1:] + f[:-1])
+    segs = _edge_segments(edges)
+    if segs is not None and 8 * len(segs) < edges.size:
+        return ("pw", segs)
     return None
+
+
+def _edge_segments(edges: np.ndarray, rtol: float = 1e-6):
+    """Greedy maximal arithmetic/geometric runs over the (ascending) row
+    edges, as ``((kind, p0, step, m), ...)`` with ``p0``/``step`` in log
+    space for geometric runs.  At each position the longer of the two run
+    types wins (ties -> arithmetic: cheaper on device, no log)."""
+    m = edges.size
+    segs = []
+    i = 0
+    while i < m:
+        if i == m - 1:
+            segs.append(("lin", float(edges[i]), 1.0, 1))
+            break
+        d = edges[i + 1] - edges[i]
+        j_lin = i + 1
+        while (j_lin + 1 < m
+               and abs(edges[j_lin + 1] - edges[j_lin] - d) <= rtol * d):
+            j_lin += 1
+        j_log = i
+        ratio = edges[i + 1] / edges[i]
+        if edges[i] > 0 and ratio > 1:
+            j_log = i + 1
+            while (j_log + 1 < m
+                   and abs(edges[j_log + 1] / edges[j_log] - ratio)
+                   <= rtol * ratio):
+                j_log += 1
+        if j_log > j_lin:
+            segs.append(("log", float(np.log(edges[i])),
+                         float(np.log(ratio)), j_log - i + 1))
+            i = j_log + 1
+        else:
+            segs.append(("lin", float(edges[i]), float(d), j_lin - i + 1))
+            i = j_lin + 1
+    assert sum(s[3] for s in segs) == m
+    return tuple(segs)
 
 
 def _reassigned_power(signal, bank, f_grid, sfreq: float, interpolate: bool,
@@ -116,14 +165,30 @@ def _reassigned_power(signal, bank, f_grid, sfreq: float, interpolate: bool,
         # Regular grid: the left-bisect count has a closed form (same
         # result as the scan up to float rounding AT an edge — measure
         # zero for real data).
-        kind, e0, step = uniform_grid
-        if kind == "log":
-            # log of a nonpositive omega is undefined; those cells are
-            # below every (positive) edge -> row 0.
-            safe = jnp.log(jnp.maximum(omega, 1e-30))
-            cnt = jnp.where(omega > 0.0, jnp.ceil((safe - e0) / step), 0.0)
+        if uniform_grid[0] == "pw":
+            # Piecewise-regular grid: the global count is the sum of the
+            # per-segment closed forms, each clipped to its run length.
+            cnt = jnp.zeros(omega.shape, jnp.float32)
+            logw = None
+            for seg_kind, p0, step, m in uniform_grid[1]:
+                if seg_kind == "log":
+                    if logw is None:
+                        logw = jnp.log(jnp.maximum(omega, 1e-30))
+                    c = jnp.where(omega > 0.0,
+                                  jnp.ceil((logw - p0) / step), 0.0)
+                else:
+                    c = jnp.ceil((omega - p0) / step)
+                cnt = cnt + jnp.clip(c, 0.0, float(m))
         else:
-            cnt = jnp.ceil((omega - e0) / step)
+            kind, e0, step = uniform_grid
+            if kind == "log":
+                # log of a nonpositive omega is undefined; those cells are
+                # below every (positive) edge -> row 0.
+                safe = jnp.log(jnp.maximum(omega, 1e-30))
+                cnt = jnp.where(omega > 0.0,
+                                jnp.ceil((safe - e0) / step), 0.0)
+            else:
+                cnt = jnp.ceil((omega - e0) / step)
         idx = jnp.clip(cnt, 0, n_edges).astype(jnp.int32)
     else:
         # Block K edges per scan step: one read of the omega plane serves

@@ -404,6 +404,58 @@ def test_uniform_grid_closed_form_matches_scan():
     np.testing.assert_allclose(closed, scan, rtol=1e-6, atol=1e-7)
 
 
+def test_piecewise_grid_closed_form_matches_scan():
+    """Piecewise-regular grids (concatenated runs at different
+    resolutions) get the summed per-segment closed forms — must reproduce
+    the edge-count scan; detection only fires when the segment count is a
+    strict win over the blocked scan."""
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+    from ninwavelets_tpu.ops.sst import (ssq_power_from_bank,
+                                         uniform_grid_hint, _edge_segments)
+
+    # standard neuro sweep: fine linear theta/alpha/beta + coarse gamma
+    freqs = np.concatenate([np.arange(4.0, 40.0, 2.0),
+                            np.arange(40.0, 100.0, 5.0)]).astype(np.float32)
+    hint = uniform_grid_hint(freqs)
+    assert hint is not None and hint[0] == "pw"
+    assert sum(s[3] for s in hint[1]) == freqs.size - 1
+    # a log sweep joined to a linear tail segments too
+    mixed = np.concatenate([np.geomspace(2.0, 32.0, 24),
+                            np.arange(36.0, 120.0, 4.0)])
+    h2 = uniform_grid_hint(mixed)
+    assert h2 is not None and h2[0] == "pw"
+    assert any(s[0] == "log" for s in h2[1])
+    # truly irregular (every spacing distinct) -> no hint
+    rng = np.random.default_rng(11)
+    jitter = np.cumsum(0.5 + rng.random(40)) + 5.0
+    assert uniform_grid_hint(jitter) is None
+    # host segmentation is exact: per-segment closed forms == bisect
+    edges = 0.5 * (np.asarray(mixed[1:]) + np.asarray(mixed[:-1]))
+    segs = _edge_segments(edges)
+    probe = np.linspace(0.0, 150.0, 1201)
+    want = np.searchsorted(edges, probe, side="left")
+    got = np.zeros_like(probe)
+    for kind, p0, step, m in segs:
+        x = np.log(np.maximum(probe, 1e-30)) if kind == "log" else probe
+        c = np.where(probe > 0, np.ceil((x - p0) / step), 0.0)
+        got += np.clip(c, 0.0, m)
+    # away from exact edge hits the counts agree everywhere
+    off_edge = np.abs(probe[:, None] - edges[None, :]).min(1) > 1e-9
+    np.testing.assert_array_equal(got[off_edge], want[off_edge])
+
+    morse = nw.Morse(1000.0)
+    n = 1024
+    bank = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(freqs), n, 1000.0, True), np.float32))
+    sig = jnp.asarray(np.random.default_rng(9)
+                      .standard_normal((3, n)).astype(np.float32))
+    f_grid = jnp.asarray(freqs)
+    scan = np.asarray(ssq_power_from_bank(sig, bank, f_grid, 1000.0))
+    closed = np.asarray(ssq_power_from_bank(
+        sig, bank, f_grid, 1000.0, uniform_grid=hint))
+    np.testing.assert_allclose(closed, scan, rtol=1e-6, atol=1e-7)
+
+
 def test_log_grid_closed_form_matches_scan():
     """Geometric grids get the log-space closed form — must reproduce the
     edge-count scan (and detection distinguishes lin / log / irregular)."""
