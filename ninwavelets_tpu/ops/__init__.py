@@ -18,7 +18,8 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            plv_sums)
 from .extensions import (bump_spectrum, cross_power_from_bank,
                          dog_spectrum, epoch_coherence_from_bank,
-                         paul_spectrum)
+                         paul_spectrum, wavelet_coherence,
+                         wavelet_coherence_from_bank)
 from .fused import (fused_itc, fused_itc_from_bank, fused_mean_power,
                     fused_mean_power_from_bank, itc_auto, mean_power_auto)
 from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
@@ -53,6 +54,7 @@ __all__ = [
     "fused_itc", "fused_itc_from_bank", "itc_auto",
     "paul_spectrum", "dog_spectrum", "bump_spectrum",
     "cross_power_from_bank", "epoch_coherence_from_bank",
+    "wavelet_coherence", "wavelet_coherence_from_bank",
     "plv", "plv_from_bank", "plv_sums", "pac", "pac_from_banks",
     "pair_matrix_scan", "plv_matrix", "plv_matrix_from_bank",
     "coherence_matrix", "coherence_matrix_from_bank",

@@ -432,6 +432,34 @@ class RawWavelet:
         return self._stream_for(freqs).ssq_power_device(
             data, rel_threshold=rel_threshold)
 
+    def coherence(self, ch_a: str, ch_b: str, freqs: Numbers,
+                  cycles: float = 1.0, scale_width: float = 0.6,
+                  eps: float = 1e-12, return_phase: bool = False):
+        """(F, N) SINGLE-TRIAL smoothed wavelet coherence between two
+        channels of the continuous recording (extension —
+        ``ops.extensions.wavelet_coherence``: Torrence–Webster time/scale
+        smoothing; without repeated trials the smoothing plays the role
+        the epoch ensemble plays in ``EpochsWavelet.coherence``).
+
+        Runs the WHOLE recording in one program — O(F*N) device memory;
+        for multi-hour streams, epoch the recording first
+        (``self.epochs``) or window it on the caller side."""
+        from ..ops import bank as _bank
+        from ..ops.extensions import wavelet_coherence
+        w = self.wavelet
+        data = self._host_data()
+        ia = self.raw.ch_names.index(ch_a)
+        ib = self.raw.ch_names.index(ch_b)
+        arr = np.asarray(w._check_freqs(freqs), np.float32)
+        br, bi = _bank.make_fft_bank_ri(w._wdef(), arr, data.shape[-1],
+                                        w.sfreq, w.interpolate,
+                                        w.real_wave_length)
+        return wavelet_coherence(jnp.asarray(data[ia]),
+                                 jnp.asarray(data[ib]), br, arr, w.sfreq,
+                                 bank_i=bi, interpolate=w.interpolate,
+                                 cycles=cycles, scale_width=scale_width,
+                                 eps=eps, return_phase=return_phase)
+
     # -- event-locked epoching ---------------------------------------------
 
     def epochs(self, events, tmin: float, tmax: float,

@@ -97,3 +97,106 @@ class TestCrossOps:
                          + 1j * np.asarray(xi)[row_40, 500])
         # 5 ms at 40 Hz = 0.2 cycles = 1.257 rad lead of a over b.
         assert abs(phase - 2 * np.pi * 40 * 0.005) < 0.35
+
+
+class TestWaveletCoherence:
+    """Single-trial smoothed wavelet coherence (Torrence–Webster)."""
+
+    FREQS = np.arange(20.0, 80.0, 5.0)
+
+    def _bank(self, n):
+        m = nw.Morse(SFREQ)
+        return make_fft_bank(m._wdef(), jnp.asarray(self.FREQS), n, SFREQ)
+
+    def test_self_coherence_is_one(self):
+        rng = np.random.default_rng(0)
+        sig = rng.standard_normal(2000).astype(np.float32)
+        coh = np.asarray(ext.wavelet_coherence_from_bank(
+            jnp.asarray(sig), jnp.asarray(sig), self._bank(2000),
+            jnp.asarray(self.FREQS, jnp.float32), SFREQ))
+        np.testing.assert_allclose(coh, 1.0, atol=1e-3)
+
+    def test_range_and_independent_noise_is_lower(self):
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal(4000).astype(np.float32)
+        b = rng.standard_normal(4000).astype(np.float32)
+        c = (a + 0.3 * rng.standard_normal(4000)).astype(np.float32)
+        bank = self._bank(4000)
+        fg = jnp.asarray(self.FREQS, jnp.float32)
+        ind = np.asarray(ext.wavelet_coherence_from_bank(
+            jnp.asarray(a), jnp.asarray(b), bank, fg, SFREQ))
+        dep = np.asarray(ext.wavelet_coherence_from_bank(
+            jnp.asarray(a), jnp.asarray(c), bank, fg, SFREQ))
+        assert ind.min() >= 0.0 and ind.max() <= 1.0 + 1e-4
+        m = 500
+        assert np.median(dep[:, m:-m]) > 0.9
+        assert np.median(ind[:, m:-m]) < 0.6
+        assert np.median(dep[:, m:-m]) > np.median(ind[:, m:-m]) + 0.3
+
+    def test_band_limited_coupling_and_phase(self):
+        """Signals sharing ONLY a 40 Hz component cohere at 40 Hz, not at
+        distant rows; the smoothed phase reads the 5 ms lag."""
+        rng = np.random.default_rng(2)
+        t = np.arange(4000) / SFREQ
+        common = np.sin(2 * np.pi * 40 * t)
+        a = (common + 0.7 * rng.standard_normal(4000)).astype(np.float32)
+        b = (np.sin(2 * np.pi * 40 * (t - 0.005))
+             + 0.7 * rng.standard_normal(4000)).astype(np.float32)
+        bank = self._bank(4000)
+        fg = jnp.asarray(self.FREQS, jnp.float32)
+        coh, phase = ext.wavelet_coherence_from_bank(
+            jnp.asarray(a), jnp.asarray(b), bank, fg, SFREQ,
+            return_phase=True)
+        coh, phase = np.asarray(coh), np.asarray(phase)
+        row40 = int(np.argmin(np.abs(self.FREQS - 40.0)))
+        row75 = int(np.argmin(np.abs(self.FREQS - 75.0)))
+        m = 500
+        assert coh[row40, m:-m].mean() > 0.8
+        assert coh[row75, m:-m].mean() < coh[row40, m:-m].mean() - 0.25
+        want = 2 * np.pi * 40 * 0.005      # a leads b
+        got = np.angle(np.exp(1j * phase[row40, m:-m])).mean()
+        assert abs(got - want) < 0.35
+
+    def test_jitted_wrapper_and_raw_adapter(self):
+        rng = np.random.default_rng(3)
+        data = rng.standard_normal((2, 3000)).astype(np.float32)
+        data[1] = 0.8 * data[0] + 0.2 * data[1]
+
+        class FakeRaw:
+            info = {"sfreq": SFREQ}
+            ch_names = ["A", "B"]
+
+            def get_data(self):
+                return data
+
+        rw = nw.RawWavelet(FakeRaw(), nw.Morse(SFREQ))
+        coh = np.asarray(rw.coherence("A", "B", self.FREQS))
+        assert coh.shape == (self.FREQS.size, 3000)
+        m = 400
+        assert np.median(coh[:, m:-m]) > 0.8
+        # jitted wrapper == from_bank path
+        bank = self._bank(3000)
+        want = np.asarray(ext.wavelet_coherence_from_bank(
+            jnp.asarray(data[0]), jnp.asarray(data[1]), bank,
+            jnp.asarray(self.FREQS, jnp.float32), SFREQ))
+        got = np.asarray(ext.wavelet_coherence(
+            jnp.asarray(data[0]), jnp.asarray(data[1]),
+            jnp.asarray(np.asarray(bank, np.float32)), self.FREQS, SFREQ))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_complex_bank_family_works(self):
+        """Normal-mode (complex-bank) families route through the float-pair
+        boundary: MexicanHat coherence of a shared signal stays high."""
+        rng = np.random.default_rng(4)
+        a = rng.standard_normal(2000).astype(np.float32)
+        b = (a + 0.3 * rng.standard_normal(2000)).astype(np.float32)
+        w = nw.MexicanHat(SFREQ)
+        from ninwavelets_tpu.ops.bank import make_fft_bank_ri
+        freqs = np.arange(25.0, 60.0, 5.0, dtype=np.float32)
+        br, bi = make_fft_bank_ri(w._wdef(), freqs, 2000, SFREQ,
+                                  w.interpolate, w.real_wave_length)
+        coh = np.asarray(ext.wavelet_coherence(
+            jnp.asarray(a), jnp.asarray(b), br, freqs, SFREQ, bank_i=bi))
+        m = 300
+        assert np.median(coh[:, m:-m]) > 0.7
+        assert coh.max() <= 1.0 + 1e-4
