@@ -13,9 +13,10 @@ from .cwt import (abs_from_bank, analytic_spectrum, cwt_abs, cwt_from_bank,
                   mean_power_from_bank, power, power_from_bank, split_complex)
 from .fit import fit_frequencies, learn_bank
 from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
-                           pac, pac_from_banks, pair_matrix_scan, plv,
-                           plv_from_bank, plv_matrix, plv_matrix_from_bank,
-                           plv_sums)
+                           nm_plv, nm_plv_from_bank, pac, pac_from_banks,
+                           pair_matrix_scan, plv, plv_from_bank,
+                           plv_matrix, plv_matrix_from_bank,
+                           plv_significance, plv_sums, surrogate_pvalues)
 from .extensions import (bump_spectrum, cross_power_from_bank,
                          dog_spectrum, epoch_coherence_from_bank,
                          paul_spectrum, wavelet_coherence,
@@ -56,6 +57,7 @@ __all__ = [
     "cross_power_from_bank", "epoch_coherence_from_bank",
     "wavelet_coherence", "wavelet_coherence_from_bank",
     "plv", "plv_from_bank", "plv_sums", "pac", "pac_from_banks",
+    "nm_plv", "nm_plv_from_bank", "plv_significance", "surrogate_pvalues",
     "pair_matrix_scan", "plv_matrix", "plv_matrix_from_bank",
     "coherence_matrix", "coherence_matrix_from_bank",
     "icwt_from_bank", "icwt_ri", "coverage",

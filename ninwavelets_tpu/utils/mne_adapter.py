@@ -320,6 +320,36 @@ class EpochsWavelet:
         return _coh_m(waves, br, bi, interpolate=self.wavelet.interpolate,
                       eps=eps, time_range=self._samples(time_range))
 
+    def nm_plv(self, ch_a: str, ch_b: str, freqs: Numbers, n: int = 1,
+               m: int = 1, eps: float = 0.0) -> jnp.ndarray:
+        """(F, N) n:m cross-frequency phase-locking between two channels
+        (extension — ``ops.connectivity.nm_plv``): row k tests the lock of
+        ``n * phase(ch_a at freqs[k])`` against
+        ``m * phase(ch_b at (n/m) * freqs[k])`` (so each pair satisfies
+        the ``n f_a = m f_b`` resonance).  ``ch_a == ch_b`` measures
+        harmonic self-locking."""
+        from ..ops.connectivity import nm_plv as _nm
+        sa = self._channel_data(ch_a)
+        sb = self._channel_data(ch_b)
+        ba, _ = self._conn_bank(sa.shape[-1], freqs)
+        scaled = np.asarray(freqs, np.float64) * (float(n) / float(m))
+        bb, _ = self._conn_bank(sa.shape[-1], scaled)
+        return _nm(sa, sb, ba, bb, n=n, m=m,
+                   interpolate=self.wavelet.interpolate, eps=eps)
+
+    def plv_significance(self, ch_a: str, ch_b: str, freqs: Numbers,
+                         n_surrogates: int = 199, seed: int = 0,
+                         eps: float = 0.0):
+        """((F, N) plv, (F, N) p-values) with circular-shift surrogate
+        significance (extension — ``ops.connectivity.plv_significance``;
+        cost is ``n_surrogates + 1`` PLV passes)."""
+        from ..ops.connectivity import plv_significance as _sig
+        sa = self._channel_data(ch_a)
+        sb = self._channel_data(ch_b)
+        br, _ = self._conn_bank(sa.shape[-1], freqs)
+        return _sig(sa, sb, br, interpolate=self.wavelet.interpolate,
+                    eps=eps, n_surrogates=n_surrogates, seed=seed)
+
     def pac(self, ch_name: str, freqs_phase: Numbers, freqs_amp: Numbers,
             method: str = "mvl", n_bins: int = 18) -> jnp.ndarray:
         """(F_phase, F_amp) epoch-mean phase-amplitude comodulogram of one

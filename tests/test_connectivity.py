@@ -223,3 +223,111 @@ class TestPairMatrix:
         got = np.asarray(par.sharded_coherence_matrix(
             sigs, bank, mesh=mesh, interpolate=True))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+class TestNMPLV:
+    """n:m cross-frequency phase locking (Tass-style)."""
+
+    def _harmonic_epochs(self, locked: bool, e=20, n=2048, seed=0):
+        """ch a carries 10 Hz with a random phase per epoch; ch b carries
+        20 Hz at exactly TWICE that phase (locked) or an independent phase
+        (unlocked).  1:1 PLV is ~0 either way — only 2:1 sees the lock."""
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / SFREQ
+        a = np.empty((e, n), np.float32)
+        b = np.empty((e, n), np.float32)
+        for i in range(e):
+            pa = rng.uniform(0, 2 * np.pi)
+            pb = 2 * pa + 0.7 if locked else rng.uniform(0, 2 * np.pi)
+            a[i] = np.sin(2 * np.pi * 10 * t + pa) + \
+                0.2 * rng.standard_normal(n)
+            b[i] = np.sin(2 * np.pi * 20 * t + pb) + \
+                0.2 * rng.standard_normal(n)
+        return jnp.asarray(a[:, None, :]), jnp.asarray(b[:, None, :])
+
+    def test_harmonic_lock_needs_the_right_ratio(self):
+        from ninwavelets_tpu.ops.connectivity import nm_plv
+        freqs_a = np.array([8.0, 10.0, 12.0], np.float32)
+        bank_a = _bank(freqs_a, 2048)
+        bank_b = _bank(freqs_a * 2.0, 2048)    # n/m = 2/1
+        row = 1
+        m = 400
+        sa, sb = self._harmonic_epochs(True)
+        v21 = np.asarray(nm_plv(sa, sb, bank_a, bank_b, n=2, m=1,
+                                interpolate=True))[0]
+        assert v21[row, m:-m].mean() > 0.85
+        # 1:1 at either frequency sees nothing (phases are n:m related,
+        # not equal)
+        bank_b1 = _bank(freqs_a, 2048)
+        v11 = np.asarray(nm_plv(sa, sb, bank_a, bank_b1, n=1, m=1,
+                                interpolate=True))[0]
+        assert v11[row, m:-m].mean() < 0.4
+        # unlocked 2:1 is low
+        sa, sb = self._harmonic_epochs(False, seed=3)
+        v0 = np.asarray(nm_plv(sa, sb, bank_a, bank_b, n=2, m=1,
+                               interpolate=True))[0]
+        assert v0[row, m:-m].mean() < 0.45
+
+    def test_reduces_to_plv_at_1_1(self):
+        from ninwavelets_tpu.ops.connectivity import nm_plv
+        bank = _bank(np.arange(20.0, 60.0, 8.0), 1024)
+        rng = np.random.default_rng(5)
+        sa = jnp.asarray(rng.standard_normal((6, 1, 1024)).astype(
+            np.float32))
+        sb = jnp.asarray(rng.standard_normal((6, 1, 1024)).astype(
+            np.float32))
+        want = np.asarray(plv(sa, sb, bank, interpolate=True))
+        got = np.asarray(nm_plv(sa, sb, bank, bank, n=1, m=1,
+                                interpolate=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_adapter_convenience(self):
+        from tests.test_epochs import FakeEpochs  # reuse duck type
+        sa, sb = self._harmonic_epochs(True, e=8)
+        data = np.concatenate([np.asarray(sa), np.asarray(sb)], axis=1)
+        ew = nw.EpochsWavelet(FakeEpochs(data, SFREQ), nw.Morse(SFREQ))
+        v = np.asarray(ew.nm_plv("EEG 000", "EEG 001", [10.0], n=2, m=1))
+        assert v.shape == (1, 2048)
+        assert v[0, 400:-400].mean() > 0.8
+
+
+class TestSurrogateSignificance:
+    def test_coupled_small_p_independent_uniform(self):
+        from ninwavelets_tpu.ops.connectivity import plv_significance
+        freqs = np.arange(30.0, 55.0, 8.0)
+        bank = _bank(freqs, 1024)
+        rng = np.random.default_rng(7)
+        t = np.arange(1024) / SFREQ
+        e = 16
+        # coupled at 40 Hz with fixed lag
+        pa = rng.uniform(0, 2 * np.pi, e)
+        a = (np.sin(2 * np.pi * 40 * t + pa[:, None])
+             + 0.4 * rng.standard_normal((e, 1024))).astype(np.float32)
+        b = (np.sin(2 * np.pi * 40 * t + pa[:, None] + 1.0)
+             + 0.4 * rng.standard_normal((e, 1024))).astype(np.float32)
+        obs, p = plv_significance(jnp.asarray(a[:, None]),
+                                  jnp.asarray(b[:, None]), bank,
+                                  interpolate=True, n_surrogates=99,
+                                  seed=1)
+        obs, p = np.asarray(obs)[0], np.asarray(p)[0]
+        row = int(np.argmin(np.abs(freqs - 40.0)))
+        m = 300
+        assert obs[row, m:-m].mean() > 0.85
+        # coupled cells hit the permutation floor 1/(n+1)
+        assert np.median(p[row, m:-m]) <= 0.02 + 1e-9
+        # independent channels: p roughly uniform (median near 0.5)
+        b2 = rng.standard_normal((e, 1024)).astype(np.float32)
+        _, p0 = plv_significance(jnp.asarray(a[:, None]),
+                                 jnp.asarray(b2[:, None]), bank,
+                                 interpolate=True, n_surrogates=99,
+                                 seed=2)
+        p0 = np.asarray(p0)[0]
+        assert 0.2 < np.median(p0[:, m:-m]) < 0.8
+
+    def test_min_shift_validation(self):
+        from ninwavelets_tpu.ops.connectivity import surrogate_pvalues
+        import jax
+        sig = jnp.zeros((2, 64))
+        with pytest.raises(ValueError):
+            surrogate_pvalues(lambda s: jnp.zeros(()), jnp.zeros(()), sig,
+                              jax.random.PRNGKey(0), 9, min_shift=40)
