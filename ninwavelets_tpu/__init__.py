@@ -15,7 +15,7 @@ under ``ninwavelets_tpu.ops`` and the sharded engine under
 """
 from . import config, ops
 from .models import (Bump, DOG, Haar, MexicanHat, Morlet, Morse, MorseMNE,
-                     Paul, Shannon, WaveletBase, WaveletMode)
+                     Paul, Shannon, Superlet, WaveletBase, WaveletMode)
 from .ops.baseline import Baseline, baseline_correct, baseline_tf
 from .utils import (ArrayEpochs, EpochsWavelet, Parallel, RawWavelet,
                     Sequence,
@@ -31,5 +31,5 @@ __all__ = [
     # additions
     "plot_wavelet", "baseline_correct", "baseline_tf", "ops", "config",
     "Parallel", "Sequence", "compose", "dict_map",
-    "Paul", "DOG", "Bump",
+    "Paul", "DOG", "Bump", "Superlet",
 ]

@@ -1,7 +1,7 @@
 from ..ops.bank import WaveletMode
 from .base import WaveletBase
 from .zoo import (Bump, DOG, Haar, MexicanHat, Morlet, Morse, MorseMNE,
-                  Paul, Shannon)
+                  Paul, Shannon, Superlet)
 
 __all__ = ["WaveletBase", "WaveletMode", "Morse", "MorseMNE", "Morlet",
-           "Haar", "MexicanHat", "Shannon", "Paul", "DOG", "Bump"]
+           "Haar", "MexicanHat", "Shannon", "Paul", "DOG", "Bump", "Superlet"]

@@ -205,3 +205,53 @@ class Bump(WaveletBase):
     def trans_formula(self, freqs: jnp.ndarray, freq=1.0) -> jnp.ndarray:
         from ..ops.extensions import bump_spectrum
         return bump_spectrum(freqs, freq, self.sigma)
+
+
+class Superlet:
+    """Fractional adaptive superlet transform (extension — Moca et al.,
+    Nat. Commun. 2021): superresolution power estimation by the weighted
+    geometric mean of Morlets with growing cycle counts
+    (``ops.superlets``).  Not a :class:`WaveletBase` — a superlet is a
+    FAMILY of banks fused multiplicatively, so it composes the engine
+    rather than subclassing one wavelet.
+
+    Parameters
+    ----------
+    sfreq: sampling frequency (Hz).
+    sigma: base Morlet sigma (the cycle-count role in this engine's
+        Morlet convention); order k uses ``k * sigma``.
+    order_min / order_max: the adaptive order range — low analysis
+        frequencies use ~``order_min`` members, the top frequency the full
+        ``order_max`` (fractional in between).  ``adaptive=False`` uses
+        ``order_max`` everywhere.
+    """
+
+    def __init__(self, sfreq: float = 1000, sigma: float = 3.0,
+                 order_min: int = 1, order_max: int = 8,
+                 adaptive: bool = True, interpolate: bool = False) -> None:
+        self.sfreq = float(sfreq)
+        self.sigma = float(sigma)
+        self.order_min = int(order_min)
+        self.order_max = int(order_max)
+        self.adaptive = bool(adaptive)
+        self.interpolate = bool(interpolate)
+
+    def _kw(self):
+        return dict(base_sigma=self.sigma, order_min=self.order_min,
+                    order_max=self.order_max, adaptive=self.adaptive,
+                    interpolate=self.interpolate)
+
+    def power(self, wave, freqs: Numbers) -> jnp.ndarray:
+        """(..., F, N) superlet power of ``wave`` at ``freqs``."""
+        from ..ops.superlets import superlet_power
+        freqs = WaveletBase._check_freqs(freqs)
+        return superlet_power(jnp.asarray(np.asarray(wave, np.float32)),
+                              freqs, self.sfreq, **self._kw())
+
+    def mean_power(self, waves, freqs: Numbers) -> jnp.ndarray:
+        """(..., F, N) epoch-mean superlet power of (E, ..., N) epochs."""
+        from ..ops.superlets import superlet_mean_power
+        freqs = WaveletBase._check_freqs(freqs)
+        return superlet_mean_power(
+            jnp.asarray(np.asarray(waves, np.float32)), freqs, self.sfreq,
+            **self._kw())

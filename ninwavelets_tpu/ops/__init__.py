@@ -30,6 +30,9 @@ from .icwt import coverage, icwt_from_bank, icwt_ri
 from .ridge import extract_ridge, ridge_frequencies
 from .scattering import (lowpass_spectrum, scattering,
                          scattering_from_banks)
+from .superlets import (superlet_banks, superlet_mean_power,
+                        superlet_power, superlet_power_from_banks,
+                        superlet_weights)
 from .sst import (ssq_mean_power, ssq_mean_power_from_bank, ssq_power,
                   ssq_power_from_bank)
 from .tc_stats import (ar1_coefficient, background_power, coi_mask,
@@ -62,6 +65,8 @@ __all__ = [
     "coherence_matrix", "coherence_matrix_from_bank",
     "icwt_from_bank", "icwt_ri", "coverage",
     "denoise", "denoise_from_bank",
+    "superlet_banks", "superlet_weights", "superlet_power",
+    "superlet_power_from_banks", "superlet_mean_power",
     "ssq_power", "ssq_power_from_bank", "ssq_mean_power",
     "ssq_mean_power_from_bank",
     "extract_ridge", "ridge_frequencies",
