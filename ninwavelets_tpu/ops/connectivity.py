@@ -35,7 +35,7 @@ __all__ = ["plv_from_bank", "plv", "plv_sums", "pac_from_banks", "pac",
            "plv_auto", "pair_matrix_scan", "plv_matrix_from_bank", "plv_matrix",
            "pac_mean_from_banks",
            "coherence_matrix_from_bank", "coherence_matrix",
-           "nm_plv_from_bank", "nm_plv",
+           "nm_plv_from_bank", "nm_plv", "nm_plv_sums",
            "surrogate_pvalues", "plv_significance"]
 
 
@@ -133,7 +133,7 @@ def plv_auto(sigs_a_r, sigs_b_r, bank_r, interpolate: bool = False,
 def nm_plv_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
                      bank_a: jnp.ndarray, bank_b: jnp.ndarray,
                      n: int = 1, m: int = 1, interpolate: bool = False,
-                     eps: float = 0.0) -> jnp.ndarray:
+                     eps: float = 0.0, vma_axes=()) -> jnp.ndarray:
     """n:m cross-frequency phase-locking value (Tass 1998):
 
         ``PLV_nm = | mean_E exp(i (n phi_a - m phi_b)) |``
@@ -158,10 +158,23 @@ def nm_plv_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
     Returns:
       (..., F, N) float32 in [0, 1].
     """
+    sr, si = nm_plv_sums(sigs_a, sigs_b, bank_a, bank_b, n, m, interpolate,
+                         eps, vma_axes)
+    return jnp.sqrt(sr * sr + si * si) / sigs_a.shape[0]
+
+
+def nm_plv_sums(sigs_a, sigs_b, bank_a, bank_b, n: int = 1, m: int = 1,
+                interpolate: bool = False, eps: float = 0.0, vma_axes=()):
+    """Epoch-SUMMED ``exp(i(n phi_a - m phi_b))`` planes ``(sum_r,
+    sum_i)`` — the shard-local half of ``nm_plv_from_bank`` (mirrors
+    ``plv_sums``; ``parallel.sharded_nm_plv`` psums these across epoch
+    shards before the magnitude)."""
     if n < 1 or m < 1:
         raise ValueError("n and m must be positive integers")
     shape = sigs_a.shape[1:-1] + (bank_a.shape[0], sigs_a.shape[-1])
     zeros = jnp.zeros(shape, jnp.float32)
+    if vma_axes:
+        zeros = lax.pcast(zeros, tuple(vma_axes), to="varying")
 
     def unit_pow(w, k):
         mag = jnp.abs(w)
@@ -181,7 +194,7 @@ def nm_plv_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
         return (acc[0] + z.real, acc[1] + z.imag), None
 
     (sr, si), _ = lax.scan(step, (zeros, zeros), (sigs_a, sigs_b))
-    return jnp.sqrt(sr * sr + si * si) / sigs_a.shape[0]
+    return sr, si
 
 
 @partial(jax.jit, static_argnames=("n", "m", "interpolate", "eps"))

@@ -106,7 +106,8 @@ def superlet_weights(freqs, order_min: int = 1, order_max: int = 8,
 def superlet_power_from_banks(signal: jnp.ndarray, banks: jnp.ndarray,
                               weights: jnp.ndarray,
                               interpolate: bool = False,
-                              eps: float = 1e-30) -> jnp.ndarray:
+                              eps: float = 1e-30,
+                              vma_axes=()) -> jnp.ndarray:
     """Weighted geometric mean of the member powers:
 
         ``SLT = exp( sum_k w_k log P_k / sum_k w_k )``
@@ -124,6 +125,10 @@ def superlet_power_from_banks(signal: jnp.ndarray, banks: jnp.ndarray,
     wsum = jnp.sum(weights, axis=0)                           # (F,)
     zero = jnp.zeros(signal.shape[:-1] + (banks.shape[1],
                                           signal.shape[-1]), jnp.float32)
+    if vma_axes:
+        # shard_map scan carries must match the body's varying-axes type
+        # (CLAUDE.md: lax.scan zero-inits inside shard_map).
+        zero = lax.pcast(zero, tuple(vma_axes), to="varying")
 
     def step(acc, xs):
         bank_k, w_k = xs

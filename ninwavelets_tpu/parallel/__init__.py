@@ -20,9 +20,10 @@ from .sharded import (sharded_coherence, sharded_coherence_matrix,
                       sharded_cross_power, sharded_cwt_ri,
                       sharded_fused_itc, sharded_fused_mean_power,
                       sharded_itc, sharded_mean_power,
-                      sharded_mean_power_grad, sharded_pac,
+                      sharded_mean_power_grad, sharded_nm_plv,
+                      sharded_pac,
                       sharded_plv, sharded_plv_matrix, sharded_power,
-                      sharded_ssq_mean_power)
+                      sharded_ssq_mean_power, sharded_superlet_mean_power)
 from .streaming import StreamingCWT
 
 __all__ = [
@@ -34,7 +35,8 @@ __all__ = [
     "sharded_fused_power_itc", "sharded_fused_coherence",
     "sharded_cross_power", "sharded_coherence", "sharded_ssq_mean_power",
     "sharded_plv", "sharded_plv_matrix", "sharded_coherence_matrix",
-    "sharded_pac", "sharded_mean_power_grad",
+    "sharded_pac", "sharded_mean_power_grad", "sharded_nm_plv",
+    "sharded_superlet_mean_power",
     "distributed_mean_power", "distributed_itc",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",
     "chunked_fused_power", "chunked_power_auto",

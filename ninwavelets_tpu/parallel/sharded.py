@@ -273,6 +273,79 @@ def sharded_plv(sigs_a, sigs_b, bank_r, *, mesh: Mesh,
         out_specs=out_spec)(sigs_a, sigs_b, bank_r)
 
 
+@partial(jax.jit, static_argnames=("mesh", "n", "m", "interpolate", "eps"))
+def sharded_nm_plv(sigs_a, sigs_b, bank_a_r, bank_b_r, *, mesh: Mesh,
+                   n: int = 1, m: int = 1, interpolate: bool = False,
+                   eps: float = 0.0):
+    """n:m cross-frequency phase locking over the mesh: (E, ..., N) x2 ->
+    (..., F, N).
+
+    Same layout as ``sharded_plv`` — the ``exp(i(n phi_a - m phi_b))``
+    epoch mean is linear in epochs, and the row-paired banks shard
+    together over ``freq`` (row k of both banks lives on the same chip,
+    so the pairing never crosses shards).  Mesh result == single-device
+    ``ops.connectivity.nm_plv_from_bank``.
+    """
+    from ..ops.connectivity import nm_plv_sums
+    n_epochs = sigs_a.shape[0]
+    ndim = sigs_a.ndim
+    sig_spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    out_spec = P(*([None] * (ndim - 2)), FREQ_AXIS, None)
+
+    def local(sa, sb, ba, bb):
+        # |mean| is not linear in epochs — reduce the complex SUMS across
+        # shards and take the magnitude after (the plv_sums pattern).
+        sr, si = nm_plv_sums(sa, sb, ba, bb, n, m, interpolate, eps,
+                             vma_axes=(DATA_AXIS, FREQ_AXIS))
+        sr = lax.psum(sr, DATA_AXIS)
+        si = lax.psum(si, DATA_AXIS)
+        return jnp.sqrt(sr * sr + si * si) / n_epochs
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(sig_spec, sig_spec, _BANK_SPEC, _BANK_SPEC),
+        out_specs=out_spec)(sigs_a, sigs_b, bank_a_r, bank_b_r)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "eps"))
+def sharded_superlet_mean_power(signals_r, banks, weights, *, mesh: Mesh,
+                                interpolate: bool = False,
+                                eps: float = 1e-30):
+    """Epoch-mean superlet power over the mesh: (E, ..., N) ->
+    (..., F, N).
+
+    Epochs shard over ``data``; the (O, F, N) member banks and (O, F)
+    FASLT weights shard over ``freq`` on their F axis — the geometric
+    fusion is per-(f, t) independent, so the frequency axis is
+    embarrassingly parallel (unlike synchrosqueezing) and the only
+    collective is the final ``pmean`` over ``data``.  Mesh result ==
+    single-device ``ops.superlets.superlet_mean_power``.
+    """
+    from ..ops.superlets import superlet_power_from_banks
+    ndim = signals_r.ndim
+    sig_spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    out_spec = P(*([None] * (ndim - 2)), FREQ_AXIS, None)
+
+    def local(sig, bks, w):
+        e_local = sig.shape[0]
+        zero = lax.pcast(
+            jnp.zeros(sig.shape[1:-1] + (bks.shape[1], sig.shape[-1]),
+                      jnp.float32), (DATA_AXIS, FREQ_AXIS), to="varying")
+
+        def step(acc, s):
+            return acc + superlet_power_from_banks(
+                s, bks, w, interpolate, eps,
+                vma_axes=(DATA_AXIS, FREQ_AXIS)), None
+
+        local_mean = lax.scan(step, zero, sig)[0] / e_local
+        return lax.pmean(local_mean, DATA_AXIS)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(sig_spec, P(None, FREQ_AXIS, None), P(None, FREQ_AXIS)),
+        out_specs=out_spec)(signals_r, banks, weights)
+
+
 @partial(jax.jit, static_argnames=("mesh", "interpolate", "eps",
                                    "time_range"))
 def sharded_plv_matrix(sigs, bank_r, *, mesh: Mesh,

@@ -331,3 +331,19 @@ class TestSurrogateSignificance:
         with pytest.raises(ValueError):
             surrogate_pvalues(lambda s: jnp.zeros(()), jnp.zeros(()), sig,
                               jax.random.PRNGKey(0), 9, min_shift=40)
+
+
+def test_sharded_nm_plv_matches_single_device():
+    from ninwavelets_tpu.ops.connectivity import nm_plv_from_bank
+    mesh = par.make_mesh(data=2, freq=4)
+    freqs_a = np.arange(8.0, 16.0, 1.0, np.float32)     # 8 rows / 4 shards
+    bank_a = _bank(freqs_a, 1024)
+    bank_b = _bank(freqs_a * 2.0, 1024)
+    rng = np.random.default_rng(9)
+    sa = jnp.asarray(rng.standard_normal((4, 1, 1024)).astype(np.float32))
+    sb = jnp.asarray(rng.standard_normal((4, 1, 1024)).astype(np.float32))
+    want = np.asarray(nm_plv_from_bank(sa, sb, bank_a, bank_b, 2, 1,
+                                       interpolate=True))
+    got = np.asarray(par.sharded_nm_plv(sa, sb, bank_a, bank_b, mesh=mesh,
+                                        n=2, m=1, interpolate=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)

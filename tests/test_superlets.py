@@ -124,3 +124,19 @@ def test_class_frontend():
     import pytest
     with pytest.raises(ZeroDivisionError):
         sl.power(sig, [0.0])
+
+
+def test_sharded_superlet_matches_single_device():
+    from ninwavelets_tpu import parallel as par
+    from ninwavelets_tpu.ops.superlets import (superlet_banks,
+                                               superlet_weights)
+    mesh = par.make_mesh(data=2, freq=4)
+    freqs = np.arange(16.0, 48.0, 4.0)                  # 8 rows / 4 shards
+    rng = np.random.default_rng(2)
+    sigs = jnp.asarray(rng.standard_normal((4, 1, 1024)).astype(np.float32))
+    banks = superlet_banks(freqs, 1024, SFREQ, order_max=4)
+    w = jnp.asarray(superlet_weights(freqs, order_max=4))
+    want = np.asarray(superlet_mean_power(sigs, freqs, SFREQ, order_max=4))
+    got = np.asarray(par.sharded_superlet_mean_power(sigs, banks, w,
+                                                     mesh=mesh))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
