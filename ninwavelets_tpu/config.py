@@ -68,6 +68,8 @@ class PipelineConfig:
     global_spectrum: bool = False          # COI-masked time average
     ridge: bool = False                    # per-channel DP ridge (Hz)
     ssq: bool = False                      # epoch-mean synchrosqueezed power
+    superlet: Optional[Tuple[int, int]] = None  # (order_min, order_max)
+    superlet_sigma: float = 3.0            # base cycle parameter
     connectivity: Optional[str] = None     # None | "plv" | "coherence" | "both"
     connectivity_window: Optional[Tuple[float, float]] = None  # (start_s, stop_s)
 
@@ -142,6 +144,16 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
         from .ops.sst import ssq_mean_power
         out["ssq_power"] = ssq_mean_power(waves, bank_r, freqs, sfreq,
                                           interpolate=interp)
+
+    if cfg.superlet is not None:
+        # Fractional adaptive superlet power (extension — ``ops.superlets``;
+        # its own growing-cycle Morlet member banks, independent of the
+        # pipeline wavelet's bank).
+        from .ops.superlets import superlet_mean_power
+        o_min, o_max = cfg.superlet
+        out["superlet_power"] = superlet_mean_power(
+            waves, freqs, sfreq, base_sigma=cfg.superlet_sigma,
+            order_min=int(o_min), order_max=int(o_max), interpolate=interp)
 
     if cfg.connectivity is not None:
         # All-pairs (F, C, C) matrices over every channel (extension —

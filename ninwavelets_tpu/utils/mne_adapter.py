@@ -231,6 +231,23 @@ class EpochsWavelet:
                          interpolate=self.wavelet.interpolate,
                          rel_threshold=rel_threshold)
 
+    def superlet_power(self, ch_name: str, freqs: Numbers,
+                       sigma: float = 3.0, order_min: int = 1,
+                       order_max: int = 8,
+                       adaptive: bool = True) -> jnp.ndarray:
+        """(F, N) epoch-mean SUPERLET power of one channel (extension —
+        ``ops.superlets``, Moca 2021): the fractional adaptive
+        superresolution estimator, with its own growing-cycle Morlet
+        member banks (independent of this wavelet's bank; the wavelet
+        object only contributes ``sfreq``/``interpolate``)."""
+        from ..ops.superlets import superlet_mean_power
+        waves = self._channel_data(ch_name)
+        return superlet_mean_power(
+            waves[:, None, :], np.asarray(freqs, np.float32),
+            self.wavelet.sfreq, base_sigma=sigma, order_min=order_min,
+            order_max=order_max, adaptive=adaptive,
+            interpolate=self.wavelet.interpolate)[0]
+
     def induced_power(self, ch_name: str, freqs: Numbers,
                       baseline=None, baseline_method: str = "zscore",
                       decim: int = 1) -> jnp.ndarray:

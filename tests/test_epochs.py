@@ -391,3 +391,12 @@ def test_rawwavelet_ssq(capsys):
     m = 500
     # reassignment concentrates the tone onto its row
     assert s[0, row, m:-m].sum() > 0.9 * s[0, :, m:-m].sum()
+
+
+def test_epochs_superlet_power(epochs):
+    ew = nw.EpochsWavelet(epochs, nw.Morse(1000.0))
+    freqs = np.arange(40.0, 90.0, 5.0)
+    p = np.asarray(ew.superlet_power("EEG 000", freqs, order_max=4))
+    assert p.shape == (freqs.size, 1000)
+    # the golden composite's 60 Hz survives the multiplicative fusion
+    assert freqs[int(np.argmax(p[:, 200:-200].mean(-1)))] == 60.0

@@ -333,6 +333,7 @@ def test_pipeline_all_stages_integration():
                            global_spectrum=True,
                            ridge=True,
                            ssq=True,
+                           superlet=(1, 4),
                            connectivity="both",
                            connectivity_window=(0.1, 0.9))
     out = cfg.run_pipeline(p, FakeEpochs())
@@ -344,6 +345,7 @@ def test_pipeline_all_stages_integration():
     assert np.asarray(out["global_spectrum"]).shape == (2, n_f)
     assert out["ridge_hz"].shape == (2, n)
     assert np.asarray(out["ssq_power"]).shape == (2, n_f, n)
+    assert np.asarray(out["superlet_power"]).shape == (2, n_f, n)
     assert np.asarray(out["plv_matrix"]).shape == (n_f, 2, 2)
     assert np.asarray(out["coherence_matrix"]).shape == (n_f, 2, 2)
     # The golden signal's steady 60 Hz: both channels share it ->
