@@ -17,7 +17,8 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            pair_matrix_scan, plv, plv_from_bank,
                            plv_matrix, plv_matrix_from_bank,
                            plv_significance, plv_sums, surrogate_pvalues)
-from .extensions import (bump_spectrum, cross_power_from_bank,
+from .extensions import (bicoherence, bicoherence_from_banks,
+                         bump_spectrum, cross_power_from_bank,
                          dog_spectrum, epoch_coherence_from_bank,
                          paul_spectrum, wavelet_coherence,
                          wavelet_coherence_from_bank)
@@ -59,6 +60,7 @@ __all__ = [
     "paul_spectrum", "dog_spectrum", "bump_spectrum",
     "cross_power_from_bank", "epoch_coherence_from_bank",
     "wavelet_coherence", "wavelet_coherence_from_bank",
+    "bicoherence", "bicoherence_from_banks",
     "plv", "plv_from_bank", "plv_sums", "pac", "pac_from_banks",
     "nm_plv", "nm_plv_from_bank", "plv_significance", "surrogate_pvalues",
     "pair_matrix_scan", "plv_matrix", "plv_matrix_from_bank",

@@ -174,6 +174,73 @@ def epoch_coherence(sigs_a_r, sigs_b_r, bank_r, bank_i=None,
                                 eps=float(eps))
 
 
+def bicoherence_from_banks(sigs: jnp.ndarray, bank1: jnp.ndarray,
+                           bank2: jnp.ndarray, bank12: jnp.ndarray,
+                           interpolate: bool = False, eps: float = 1e-12,
+                           vma_axes=()) -> jnp.ndarray:
+    """Magnitude-squared wavelet bicoherence (quadratic phase coupling):
+
+        ``b^2(f1, f2) = |sum W(f1) W(f2) conj(W(f1+f2))|^2 /
+                        (sum |W(f1) W(f2)|^2 * sum |W(f1+f2)|^2)``
+
+    (Kim & Powers 1979 normalization; sums run over time and epochs).  A
+    cell is ~1 when the oscillation at ``f1 + f2`` keeps the phase
+    RELATION ``phi_12 = phi_1 + phi_2`` — the signature of quadratic
+    nonlinearity (harmonics, wave-wave interaction) that linear spectra
+    and 1:1 coherence cannot see.  In [0, 1] up to float error.
+
+    Args:
+      sigs: (E, ..., N) real epochs (use E=1 for one long stationary
+        record).
+      bank1, bank2: (F1, N) / (F2, N) banks at the two frequency grids.
+      bank12: (F1 * F2, N) bank at the SUM frequencies, row-major pairs
+        ``(f1[i] + f2[j])`` — all sum rows must stay below Nyquist (the
+        adapter validates).
+    Returns:
+      (..., F1, F2) float32.  The per-epoch (..., F1, F2, N) triple
+      product is transient but does materialize — size the grids
+      accordingly (typical bicoherence grids are <= 64 x 64).
+    """
+    f1, f2 = bank1.shape[0], bank2.shape[0]
+    shape = sigs.shape[1:-1] + (f1, f2)
+    zeros = jnp.zeros(shape, jnp.float32)
+    if vma_axes:
+        zeros = lax.pcast(zeros, tuple(vma_axes), to="varying")
+
+    def step(acc, s):
+        w1 = cwt_from_bank(s, bank1, interpolate)
+        w2 = cwt_from_bank(s, bank2, interpolate)
+        w12 = cwt_from_bank(s, bank12, interpolate)
+        w12 = w12.reshape(s.shape[:-1] + (f1, f2, s.shape[-1]))
+        pair = w1[..., :, None, :] * w2[..., None, :, :]
+        t = pair * jnp.conj(w12)
+        nr, ni, d1, d2 = acc
+        p_pair = jnp.square(pair.real) + jnp.square(pair.imag)
+        p12 = jnp.square(w12.real) + jnp.square(w12.imag)
+        return (nr + jnp.sum(t.real, -1), ni + jnp.sum(t.imag, -1),
+                d1 + jnp.sum(p_pair, -1), d2 + jnp.sum(p12, -1)), None
+
+    (nr, ni, d1, d2), _ = lax.scan(step, (zeros,) * 4, sigs)
+    num = jnp.square(nr) + jnp.square(ni)
+    den = d1 * d2
+    if eps:
+        den = jnp.maximum(den, eps * jnp.max(den))
+    return num / den
+
+
+@partial(jax.jit, static_argnames=("interpolate", "eps"))
+def _bicoherence_jit(sigs, b1, b2, b12, *, interpolate, eps):
+    return bicoherence_from_banks(sigs, b1, b2, b12, interpolate, eps)
+
+
+def bicoherence(sigs_r, bank1_r, bank2_r, bank12_r,
+                interpolate: bool = False, eps: float = 1e-12):
+    """Jitted float-boundary wrapper for ``bicoherence_from_banks`` (real
+    analytic banks — the statistic needs the analytic phases)."""
+    return _bicoherence_jit(sigs_r, bank1_r, bank2_r, bank12_r,
+                            interpolate=bool(interpolate), eps=float(eps))
+
+
 def _coherence_smooth(planes: jnp.ndarray, f_grid: jnp.ndarray,
                       sfreq: float, cycles: float,
                       scale_width: float) -> jnp.ndarray:

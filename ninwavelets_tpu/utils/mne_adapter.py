@@ -378,6 +378,32 @@ class EpochsWavelet:
         return _pac(waves, bp, ba, interpolate=self.wavelet.interpolate,
                     method=method, n_bins=n_bins, mean_epochs=True)
 
+    def bicoherence(self, ch_name: str, freqs1: Numbers,
+                    freqs2: Numbers = None,
+                    eps: float = 1e-12) -> jnp.ndarray:
+        """(F1, F2) magnitude-squared wavelet bicoherence of one channel
+        across epochs (extension — ``ops.extensions.bicoherence``):
+        quadratic phase coupling, ~1 where the ``f1 + f2`` oscillation
+        carries the phase SUM of the ``f1``/``f2`` components.
+        ``freqs2`` defaults to ``freqs1`` (auto-bicoherence).  Every
+        pairwise sum must stay below Nyquist."""
+        from ..ops.extensions import bicoherence as _bic
+        waves = self._channel_data(ch_name)[:, None, :]
+        f1 = np.asarray(freqs1, np.float64)
+        f2 = f1 if freqs2 is None else np.asarray(freqs2, np.float64)
+        sums = (f1[:, None] + f2[None, :]).ravel()
+        nyq = self.wavelet.sfreq / 2.0
+        if sums.max() >= nyq:
+            raise ValueError(
+                f"f1 + f2 reaches {sums.max():g} Hz >= Nyquist {nyq:g} — "
+                "shrink the grids")
+        n = waves.shape[-1]
+        b1, _ = self._conn_bank(n, f1)
+        b2, _ = self._conn_bank(n, f2)
+        b12, _ = self._conn_bank(n, sums)
+        return _bic(waves, b1, b2, b12,
+                    interpolate=self.wavelet.interpolate, eps=eps)[0]
+
     def _samples(self, time_range):
         """(start_s, stop_s) -> integer sample window, or None."""
         if time_range is None:

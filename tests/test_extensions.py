@@ -200,3 +200,66 @@ class TestWaveletCoherence:
         m = 300
         assert np.median(coh[:, m:-m]) > 0.7
         assert coh.max() <= 1.0 + 1e-4
+
+
+class TestBicoherence:
+    """Quadratic phase coupling: only the phase-SUM relation lights up."""
+
+    SFREQ = 1000.0
+
+    def _epochs(self, coupled: bool, e=12, n=2048, seed=0):
+        """20 + 35 Hz with random per-epoch phases, plus a 55 Hz component
+        whose phase is their SUM (coupled) or independent (uncoupled)."""
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / self.SFREQ
+        out = np.empty((e, n), np.float32)
+        for i in range(e):
+            p1, p2 = rng.uniform(0, 2 * np.pi, 2)
+            p3 = (p1 + p2) if coupled else rng.uniform(0, 2 * np.pi)
+            out[i] = (np.cos(2 * np.pi * 20 * t + p1)
+                      + np.cos(2 * np.pi * 35 * t + p2)
+                      + 0.7 * np.cos(2 * np.pi * 55 * t + p3)
+                      + 0.1 * rng.standard_normal(n))
+        return out
+
+    def test_coupled_high_uncoupled_low(self):
+        from ninwavelets_tpu.ops.bank import make_fft_bank
+        from ninwavelets_tpu.ops.extensions import bicoherence
+        morse = nw.Morse(self.SFREQ)
+        f1 = np.array([15.0, 20.0, 25.0], np.float32)
+        f2 = np.array([30.0, 35.0, 40.0], np.float32)
+        sums = (f1[:, None] + f2[None, :]).ravel()
+        n = 2048
+
+        def bank(fr):
+            return jnp.asarray(np.asarray(make_fft_bank(
+                morse._wdef(), jnp.asarray(fr, jnp.float32), n, self.SFREQ,
+                True), np.float32))
+
+        b1, b2, b12 = bank(f1), bank(f2), bank(sums)
+        bc = np.asarray(bicoherence(
+            jnp.asarray(self._epochs(True)[:, None, :]), b1, b2, b12,
+            interpolate=True))[0]
+        assert bc.shape == (3, 3)
+        assert bc.min() >= 0.0 and bc.max() <= 1.0 + 1e-4
+        assert bc[1, 1] > 0.8                  # (20, 35) -> 55 coupled
+        bc0 = np.asarray(bicoherence(
+            jnp.asarray(self._epochs(False, seed=4)[:, None, :]), b1, b2,
+            b12, interpolate=True))[0]
+        assert bc0[1, 1] < 0.3
+        assert bc[1, 1] > bc0[1, 1] + 0.5
+
+    def test_adapter_and_nyquist_guard(self):
+        from tests.test_epochs import FakeEpochs
+        data = self._epochs(True, e=8)[:, None, :]
+        ew = nw.EpochsWavelet(FakeEpochs(data, self.SFREQ),
+                              nw.Morse(self.SFREQ))
+        bc = np.asarray(ew.bicoherence("EEG 000", [15.0, 20.0, 25.0],
+                                       [30.0, 35.0, 40.0]))
+        assert bc.shape == (3, 3)
+        assert bc[1, 1] > 0.8
+        # auto-bicoherence default (freqs2 = freqs1)
+        auto = np.asarray(ew.bicoherence("EEG 000", [20.0, 35.0]))
+        assert auto.shape == (2, 2)
+        with pytest.raises(ValueError):
+            ew.bicoherence("EEG 000", [300.0], [300.0])
