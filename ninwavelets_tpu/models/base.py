@@ -288,6 +288,28 @@ class WaveletBase:
                     interpolate=self.interpolate,
                     rel_threshold=rel_threshold)
 
+    def extract_modes(self, wave, freqs: Optional[Numbers] = None,
+                      reuse: bool = True, n_modes: int = 2,
+                      penalty: float = 0.5, bw_rows: float = 2.0):
+        """Iterative multi-component retrieval (extension — see
+        ``ops.ridge.extract_modes``): DP-ridge the dominant component,
+        reconstruct it band-limited around the track, subtract, repeat
+        ``n_modes`` times.  Same bank-reuse contract as ``cwt``; expects
+        a real 1-D signal.  Returns ``(modes (K, N), tracks (K, N) row
+        positions, residual (N,))`` float32 device arrays; convert tracks
+        to Hz with ``np.interp(track, np.arange(F), freqs)``.
+        """
+        from ..ops.ridge import extract_modes_ri
+        wave_r, wave_i, bank_r, bank_i = self._prepare(wave, freqs, reuse)
+        if wave_i is not None:
+            raise ValueError("extract_modes expects a real signal")
+        if wave_r.ndim != 1:
+            raise ValueError("extract_modes takes one (N,) signal — vmap "
+                             "for batches")
+        return extract_modes_ri(wave_r, bank_r, bank_i, n_modes=n_modes,
+                                penalty=penalty, bw_rows=bw_rows,
+                                interpolate=self.interpolate)
+
     def scattering(self, wave, freqs1: Numbers, freqs2: Numbers,
                    stride: int = 32, lowpass: str = "auto"):
         """Order-2 time scattering (extension — see ``ops.scattering``):

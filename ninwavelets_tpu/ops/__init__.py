@@ -28,7 +28,8 @@ from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
                     reverse_timeline, wavelet_timeline)
 from .denoise import denoise, denoise_from_bank
 from .icwt import coverage, icwt_from_bank, icwt_ri
-from .ridge import extract_ridge, ridge_frequencies
+from .ridge import (extract_modes, extract_modes_ri, extract_ridge,
+                    ridge_frequencies)
 from .scattering import (lowpass_spectrum, scattering,
                          scattering_from_banks)
 from .superlets import (superlet_banks, superlet_mean_power,
@@ -66,6 +67,7 @@ __all__ = [
     "pair_matrix_scan", "plv_matrix", "plv_matrix_from_bank",
     "coherence_matrix", "coherence_matrix_from_bank",
     "icwt_from_bank", "icwt_ri", "coverage",
+    "extract_modes", "extract_modes_ri",
     "denoise", "denoise_from_bank",
     "superlet_banks", "superlet_weights", "superlet_power",
     "superlet_power_from_banks", "superlet_mean_power",

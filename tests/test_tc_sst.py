@@ -479,3 +479,72 @@ def test_log_grid_closed_form_matches_scan():
         sig, bank, f_grid, 1000.0,
         uniform_grid=uniform_grid_hint(freqs)))
     np.testing.assert_allclose(closed, scan, rtol=1e-6, atol=1e-7)
+
+
+class TestModeExtraction:
+    """Iterative ridge peeling (ops.ridge.extract_modes)."""
+
+    def test_two_tone_decomposition(self):
+        from ninwavelets_tpu.ops.bank import make_fft_bank
+        from ninwavelets_tpu.ops.ridge import extract_modes_ri
+        sfreq, n = 1000.0, 4096
+        t = np.arange(n) / sfreq
+        m1 = (1.0 * np.sin(2 * np.pi * 40 * t)).astype(np.float32)
+        m2 = (0.6 * np.sin(2 * np.pi * 90 * t)).astype(np.float32)
+        sig = m1 + m2
+        freqs = np.arange(25.0, 111.0, 2.5, dtype=np.float32)
+        bank = jnp.asarray(np.asarray(make_fft_bank(
+            nw.Morse(sfreq)._wdef(), jnp.asarray(freqs), n, sfreq, True),
+            np.float32))
+        modes, tracks, resid = extract_modes_ri(
+            jnp.asarray(sig), bank, n_modes=2, interpolate=True)
+        modes, tracks, resid = (np.asarray(modes), np.asarray(tracks),
+                                np.asarray(resid))
+        assert modes.shape == (2, n) and tracks.shape == (2, n)
+        e = 400      # trim reconstruction edges
+        sl = slice(e, -e)
+
+        def corr(a, b):
+            a, b = a[sl] - a[sl].mean(), b[sl] - b[sl].mean()
+            return float(np.dot(a, b)
+                         / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        # the stronger 40 Hz mode peels first, then the 90 Hz one
+        assert corr(modes[0], m1) > 0.99
+        assert corr(modes[1], m2) > 0.99
+        # tracks sit on the right rows
+        hz0 = np.interp(tracks[0, sl], np.arange(freqs.size), freqs)
+        hz1 = np.interp(tracks[1, sl], np.arange(freqs.size), freqs)
+        assert abs(np.median(hz0) - 40.0) < 2.5
+        assert abs(np.median(hz1) - 90.0) < 2.5
+        # residual energy is small in the interior
+        assert (np.linalg.norm(resid[sl])
+                < 0.15 * np.linalg.norm(sig[sl]))
+
+    def test_chirp_plus_tone_class_api(self):
+        sfreq, n = 1000.0, 4096
+        t = np.arange(n) / sfreq
+        chirp = np.sin(2 * np.pi * (60 * t + 5 * t * t)).astype(np.float32)
+        tone = (0.5 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)
+        morse = nw.Morse(sfreq, interpolate=True)
+        freqs = np.arange(40.0, 171.0, 2.5)
+        modes, tracks, resid = morse.extract_modes(
+            chirp + tone, freqs, n_modes=2, bw_rows=3.0)
+        modes = np.asarray(modes)
+        e = 400
+        sl = slice(e, -e)
+
+        def corr(a, b):
+            a, b = a[sl] - a[sl].mean(), b[sl] - b[sl].mean()
+            return float(np.dot(a, b)
+                         / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        assert corr(modes[0], chirp) > 0.98
+        assert corr(modes[1], tone) > 0.98
+        # the chirp track RISES (60 -> ~100 Hz instantaneous)
+        hz = np.interp(np.asarray(tracks)[0], np.arange(freqs.size), freqs)
+        assert hz[3500] - hz[500] > 20.0
+        import pytest
+        with pytest.raises(ValueError):
+            morse.extract_modes(np.zeros((2, 128), np.float32),
+                                [50.0, 60.0])
