@@ -134,6 +134,82 @@ def main():
     record(op="denoise_64sig", signal_s_per_s=round(64 * n / sfreq / d, 1),
            config=dict(b=64, f=len(dn_freqs), n=n))
 
+    # --- superlets ----------------------------------------------------------
+    from ninwavelets_tpu.ops.superlets import (superlet_banks,
+                                               superlet_weights,
+                                               _slt_mean_jit)
+    sl_freqs = np.geomspace(5.0, 200.0, 50).astype(np.float32)
+    sl_banks = superlet_banks(sl_freqs, n, sfreq, order_max=8,
+                              interpolate=True)
+    sl_w = jnp.asarray(superlet_weights(sl_freqs, order_max=8))
+    sig7 = jnp.asarray(rng.standard_normal((16, 16, n)).astype(np.float32))
+    d = t(lambda s: _slt_mean_jit(s, sl_banks, sl_w, interpolate=True,
+                                  eps=1e-30), sig7, iters=5)
+    record(op="superlet_mean_power",
+           eeg_s_per_s=round(16 * 16 * n / sfreq / d, 1),
+           config=dict(e=16, c=16, f=50, o=8, n=n))
+
+    # --- single-trial smoothed wavelet coherence -----------------------------
+    from ninwavelets_tpu.ops.extensions import _wavelet_coherence_jit
+    sig8a = jnp.asarray(rng.standard_normal((64, n)).astype(np.float32))
+    sig8b = jnp.asarray((0.6 * np.asarray(sig8a)
+                         + 0.8 * rng.standard_normal((64, n))
+                         ).astype(np.float32))
+    fg = jnp.asarray(freqs)
+    d = t(lambda a: _wavelet_coherence_jit(
+        a, sig8b, bank, None, fg, sfreq=sfreq, interpolate=True,
+        cycles=1.0, scale_width=0.6, eps=1e-12, return_phase=False), sig8a)
+    record(op="wavelet_coherence_64pair",
+           signal_s_per_s=round(2 * 64 * n / sfreq / d, 1),
+           config=dict(pairs=64, f=f, n=n))
+
+    # --- bicoherence ----------------------------------------------------------
+    from ninwavelets_tpu.ops.extensions import _bicoherence_jit
+    f1 = np.arange(4.0, 36.0, 2.0, dtype=np.float32)       # 16 rows
+    f2 = np.arange(20.0, 84.0, 4.0, dtype=np.float32)      # 16 rows
+    sums = (f1[:, None] + f2[None, :]).ravel()
+    bb1 = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(f1), n, sfreq, True), np.float32))
+    bb2 = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(f2), n, sfreq, True), np.float32))
+    bb12 = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(sums), n, sfreq, True), np.float32))
+    sig9 = jnp.asarray(rng.standard_normal((16, 1, n)).astype(np.float32))
+    d = t(lambda s: _bicoherence_jit(s, bb1, bb2, bb12, interpolate=True,
+                                     eps=1e-12), sig9, iters=5)
+    record(op="bicoherence_16x16",
+           eeg_s_per_s=round(16 * n / sfreq / d, 1),
+           config=dict(e=16, f1=16, f2=16, n=n))
+
+    # --- n:m phase locking -----------------------------------------------------
+    from ninwavelets_tpu.ops.connectivity import _nm_plv_jit
+    nm_freqs = np.arange(4.0, 36.0, 0.5, dtype=np.float32)  # 64 rows
+    ba = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(nm_freqs), n, sfreq, True), np.float32))
+    bb = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(2.0 * nm_freqs), n, sfreq, True),
+        np.float32))
+    sig10a = jnp.asarray(rng.standard_normal((32, 8, n)).astype(np.float32))
+    sig10b = jnp.asarray(rng.standard_normal((32, 8, n)).astype(np.float32))
+    d = t(lambda a: _nm_plv_jit(a, sig10b, ba, bb, n=2, m=1,
+                                interpolate=True, eps=0.0), sig10a)
+    record(op="nm_plv_2to1", eeg_s_per_s=round(2 * 32 * 8 * n / sfreq / d, 1),
+           config=dict(e=32, c=8, f=64, n=n))
+
+    # --- mode extraction ---------------------------------------------------------
+    from ninwavelets_tpu.ops.ridge import extract_modes_ri
+    md_freqs = np.arange(25.0, 111.0, 2.5, dtype=np.float32)
+    bank_md = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(md_freqs), n, sfreq, True), np.float32))
+    tt = np.arange(n) / sfreq
+    sig11 = jnp.asarray((np.sin(2 * np.pi * 40 * tt)
+                         + 0.6 * np.sin(2 * np.pi * 90 * tt)
+                         ).astype(np.float32))
+    d = t(lambda s: extract_modes_ri(s, bank_md, n_modes=2,
+                                     interpolate=True)[0], sig11)
+    record(op="extract_modes_2", signal_s_per_s=round(n / sfreq / d, 1),
+           config=dict(f=len(md_freqs), n=n, modes=2))
+
     # --- fused training loop (learn_bank) -----------------------------------
     from ninwavelets_tpu.ops.cwt import mean_power
     from ninwavelets_tpu.ops.fit import learn_bank
