@@ -102,3 +102,45 @@ def test_fused_kernel_random_geometry(seed):
         sig, bank, interp, interpret=True, precision="exact"))
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 1e-4, (n, e, c, nf, interp, complex_bank, rel)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_piecewise_grid_segmentation_fuzz(seed):
+    """Random concatenations of arithmetic/geometric runs: the greedy
+    segmentation's summed closed forms must equal np.searchsorted exactly
+    away from edges, for every grid the hint accepts."""
+    from ninwavelets_tpu.ops.sst import _edge_segments, uniform_grid_hint
+
+    rng = np.random.default_rng(seed)
+    pieces = []
+    f0 = rng.uniform(1.0, 8.0)
+    for _ in range(rng.integers(2, 5)):
+        kind = rng.choice(["lin", "log"])
+        k = int(rng.integers(6, 20))
+        if kind == "lin":
+            step = rng.uniform(0.5, 6.0)
+            seg = f0 + step * np.arange(1, k + 1)
+        else:
+            r = rng.uniform(1.05, 1.4)
+            seg = f0 * r ** np.arange(1, k + 1)
+        pieces.append(seg)
+        f0 = seg[-1]
+    freqs = np.concatenate([[rng.uniform(0.5, 1.0) * pieces[0][0]],
+                            *pieces])
+    edges = 0.5 * (freqs[1:] + freqs[:-1])
+    segs = _edge_segments(edges)
+    assert sum(s[3] for s in segs) == edges.size
+
+    probe = np.linspace(0.0, float(freqs[-1]) * 1.3, 4001)
+    want = np.searchsorted(edges, probe, side="left")
+    got = np.zeros_like(probe)
+    for kind, p0, step, m in segs:
+        x = np.log(np.maximum(probe, 1e-30)) if kind == "log" else probe
+        c = np.where(probe > 0, np.ceil((x - p0) / step), 0.0)
+        got += np.clip(c, 0.0, m)
+    off_edge = np.abs(probe[:, None] - edges[None, :]).min(1) > 1e-6
+    np.testing.assert_array_equal(got[off_edge], want[off_edge])
+
+    hint = uniform_grid_hint(freqs)
+    if hint is not None and hint[0] == "pw":
+        assert 8 * len(hint[1]) < edges.size
