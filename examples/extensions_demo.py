@@ -123,6 +123,76 @@ def main():
           f"{np.asarray(out['itc']).shape}, plv_matrix "
           f"{np.asarray(out['plv_matrix']).shape}")
 
+    # 6 — superresolution: superlets split tones a 3-cycle Morlet smears
+    two = (np.sin(2 * np.pi * 50 * t)
+           + np.sin(2 * np.pi * 56 * t)).astype(np.float32)
+    grid = np.arange(40.0, 67.0, 1.0)
+    slt = nw.Superlet(SFREQ, sigma=3.0, order_min=12, order_max=12,
+                      adaptive=False)
+    prof = np.asarray(slt.power(two, grid))[:, 400:-400].mean(-1)
+    prof /= prof.max()
+    p1 = np.asarray(nw.Morlet(SFREQ, sigma=3.0).power(two, grid))
+    p1 = p1[:, 400:-400].mean(-1)
+    p1 /= p1.max()
+    i53 = int(np.argmin(np.abs(grid - 53.0)))
+    print(f"superlet: 50/56 Hz valley {prof[i53]:.2f} of peak "
+          f"(order-12) vs {p1[i53]:.2f} for one 3-cycle Morlet "
+          f"(1.0 = unresolved)")
+
+    # 7 — mode extraction: peel a chirp off a tone
+    chirp = np.sin(2 * np.pi * (60 * t + 5 * t * t)).astype(np.float32)
+    tone150 = (0.5 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)
+    morse_i = nw.Morse(SFREQ, interpolate=True)
+    modes, tracks, resid = morse_i.extract_modes(
+        chirp + tone150, np.arange(40.0, 171.0, 2.5), n_modes=2)
+    modes = np.asarray(modes)
+    sl = slice(400, -400)
+    c0 = np.corrcoef(modes[0][sl], chirp[sl])[0, 1]
+    c1 = np.corrcoef(modes[1][sl], tone150[sl])[0, 1]
+    print(f"extract_modes: chirp r={c0:.3f}, tone r={c1:.3f}, residual "
+          f"{np.linalg.norm(np.asarray(resid)[sl]):.2f}")
+
+    # 8 — bicoherence: quadratic phase coupling (20 + 35 -> 55 Hz)
+    rng2 = np.random.default_rng(7)
+    e_bc = 10
+
+    def bc_epochs(coupled):
+        data = np.empty((e_bc, 1, 2048), np.float32)
+        for i in range(e_bc):
+            p1_, p2_ = rng2.uniform(0, 2 * np.pi, 2)
+            p3_ = p1_ + p2_ if coupled else rng2.uniform(0, 2 * np.pi)
+            data[i, 0] = (np.cos(2 * np.pi * 20 * t + p1_)
+                          + np.cos(2 * np.pi * 35 * t + p2_)
+                          + 0.7 * np.cos(2 * np.pi * 55 * t + p3_)
+                          + 0.1 * rng2.standard_normal(2048))
+        return FakeEpochs(data)
+
+    cell = lambda ep: np.asarray(nw.EpochsWavelet(
+        ep, nw.Morse(SFREQ)).bicoherence("EEG 000", [20.0], [35.0]))[0, 0]
+    print(f"bicoherence at (20, 35)->55: phase-coupled "
+          f"{cell(bc_epochs(True)):.2f} vs independent-phase control "
+          f"{cell(bc_epochs(False)):.2f}")
+
+    # 9 — event-locked epoching of a continuous recording
+    rec = 0.05 * rng2.standard_normal((1, 10_000)).astype(np.float32)
+    events = np.arange(1_000, 9_000, 1_000)
+    burst = np.sin(2 * np.pi * 60.0 * t[:200]).astype(np.float32)
+    for ev in events:
+        rec[0, ev:ev + 200] += burst
+
+    class FakeRaw:
+        info = {"sfreq": SFREQ}
+        ch_names = ["EEG 000"]
+
+        def get_data(self):
+            return rec
+
+    rw = nw.RawWavelet(FakeRaw(), nw.Morse(SFREQ))
+    itc = np.asarray(rw.itc(np.arange(30.0, 95.0, 10.0), events,
+                            tmin=0.0, tmax=0.2))
+    print(f"raw event-locked ITC @ 60 Hz: {itc[0, 3, 50:150].mean():.2f} "
+          f"(phase-locked bursts; off-band rows sit near 1/sqrt(E))")
+
 
 if __name__ == "__main__":
     main()
