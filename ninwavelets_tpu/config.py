@@ -70,7 +70,9 @@ class PipelineConfig:
     ssq: bool = False                      # epoch-mean synchrosqueezed power
     superlet: Optional[Tuple[int, int]] = None  # (order_min, order_max)
     superlet_sigma: float = 3.0            # base cycle parameter
-    connectivity: Optional[str] = None     # None | "plv" | "coherence" | "both"
+    connectivity: Optional[str] = None     # None or any subset (comma-sep)
+    # of {"plv", "coherence", "wpli", "pli", "dwpli", "ppc"}; "both" is
+    # kept as an alias for "plv,coherence"
     connectivity_window: Optional[Tuple[float, float]] = None  # (start_s, stop_s)
 
 
@@ -158,26 +160,39 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
     if cfg.connectivity is not None:
         # All-pairs (F, C, C) matrices over every channel (extension —
         # ``ops.connectivity``); reuses the bank already built for the TFR.
-        if cfg.connectivity not in ("plv", "coherence", "both"):
+        from .ops.connectivity import (coherence_matrix, plv_matrix,
+                                       ppc_matrix, wpli_matrix)
+        known = ("plv", "coherence", "wpli", "pli", "dwpli", "ppc")
+        asked = ("plv", "coherence") if cfg.connectivity == "both" else \
+            tuple(m.strip() for m in cfg.connectivity.split(","))
+        bad = [m for m in asked if m not in known]
+        if bad:
             raise ValueError(
-                f"connectivity must be 'plv', 'coherence' or 'both', "
-                f"got {cfg.connectivity!r}")
-        from .ops.connectivity import coherence_matrix, plv_matrix
+                f"connectivity must be 'both' or a comma-separated subset "
+                f"of {known}, got {cfg.connectivity!r}")
         trange = None
         if cfg.connectivity_window is not None:
             start_s, stop_s = cfg.connectivity_window
             trange = (int(round(start_s * sfreq)),
                       int(round(stop_s * sfreq)))
-        if cfg.connectivity in ("plv", "both"):
-            if bank_i is not None:
-                raise ValueError(
-                    "plv connectivity needs an analytic (real-bank) wavelet "
-                    "family — Normal/Twice-mode banks carry no usable phase")
+        if bank_i is not None and set(asked) - {"coherence"}:
+            raise ValueError(
+                "phase connectivity needs an analytic (real-bank) wavelet "
+                "family — Normal/Twice-mode banks carry no usable phase")
+        if "plv" in asked:
             out["plv_matrix"] = plv_matrix(
                 waves, bank_r, interpolate=interp, time_range=trange)
-        if cfg.connectivity in ("coherence", "both"):
+        if "coherence" in asked:
             out["coherence_matrix"] = coherence_matrix(
                 waves, bank_r, bank_i, interpolate=interp, time_range=trange)
+        for m in ("pli", "wpli", "dwpli"):
+            if m in asked:
+                out[f"{m}_matrix"] = wpli_matrix(
+                    waves, bank_r, method=m, interpolate=interp,
+                    time_range=trange)
+        if "ppc" in asked:
+            out["ppc_matrix"] = ppc_matrix(
+                waves, bank_r, interpolate=interp, time_range=trange)
 
     if cfg.global_spectrum or cfg.ridge:
         from .ops import tc_stats

@@ -14,9 +14,14 @@ from .cwt import (abs_from_bank, analytic_spectrum, cwt_abs, cwt_from_bank,
 from .fit import fit_frequencies, learn_bank
 from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            nm_plv, nm_plv_from_bank, pac, pac_from_banks,
-                           pair_matrix_scan, plv, plv_from_bank,
+                           pair_matrix_scan, phase_lag, phase_lag_auto,
+                           phase_lag_from_bank, phase_lag_from_sums,
+                           phase_lag_sums, plv, plv_from_bank,
                            plv_matrix, plv_matrix_from_bank,
-                           plv_significance, plv_sums, surrogate_pvalues)
+                           plv_significance, plv_sums, ppc, ppc_auto,
+                           ppc_from_bank, ppc_matrix, ppc_matrix_from_bank,
+                           surrogate_pvalues, wpli_matrix,
+                           wpli_matrix_from_bank)
 from .extensions import (bicoherence, bicoherence_from_banks,
                          bump_spectrum, cross_power_from_bank,
                          dog_spectrum, epoch_coherence_from_bank,
@@ -66,6 +71,11 @@ __all__ = [
     "nm_plv", "nm_plv_from_bank", "plv_significance", "surrogate_pvalues",
     "pair_matrix_scan", "plv_matrix", "plv_matrix_from_bank",
     "coherence_matrix", "coherence_matrix_from_bank",
+    "phase_lag", "phase_lag_auto", "phase_lag_from_bank",
+    "phase_lag_from_sums", "phase_lag_sums",
+    "ppc", "ppc_auto", "ppc_from_bank",
+    "wpli_matrix", "wpli_matrix_from_bank",
+    "ppc_matrix", "ppc_matrix_from_bank",
     "icwt_from_bank", "icwt_ri", "coverage",
     "extract_modes", "extract_modes_ri",
     "denoise", "denoise_from_bank",

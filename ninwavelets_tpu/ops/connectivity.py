@@ -36,7 +36,12 @@ __all__ = ["plv_from_bank", "plv", "plv_sums", "pac_from_banks", "pac",
            "pac_mean_from_banks",
            "coherence_matrix_from_bank", "coherence_matrix",
            "nm_plv_from_bank", "nm_plv", "nm_plv_sums",
-           "surrogate_pvalues", "plv_significance"]
+           "surrogate_pvalues", "plv_significance",
+           "phase_lag_sums", "phase_lag_from_sums", "phase_lag_from_bank",
+           "phase_lag", "phase_lag_auto", "PHASE_LAG_METHODS",
+           "ppc_from_bank", "ppc", "ppc_auto",
+           "wpli_matrix_from_bank", "wpli_matrix",
+           "ppc_matrix_from_bank", "ppc_matrix"]
 
 
 # ----------------------------------------------------------------------------
@@ -123,6 +128,188 @@ def plv_auto(sigs_a_r, sigs_b_r, bank_r, interpolate: bool = False,
             return fused_plv(sigs_a_r, sigs_b_r, bank_r,
                              interpolate=interpolate, precision=precision)
     return _plv_jit(sigs_a_r, sigs_b_r, bank_r,
+                    interpolate=bool(interpolate), eps=float(eps))
+
+
+# ----------------------------------------------------------------------------
+# Phase-lag family: PLI / wPLI / debiased wPLI^2, and PPC
+# ----------------------------------------------------------------------------
+#
+# All built on the IMAGINARY part of the per-epoch cross-spectrum
+# ``Im S_e = Im(Wa conj(Wb))``: volume conduction / field spread produces
+# zero-lag (real) coupling, so statistics that only see Im S are immune to
+# the common-source artifact PLV and coherence inherit.  Every member is a
+# plain epoch reduction of elementwise images of Im S — the same single-pass
+# shape as ITC/PLV/coherence, so the sums stream through a scan here, ride
+# one psum across epoch shards (parallel.sharded_phase_lag), and come off
+# one fused-kernel pass on TPU (ops.fused "phaselag" epilogue).
+
+PHASE_LAG_METHODS = ("pli", "wpli", "dwpli")
+
+
+def phase_lag_sums(sigs_a, sigs_b, bank, interpolate: bool = False,
+                   vma_axes=()):
+    """Epoch-SUMMED phase-lag accumulators
+    ``(sum Im, sum |Im|, sum sign(Im), sum Im^2)`` of the per-epoch cross
+    spectrum ``Im(Wa conj(Wb))`` — the shard-local half of
+    ``phase_lag_from_bank`` (mirrors ``coherence_sums``).  Every
+    ``PHASE_LAG_METHODS`` statistic is a closed form of these four planes
+    (``phase_lag_from_sums``), so one pass serves all of them."""
+    shape = sigs_a.shape[1:-1] + (bank.shape[0], sigs_a.shape[-1])
+    zeros = jnp.zeros(shape, jnp.float32)
+    if vma_axes:
+        zeros = lax.pcast(zeros, tuple(vma_axes), to="varying")
+
+    def step(acc, sigs):
+        sa, sb = sigs
+        wa = cwt_from_bank(sa, bank, interpolate)
+        wb = cwt_from_bank(sb, bank, interpolate)
+        # Im(Wa conj Wb).  XLA fuses a*d - b*c into an FMA (first product
+        # unrounded, second rounded), so a self-pair's Im comes out as
+        # rounding noise instead of 0 — and the sign/ratio statistics
+        # AMPLIFY that noise into a random value.  Whenever the two
+        # ROUNDED products agree the true Im is below fp32 resolution:
+        # pin those cells to exact 0 so degenerate pairs hit the
+        # documented 0/0 -> NaN path.  (optimization_barrier does not
+        # stop the FMA on the CPU backend; this select does, portably.)
+        p = wa.imag * wb.real
+        q = wa.real * wb.imag
+        im = jnp.where(p == q, jnp.float32(0), p - q)
+        s_im, s_abs, s_sgn, s_sq = acc
+        return (s_im + im, s_abs + jnp.abs(im), s_sgn + jnp.sign(im),
+                s_sq + im * im), None
+
+    return lax.scan(step, (zeros,) * 4, (sigs_a, sigs_b))[0]
+
+
+def phase_lag_from_sums(sums, n_epochs: int, method: str = "wpli",
+                        eps: float = 0.0):
+    """Finish a phase-lag statistic from the ``phase_lag_sums`` planes.
+
+    * ``"pli"`` — phase-lag index (Stam 2007): ``|mean_E sign(Im S)|``,
+      in [0, 1]; 1 when the lag never changes sign across epochs.
+    * ``"wpli"`` — weighted PLI (Vinck 2011): ``|sum Im| / sum |Im|``,
+      in [0, 1]; down-weights near-zero-lag epochs so noise around the
+      real axis cannot flip the sign count.
+    * ``"dwpli"`` — DEBIASED wPLI-square (Vinck 2011 eq. 31):
+      ``((sum Im)^2 - sum Im^2) / ((sum |Im|)^2 - sum Im^2)`` — removes
+      the positive sample bias of wpli^2 by dropping the diagonal
+      (j == k) terms; an unbiased estimator of squared wPLI that can go
+      slightly NEGATIVE under the null (values near 0 mean no coupling).
+      Needs at least 2 epochs.
+
+    ``eps = 0`` keeps the ITC 0/0 convention: cells whose cross-spectrum
+    is purely real in every epoch (e.g. a channel against itself) return
+    NaN for wpli/dwpli rather than inventing a lag; a positive ``eps``
+    floors the denominator so such cells read 0 instead.
+    """
+    s_im, s_abs, s_sgn, s_sq = sums
+    if method == "pli":
+        return jnp.abs(s_sgn) / n_epochs
+    if method == "wpli":
+        den = jnp.maximum(s_abs, eps) if eps else s_abs
+        return jnp.abs(s_im) / den
+    if method == "dwpli":
+        den = s_abs * s_abs - s_sq
+        if eps:
+            den = jnp.maximum(den, eps)
+        return (s_im * s_im - s_sq) / den
+    raise ValueError(f"method must be one of {PHASE_LAG_METHODS}, "
+                     f"got {method!r}")
+
+
+def phase_lag_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
+                        bank: jnp.ndarray, method: str = "wpli",
+                        interpolate: bool = False,
+                        eps: float = 0.0) -> jnp.ndarray:
+    """Phase-lag connectivity between two channels over epochs:
+    (E, ..., N) x2 -> (..., F, N).  See ``phase_lag_from_sums`` for the
+    estimators; all three are invariant to any common scaling of the
+    coefficients (only the SIGN and relative weight of Im S matter)."""
+    sums = phase_lag_sums(sigs_a, sigs_b, bank, interpolate)
+    return phase_lag_from_sums(sums, sigs_a.shape[0], method, eps)
+
+
+@partial(jax.jit, static_argnames=("method", "interpolate", "eps"))
+def _phase_lag_jit(sa, sb, bank_r, *, method, interpolate, eps):
+    return phase_lag_from_bank(sa, sb, bank_r, method, interpolate, eps)
+
+
+def phase_lag(sigs_a_r, sigs_b_r, bank_r, method: str = "wpli",
+              interpolate: bool = False, eps: float = 0.0):
+    """Jitted float-boundary wrapper for ``phase_lag_from_bank`` (real
+    analytic banks) — always the exact XLA path; ``phase_lag_auto`` opts
+    into the fused kernel."""
+    return _phase_lag_jit(sigs_a_r, sigs_b_r, bank_r, method=str(method),
+                          interpolate=bool(interpolate), eps=float(eps))
+
+
+def phase_lag_auto(sigs_a_r, sigs_b_r, bank_r, method: str = "wpli",
+                   interpolate: bool = False, eps: float = 0.0,
+                   precision: str = "fast3"):
+    """Phase-lag statistic with automatic kernel dispatch: the fused
+    ``phaselag`` epilogue on TPU when the geometry conforms (all four
+    epoch sums off one pass of the shared matmul stages; zero-padded
+    epochs contribute zero to every sum, so ragged counts chunk
+    power-style), the exact XLA path otherwise."""
+    from .fused import supports
+    if (jax.default_backend() == "tpu"
+            and supports(sigs_a_r.shape, bank_r, epilogue="power")):
+        from .fused import fused_phase_lag
+        return fused_phase_lag(sigs_a_r, sigs_b_r, bank_r, method=method,
+                               interpolate=interpolate, eps=eps,
+                               precision=precision)
+    return _phase_lag_jit(sigs_a_r, sigs_b_r, bank_r, method=str(method),
+                          interpolate=bool(interpolate), eps=float(eps))
+
+
+def ppc_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
+                  bank: jnp.ndarray, interpolate: bool = False,
+                  eps: float = 0.0) -> jnp.ndarray:
+    """Pairwise phase consistency (Vinck 2010): (E, ..., N) x2 ->
+    (..., F, N).
+
+        ``PPC = (|sum_E u|^2 - E) / (E (E - 1))``
+
+    with ``u = exp(i (phi_a - phi_b))`` — the mean cosine of the phase
+    difference over all DISTINCT epoch pairs.  An unbiased, sample-size-
+    free estimator of squared phase locking: PLV^2 carries a +1/E bias
+    that makes runs with different epoch counts incomparable; PPC removes
+    exactly that diagonal term (E[PPC] = 0 under the null, slightly
+    negative values are normal).  Free off the same sums as PLV — needs
+    at least 2 epochs."""
+    sr, si = plv_sums(sigs_a, sigs_b, bank, interpolate, eps)
+    e = sigs_a.shape[0]
+    return (sr * sr + si * si - e) / (e * (e - 1.0))
+
+
+@partial(jax.jit, static_argnames=("interpolate", "eps"))
+def _ppc_jit(sa, sb, bank_r, *, interpolate, eps):
+    return ppc_from_bank(sa, sb, bank_r, interpolate, eps)
+
+
+def ppc(sigs_a_r, sigs_b_r, bank_r, interpolate: bool = False,
+        eps: float = 0.0):
+    """Jitted float-boundary wrapper for ``ppc_from_bank`` (real analytic
+    banks) — always the exact XLA path; ``ppc_auto`` opts into the fused
+    kernel."""
+    return _ppc_jit(sigs_a_r, sigs_b_r, bank_r,
+                    interpolate=bool(interpolate), eps=float(eps))
+
+
+def ppc_auto(sigs_a_r, sigs_b_r, bank_r, interpolate: bool = False,
+             eps: float = 0.0, precision: str = "fast3"):
+    """PPC with automatic kernel dispatch: rides the fused ``plv``
+    epilogue sums on TPU (same dispatch rule as ``plv_auto``), the exact
+    XLA path otherwise."""
+    if eps == 0.0:
+        from .fused import supports
+        if (jax.default_backend() == "tpu"
+                and supports(sigs_a_r.shape, bank_r, epilogue="itc")):
+            from .fused import fused_ppc
+            return fused_ppc(sigs_a_r, sigs_b_r, bank_r,
+                             interpolate=interpolate, precision=precision)
+    return _ppc_jit(sigs_a_r, sigs_b_r, bank_r,
                     interpolate=bool(interpolate), eps=float(eps))
 
 
@@ -487,6 +674,108 @@ def coherence_matrix_from_bank(sigs: jnp.ndarray, bank: jnp.ndarray,
 
     return pair_matrix_scan(sigs, bank, per_row, interpolate,
                             time_range=time_range)
+
+
+def ppc_matrix_from_bank(sigs: jnp.ndarray, bank: jnp.ndarray,
+                         interpolate: bool = False, eps: float = 0.0,
+                         time_range=None) -> jnp.ndarray:
+    """All-pairs pairwise phase consistency: (E, C, N) -> (F, C, C).
+
+    ``PPC[f, a, b] = mean_t (|sum_E u|^2 - E) / (E (E - 1))`` with
+    ``u = exp(i (phi_a - phi_b))`` — the bias-free counterpart of
+    ``plv_matrix_from_bank`` (see ``ppc_from_bank``); comes off the SAME
+    unit-phase pairwise epoch sums, so it costs exactly one extra
+    subtract.  Diagonal is 1; needs at least 2 epochs."""
+    e = sigs.shape[0]
+
+    def per_row(sr, si):
+        return jnp.mean((sr * sr + si * si - e) / (e * (e - 1.0)), axis=-1)
+
+    return pair_matrix_scan(sigs, bank, per_row, interpolate, unit=True,
+                            eps=eps, time_range=time_range)
+
+
+def wpli_matrix_from_bank(sigs: jnp.ndarray, bank: jnp.ndarray,
+                          method: str = "wpli",
+                          interpolate: bool = False, eps: float = 0.0,
+                          time_range=None) -> jnp.ndarray:
+    """All-pairs phase-lag connectivity: (E, C, N) -> (F, C, C).
+
+    The pairwise form of ``phase_lag_from_bank`` (any
+    ``PHASE_LAG_METHODS`` estimator), statistic finished per
+    (channel, channel, time) cell then time-averaged (over ``time_range``
+    samples if given).  Unlike ``plv_matrix_from_bank`` the epoch axis
+    CANNOT be contracted with a matmul — wpli/dwpli need ``|Im S_e|`` per
+    epoch BEFORE the sum — so each bank row scans epochs accumulating the
+    four ``phase_lag_sums`` planes as (C, C, n) outer products (VPU work,
+    O(E C^2 n) per row; fine for EEG channel counts).  The diagonal (and
+    any zero-lag pair) is 0/0 -> NaN at ``eps = 0`` by the documented
+    convention."""
+    if method not in PHASE_LAG_METHODS:
+        raise ValueError(f"method must be one of {PHASE_LAG_METHODS}, "
+                         f"got {method!r}")
+    e, c = sigs.shape[0], sigs.shape[1]
+    spec = analytic_spectrum(sigs, interpolate)               # (E, C, N)
+    n0, n1 = time_range if time_range is not None else (0, sigs.shape[-1])
+    nt = n1 - n0
+
+    def row(_, bank_row):
+        w = jnp.fft.ifft(spec * bank_row)[..., n0:n1]         # (E, C, n)
+        wr, wi = w.real, w.imag
+
+        def step(acc, ri):
+            r, i = ri
+            # One outer product minus its own transpose, with cells whose
+            # rounded products agree pinned to exact 0 (XLA fuses the
+            # subtract into an FMA whose first product is UNROUNDED — see
+            # phase_lag_sums): the diagonal becomes a true 0/0 NaN
+            # instead of amplified rounding noise.
+            p = i[:, None, :] * r[None, :, :]
+            pt = jnp.swapaxes(p, 0, 1)
+            im = jnp.where(p == pt, jnp.float32(0), p - pt)
+            s_im, s_abs, s_sgn, s_sq = acc
+            return (s_im + im, s_abs + jnp.abs(im), s_sgn + jnp.sign(im),
+                    s_sq + im * im), None
+
+        zeros = jnp.zeros((c, c, nt), jnp.float32)
+        sums = lax.scan(step, (zeros,) * 4, (wr, wi))[0]
+        return None, jnp.mean(
+            phase_lag_from_sums(sums, e, method, eps), axis=-1)
+
+    return lax.scan(row, None, bank)[1]
+
+
+@partial(jax.jit, static_argnames=("method", "interpolate", "eps",
+                                   "time_range"))
+def _wpli_matrix_jit(sigs, bank_r, *, method, interpolate, eps, time_range):
+    return wpli_matrix_from_bank(sigs, bank_r, method, interpolate, eps,
+                                 time_range)
+
+
+def wpli_matrix(sigs_r, bank_r, method: str = "wpli",
+                interpolate: bool = False, eps: float = 0.0,
+                time_range=None):
+    """Jitted float-boundary wrapper for ``wpli_matrix_from_bank`` (real
+    analytic banks only — the lag sign needs the analytic signal)."""
+    tr = None if time_range is None else (int(time_range[0]),
+                                          int(time_range[1]))
+    return _wpli_matrix_jit(sigs_r, bank_r, method=str(method),
+                            interpolate=bool(interpolate), eps=float(eps),
+                            time_range=tr)
+
+
+@partial(jax.jit, static_argnames=("interpolate", "eps", "time_range"))
+def _ppc_matrix_jit(sigs, bank_r, *, interpolate, eps, time_range):
+    return ppc_matrix_from_bank(sigs, bank_r, interpolate, eps, time_range)
+
+
+def ppc_matrix(sigs_r, bank_r, interpolate: bool = False, eps: float = 0.0,
+               time_range=None):
+    """Jitted float-boundary wrapper for ``ppc_matrix_from_bank``."""
+    tr = None if time_range is None else (int(time_range[0]),
+                                          int(time_range[1]))
+    return _ppc_matrix_jit(sigs_r, bank_r, interpolate=bool(interpolate),
+                           eps=float(eps), time_range=tr)
 
 
 @partial(jax.jit, static_argnames=("interpolate", "eps", "time_range"))

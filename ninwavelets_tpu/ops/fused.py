@@ -297,6 +297,24 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
         out_refs[1][0, 0] = (ai_ * br_ - ar_ * bi_).sum(0)   # Im a conj b
         out_refs[2][0, 0] = (ar_ * ar_ + ai_ * ai_).sum(0)   # |a|^2
         out_refs[3][0, 0] = (br_ * br_ + bi_ * bi_).sum(0)   # |b|^2
+    elif epilogue == "phaselag":
+        # Imag-cross-spectrum sums (ops.connectivity.phase_lag_sums):
+        # same pair packing as "coherence" — sum Im, sum |Im|,
+        # sum sign(Im), sum Im^2 off one pass.  Zero-padded epochs
+        # contribute zero to all four (sign(0) = 0), so ragged counts
+        # chunk power-style.  Bank scale is 1/N (no E folding); the
+        # pli/wpli/dwpli finishers are scale-invariant but callers get
+        # XLA-matching raw sums.
+        eh = e_total // 2
+        xr3 = xr.reshape(e_total, LANES, LANES)
+        xi3 = xi.reshape(e_total, LANES, LANES)
+        ar_, ai_ = xr3[:eh], xi3[:eh]
+        br_, bi_ = xr3[eh:], xi3[eh:]
+        im = ai_ * br_ - ar_ * bi_                           # Im a conj b
+        out_refs[0][0, 0] = im.sum(0)
+        out_refs[1][0, 0] = jnp.abs(im).sum(0)
+        out_refs[2][0, 0] = jnp.sign(im).sum(0)
+        out_refs[3][0, 0] = (im * im).sum(0)
     elif epilogue == "plv":
         # Unit CROSS-phase sums (ops.connectivity.plv_sums): same pair
         # packing as "coherence", normalized per cell — zero-magnitude
@@ -406,7 +424,7 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
                             lambda fi, ci: (ci, fi, 0, 0),
                             memory_space=pltpu.VMEM)
     n_outs = {"itc": 2, "power_itc": 3, "coherence": 4,
-              "plv": 2}.get(epilogue, 1)
+              "phaselag": 4, "plv": 2}.get(epilogue, 1)
     # Grid order (freq-block MAJOR, channel minor): the large tiled-bank
     # block is re-fetched only when fi changes — once per n_blocks, not per
     # program; the small per-channel spectra stream underneath.
@@ -1232,6 +1250,72 @@ def fused_coherence_sums(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
     return sums
 
 
+def fused_phase_lag_sums(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
+                         bank: jnp.ndarray, interpolate: bool = True,
+                         interpret: bool = False,
+                         precision: str = DEFAULT_PRECISION,
+                         vma_axes=()):
+    """Epoch-SUMMED phase-lag accumulators via ONE kernel pass per pair
+    chunk: ``(sum Im, sum |Im|, sum sign(Im), sum Im^2)`` of the per-epoch
+    cross spectrum — the fused counterpart of
+    ``ops.connectivity.phase_lag_sums``.  Zero-padded epochs contribute
+    zero to all four sums (sign(0) = 0), so a ragged count chunks
+    power-style (equal chunks, zero-pad)."""
+    e, c, n = sigs_a.shape
+    eh_cap = MAX_EPOCHS_PER_CALL // 2
+    if e <= eh_cap:
+        return _fused_call(jnp.concatenate([sigs_a, sigs_b]), bank,
+                           interpolate, interpret, precision, "phaselag")
+    pad_e = (-e) % eh_cap
+    if pad_e:
+        pad = ((0, pad_e), (0, 0), (0, 0))
+        sigs_a = jnp.pad(sigs_a, pad)
+        sigs_b = jnp.pad(sigs_b, pad)
+    n_chunks = (e + pad_e) // eh_cap
+    chunks_a = sigs_a.reshape((n_chunks, eh_cap) + sigs_a.shape[1:])
+    chunks_b = sigs_b.reshape((n_chunks, eh_cap) + sigs_b.shape[1:])
+    zero = jnp.zeros((c, bank.shape[0], n), jnp.float32)
+    if vma_axes:
+        zero = lax.pcast(zero, tuple(vma_axes), to="varying")
+
+    def step(acc, ab):
+        outs = _fused_call(jnp.concatenate([ab[0], ab[1]]), bank,
+                           interpolate, interpret, precision, "phaselag")
+        return tuple(a + o for a, o in zip(acc, outs)), None
+
+    sums, _ = lax.scan(step, (zero,) * 4, (chunks_a, chunks_b))
+    return sums
+
+
+@functools.lru_cache(maxsize=32)
+def _phase_lag_jitted(method: str, interpolate: bool, interpret: bool,
+                      precision: str, eps: float):
+    from .connectivity import phase_lag_from_sums
+
+    def call(sa, sb, br):
+        sums = fused_phase_lag_sums(sa, sb, br, interpolate, interpret,
+                                    precision)
+        return phase_lag_from_sums(sums, sa.shape[0], method, eps)
+
+    return jax.jit(call)
+
+
+def fused_phase_lag(sigs_a_r, sigs_b_r, bank_r, *, method: str = "wpli",
+                    interpolate: bool = True, interpret: bool = False,
+                    precision: str = DEFAULT_PRECISION, eps: float = 0.0):
+    """Jitted float-boundary wrapper: PLI / wPLI / debiased wPLI^2 via the
+    fused kernel (``ops.connectivity.phase_lag_from_bank`` semantics).
+    Caveats: "pli" counts the SIGN of Im S, so cells where the true lag
+    sits near zero can flip under kernel round-off — prefer "wpli"/"dwpli"
+    (weighted forms are robust to exactly this) or the XLA path for
+    sign-critical work.  A channel against ITSELF is degenerate (Im S is
+    all rounding noise); only the XLA path pins that case to exact
+    0/0 -> NaN."""
+    return _phase_lag_jitted(str(method), bool(interpolate), bool(interpret),
+                             str(precision), float(eps))(
+        sigs_a_r, sigs_b_r, bank_r)
+
+
 def fused_plv_sums(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
                    bank: jnp.ndarray, interpolate: bool = True,
                    interpret: bool = False,
@@ -1287,6 +1371,26 @@ def fused_plv(sigs_a_r, sigs_b_r, bank_r, *, interpolate: bool = True,
     """Jitted float-boundary wrapper: phase-locking value via the fused
     kernel (``ops.connectivity.plv_from_bank`` semantics at eps=0)."""
     return _plv_jitted(bool(interpolate), bool(interpret),
+                       str(precision))(sigs_a_r, sigs_b_r, bank_r)
+
+
+@functools.lru_cache(maxsize=32)
+def _ppc_jitted(interpolate: bool, interpret: bool, precision: str):
+    def call(sa, sb, br):
+        sr, si = fused_plv_sums(sa, sb, br, interpolate, interpret,
+                                precision)
+        e = sa.shape[0]
+        return (sr * sr + si * si - e) / (e * (e - 1.0))
+
+    return jax.jit(call)
+
+
+def fused_ppc(sigs_a_r, sigs_b_r, bank_r, *, interpolate: bool = True,
+              interpret: bool = False, precision: str = DEFAULT_PRECISION):
+    """Jitted float-boundary wrapper: pairwise phase consistency off the
+    fused ``plv`` epilogue sums (``ops.connectivity.ppc_from_bank``
+    semantics at eps=0)."""
+    return _ppc_jitted(bool(interpolate), bool(interpret),
                        str(precision))(sigs_a_r, sigs_b_r, bank_r)
 
 

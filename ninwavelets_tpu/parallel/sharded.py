@@ -243,6 +243,93 @@ def sharded_coherence(sigs_a, sigs_b, bank_r, bank_i=None, *, mesh: Mesh,
         out_specs=out_spec)(sigs_a, sigs_b, bank_r, bank_i)
 
 
+@partial(jax.jit, static_argnames=("mesh", "method", "interpolate", "eps"))
+def sharded_phase_lag(sigs_a, sigs_b, bank_r, *, mesh: Mesh,
+                      method: str = "wpli", interpolate: bool = False,
+                      eps: float = 0.0):
+    """Phase-lag connectivity (PLI / wPLI / debiased wPLI^2) over the
+    mesh: (E, ..., N) x2 -> (..., F, N).
+
+    All four ``phase_lag_sums`` planes are linear in epochs, so shards
+    accumulate locally, one ``psum`` each over ``data`` completes the RAW
+    global sums (dwpli mixes squares of sums with sums of squares, so
+    unlike coherence no common rescaling is admissible), and the finisher
+    runs on the reduced planes with the TRUE epoch count.  Mesh result ==
+    single-device ``ops.connectivity.phase_lag_from_bank``."""
+    from ..ops.connectivity import phase_lag_from_sums, phase_lag_sums
+    n_epochs = sigs_a.shape[0]
+    ndim = sigs_a.ndim
+    sig_spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    out_spec = P(*([None] * (ndim - 2)), FREQ_AXIS, None)
+
+    def local(sa, sb, br):
+        sums = phase_lag_sums(sa, sb, br, interpolate,
+                              vma_axes=(DATA_AXIS, FREQ_AXIS))
+        sums = tuple(lax.psum(s, DATA_AXIS) for s in sums)
+        return phase_lag_from_sums(sums, n_epochs, method, eps)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(sig_spec, sig_spec, _BANK_SPEC),
+        out_specs=out_spec)(sigs_a, sigs_b, bank_r)
+
+
+@partial(jax.jit, static_argnames=("mesh", "method", "interpolate",
+                                   "precision", "interpret", "eps"))
+def sharded_fused_phase_lag(sigs_a, sigs_b, bank_r, *, mesh: Mesh,
+                            method: str = "wpli", interpolate: bool = True,
+                            precision: str = "fast3",
+                            interpret: bool = False, eps: float = 0.0):
+    """Phase-lag connectivity over the mesh with the fused kernel's
+    ``phaselag`` epilogue per shard (real banks): same layout and
+    reduction as ``sharded_phase_lag`` (raw ``psum`` — see there for why
+    no rescaling), one kernel pass per local pair chunk."""
+    from ..ops.connectivity import phase_lag_from_sums
+    from ..ops.fused import fused_phase_lag_sums
+    n_epochs = sigs_a.shape[0]
+
+    def local(sa, sb, br):
+        sums = fused_phase_lag_sums(sa, sb, br, interpolate, interpret,
+                                    precision,
+                                    vma_axes=(DATA_AXIS, FREQ_AXIS))
+        sums = tuple(lax.psum(s, DATA_AXIS) for s in sums)
+        return phase_lag_from_sums(sums, n_epochs, method, eps)
+
+    out_spec = P(*([None] * (sigs_a.ndim - 2)), FREQ_AXIS, None)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(DATA_AXIS), P(DATA_AXIS), _BANK_SPEC),
+                         out_specs=out_spec,
+                         check_vma=False)(sigs_a, sigs_b, bank_r)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "eps"))
+def sharded_ppc(sigs_a, sigs_b, bank_r, *, mesh: Mesh,
+                interpolate: bool = False, eps: float = 0.0):
+    """Pairwise phase consistency over the mesh: (E, ..., N) x2 ->
+    (..., F, N).
+
+    PPC is a closed form of the SAME unit cross-phase sums as PLV
+    (``(|sum u|^2 - E) / (E (E - 1))``), so the shard layout and the one
+    ``psum`` are exactly ``sharded_plv``'s — only the finisher differs.
+    Mesh result == single-device ``ops.connectivity.ppc_from_bank``."""
+    from ..ops.connectivity import plv_sums
+    n_epochs = sigs_a.shape[0]
+    ndim = sigs_a.ndim
+    sig_spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    out_spec = P(*([None] * (ndim - 2)), FREQ_AXIS, None)
+
+    def local(sa, sb, br):
+        sr, si = plv_sums(sa, sb, br, interpolate, eps,
+                          vma_axes=(DATA_AXIS, FREQ_AXIS))
+        sr = lax.psum(sr, DATA_AXIS)
+        si = lax.psum(si, DATA_AXIS)
+        return (sr * sr + si * si - n_epochs) / (n_epochs
+                                                 * (n_epochs - 1.0))
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(sig_spec, sig_spec, _BANK_SPEC),
+        out_specs=out_spec)(sigs_a, sigs_b, bank_r)
+
+
 @partial(jax.jit, static_argnames=("mesh", "interpolate", "eps"))
 def sharded_plv(sigs_a, sigs_b, bank_r, *, mesh: Mesh,
                 interpolate: bool = False, eps: float = 0.0):

@@ -315,6 +315,68 @@ class EpochsWavelet:
         return _coh(sa, sb, br, bi, interpolate=self.wavelet.interpolate,
                     eps=eps)
 
+    def phase_lag(self, ch_a: str, ch_b: str, freqs: Numbers,
+                  method: str = "wpli", eps: float = 0.0) -> jnp.ndarray:
+        """(F, N) phase-lag connectivity between two channels across
+        epochs (extension — ``ops.connectivity.phase_lag``):
+        ``method="pli"`` (phase-lag index), ``"wpli"`` (weighted PLI) or
+        ``"dwpli"`` (debiased wPLI-square).  All three see only the
+        IMAGINARY cross-spectrum, so zero-lag volume-conduction coupling
+        — which inflates ``plv``/``coherence`` — contributes nothing."""
+        from ..ops.connectivity import phase_lag_auto as _pl
+        sa = self._channel_data(ch_a)
+        sb = self._channel_data(ch_b)
+        br, _ = self._conn_bank(sa.shape[-1], freqs)
+        return _pl(sa, sb, br, method=method,
+                   interpolate=self.wavelet.interpolate, eps=eps)
+
+    def pli(self, ch_a: str, ch_b: str, freqs: Numbers,
+            eps: float = 0.0) -> jnp.ndarray:
+        """(F, N) phase-lag index (``phase_lag(method="pli")``)."""
+        return self.phase_lag(ch_a, ch_b, freqs, "pli", eps)
+
+    def wpli(self, ch_a: str, ch_b: str, freqs: Numbers,
+             eps: float = 0.0) -> jnp.ndarray:
+        """(F, N) weighted phase-lag index (``phase_lag(method="wpli")``)."""
+        return self.phase_lag(ch_a, ch_b, freqs, "wpli", eps)
+
+    def ppc(self, ch_a: str, ch_b: str, freqs: Numbers,
+            eps: float = 0.0) -> jnp.ndarray:
+        """(F, N) pairwise phase consistency between two channels across
+        epochs (extension — ``ops.connectivity.ppc``): the bias-free
+        counterpart of ``plv``-squared, comparable across different epoch
+        counts.  Needs at least 2 epochs."""
+        from ..ops.connectivity import ppc_auto as _ppc
+        sa = self._channel_data(ch_a)
+        sb = self._channel_data(ch_b)
+        br, _ = self._conn_bank(sa.shape[-1], freqs)
+        return _ppc(sa, sb, br, interpolate=self.wavelet.interpolate,
+                    eps=eps)
+
+    def wpli_matrix(self, freqs: Numbers, method: str = "wpli",
+                    time_range=None, eps: float = 0.0) -> jnp.ndarray:
+        """(F, C, C) all-pairs phase-lag matrix over every channel,
+        time-averaged (extension — ``ops.connectivity.wpli_matrix``;
+        ``method`` picks pli/wpli/dwpli).  The diagonal is NaN at
+        ``eps = 0`` by convention (a channel has no lag against
+        itself)."""
+        from ..ops.connectivity import wpli_matrix as _wpli_m
+        waves = self._all_data()
+        br, _ = self._conn_bank(waves.shape[-1], freqs)
+        return _wpli_m(waves, br, method=method,
+                       interpolate=self.wavelet.interpolate,
+                       eps=eps, time_range=self._samples(time_range))
+
+    def ppc_matrix(self, freqs: Numbers, time_range=None,
+                   eps: float = 0.0) -> jnp.ndarray:
+        """(F, C, C) all-pairs pairwise-phase-consistency matrix,
+        time-averaged (extension — ``ops.connectivity.ppc_matrix``)."""
+        from ..ops.connectivity import ppc_matrix as _ppc_m
+        waves = self._all_data()
+        br, _ = self._conn_bank(waves.shape[-1], freqs)
+        return _ppc_m(waves, br, interpolate=self.wavelet.interpolate,
+                      eps=eps, time_range=self._samples(time_range))
+
     def plv_matrix(self, freqs: Numbers, time_range=None,
                    eps: float = 0.0) -> jnp.ndarray:
         """(F, C, C) all-pairs phase-locking matrix over every channel,

@@ -347,3 +347,220 @@ def test_sharded_nm_plv_matches_single_device():
     got = np.asarray(par.sharded_nm_plv(sa, sb, bank_a, bank_b, mesh=mesh,
                                         n=2, m=1, interpolate=True))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+class TestPhaseLag:
+    """PLI / wPLI / debiased wPLI^2 / PPC (``ops.connectivity.phase_lag``,
+    ``ppc``) — imaginary-cross-spectrum statistics and the bias-free phase
+    consistency, with fused-kernel and sharded variants."""
+
+    FREQS = np.arange(20.0, 80.0, 6.0)
+
+    def _epochs(self, lag_rad: float, e=16, n=1024, seed=0, noise=0.3):
+        """Two channels sharing a 40 Hz tone at a FIXED lag across epochs
+        (lag 0 models pure volume conduction from a common source)."""
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / SFREQ
+        pa = rng.uniform(0, 2 * np.pi, e)
+        a = (np.sin(2 * np.pi * 40 * t + pa[:, None])
+             + noise * rng.standard_normal((e, n))).astype(np.float32)
+        b = (np.sin(2 * np.pi * 40 * t + pa[:, None] + lag_rad)
+             + noise * rng.standard_normal((e, n))).astype(np.float32)
+        return jnp.asarray(a[:, None]), jnp.asarray(b[:, None])
+
+    @staticmethod
+    def _oracle(sa, sb, bank, method):
+        """Float64 numpy statistic straight from the definition, using the
+        engine's own coefficients (the estimator math is what's under
+        test; coefficient parity has its own oracle suite)."""
+        import jax
+
+        from ninwavelets_tpu.ops.cwt import cwt_from_bank
+        w = jax.jit(lambda x: cwt_from_bank(x, bank, True))
+        wa = np.asarray(w(sa)).astype(np.complex128)
+        wb = np.asarray(w(sb)).astype(np.complex128)
+        e = sa.shape[0]
+        x = wa * np.conj(wb)
+        im = x.imag
+        if method == "pli":
+            return np.abs(np.sign(im).sum(0)) / e
+        if method == "wpli":
+            return np.abs(im.sum(0)) / np.abs(im).sum(0)
+        if method == "dwpli":
+            s, sq = im.sum(0), (im * im).sum(0)
+            sab = np.abs(im).sum(0)
+            return (s * s - sq) / (sab * sab - sq)
+        u = x / np.abs(x)
+        s = u.sum(0)
+        return (np.abs(s) ** 2 - e) / (e * (e - 1))
+
+    @pytest.mark.parametrize("method", ["pli", "wpli", "dwpli"])
+    def test_oracle_parity(self, method):
+        from ninwavelets_tpu.ops.connectivity import phase_lag
+        bank = _bank(self.FREQS, 1024)
+        sa, sb = self._epochs(1.0, e=7)
+        want = self._oracle(sa, sb, bank, method)
+        got = np.asarray(phase_lag(sa, sb, bank, method=method,
+                                   interpolate=True))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_ppc_oracle_parity_and_plv_identity(self):
+        from ninwavelets_tpu.ops.connectivity import ppc
+        bank = _bank(self.FREQS, 1024)
+        sa, sb = self._epochs(1.0, e=9)
+        want = self._oracle(sa, sb, bank, "ppc")
+        got = np.asarray(ppc(sa, sb, bank, interpolate=True))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        # Exact algebraic identity: PPC = (E^2 PLV^2 - E) / (E (E - 1)).
+        e = sa.shape[0]
+        v = np.asarray(plv(sa, sb, bank, interpolate=True)).astype(
+            np.float64)
+        np.testing.assert_allclose(got, (e * e * v * v - e) / (e * (e - 1)),
+                                   rtol=1e-3, atol=1e-5)
+
+    def test_volume_conduction_immunity(self):
+        """The defining property: zero-lag (common-source) coupling drives
+        PLV up but leaves the phase-lag family near zero; a true lag
+        drives both up."""
+        from ninwavelets_tpu.ops.connectivity import phase_lag
+        bank = _bank(self.FREQS, 1024)
+        row = int(np.argmin(np.abs(self.FREQS - 40.0)))
+        m = 200
+        sa, sb = self._epochs(0.0, e=24)            # zero lag
+        v = np.asarray(plv(sa, sb, bank, interpolate=True))[0]
+        assert v[row, m:-m].mean() > 0.9            # PLV fooled
+        for method in ("pli", "wpli", "dwpli"):
+            pl = np.asarray(phase_lag(sa, sb, bank, method=method,
+                                      interpolate=True))[0]
+            assert pl[row, m:-m].mean() < 0.35, method
+        sa, sb = self._epochs(np.pi / 3, e=24, seed=1)   # true lag
+        for method in ("pli", "wpli", "dwpli"):
+            pl = np.asarray(phase_lag(sa, sb, bank, method=method,
+                                      interpolate=True))[0]
+            assert pl[row, m:-m].mean() > 0.85, method
+
+    def test_self_connection_nan_and_eps_floor(self):
+        from ninwavelets_tpu.ops.connectivity import phase_lag
+        bank = _bank(self.FREQS, 1024)
+        sa, _ = self._epochs(0.0, e=4)
+        w = np.asarray(phase_lag(sa, sa, bank, method="wpli",
+                                 interpolate=True))
+        assert np.isnan(w).all()                    # 0/0 convention
+        w = np.asarray(phase_lag(sa, sa, bank, method="wpli",
+                                 interpolate=True, eps=1e-12))
+        np.testing.assert_allclose(w, 0.0)
+
+    @pytest.mark.parametrize("method", ["pli", "wpli", "dwpli"])
+    def test_fused_interpret_parity(self, method):
+        from ninwavelets_tpu.ops.connectivity import phase_lag
+        from ninwavelets_tpu.ops.fused import fused_phase_lag
+        bank = _bank(self.FREQS, 1024)
+        sa, sb = self._epochs(1.0, e=6)
+        want = np.asarray(phase_lag(sa, sb, bank, method=method,
+                                    interpolate=True))
+        got = np.asarray(fused_phase_lag(sa, sb, bank, method=method,
+                                         interpolate=True, interpret=True,
+                                         precision="exact"))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_fused_ragged_chunking(self):
+        """E=11 > the 8-pair cap: zero-padded chunks must not perturb any
+        of the four sums (sign(0) = 0)."""
+        from ninwavelets_tpu.ops.connectivity import phase_lag
+        from ninwavelets_tpu.ops.fused import fused_phase_lag
+        bank = _bank(self.FREQS, 1024)
+        sa, sb = self._epochs(1.0, e=11)
+        for method in ("pli", "dwpli"):
+            want = np.asarray(phase_lag(sa, sb, bank, method=method,
+                                        interpolate=True))
+            got = np.asarray(fused_phase_lag(sa, sb, bank, method=method,
+                                             interpolate=True,
+                                             interpret=True,
+                                             precision="exact"))
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_fused_ppc_parity(self):
+        from ninwavelets_tpu.ops.connectivity import ppc
+        from ninwavelets_tpu.ops.fused import fused_ppc
+        bank = _bank(self.FREQS, 1024)
+        sa, sb = self._epochs(1.0, e=6)
+        want = np.asarray(ppc(sa, sb, bank, interpolate=True))
+        got = np.asarray(fused_ppc(sa, sb, bank, interpolate=True,
+                                   interpret=True, precision="exact"))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_sharded_matches_single_device(self):
+        from ninwavelets_tpu.ops.connectivity import phase_lag, ppc
+        mesh = par.make_mesh(data=4, freq=2)
+        bank = _bank(self.FREQS, 1024)
+        sa, sb = self._epochs(1.0, e=8)
+        for method in ("pli", "wpli", "dwpli"):
+            want = np.asarray(phase_lag(sa, sb, bank, method=method,
+                                        interpolate=True))
+            got = np.asarray(par.sharded_phase_lag(
+                sa, sb, bank, mesh=mesh, method=method, interpolate=True))
+            # atol covers dwpli cells whose denominator nearly cancels
+            # (psum reassociation vs the single-device sum order).
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=5e-6)
+            gotf = np.asarray(par.sharded_fused_phase_lag(
+                sa, sb, bank, mesh=mesh, method=method, interpolate=True,
+                interpret=True, precision="exact"))
+            np.testing.assert_allclose(gotf, want, rtol=1e-4, atol=1e-5)
+        want = np.asarray(ppc(sa, sb, bank, interpolate=True))
+        got = np.asarray(par.sharded_ppc(sa, sb, bank, mesh=mesh,
+                                         interpolate=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=5e-6)
+
+    def test_matrices_match_per_pair(self):
+        from ninwavelets_tpu.ops.connectivity import (phase_lag, ppc,
+                                                      ppc_matrix,
+                                                      wpli_matrix)
+        bank = _bank(self.FREQS[:4], 1024)
+        rng = np.random.default_rng(3)
+        sig = jnp.asarray(rng.standard_normal((6, 3, 1024)).astype(
+            np.float32))
+        mat = np.asarray(wpli_matrix(sig, bank, method="wpli",
+                                     interpolate=True))
+        assert mat.shape == (4, 3, 3)
+        assert np.isnan(mat[:, np.arange(3), np.arange(3)]).all()
+        for a, b in ((0, 1), (2, 0)):
+            want = np.asarray(phase_lag(
+                sig[:, a:a + 1], sig[:, b:b + 1], bank, method="wpli",
+                interpolate=True))[0].mean(-1)
+            np.testing.assert_allclose(mat[:, a, b], want, rtol=2e-4,
+                                       atol=1e-5)
+        pm = np.asarray(ppc_matrix(sig, bank, interpolate=True))
+        np.testing.assert_allclose(pm[:, np.arange(3), np.arange(3)], 1.0,
+                                   atol=1e-4)
+        want = np.asarray(ppc(sig[:, 0:1], sig[:, 1:2], bank,
+                              interpolate=True))[0].mean(-1)
+        np.testing.assert_allclose(pm[:, 0, 1], want, rtol=2e-4, atol=1e-5)
+
+    def test_adapter_convenience(self):
+        from tests.test_epochs import FakeEpochs
+        sa, sb = self._epochs(np.pi / 3, e=12)
+        data = np.concatenate([np.asarray(sa), np.asarray(sb)], axis=1)
+        ew = nw.EpochsWavelet(FakeEpochs(data, SFREQ), nw.Morse(SFREQ))
+        row = int(np.argmin(np.abs(self.FREQS - 40.0)))
+        w = np.asarray(ew.wpli("EEG 000", "EEG 001", self.FREQS))
+        assert w.shape == (self.FREQS.size, 1024)
+        assert w[row, 200:-200].mean() > 0.8
+        p = np.asarray(ew.pli("EEG 000", "EEG 001", self.FREQS))
+        assert p[row, 200:-200].mean() > 0.8
+        c = np.asarray(ew.ppc("EEG 000", "EEG 001", self.FREQS))
+        assert c[row, 200:-200].mean() > 0.8
+        m = np.asarray(ew.wpli_matrix(self.FREQS[:3]))
+        assert m.shape == (3, 2, 2)
+        pm = np.asarray(ew.ppc_matrix(self.FREQS[:3],
+                                      time_range=(0.1, 0.9)))
+        assert pm.shape == (3, 2, 2)
+
+    def test_bad_method_raises(self):
+        from ninwavelets_tpu.ops.connectivity import (phase_lag,
+                                                      wpli_matrix)
+        bank = _bank(self.FREQS[:2], 1024)
+        sa, sb = self._epochs(1.0, e=2)
+        with pytest.raises(ValueError, match="method"):
+            phase_lag(sa, sb, bank, method="nope")
+        with pytest.raises(ValueError, match="method"):
+            wpli_matrix(sa, bank, method="nope")

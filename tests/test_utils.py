@@ -193,6 +193,19 @@ class TestPipeline:
             cfg.run_pipeline(
                 cfg.PipelineConfig(connectivity="nope"), FakeEpochs())
 
+        # Phase-lag + PPC stages: comma-separated subset selection.
+        p = cfg.PipelineConfig(freqs=(20.0, 60.0, 5.0),
+                               connectivity="wpli,ppc,pli")
+        out = cfg.run_pipeline(p, FakeEpochs())
+        for key in ("wpli_matrix", "ppc_matrix", "pli_matrix"):
+            assert np.asarray(out[key]).shape == (8, 3, 3), key
+        # channels 0/1 are a common source at zero lag: PPC (like PLV)
+        # sees them; the phase-lag family must not.
+        w = np.asarray(out["wpli_matrix"])
+        pp = np.asarray(out["ppc_matrix"])
+        assert pp[row, 0, 1] > 0.8
+        assert not w[row, 0, 1] > 0.5
+
 
 class TestCoverageGaps:
     def test_profiler_trace_smoke(self, tmp_path):
