@@ -22,6 +22,8 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            ppc_from_bank, ppc_matrix, ppc_matrix_from_bank,
                            surrogate_pvalues, wpli_matrix,
                            wpli_matrix_from_bank)
+from .dwt import (imodwt, max_level, modwt, modwt_denoise, modwt_mra,
+                  modwt_var, wavelet_filter)
 from .extensions import (bicoherence, bicoherence_from_banks,
                          bump_spectrum, cross_power_from_bank,
                          dog_spectrum, epoch_coherence_from_bank,
@@ -76,6 +78,8 @@ __all__ = [
     "ppc", "ppc_auto", "ppc_from_bank",
     "wpli_matrix", "wpli_matrix_from_bank",
     "ppc_matrix", "ppc_matrix_from_bank",
+    "modwt", "imodwt", "modwt_mra", "modwt_var", "modwt_denoise",
+    "wavelet_filter", "max_level",
     "icwt_from_bank", "icwt_ri", "coverage",
     "extract_modes", "extract_modes_ri",
     "denoise", "denoise_from_bank",

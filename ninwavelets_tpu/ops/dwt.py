@@ -1,0 +1,265 @@
+"""Discrete wavelet transforms: MODWT, multiresolution analysis, wavelet
+variance, and MODWT wavelet shrinkage.
+
+No reference counterpart — ``ninwavelets`` is CWT-only (`base.py`,
+`wavelets.py`); this module widens the framework to the DISCRETE side of
+wavelet analysis (Percival & Walden, "Wavelet Methods for Time Series
+Analysis"): the maximal-overlap DWT (shift-invariant, defined for any
+length, the standard tool for wavelet variance and shrinkage on
+time-series), its exact inverse, the additive multiresolution analysis,
+and denoising.
+
+TPU-first formulation
+---------------------
+The textbook MODWT is a filter pyramid (level j circularly convolves the
+previous smooth with an a-trous-upsampled filter) — a sequential,
+gather-heavy recursion.  On TPU we instead build the LEVEL TRANSFER
+FUNCTIONS once on host,
+
+    Htil_j(k) = Htil(2^{j-1} k mod N) * prod_{m<j-1} Gtil(2^m k mod N)
+
+(a (J+1, N) frequency-domain bank: J detail rows plus the level-J
+scaling row), and the whole transform becomes ``ifft(bank * fft(x))`` —
+EXACTLY the CWT engine's shape (`ops/cwt.py:cwt_from_bank`), one batched
+FFT pipeline instead of a J-deep recursion.  The inverse is the
+conjugate bank (the MODWT filter bank is a tight frame:
+``sum_j |Htil_j|^2 + |Gtil_J|^2 == 1``), so reconstruction is exact to
+float round-off.  Circular boundary conditions throughout (the classical
+MODWT definition).  Power-of-two lengths keep the FFTs on the fast path
+(non-pow2 lowers to a dense DFT matmul on TPU — pad first).
+
+Daubechies filters are COMPUTED (spectral factorization of the Daubechies
+half-band polynomial, minimum-phase root selection) rather than
+transcribed from tables, for any order 1..20; correctness is gated by the
+orthonormality identities in ``tests/test_dwt.py``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["wavelet_filter", "modwt_bank", "modwt", "imodwt", "modwt_mra",
+           "modwt_var", "modwt_denoise", "max_level"]
+
+
+# ----------------------------------------------------------------------------
+# Filters
+# ----------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def wavelet_filter(name: str = "db4"):
+    """Orthonormal scaling/wavelet filter pair ``(g, h)`` (float64 numpy).
+
+    ``"haar"`` / ``"db1"`` .. ``"db20"``: Daubechies extremal-phase
+    filters with ``p`` vanishing moments (length ``2p``), built by
+    spectral factorization: the half-band autocorrelation
+    ``|G(f)|^2 = 2 cos^2p(pi f) sum_k C(p-1+k, k) sin^2k(pi f)`` is
+    factored by selecting the roots of the sum polynomial inside the unit
+    circle (minimum phase), then normalized to ``sum g = sqrt(2)``.
+    The wavelet filter follows by quadrature mirror:
+    ``h[l] = (-1)^l g[L-1-l]``.
+    """
+    key = name.lower()
+    if key == "haar":
+        key = "db1"
+    if not key.startswith("db"):
+        raise ValueError(f"unknown wavelet {name!r} (haar, db1..db20)")
+    p = int(key[2:])
+    if not 1 <= p <= 20:
+        raise ValueError(f"db order must be 1..20, got {p}")
+    if p == 1:
+        g = np.array([1.0, 1.0]) / np.sqrt(2.0)
+    else:
+        # P(y) = sum_k C(p-1+k, k) y^k with y = sin^2(pi f); in z (with
+        # y = (2 - z - 1/z)/4) the valid factorization keeps the roots of
+        # P inside the unit disc.  np.roots on the y-polynomial, then map
+        # each y-root to its z-root pair and keep |z| < 1.
+        from math import comb
+        coeffs = [comb(p - 1 + k, k) for k in range(p)]      # ascending
+        yroots = np.roots(list(reversed(coeffs)))            # p-1 roots
+        zroots = []
+        for y in yroots:
+            # y = (2 - z - 1/z) / 4  =>  z^2 - (2 - 4y) z + 1 = 0
+            b = 2.0 - 4.0 * y
+            disc = np.sqrt(b * b - 4.0 + 0j)
+            z1, z2 = (b + disc) / 2.0, (b - disc) / 2.0
+            zroots.append(z1 if abs(z1) < 1.0 else z2)
+        # g(z) ~ (1 + z)^p * prod (z - z_r), real coefficients.
+        poly = np.array([1.0 + 0j])
+        for _ in range(p):
+            poly = np.convolve(poly, [1.0, 1.0])
+        for zr in zroots:
+            poly = np.convolve(poly, [1.0, -zr])
+        g = np.real(poly)
+        g *= np.sqrt(2.0) / g.sum()
+    h = (g[::-1] * (-1.0) ** np.arange(g.size))
+    return g, h
+
+
+def max_level(n: int, name: str = "db4") -> int:
+    """Largest level J with a non-wrapping filter: the level-J MODWT
+    filter spans ``(2^J - 1)(L - 1) + 1`` samples; J is capped so that
+    span fits in ``n`` (and by ``log2(n)``)."""
+    L = wavelet_filter(name)[0].size
+    j = 0
+    while (2 ** (j + 1) - 1) * (L - 1) + 1 <= n and 2 ** (j + 1) <= n:
+        j += 1
+    return max(j, 1)
+
+
+@functools.lru_cache(maxsize=64)
+def modwt_bank(name: str, level: int, n: int):
+    """(level+1, n) frequency-domain MODWT bank as a float32 numpy
+    ``(real, imag)`` pair: rows 0..level-1 are the detail transfer
+    functions ``Htil_j``, row ``level`` is the scaling transfer
+    ``Gtil_J``.  Cached NUMPY (host) per the jit-boundary rule."""
+    if level < 1:
+        raise ValueError("level must be >= 1")
+    if 2 ** level > n:
+        raise ValueError(f"level {level} needs 2^J <= N, got N={n}")
+    g, h = wavelet_filter(name)
+    gt, ht = g / np.sqrt(2.0), h / np.sqrt(2.0)    # MODWT scaling
+    k = np.arange(n)
+    tw = np.exp(-2j * np.pi * np.outer(k, np.arange(g.size)) / n)
+    G, H = tw @ gt, tw @ ht                        # base transfers at f_k
+    rows = []
+    gprod = np.ones(n, np.complex128)
+    for j in range(1, level + 1):
+        rows.append(H[(2 ** (j - 1) * k) % n] * gprod)
+        gprod = gprod * G[(2 ** (j - 1) * k) % n]
+    rows.append(gprod)                             # Gtil_J
+    bank = np.stack(rows)
+    return (np.ascontiguousarray(bank.real, np.float32),
+            np.ascontiguousarray(bank.imag, np.float32))
+
+
+# ----------------------------------------------------------------------------
+# Transform / inverse / MRA
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("inverse",))
+def _apply_bank(x, br, bi, *, inverse: bool):
+    """``ifft(bank * fft(x))`` rows (forward) or the conjugate-bank
+    synthesis sum (inverse).  Real in, real out (the transfers are DFTs
+    of real filters, hence Hermitian)."""
+    bank = jax.lax.complex(br, bi)
+    if not inverse:
+        spec = jnp.fft.fft(x.astype(jnp.complex64))
+        w = jnp.fft.ifft(spec[..., None, :] * bank)
+        return jnp.real(w).astype(jnp.float32)
+    spec = jnp.fft.fft(x.astype(jnp.complex64))        # x: (..., J+1, N)
+    acc = jnp.sum(jnp.conj(bank) * spec, axis=-2)
+    return jnp.real(jnp.fft.ifft(acc)).astype(jnp.float32)
+
+
+@jax.jit
+def _mra_bank(w, br, bi):
+    """Per-row synthesis WITHOUT the cross-row sum: additive components
+    ``D_j = ifft(conj(Htil_j) fft(W_j))`` (and the smooth from the last
+    row)."""
+    bank = jax.lax.complex(br, bi)
+    spec = jnp.fft.fft(w.astype(jnp.complex64))
+    return jnp.real(jnp.fft.ifft(jnp.conj(bank) * spec)).astype(jnp.float32)
+
+
+def modwt(x, wavelet: str = "db4", level: int | None = None):
+    """Maximal-overlap DWT of ``x``: (..., N) -> (..., J+1, N) float32.
+
+    Rows 0..J-1 are the detail coefficients ``W_1 .. W_J`` (band
+    ``[1/2^{j+1}, 1/2^j]`` cycles/sample), row J the level-J scaling
+    coefficients ``V_J``.  Shift-invariant, energy-preserving
+    (``sum_rows ||row||^2 == ||x||^2``), circular boundary.  ``level``
+    defaults to ``max_level(N, wavelet)``.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    if level is None:
+        level = max_level(n, wavelet)
+    br, bi = modwt_bank(wavelet, int(level), n)
+    return _apply_bank(x, jnp.asarray(br), jnp.asarray(bi), inverse=False)
+
+
+def imodwt(w, wavelet: str = "db4"):
+    """Exact inverse MODWT: (..., J+1, N) -> (..., N) float32.  The MODWT
+    rows form a tight frame, so synthesis is the conjugate bank — no
+    pyramid recursion, reconstruction error is float round-off."""
+    w = jnp.asarray(w, jnp.float32)
+    level = w.shape[-2] - 1
+    br, bi = modwt_bank(wavelet, int(level), w.shape[-1])
+    return _apply_bank(w, jnp.asarray(br), jnp.asarray(bi), inverse=True)
+
+
+def modwt_mra(x, wavelet: str = "db4", level: int | None = None):
+    """Multiresolution analysis: (..., N) -> (..., J+1, N) additive
+    components ``D_1 .. D_J, S_J`` with ``sum(rows) == x`` exactly (to
+    round-off).  Each ``D_j`` is the zero-phase band-limited part of
+    ``x`` in the level-j octave — unlike the coefficients, the components
+    line up with ``x`` in time."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    if level is None:
+        level = max_level(n, wavelet)
+    br, bi = modwt_bank(wavelet, int(level), n)
+    br, bi = jnp.asarray(br), jnp.asarray(bi)
+    return _mra_bank(_apply_bank(x, br, bi, inverse=False), br, bi)
+
+
+# ----------------------------------------------------------------------------
+# Wavelet variance and shrinkage
+# ----------------------------------------------------------------------------
+
+def modwt_var(x, wavelet: str = "db4", level: int | None = None):
+    """Wavelet variance by scale: (..., N) -> (..., J) — the level-j
+    entry is ``||W_j||^2 / N``, the portion of the sample variance living
+    in octave ``[1/2^{j+1}, 1/2^j]`` cycles/sample (the biased MODWT
+    estimator; the rows plus the smooth's variance partition
+    ``mean(x^2)`` exactly, by energy preservation)."""
+    w = modwt(x, wavelet, level)
+    return jnp.mean(jnp.square(w[..., :-1, :]), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _shrink(w, thresholds, *, mode: str):
+    t = thresholds[..., :, None]
+    d = w[..., :-1, :]
+    if mode == "soft":
+        d = jnp.sign(d) * jnp.maximum(jnp.abs(d) - t, 0.0)
+    else:
+        d = jnp.where(jnp.abs(d) > t, d, 0.0)
+    return jnp.concatenate([d, w[..., -1:, :]], axis=-2)
+
+
+def modwt_denoise(x, wavelet: str = "db4", level: int | None = None,
+                  mode: str = "soft", sigma: float | None = None):
+    """Wavelet shrinkage on the MODWT: threshold the detail rows, keep
+    the smooth, invert.  (..., N) -> (..., N) float32.
+
+    The threshold is level-dependent universal: the level-j MODWT detail
+    filter has squared norm ``1/2^j``, so white noise of std ``sigma``
+    lands at std ``sigma / 2^{j/2}`` in level j and
+    ``lambda_j = sigma sqrt(2 ln N) / 2^{j/2}``.  ``sigma`` defaults to
+    the level-1 MAD estimate ``median(|W_1|) / 0.6745 * sqrt(2)``
+    (Donoho-Johnstone, corrected for the level-1 filter norm).
+
+    ``mode``: "soft" (shrink toward zero — smoother, the usual default)
+    or "hard" (keep-or-kill).
+    """
+    if mode not in ("soft", "hard"):
+        raise ValueError(f"mode must be 'soft' or 'hard', got {mode!r}")
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    if level is None:
+        level = max_level(n, wavelet)
+    w = modwt(x, wavelet, level)
+    if sigma is None:
+        sig = (jnp.median(jnp.abs(w[..., 0, :]), axis=-1) / 0.6745
+               * np.sqrt(2.0))
+    else:
+        sig = jnp.full(x.shape[:-1], float(sigma), jnp.float32)
+    j = jnp.arange(1, int(level) + 1, dtype=jnp.float32)
+    lam = (sig[..., None] * np.sqrt(2.0 * np.log(n))
+           / jnp.exp2(j / 2.0))
+    return imodwt(_shrink(w, lam, mode=str(mode)), wavelet)

@@ -1,0 +1,170 @@
+"""MODWT subsystem (``ops/dwt.py``) — beyond-reference extension (the
+reference is CWT-only): filter construction, transform identities, a
+brute-force time-domain pyramid oracle, MRA, variance, shrinkage."""
+import numpy as np
+import pytest
+
+from ninwavelets_tpu.ops.dwt import (imodwt, max_level, modwt, modwt_bank,
+                                     modwt_denoise, modwt_mra, modwt_var,
+                                     wavelet_filter)
+
+
+class TestFilters:
+    @pytest.mark.parametrize("name", ["haar", "db2", "db3", "db4", "db7",
+                                      "db10", "db16", "db20"])
+    def test_orthonormality_identities(self, name):
+        """The computed Daubechies filters must satisfy the exact
+        orthonormal-filter identities (this is the gate on the spectral
+        factorization — no table to compare against)."""
+        g, h = wavelet_filter(name)
+        assert abs(g.sum() - np.sqrt(2.0)) < 1e-10          # sum g = sqrt2
+        assert abs(np.dot(g, g) - 1.0) < 1e-9               # unit energy
+        for m in range(1, g.size // 2):                     # even shifts
+            assert abs(np.dot(g[2 * m:], g[:g.size - 2 * m])) < 1e-9
+        assert abs(h.sum()) < 1e-10                         # sum h = 0
+        assert abs(np.dot(g, h)) < 1e-9                     # g ⟂ h
+
+    def test_db2_matches_closed_form(self):
+        """db2 has the classical closed form ((1±sqrt3)/(4 sqrt2), ...)."""
+        g, _ = wavelet_filter("db2")
+        s3 = np.sqrt(3.0)
+        want = np.array([1 + s3, 3 + s3, 3 - s3, 1 - s3]) / (4 * np.sqrt(2))
+        np.testing.assert_allclose(g, want, atol=1e-12)
+
+    def test_vanishing_moments(self):
+        """db-p annihilates polynomials up to degree p-1: the wavelet
+        filter's first p moments are zero."""
+        for p in (2, 4, 6):
+            _, h = wavelet_filter(f"db{p}")
+            l = np.arange(h.size, dtype=np.float64)
+            for k in range(p):
+                assert abs(np.dot(l ** k, h)) < 1e-6, (p, k)
+
+    def test_unknown_name_raises(self):
+        with pytest.raises(ValueError):
+            wavelet_filter("sym4")
+        with pytest.raises(ValueError):
+            wavelet_filter("db21")
+
+
+def _pyramid_modwt(x, name, level):
+    """Brute-force time-domain MODWT (the textbook circular cascade,
+    Percival & Walden eq. 169) — float64 oracle for the FFT-domain bank."""
+    g, h = wavelet_filter(name)
+    gt, ht = g / np.sqrt(2.0), h / np.sqrt(2.0)
+    n = x.shape[-1]
+    v = x.astype(np.float64)
+    rows = []
+    for j in range(1, level + 1):
+        step = 2 ** (j - 1)
+        w = np.zeros_like(v)
+        vn = np.zeros_like(v)
+        for l in range(g.size):
+            rolled = np.roll(v, step * l, axis=-1)
+            w += ht[l] * rolled
+            vn += gt[l] * rolled
+        rows.append(w)
+        v = vn
+    rows.append(v)
+    return np.stack(rows, axis=-2)
+
+
+class TestTransform:
+    def test_matches_time_domain_pyramid(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 256)).astype(np.float32)
+        for name in ("haar", "db4"):
+            want = _pyramid_modwt(x, name, 4)
+            got = np.asarray(modwt(x, name, 4))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_haar_level1_closed_form(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((512,)).astype(np.float32)
+        w = np.asarray(modwt(x, "haar", 1))
+        np.testing.assert_allclose(w[0], (x - np.roll(x, 1)) / 2, atol=1e-6)
+        np.testing.assert_allclose(w[1], (x + np.roll(x, 1)) / 2, atol=1e-6)
+
+    def test_perfect_reconstruction_and_energy(self):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((3, 1024)).astype(np.float32)
+        w = modwt(x, "db4", 5)
+        np.testing.assert_allclose(np.asarray(imodwt(w, "db4")), x,
+                                   atol=2e-6)
+        got = float(np.sum(np.asarray(w) ** 2))
+        np.testing.assert_allclose(got, float(np.sum(x ** 2)), rtol=1e-6)
+
+    def test_shift_invariance(self):
+        """The defining MODWT property the decimated DWT lacks: shifting
+        the input circularly shifts every coefficient row."""
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((512,)).astype(np.float32)
+        w = np.asarray(modwt(x, "db4", 3))
+        ws = np.asarray(modwt(np.roll(x, 17), "db4", 3))
+        np.testing.assert_allclose(ws, np.roll(w, 17, axis=-1), atol=2e-5)
+
+    def test_tight_frame_identity(self):
+        """sum_j |Htil_j|^2 + |Gtil_J|^2 == 1 at every frequency — the
+        algebraic reason the conjugate-bank inverse is exact."""
+        br, bi = modwt_bank("db4", 5, 1024)
+        mag2 = (br.astype(np.float64) ** 2 + bi.astype(np.float64) ** 2)
+        np.testing.assert_allclose(mag2.sum(0), 1.0, atol=1e-6)
+
+    def test_default_level_and_validation(self):
+        assert max_level(1024, "db4") == 7
+        x = np.zeros((64,), np.float32)
+        assert np.asarray(modwt(x, "db4")).shape[0] == max_level(64) + 1
+        with pytest.raises(ValueError):
+            modwt_bank("db4", 0, 64)
+        with pytest.raises(ValueError):
+            modwt_bank("db4", 9, 64)        # 2^9 > 64
+
+
+class TestAnalysis:
+    def test_mra_adds_back_and_isolates_bands(self):
+        """MRA components sum to x; a pure tone lands in the octave its
+        frequency belongs to."""
+        n, sfreq = 2048, 1000.0
+        t = np.arange(n) / sfreq
+        # ~41.7 Hz = 1/24 cycles/sample: mid-octave in [1/32, 1/16],
+        # level 4.  (An exact power-of-two frequency would sit on an
+        # octave BOUNDARY and split 50/50 between adjacent levels.)
+        x = np.sin(2 * np.pi * (sfreq / 24.0) * t).astype(np.float32)
+        mra = np.asarray(modwt_mra(x, "db8", 7))
+        np.testing.assert_allclose(mra.sum(-2), x, atol=2e-5)
+        energy = (mra ** 2).sum(-1)
+        assert np.argmax(energy) == 3                       # W_4 row
+        assert energy[3] > 0.8 * energy.sum()
+
+    def test_variance_partition(self):
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((2, 1024)).astype(np.float32)
+        w = np.asarray(modwt(x, "db4", 6))
+        v = np.asarray(modwt_var(x, "db4", 6))
+        assert v.shape == (2, 6)
+        total = v.sum(-1) + (w[:, -1] ** 2).mean(-1)
+        np.testing.assert_allclose(total, (x ** 2).mean(-1), rtol=1e-5)
+
+    def test_denoise_recovers_tone(self):
+        rng = np.random.default_rng(6)
+        n = 4096
+        t = np.arange(n) / 1000.0
+        clean = np.sin(2 * np.pi * 8 * t).astype(np.float32)
+        noisy = clean + 0.4 * rng.standard_normal(n).astype(np.float32)
+        for mode in ("soft", "hard"):
+            den = np.asarray(modwt_denoise(noisy, "db8", mode=mode))
+            mse_in = ((noisy - clean) ** 2).mean()
+            mse_out = ((den - clean) ** 2).mean()
+            assert mse_out < 0.45 * mse_in, (mode, mse_in, mse_out)
+        # explicit sigma and validation paths
+        den = np.asarray(modwt_denoise(noisy, "db8", sigma=0.4))
+        assert ((den - clean) ** 2).mean() < 0.45 * mse_in
+        with pytest.raises(ValueError):
+            modwt_denoise(noisy, mode="medium")
+
+    def test_batch_shapes(self):
+        x = np.zeros((4, 3, 256), np.float32)
+        w = np.asarray(modwt(x, "db2", 3))
+        assert w.shape == (4, 3, 4, 256)
+        assert np.asarray(imodwt(w, "db2")).shape == (4, 3, 256)
+        assert np.asarray(modwt_var(x, "db2", 3)).shape == (4, 3, 3)
