@@ -23,7 +23,7 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            surrogate_pvalues, wpli_matrix,
                            wpli_matrix_from_bank)
 from .dwt import (imodwt, max_level, modwt, modwt_denoise, modwt_mra,
-                  modwt_var, wavelet_filter)
+                  modwt_var, wavedec, waverec, wavelet_filter)
 from .extensions import (bicoherence, bicoherence_from_banks,
                          bump_spectrum, cross_power_from_bank,
                          dog_spectrum, epoch_coherence_from_bank,
@@ -79,7 +79,7 @@ __all__ = [
     "wpli_matrix", "wpli_matrix_from_bank",
     "ppc_matrix", "ppc_matrix_from_bank",
     "modwt", "imodwt", "modwt_mra", "modwt_var", "modwt_denoise",
-    "wavelet_filter", "max_level",
+    "wavelet_filter", "max_level", "wavedec", "waverec",
     "icwt_from_bank", "icwt_ri", "coverage",
     "extract_modes", "extract_modes_ri",
     "denoise", "denoise_from_bank",

@@ -42,7 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["wavelet_filter", "modwt_bank", "modwt", "imodwt", "modwt_mra",
-           "modwt_var", "modwt_denoise", "max_level"]
+           "modwt_var", "modwt_denoise", "max_level",
+           "wavedec", "waverec"]
 
 
 # ----------------------------------------------------------------------------
@@ -205,6 +206,114 @@ def modwt_mra(x, wavelet: str = "db4", level: int | None = None):
     br, bi = modwt_bank(wavelet, int(level), n)
     br, bi = jnp.asarray(br), jnp.asarray(bi)
     return _mra_bank(_apply_bank(x, br, bi, inverse=False), br, bi)
+
+
+# ----------------------------------------------------------------------------
+# Decimated DWT (periodization mode)
+# ----------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _dwt_transfers(name: str, n: int):
+    """Base filter DFTs at length ``n`` as float32 numpy (Gr, Gi, Hr, Hi)
+    — cached NUMPY per the jit-boundary rule."""
+    g, h = wavelet_filter(name)
+    k = np.arange(n)
+    tw = np.exp(-2j * np.pi * np.outer(k, np.arange(g.size)) / n)
+    G, H = tw @ g, tw @ h
+    return tuple(np.ascontiguousarray(a, np.float32)
+                 for a in (G.real, G.imag, H.real, H.imag))
+
+
+def _dwt_level(v, trans):
+    """One analysis level: circular filter + take the odd samples
+    (``W[t] = sum_l h_l v[(2t+1-l) mod n]``, Percival & Walden eq. 96) —
+    the filtering rides one FFT, the decimation is a strided slice."""
+    gr, gi, hr, hi = trans
+    spec = jnp.fft.fft(v.astype(jnp.complex64))
+    a = jnp.real(jnp.fft.ifft(spec * jax.lax.complex(gr, gi)))
+    w = jnp.real(jnp.fft.ifft(spec * jax.lax.complex(hr, hi)))
+    return (a[..., 1::2].astype(jnp.float32),
+            w[..., 1::2].astype(jnp.float32))
+
+
+def _idwt_level(a, w, trans):
+    """One synthesis level: upsample-by-2 onto the odd slots, then the
+    CONJUGATE transfers (synthesis is correlation, not convolution) —
+    exact inverse of ``_dwt_level`` for orthonormal filters."""
+    gr, gi, hr, hi = trans
+    n = 2 * a.shape[-1]
+    ua = jnp.zeros(a.shape[:-1] + (n,), jnp.float32).at[..., 1::2].set(a)
+    uw = jnp.zeros(w.shape[:-1] + (n,), jnp.float32).at[..., 1::2].set(w)
+    sa = jnp.fft.fft(ua.astype(jnp.complex64))
+    sw = jnp.fft.fft(uw.astype(jnp.complex64))
+    out = (sa * jnp.conj(jax.lax.complex(gr, gi))
+           + sw * jnp.conj(jax.lax.complex(hr, hi)))
+    return jnp.real(jnp.fft.ifft(out)).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _wavedec_jitted(name: str, level: int, n: int):
+    trans = [tuple(jnp.asarray(t) for t in _dwt_transfers(name, n >> j))
+             for j in range(level)]
+
+    def run(x):
+        v, out = x, []
+        for j in range(level):          # static unroll: shapes halve
+            v, w = _dwt_level(v, trans[j])
+            out.append(w)
+        return tuple([v] + out[::-1])   # pywt wavedec order
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=32)
+def _waverec_jitted(name: str, level: int, n: int):
+    trans = [tuple(jnp.asarray(t) for t in _dwt_transfers(name, n >> j))
+             for j in range(level)]
+
+    def run(coeffs):
+        v = coeffs[0]
+        for j in range(level - 1, -1, -1):
+            v = _idwt_level(v, coeffs[level - j], trans[j])
+        return v
+
+    return jax.jit(run)
+
+
+def wavedec(x, wavelet: str = "db4", level: int | None = None):
+    """Decimated orthogonal DWT, periodization mode: (..., N) ->
+    ``(cA_J, cD_J, ..., cD_1)`` (the pywt ``wavedec`` coefficient order;
+    level-j arrays have ``N / 2^j`` samples).  Requires ``2^J | N``.
+
+    Downsampled counterpart of ``modwt`` — the two satisfy
+    ``cD_j[t] = 2^{j/2} W^M_j[(2^j (t+1) - 1) mod N]`` exactly, which the
+    tests use as the cross-oracle.  Orthonormal, so the coefficient
+    energies sum to ``||x||^2``.  Each level is one FFT filter pass plus
+    a strided slice (compiler-friendly static shapes; the J-level loop is
+    unrolled at trace time).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    if level is None:
+        level = min(max_level(n, wavelet),
+                    (n & -n).bit_length() - 1)     # largest 2^J | N
+    if level < 1 or n % (1 << level):
+        raise ValueError(f"level {level} needs 2^level | N (N={n})")
+    return _wavedec_jitted(str(wavelet), int(level), n)(x)
+
+
+def waverec(coeffs, wavelet: str = "db4"):
+    """Inverse of ``wavedec``: ``(cA_J, cD_J, ..., cD_1)`` -> (..., N)
+    float32, exact to round-off."""
+    level = len(coeffs) - 1
+    n = coeffs[-1].shape[-1] * 2
+    for i, c in enumerate(coeffs):
+        want = n >> (level if i == 0 else level - i + 1)
+        if c.shape[-1] != want:
+            raise ValueError(
+                f"coeff {i} has {c.shape[-1]} samples, expected {want}")
+    return _waverec_jitted(str(wavelet), int(level), n)(
+        tuple(jnp.asarray(c, jnp.float32) for c in coeffs))
 
 
 # ----------------------------------------------------------------------------

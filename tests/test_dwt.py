@@ -168,3 +168,62 @@ class TestAnalysis:
         assert w.shape == (4, 3, 4, 256)
         assert np.asarray(imodwt(w, "db2")).shape == (4, 3, 256)
         assert np.asarray(modwt_var(x, "db2", 3)).shape == (4, 3, 3)
+
+
+class TestDecimatedDWT:
+    """``wavedec``/``waverec`` (periodization mode) — gated by perfect
+    reconstruction, orthonormal energy, the closed Haar form, and the
+    exact MODWT subsampling relation (the cross-oracle tying the two
+    transforms together)."""
+
+    @pytest.mark.parametrize("name", ["haar", "db2", "db4", "db8"])
+    def test_perfect_reconstruction_and_energy(self, name):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 512)).astype(np.float32)
+        from ninwavelets_tpu.ops.dwt import wavedec, waverec
+        c = wavedec(x, name, 4)
+        assert [np.asarray(a).shape[-1] for a in c] == [32, 32, 64, 128,
+                                                        256]
+        np.testing.assert_allclose(np.asarray(waverec(c, name)), x,
+                                   atol=3e-6)
+        e = sum(float((np.asarray(a) ** 2).sum()) for a in c)
+        np.testing.assert_allclose(e, float((x ** 2).sum()), rtol=1e-5)
+
+    def test_modwt_subsampling_relation(self):
+        """cD_j[t] == 2^{j/2} W^M_j[(2^j (t+1) - 1) mod N] — P&W eq. 96/169
+        correspondence between the decimated and maximal-overlap
+        transforms."""
+        from ninwavelets_tpu.ops.dwt import wavedec
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((512,)).astype(np.float32)
+        wm = np.asarray(modwt(x, "db4", 4))
+        c = wavedec(x, "db4", 4)
+        n = x.shape[-1]
+        for j in range(1, 5):
+            cd = np.asarray(c[5 - j])
+            idx = (2 ** j * (np.arange(n >> j) + 1) - 1) % n
+            want = 2 ** (j / 2) * wm[j - 1, idx]
+            np.testing.assert_allclose(cd, want, atol=2e-5)
+
+    def test_haar_level1_closed_form(self):
+        from ninwavelets_tpu.ops.dwt import wavedec
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((4, 256)).astype(np.float32)
+        c = wavedec(x, "haar", 1)
+        want = (x[..., 1::2] - x[..., 0::2]) / np.sqrt(2)
+        np.testing.assert_allclose(np.asarray(c[1]), want, atol=1e-6)
+        want = (x[..., 1::2] + x[..., 0::2]) / np.sqrt(2)
+        np.testing.assert_allclose(np.asarray(c[0]), want, atol=1e-6)
+
+    def test_default_level_and_validation(self):
+        from ninwavelets_tpu.ops.dwt import wavedec, waverec
+        x = np.zeros((96,), np.float32)     # 96 = 2^5 * 3
+        c = wavedec(x, "haar")              # default level capped by 2^J|N
+        assert np.asarray(c[0]).shape[-1] * (1 << (len(c) - 1)) == 96
+        with pytest.raises(ValueError):
+            wavedec(x, "haar", 6)           # 2^6 does not divide 96
+        c = wavedec(np.zeros((64,), np.float32), "db2", 3)
+        bad = list(c)
+        bad[1] = np.zeros((7,), np.float32)
+        with pytest.raises(ValueError):
+            waverec(tuple(bad), "db2")
