@@ -24,6 +24,8 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            wpli_matrix_from_bank)
 from .dwt import (imodwt, max_level, modwt, modwt_denoise, modwt_mra,
                   modwt_var, wavedec, waverec, wavelet_filter)
+from .wpt import (best_basis, best_basis_reconstruct, imodwpt, modwpt,
+                  node_band)
 from .extensions import (bicoherence, bicoherence_from_banks,
                          bump_spectrum, cross_power_from_bank,
                          dog_spectrum, epoch_coherence_from_bank,
@@ -80,6 +82,8 @@ __all__ = [
     "ppc_matrix", "ppc_matrix_from_bank",
     "modwt", "imodwt", "modwt_mra", "modwt_var", "modwt_denoise",
     "wavelet_filter", "max_level", "wavedec", "waverec",
+    "modwpt", "imodwpt", "best_basis", "best_basis_reconstruct",
+    "node_band",
     "icwt_from_bank", "icwt_ri", "coverage",
     "extract_modes", "extract_modes_ri",
     "denoise", "denoise_from_bank",
