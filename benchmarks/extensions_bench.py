@@ -116,6 +116,42 @@ def main():
     record(op="plv_xla", eeg_s_per_s=round(pairs_s / d, 1),
            config=dict(e=e3, c=c3, f=f, n=n))
 
+    # --- phase-lag family: wPLI fused vs XLA, PPC fused --------------------
+    from ninwavelets_tpu.ops.connectivity import _phase_lag_jit
+    d = t(lambda a: fused.fused_phase_lag(a, sb, bank, method="wpli",
+                                          interpolate=True), sa)
+    record(op="wpli_fused", eeg_s_per_s=round(pairs_s / d, 1),
+           config=dict(e=e3, c=c3, f=f, n=n))
+    d = t(jax.jit(lambda a: _phase_lag_jit(a, sb, bank, method="wpli",
+                                           interpolate=True, eps=0.0)), sa)
+    record(op="wpli_xla", eeg_s_per_s=round(pairs_s / d, 1),
+           config=dict(e=e3, c=c3, f=f, n=n))
+    d = t(lambda a: fused.fused_ppc(a, sb, bank, interpolate=True), sa)
+    record(op="ppc_fused", eeg_s_per_s=round(pairs_s / d, 1),
+           config=dict(e=e3, c=c3, f=f, n=n))
+
+    # --- discrete subsystem: MODWT / shrinkage / packets -------------------
+    from ninwavelets_tpu.ops.dwt import modwt_denoise, wavedec
+    from ninwavelets_tpu.ops.dwt import modwt as _modwt
+    from ninwavelets_tpu.ops.wpt import modwpt as _modwpt
+    nb, nd = 64, 65536
+    sig_d = jnp.asarray(rng.standard_normal((nb, nd)).astype(np.float32))
+    d = t(lambda s: _modwt(s, "db8", 8), sig_d, iters=5)
+    record(op="modwt_db8_J8", signal_s_per_s=round(nb * nd / sfreq / d, 1),
+           config=dict(batch=nb, n=nd))
+    d = t(lambda s: modwt_denoise(s, "db8", 8), sig_d, iters=5)
+    record(op="modwt_denoise_db8_J8",
+           signal_s_per_s=round(nb * nd / sfreq / d, 1),
+           config=dict(batch=nb, n=nd))
+    d = t(lambda s: wavedec(s, "db8", 8), sig_d, iters=5)
+    record(op="wavedec_db8_J8",
+           signal_s_per_s=round(nb * nd / sfreq / d, 1),
+           config=dict(batch=nb, n=nd))
+    d = t(lambda s: _modwpt(s, "db8", 5), sig_d, iters=3)
+    record(op="modwpt_db8_L5",
+           signal_s_per_s=round(nb * nd / sfreq / d, 1),
+           config=dict(batch=nb, n=nd))
+
     # --- all-pairs matrices ------------------------------------------------
     from ninwavelets_tpu.ops.connectivity import plv_matrix
     e4 = 16

@@ -161,6 +161,22 @@ def main():
                rel_err=float(err.max()), snr_db=round(float(snr), 1),
                wall_s=0.0)
 
+    # --- phaselag epilogue: wPLI (the sum-ratio member; pli's sign count
+    # is documented as kernel-roundoff-sensitive and not gated) ----------
+    from ninwavelets_tpu.ops.connectivity import _phase_lag_jit
+    want_w = np.asarray(_phase_lag_jit(sa, sb, bank, method="wpli",
+                                       interpolate=True, eps=0.0))
+    finw = np.isfinite(want_w)
+    for prec in ("fast3", "exact", "bf16"):
+        got = np.asarray(fused.fused_phase_lag(
+            sa, sb, bank, method="wpli", interpolate=True, precision=prec))
+        err = np.abs(got - want_w)[finw]
+        snr = 20.0 * np.log10(np.linalg.norm(want_w[finw])
+                              / max(np.linalg.norm(err), 1e-30))
+        record(epilogue="phaselag", n=n, e=e, c=c, precision=prec,
+               rel_err=float(err.max()), snr_db=round(float(snr), 1),
+               wall_s=0.0)
+
     # --- backward: the fused adjoint kernel vs the XLA adjoint -----------
     for n in (1024, 2048, 8192):
         bank = bank_for(n)

@@ -42,6 +42,9 @@ GATES = {
     ("plv", "fast3"): 3e-3,        # unit-phase class, like itc
     ("plv", "exact"): 1e-4,
     ("plv", "bf16"): 0.5,
+    ("phaselag", "fast3"): 3e-3,   # wPLI: |sum Im| / sum |Im| ratio class
+    ("phaselag", "exact"): 1e-4,
+    ("phaselag", "bf16"): 0.5,
 }
 
 
