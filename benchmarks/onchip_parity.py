@@ -161,6 +161,17 @@ def main():
                rel_err=float(err.max()), snr_db=round(float(snr), 1),
                wall_s=0.0)
 
+    # --- imcoh off the coherence epilogue sums ---------------------------
+    from ninwavelets_tpu.ops.extensions import _imcoh_jit
+    want_i = np.asarray(_imcoh_jit(sa, sb, bank, None, interpolate=True,
+                                   eps=1e-12))
+    for prec in ("fast3", "exact", "bf16"):
+        got = np.asarray(fused.fused_imcoh(sa, sb, bank, interpolate=True,
+                                           precision=prec))
+        rel, snr = compare(want_i, got)
+        record(epilogue="imcoh", n=n, e=e, c=c, precision=prec,
+               rel_err=rel, snr_db=round(snr, 1), wall_s=0.0)
+
     # --- phaselag epilogue: wPLI (the sum-ratio member; pli's sign count
     # is documented as kernel-roundoff-sensitive and not gated) ----------
     from ninwavelets_tpu.ops.connectivity import _phase_lag_jit

@@ -26,7 +26,8 @@ from .dwt import (imodwt, max_level, modwt, modwt_denoise, modwt_mra,
                   modwt_var, wavedec, waverec, wavelet_filter)
 from .wpt import (best_basis, best_basis_reconstruct, imodwpt, modwpt,
                   node_band)
-from .extensions import (bicoherence, bicoherence_from_banks,
+from .extensions import (bicoherence, bicoherence_from_banks, imcoh,
+                         imcoh_auto, imcoh_from_bank, imcoh_from_sums,
                          bump_spectrum, cross_power_from_bank,
                          dog_spectrum, epoch_coherence_from_bank,
                          paul_spectrum, wavelet_coherence,
@@ -71,6 +72,7 @@ __all__ = [
     "cross_power_from_bank", "epoch_coherence_from_bank",
     "wavelet_coherence", "wavelet_coherence_from_bank",
     "bicoherence", "bicoherence_from_banks",
+    "imcoh", "imcoh_auto", "imcoh_from_bank", "imcoh_from_sums",
     "plv", "plv_from_bank", "plv_sums", "pac", "pac_from_banks",
     "nm_plv", "nm_plv_from_bank", "plv_significance", "surrogate_pvalues",
     "pair_matrix_scan", "plv_matrix", "plv_matrix_from_bank",

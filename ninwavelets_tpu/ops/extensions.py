@@ -365,3 +365,70 @@ def epoch_coherence_auto(sigs_a_r, sigs_b_r, bank_r, bank_i=None,
     return _epoch_coherence_jit(sigs_a_r, sigs_b_r, bank_r, bank_i,
                                 interpolate=bool(interpolate),
                                 eps=float(eps))
+
+
+# ----------------------------------------------------------------------------
+# Imaginary coherency
+# ----------------------------------------------------------------------------
+
+def imcoh_from_sums(xr, xi, pa, pb, eps: float = 1e-12) -> jnp.ndarray:
+    """``Im(mean cross) / sqrt(mean |Wa|^2 mean |Wb|^2)`` from the
+    ``coherence_sums`` planes (the epoch count cancels between numerator
+    and denominator).  Same relative denominator floor as
+    ``coherence_from_sums``."""
+    den = jnp.sqrt(pa * pb)
+    if eps:
+        den = jnp.maximum(den, eps * jnp.max(den))
+    return xi / den
+
+
+def imcoh_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
+                    bank: jnp.ndarray, interpolate: bool = False,
+                    eps: float = 1e-12) -> jnp.ndarray:
+    """Imaginary part of coherency (Nolte 2004): (E, ..., N) x2 ->
+    (..., F, N) in [-1, 1].
+
+        ``ImCoh = Im( mean_E Wa conj(Wb) ) /
+                  sqrt( mean_E |Wa|^2 * mean_E |Wb|^2 )``
+
+    The original volume-conduction-robust coupling measure: an
+    instantaneous common source contributes a purely REAL cross-spectrum,
+    so only genuinely lagged interaction survives the Im.  Unlike the
+    phase-lag family (``ops.connectivity.phase_lag``) it keeps the
+    coherency NORMALIZATION (amplitude-weighted, signed by lag
+    direction), making it the natural companion to ``epoch_coherence`` —
+    and it rides the very same four epoch sums, so the fused
+    ``coherence`` kernel epilogue serves it for free (``imcoh_auto``)."""
+    xr, xi, pa, pb = coherence_sums(sigs_a, sigs_b, bank, interpolate)
+    return imcoh_from_sums(xr, xi, pa, pb, eps)
+
+
+@partial(jax.jit, static_argnames=("interpolate", "eps"))
+def _imcoh_jit(sa, sb, bank_r, bank_i, *, interpolate, eps):
+    bank = bank_r if bank_i is None else lax.complex(bank_r, bank_i)
+    return imcoh_from_bank(sa, sb, bank, interpolate, eps)
+
+
+def imcoh(sigs_a_r, sigs_b_r, bank_r, bank_i=None,
+          interpolate: bool = False, eps: float = 1e-12):
+    """Jitted float-boundary wrapper for ``imcoh_from_bank`` — always the
+    exact XLA path; ``imcoh_auto`` opts into the fused kernel."""
+    return _imcoh_jit(sigs_a_r, sigs_b_r, bank_r, bank_i,
+                      interpolate=bool(interpolate), eps=float(eps))
+
+
+def imcoh_auto(sigs_a_r, sigs_b_r, bank_r, bank_i=None,
+               interpolate: bool = False, eps: float = 1e-12,
+               precision: str = "fast3"):
+    """Imaginary coherency with automatic kernel dispatch: reuses the
+    fused ``coherence`` epilogue sums on TPU (same dispatch rule as
+    ``epoch_coherence_auto``), the exact XLA path otherwise."""
+    from .fused import supports
+    if (bank_i is None and jax.default_backend() == "tpu"
+            and supports(sigs_a_r.shape, bank_r, epilogue="itc")):
+        from .fused import fused_imcoh
+        return fused_imcoh(sigs_a_r, sigs_b_r, bank_r,
+                           interpolate=interpolate, eps=eps,
+                           precision=precision)
+    return _imcoh_jit(sigs_a_r, sigs_b_r, bank_r, bank_i,
+                      interpolate=bool(interpolate), eps=float(eps))

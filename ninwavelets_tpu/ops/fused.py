@@ -1426,6 +1426,30 @@ def fused_coherence(sigs_a_r, sigs_b_r, bank_r, *, interpolate: bool = True,
         sigs_a_r, sigs_b_r, bank_r)
 
 
+@functools.lru_cache(maxsize=32)
+def _imcoh_jitted(interpolate: bool, interpret: bool, precision: str,
+                  eps: float):
+    from .extensions import imcoh_from_sums
+
+    def call(sa, sb, br):
+        xr, xi, pa, pb = fused_coherence_sums(sa, sb, br, interpolate,
+                                              interpret, precision)
+        return imcoh_from_sums(xr, xi, pa, pb, eps)
+
+    return jax.jit(call)
+
+
+def fused_imcoh(sigs_a_r, sigs_b_r, bank_r, *, interpolate: bool = True,
+                interpret: bool = False,
+                precision: str = DEFAULT_PRECISION, eps: float = 1e-12):
+    """Jitted float-boundary wrapper: imaginary coherency off the fused
+    ``coherence`` epilogue sums (``ops.extensions.imcoh_from_bank``
+    semantics; the epoch count cancels in the ratio)."""
+    return _imcoh_jitted(bool(interpolate), bool(interpret),
+                         str(precision), float(eps))(
+        sigs_a_r, sigs_b_r, bank_r)
+
+
 def _power_itc_entry(signal_r, bank_r, bank_i=None, *, interpolate,
                      interpret, precision):
     return fused_power_itc_from_bank(signal_r, _as_bank(bank_r, bank_i),

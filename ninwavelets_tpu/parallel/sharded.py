@@ -243,6 +243,35 @@ def sharded_coherence(sigs_a, sigs_b, bank_r, bank_i=None, *, mesh: Mesh,
         out_specs=out_spec)(sigs_a, sigs_b, bank_r, bank_i)
 
 
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "eps"))
+def sharded_imcoh(sigs_a, sigs_b, bank_r, bank_i=None, *, mesh: Mesh,
+                  interpolate: bool = False, eps: float = 1e-12):
+    """Imaginary coherency over the mesh: (E, ..., N) x2 -> (..., F, N)
+    in [-1, 1].  Same shard layout and ``pmean`` reduction as
+    ``sharded_coherence`` (the ratio is scale-invariant in the common
+    epoch factor); only the finisher differs."""
+    from ..ops.extensions import coherence_sums, imcoh_from_sums
+    ndim = sigs_a.ndim
+    sig_spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    out_spec = P(*([None] * (ndim - 2)), FREQ_AXIS, None)
+
+    def local(sa, sb, br, bi):
+        sums = coherence_sums(sa, sb, _as_bank(br, bi), interpolate,
+                              vma_axes=(DATA_AXIS, FREQ_AXIS))
+        xr, xi, pa, pb = (lax.psum(s, DATA_AXIS) for s in sums)
+        return imcoh_from_sums(xr, xi, pa, pb, eps)
+
+    if bank_i is None:
+        fn = lambda sa, sb, br: local(sa, sb, br, None)
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=(sig_spec, sig_spec, _BANK_SPEC),
+            out_specs=out_spec)(sigs_a, sigs_b, bank_r)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(sig_spec, sig_spec, _BANK_SPEC, _BANK_SPEC),
+        out_specs=out_spec)(sigs_a, sigs_b, bank_r, bank_i)
+
+
 @partial(jax.jit, static_argnames=("mesh", "method", "interpolate", "eps"))
 def sharded_phase_lag(sigs_a, sigs_b, bank_r, *, mesh: Mesh,
                       method: str = "wpli", interpolate: bool = False,

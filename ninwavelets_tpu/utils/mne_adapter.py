@@ -353,6 +353,19 @@ class EpochsWavelet:
         return _ppc(sa, sb, br, interpolate=self.wavelet.interpolate,
                     eps=eps)
 
+    def imcoh(self, ch_a: str, ch_b: str, freqs: Numbers,
+              eps: float = 1e-12) -> jnp.ndarray:
+        """(F, N) imaginary coherency between two channels across epochs
+        (extension — ``ops.extensions.imcoh``): the signed,
+        amplitude-weighted volume-conduction-robust companion of
+        ``coherence``."""
+        from ..ops.extensions import imcoh_auto as _imcoh
+        sa = self._channel_data(ch_a)
+        sb = self._channel_data(ch_b)
+        br, bi = self._conn_bank(sa.shape[-1], freqs, need_phase=False)
+        return _imcoh(sa, sb, br, bi,
+                      interpolate=self.wavelet.interpolate, eps=eps)
+
     def wpli_matrix(self, freqs: Numbers, method: str = "wpli",
                     time_range=None, eps: float = 0.0) -> jnp.ndarray:
         """(F, C, C) all-pairs phase-lag matrix over every channel,

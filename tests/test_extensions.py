@@ -263,3 +263,99 @@ class TestBicoherence:
         assert auto.shape == (2, 2)
         with pytest.raises(ValueError):
             ew.bicoherence("EEG 000", [300.0], [300.0])
+
+
+class TestImCoh:
+    """Imaginary coherency (Nolte 2004) — the signed volume-conduction-
+    robust companion of epoch coherence, off the same four sums."""
+    SFREQ = 1000.0
+    FREQS = np.arange(20.0, 80.0, 6.0)
+
+    def _bank(self, n):
+        import ninwavelets_tpu as nw
+        from ninwavelets_tpu.ops.bank import make_fft_bank
+        return jnp.asarray(np.asarray(make_fft_bank(
+            nw.Morse(self.SFREQ)._wdef(), jnp.asarray(self.FREQS), n,
+            self.SFREQ, True), np.float32))
+
+    def _epochs(self, lag_rad, e=20, n=1024, seed=0, noise=0.3):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / self.SFREQ
+        pa = rng.uniform(0, 2 * np.pi, e)
+        a = (np.sin(2 * np.pi * 40 * t + pa[:, None])
+             + noise * rng.standard_normal((e, n))).astype(np.float32)
+        b = (np.sin(2 * np.pi * 40 * t + pa[:, None] + lag_rad)
+             + noise * rng.standard_normal((e, n))).astype(np.float32)
+        return jnp.asarray(a[:, None]), jnp.asarray(b[:, None])
+
+    def test_oracle_parity_and_bounds(self):
+        import jax
+        from ninwavelets_tpu.ops.cwt import cwt_from_bank
+        from ninwavelets_tpu.ops.extensions import imcoh
+        bank = self._bank(1024)
+        sa, sb = self._epochs(1.0, e=7)
+        w = jax.jit(lambda x: cwt_from_bank(x, bank, True))
+        wa = np.asarray(w(sa)).astype(np.complex128)
+        wb = np.asarray(w(sb)).astype(np.complex128)
+        num = (wa * np.conj(wb)).mean(0).imag
+        den = np.sqrt((np.abs(wa) ** 2).mean(0) * (np.abs(wb) ** 2).mean(0))
+        want = num / np.maximum(den, 1e-12 * den.max())
+        got = np.asarray(imcoh(sa, sb, bank, interpolate=True))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        assert np.all(np.abs(got) <= 1 + 1e-5)
+
+    def test_zero_lag_blind_lag_signed(self):
+        from ninwavelets_tpu.ops.extensions import epoch_coherence, imcoh
+        bank = self._bank(1024)
+        row = int(np.argmin(np.abs(self.FREQS - 40.0)))
+        m = 200
+        sa, sb = self._epochs(0.0, e=24)            # common source
+        coh = np.asarray(epoch_coherence(sa, sb, bank,
+                                         interpolate=True))[0]
+        ic = np.asarray(imcoh(sa, sb, bank, interpolate=True))[0]
+        assert coh[row, m:-m].mean() > 0.8          # coherence fooled
+        assert np.abs(ic[row, m:-m]).mean() < 0.3   # imcoh is not
+        # +lag and -lag flip the sign
+        sa, sb = self._epochs(+1.0, e=24, seed=1)
+        up = np.asarray(imcoh(sa, sb, bank, interpolate=True))[0]
+        sa, sb = self._epochs(-1.0, e=24, seed=1)
+        dn = np.asarray(imcoh(sa, sb, bank, interpolate=True))[0]
+        assert up[row, m:-m].mean() < -0.5 or up[row, m:-m].mean() > 0.5
+        assert np.sign(up[row, m:-m].mean()) == -np.sign(dn[row,
+                                                            m:-m].mean())
+
+    def test_self_is_zero(self):
+        from ninwavelets_tpu.ops.extensions import imcoh
+        bank = self._bank(1024)
+        sa, _ = self._epochs(0.0, e=4)
+        got = np.asarray(imcoh(sa, sa, bank, interpolate=True))
+        assert np.abs(got).max() < 1e-5
+
+    def test_fused_and_sharded_match(self):
+        from ninwavelets_tpu import parallel as par
+        from ninwavelets_tpu.ops.extensions import imcoh
+        from ninwavelets_tpu.ops.fused import fused_imcoh
+        bank = self._bank(1024)
+        sa, sb = self._epochs(0.7, e=8)
+        sa = jnp.concatenate([sa, sa * 0.5], axis=1)   # c=2
+        sb = jnp.concatenate([sb, jnp.roll(sb, 3, -1)], axis=1)
+        want = np.asarray(imcoh(sa, sb, bank, interpolate=True))
+        got = np.asarray(fused_imcoh(sa, sb, bank, interpolate=True,
+                                     interpret=True, precision="exact"))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        mesh = par.make_mesh(data=4, freq=2)
+        got = np.asarray(par.sharded_imcoh(sa, sb, bank, mesh=mesh,
+                                           interpolate=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=5e-6)
+
+    def test_adapter_convenience(self):
+        import ninwavelets_tpu as nw
+        from tests.test_epochs import FakeEpochs
+        sa, sb = self._epochs(np.pi / 3, e=12)
+        data = np.concatenate([np.asarray(sa), np.asarray(sb)], axis=1)
+        ew = nw.EpochsWavelet(FakeEpochs(data, self.SFREQ),
+                              nw.Morse(self.SFREQ))
+        row = int(np.argmin(np.abs(self.FREQS - 40.0)))
+        ic = np.asarray(ew.imcoh("EEG 000", "EEG 001", self.FREQS))
+        assert ic.shape == (self.FREQS.size, 1024)
+        assert np.abs(ic[row, 200:-200]).mean() > 0.5

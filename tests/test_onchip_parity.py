@@ -45,6 +45,9 @@ GATES = {
     ("phaselag", "fast3"): 3e-3,   # wPLI: |sum Im| / sum |Im| ratio class
     ("phaselag", "exact"): 1e-4,
     ("phaselag", "bf16"): 0.5,
+    ("imcoh", "fast3"): 1e-3,      # coherence-ratio class
+    ("imcoh", "exact"): 1e-4,
+    ("imcoh", "bf16"): 2e-2,
 }
 
 
