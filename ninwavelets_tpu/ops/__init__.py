@@ -23,7 +23,7 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            surrogate_pvalues, wpli_matrix,
                            wpli_matrix_from_bank)
 from .dwt import (imodwt, max_level, modwt, modwt_denoise, modwt_mra,
-                  modwt_var, wavedec, waverec, wavelet_filter)
+                  modwt_var, pow2_pad, wavedec, waverec, wavelet_filter)
 from .wpt import (best_basis, best_basis_reconstruct, imodwpt, modwpt,
                   node_band)
 from .extensions import (bicoherence, bicoherence_from_banks, imcoh,
@@ -83,7 +83,7 @@ __all__ = [
     "wpli_matrix", "wpli_matrix_from_bank",
     "ppc_matrix", "ppc_matrix_from_bank",
     "modwt", "imodwt", "modwt_mra", "modwt_var", "modwt_denoise",
-    "wavelet_filter", "max_level", "wavedec", "waverec",
+    "wavelet_filter", "max_level", "wavedec", "waverec", "pow2_pad",
     "modwpt", "imodwpt", "best_basis", "best_basis_reconstruct",
     "node_band",
     "icwt_from_bank", "icwt_ri", "coverage",

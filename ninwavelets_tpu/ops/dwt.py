@@ -43,7 +43,7 @@ import numpy as np
 
 __all__ = ["wavelet_filter", "modwt_bank", "modwt", "imodwt", "modwt_mra",
            "modwt_var", "modwt_denoise", "max_level",
-           "wavedec", "waverec"]
+           "wavedec", "waverec", "pow2_pad"]
 
 
 # ----------------------------------------------------------------------------
@@ -341,10 +341,30 @@ def _shrink(w, thresholds, *, mode: str):
     return jnp.concatenate([d, w[..., -1:, :]], axis=-2)
 
 
+def pow2_pad(x):
+    """Reflect-pad the last axis up to the next power of two, returning
+    ``(padded, original_n)``.  TPU FFTs of non-power-of-two lengths lower
+    to a dense O(N^2) DFT matmul (see CLAUDE.md), and real recordings are
+    rarely pow2 — reflection keeps the circular-boundary artifacts of the
+    padded transform away from the retained samples."""
+    n = x.shape[-1]
+    n2 = 1 << (n - 1).bit_length()
+    if n2 == n:
+        return x, n
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, n2 - n)]
+    return jnp.pad(x, pad, mode="reflect"), n
+
+
 def modwt_denoise(x, wavelet: str = "db4", level: int | None = None,
-                  mode: str = "soft", sigma: float | None = None):
+                  mode: str = "soft", sigma: float | None = None,
+                  pad_pow2: bool = False):
     """Wavelet shrinkage on the MODWT: threshold the detail rows, keep
     the smooth, invert.  (..., N) -> (..., N) float32.
+
+    ``pad_pow2=True`` reflect-pads to the next power of two before the
+    transform and crops after — the TPU-friendly path for arbitrary-length
+    recordings (``pow2_pad``); the retained samples are unaffected except
+    within one filter span of the far edge.
 
     The threshold is level-dependent universal: the level-j MODWT detail
     filter has squared norm ``1/2^j``, so white noise of std ``sigma``
@@ -359,6 +379,11 @@ def modwt_denoise(x, wavelet: str = "db4", level: int | None = None,
     if mode not in ("soft", "hard"):
         raise ValueError(f"mode must be 'soft' or 'hard', got {mode!r}")
     x = jnp.asarray(x, jnp.float32)
+    if pad_pow2:
+        padded, n0 = pow2_pad(x)
+        if n0 != padded.shape[-1]:
+            return modwt_denoise(padded, wavelet, level, mode,
+                                 sigma)[..., :n0]
     n = x.shape[-1]
     if level is None:
         level = max_level(n, wavelet)

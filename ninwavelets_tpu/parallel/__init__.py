@@ -21,7 +21,7 @@ from .sharded import (sharded_coherence, sharded_coherence_matrix,
                       sharded_fused_itc, sharded_fused_mean_power,
                       sharded_itc, sharded_mean_power,
                       sharded_mean_power_grad, sharded_nm_plv,
-                      sharded_imcoh,
+                      sharded_imcoh, sharded_modwt,
                       sharded_pac, sharded_phase_lag,
                       sharded_fused_phase_lag, sharded_ppc,
                       sharded_plv, sharded_plv_matrix, sharded_power,
@@ -39,7 +39,7 @@ __all__ = [
     "sharded_plv", "sharded_plv_matrix", "sharded_coherence_matrix",
     "sharded_pac", "sharded_mean_power_grad", "sharded_nm_plv",
     "sharded_phase_lag", "sharded_fused_phase_lag", "sharded_ppc",
-    "sharded_imcoh",
+    "sharded_imcoh", "sharded_modwt",
     "sharded_superlet_mean_power",
     "distributed_mean_power", "distributed_itc",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",

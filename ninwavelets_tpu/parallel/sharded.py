@@ -243,6 +243,33 @@ def sharded_coherence(sigs_a, sigs_b, bank_r, bank_i=None, *, mesh: Mesh,
         out_specs=out_spec)(sigs_a, sigs_b, bank_r, bank_i)
 
 
+@partial(jax.jit, static_argnames=("mesh", "wavelet", "level", "denoise",
+                                   "mode"))
+def sharded_modwt(x, *, mesh: Mesh, wavelet: str = "db4",
+                  level: int | None = None, denoise: bool = False,
+                  mode: str = "soft"):
+    """MODWT (or MODWT shrinkage with ``denoise=True``) over the mesh:
+    the leading batch axis (channels / epochs) shards over ``data`` and
+    each shard runs the full per-signal transform — embarrassingly
+    parallel, no collectives (each signal's coefficients depend only on
+    itself; the replicated frequency-domain bank is built per shard).
+    (..., N) -> (..., J+1, N), or (..., N) with ``denoise``."""
+    from ..ops.dwt import max_level as _max_level
+    from ..ops.dwt import modwt as _modwt
+    from ..ops.dwt import modwt_denoise as _denoise
+    lvl = _max_level(x.shape[-1], wavelet) if level is None else int(level)
+    ndim = x.ndim
+    sig_spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    if denoise:
+        out_spec = sig_spec
+        local = lambda s: _denoise(s, wavelet, lvl, mode)
+    else:
+        out_spec = P(DATA_AXIS, *([None] * ndim))
+        local = lambda s: _modwt(s, wavelet, lvl)
+    return jax.shard_map(local, mesh=mesh, in_specs=(sig_spec,),
+                         out_specs=out_spec)(x)
+
+
 @partial(jax.jit, static_argnames=("mesh", "interpolate", "eps"))
 def sharded_imcoh(sigs_a, sigs_b, bank_r, bank_i=None, *, mesh: Mesh,
                   interpolate: bool = False, eps: float = 1e-12):

@@ -610,6 +610,32 @@ class RawWavelet:
 
     # -- event-locked epoching ---------------------------------------------
 
+    def modwt_denoise(self, picks=None, wavelet: str = "db4",
+                      level=None, mode: str = "soft") -> np.ndarray:
+        """(C, N) MODWT-shrinkage-denoised copy of the recording
+        (extension — ``ops.dwt.modwt_denoise``): per-channel
+        level-dependent universal thresholding.  Arbitrary lengths are
+        reflect-padded to a power of two on device and cropped (the TPU
+        FFT constraint), so this works on real (non-pow2) recordings."""
+        from ..ops.dwt import modwt_denoise as _denoise
+        data = self._host_data()
+        if picks is not None:
+            data = data[[self.raw.ch_names.index(ch) for ch in picks]]
+        return np.asarray(_denoise(data, wavelet, level, mode,
+                                   pad_pow2=True))
+
+    def modwt_var(self, ch_name: str, wavelet: str = "db4",
+                  level=None) -> np.ndarray:
+        """(J,) wavelet variance by scale of one channel (extension —
+        ``ops.dwt.modwt_var``; level-j entry is the portion of the sample
+        variance in the ``[sfreq/2^{j+1}, sfreq/2^j]`` Hz octave).
+        Arbitrary lengths are reflect-padded to a power of two."""
+        from ..ops.dwt import modwt_var as _var
+        from ..ops.dwt import pow2_pad
+        data = self._host_data()[self.raw.ch_names.index(ch_name)]
+        padded, _ = pow2_pad(jnp.asarray(data))
+        return np.asarray(_var(padded, wavelet, level))
+
     def epochs(self, events, tmin: float, tmax: float,
                picks=None) -> "EpochsWavelet":
         """Slice event-locked windows out of the recording and return an

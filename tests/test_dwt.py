@@ -227,3 +227,66 @@ class TestDecimatedDWT:
         bad[1] = np.zeros((7,), np.float32)
         with pytest.raises(ValueError):
             waverec(tuple(bad), "db2")
+
+
+class TestIntegration:
+    """Sharded + adapter + padding surfaces for the discrete subsystem."""
+
+    def test_sharded_modwt_matches_single_device(self):
+        import jax.numpy as jnp
+
+        from ninwavelets_tpu import parallel as par
+        from ninwavelets_tpu.ops.dwt import modwt_denoise
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((8, 512)).astype(np.float32))
+        mesh = par.make_mesh(data=4)
+        want = np.asarray(modwt(x, "db4", 4))
+        got = np.asarray(par.sharded_modwt(x, mesh=mesh, wavelet="db4",
+                                           level=4))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        want = np.asarray(modwt_denoise(x, "db4", 4))
+        got = np.asarray(par.sharded_modwt(x, mesh=mesh, wavelet="db4",
+                                           level=4, denoise=True))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_pow2_pad_denoise_non_pow2(self):
+        """Denoising an arbitrary-length signal via reflect-pad + crop:
+        interior samples match the pow2 transform's quality."""
+        from ninwavelets_tpu.ops.dwt import modwt_denoise, pow2_pad
+        rng = np.random.default_rng(1)
+        n = 3000                       # not a power of two
+        t = np.arange(n) / 1000.0
+        clean = np.sin(2 * np.pi * 8 * t).astype(np.float32)
+        noisy = clean + 0.4 * rng.standard_normal(n).astype(np.float32)
+        den = np.asarray(modwt_denoise(noisy, "db8", 7, pad_pow2=True))
+        assert den.shape == (n,)
+        assert (((den - clean) ** 2).mean()
+                < 0.5 * ((noisy - clean) ** 2).mean())
+        import jax.numpy as jnp
+        padded, n0 = pow2_pad(jnp.asarray(noisy))
+        assert n0 == n and padded.shape[-1] == 4096
+        padded2, n2 = pow2_pad(jnp.asarray(noisy[:2048]))
+        assert n2 == 2048 and padded2.shape[-1] == 2048
+
+    def test_raw_adapter_surfaces(self):
+        import ninwavelets_tpu as nw
+
+        class FakeRaw:
+            info = {'sfreq': 1000.0}
+            ch_names = ['a', 'b']
+
+            def get_data(self):
+                rng = np.random.default_rng(2)
+                t = np.arange(3000) / 1000.0
+                tone = np.sin(2 * np.pi * 8 * t)
+                return np.stack([tone + 0.4 * rng.standard_normal(3000),
+                                 rng.standard_normal(3000)])
+
+        rw = nw.RawWavelet(FakeRaw(), nw.Morse(1000.0))
+        den = rw.modwt_denoise(wavelet="db8")
+        assert den.shape == (2, 3000)
+        v = rw.modwt_var('a', wavelet="db4")
+        assert v.ndim == 1 and np.all(v >= 0)
+        # the 8 Hz tone dominates channel a's variance in its octave
+        # (8 Hz at 1 kHz -> ~level 6: [7.8, 15.6] Hz)
+        assert int(np.argmax(v)) in (5, 6)
