@@ -15,6 +15,7 @@ from .fit import fit_frequencies, learn_bank
 from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            nm_plv, nm_plv_from_bank, pac, pac_from_banks,
                            pair_matrix_scan, phase_lag, phase_lag_auto,
+                           phase_lag_significance,
                            phase_lag_from_bank, phase_lag_from_sums,
                            phase_lag_sums, plv, plv_from_bank,
                            plv_matrix, plv_matrix_from_bank,
@@ -22,8 +23,9 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            ppc_from_bank, ppc_matrix, ppc_matrix_from_bank,
                            surrogate_pvalues, wpli_matrix,
                            wpli_matrix_from_bank)
-from .dwt import (imodwt, max_level, modwt, modwt_denoise, modwt_mra,
-                  modwt_var, pow2_pad, wavedec, waverec, wavelet_filter)
+from .dwt import (imodwt, max_level, modwt, modwt_corr, modwt_cov,
+                  modwt_denoise, modwt_mra, modwt_var, pow2_pad, wavedec,
+                  waverec, wavelet_filter)
 from .wpt import (best_basis, best_basis_reconstruct, imodwpt, modwpt,
                   node_band)
 from .extensions import (bicoherence, bicoherence_from_banks, imcoh,
@@ -78,12 +80,14 @@ __all__ = [
     "pair_matrix_scan", "plv_matrix", "plv_matrix_from_bank",
     "coherence_matrix", "coherence_matrix_from_bank",
     "phase_lag", "phase_lag_auto", "phase_lag_from_bank",
+    "phase_lag_significance",
     "phase_lag_from_sums", "phase_lag_sums",
     "ppc", "ppc_auto", "ppc_from_bank",
     "wpli_matrix", "wpli_matrix_from_bank",
     "ppc_matrix", "ppc_matrix_from_bank",
     "modwt", "imodwt", "modwt_mra", "modwt_var", "modwt_denoise",
     "wavelet_filter", "max_level", "wavedec", "waverec", "pow2_pad",
+    "modwt_cov", "modwt_corr",
     "modwpt", "imodwpt", "best_basis", "best_basis_reconstruct",
     "node_band",
     "icwt_from_bank", "icwt_ri", "coverage",

@@ -39,6 +39,7 @@ __all__ = ["plv_from_bank", "plv", "plv_sums", "pac_from_banks", "pac",
            "surrogate_pvalues", "plv_significance",
            "phase_lag_sums", "phase_lag_from_sums", "phase_lag_from_bank",
            "phase_lag", "phase_lag_auto", "PHASE_LAG_METHODS",
+           "phase_lag_significance",
            "ppc_from_bank", "ppc", "ppc_auto",
            "wpli_matrix_from_bank", "wpli_matrix",
            "ppc_matrix_from_bank", "ppc_matrix"]
@@ -261,6 +262,40 @@ def phase_lag_auto(sigs_a_r, sigs_b_r, bank_r, method: str = "wpli",
                                precision=precision)
     return _phase_lag_jit(sigs_a_r, sigs_b_r, bank_r, method=str(method),
                           interpolate=bool(interpolate), eps=float(eps))
+
+
+@partial(jax.jit, static_argnames=("method", "interpolate", "eps",
+                                   "n_surrogates", "min_shift", "seed"))
+def _phase_lag_sig_jit(sa, sb, bank_r, *, method, interpolate, eps,
+                       n_surrogates, min_shift, seed):
+    obs = phase_lag_from_bank(sa, sb, bank_r, method, interpolate, eps)
+    pv = surrogate_pvalues(
+        lambda shifted: phase_lag_from_bank(sa, shifted, bank_r, method,
+                                            interpolate, eps),
+        obs, sb, jax.random.PRNGKey(seed), n_surrogates, min_shift)
+    return obs, pv
+
+
+def phase_lag_significance(sigs_a_r, sigs_b_r, bank_r,
+                           method: str = "wpli",
+                           interpolate: bool = False, eps: float = 0.0,
+                           n_surrogates: int = 199,
+                           min_shift: int | None = None, seed: int = 0):
+    """Phase-lag statistic plus circular-shift surrogate p-values
+    (``((..., F, N) stat, same-shape p)``) in one jitted program — the
+    ``plv_significance`` convention applied to the phase-lag family
+    (surrogates roll channel b per epoch, destroying the cross-channel
+    lag while preserving each signal exactly).  Cost is
+    ``n_surrogates + 1`` passes."""
+    if method not in PHASE_LAG_METHODS:
+        raise ValueError(f"method must be one of {PHASE_LAG_METHODS}, "
+                         f"got {method!r}")
+    return _phase_lag_sig_jit(sigs_a_r, sigs_b_r, bank_r,
+                              method=str(method),
+                              interpolate=bool(interpolate),
+                              eps=float(eps),
+                              n_surrogates=int(n_surrogates),
+                              min_shift=min_shift, seed=int(seed))
 
 
 def ppc_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,

@@ -43,7 +43,7 @@ import numpy as np
 
 __all__ = ["wavelet_filter", "modwt_bank", "modwt", "imodwt", "modwt_mra",
            "modwt_var", "modwt_denoise", "max_level",
-           "wavedec", "waverec", "pow2_pad"]
+           "wavedec", "waverec", "pow2_pad", "modwt_cov", "modwt_corr"]
 
 
 # ----------------------------------------------------------------------------
@@ -397,3 +397,32 @@ def modwt_denoise(x, wavelet: str = "db4", level: int | None = None,
     lam = (sig[..., None] * np.sqrt(2.0 * np.log(n))
            / jnp.exp2(j / 2.0))
     return imodwt(_shrink(w, lam, mode=str(mode)), wavelet)
+
+
+def modwt_cov(x, y, wavelet: str = "db4", level: int | None = None):
+    """Wavelet covariance by scale (Percival & Walden ch. 9):
+    (..., N) x2 -> (..., J) — the level-j entry is
+    ``mean_t(Wx_j Wy_j)``, the portion of ``cov(x, y)`` living in octave
+    ``[1/2^{j+1}, 1/2^j]`` cycles/sample (biased MODWT estimator; the
+    levels plus the smooths' covariance partition the sample covariance
+    exactly, by the tight-frame identity)."""
+    wx = modwt(x, wavelet, level)
+    wy = modwt(y, wavelet, level)
+    return jnp.mean(wx[..., :-1, :] * wy[..., :-1, :], axis=-1)
+
+
+def modwt_corr(x, y, wavelet: str = "db4", level: int | None = None,
+               eps: float = 0.0):
+    """Wavelet correlation by scale: ``modwt_cov`` normalized by the two
+    wavelet standard deviations per level — a scale-resolved Pearson
+    correlation in [-1, 1].  ``eps`` floors the denominator (0 keeps the
+    0/0 -> NaN convention for scales with no energy)."""
+    wx = modwt(x, wavelet, level)
+    wy = modwt(y, wavelet, level)
+    dx, dy = wx[..., :-1, :], wy[..., :-1, :]
+    cov = jnp.mean(dx * dy, axis=-1)
+    den = jnp.sqrt(jnp.mean(dx * dx, axis=-1)
+                   * jnp.mean(dy * dy, axis=-1))
+    if eps:
+        den = jnp.maximum(den, eps)
+    return cov / den

@@ -564,3 +564,39 @@ class TestPhaseLag:
             phase_lag(sa, sb, bank, method="nope")
         with pytest.raises(ValueError, match="method"):
             wpli_matrix(sa, bank, method="nope")
+
+
+def test_phase_lag_significance():
+    """Lagged coupling hits the permutation floor; independent channels
+    give roughly uniform p."""
+    from ninwavelets_tpu.ops.connectivity import phase_lag_significance
+    freqs = np.arange(30.0, 55.0, 8.0)
+    bank = _bank(freqs, 1024)
+    rng = np.random.default_rng(11)
+    t = np.arange(1024) / SFREQ
+    e = 16
+    pa = rng.uniform(0, 2 * np.pi, e)
+    a = (np.sin(2 * np.pi * 40 * t + pa[:, None])
+         + 0.4 * rng.standard_normal((e, 1024))).astype(np.float32)
+    b = (np.sin(2 * np.pi * 40 * t + pa[:, None] + 1.0)
+         + 0.4 * rng.standard_normal((e, 1024))).astype(np.float32)
+    obs, p = phase_lag_significance(jnp.asarray(a[:, None]),
+                                    jnp.asarray(b[:, None]), bank,
+                                    method="wpli", interpolate=True,
+                                    n_surrogates=99, seed=3)
+    obs, p = np.asarray(obs)[0], np.asarray(p)[0]
+    row = int(np.argmin(np.abs(freqs - 40.0)))
+    m = 300
+    assert obs[row, m:-m].mean() > 0.8
+    assert np.median(p[row, m:-m]) <= 0.02 + 1e-9
+    b2 = rng.standard_normal((e, 1024)).astype(np.float32)
+    _, p0 = phase_lag_significance(jnp.asarray(a[:, None]),
+                                   jnp.asarray(b2[:, None]), bank,
+                                   method="wpli", interpolate=True,
+                                   n_surrogates=99, seed=4)
+    p0 = np.asarray(p0)[0]
+    assert 0.15 < np.median(p0[:, m:-m]) < 0.85
+    with pytest.raises(ValueError, match="method"):
+        phase_lag_significance(jnp.asarray(a[:, None]),
+                               jnp.asarray(b2[:, None]), bank,
+                               method="nope")

@@ -290,3 +290,34 @@ class TestIntegration:
         # the 8 Hz tone dominates channel a's variance in its octave
         # (8 Hz at 1 kHz -> ~level 6: [7.8, 15.6] Hz)
         assert int(np.argmax(v)) in (5, 6)
+
+    def test_modwt_cov_corr(self):
+        """Covariance partitions across scales; correlation is a
+        scale-resolved Pearson r: +1 for identical signals, sign follows
+        the relation, bandlimited independence shows near zero."""
+        from ninwavelets_tpu.ops.dwt import modwt_corr, modwt_cov
+        rng = np.random.default_rng(7)
+        n = 4096
+        x = rng.standard_normal(n).astype(np.float32)
+        # self: corr == 1 at every level
+        c = np.asarray(modwt_corr(x, x, "db4", 6))
+        np.testing.assert_allclose(c, 1.0, atol=1e-5)
+        # anti-correlated pair
+        c = np.asarray(modwt_corr(x, -x, "db4", 6))
+        np.testing.assert_allclose(c, -1.0, atol=1e-5)
+        # covariance partition: levels + smooth == sample covariance
+        y = rng.standard_normal(n).astype(np.float32)
+        wx = np.asarray(modwt(x, "db4", 6))
+        wy = np.asarray(modwt(y, "db4", 6))
+        cov = np.asarray(modwt_cov(x, y, "db4", 6))
+        total = cov.sum(-1) + (wx[-1] * wy[-1]).mean(-1)
+        np.testing.assert_allclose(total, (x * y).mean(-1), atol=1e-5)
+        # band-limited coupling: shared 40 Hz tone + independent noise
+        t = np.arange(n) / 1000.0
+        tone = np.sin(2 * np.pi * 40 * t)
+        a = (tone + 0.5 * rng.standard_normal(n)).astype(np.float32)
+        b = (tone + 0.5 * rng.standard_normal(n)).astype(np.float32)
+        c = np.asarray(modwt_corr(a, b, "db8", 6))
+        # 40 Hz at 1 kHz -> level 4 octave [31.25, 62.5] Hz
+        assert int(np.argmax(c)) == 3
+        assert c[3] > 0.8
