@@ -30,6 +30,7 @@ from .wpt import (best_basis, best_basis_reconstruct, imodwpt, modwpt,
                   node_band)
 from .extensions import (bicoherence, bicoherence_from_banks, imcoh,
                          imcoh_auto, imcoh_from_bank, imcoh_from_sums,
+                         psi, psi_from_bank, psi_from_sums,
                          bump_spectrum, cross_power_from_bank,
                          dog_spectrum, epoch_coherence_from_bank,
                          paul_spectrum, wavelet_coherence,
@@ -75,6 +76,7 @@ __all__ = [
     "wavelet_coherence", "wavelet_coherence_from_bank",
     "bicoherence", "bicoherence_from_banks",
     "imcoh", "imcoh_auto", "imcoh_from_bank", "imcoh_from_sums",
+    "psi", "psi_from_bank", "psi_from_sums",
     "plv", "plv_from_bank", "plv_sums", "pac", "pac_from_banks",
     "nm_plv", "nm_plv_from_bank", "plv_significance", "surrogate_pvalues",
     "pair_matrix_scan", "plv_matrix", "plv_matrix_from_bank",

@@ -432,3 +432,76 @@ def imcoh_auto(sigs_a_r, sigs_b_r, bank_r, bank_i=None,
                            precision=precision)
     return _imcoh_jit(sigs_a_r, sigs_b_r, bank_r, bank_i,
                       interpolate=bool(interpolate), eps=float(eps))
+
+
+# ----------------------------------------------------------------------------
+# Phase slope index
+# ----------------------------------------------------------------------------
+
+def psi_from_sums(xr, xi, pa, pb, band=None, eps: float = 1e-12,
+                  normalize: bool = True):
+    """Phase slope index from the ``coherence_sums`` planes.
+
+        ``PSI = sum_f Im( conj(C_f) C_{f+1} )``,  C = S_ab / sqrt(S_aa S_bb)
+
+    summed over consecutive BANK ROWS in ``band`` (a (lo, hi) row-index
+    slice; default all rows): if channel a consistently LEADS channel b,
+    the cross-spectral phase grows with frequency and every term is
+    positive — the sign is the direction (+: a -> b), near zero for
+    no or zero-lag coupling.  Rows must be frequency-ordered (ascending
+    or descending flips only the sign convention).  With ``normalize``
+    the sum is scaled by ``sum_f |C_f| |C_{f+1}|`` so the result lands in
+    [-1, 1] (a phase-slope coherence); raw PSI otherwise.
+    Returns the (..., N) time-resolved index (collapse time yourself).
+    """
+    den = jnp.sqrt(pa * pb)
+    if eps:
+        den = jnp.maximum(den, eps * jnp.max(den))
+    cr, ci = xr / den, xi / den                      # coherency per row
+    lo, hi = (0, cr.shape[-2]) if band is None else band
+    cr, ci = cr[..., lo:hi, :], ci[..., lo:hi, :]
+    a_r, a_i = cr[..., :-1, :], ci[..., :-1, :]
+    b_r, b_i = cr[..., 1:, :], ci[..., 1:, :]
+    # Im(conj(a) b) = a_r b_i - a_i b_r
+    psi = jnp.sum(a_r * b_i - a_i * b_r, axis=-2)
+    if not normalize:
+        return psi
+    mag = jnp.sum(jnp.sqrt((a_r * a_r + a_i * a_i)
+                           * (b_r * b_r + b_i * b_i)), axis=-2)
+    if eps:
+        mag = jnp.maximum(mag, eps)
+    return psi / mag
+
+
+def psi_from_bank(sigs_a: jnp.ndarray, sigs_b: jnp.ndarray,
+                  bank: jnp.ndarray, band=None, interpolate: bool = False,
+                  eps: float = 1e-12,
+                  normalize: bool = True) -> jnp.ndarray:
+    """Phase slope index (Nolte 2008): (E, ..., N) x2 -> (..., N).
+
+    A DIRECTED coupling measure: the slope of the cross-spectral phase
+    across the ``band`` rows of the bank.  Positive where channel a
+    leads channel b (information flows a -> b), negative for the
+    reverse, ~0 for independent or zero-lag (volume-conduction)
+    coupling — the directed companion of ``imcoh``.  The bank rows must
+    be built on an ascending frequency grid."""
+    xr, xi, pa, pb = coherence_sums(sigs_a, sigs_b, bank, interpolate)
+    return psi_from_sums(xr, xi, pa, pb, band, eps, normalize)
+
+
+@partial(jax.jit, static_argnames=("band", "interpolate", "eps",
+                                   "normalize"))
+def _psi_jit(sa, sb, bank_r, bank_i, *, band, interpolate, eps, normalize):
+    bank = bank_r if bank_i is None else lax.complex(bank_r, bank_i)
+    return psi_from_bank(sa, sb, bank, band, interpolate, eps, normalize)
+
+
+def psi(sigs_a_r, sigs_b_r, bank_r, bank_i=None, band=None,
+        interpolate: bool = False, eps: float = 1e-12,
+        normalize: bool = True):
+    """Jitted float-boundary wrapper for ``psi_from_bank`` (``band`` is a
+    static (lo, hi) row-index pair)."""
+    b = None if band is None else (int(band[0]), int(band[1]))
+    return _psi_jit(sigs_a_r, sigs_b_r, bank_r, bank_i, band=b,
+                    interpolate=bool(interpolate), eps=float(eps),
+                    normalize=bool(normalize))

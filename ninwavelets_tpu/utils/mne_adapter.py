@@ -366,6 +366,22 @@ class EpochsWavelet:
         return _imcoh(sa, sb, br, bi,
                       interpolate=self.wavelet.interpolate, eps=eps)
 
+    def psi(self, ch_a: str, ch_b: str, freqs: Numbers,
+            band=None, eps: float = 1e-12) -> jnp.ndarray:
+        """(N,) time-resolved phase slope index between two channels
+        (extension — ``ops.extensions.psi``): DIRECTED coupling, positive
+        where ``ch_a`` leads ``ch_b``.  ``freqs`` must ascend; ``band``
+        optionally restricts the slope to a (lo, hi) row-index slice."""
+        from ..ops.extensions import psi as _psi
+        sa = self._channel_data(ch_a)
+        sb = self._channel_data(ch_b)
+        arr = np.asarray(freqs, np.float64)
+        if arr.size < 2 or np.any(np.diff(arr) <= 0):
+            raise ValueError("psi needs >= 2 strictly ascending freqs")
+        br, bi = self._conn_bank(sa.shape[-1], freqs, need_phase=False)
+        return _psi(sa, sb, br, bi, band=band,
+                    interpolate=self.wavelet.interpolate, eps=eps)
+
     def wpli_matrix(self, freqs: Numbers, method: str = "wpli",
                     time_range=None, eps: float = 0.0) -> jnp.ndarray:
         """(F, C, C) all-pairs phase-lag matrix over every channel,

@@ -359,3 +359,73 @@ class TestImCoh:
         ic = np.asarray(ew.imcoh("EEG 000", "EEG 001", self.FREQS))
         assert ic.shape == (self.FREQS.size, 1024)
         assert np.abs(ic[row, 200:-200]).mean() > 0.5
+
+
+class TestPSI:
+    """Phase slope index (Nolte 2008) — directed coupling from the slope
+    of the cross-spectral phase across bank rows."""
+    SFREQ = 1000.0
+    FREQS = np.arange(20.0, 80.0, 4.0)
+
+    def _bank(self, n):
+        import ninwavelets_tpu as nw
+        from ninwavelets_tpu.ops.bank import make_fft_bank
+        return jnp.asarray(np.asarray(make_fft_bank(
+            nw.Morse(self.SFREQ)._wdef(), jnp.asarray(self.FREQS), n,
+            self.SFREQ, True), np.float32))
+
+    def _pair(self, delay, e=24, n=2048, seed=0):
+        """b is a delayed copy of a's band-limited source: a LEADS b."""
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / self.SFREQ
+        a = np.empty((e, 1, n), np.float32)
+        b = np.empty((e, 1, n), np.float32)
+        for i in range(e):
+            src = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+                      for f in (32.0, 40.0, 48.0, 56.0))
+            a[i, 0] = src + 0.5 * rng.standard_normal(n)
+            b[i, 0] = np.roll(src, delay) + 0.5 * rng.standard_normal(n)
+        return jnp.asarray(a), jnp.asarray(b)
+
+    def test_direction_antisymmetry_and_null(self):
+        from ninwavelets_tpu.ops.extensions import psi
+        bank = self._bank(2048)
+        m = 300
+        sa, sb = self._pair(8)
+        fwd = np.asarray(psi(sa, sb, bank, interpolate=True))[0]
+        rev = np.asarray(psi(sb, sa, bank, interpolate=True))[0]
+        assert fwd[m:-m].mean() > 0.05                 # a -> b positive
+        np.testing.assert_allclose(rev, -fwd, atol=1e-6)   # antisymmetric
+        sa, sb = self._pair(0, seed=1)                 # zero lag
+        nul = np.asarray(psi(sa, sb, bank, interpolate=True))[0]
+        assert abs(nul[m:-m].mean()) < 0.02
+        assert np.all(np.abs(fwd) <= 1 + 1e-5)         # normalized form
+
+    def test_band_slice_and_raw(self):
+        from ninwavelets_tpu.ops.extensions import psi
+        bank = self._bank(2048)
+        sa, sb = self._pair(8, seed=2)
+        m = 300
+        # the sources live in rows ~3..9 (32-56 Hz); a band slice around
+        # them keeps the direction, and raw (unnormalized) keeps the sign
+        v = np.asarray(psi(sa, sb, bank, band=(2, 11),
+                           interpolate=True))[0]
+        assert v[m:-m].mean() > 0.05
+        raw = np.asarray(psi(sa, sb, bank, band=(2, 11), interpolate=True,
+                             normalize=False))[0]
+        assert raw[m:-m].mean() > 0.0
+
+    def test_adapter_validates_grid(self):
+        import ninwavelets_tpu as nw
+        from tests.test_epochs import FakeEpochs
+        sa, sb = self._pair(8, e=6)
+        data = np.concatenate([np.asarray(sa), np.asarray(sb)], axis=1)
+        ew = nw.EpochsWavelet(FakeEpochs(data, self.SFREQ),
+                              nw.Morse(self.SFREQ))
+        v = np.asarray(ew.psi("EEG 000", "EEG 001", self.FREQS))
+        assert v.shape == (2048,)
+        assert v[300:-300].mean() > 0.03
+        with pytest.raises(ValueError, match="ascending"):
+            ew.psi("EEG 000", "EEG 001", [40.0])
+        with pytest.raises(ValueError, match="ascending"):
+            ew.psi("EEG 000", "EEG 001", [40.0, 30.0])
