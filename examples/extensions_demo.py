@@ -193,6 +193,68 @@ def main():
     print(f"raw event-locked ITC @ 60 Hz: {itc[0, 3, 50:150].mean():.2f} "
           f"(phase-locked bursts; off-band rows sit near 1/sqrt(E))")
 
+    # 8 — volume conduction: a common source at ZERO lag fools PLV but
+    # not the phase-lag family; a true lag drives both, and the phase
+    # slope index reads the direction off the phase-vs-frequency slope.
+    rng = np.random.default_rng(9)
+    n, e = 2048, 24
+    t = np.arange(n) / SFREQ
+    zl = np.empty((e, 2, n), np.float32)
+    lg = np.empty((e, 2, n), np.float32)
+    for i in range(e):
+        src = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+                  for f in (32.0, 40.0, 48.0))
+        zl[i, 0] = src + 0.4 * rng.standard_normal(n)
+        zl[i, 1] = src + 0.4 * rng.standard_normal(n)      # zero lag
+        lg[i, 0] = src + 0.4 * rng.standard_normal(n)
+        lg[i, 1] = np.roll(src, 8) + 0.4 * rng.standard_normal(n)
+    cfreqs = np.arange(24.0, 60.0, 4.0)
+    row = int(np.argmin(np.abs(cfreqs - 40.0)))
+    ez = nw.EpochsWavelet(FakeEpochs(zl), nw.Morse(SFREQ))
+    el = nw.EpochsWavelet(FakeEpochs(lg), nw.Morse(SFREQ))
+    m = 300
+    plv_z = np.asarray(ez.plv("EEG 000", "EEG 001", cfreqs))[row,
+                                                             m:-m].mean()
+    wpli_z = np.asarray(ez.wpli("EEG 000", "EEG 001", cfreqs))[row,
+                                                               m:-m].mean()
+    wpli_l = np.asarray(el.wpli("EEG 000", "EEG 001", cfreqs))[row,
+                                                               m:-m].mean()
+    psi_l = np.asarray(el.psi("EEG 000", "EEG 001", cfreqs))[m:-m].mean()
+    print(f"volume conduction: PLV {plv_z:.2f} vs wPLI {wpli_z:.2f} on a "
+          f"zero-lag common source; true 8 ms lag: wPLI {wpli_l:.2f}, "
+          f"PSI {psi_l:+.3f} (positive: ch0 leads)")
+
+    # 9 — discrete subsystem: MODWT shrinkage, scale variance, and a
+    # best-basis packet cover isolating a narrowband component.
+    from ninwavelets_tpu.ops.dwt import modwt_denoise, modwt_var
+    from ninwavelets_tpu.ops.wpt import (best_basis,
+                                         best_basis_reconstruct,
+                                         node_band)
+    n2 = 4096
+    t2 = np.arange(n2) / SFREQ
+    # Shrinkage favors signals that are SPARSE in the wavelet domain —
+    # a slow (8 Hz) component surviving in the coarse levels/smooth;
+    # for a steady mid-band tone the packet-domain band filter is the
+    # right tool, so the demo shows each on its own turf.
+    slow_c = np.sin(2 * np.pi * 8.0 * t2).astype(np.float32)
+    slow_n = slow_c + 0.5 * rng.standard_normal(n2).astype(np.float32)
+    den = np.asarray(modwt_denoise(slow_n, "db8"))
+    snr = lambda x, c: 10 * np.log10((c ** 2).mean()
+                                     / ((x - c) ** 2).mean())
+    clean = np.sin(2 * np.pi * 166.0 * t2).astype(np.float32)
+    noisy = clean + 0.5 * rng.standard_normal(n2).astype(np.float32)
+    v = np.asarray(modwt_var(noisy, "db8", 6))
+    nodes, coeffs = best_basis(noisy, "db8", 4)
+    keep = [nd for nd in nodes
+            if node_band(*nd)[0] <= 166.0 / SFREQ < node_band(*nd)[1]]
+    bb = np.asarray(best_basis_reconstruct(nodes, coeffs, "db8",
+                                           keep=keep))
+    print(f"modwt: 8 Hz shrinkage {snr(slow_n, slow_c):.1f} -> "
+          f"{snr(den, slow_c):.1f} dB; 166 Hz variance peaks at level "
+          f"{int(np.argmax(v)) + 1} (its octave); best-basis band "
+          f"filter {snr(noisy, clean):.1f} -> {snr(bb, clean):.1f} dB "
+          f"keeping {len(keep)}/{len(nodes)} packet nodes")
+
 
 if __name__ == "__main__":
     main()

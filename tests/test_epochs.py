@@ -242,6 +242,15 @@ def test_extensions_demo_headless(capsys):
     assert m and float(m.group(1)) > 3.5    # gain floor, not a pin
     assert "tremolo" in out
     assert "fit_frequencies" in out and "60" in out
+    # volume conduction: PLV fooled, wPLI not; PSI direction positive
+    m = re.search(r"PLV ([\d.]+) vs wPLI ([\d.]+) on a\s+zero-lag", out)
+    assert m and float(m.group(1)) > 0.9 > float(m.group(2)) + 0.4
+    assert re.search(r"PSI \+", out)
+    # discrete subsystem lines hold their gains
+    m = re.search(r"8 Hz shrinkage ([-\d.]+) ->\s+([-\d.]+) dB", out)
+    assert m and float(m.group(2)) > float(m.group(1)) + 3.0
+    m = re.search(r"band\s+filter ([-\d.]+) -> ([-\d.]+) dB", out)
+    assert m and float(m.group(2)) > float(m.group(1)) + 8.0
 
 
 class TestRawWavelet:
