@@ -320,14 +320,46 @@ def waverec(coeffs, wavelet: str = "db4"):
 # Wavelet variance and shrinkage
 # ----------------------------------------------------------------------------
 
-def modwt_var(x, wavelet: str = "db4", level: int | None = None):
+@functools.lru_cache(maxsize=64)
+def _interior_masks(name: str, level: int, n: int):
+    """(level, n) float32 numpy mask of BOUNDARY-FREE coefficients per
+    detail level, plus the (level,) interior counts: the level-j MODWT
+    filter spans ``L_j = (2^j - 1)(L - 1) + 1`` samples, so coefficients
+    ``t < L_j - 1`` mix in circularly wrapped samples (Percival & Walden
+    eq. 306).  Levels with no interior coefficients get an all-zero row
+    (count 0 -> the unbiased estimators return NaN there)."""
+    L = wavelet_filter(name)[0].size
+    mask = np.zeros((level, n), np.float32)
+    counts = np.zeros((level,), np.float32)
+    for j in range(1, level + 1):
+        lj = (2 ** j - 1) * (L - 1) + 1
+        m = n - lj + 1
+        if m > 0:
+            mask[j - 1, lj - 1:] = 1.0
+            counts[j - 1] = m
+    return mask, counts
+
+
+def modwt_var(x, wavelet: str = "db4", level: int | None = None,
+              unbiased: bool = False):
     """Wavelet variance by scale: (..., N) -> (..., J) — the level-j
     entry is ``||W_j||^2 / N``, the portion of the sample variance living
     in octave ``[1/2^{j+1}, 1/2^j]`` cycles/sample (the biased MODWT
     estimator; the rows plus the smooth's variance partition
-    ``mean(x^2)`` exactly, by energy preservation)."""
+    ``mean(x^2)`` exactly, by energy preservation).
+
+    ``unbiased=True`` gives the Percival & Walden estimator instead:
+    only boundary-FREE coefficients (those not contaminated by the
+    circular wrap) enter the mean — unbiased for the true wavelet
+    variance of a stationary process, at the cost of the exact
+    partition.  Levels whose filter span exceeds N return NaN."""
     w = modwt(x, wavelet, level)
-    return jnp.mean(jnp.square(w[..., :-1, :]), axis=-1)
+    d = w[..., :-1, :]
+    if not unbiased:
+        return jnp.mean(jnp.square(d), axis=-1)
+    mask, counts = _interior_masks(wavelet, d.shape[-2], d.shape[-1])
+    return (jnp.sum(jnp.square(d) * jnp.asarray(mask), axis=-1)
+            / jnp.asarray(counts))
 
 
 @functools.partial(jax.jit, static_argnames=("mode",))
@@ -399,30 +431,42 @@ def modwt_denoise(x, wavelet: str = "db4", level: int | None = None,
     return imodwt(_shrink(w, lam, mode=str(mode)), wavelet)
 
 
-def modwt_cov(x, y, wavelet: str = "db4", level: int | None = None):
+def _level_mean(d, wavelet, unbiased):
+    """Per-level mean over time, biased (all N) or boundary-free."""
+    if not unbiased:
+        return jnp.mean(d, axis=-1)
+    mask, counts = _interior_masks(wavelet, d.shape[-2], d.shape[-1])
+    return jnp.sum(d * jnp.asarray(mask), axis=-1) / jnp.asarray(counts)
+
+
+def modwt_cov(x, y, wavelet: str = "db4", level: int | None = None,
+              unbiased: bool = False):
     """Wavelet covariance by scale (Percival & Walden ch. 9):
     (..., N) x2 -> (..., J) — the level-j entry is
     ``mean_t(Wx_j Wy_j)``, the portion of ``cov(x, y)`` living in octave
     ``[1/2^{j+1}, 1/2^j]`` cycles/sample (biased MODWT estimator; the
     levels plus the smooths' covariance partition the sample covariance
-    exactly, by the tight-frame identity)."""
+    exactly, by the tight-frame identity).  ``unbiased=True`` excludes
+    the circular-wrap boundary coefficients (see ``modwt_var``)."""
     wx = modwt(x, wavelet, level)
     wy = modwt(y, wavelet, level)
-    return jnp.mean(wx[..., :-1, :] * wy[..., :-1, :], axis=-1)
+    return _level_mean(wx[..., :-1, :] * wy[..., :-1, :], wavelet,
+                       unbiased)
 
 
 def modwt_corr(x, y, wavelet: str = "db4", level: int | None = None,
-               eps: float = 0.0):
+               eps: float = 0.0, unbiased: bool = False):
     """Wavelet correlation by scale: ``modwt_cov`` normalized by the two
     wavelet standard deviations per level — a scale-resolved Pearson
     correlation in [-1, 1].  ``eps`` floors the denominator (0 keeps the
-    0/0 -> NaN convention for scales with no energy)."""
+    0/0 -> NaN convention for scales with no energy); ``unbiased=True``
+    excludes boundary coefficients from every moment."""
     wx = modwt(x, wavelet, level)
     wy = modwt(y, wavelet, level)
     dx, dy = wx[..., :-1, :], wy[..., :-1, :]
-    cov = jnp.mean(dx * dy, axis=-1)
-    den = jnp.sqrt(jnp.mean(dx * dx, axis=-1)
-                   * jnp.mean(dy * dy, axis=-1))
+    cov = _level_mean(dx * dy, wavelet, unbiased)
+    den = jnp.sqrt(_level_mean(dx * dx, wavelet, unbiased)
+                   * _level_mean(dy * dy, wavelet, unbiased))
     if eps:
         den = jnp.maximum(den, eps)
     return cov / den

@@ -321,3 +321,30 @@ class TestIntegration:
         # 40 Hz at 1 kHz -> level 4 octave [31.25, 62.5] Hz
         assert int(np.argmax(c)) == 3
         assert c[3] > 0.8
+
+    def test_unbiased_estimators(self):
+        """Boundary-free estimators: white noise of known variance —
+        the unbiased level-j wavelet variance targets sigma^2 / 2^j
+        exactly (band fraction); levels whose span exceeds N go NaN;
+        unbiased self-correlation is still 1."""
+        from ninwavelets_tpu.ops.dwt import (_interior_masks, modwt_corr,
+                                             modwt_var)
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((64, 2048)).astype(np.float32)
+        v = np.asarray(modwt_var(x, "db4", 5, unbiased=True))
+        for j in range(1, 6):
+            band = np.median(v[:, j - 1]) * 2 ** j
+            assert 0.8 < band < 1.2, (j, band)      # ~sigma^2 = 1
+        # mask bookkeeping: counts = N - L_j + 1
+        mask, counts = _interior_masks("db4", 5, 2048)
+        L = 8
+        for j in range(1, 6):
+            lj = (2 ** j - 1) * (L - 1) + 1
+            assert counts[j - 1] == 2048 - lj + 1
+            assert mask[j - 1].sum() == counts[j - 1]
+        # span > N -> NaN
+        v = np.asarray(modwt_var(np.zeros(64, np.float32), "db8", 5,
+                                 unbiased=True))
+        assert np.isnan(v[-1])
+        c = np.asarray(modwt_corr(x[0], x[0], "db4", 5, unbiased=True))
+        np.testing.assert_allclose(c, 1.0, atol=1e-5)
