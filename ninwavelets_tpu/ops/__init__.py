@@ -24,8 +24,8 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            surrogate_pvalues, wpli_matrix,
                            wpli_matrix_from_bank)
 from .dwt import (imodwt, max_level, modwt, modwt_corr, modwt_cov,
-                  modwt_denoise, modwt_mra, modwt_var, pow2_pad, wavedec,
-                  waverec, wavelet_filter)
+                  modwt_denoise, modwt_mra, modwt_var, modwt_var_ci,
+                  pow2_pad, wavedec, waverec, wavelet_filter)
 from .wpt import (best_basis, best_basis_reconstruct, imodwpt, modwpt,
                   node_band)
 from .extensions import (bicoherence, bicoherence_from_banks, imcoh,
@@ -89,7 +89,7 @@ __all__ = [
     "ppc_matrix", "ppc_matrix_from_bank",
     "modwt", "imodwt", "modwt_mra", "modwt_var", "modwt_denoise",
     "wavelet_filter", "max_level", "wavedec", "waverec", "pow2_pad",
-    "modwt_cov", "modwt_corr",
+    "modwt_cov", "modwt_corr", "modwt_var_ci",
     "modwpt", "imodwpt", "best_basis", "best_basis_reconstruct",
     "node_band",
     "icwt_from_bank", "icwt_ri", "coverage",

@@ -43,7 +43,8 @@ import numpy as np
 
 __all__ = ["wavelet_filter", "modwt_bank", "modwt", "imodwt", "modwt_mra",
            "modwt_var", "modwt_denoise", "max_level",
-           "wavedec", "waverec", "pow2_pad", "modwt_cov", "modwt_corr"]
+           "wavedec", "waverec", "pow2_pad", "modwt_cov", "modwt_corr",
+           "modwt_var_ci"]
 
 
 # ----------------------------------------------------------------------------
@@ -470,3 +471,33 @@ def modwt_corr(x, y, wavelet: str = "db4", level: int | None = None,
     if eps:
         den = jnp.maximum(den, eps)
     return cov / den
+
+
+def modwt_var_ci(x, wavelet: str = "db4", level: int | None = None,
+                 p: float = 0.95):
+    """Unbiased wavelet variance with chi-square confidence intervals:
+    (..., N) -> ``(var, lo, hi)`` each (..., J).
+
+    Percival & Walden's EDOF-1 recipe (eq. 313): the level-j estimator
+    behaves as ``var * chi2_eta / eta`` with equivalent degrees of
+    freedom ``eta_j = max(M_j / 2^j, 1)`` (M_j boundary-free
+    coefficients, 2^j the within-scale decorrelation length), giving
+
+        ``CI = ( eta v / chi2_{(1+p)/2},  eta v / chi2_{(1-p)/2} )``.
+
+    The chi-square quantiles use the scipy-free Wilson–Hilferty cube
+    from ``ops.tc_stats`` (fractional DOF rounded to the nearest
+    integer, floored at 1).  Levels with no boundary-free coefficients
+    are NaN throughout."""
+    from .tc_stats import _chi2_ppf
+    v = modwt_var(x, wavelet, level, unbiased=True)
+    j_total = v.shape[-1]
+    _, counts = _interior_masks(wavelet, j_total,
+                                jnp.asarray(x).shape[-1])
+    lo = np.empty(j_total, np.float32)
+    hi = np.empty(j_total, np.float32)
+    for j in range(1, j_total + 1):
+        eta = max(int(round(counts[j - 1] / 2.0 ** j)), 1)
+        lo[j - 1] = eta / _chi2_ppf((1.0 + p) / 2.0, eta)
+        hi[j - 1] = eta / _chi2_ppf((1.0 - p) / 2.0, eta)
+    return v, v * jnp.asarray(lo), v * jnp.asarray(hi)

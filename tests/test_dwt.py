@@ -348,3 +348,16 @@ class TestIntegration:
         assert np.isnan(v[-1])
         c = np.asarray(modwt_corr(x[0], x[0], "db4", 5, unbiased=True))
         np.testing.assert_allclose(c, 1.0, atol=1e-5)
+
+    def test_variance_confidence_intervals(self):
+        """CI brackets the truth for white noise (~95% coverage checked
+        loosely over independent realizations), hi > var > lo > 0."""
+        from ninwavelets_tpu.ops.dwt import modwt_var_ci
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal((40, 2048)).astype(np.float32)
+        v, lo, hi = (np.asarray(a) for a in modwt_var_ci(x, "db4", 4))
+        assert v.shape == lo.shape == hi.shape == (40, 4)
+        assert np.all(lo < v) and np.all(v < hi) and np.all(lo > 0)
+        truth = 1.0 / 2.0 ** np.arange(1, 5)        # sigma^2 / 2^j
+        cover = ((lo <= truth) & (truth <= hi)).mean(0)
+        assert np.all(cover > 0.75), cover          # loose 95% gate
