@@ -23,6 +23,11 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            ppc_from_bank, ppc_matrix, ppc_matrix_from_bank,
                            surrogate_pvalues, wpli_matrix,
                            wpli_matrix_from_bank)
+from .cluster import (ClusterResult, cluster_mass, cluster_test_independent,
+                      cluster_test_one_sample, cluster_test_paired,
+                      label_components, max_stat_test_independent,
+                      max_stat_test_one_sample, t_independent, t_one_sample,
+                      t_threshold)
 from .dwt import (imodwt, max_level, modwt, modwt_corr, modwt_cov,
                   modwt_denoise, modwt_mra, modwt_var, modwt_var_ci,
                   pow2_pad, wavedec, waverec, wavelet_filter)
@@ -40,6 +45,8 @@ from .fused import (fused_itc, fused_itc_from_bank, fused_mean_power,
 from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
                     reverse_timeline, wavelet_timeline)
 from .denoise import denoise, denoise_from_bank
+from .multitaper import (multitaper_banks, multitaper_mean_power,
+                         multitaper_power, multitaper_power_from_banks)
 from .icwt import coverage, icwt_from_bank, icwt_ri
 from .ridge import (extract_modes, extract_modes_ri, extract_ridge,
                     ridge_frequencies)
@@ -58,7 +65,7 @@ from .signal_utils import (MNE_CONSTANT, SizeError, hamming_window,
 from .spectra import (MEXICAN_HAT_PEAK_FREQ, haar_time, mexican_hat_time,
                       morlet_norm_constants, morlet_peak_freq,
                       morlet_spectrum, morlet_time, morse_spectrum,
-                      shannon_spectrum)
+                      morse_taper_spectrum, shannon_spectrum)
 
 __all__ = [
     "WaveletDef", "WaveletMode", "make_fft_bank", "make_fft_bank_ri",
@@ -87,6 +94,10 @@ __all__ = [
     "ppc", "ppc_auto", "ppc_from_bank",
     "wpli_matrix", "wpli_matrix_from_bank",
     "ppc_matrix", "ppc_matrix_from_bank",
+    "ClusterResult", "cluster_mass", "cluster_test_independent",
+    "cluster_test_one_sample", "cluster_test_paired", "label_components",
+    "max_stat_test_independent", "max_stat_test_one_sample",
+    "t_independent", "t_one_sample", "t_threshold",
     "modwt", "imodwt", "modwt_mra", "modwt_var", "modwt_denoise",
     "wavelet_filter", "max_level", "wavedec", "waverec", "pow2_pad",
     "modwt_cov", "modwt_corr", "modwt_var_ci",
@@ -111,5 +122,8 @@ __all__ = [
     "normalize", "pad_to",
     "MEXICAN_HAT_PEAK_FREQ", "haar_time", "mexican_hat_time",
     "morlet_norm_constants", "morlet_peak_freq", "morlet_spectrum",
-    "morlet_time", "morse_spectrum", "shannon_spectrum",
+    "morlet_time", "morse_spectrum", "morse_taper_spectrum",
+    "shannon_spectrum",
+    "multitaper_banks", "multitaper_mean_power", "multitaper_power",
+    "multitaper_power_from_banks",
 ]

@@ -1,0 +1,514 @@
+"""Cluster-based permutation inference on time-frequency planes
+(Maris & Oostenveld 2007, J Neurosci Methods 164:177) plus the
+max-statistic (Nichols & Holmes) correction.
+
+No reference counterpart (the reference stops at descriptive TFRs); this
+is the standard nonparametric family-wise-error control every EEG/MEG
+power analysis applies before claiming a condition effect, built here for
+the engine's (epoch, F, N) single-trial planes.
+
+Design notes (TPU):
+* the ENTIRE permutation bank of t-maps is matmul work on the MXU: a
+  sign-flip (one-sample / paired) null needs only ``sum_e s_pe * x_e`` —
+  one (P, E) @ (E, F*N) contraction per chunk (the sum of squares is
+  sign-invariant); an independent two-sample null contracts {0,1} group
+  indicators against x and x**2 (two matmuls);
+* permutations stream through ``lax.scan`` in fixed-size chunks so HBM
+  holds only ``chunk`' t-maps at a time, while each chunk is still one
+  MXU-sized contraction;
+* connected components batch over the chunk as a fixed-point min-label
+  relaxation: 4-neighbor minimum + pointer jumping (label <- label of
+  label) inside ``lax.while_loop`` — the pointer jump compresses paths,
+  so convergence is ~O(log diameter) sweeps of cheap VPU shifts;
+* cluster masses are one scatter-add per map into an (F*N + 1,) bin
+  table (the sentinel bin collects sub-threshold pixels); only the
+  per-permutation MAX mass survives, so the null leaves the device as a
+  single (P,) vector.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    "t_one_sample", "t_independent", "label_components", "cluster_mass",
+    "cluster_test_one_sample", "cluster_test_paired",
+    "cluster_test_independent", "max_stat_test_one_sample",
+    "max_stat_test_independent", "t_threshold", "ClusterResult",
+]
+
+_CHUNK = 64  # permutations per scan step: one MXU batch, bounded HBM
+
+
+def t_threshold(alpha: float, dof: int) -> float:
+    """Two-sided Student-t critical value ``t`` with ``P(|T| > t) = alpha``.
+
+    Exact via scipy when available (scipy is a reference dependency,
+    ``setup.py:6``); otherwise the Cornish-Fisher expansion of the normal
+    quantile in 1/dof (relative error < 1e-3 for dof >= 8).
+    """
+    p = 1.0 - alpha / 2.0
+    try:
+        from scipy.stats import t as _t
+        return float(_t.ppf(p, dof))
+    except Exception:  # pragma: no cover - scipy is normally present
+        from statistics import NormalDist
+        z = NormalDist().inv_cdf(p)
+        g1 = (z ** 3 + z) / 4.0
+        g2 = (5 * z ** 5 + 16 * z ** 3 + 3 * z) / 96.0
+        return z + g1 / dof + g2 / dof ** 2
+
+
+# ---------------------------------------------------------------------------
+# t statistics from matmul-friendly moments
+# ---------------------------------------------------------------------------
+
+def _t_from_sign_sums(s1: jnp.ndarray, s2: jnp.ndarray,
+                      n: int) -> jnp.ndarray:
+    """One-sample t from the signed sum ``s1`` and the (sign-invariant)
+    sum of squares ``s2``: ``mean / sqrt(var / n)``.  Zero-variance pixels
+    get t = 0 (no evidence, never +-inf)."""
+    mean = s1 / n
+    var = (s2 - n * mean * mean) / (n - 1)
+    denom = jnp.sqrt(jnp.maximum(var, 0.0) / n)
+    return jnp.where(denom > 0, mean / jnp.where(denom > 0, denom, 1.0), 0.0)
+
+
+def t_one_sample(x: jnp.ndarray) -> jnp.ndarray:
+    """Pixelwise one-sample t of ``x`` (E, ...) against mean zero —
+    matches ``scipy.stats.ttest_1samp(x, 0)``."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    return _t_from_sign_sums(jnp.sum(x, 0), jnp.sum(x * x, 0), n)
+
+
+def _t_pooled(s1a, s2a, s1_tot, s2_tot, na: int, nb: int) -> jnp.ndarray:
+    """Pooled-variance independent-samples t from group-A sums and the
+    (permutation-invariant) totals — matches ``scipy.stats.ttest_ind``
+    with ``equal_var=True``."""
+    ma = s1a / na
+    mb = (s1_tot - s1a) / nb
+    ssa = s2a - na * ma * ma
+    ssb = (s2_tot - s2a) - nb * mb * mb
+    sp2 = jnp.maximum(ssa + ssb, 0.0) / (na + nb - 2)
+    denom = jnp.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+    return jnp.where(denom > 0, (ma - mb) / jnp.where(denom > 0, denom, 1.0),
+                     0.0)
+
+
+def t_independent(xa: jnp.ndarray, xb: jnp.ndarray) -> jnp.ndarray:
+    """Pixelwise pooled-variance two-sample t of (Ea, ...) vs (Eb, ...)."""
+    xa = jnp.asarray(xa, jnp.float32)
+    xb = jnp.asarray(xb, jnp.float32)
+    na, nb = xa.shape[0], xb.shape[0]
+    s1a, s2a = jnp.sum(xa, 0), jnp.sum(xa * xa, 0)
+    s1t = s1a + jnp.sum(xb, 0)
+    s2t = s2a + jnp.sum(xb * xb, 0)
+    return _t_pooled(s1a, s2a, s1t, s2t, na, nb)
+
+
+# ---------------------------------------------------------------------------
+# connected components + cluster mass (batched over leading axes)
+# ---------------------------------------------------------------------------
+
+def label_components(mask: jnp.ndarray) -> jnp.ndarray:
+    """4-connected component labels of a boolean (..., F, N) mask.
+
+    Each True pixel gets the MINIMUM flat index of its component; False
+    pixels get the sentinel ``F*N``.  Batched over all leading axes.
+
+    Fixed-point iteration: each sweep takes the minimum over the
+    4-neighborhood, then compresses paths by one pointer jump
+    (label <- label[label]), so long snakes converge in ~log(diameter)
+    sweeps instead of diameter.
+    """
+    mask = jnp.asarray(mask, bool)
+    f, n = mask.shape[-2], mask.shape[-1]
+    fn = f * n
+    sentinel = jnp.int32(fn)
+    idx = jnp.arange(fn, dtype=jnp.int32).reshape(f, n)
+    lab0 = jnp.where(mask, idx, sentinel)
+
+    big = sentinel  # > any real label, safe pad for the neighbor minimum
+
+    def neighbor_min(lab):
+        up = jnp.concatenate([lab[..., 1:, :],
+                              jnp.full_like(lab[..., :1, :], big)], -2)
+        dn = jnp.concatenate([jnp.full_like(lab[..., :1, :], big),
+                              lab[..., :-1, :]], -2)
+        lf = jnp.concatenate([lab[..., :, 1:],
+                              jnp.full_like(lab[..., :, :1], big)], -1)
+        rt = jnp.concatenate([jnp.full_like(lab[..., :, :1], big),
+                              lab[..., :, :-1]], -1)
+        return jnp.minimum(jnp.minimum(up, dn), jnp.minimum(lf, rt))
+
+    def jump(lab):
+        flat = lab.reshape(*lab.shape[:-2], fn)
+        padded = jnp.concatenate(
+            [flat, jnp.full((*flat.shape[:-1], 1), sentinel, flat.dtype)],
+            -1)
+        jumped = jnp.take_along_axis(padded, flat, axis=-1)
+        return jumped.reshape(lab.shape)
+
+    def body(state):
+        lab, _ = state
+        new = jnp.where(mask, jnp.minimum(lab, neighbor_min(lab)), sentinel)
+        new = jnp.where(mask, jump(new), sentinel)
+        return new, jnp.any(new != lab)
+
+    def cond(state):
+        return state[1]
+
+    # One mandatory sweep BEFORE the while_loop so the carried "changed"
+    # flag is derived from the data: under shard_map a literal True would
+    # be unvarying while the body's output is varying, and the loop would
+    # reject the carry (the lax.pcast gotcha).
+    lab, _ = lax.while_loop(cond, body, body((lab0, jnp.bool_(True))))
+    return lab
+
+
+def _mass_bins(vals: jnp.ndarray, labels: jnp.ndarray, fn: int):
+    """Scatter-add ``vals`` by component label into (..., fn + 1) bins
+    (sentinel pixels land in the trailing garbage bin)."""
+    flat_v = vals.reshape(*vals.shape[:-2], fn)
+    flat_l = labels.reshape(*labels.shape[:-2], fn)
+    batch = flat_v.shape[:-1]
+    bins = jnp.zeros((*batch, fn + 1), flat_v.dtype)
+    if batch:
+        b = int(np.prod(batch))
+        bins = bins.reshape(b, fn + 1).at[
+            jnp.arange(b)[:, None],
+            flat_l.reshape(b, fn)].add(flat_v.reshape(b, fn))
+        return bins.reshape(*batch, fn + 1)
+    return bins.at[flat_l].add(flat_v)
+
+
+def cluster_mass(tmap: jnp.ndarray, threshold: float):
+    """Two-sided cluster decomposition of a (..., F, N) t-map.
+
+    Positive (t > thr) and negative (t < -thr) excursions are clustered
+    SEPARATELY (same-sign pixels only, the Maris-Oostenveld convention);
+    mass = sum of |t| over the component.  Returns
+    ``(pos_labels, neg_labels, pos_bins, neg_bins, max_mass)`` where the
+    bins are per-component masses indexed by root label and ``max_mass``
+    is the per-map maximum over BOTH signs (the null statistic).
+    """
+    fn = tmap.shape[-2] * tmap.shape[-1]
+    pos_l = label_components(tmap > threshold)
+    neg_l = label_components(tmap < -threshold)
+    pos_b = _mass_bins(jnp.where(tmap > threshold, tmap, 0.0), pos_l, fn)
+    neg_b = _mass_bins(jnp.where(tmap < -threshold, -tmap, 0.0), neg_l, fn)
+    max_mass = jnp.maximum(jnp.max(pos_b[..., :fn], -1),
+                           jnp.max(neg_b[..., :fn], -1))
+    return pos_l, neg_l, pos_b, neg_b, max_mass
+
+
+# ---------------------------------------------------------------------------
+# permutation nulls (scan over fixed-size chunks of the MXU contraction)
+# ---------------------------------------------------------------------------
+
+def _pad_perms(n_perm: int, chunk: int) -> int:
+    return -(-n_perm // chunk)
+
+
+def _null_scan(per_chunk, n_chunks: int, n_perm: int):
+    """Run ``per_chunk(chunk_index) -> (chunk,) max masses`` over all
+    chunks with ``lax.scan`` and trim the padding tail."""
+    def step(_, k):
+        return 0, per_chunk(k)
+
+    _, out = lax.scan(step, 0, jnp.arange(n_chunks))
+    return out.reshape(-1)[:n_perm]
+
+
+def sign_chunk_max_mass(signs: jnp.ndarray, xf: jnp.ndarray,
+                        s2: jnp.ndarray, n_obs: int, threshold: float,
+                        f: int, n: int) -> jnp.ndarray:
+    """Max cluster mass of every sign-flip t-map in one chunk: the
+    (chunk, E) @ (E, F*N) MXU contraction + clustering.  Shared by the
+    single-device scan and the mesh-sharded null."""
+    t = _t_from_sign_sums(signs @ xf, s2, n_obs).reshape(-1, f, n)
+    return cluster_mass(t, threshold)[4]
+
+
+def relabel_chunk_max_mass(ind: jnp.ndarray, xf: jnp.ndarray,
+                           x2f: jnp.ndarray, s1t: jnp.ndarray,
+                           s2t: jnp.ndarray, na: int, nb: int,
+                           threshold: float, f: int, n: int) -> jnp.ndarray:
+    """Max cluster mass of every relabeling t-map in one chunk (two
+    indicator matmuls).  Shared with the mesh-sharded null."""
+    t = _t_pooled(ind @ xf, ind @ x2f, s1t, s2t, na, nb).reshape(-1, f, n)
+    return cluster_mass(t, threshold)[4]
+
+
+def sign_draws(key, n_perm: int, n_obs: int,
+               chunk: int = _CHUNK) -> jnp.ndarray:
+    """(n_chunks, chunk, E) rademacher sign draws — the canonical draw
+    both the single-device and the sharded null consume, so the two
+    paths produce IDENTICAL permutation sets for a given key."""
+    n_chunks = _pad_perms(n_perm, chunk)
+    return jax.random.rademacher(
+        key, (n_chunks * chunk, n_obs), jnp.float32
+    ).reshape(n_chunks, chunk, n_obs)
+
+
+def relabel_draws(key, n_perm: int, n_obs: int, na: int,
+                  chunk: int = _CHUNK) -> jnp.ndarray:
+    """(n_chunks, chunk, E) {0,1} group-A indicator draws (canonical for
+    both the single-device and the sharded null)."""
+    n_chunks = _pad_perms(n_perm, chunk)
+    total = n_chunks * chunk
+    keys = jax.random.split(key, total)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, n_obs))(keys)
+    ind = jnp.zeros((total, n_obs), jnp.float32).at[
+        jnp.arange(total)[:, None], perms[:, :na]].set(1.0)
+    return ind.reshape(n_chunks, chunk, n_obs)
+
+
+@partial(jax.jit, static_argnames=("n_perm", "threshold", "chunk"))
+def _sign_flip_null(x: jnp.ndarray, key, *, n_perm: int, threshold: float,
+                    chunk: int = _CHUNK) -> jnp.ndarray:
+    """(P,) null of max cluster masses under epoch sign flips.
+
+    ``x`` is (E, F, N); each chunk's t-maps come from ONE
+    (chunk, E) @ (E, F*N) matmul — the sum of squares is shared.
+    """
+    e, f, n = x.shape
+    xf = x.reshape(e, f * n)
+    s2 = jnp.sum(xf * xf, 0)  # sign-invariant
+    n_chunks = _pad_perms(n_perm, chunk)
+    signs = sign_draws(key, n_perm, e, chunk)
+
+    def per_chunk(k):
+        return sign_chunk_max_mass(signs[k], xf, s2, e, threshold, f, n)
+
+    return _null_scan(per_chunk, n_chunks, n_perm)
+
+
+@partial(jax.jit, static_argnames=("n_perm", "threshold", "na", "chunk"))
+def _relabel_null(x: jnp.ndarray, key, *, n_perm: int, threshold: float,
+                  na: int, chunk: int = _CHUNK) -> jnp.ndarray:
+    """(P,) null of max cluster masses under label permutations of the
+    concatenated (E, F, N) stack (first ``na`` = group A).
+
+    Group-A sums/squares under every relabeling are TWO indicator
+    matmuls per chunk; the totals are permutation-invariant.
+    """
+    e, f, n = x.shape
+    nb = e - na
+    xf = x.reshape(e, f * n)
+    x2f = xf * xf
+    s1t = jnp.sum(xf, 0)
+    s2t = jnp.sum(x2f, 0)
+    n_chunks = _pad_perms(n_perm, chunk)
+    ind = relabel_draws(key, n_perm, e, na, chunk)
+
+    def per_chunk(k):
+        return relabel_chunk_max_mass(ind[k], xf, x2f, s1t, s2t, na, nb,
+                                      threshold, f, n)
+
+    return _null_scan(per_chunk, n_chunks, n_perm)
+
+
+# ---------------------------------------------------------------------------
+# observed decomposition + results
+# ---------------------------------------------------------------------------
+
+class ClusterResult(NamedTuple):
+    """Outcome of a cluster permutation test on an (F, N) plane.
+
+    ``p_map`` holds, at every suprathreshold pixel, the corrected p-value
+    of the cluster containing it (1.0 elsewhere); ``mass_map`` the SIGNED
+    mass of that cluster; ``clusters`` a host-side list of
+    ``{"sign", "mass", "size", "p"}`` dicts sorted by p; ``null_max`` the
+    (P,) permutation distribution of the max cluster mass.
+    """
+    t_obs: np.ndarray
+    threshold: float
+    p_map: np.ndarray
+    mass_map: np.ndarray
+    null_max: np.ndarray
+    clusters: list
+
+
+@partial(jax.jit, static_argnames=("threshold",))
+def _observed_maps(t_obs: jnp.ndarray, null_max: jnp.ndarray,
+                   *, threshold: float):
+    """Per-pixel corrected p and signed mass maps of the observed t-map
+    against the permutation null (the +1/(P+1) convention counts the
+    observed arrangement as one permutation)."""
+    f, n = t_obs.shape
+    fn = f * n
+    pos_l, neg_l, pos_b, neg_b, _ = cluster_mass(t_obs, threshold)
+    pos_mass = jnp.take(pos_b, pos_l.reshape(fn)).reshape(f, n)
+    neg_mass = jnp.take(neg_b, neg_l.reshape(fn)).reshape(f, n)
+    mass_map = jnp.where(pos_l < fn, pos_mass, 0.0) \
+        - jnp.where(neg_l < fn, neg_mass, 0.0)
+    abs_mass = jnp.abs(mass_map)
+    p = jnp.float32(null_max.shape[0] + 1)
+    counts = jnp.sum(null_max[None, None, :] >= abs_mass[..., None], -1)
+    p_map = jnp.where(abs_mass > 0, (counts + 1.0) / p, 1.0)
+    return p_map, mass_map, pos_l, neg_l
+
+
+def _finish(t_obs, null_max, threshold: float) -> ClusterResult:
+    p_map, mass_map, pos_l, neg_l = _observed_maps(
+        t_obs, null_max, threshold=float(threshold))
+    t_h = np.asarray(t_obs)
+    p_h = np.asarray(p_map)
+    m_h = np.asarray(mass_map)
+    clusters = []
+    fn = t_h.size
+    for labels, sign in ((np.asarray(pos_l), 1), (np.asarray(neg_l), -1)):
+        for root in np.unique(labels[labels < fn]):
+            sel = labels == root
+            clusters.append({
+                "sign": sign,
+                "mass": float(abs(m_h[sel].flat[0])),
+                "size": int(sel.sum()),
+                "p": float(p_h[sel].flat[0]),
+            })
+    clusters.sort(key=lambda c: (c["p"], -c["mass"]))
+    return ClusterResult(t_h, float(threshold), p_h, m_h,
+                         np.asarray(null_max), clusters)
+
+
+def _resolve_threshold(threshold, alpha, dof) -> float:
+    if threshold is not None:
+        return float(threshold)
+    return t_threshold(alpha, dof)
+
+
+def cluster_test_one_sample(x, n_perm: int = 999,
+                            threshold: Optional[float] = None,
+                            alpha: float = 0.05,
+                            seed: int = 0,
+                            null_max: Optional[jnp.ndarray] = None
+                            ) -> ClusterResult:
+    """Cluster permutation test of ``mean(x) != 0`` over (E, F, N)
+    single-trial planes, with epoch sign flips as the exchangeable null
+    (valid when each trial's map is symmetric about 0 under H0 — e.g.
+    baseline-corrected power or a paired difference).
+
+    ``threshold`` defaults to the two-sided t critical value at ``alpha``
+    with E-1 degrees of freedom.  ``null_max`` lets a precomputed
+    (sharded) null be reused.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 3:
+        raise ValueError("expected (epochs, F, N), got %s" % (x.shape,))
+    if x.shape[0] < 2:
+        raise ValueError("need at least 2 epochs")
+    thr = _resolve_threshold(threshold, alpha, x.shape[0] - 1)
+    if null_max is None:
+        null_max = _sign_flip_null(x, jax.random.PRNGKey(seed),
+                                   n_perm=n_perm, threshold=thr)
+    return _finish(t_one_sample(x), null_max, thr)
+
+
+def cluster_test_paired(xa, xb, **kw) -> ClusterResult:
+    """Paired-samples cluster test: the one-sample sign-flip test on the
+    per-epoch difference ``xa - xb`` (epochs must correspond)."""
+    xa = jnp.asarray(xa, jnp.float32)
+    xb = jnp.asarray(xb, jnp.float32)
+    if xa.shape != xb.shape:
+        raise ValueError("paired conditions must have equal shapes")
+    return cluster_test_one_sample(xa - xb, **kw)
+
+
+def cluster_test_independent(xa, xb, n_perm: int = 999,
+                             threshold: Optional[float] = None,
+                             alpha: float = 0.05,
+                             seed: int = 0,
+                             null_max: Optional[jnp.ndarray] = None
+                             ) -> ClusterResult:
+    """Cluster permutation test of equal means between independent trial
+    groups (Ea, F, N) vs (Eb, F, N): pooled-variance t, condition labels
+    permuted across the concatenated stack."""
+    xa = jnp.asarray(xa, jnp.float32)
+    xb = jnp.asarray(xb, jnp.float32)
+    if xa.ndim != 3 or xb.ndim != 3 or xa.shape[1:] != xb.shape[1:]:
+        raise ValueError("expected (Ea, F, N) and (Eb, F, N) with matching "
+                         "planes, got %s and %s" % (xa.shape, xb.shape))
+    na, nb = xa.shape[0], xb.shape[0]
+    if na < 2 or nb < 2:
+        raise ValueError("need at least 2 epochs per group")
+    thr = _resolve_threshold(threshold, alpha, na + nb - 2)
+    if null_max is None:
+        null_max = _relabel_null(jnp.concatenate([xa, xb], 0),
+                                 jax.random.PRNGKey(seed),
+                                 n_perm=n_perm, threshold=thr, na=na)
+    return _finish(t_independent(xa, xb), null_max, thr)
+
+
+# ---------------------------------------------------------------------------
+# max-statistic correction (no clustering — exact pixelwise FWER)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_perm", "chunk"))
+def _sign_flip_maxt(x, key, *, n_perm: int, chunk: int = _CHUNK):
+    e, f, n = x.shape
+    xf = x.reshape(e, f * n)
+    s2 = jnp.sum(xf * xf, 0)
+    n_chunks = _pad_perms(n_perm, chunk)
+    signs = jax.random.rademacher(
+        key, (n_chunks * chunk, e), jnp.float32).reshape(n_chunks, chunk, e)
+
+    def per_chunk(k):
+        t = _t_from_sign_sums(signs[k] @ xf, s2, e)
+        return jnp.max(jnp.abs(t), -1)
+
+    return _null_scan(per_chunk, n_chunks, n_perm)
+
+
+@partial(jax.jit, static_argnames=("n_perm", "na", "chunk"))
+def _relabel_maxt(x, key, *, n_perm: int, na: int, chunk: int = _CHUNK):
+    e = x.shape[0]
+    nb = e - na
+    xf = x.reshape(e, -1)
+    x2f = xf * xf
+    s1t, s2t = jnp.sum(xf, 0), jnp.sum(x2f, 0)
+    n_chunks = _pad_perms(n_perm, chunk)
+    total = n_chunks * chunk
+    keys = jax.random.split(key, total)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, e))(keys)
+    ind = jnp.zeros((total, e), jnp.float32).at[
+        jnp.arange(total)[:, None], perms[:, :na]].set(1.0)
+    ind = ind.reshape(n_chunks, chunk, e)
+
+    def per_chunk(k):
+        t = _t_pooled(ind[k] @ xf, ind[k] @ x2f, s1t, s2t, na, nb)
+        return jnp.max(jnp.abs(t), -1)
+
+    return _null_scan(per_chunk, n_chunks, n_perm)
+
+
+def _maxt_pmap(t_obs, null):
+    p = (jnp.sum(null[None, None, :]
+                 >= jnp.abs(t_obs)[..., None], -1) + 1.0) / (len(null) + 1.0)
+    return np.asarray(t_obs), np.asarray(p)
+
+
+def max_stat_test_one_sample(x, n_perm: int = 999, seed: int = 0):
+    """(t_map, p_map) under the max-|t| sign-flip null — strong pixelwise
+    FWER control with zero clustering (conservative for smooth effects,
+    exact for focal ones)."""
+    x = jnp.asarray(x, jnp.float32)
+    null = _sign_flip_maxt(x, jax.random.PRNGKey(seed), n_perm=n_perm)
+    return _maxt_pmap(t_one_sample(x), null)
+
+
+def max_stat_test_independent(xa, xb, n_perm: int = 999, seed: int = 0):
+    """(t_map, p_map) under the max-|t| relabeling null for independent
+    groups."""
+    xa = jnp.asarray(xa, jnp.float32)
+    xb = jnp.asarray(xb, jnp.float32)
+    null = _relabel_maxt(jnp.concatenate([xa, xb], 0),
+                         jax.random.PRNGKey(seed), n_perm=n_perm,
+                         na=xa.shape[0])
+    return _maxt_pmap(t_independent(xa, xb), null)

@@ -14,7 +14,10 @@ from .chunked import (chunk_bank, chunked_abs, chunked_cwt_ri,
                       halo_samples, pow2_halo)
 from .mesh import (DATA_AXIS, FREQ_AXIS, TIME_AXIS, auto_mesh, flat_mesh,
                    init_multihost, make_mesh, pad_to_multiple, shard_batch)
-from .sharded import (sharded_coherence, sharded_coherence_matrix,
+from .sharded import (sharded_cluster_null,
+                      sharded_cluster_test_independent,
+                      sharded_cluster_test_one_sample,
+                      sharded_coherence, sharded_coherence_matrix,
                       sharded_fused_coherence,
                       sharded_fused_power_itc,
                       sharded_cross_power, sharded_cwt_ri,
@@ -40,6 +43,8 @@ __all__ = [
     "sharded_pac", "sharded_mean_power_grad", "sharded_nm_plv",
     "sharded_phase_lag", "sharded_fused_phase_lag", "sharded_ppc",
     "sharded_imcoh", "sharded_modwt",
+    "sharded_cluster_null", "sharded_cluster_test_one_sample",
+    "sharded_cluster_test_independent",
     "sharded_superlet_mean_power",
     "distributed_mean_power", "distributed_itc",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",

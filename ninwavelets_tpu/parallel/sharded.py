@@ -778,3 +778,95 @@ def sharded_fused_power_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
     return _shard_call_novma(mesh, local, P(DATA_AXIS),
                              (out_spec, out_spec), signals_r, bank_r,
                              bank_i)
+
+
+@partial(jax.jit, static_argnames=("mesh", "n_perm", "threshold", "na",
+                                   "chunk"))
+def sharded_cluster_null(x, key, *, mesh: Mesh, n_perm: int,
+                         threshold: float, na=None, chunk: int = 64):
+    """Permutation null of max cluster masses over the mesh: (P,).
+
+    Permutations are embarrassingly parallel, so the DRAW (the canonical
+    ``ops.cluster.sign_draws`` / ``relabel_draws`` for the given key — the
+    same sequence the single-device null consumes) shards its chunk axis
+    over ``data`` while the (E, F, N) trial stack replicates; each shard
+    scans its local chunks through the shared chunk kernels.  Mesh result
+    == single-device ``ops.cluster._sign_flip_null`` / ``_relabel_null``
+    for the same key, bit for bit.  ``na=None`` selects the one-sample
+    sign-flip null; ``na=k`` the independent-groups relabeling null with
+    the first k trials as group A.
+    """
+    from ..ops.cluster import (_pad_perms, relabel_chunk_max_mass,
+                               relabel_draws, sign_chunk_max_mass,
+                               sign_draws)
+    x = jnp.asarray(x, jnp.float32)
+    e, f, n = x.shape
+    xf = x.reshape(e, f * n)
+    n_chunks = _pad_perms(n_perm, chunk)
+    d = mesh.shape[DATA_AXIS]
+    pad_chunks = -(-n_chunks // d) * d
+    if na is None:
+        draws = sign_draws(key, n_perm, e, chunk)
+        aux = (jnp.sum(xf * xf, 0),)
+
+        def chunk_fn(dchunk, xf_, aux_):
+            return sign_chunk_max_mass(dchunk, xf_, aux_[0], e, threshold,
+                                       f, n)
+    else:
+        nb = e - na
+        draws = relabel_draws(key, n_perm, e, na, chunk)
+        x2f = xf * xf
+        aux = (x2f, jnp.sum(xf, 0), jnp.sum(x2f, 0))
+
+        def chunk_fn(dchunk, xf_, aux_):
+            return relabel_chunk_max_mass(dchunk, xf_, aux_[0], aux_[1],
+                                          aux_[2], na, nb, threshold, f, n)
+    if pad_chunks != n_chunks:
+        reps = jnp.broadcast_to(draws[:1],
+                                (pad_chunks - n_chunks, chunk, e))
+        draws = jnp.concatenate([draws, reps], 0)
+
+    def local(dr, xf_, *aux_):
+        def step(c, dchunk):
+            return c, chunk_fn(dchunk, xf_, aux_)
+
+        _, out = lax.scan(step, 0, dr)
+        return out
+
+    aux_specs = tuple(P(*([None] * a.ndim)) for a in aux)
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(None, None)) + aux_specs,
+        out_specs=P(DATA_AXIS, None))(draws, xf, *aux)
+    return out.reshape(-1)[:n_perm]
+
+
+def sharded_cluster_test_one_sample(x, *, mesh: Mesh, n_perm: int = 999,
+                                    threshold=None, alpha: float = 0.05,
+                                    seed: int = 0):
+    """``ops.cluster.cluster_test_one_sample`` with the permutation null
+    computed over the mesh (same key -> same result as single-device)."""
+    from ..ops.cluster import (cluster_test_one_sample, t_threshold)
+    x = jnp.asarray(x, jnp.float32)
+    thr = float(threshold) if threshold is not None else t_threshold(
+        alpha, x.shape[0] - 1)
+    null = sharded_cluster_null(x, jax.random.PRNGKey(seed), mesh=mesh,
+                                n_perm=n_perm, threshold=thr)
+    return cluster_test_one_sample(x, threshold=thr, null_max=null)
+
+
+def sharded_cluster_test_independent(xa, xb, *, mesh: Mesh,
+                                     n_perm: int = 999, threshold=None,
+                                     alpha: float = 0.05, seed: int = 0):
+    """``ops.cluster.cluster_test_independent`` with the relabeling null
+    computed over the mesh."""
+    from ..ops.cluster import (cluster_test_independent, t_threshold)
+    xa = jnp.asarray(xa, jnp.float32)
+    xb = jnp.asarray(xb, jnp.float32)
+    na = xa.shape[0]
+    thr = float(threshold) if threshold is not None else t_threshold(
+        alpha, na + xb.shape[0] - 2)
+    null = sharded_cluster_null(jnp.concatenate([xa, xb], 0),
+                                jax.random.PRNGKey(seed), mesh=mesh,
+                                n_perm=n_perm, threshold=thr, na=na)
+    return cluster_test_independent(xa, xb, threshold=thr, null_max=null)

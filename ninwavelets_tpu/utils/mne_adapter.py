@@ -275,6 +275,80 @@ class EpochsWavelet:
         return self._post(tf, self.wavelet.sfreq, baseline,
                           baseline_method, decim)
 
+    def single_trial_power(self, ch_name: str, freqs: Numbers,
+                           baseline=None, baseline_method: str = "zscore",
+                           decim: int = 1) -> jnp.ndarray:
+        """(E, F, N) per-epoch power planes — the single-trial input of
+        the cluster permutation tests (extension; the reference only
+        exposes the epoch MEAN, ``mneutils.py:53-55``)."""
+        from ..ops.cwt import power as _power
+        waves = self._channel_data(ch_name)
+        bank = self._bank_for(waves, freqs)
+        tf = _power(waves[:, None, :], bank[0], bank[1],
+                    interpolate=self.wavelet.interpolate)[:, 0]
+        return self._post(tf, self.wavelet.sfreq, baseline,
+                          baseline_method, decim)
+
+    def cluster_test(self, ch_name: str, freqs: Numbers, other=None, *,
+                     paired: bool = False, baseline=None,
+                     baseline_method: str = "zscore", decim: int = 1,
+                     n_perm: int = 999, threshold=None, alpha: float = 0.05,
+                     seed: int = 0, mesh=None):
+        """Cluster-based permutation test (Maris & Oostenveld 2007) on
+        this channel's single-trial power planes (extension —
+        ``ops.cluster``).
+
+        ``other=None`` runs the one-sample sign-flip test of the
+        baseline-corrected power against zero (``baseline`` is REQUIRED:
+        raw power has no meaningful zero).  ``other`` may be another
+        ``EpochsWavelet`` (same channel/freqs computed there) or a
+        precomputed (E, F, N) array; ``paired=True`` tests the per-epoch
+        difference, else the independent-groups relabeling null.
+        ``mesh`` shards the permutation null over its ``data`` axis
+        (same seed -> identical result to the single-device path).
+        """
+        from ..ops import cluster as _cl
+        x = self.single_trial_power(ch_name, freqs, baseline,
+                                    baseline_method, decim)
+        if other is None:
+            if baseline is None:
+                raise ValueError(
+                    "one-sample cluster test needs baseline=(start, stop) "
+                    "so zero is the null hypothesis for the trial planes")
+            if mesh is not None:
+                from ..parallel.sharded import \
+                    sharded_cluster_test_one_sample
+                return sharded_cluster_test_one_sample(
+                    x, mesh=mesh, n_perm=n_perm, threshold=threshold,
+                    alpha=alpha, seed=seed)
+            return _cl.cluster_test_one_sample(
+                x, n_perm=n_perm, threshold=threshold, alpha=alpha,
+                seed=seed)
+        if isinstance(other, EpochsWavelet):
+            y = other.single_trial_power(ch_name, freqs, baseline,
+                                         baseline_method, decim)
+        else:
+            y = jnp.asarray(other, jnp.float32)
+        if paired:
+            if mesh is not None:
+                from ..parallel.sharded import \
+                    sharded_cluster_test_one_sample
+                return sharded_cluster_test_one_sample(
+                    x - y, mesh=mesh, n_perm=n_perm, threshold=threshold,
+                    alpha=alpha, seed=seed)
+            return _cl.cluster_test_paired(
+                x, y, n_perm=n_perm, threshold=threshold, alpha=alpha,
+                seed=seed)
+        if mesh is not None:
+            from ..parallel.sharded import \
+                sharded_cluster_test_independent
+            return sharded_cluster_test_independent(
+                x, y, mesh=mesh, n_perm=n_perm, threshold=threshold,
+                alpha=alpha, seed=seed)
+        return _cl.cluster_test_independent(
+            x, y, n_perm=n_perm, threshold=threshold, alpha=alpha,
+            seed=seed)
+
     # -- connectivity extensions ------------------------------------------
 
     def _conn_bank(self, n: int, freqs: Numbers, need_phase: bool = True):

@@ -1,0 +1,337 @@
+"""Cluster-based permutation statistics (`ops/cluster.py`) against
+scipy/numpy oracles: t statistics vs scipy.stats, connected components vs
+scipy.ndimage.label, and the permutation null against a literal numpy
+re-computation driven by the SAME sign/permutation draws."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import ndimage, stats
+
+from ninwavelets_tpu.ops import cluster as cl
+
+RNG = np.random.default_rng(7)
+
+
+def _noise(e=12, f=6, n=20):
+    return RNG.standard_normal((e, f, n)).astype(np.float32)
+
+
+def _effect(e=12, f=6, n=20, amp=3.0):
+    x = _noise(e, f, n)
+    x[:, 2:4, 5:12] += amp
+    return x
+
+
+class TestTStats:
+    def test_one_sample_matches_scipy(self):
+        x = _noise()
+        t = np.asarray(cl.t_one_sample(x))
+        ref = stats.ttest_1samp(x.astype(np.float64), 0.0, axis=0).statistic
+        np.testing.assert_allclose(t, ref, rtol=2e-4, atol=2e-4)
+
+    def test_independent_matches_scipy_pooled(self):
+        xa, xb = _noise(10), _noise(14)
+        t = np.asarray(cl.t_independent(xa, xb))
+        ref = stats.ttest_ind(xa.astype(np.float64), xb.astype(np.float64),
+                              axis=0, equal_var=True).statistic
+        np.testing.assert_allclose(t, ref, rtol=2e-4, atol=2e-4)
+
+    def test_zero_variance_pixels_give_zero_t(self):
+        x = np.ones((8, 3, 4), np.float32)
+        assert np.all(np.asarray(cl.t_one_sample(x)) == 0.0)
+
+    def test_threshold_matches_scipy(self):
+        assert cl.t_threshold(0.05, 11) == pytest.approx(
+            stats.t.ppf(0.975, 11))
+
+
+class TestLabeling:
+    def _partition_equal(self, ours: np.ndarray, mask: np.ndarray):
+        """Our min-index labels and scipy's labels induce the same
+        partition of the True pixels."""
+        ref, n_ref = ndimage.label(mask)  # default = 4-connectivity in 2D
+        fn = mask.size
+        assert np.all((ours < fn) == mask)
+        seen = {}
+        for ref_lab, our_lab in zip(ref[mask].ravel(), ours[mask].ravel()):
+            assert seen.setdefault(ref_lab, our_lab) == our_lab
+        assert len(set(seen.values())) == n_ref
+
+    def test_matches_scipy_label_random(self):
+        for p in (0.2, 0.5, 0.8):
+            mask = RNG.random((9, 17)) < p
+            ours = np.asarray(cl.label_components(mask))
+            self._partition_equal(ours, mask)
+
+    def test_matches_scipy_label_batched(self):
+        masks = RNG.random((5, 7, 13)) < 0.45
+        ours = np.asarray(cl.label_components(masks))
+        for b in range(5):
+            self._partition_equal(ours[b], masks[b])
+
+    def test_snake_converges(self):
+        # a long boustrophedon path stresses the pointer-jumping
+        mask = np.zeros((10, 10), bool)
+        for r in range(10):
+            mask[r, :] = True
+            if r % 2 == 0:
+                mask[r, 0] = r == 0
+        mask[:, -1] = True
+        labels = np.asarray(cl.label_components(mask))
+        self._partition_equal(labels, mask)
+
+    def test_diagonal_pixels_are_separate(self):
+        mask = np.eye(4, dtype=bool)
+        labels = np.asarray(cl.label_components(mask))
+        assert len(np.unique(labels[mask])) == 4
+
+
+def _numpy_max_mass(t: np.ndarray, thr: float) -> float:
+    out = 0.0
+    for signed in (t, -t):
+        lab, k = ndimage.label(signed > thr)
+        for c in range(1, k + 1):
+            out = max(out, float(signed[lab == c].sum()))
+    return out
+
+
+class TestClusterMass:
+    def test_max_mass_matches_numpy(self):
+        t = RNG.standard_normal((4, 8, 15)).astype(np.float32) * 2.0
+        _, _, _, _, mx = cl.cluster_mass(jnp.asarray(t), 1.5)
+        for b in range(4):
+            assert float(mx[b]) == pytest.approx(
+                _numpy_max_mass(t[b], 1.5), rel=1e-5)
+
+    def test_no_excursions_zero_mass(self):
+        t = np.zeros((2, 4, 4), np.float32)
+        mx = cl.cluster_mass(jnp.asarray(t), 1.0)[4]
+        assert np.all(np.asarray(mx) == 0.0)
+
+
+class TestNullOracle:
+    def test_sign_flip_null_matches_numpy(self):
+        """Replicate the module's rademacher draws and recompute every
+        permutation's max cluster mass with scipy on host."""
+        x = _noise(e=8, f=5, n=9)
+        n_perm, chunk, thr = 10, 4, 1.2
+        key = jax.random.PRNGKey(3)
+        null = np.asarray(cl._sign_flip_null(
+            jnp.asarray(x), key, n_perm=n_perm, threshold=thr, chunk=chunk))
+        n_chunks = -(-n_perm // chunk)
+        signs = np.asarray(jax.random.rademacher(
+            key, (n_chunks * chunk, x.shape[0]), jnp.float32))
+        for p in range(n_perm):
+            flipped = signs[p][:, None, None] * x
+            t = stats.ttest_1samp(flipped.astype(np.float64),
+                                  0.0, axis=0).statistic
+            assert null[p] == pytest.approx(_numpy_max_mass(t, thr),
+                                            rel=5e-4, abs=5e-4)
+
+    def test_relabel_null_matches_numpy(self):
+        xa, xb = _noise(e=6, f=4, n=7), _noise(e=5, f=4, n=7)
+        x = np.concatenate([xa, xb], 0)
+        n_perm, chunk, thr, na = 8, 8, 1.0, 6
+        key = jax.random.PRNGKey(11)
+        null = np.asarray(cl._relabel_null(
+            jnp.asarray(x), key, n_perm=n_perm, threshold=thr, na=na,
+            chunk=chunk))
+        keys = jax.random.split(key, 8)
+        perms = np.asarray(jax.vmap(
+            lambda k: jax.random.permutation(k, x.shape[0]))(keys))
+        for p in range(n_perm):
+            ga = x[perms[p, :na]]
+            gb = x[perms[p, na:]]
+            t = stats.ttest_ind(ga.astype(np.float64), gb.astype(np.float64),
+                                axis=0, equal_var=True).statistic
+            assert null[p] == pytest.approx(_numpy_max_mass(t, thr),
+                                            rel=5e-4, abs=5e-4)
+
+
+class TestEndToEnd:
+    def test_one_sample_detects_effect(self):
+        res = cl.cluster_test_one_sample(_effect(), n_perm=199, seed=1)
+        sig = res.p_map < 0.05
+        assert sig[2:4, 5:12].all()
+        assert res.clusters[0]["p"] < 0.05
+        # non-suprathreshold pixels report p = 1
+        assert res.p_map[(np.abs(res.t_obs) <= res.threshold)].min() == 1.0
+
+    def test_null_data_is_calibrated(self):
+        res = cl.cluster_test_one_sample(_noise(e=16), n_perm=199, seed=2)
+        assert all(c["p"] > 0.05 for c in res.clusters)
+
+    def test_paired_equals_one_sample_of_difference(self):
+        xa, xb = _effect(), _noise()
+        ra = cl.cluster_test_paired(xa, xb, n_perm=49, seed=5)
+        rb = cl.cluster_test_one_sample(xa - xb, n_perm=49, seed=5)
+        np.testing.assert_array_equal(ra.p_map, rb.p_map)
+        np.testing.assert_array_equal(ra.null_max, rb.null_max)
+
+    def test_independent_detects_group_difference(self):
+        res = cl.cluster_test_independent(_effect(amp=4.0), _noise(),
+                                          n_perm=199, seed=3)
+        assert res.clusters[0]["p"] < 0.05
+        assert (res.p_map[2:4, 5:12] < 0.05).all()
+
+    def test_nperm_not_multiple_of_chunk(self):
+        res = cl.cluster_test_one_sample(_noise(), n_perm=50, seed=4)
+        assert res.null_max.shape == (50,)
+
+    def test_deterministic(self):
+        x = _effect()
+        a = cl.cluster_test_one_sample(x, n_perm=29, seed=9)
+        b = cl.cluster_test_one_sample(x, n_perm=29, seed=9)
+        np.testing.assert_array_equal(a.p_map, b.p_map)
+
+    def test_precomputed_null_reused(self):
+        x = _effect()
+        full = cl.cluster_test_one_sample(x, n_perm=29, seed=9)
+        again = cl.cluster_test_one_sample(x, null_max=full.null_max,
+                                           threshold=full.threshold)
+        np.testing.assert_array_equal(full.p_map, again.p_map)
+
+    def test_validation_errors(self):
+        with pytest.raises(ValueError):
+            cl.cluster_test_one_sample(np.zeros((1, 3, 4)))
+        with pytest.raises(ValueError):
+            cl.cluster_test_one_sample(np.zeros((4, 3)))
+        with pytest.raises(ValueError):
+            cl.cluster_test_independent(np.zeros((3, 2, 2)),
+                                        np.zeros((3, 4, 2)))
+        with pytest.raises(ValueError):
+            cl.cluster_test_paired(np.zeros((3, 2, 2)), np.zeros((4, 2, 2)))
+
+
+class TestMaxStat:
+    def test_detects_effect_and_calibrates(self):
+        t, p = cl.max_stat_test_one_sample(_effect(amp=4.0), n_perm=199)
+        assert (p[2:4, 5:12] < 0.05).all()
+        tn, pn = cl.max_stat_test_one_sample(_noise(e=16), n_perm=199)
+        assert pn.min() > 0.01
+
+    def test_independent(self):
+        t, p = cl.max_stat_test_independent(_effect(amp=4.0), _noise(),
+                                            n_perm=199)
+        assert (p[2:4, 5:12] < 0.05).all()
+        assert p.shape == t.shape
+
+
+class TestSharded:
+    def _mesh(self, d):
+        import ninwavelets_tpu.parallel as par
+        return par.make_mesh(data=d, freq=1)
+
+    def test_sharded_null_matches_single_device(self):
+        import ninwavelets_tpu.parallel as par
+        x = _noise(e=10, f=5, n=8)
+        key = jax.random.PRNGKey(2)
+        single = np.asarray(cl._sign_flip_null(
+            jnp.asarray(x), key, n_perm=40, threshold=1.3))
+        for d in (2, 4):
+            sharded = np.asarray(par.sharded_cluster_null(
+                x, key, mesh=self._mesh(d), n_perm=40, threshold=1.3))
+            np.testing.assert_array_equal(single, sharded)
+
+    def test_sharded_null_pads_ragged_chunk_count(self):
+        # n_perm=40 / chunk=16 -> 3 chunks, not divisible by 4 devices
+        import ninwavelets_tpu.parallel as par
+        x = _noise(e=8, f=4, n=6)
+        key = jax.random.PRNGKey(5)
+        single = np.asarray(cl._sign_flip_null(
+            jnp.asarray(x), key, n_perm=40, threshold=1.2, chunk=16))
+        sharded = np.asarray(par.sharded_cluster_null(
+            x, key, mesh=self._mesh(4), n_perm=40, threshold=1.2,
+            chunk=16))
+        np.testing.assert_array_equal(single, sharded)
+
+    def test_sharded_relabel_matches_single_device(self):
+        import ninwavelets_tpu.parallel as par
+        x = np.concatenate([_noise(6, 4, 7), _noise(7, 4, 7)], 0)
+        key = jax.random.PRNGKey(8)
+        single = np.asarray(cl._relabel_null(
+            jnp.asarray(x), key, n_perm=24, threshold=1.0, na=6))
+        sharded = np.asarray(par.sharded_cluster_null(
+            x, key, mesh=self._mesh(2), n_perm=24, threshold=1.0, na=6))
+        np.testing.assert_array_equal(single, sharded)
+
+    def test_sharded_test_equals_single_device(self):
+        import ninwavelets_tpu.parallel as par
+        x = _effect()
+        mesh = self._mesh(4)
+        a = par.sharded_cluster_test_one_sample(x, mesh=mesh, n_perm=39,
+                                                seed=3)
+        b = cl.cluster_test_one_sample(x, n_perm=39, seed=3)
+        np.testing.assert_array_equal(a.p_map, b.p_map)
+        np.testing.assert_array_equal(a.null_max, b.null_max)
+
+    def test_sharded_independent_equals_single_device(self):
+        import ninwavelets_tpu.parallel as par
+        xa, xb = _effect(amp=2.5), _noise()
+        mesh = self._mesh(2)
+        a = par.sharded_cluster_test_independent(xa, xb, mesh=mesh,
+                                                 n_perm=24, seed=4)
+        b = cl.cluster_test_independent(xa, xb, n_perm=24, seed=4)
+        np.testing.assert_array_equal(a.p_map, b.p_map)
+
+
+class TestAdapter:
+    def _epochs(self, data):
+        import ninwavelets_tpu as nw
+        return nw.EpochsWavelet(nw.ArrayEpochs(data, 250.0,
+                                               ch_names=["c0", "c1"]),
+                                nw.Morse(250.0))
+
+    def _data(self, e=14, n=256, burst=False, seed=13):
+        rng = np.random.default_rng(seed)  # order-independent draws
+        t = np.arange(n) / 250.0
+        x = rng.standard_normal((e, 2, n)).astype(np.float32)
+        if burst:
+            win = (t > 0.5) & (t < 0.8)
+            x[:, 0, :] += 6.0 * np.sin(2 * np.pi * 40 * t) * win
+        return x
+
+    def test_single_trial_power_matches_mean(self):
+        import ninwavelets_tpu as nw
+        ew = self._epochs(self._data())
+        freqs = np.linspace(10, 60, 6)
+        st = np.asarray(ew.single_trial_power("c0", freqs))
+        mean = np.asarray(ew.power("c0", freqs))
+        assert st.shape == (14, 6, 256)
+        np.testing.assert_allclose(st.mean(0), mean, rtol=2e-5, atol=1e-7)
+
+    def test_one_sample_requires_baseline(self):
+        ew = self._epochs(self._data())
+        with pytest.raises(ValueError):
+            ew.cluster_test("c0", [20.0, 40.0])
+
+    def test_one_sample_detects_burst(self):
+        ew = self._epochs(self._data(burst=True))
+        res = ew.cluster_test("c0", np.linspace(20, 60, 5),
+                              baseline=(0.0, 0.4), n_perm=199)
+        assert res.clusters and res.clusters[0]["p"] < 0.05
+        # the winning cluster sits on the burst (40 Hz row, 0.5-0.8 s);
+        # the pre-burst interior stays quiet (the first samples may light
+        # up from the circular-convolution wrap of the burst response)
+        sig = res.p_map < 0.05
+        assert sig[:, 130:195].any() and not sig[:, 40:100].any()
+
+    def test_independent_between_objects_and_mesh(self):
+        import ninwavelets_tpu.parallel as par
+        ea = self._epochs(self._data(burst=True))
+        eb = self._epochs(self._data(burst=False))
+        freqs = np.linspace(20, 60, 5)
+        res = ea.cluster_test("c0", freqs, other=eb, n_perm=99)
+        assert res.clusters[0]["p"] < 0.05
+        mesh = par.make_mesh(data=2, freq=1)
+        res_m = ea.cluster_test("c0", freqs, other=eb, n_perm=99,
+                                mesh=mesh)
+        np.testing.assert_array_equal(res.p_map, res_m.p_map)
+
+    def test_paired(self):
+        ea = self._epochs(self._data(burst=True))
+        eb = self._epochs(self._data(burst=False))
+        res = ea.cluster_test("c0", np.linspace(20, 60, 5), other=eb,
+                              paired=True, n_perm=99)
+        assert res.clusters[0]["p"] < 0.05
