@@ -15,7 +15,8 @@ under ``ninwavelets_tpu.ops`` and the sharded engine under
 """
 from . import config, ops
 from .models import (Bump, DOG, Haar, MexicanHat, Morlet, Morse, MorseMNE,
-                     Paul, Shannon, Superlet, WaveletBase, WaveletMode)
+                     MorseMultitaper, Paul, Shannon, Superlet, WaveletBase,
+                     WaveletMode)
 from .ops.baseline import Baseline, baseline_correct, baseline_tf
 from .utils import (ArrayEpochs, EpochsWavelet, Parallel, RawWavelet,
                     Sequence,
@@ -31,5 +32,5 @@ __all__ = [
     # additions
     "plot_wavelet", "baseline_correct", "baseline_tf", "ops", "config",
     "Parallel", "Sequence", "compose", "dict_map",
-    "Paul", "DOG", "Bump", "Superlet",
+    "Paul", "DOG", "Bump", "Superlet", "MorseMultitaper",
 ]

@@ -255,3 +255,46 @@ class Superlet:
         return superlet_mean_power(
             jnp.asarray(np.asarray(waves, np.float32)), freqs, self.sfreq,
             **self._kw())
+
+
+class MorseMultitaper:
+    """Multitaper Morse spectrogram (extension — Olhede & Walden 2002):
+    the mean of the scalograms of the first ``n_tapers`` ORTHOGONAL
+    generalized Morse wavelets (``ops.multitaper``), cutting single-trial
+    estimator variance ~1/K at near-identical TF concentration.  Not a
+    :class:`WaveletBase` — like :class:`Superlet` it composes a FAMILY of
+    banks, riding the same fused engine with K·F bank rows.
+
+    Parameters
+    ----------
+    sfreq: sampling frequency (Hz).
+    b, r: the engine's Morse beta/gamma (defaults match ``Morse``; taper
+        0 IS the reference Morse, so ``n_tapers=1`` reproduces
+        ``Morse(...).power`` exactly).
+    n_tapers: how many orthogonal orders to average (3-5 typical).
+    """
+
+    def __init__(self, sfreq: float = 1000, b: float = 17.5, r: float = 3,
+                 n_tapers: int = 3, interpolate: bool = False) -> None:
+        self.sfreq = float(sfreq)
+        self.b = float(b)
+        self.r = float(r)
+        self.n_tapers = int(n_tapers)
+        self.interpolate = bool(interpolate)
+
+    def _kw(self):
+        return dict(b=self.b, r=self.r, n_tapers=self.n_tapers,
+                    interpolate=self.interpolate)
+
+    def power(self, wave, freqs: Numbers) -> jnp.ndarray:
+        """(..., F, N) multitaper power of ``wave`` at ``freqs``."""
+        from ..ops.multitaper import multitaper_power
+        freqs = WaveletBase._check_freqs(freqs)
+        return multitaper_power(wave, freqs, self.sfreq, **self._kw())
+
+    def mean_power(self, waves, freqs: Numbers) -> jnp.ndarray:
+        """(..., F, N) epoch-mean multitaper power of (E, ..., N) epochs
+        (one fused (K·F, N)-bank pass)."""
+        from ..ops.multitaper import multitaper_mean_power
+        freqs = WaveletBase._check_freqs(freqs)
+        return multitaper_mean_power(waves, freqs, self.sfreq, **self._kw())

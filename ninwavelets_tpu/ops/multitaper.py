@@ -1,0 +1,121 @@
+"""Multitaper wavelet spectrograms: averaging the scalograms of the
+orthogonal generalized Morse family (Olhede & Walden 2002, IEEE Trans.
+Signal Process. 50:2661).
+
+No reference counterpart — the reference computes a single-taper (order-0
+Morse) scalogram whose per-pixel estimate is chi-square with 2 DOF.  The
+higher orders of the SAME Morse family are mutually orthogonal wavelets
+with near-identical time-frequency concentration, so the average of their
+K scalograms keeps the resolution while cutting estimator variance ~1/K
+(2K DOF): the wavelet analog of Thomson multitapering, and the standard
+single-trial variance-reduction tool.
+
+TPU shape: taper k is just F more rows of the ordinary frequency-domain
+bank machinery, so the K-taper transform is ONE (K·F, N) bank through the
+same jitted (and Pallas-fused) mean-power path as everything else —
+stacked F-major, which also keeps each frequency's K rows on one shard
+when the row axis is sharded over ``freq``.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bank import WaveletDef, WaveletMode, make_fft_bank_ri
+from .cwt import power_from_bank
+from .fused import mean_power_auto
+from .spectra import morse_taper_spectrum
+
+__all__ = ["morse_taper_def", "multitaper_banks",
+           "multitaper_power_from_banks", "multitaper_power",
+           "multitaper_mean_power"]
+
+
+@lru_cache(maxsize=None)
+def morse_taper_def(b: float, r: float, order: int) -> WaveletDef:
+    """WaveletDef of the order-``k`` Morse taper (cached — WaveletDef is a
+    static jit key, so repeated calls must hand back one object)."""
+    def tf(grid, freq=1.0):
+        return morse_taper_spectrum(grid, freq, b, r, order)
+
+    return WaveletDef(mode=WaveletMode.Reverse, trans_formula=tf,
+                      params=("morse-taper", float(b), float(r),
+                              int(order)))
+
+
+def multitaper_banks(freqs, n: int, sfreq: float, b: float = 17.5,
+                     r: float = 3.0, n_tapers: int = 3,
+                     interpolate: bool = False,
+                     real_wave_length: float = 1.0) -> jnp.ndarray:
+    """(F, K, n) stacked real Morse-taper banks (taper k = order k).
+
+    F-major so a flatten to (F·K, n) keeps each frequency's tapers
+    contiguous (one shard when rows shard over ``freq``).
+    """
+    freqs = jnp.asarray(np.asarray(freqs, np.float32))
+    rows = []
+    for k in range(int(n_tapers)):
+        br, bi = make_fft_bank_ri(morse_taper_def(float(b), float(r), k),
+                                  freqs, int(n), float(sfreq),
+                                  bool(interpolate),
+                                  float(real_wave_length))
+        if bi is not None:  # pragma: no cover - Reverse-mode banks are real
+            raise ValueError("Morse taper banks must be real")
+        rows.append(br)
+    return jnp.stack(rows, axis=1)
+
+
+def multitaper_power_from_banks(signal: jnp.ndarray, banks: jnp.ndarray,
+                                interpolate: bool = False,
+                                weights=None) -> jnp.ndarray:
+    """(..., F, N) multitaper power: the (weighted) mean over taper
+    scalograms.  ``banks`` is the (F, K, n) stack; uniform 1/K weights by
+    default (the eigenvalue spectrum of the Morse localization operator
+    is nearly flat over the first few orders for b=17.5, r=3)."""
+    f, k, n = banks.shape
+    flat = banks.reshape(f * k, n)
+    p = power_from_bank(signal, flat, interpolate)
+    p = p.reshape(*p.shape[:-2], f, k, p.shape[-1])
+    if weights is None:
+        return jnp.mean(p, axis=-2)
+    w = jnp.asarray(weights, p.dtype)
+    return jnp.tensordot(p, w / jnp.sum(w), axes=[[-2], [0]])
+
+
+@partial(jax.jit, static_argnames=("interpolate",))
+def _mt_power_jit(signal_r, banks, *, interpolate):
+    return multitaper_power_from_banks(signal_r, banks, interpolate)
+
+
+def multitaper_power(signal_r, freqs, sfreq: float, b: float = 17.5,
+                     r: float = 3.0, n_tapers: int = 3,
+                     interpolate: bool = False) -> jnp.ndarray:
+    """(..., F, N) multitaper Morse power of real ``signal_r`` (float
+    boundary; banks built host-side per geometry and cached by jit)."""
+    signal_r = jnp.asarray(np.asarray(signal_r, np.float32))
+    banks = multitaper_banks(freqs, signal_r.shape[-1], sfreq, b, r,
+                             n_tapers, interpolate)
+    return _mt_power_jit(signal_r, banks, interpolate=interpolate)
+
+
+def multitaper_mean_power(signals_r, freqs, sfreq: float, b: float = 17.5,
+                          r: float = 3.0, n_tapers: int = 3,
+                          interpolate: bool = False) -> jnp.ndarray:
+    """(..., F, N) epoch-mean multitaper power of (E, ..., N) signals.
+
+    The epoch mean and the taper mean commute, so the whole estimate is
+    ONE (F·K, N)-bank epoch-mean power — which ``mean_power_auto``
+    dispatches to the fused Pallas kernel on TPU — followed by a K-group
+    reshape-mean.
+    """
+    signals_r = jnp.asarray(np.asarray(signals_r, np.float32))
+    banks = multitaper_banks(freqs, signals_r.shape[-1], sfreq, b, r,
+                             n_tapers, interpolate)
+    f, k, n = banks.shape
+    p = mean_power_auto(signals_r, banks.reshape(f * k, n), None,
+                        interpolate=interpolate)
+    p = p.reshape(*p.shape[:-2], f, k, p.shape[-1])
+    return jnp.mean(p, axis=-2)

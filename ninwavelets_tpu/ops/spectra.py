@@ -41,6 +41,47 @@ def morse_spectrum(freq_grid: jnp.ndarray, freq, b: float = 17.5,
     return jnp.where(w > 0, 2.0 * jnp.exp(log_mag), 0.0)
 
 
+def morse_taper_spectrum(freq_grid: jnp.ndarray, freq, b: float = 17.5,
+                         r: float = 3.0, order: int = 0) -> jnp.ndarray:
+    """Order-``k`` generalized Morse wavelet (Olhede & Walden 2002) in the
+    engine's Morse convention: the ``order`` orthogonal companions of the
+    reference Morse multiply it by a generalized Laguerre polynomial,
+
+        M_k(w) = 2 rho_k * w**b * exp((b/r)(1 - w**r)) * L_k^c(2(b/r)w**r)
+
+    with ``c = (2b+1)/r - 1`` and ``rho_k = sqrt(k! Gamma(c+1) /
+    Gamma(k+c+1))`` the energy-equalizing ratio of the Olhede-Walden
+    unit-energy constants.  ``order=0`` reproduces ``morse_spectrum``
+    exactly; distinct orders are mutually L2-orthogonal on the half line
+    (eigenfunctions of the same time-frequency localization operator), so
+    averaging their scalograms is the wavelet analog of multitapering.
+
+    Evaluated with the Laguerre three-term recurrence after damping: the
+    recurrence argument is zeroed wherever the log-magnitude has already
+    underflowed (< -60 nats) so the polynomial can never overflow float32
+    in a region whose output is 0 anyway.
+    """
+    k = int(order)
+    if k == 0:
+        return morse_spectrum(freq_grid, freq, b, r)
+    b = float(b)
+    r = float(r)
+    c = (2.0 * b + 1.0) / r - 1.0
+    log_rho = 0.5 * (math.lgamma(k + 1.0) + math.lgamma(c + 1.0)
+                     - math.lgamma(k + c + 1.0))
+    w = freq_grid / jnp.asarray(freq, freq_grid.dtype)
+    safe_w = jnp.where(w > 0, w, 1.0)
+    log_mag = b * jnp.log(safe_w) + (b / r) * (1.0 - safe_w ** r) + log_rho
+    live = (w > 0) & (log_mag > -60.0)
+    x = jnp.where(live, 2.0 * (b / r) * safe_w ** r, 0.0)
+    prev, cur = jnp.ones_like(x), 1.0 + c - x
+    for m in range(2, k + 1):
+        prev, cur = cur, ((2 * m - 1 + c - x) * cur
+                          - (m - 1 + c) * prev) / m
+    lag = cur
+    return jnp.where(live, 2.0 * jnp.exp(log_mag) * lag, 0.0)
+
+
 # ----------------------------------------------------------------------------
 # Morlet / Gabor (reference: wavelets.py:110-144, mode=Both)
 # ----------------------------------------------------------------------------

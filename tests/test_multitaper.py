@@ -1,0 +1,142 @@
+"""Multitaper Morse spectrograms (`ops/multitaper.py`,
+`ops.spectra.morse_taper_spectrum`) against float64 scipy oracles: the
+order-k members vs `scipy.special.eval_genlaguerre`, pairwise
+orthogonality / energy equality of the Olhede-Walden family, and the
+estimator-variance reduction the tapers exist for."""
+import math
+
+import numpy as np
+import pytest
+from scipy.special import eval_genlaguerre, gammaln
+
+import ninwavelets_tpu as nw
+from ninwavelets_tpu.ops import multitaper as mt
+from ninwavelets_tpu.ops.spectra import morse_spectrum, morse_taper_spectrum
+
+B, R = 17.5, 3.0
+
+
+def _oracle_member(w, k, b=B, r=R):
+    """Float64 Olhede-Walden member in the engine convention."""
+    w = np.asarray(w, np.float64)
+    c = (2 * b + 1) / r - 1
+    log_rho = 0.5 * (gammaln(k + 1) + gammaln(c + 1) - gammaln(k + c + 1))
+    out = np.zeros_like(w)
+    pos = w > 0
+    wp = w[pos]
+    lag = eval_genlaguerre(k, c, 2 * (b / r) * wp ** r)
+    out[pos] = 2 * np.exp(b * np.log(wp) + (b / r) * (1 - wp ** r)
+                          + log_rho) * lag
+    return out
+
+
+class TestTaperSpectrum:
+    def test_order0_is_reference_morse(self):
+        grid = np.linspace(0, 500, 2048, dtype=np.float32)
+        a = np.asarray(morse_taper_spectrum(grid, 60.0, B, R, 0))
+        b = np.asarray(morse_spectrum(grid, 60.0, B, R))
+        np.testing.assert_array_equal(a, b)
+
+    @pytest.mark.parametrize("k", [1, 2, 3, 5])
+    def test_matches_scipy_genlaguerre(self, k):
+        grid = np.linspace(0.0, 250.0, 4096, dtype=np.float32)
+        ours = np.asarray(morse_taper_spectrum(grid, 40.0, B, R, k))
+        ref = _oracle_member(grid / 40.0, k)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(ours, ref, atol=3e-4 * scale, rtol=0)
+
+    def test_family_is_orthogonal_and_equal_energy(self):
+        # trapezoid integration over w on a fine float64 grid
+        w = np.linspace(0, 6, 200001)
+        members = [_oracle_member(w, k) for k in range(5)]
+        energies = [np.trapezoid(m * m, w) for m in members]
+        for e in energies[1:]:
+            assert e == pytest.approx(energies[0], rel=1e-6)
+        for j in range(5):
+            for k in range(j + 1, 5):
+                inner = np.trapezoid(members[j] * members[k], w)
+                assert abs(inner) < 1e-6 * energies[0]
+
+    def test_jax_members_orthogonal(self):
+        # the float32 jnp implementation keeps the orthogonality to f32
+        grid = np.linspace(0, 500, 65536, dtype=np.float32)
+        ms = [np.asarray(morse_taper_spectrum(grid, 50.0, B, R, k),
+                         np.float64) for k in range(4)]
+        e0 = float(np.dot(ms[0], ms[0]))
+        for j in range(4):
+            for k in range(j + 1, 4):
+                assert abs(float(np.dot(ms[j], ms[k]))) < 2e-4 * e0
+
+    def test_tail_is_clean(self):
+        # far tail: the damping guard must give exact zeros, never NaN/inf
+        grid = np.linspace(0, 5e5, 4096, dtype=np.float32)
+        out = np.asarray(morse_taper_spectrum(grid, 10.0, B, R, 6))
+        assert np.isfinite(out).all()
+        assert (out[grid > 100.0] == 0.0).all()
+
+
+class TestMultitaperPower:
+    def _sig(self, e=6, n=512, seed=3):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / 1000.0
+        return (np.sin(2 * np.pi * 60 * t)
+                + 0.5 * rng.standard_normal((e, n))).astype(np.float32)
+
+    def test_single_taper_equals_morse_power(self):
+        sig = self._sig()[0]
+        freqs = np.linspace(20, 100, 9)
+        a = np.asarray(mt.multitaper_power(sig, freqs, 1000.0, n_tapers=1))
+        b = np.asarray(nw.Morse(1000.0).power(sig, freqs))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_mean_power_equals_mean_of_power(self):
+        sig = self._sig()
+        freqs = np.linspace(20, 100, 7)
+        a = np.asarray(mt.multitaper_mean_power(sig[:, None, :], freqs,
+                                                1000.0, n_tapers=3))[0]
+        b = np.asarray(mt.multitaper_power(sig, freqs, 1000.0,
+                                           n_tapers=3)).mean(0)
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+    def test_variance_reduction_on_noise(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((40, 2048)).astype(np.float32)
+        freqs = [50.0, 120.0]
+        p1 = np.asarray(mt.multitaper_power(x, freqs, 1000.0, n_tapers=1))
+        p4 = np.asarray(mt.multitaper_power(x, freqs, 1000.0, n_tapers=4))
+        # relative variance of the per-trial estimate at plane center
+        mid = slice(512, 1536)
+        for f in range(2):
+            v1 = p1[:, f, mid].std() / p1[:, f, mid].mean()
+            v4 = p4[:, f, mid].std() / p4[:, f, mid].mean()
+            assert v4 < 0.65 * v1  # ~1/sqrt(4) = 0.5 ideal
+
+    def test_peak_stays_on_signal(self):
+        sig = self._sig()[0]
+        freqs = np.linspace(20, 100, 17)
+        p = np.asarray(mt.multitaper_power(sig, freqs, 1000.0, n_tapers=4))
+        assert freqs[p[:, 128:384].mean(-1).argmax()] == pytest.approx(
+            60.0, abs=5.01)
+
+    def test_weights(self):
+        sig = self._sig()[0]
+        banks = mt.multitaper_banks([40.0, 60.0], sig.shape[-1], 1000.0,
+                                    n_tapers=3)
+        uni = np.asarray(mt.multitaper_power_from_banks(sig, banks))
+        w = np.asarray(mt.multitaper_power_from_banks(
+            sig, banks, weights=[1.0, 1.0, 1.0]))
+        np.testing.assert_allclose(uni, w, rtol=1e-6, atol=1e-8)
+
+    def test_model_class(self):
+        sig = self._sig()
+        freqs = np.linspace(20, 100, 5)
+        m = nw.MorseMultitaper(1000.0, n_tapers=3)
+        p = np.asarray(m.power(sig[0], freqs))
+        assert p.shape == (5, 512)
+        mp = np.asarray(m.mean_power(sig[:, None, :], freqs))
+        assert mp.shape == (1, 5, 512)
+        one = nw.MorseMultitaper(1000.0, n_tapers=1)
+        np.testing.assert_allclose(
+            np.asarray(one.power(sig[0], freqs)),
+            np.asarray(nw.Morse(1000.0).power(sig[0], freqs)),
+            rtol=1e-5, atol=1e-6)
