@@ -25,6 +25,7 @@ from .sharded import (sharded_cluster_null,
                       sharded_itc, sharded_mean_power,
                       sharded_mean_power_grad, sharded_nm_plv,
                       sharded_imcoh, sharded_modwt,
+                      sharded_multitaper_mean_power,
                       sharded_pac, sharded_phase_lag,
                       sharded_fused_phase_lag, sharded_ppc,
                       sharded_plv, sharded_plv_matrix, sharded_power,
@@ -45,7 +46,7 @@ __all__ = [
     "sharded_imcoh", "sharded_modwt",
     "sharded_cluster_null", "sharded_cluster_test_one_sample",
     "sharded_cluster_test_independent",
-    "sharded_superlet_mean_power",
+    "sharded_superlet_mean_power", "sharded_multitaper_mean_power",
     "distributed_mean_power", "distributed_itc",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",
     "chunked_fused_power", "chunked_power_auto",

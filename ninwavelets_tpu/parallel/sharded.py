@@ -870,3 +870,36 @@ def sharded_cluster_test_independent(xa, xb, *, mesh: Mesh,
                                 jax.random.PRNGKey(seed), mesh=mesh,
                                 n_perm=n_perm, threshold=thr, na=na)
     return cluster_test_independent(xa, xb, threshold=thr, null_max=null)
+
+
+@partial(jax.jit, static_argnames=("mesh", "interpolate"))
+def sharded_multitaper_mean_power(signals_r, banks, *, mesh: Mesh,
+                                  interpolate: bool = False):
+    """Epoch-mean multitaper Morse power over the mesh: (E, ..., N) ->
+    (..., F, N).
+
+    Epochs shard over ``data``; the (F, K, n) taper banks shard their F
+    axis over ``freq`` — the F-major stack keeps every frequency's K
+    orthogonal taper rows on ONE shard, so the taper mean is purely
+    local and the only collective is the ``pmean`` over ``data``.  Mesh
+    result == single-device ``ops.multitaper.multitaper_mean_power``.
+    """
+    ndim = signals_r.ndim
+    sig_spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    out_spec = P(*([None] * (ndim - 2)), FREQ_AXIS, None)
+
+    def local(sig, bks):
+        f_loc, k, n = bks.shape
+        local_mean = _scan_mean(
+            sig, bks.reshape(f_loc * k, n), interpolate,
+            lambda c: jnp.square(c.real) + jnp.square(c.imag),
+            vma_axes=(DATA_AXIS, FREQ_AXIS))
+        local_mean = lax.pmean(local_mean, DATA_AXIS)
+        local_mean = local_mean.reshape(*local_mean.shape[:-2], f_loc, k,
+                                        local_mean.shape[-1])
+        return jnp.mean(local_mean, axis=-2)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(sig_spec, P(FREQ_AXIS, None, None)),
+        out_specs=out_spec)(signals_r, banks)

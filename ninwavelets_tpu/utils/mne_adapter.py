@@ -248,6 +248,22 @@ class EpochsWavelet:
             order_max=order_max, adaptive=adaptive,
             interpolate=self.wavelet.interpolate)[0]
 
+    def multitaper_power(self, ch_name: str, freqs: Numbers,
+                         n_tapers: int = 3, b=None, r=None) -> jnp.ndarray:
+        """(F, N) epoch-mean MULTITAPER Morse power of one channel
+        (extension — ``ops.multitaper``, Olhede & Walden 2002): the mean
+        over ``n_tapers`` orthogonal Morse orders, ~1/K the single-taper
+        estimator variance.  ``b``/``r`` default to this wavelet's Morse
+        parameters when it has them (taper 0 then matches ``power``)."""
+        from ..ops.multitaper import multitaper_mean_power
+        waves = self._channel_data(ch_name)
+        return multitaper_mean_power(
+            waves[:, None, :], np.asarray(freqs, np.float32),
+            self.wavelet.sfreq,
+            b=float(getattr(self.wavelet, "b", 17.5) if b is None else b),
+            r=float(getattr(self.wavelet, "r", 3.0) if r is None else r),
+            n_tapers=n_tapers, interpolate=self.wavelet.interpolate)[0]
+
     def induced_power(self, ch_name: str, freqs: Numbers,
                       baseline=None, baseline_method: str = "zscore",
                       decim: int = 1) -> jnp.ndarray:

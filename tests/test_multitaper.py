@@ -140,3 +140,33 @@ class TestMultitaperPower:
             np.asarray(one.power(sig[0], freqs)),
             np.asarray(nw.Morse(1000.0).power(sig[0], freqs)),
             rtol=1e-5, atol=1e-6)
+
+
+class TestShardedAndAdapter:
+    def test_sharded_matches_single_device(self):
+        import ninwavelets_tpu.parallel as par
+        rng = np.random.default_rng(4)
+        sig = rng.standard_normal((8, 2, 256)).astype(np.float32)
+        freqs = np.linspace(20, 80, 4)
+        banks = mt.multitaper_banks(freqs, 256, 1000.0, n_tapers=3)
+        single = np.asarray(mt.multitaper_mean_power(
+            sig, freqs, 1000.0, n_tapers=3))
+        for d, f in ((2, 4), (4, 2), (8, 1)):
+            mesh = par.make_mesh(data=d, freq=f)
+            out = np.asarray(par.sharded_multitaper_mean_power(
+                sig, banks, mesh=mesh))
+            np.testing.assert_allclose(out, single, rtol=2e-5, atol=1e-7)
+
+    def test_adapter_multitaper_power(self):
+        rng = np.random.default_rng(5)
+        data = rng.standard_normal((6, 2, 256)).astype(np.float32)
+        ew = nw.EpochsWavelet(
+            nw.ArrayEpochs(data, 500.0, ch_names=["a", "b"]),
+            nw.Morse(500.0))
+        freqs = np.linspace(20, 80, 5)
+        p = np.asarray(ew.multitaper_power("a", freqs, n_tapers=3))
+        assert p.shape == (5, 256)
+        # single taper == the ordinary epoch-mean power
+        np.testing.assert_allclose(
+            np.asarray(ew.multitaper_power("a", freqs, n_tapers=1)),
+            np.asarray(ew.power("a", freqs)), rtol=1e-5, atol=1e-7)
