@@ -23,11 +23,13 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            ppc_from_bank, ppc_matrix, ppc_matrix_from_bank,
                            surrogate_pvalues, wpli_matrix,
                            wpli_matrix_from_bank)
-from .cluster import (ClusterResult, cluster_mass, cluster_test_independent,
+from .cluster import (ClusterResult, TfceResult, cluster_mass,
+                      cluster_test_independent,
                       cluster_test_one_sample, cluster_test_paired,
                       label_components, max_stat_test_independent,
                       max_stat_test_one_sample, t_independent, t_one_sample,
-                      t_threshold)
+                      t_threshold, tfce_map, tfce_test_independent,
+                      tfce_test_one_sample)
 from .dwt import (imodwt, max_level, modwt, modwt_corr, modwt_cov,
                   modwt_denoise, modwt_mra, modwt_var, modwt_var_ci,
                   pow2_pad, wavedec, waverec, wavelet_filter)
@@ -98,6 +100,8 @@ __all__ = [
     "cluster_test_one_sample", "cluster_test_paired", "label_components",
     "max_stat_test_independent", "max_stat_test_one_sample",
     "t_independent", "t_one_sample", "t_threshold",
+    "TfceResult", "tfce_map", "tfce_test_one_sample",
+    "tfce_test_independent",
     "modwt", "imodwt", "modwt_mra", "modwt_var", "modwt_denoise",
     "wavelet_filter", "max_level", "wavedec", "waverec", "pow2_pad",
     "modwt_cov", "modwt_corr", "modwt_var_ci",

@@ -40,6 +40,8 @@ __all__ = [
     "cluster_test_one_sample", "cluster_test_paired",
     "cluster_test_independent", "max_stat_test_one_sample",
     "max_stat_test_independent", "t_threshold", "ClusterResult",
+    "TfceResult", "tfce_map", "tfce_test_one_sample",
+    "tfce_test_independent",
 ]
 
 _CHUNK = 64  # permutations per scan step: one MXU batch, bounded HBM
@@ -206,6 +208,43 @@ def cluster_mass(tmap: jnp.ndarray, threshold: float):
     max_mass = jnp.maximum(jnp.max(pos_b[..., :fn], -1),
                            jnp.max(neg_b[..., :fn], -1))
     return pos_l, neg_l, pos_b, neg_b, max_mass
+
+
+def tfce_map(tmap: jnp.ndarray, start: float = 0.2, step: float = 0.4,
+             stop: float = 40.0, e: float = 0.5,
+             h: float = 2.0) -> jnp.ndarray:
+    """Signed two-sided TFCE enhancement of a (..., F, N) t-map (Smith &
+    Nichols 2009): at each ladder level ``l`` every suprathreshold pixel
+    accrues ``extent(l)**e * l**h * step`` where ``extent`` is the size
+    of its 4-connected component; negative excursions are enhanced on
+    ``-t`` and subtracted.  Removes the arbitrary cluster-forming
+    threshold of the mass statistic.
+
+    The ladder is STATIC (host ``arange(start, stop, step)``) so the
+    whole enhancement is one ``lax.scan`` of batched labelings; levels
+    above the map's max contribute exactly 0 (empty masks), so a
+    generous ``stop`` only costs compute, never correctness — but both
+    the observed map and the null must use the SAME ladder.
+    """
+    tmap = jnp.asarray(tmap, jnp.float32)
+    fn = tmap.shape[-2] * tmap.shape[-1]
+    levels = jnp.asarray(np.arange(start, stop, step), jnp.float32)
+
+    def enhance(signed):
+        def body(acc, lvl):
+            mask = signed > lvl
+            labels = label_components(mask)
+            counts = _mass_bins(mask.astype(jnp.float32), labels, fn)
+            flat_l = labels.reshape(*labels.shape[:-2], fn)
+            ext = jnp.take_along_axis(counts, flat_l, -1) \
+                .reshape(labels.shape)
+            gain = jnp.where(mask, ext ** e * lvl ** h * step, 0.0)
+            return acc + gain, None
+
+        out, _ = lax.scan(body, jnp.zeros_like(signed), levels)
+        return out
+
+    return enhance(tmap) - enhance(-tmap)
 
 
 # ---------------------------------------------------------------------------
@@ -444,6 +483,111 @@ def cluster_test_independent(xa, xb, n_perm: int = 999,
                                  jax.random.PRNGKey(seed),
                                  n_perm=n_perm, threshold=thr, na=na)
     return _finish(t_independent(xa, xb), null_max, thr)
+
+
+# ---------------------------------------------------------------------------
+# TFCE permutation tests (pixelwise corrected p, no threshold choice)
+# ---------------------------------------------------------------------------
+
+class TfceResult(NamedTuple):
+    """Outcome of a TFCE permutation test: ``p_map`` is the pixelwise
+    FWER-corrected p-value of the signed enhancement ``tfce_obs`` against
+    the (P,) null of max-|TFCE| values."""
+    t_obs: np.ndarray
+    tfce_obs: np.ndarray
+    p_map: np.ndarray
+    null_max: np.ndarray
+
+
+_TFCE_KEYS = ("start", "step", "stop", "e", "h")
+
+
+@partial(jax.jit, static_argnames=("n_perm", "chunk") + _TFCE_KEYS)
+def _sign_flip_tfce_null(x, key, *, n_perm: int, chunk: int = _CHUNK,
+                         start: float = 0.2, step: float = 0.4,
+                         stop: float = 40.0, e: float = 0.5,
+                         h: float = 2.0):
+    ne, f, n = x.shape
+    xf = x.reshape(ne, f * n)
+    s2 = jnp.sum(xf * xf, 0)
+    n_chunks = _pad_perms(n_perm, chunk)
+    signs = sign_draws(key, n_perm, ne, chunk)
+
+    def per_chunk(k):
+        t = _t_from_sign_sums(signs[k] @ xf, s2, ne).reshape(chunk, f, n)
+        enh = tfce_map(t, start, step, stop, e, h)
+        return jnp.max(jnp.abs(enh), (-2, -1))
+
+    return _null_scan(per_chunk, n_chunks, n_perm)
+
+
+@partial(jax.jit, static_argnames=("n_perm", "na", "chunk") + _TFCE_KEYS)
+def _relabel_tfce_null(x, key, *, n_perm: int, na: int,
+                       chunk: int = _CHUNK, start: float = 0.2,
+                       step: float = 0.4, stop: float = 40.0,
+                       e: float = 0.5, h: float = 2.0):
+    ne = x.shape[0]
+    nb = ne - na
+    f, n = x.shape[-2], x.shape[-1]
+    xf = x.reshape(ne, f * n)
+    x2f = xf * xf
+    s1t, s2t = jnp.sum(xf, 0), jnp.sum(x2f, 0)
+    n_chunks = _pad_perms(n_perm, chunk)
+    ind = relabel_draws(key, n_perm, ne, na, chunk)
+
+    def per_chunk(k):
+        t = _t_pooled(ind[k] @ xf, ind[k] @ x2f, s1t, s2t, na,
+                      nb).reshape(chunk, f, n)
+        enh = tfce_map(t, start, step, stop, e, h)
+        return jnp.max(jnp.abs(enh), (-2, -1))
+
+    return _null_scan(per_chunk, n_chunks, n_perm)
+
+
+def _tfce_finish(t_obs, null_max, kw) -> TfceResult:
+    enh = tfce_map(t_obs, **kw)
+    p = (jnp.sum(null_max[None, None, :] >= jnp.abs(enh)[..., None], -1)
+         + 1.0) / (null_max.shape[0] + 1.0)
+    return TfceResult(np.asarray(t_obs), np.asarray(enh), np.asarray(p),
+                      np.asarray(null_max))
+
+
+def tfce_test_one_sample(x, n_perm: int = 199, seed: int = 0,
+                         start: float = 0.2, step: float = 0.4,
+                         stop: float = 40.0, e: float = 0.5,
+                         h: float = 2.0) -> TfceResult:
+    """TFCE permutation test of ``mean(x) != 0`` over (E, F, N) trial
+    planes (sign-flip null) — threshold-free alternative to
+    ``cluster_test_one_sample`` with pixelwise corrected p-values.
+    Costs ~``(stop-start)/step`` labelings per permutation map; lower
+    ``n_perm``/coarser ladders trade resolution for speed.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 3 or x.shape[0] < 2:
+        raise ValueError("expected (epochs >= 2, F, N), got %s"
+                         % (x.shape,))
+    kw = dict(start=start, step=step, stop=stop, e=e, h=h)
+    null = _sign_flip_tfce_null(x, jax.random.PRNGKey(seed),
+                                n_perm=n_perm, **kw)
+    return _tfce_finish(t_one_sample(x), null, kw)
+
+
+def tfce_test_independent(xa, xb, n_perm: int = 199, seed: int = 0,
+                          start: float = 0.2, step: float = 0.4,
+                          stop: float = 40.0, e: float = 0.5,
+                          h: float = 2.0) -> TfceResult:
+    """TFCE permutation test between independent trial groups
+    (relabeling null, pooled-variance t)."""
+    xa = jnp.asarray(xa, jnp.float32)
+    xb = jnp.asarray(xb, jnp.float32)
+    if xa.ndim != 3 or xb.ndim != 3 or xa.shape[1:] != xb.shape[1:]:
+        raise ValueError("expected (Ea, F, N) and (Eb, F, N) with matching "
+                         "planes, got %s and %s" % (xa.shape, xb.shape))
+    kw = dict(start=start, step=step, stop=stop, e=e, h=h)
+    null = _relabel_tfce_null(jnp.concatenate([xa, xb], 0),
+                              jax.random.PRNGKey(seed), n_perm=n_perm,
+                              na=xa.shape[0], **kw)
+    return _tfce_finish(t_independent(xa, xb), null, kw)
 
 
 # ---------------------------------------------------------------------------

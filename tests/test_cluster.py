@@ -335,3 +335,72 @@ class TestAdapter:
         res = ea.cluster_test("c0", np.linspace(20, 60, 5), other=eb,
                               paired=True, n_perm=99)
         assert res.clusters[0]["p"] < 0.05
+
+
+def _numpy_tfce(t, start=0.2, step=0.4, stop=40.0, e=0.5, h=2.0):
+    """Literal TFCE with scipy labeling on one (F, N) map."""
+    out = np.zeros_like(t, np.float64)
+    for sign in (1.0, -1.0):
+        signed = sign * t
+        acc = np.zeros_like(out)
+        for lvl in np.arange(start, stop, step):
+            mask = signed > lvl
+            lab, k = ndimage.label(mask)
+            for c in range(1, k + 1):
+                sel = lab == c
+                acc[sel] += sel.sum() ** e * lvl ** h * step
+        out += sign * acc
+    return out
+
+
+class TestTfce:
+    def test_map_matches_numpy(self):
+        t = (RNG.standard_normal((5, 9)) * 2.5).astype(np.float32)
+        ours = np.asarray(cl.tfce_map(t, stop=10.0))
+        ref = _numpy_tfce(t, stop=10.0)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+    def test_map_batched(self):
+        t = (RNG.standard_normal((3, 4, 7)) * 2.0).astype(np.float32)
+        ours = np.asarray(cl.tfce_map(t, stop=8.0))
+        for b in range(3):
+            np.testing.assert_allclose(ours[b], _numpy_tfce(t[b], stop=8.0),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_sign_flip_null_oracle(self):
+        x = _noise(e=8, f=4, n=6)
+        key = jax.random.PRNGKey(6)
+        kw = dict(start=0.5, step=0.5, stop=8.0, e=0.5, h=2.0)
+        null = np.asarray(cl._sign_flip_tfce_null(
+            jnp.asarray(x), key, n_perm=6, chunk=2, **kw))
+        signs = np.asarray(jax.random.rademacher(
+            key, (6, x.shape[0]), jnp.float32))
+        for p in range(6):
+            t = stats.ttest_1samp((signs[p][:, None, None] * x)
+                                  .astype(np.float64), 0.0, 0).statistic
+            ref = np.abs(_numpy_tfce(t, **kw)).max()
+            assert null[p] == pytest.approx(ref, rel=1e-3, abs=1e-3)
+
+    def test_one_sample_detects_effect(self):
+        res = cl.tfce_test_one_sample(_effect(e=14, amp=3.0), n_perm=99,
+                                      seed=1, stop=20.0)
+        assert (res.p_map[2:4, 6:11] < 0.05).all()
+        assert res.tfce_obs.shape == res.t_obs.shape
+
+    def test_null_calibrated_and_zero_pixels_p1(self):
+        res = cl.tfce_test_one_sample(_noise(e=16), n_perm=99, seed=2,
+                                      stop=20.0)
+        assert res.p_map.min() > 0.01
+        assert res.p_map[res.tfce_obs == 0.0].min() == 1.0
+
+    def test_independent(self):
+        res = cl.tfce_test_independent(_effect(amp=4.0), _noise(),
+                                       n_perm=99, seed=3, stop=20.0)
+        assert (res.p_map[2:4, 6:11] < 0.05).all()
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            cl.tfce_test_one_sample(np.zeros((1, 3, 3)))
+        with pytest.raises(ValueError):
+            cl.tfce_test_independent(np.zeros((3, 2, 2)),
+                                     np.zeros((3, 3, 2)))
