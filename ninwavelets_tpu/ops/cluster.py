@@ -118,25 +118,39 @@ def t_independent(xa: jnp.ndarray, xb: jnp.ndarray) -> jnp.ndarray:
 # connected components + cluster mass (batched over leading axes)
 # ---------------------------------------------------------------------------
 
-def label_components(mask: jnp.ndarray) -> jnp.ndarray:
-    """4-connected component labels of a boolean (..., F, N) mask.
+def _plane_ndim(adjacency) -> int:
+    """Cluster-plane rank: (F, N) alone, or (C, F, N) when a channel
+    adjacency couples a leading sensor axis."""
+    return 2 if adjacency is None else 3
 
-    Each True pixel gets the MINIMUM flat index of its component; False
-    pixels get the sentinel ``F*N``.  Batched over all leading axes.
+
+def label_components(mask: jnp.ndarray, adjacency=None) -> jnp.ndarray:
+    """Connected-component labels of a boolean mask: 4-connectivity over
+    the trailing (F, N) plane, plus — when ``adjacency`` (an (M, 2) int
+    array of undirected channel edges) is given — same-pixel links
+    between adjacent channels of a (..., C, F, N) mask (the
+    spatio-spectral clustering of MNE's spatio_temporal_cluster_test).
+
+    Each True pixel gets the MINIMUM flat plane index of its component;
+    False pixels get the sentinel (the plane size).  Batched over all
+    leading axes.
 
     Fixed-point iteration: each sweep takes the minimum over the
-    4-neighborhood, then compresses paths by one pointer jump
-    (label <- label[label]), so long snakes converge in ~log(diameter)
-    sweeps instead of diameter.
+    4-neighborhood (and the channel edges via two scatter-mins), then
+    compresses paths by one pointer jump (label <- label[label]), so
+    long snakes converge in ~log(diameter) sweeps instead of diameter.
     """
     mask = jnp.asarray(mask, bool)
-    f, n = mask.shape[-2], mask.shape[-1]
-    fn = f * n
+    pnd = _plane_ndim(adjacency)
+    fn = int(np.prod(mask.shape[-pnd:]))
     sentinel = jnp.int32(fn)
-    idx = jnp.arange(fn, dtype=jnp.int32).reshape(f, n)
+    idx = jnp.arange(fn, dtype=jnp.int32).reshape(mask.shape[-pnd:])
     lab0 = jnp.where(mask, idx, sentinel)
 
     big = sentinel  # > any real label, safe pad for the neighbor minimum
+    if adjacency is not None:
+        edges = jnp.asarray(adjacency, jnp.int32).reshape(-1, 2)
+        e_u, e_v = edges[:, 0], edges[:, 1]
 
     def neighbor_min(lab):
         up = jnp.concatenate([lab[..., 1:, :],
@@ -147,10 +161,16 @@ def label_components(mask: jnp.ndarray) -> jnp.ndarray:
                               jnp.full_like(lab[..., :, :1], big)], -1)
         rt = jnp.concatenate([jnp.full_like(lab[..., :, :1], big),
                               lab[..., :, :-1]], -1)
-        return jnp.minimum(jnp.minimum(up, dn), jnp.minimum(lf, rt))
+        nb = jnp.minimum(jnp.minimum(up, dn), jnp.minimum(lf, rt))
+        if adjacency is not None:
+            ch = jnp.full_like(lab, big)
+            ch = ch.at[..., e_v, :, :].min(jnp.take(lab, e_u, axis=-3))
+            ch = ch.at[..., e_u, :, :].min(jnp.take(lab, e_v, axis=-3))
+            nb = jnp.minimum(nb, ch)
+        return nb
 
     def jump(lab):
-        flat = lab.reshape(*lab.shape[:-2], fn)
+        flat = lab.reshape(*lab.shape[:-pnd], fn)
         padded = jnp.concatenate(
             [flat, jnp.full((*flat.shape[:-1], 1), sentinel, flat.dtype)],
             -1)
@@ -174,11 +194,12 @@ def label_components(mask: jnp.ndarray) -> jnp.ndarray:
     return lab
 
 
-def _mass_bins(vals: jnp.ndarray, labels: jnp.ndarray, fn: int):
+def _mass_bins(vals: jnp.ndarray, labels: jnp.ndarray, fn: int,
+               plane_ndim: int = 2):
     """Scatter-add ``vals`` by component label into (..., fn + 1) bins
     (sentinel pixels land in the trailing garbage bin)."""
-    flat_v = vals.reshape(*vals.shape[:-2], fn)
-    flat_l = labels.reshape(*labels.shape[:-2], fn)
+    flat_v = vals.reshape(*vals.shape[:-plane_ndim], fn)
+    flat_l = labels.reshape(*labels.shape[:-plane_ndim], fn)
     batch = flat_v.shape[:-1]
     bins = jnp.zeros((*batch, fn + 1), flat_v.dtype)
     if batch:
@@ -190,8 +211,9 @@ def _mass_bins(vals: jnp.ndarray, labels: jnp.ndarray, fn: int):
     return bins.at[flat_l].add(flat_v)
 
 
-def cluster_mass(tmap: jnp.ndarray, threshold: float):
-    """Two-sided cluster decomposition of a (..., F, N) t-map.
+def cluster_mass(tmap: jnp.ndarray, threshold: float, adjacency=None):
+    """Two-sided cluster decomposition of a (..., F, N) t-map (or
+    (..., C, F, N) with channel ``adjacency`` edges).
 
     Positive (t > thr) and negative (t < -thr) excursions are clustered
     SEPARATELY (same-sign pixels only, the Maris-Oostenveld convention);
@@ -200,11 +222,14 @@ def cluster_mass(tmap: jnp.ndarray, threshold: float):
     bins are per-component masses indexed by root label and ``max_mass``
     is the per-map maximum over BOTH signs (the null statistic).
     """
-    fn = tmap.shape[-2] * tmap.shape[-1]
-    pos_l = label_components(tmap > threshold)
-    neg_l = label_components(tmap < -threshold)
-    pos_b = _mass_bins(jnp.where(tmap > threshold, tmap, 0.0), pos_l, fn)
-    neg_b = _mass_bins(jnp.where(tmap < -threshold, -tmap, 0.0), neg_l, fn)
+    pnd = _plane_ndim(adjacency)
+    fn = int(np.prod(tmap.shape[-pnd:]))
+    pos_l = label_components(tmap > threshold, adjacency)
+    neg_l = label_components(tmap < -threshold, adjacency)
+    pos_b = _mass_bins(jnp.where(tmap > threshold, tmap, 0.0), pos_l, fn,
+                       pnd)
+    neg_b = _mass_bins(jnp.where(tmap < -threshold, -tmap, 0.0), neg_l, fn,
+                       pnd)
     max_mass = jnp.maximum(jnp.max(pos_b[..., :fn], -1),
                            jnp.max(neg_b[..., :fn], -1))
     return pos_l, neg_l, pos_b, neg_b, max_mass
@@ -212,7 +237,7 @@ def cluster_mass(tmap: jnp.ndarray, threshold: float):
 
 def tfce_map(tmap: jnp.ndarray, start: float = 0.2, step: float = 0.4,
              stop: float = 40.0, e: float = 0.5,
-             h: float = 2.0) -> jnp.ndarray:
+             h: float = 2.0, adjacency=None) -> jnp.ndarray:
     """Signed two-sided TFCE enhancement of a (..., F, N) t-map (Smith &
     Nichols 2009): at each ladder level ``l`` every suprathreshold pixel
     accrues ``extent(l)**e * l**h * step`` where ``extent`` is the size
@@ -227,15 +252,16 @@ def tfce_map(tmap: jnp.ndarray, start: float = 0.2, step: float = 0.4,
     the observed map and the null must use the SAME ladder.
     """
     tmap = jnp.asarray(tmap, jnp.float32)
-    fn = tmap.shape[-2] * tmap.shape[-1]
+    pnd = _plane_ndim(adjacency)
+    fn = int(np.prod(tmap.shape[-pnd:]))
     levels = jnp.asarray(np.arange(start, stop, step), jnp.float32)
 
     def enhance(signed):
         def body(acc, lvl):
             mask = signed > lvl
-            labels = label_components(mask)
-            counts = _mass_bins(mask.astype(jnp.float32), labels, fn)
-            flat_l = labels.reshape(*labels.shape[:-2], fn)
+            labels = label_components(mask, adjacency)
+            counts = _mass_bins(mask.astype(jnp.float32), labels, fn, pnd)
+            flat_l = labels.reshape(*labels.shape[:-pnd], fn)
             ext = jnp.take_along_axis(counts, flat_l, -1) \
                 .reshape(labels.shape)
             gain = jnp.where(mask, ext ** e * lvl ** h * step, 0.0)
@@ -267,22 +293,25 @@ def _null_scan(per_chunk, n_chunks: int, n_perm: int):
 
 def sign_chunk_max_mass(signs: jnp.ndarray, xf: jnp.ndarray,
                         s2: jnp.ndarray, n_obs: int, threshold: float,
-                        f: int, n: int) -> jnp.ndarray:
+                        plane: tuple, adjacency=None) -> jnp.ndarray:
     """Max cluster mass of every sign-flip t-map in one chunk: the
-    (chunk, E) @ (E, F*N) MXU contraction + clustering.  Shared by the
+    (chunk, E) @ (E, prod(plane)) MXU contraction + clustering (``plane``
+    is (F, N), or (C, F, N) with channel ``adjacency``).  Shared by the
     single-device scan and the mesh-sharded null."""
-    t = _t_from_sign_sums(signs @ xf, s2, n_obs).reshape(-1, f, n)
-    return cluster_mass(t, threshold)[4]
+    t = _t_from_sign_sums(signs @ xf, s2, n_obs).reshape(-1, *plane)
+    return cluster_mass(t, threshold, adjacency)[4]
 
 
 def relabel_chunk_max_mass(ind: jnp.ndarray, xf: jnp.ndarray,
                            x2f: jnp.ndarray, s1t: jnp.ndarray,
                            s2t: jnp.ndarray, na: int, nb: int,
-                           threshold: float, f: int, n: int) -> jnp.ndarray:
+                           threshold: float, plane: tuple,
+                           adjacency=None) -> jnp.ndarray:
     """Max cluster mass of every relabeling t-map in one chunk (two
     indicator matmuls).  Shared with the mesh-sharded null."""
-    t = _t_pooled(ind @ xf, ind @ x2f, s1t, s2t, na, nb).reshape(-1, f, n)
-    return cluster_mass(t, threshold)[4]
+    t = _t_pooled(ind @ xf, ind @ x2f, s1t, s2t, na,
+                  nb).reshape(-1, *plane)
+    return cluster_mass(t, threshold, adjacency)[4]
 
 
 def sign_draws(key, n_perm: int, n_obs: int,
@@ -311,36 +340,39 @@ def relabel_draws(key, n_perm: int, n_obs: int, na: int,
 
 @partial(jax.jit, static_argnames=("n_perm", "threshold", "chunk"))
 def _sign_flip_null(x: jnp.ndarray, key, *, n_perm: int, threshold: float,
-                    chunk: int = _CHUNK) -> jnp.ndarray:
+                    chunk: int = _CHUNK, adjacency=None) -> jnp.ndarray:
     """(P,) null of max cluster masses under epoch sign flips.
 
-    ``x`` is (E, F, N); each chunk's t-maps come from ONE
-    (chunk, E) @ (E, F*N) matmul — the sum of squares is shared.
+    ``x`` is (E, F, N) — or (E, C, F, N) with channel ``adjacency``
+    edges; each chunk's t-maps come from ONE (chunk, E) @ (E, plane)
+    matmul — the sum of squares is shared.
     """
-    e, f, n = x.shape
-    xf = x.reshape(e, f * n)
+    e, plane = x.shape[0], x.shape[1:]
+    xf = x.reshape(e, -1)
     s2 = jnp.sum(xf * xf, 0)  # sign-invariant
     n_chunks = _pad_perms(n_perm, chunk)
     signs = sign_draws(key, n_perm, e, chunk)
 
     def per_chunk(k):
-        return sign_chunk_max_mass(signs[k], xf, s2, e, threshold, f, n)
+        return sign_chunk_max_mass(signs[k], xf, s2, e, threshold, plane,
+                                   adjacency)
 
     return _null_scan(per_chunk, n_chunks, n_perm)
 
 
 @partial(jax.jit, static_argnames=("n_perm", "threshold", "na", "chunk"))
 def _relabel_null(x: jnp.ndarray, key, *, n_perm: int, threshold: float,
-                  na: int, chunk: int = _CHUNK) -> jnp.ndarray:
+                  na: int, chunk: int = _CHUNK,
+                  adjacency=None) -> jnp.ndarray:
     """(P,) null of max cluster masses under label permutations of the
     concatenated (E, F, N) stack (first ``na`` = group A).
 
     Group-A sums/squares under every relabeling are TWO indicator
     matmuls per chunk; the totals are permutation-invariant.
     """
-    e, f, n = x.shape
+    e, plane = x.shape[0], x.shape[1:]
     nb = e - na
-    xf = x.reshape(e, f * n)
+    xf = x.reshape(e, -1)
     x2f = xf * xf
     s1t = jnp.sum(xf, 0)
     s2t = jnp.sum(x2f, 0)
@@ -349,7 +381,7 @@ def _relabel_null(x: jnp.ndarray, key, *, n_perm: int, threshold: float,
 
     def per_chunk(k):
         return relabel_chunk_max_mass(ind[k], xf, x2f, s1t, s2t, na, nb,
-                                      threshold, f, n)
+                                      threshold, plane, adjacency)
 
     return _null_scan(per_chunk, n_chunks, n_perm)
 
@@ -377,27 +409,28 @@ class ClusterResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=("threshold",))
 def _observed_maps(t_obs: jnp.ndarray, null_max: jnp.ndarray,
-                   *, threshold: float):
+                   *, threshold: float, adjacency=None):
     """Per-pixel corrected p and signed mass maps of the observed t-map
     against the permutation null (the +1/(P+1) convention counts the
     observed arrangement as one permutation)."""
-    f, n = t_obs.shape
-    fn = f * n
-    pos_l, neg_l, pos_b, neg_b, _ = cluster_mass(t_obs, threshold)
-    pos_mass = jnp.take(pos_b, pos_l.reshape(fn)).reshape(f, n)
-    neg_mass = jnp.take(neg_b, neg_l.reshape(fn)).reshape(f, n)
+    fn = t_obs.size
+    pos_l, neg_l, pos_b, neg_b, _ = cluster_mass(t_obs, threshold,
+                                                 adjacency)
+    pos_mass = jnp.take(pos_b, pos_l.reshape(fn)).reshape(t_obs.shape)
+    neg_mass = jnp.take(neg_b, neg_l.reshape(fn)).reshape(t_obs.shape)
     mass_map = jnp.where(pos_l < fn, pos_mass, 0.0) \
         - jnp.where(neg_l < fn, neg_mass, 0.0)
     abs_mass = jnp.abs(mass_map)
     p = jnp.float32(null_max.shape[0] + 1)
-    counts = jnp.sum(null_max[None, None, :] >= abs_mass[..., None], -1)
+    counts = jnp.sum(null_max >= abs_mass[..., None], -1)
     p_map = jnp.where(abs_mass > 0, (counts + 1.0) / p, 1.0)
     return p_map, mass_map, pos_l, neg_l
 
 
-def _finish(t_obs, null_max, threshold: float) -> ClusterResult:
+def _finish(t_obs, null_max, threshold: float,
+            adjacency=None) -> ClusterResult:
     p_map, mass_map, pos_l, neg_l = _observed_maps(
-        t_obs, null_max, threshold=float(threshold))
+        t_obs, null_max, threshold=float(threshold), adjacency=adjacency)
     t_h = np.asarray(t_obs)
     p_h = np.asarray(p_map)
     m_h = np.asarray(mass_map)
@@ -423,12 +456,23 @@ def _resolve_threshold(threshold, alpha, dof) -> float:
     return t_threshold(alpha, dof)
 
 
+def _check_stack(x, adjacency, name="x"):
+    want = 3 + (0 if adjacency is None else 1)
+    if x.ndim != want:
+        raise ValueError(
+            "%s: expected %s, got shape %s" % (
+                name,
+                "(epochs, F, N)" if want == 3
+                else "(epochs, C, F, N) with channel adjacency",
+                (x.shape,)))
+
+
 def cluster_test_one_sample(x, n_perm: int = 999,
                             threshold: Optional[float] = None,
                             alpha: float = 0.05,
                             seed: int = 0,
-                            null_max: Optional[jnp.ndarray] = None
-                            ) -> ClusterResult:
+                            null_max: Optional[jnp.ndarray] = None,
+                            adjacency=None) -> ClusterResult:
     """Cluster permutation test of ``mean(x) != 0`` over (E, F, N)
     single-trial planes, with epoch sign flips as the exchangeable null
     (valid when each trial's map is symmetric about 0 under H0 — e.g.
@@ -436,18 +480,21 @@ def cluster_test_one_sample(x, n_perm: int = 999,
 
     ``threshold`` defaults to the two-sided t critical value at ``alpha``
     with E-1 degrees of freedom.  ``null_max`` lets a precomputed
-    (sharded) null be reused.
+    (sharded) null be reused.  With ``adjacency`` — an (M, 2) array of
+    undirected channel edges (an empty list keeps channels independent) —
+    ``x`` is (E, C, F, N) and clusters extend across adjacent channels
+    (spatio-spectral clustering).
     """
     x = jnp.asarray(x, jnp.float32)
-    if x.ndim != 3:
-        raise ValueError("expected (epochs, F, N), got %s" % (x.shape,))
+    _check_stack(x, adjacency)
     if x.shape[0] < 2:
         raise ValueError("need at least 2 epochs")
     thr = _resolve_threshold(threshold, alpha, x.shape[0] - 1)
     if null_max is None:
         null_max = _sign_flip_null(x, jax.random.PRNGKey(seed),
-                                   n_perm=n_perm, threshold=thr)
-    return _finish(t_one_sample(x), null_max, thr)
+                                   n_perm=n_perm, threshold=thr,
+                                   adjacency=adjacency)
+    return _finish(t_one_sample(x), null_max, thr, adjacency)
 
 
 def cluster_test_paired(xa, xb, **kw) -> ClusterResult:
@@ -464,16 +511,19 @@ def cluster_test_independent(xa, xb, n_perm: int = 999,
                              threshold: Optional[float] = None,
                              alpha: float = 0.05,
                              seed: int = 0,
-                             null_max: Optional[jnp.ndarray] = None
-                             ) -> ClusterResult:
+                             null_max: Optional[jnp.ndarray] = None,
+                             adjacency=None) -> ClusterResult:
     """Cluster permutation test of equal means between independent trial
     groups (Ea, F, N) vs (Eb, F, N): pooled-variance t, condition labels
-    permuted across the concatenated stack."""
+    permuted across the concatenated stack.  With ``adjacency`` the
+    groups are (E, C, F, N) and clusters extend across channel edges."""
     xa = jnp.asarray(xa, jnp.float32)
     xb = jnp.asarray(xb, jnp.float32)
-    if xa.ndim != 3 or xb.ndim != 3 or xa.shape[1:] != xb.shape[1:]:
-        raise ValueError("expected (Ea, F, N) and (Eb, F, N) with matching "
-                         "planes, got %s and %s" % (xa.shape, xb.shape))
+    _check_stack(xa, adjacency, "xa")
+    _check_stack(xb, adjacency, "xb")
+    if xa.shape[1:] != xb.shape[1:]:
+        raise ValueError("group planes must match, got %s and %s"
+                         % (xa.shape, xb.shape))
     na, nb = xa.shape[0], xb.shape[0]
     if na < 2 or nb < 2:
         raise ValueError("need at least 2 epochs per group")
@@ -481,8 +531,9 @@ def cluster_test_independent(xa, xb, n_perm: int = 999,
     if null_max is None:
         null_max = _relabel_null(jnp.concatenate([xa, xb], 0),
                                  jax.random.PRNGKey(seed),
-                                 n_perm=n_perm, threshold=thr, na=na)
-    return _finish(t_independent(xa, xb), null_max, thr)
+                                 n_perm=n_perm, threshold=thr, na=na,
+                                 adjacency=adjacency)
+    return _finish(t_independent(xa, xb), null_max, thr, adjacency)
 
 
 # ---------------------------------------------------------------------------
@@ -506,17 +557,17 @@ _TFCE_KEYS = ("start", "step", "stop", "e", "h")
 def _sign_flip_tfce_null(x, key, *, n_perm: int, chunk: int = _CHUNK,
                          start: float = 0.2, step: float = 0.4,
                          stop: float = 40.0, e: float = 0.5,
-                         h: float = 2.0):
-    ne, f, n = x.shape
-    xf = x.reshape(ne, f * n)
+                         h: float = 2.0, adjacency=None):
+    ne, plane = x.shape[0], x.shape[1:]
+    xf = x.reshape(ne, -1)
     s2 = jnp.sum(xf * xf, 0)
     n_chunks = _pad_perms(n_perm, chunk)
     signs = sign_draws(key, n_perm, ne, chunk)
 
     def per_chunk(k):
-        t = _t_from_sign_sums(signs[k] @ xf, s2, ne).reshape(chunk, f, n)
-        enh = tfce_map(t, start, step, stop, e, h)
-        return jnp.max(jnp.abs(enh), (-2, -1))
+        t = _t_from_sign_sums(signs[k] @ xf, s2, ne).reshape(chunk, *plane)
+        enh = tfce_map(t, start, step, stop, e, h, adjacency)
+        return jnp.max(jnp.abs(enh).reshape(chunk, -1), -1)
 
     return _null_scan(per_chunk, n_chunks, n_perm)
 
@@ -525,11 +576,10 @@ def _sign_flip_tfce_null(x, key, *, n_perm: int, chunk: int = _CHUNK,
 def _relabel_tfce_null(x, key, *, n_perm: int, na: int,
                        chunk: int = _CHUNK, start: float = 0.2,
                        step: float = 0.4, stop: float = 40.0,
-                       e: float = 0.5, h: float = 2.0):
-    ne = x.shape[0]
+                       e: float = 0.5, h: float = 2.0, adjacency=None):
+    ne, plane = x.shape[0], x.shape[1:]
     nb = ne - na
-    f, n = x.shape[-2], x.shape[-1]
-    xf = x.reshape(ne, f * n)
+    xf = x.reshape(ne, -1)
     x2f = xf * xf
     s1t, s2t = jnp.sum(xf, 0), jnp.sum(x2f, 0)
     n_chunks = _pad_perms(n_perm, chunk)
@@ -537,15 +587,15 @@ def _relabel_tfce_null(x, key, *, n_perm: int, na: int,
 
     def per_chunk(k):
         t = _t_pooled(ind[k] @ xf, ind[k] @ x2f, s1t, s2t, na,
-                      nb).reshape(chunk, f, n)
-        enh = tfce_map(t, start, step, stop, e, h)
-        return jnp.max(jnp.abs(enh), (-2, -1))
+                      nb).reshape(chunk, *plane)
+        enh = tfce_map(t, start, step, stop, e, h, adjacency)
+        return jnp.max(jnp.abs(enh).reshape(chunk, -1), -1)
 
     return _null_scan(per_chunk, n_chunks, n_perm)
 
 
-def _tfce_finish(t_obs, null_max, kw) -> TfceResult:
-    enh = tfce_map(t_obs, **kw)
+def _tfce_finish(t_obs, null_max, kw, adjacency=None) -> TfceResult:
+    enh = tfce_map(t_obs, adjacency=adjacency, **kw)
     p = (jnp.sum(null_max[None, None, :] >= jnp.abs(enh)[..., None], -1)
          + 1.0) / (null_max.shape[0] + 1.0)
     return TfceResult(np.asarray(t_obs), np.asarray(enh), np.asarray(p),
@@ -555,7 +605,7 @@ def _tfce_finish(t_obs, null_max, kw) -> TfceResult:
 def tfce_test_one_sample(x, n_perm: int = 199, seed: int = 0,
                          start: float = 0.2, step: float = 0.4,
                          stop: float = 40.0, e: float = 0.5,
-                         h: float = 2.0) -> TfceResult:
+                         h: float = 2.0, adjacency=None) -> TfceResult:
     """TFCE permutation test of ``mean(x) != 0`` over (E, F, N) trial
     planes (sign-flip null) — threshold-free alternative to
     ``cluster_test_one_sample`` with pixelwise corrected p-values.
@@ -563,31 +613,34 @@ def tfce_test_one_sample(x, n_perm: int = 199, seed: int = 0,
     ``n_perm``/coarser ladders trade resolution for speed.
     """
     x = jnp.asarray(x, jnp.float32)
-    if x.ndim != 3 or x.shape[0] < 2:
-        raise ValueError("expected (epochs >= 2, F, N), got %s"
-                         % (x.shape,))
+    _check_stack(x, adjacency)
+    if x.shape[0] < 2:
+        raise ValueError("need at least 2 epochs")
     kw = dict(start=start, step=step, stop=stop, e=e, h=h)
     null = _sign_flip_tfce_null(x, jax.random.PRNGKey(seed),
-                                n_perm=n_perm, **kw)
-    return _tfce_finish(t_one_sample(x), null, kw)
+                                n_perm=n_perm, adjacency=adjacency, **kw)
+    return _tfce_finish(t_one_sample(x), null, kw, adjacency)
 
 
 def tfce_test_independent(xa, xb, n_perm: int = 199, seed: int = 0,
                           start: float = 0.2, step: float = 0.4,
                           stop: float = 40.0, e: float = 0.5,
-                          h: float = 2.0) -> TfceResult:
+                          h: float = 2.0, adjacency=None) -> TfceResult:
     """TFCE permutation test between independent trial groups
-    (relabeling null, pooled-variance t)."""
+    (relabeling null, pooled-variance t).  With ``adjacency`` the groups
+    are (E, C, F, N) and the enhancement extends across channel edges."""
     xa = jnp.asarray(xa, jnp.float32)
     xb = jnp.asarray(xb, jnp.float32)
-    if xa.ndim != 3 or xb.ndim != 3 or xa.shape[1:] != xb.shape[1:]:
-        raise ValueError("expected (Ea, F, N) and (Eb, F, N) with matching "
-                         "planes, got %s and %s" % (xa.shape, xb.shape))
+    _check_stack(xa, adjacency, "xa")
+    _check_stack(xb, adjacency, "xb")
+    if xa.shape[1:] != xb.shape[1:]:
+        raise ValueError("group planes must match, got %s and %s"
+                         % (xa.shape, xb.shape))
     kw = dict(start=start, step=step, stop=stop, e=e, h=h)
     null = _relabel_tfce_null(jnp.concatenate([xa, xb], 0),
                               jax.random.PRNGKey(seed), n_perm=n_perm,
-                              na=xa.shape[0], **kw)
-    return _tfce_finish(t_independent(xa, xb), null, kw)
+                              na=xa.shape[0], adjacency=adjacency, **kw)
+    return _tfce_finish(t_independent(xa, xb), null, kw, adjacency)
 
 
 # ---------------------------------------------------------------------------

@@ -783,7 +783,8 @@ def sharded_fused_power_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
 @partial(jax.jit, static_argnames=("mesh", "n_perm", "threshold", "na",
                                    "chunk"))
 def sharded_cluster_null(x, key, *, mesh: Mesh, n_perm: int,
-                         threshold: float, na=None, chunk: int = 64):
+                         threshold: float, na=None, chunk: int = 64,
+                         adjacency=None):
     """Permutation null of max cluster masses over the mesh: (P,).
 
     Permutations are embarrassingly parallel, so the DRAW (the canonical
@@ -794,14 +795,16 @@ def sharded_cluster_null(x, key, *, mesh: Mesh, n_perm: int,
     == single-device ``ops.cluster._sign_flip_null`` / ``_relabel_null``
     for the same key, bit for bit.  ``na=None`` selects the one-sample
     sign-flip null; ``na=k`` the independent-groups relabeling null with
-    the first k trials as group A.
+    the first k trials as group A.  With channel ``adjacency`` edges the
+    stack is (E, C, F, N) (spatio-spectral clusters); the adjacency
+    replicates to every shard.
     """
     from ..ops.cluster import (_pad_perms, relabel_chunk_max_mass,
                                relabel_draws, sign_chunk_max_mass,
                                sign_draws)
     x = jnp.asarray(x, jnp.float32)
-    e, f, n = x.shape
-    xf = x.reshape(e, f * n)
+    e, plane = x.shape[0], x.shape[1:]
+    xf = x.reshape(e, -1)
     n_chunks = _pad_perms(n_perm, chunk)
     d = mesh.shape[DATA_AXIS]
     pad_chunks = -(-n_chunks // d) * d
@@ -811,7 +814,7 @@ def sharded_cluster_null(x, key, *, mesh: Mesh, n_perm: int,
 
         def chunk_fn(dchunk, xf_, aux_):
             return sign_chunk_max_mass(dchunk, xf_, aux_[0], e, threshold,
-                                       f, n)
+                                       plane, adjacency)
     else:
         nb = e - na
         draws = relabel_draws(key, n_perm, e, na, chunk)
@@ -820,7 +823,8 @@ def sharded_cluster_null(x, key, *, mesh: Mesh, n_perm: int,
 
         def chunk_fn(dchunk, xf_, aux_):
             return relabel_chunk_max_mass(dchunk, xf_, aux_[0], aux_[1],
-                                          aux_[2], na, nb, threshold, f, n)
+                                          aux_[2], na, nb, threshold,
+                                          plane, adjacency)
     if pad_chunks != n_chunks:
         reps = jnp.broadcast_to(draws[:1],
                                 (pad_chunks - n_chunks, chunk, e))
@@ -843,7 +847,7 @@ def sharded_cluster_null(x, key, *, mesh: Mesh, n_perm: int,
 
 def sharded_cluster_test_one_sample(x, *, mesh: Mesh, n_perm: int = 999,
                                     threshold=None, alpha: float = 0.05,
-                                    seed: int = 0):
+                                    seed: int = 0, adjacency=None):
     """``ops.cluster.cluster_test_one_sample`` with the permutation null
     computed over the mesh (same key -> same result as single-device)."""
     from ..ops.cluster import (cluster_test_one_sample, t_threshold)
@@ -851,13 +855,16 @@ def sharded_cluster_test_one_sample(x, *, mesh: Mesh, n_perm: int = 999,
     thr = float(threshold) if threshold is not None else t_threshold(
         alpha, x.shape[0] - 1)
     null = sharded_cluster_null(x, jax.random.PRNGKey(seed), mesh=mesh,
-                                n_perm=n_perm, threshold=thr)
-    return cluster_test_one_sample(x, threshold=thr, null_max=null)
+                                n_perm=n_perm, threshold=thr,
+                                adjacency=adjacency)
+    return cluster_test_one_sample(x, threshold=thr, null_max=null,
+                                   adjacency=adjacency)
 
 
 def sharded_cluster_test_independent(xa, xb, *, mesh: Mesh,
                                      n_perm: int = 999, threshold=None,
-                                     alpha: float = 0.05, seed: int = 0):
+                                     alpha: float = 0.05, seed: int = 0,
+                                     adjacency=None):
     """``ops.cluster.cluster_test_independent`` with the relabeling null
     computed over the mesh."""
     from ..ops.cluster import (cluster_test_independent, t_threshold)
@@ -868,8 +875,10 @@ def sharded_cluster_test_independent(xa, xb, *, mesh: Mesh,
         alpha, na + xb.shape[0] - 2)
     null = sharded_cluster_null(jnp.concatenate([xa, xb], 0),
                                 jax.random.PRNGKey(seed), mesh=mesh,
-                                n_perm=n_perm, threshold=thr, na=na)
-    return cluster_test_independent(xa, xb, threshold=thr, null_max=null)
+                                n_perm=n_perm, threshold=thr, na=na,
+                                adjacency=adjacency)
+    return cluster_test_independent(xa, xb, threshold=thr, null_max=null,
+                                    adjacency=adjacency)
 
 
 @partial(jax.jit, static_argnames=("mesh", "interpolate"))

@@ -305,6 +305,84 @@ class EpochsWavelet:
         return self._post(tf, self.wavelet.sfreq, baseline,
                           baseline_method, decim)
 
+    def single_trial_power_all(self, freqs: Numbers, baseline=None,
+                               baseline_method: str = "zscore",
+                               decim: int = 1) -> jnp.ndarray:
+        """(E, C, F, N) per-epoch power planes for ALL channels — the
+        input of the spatio-spectral cluster tests."""
+        from ..ops.cwt import power as _power
+        waves = self._all_data()
+        bank = self._bank_for(waves, freqs)
+        tf = _power(waves, bank[0], bank[1],
+                    interpolate=self.wavelet.interpolate)
+        return self._post(tf, self.wavelet.sfreq, baseline,
+                          baseline_method, decim)
+
+    def cluster_test_all(self, freqs: Numbers, other=None, *,
+                         adjacency=(), paired: bool = False, baseline=None,
+                         baseline_method: str = "zscore", decim: int = 1,
+                         n_perm: int = 999, threshold=None,
+                         alpha: float = 0.05, seed: int = 0, mesh=None):
+        """Spatio-spectral cluster permutation test over ALL channels
+        (extension — the MNE ``spatio_temporal_cluster_test`` analog):
+        clusters live in (channel, frequency, time) with 4-connectivity
+        in the TF plane plus same-pixel links between ``adjacency``
+        channel edges ((M, 2) ints, or an (C, C) boolean matrix; the
+        default empty adjacency keeps channels independent but still
+        corrects across all of them).  Other arguments as
+        :meth:`cluster_test`.
+        """
+        from ..ops import cluster as _cl
+        adjacency = self._as_edges(adjacency)
+        x = self.single_trial_power_all(freqs, baseline, baseline_method,
+                                        decim)
+        if other is None:
+            if baseline is None:
+                raise ValueError(
+                    "one-sample cluster test needs baseline=(start, stop) "
+                    "so zero is the null hypothesis for the trial planes")
+            y = None
+        elif isinstance(other, EpochsWavelet):
+            y = other.single_trial_power_all(freqs, baseline,
+                                             baseline_method, decim)
+        else:
+            y = jnp.asarray(other, jnp.float32)
+        if y is not None and paired:
+            x, y = x - y, None
+        if mesh is not None:
+            from ..parallel.sharded import (
+                sharded_cluster_test_independent,
+                sharded_cluster_test_one_sample)
+            if y is None:
+                return sharded_cluster_test_one_sample(
+                    x, mesh=mesh, n_perm=n_perm, threshold=threshold,
+                    alpha=alpha, seed=seed, adjacency=adjacency)
+            return sharded_cluster_test_independent(
+                x, y, mesh=mesh, n_perm=n_perm, threshold=threshold,
+                alpha=alpha, seed=seed, adjacency=adjacency)
+        if y is None:
+            return _cl.cluster_test_one_sample(
+                x, n_perm=n_perm, threshold=threshold, alpha=alpha,
+                seed=seed, adjacency=adjacency)
+        return _cl.cluster_test_independent(
+            x, y, n_perm=n_perm, threshold=threshold, alpha=alpha,
+            seed=seed, adjacency=adjacency)
+
+    @staticmethod
+    def _as_edges(adjacency) -> np.ndarray:
+        """Normalize a channel adjacency to an (M, 2) int edge array:
+        accepts an edge list/array or a square boolean/0-1 matrix (upper
+        triangle taken, diagonal ignored)."""
+        adjacency = np.asarray(adjacency)
+        if adjacency.size == 0:
+            return np.zeros((0, 2), np.int32)
+        if adjacency.ndim == 2 and adjacency.shape[0] == adjacency.shape[1] \
+                and (adjacency.shape[1] != 2 or adjacency.dtype == bool):
+            iu, ju = np.triu_indices(adjacency.shape[0], k=1)
+            keep = adjacency[iu, ju] != 0
+            return np.stack([iu[keep], ju[keep]], -1).astype(np.int32)
+        return adjacency.reshape(-1, 2).astype(np.int32)
+
     def cluster_test(self, ch_name: str, freqs: Numbers, other=None, *,
                      paired: bool = False, baseline=None,
                      baseline_method: str = "zscore", decim: int = 1,

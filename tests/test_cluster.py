@@ -404,3 +404,158 @@ class TestTfce:
         with pytest.raises(ValueError):
             cl.tfce_test_independent(np.zeros((3, 2, 2)),
                                      np.zeros((3, 3, 2)))
+
+
+def _union_find_labels(mask, edges):
+    """Numpy oracle: components of a (C, F, N) mask with 4-connectivity
+    in (F, N) plus same-pixel channel edges; returns min-flat-index root
+    per pixel (sentinel = size)."""
+    c, f, n = mask.shape
+    parent = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    idx = np.arange(mask.size).reshape(mask.shape)
+    for p in idx[mask]:
+        parent[p] = p
+    for ci in range(c):
+        for fi in range(f):
+            for ni in range(n):
+                if not mask[ci, fi, ni]:
+                    continue
+                if fi + 1 < f and mask[ci, fi + 1, ni]:
+                    union(idx[ci, fi, ni], idx[ci, fi + 1, ni])
+                if ni + 1 < n and mask[ci, fi, ni + 1]:
+                    union(idx[ci, fi, ni], idx[ci, fi, ni + 1])
+    for u, v in edges:
+        sel = mask[u] & mask[v]
+        for fi, ni in zip(*np.where(sel)):
+            union(idx[u, fi, ni], idx[v, fi, ni])
+    out = np.full(mask.shape, mask.size, np.int64)
+    for p in idx[mask]:
+        out.flat[p] = find(p)
+    return out
+
+
+class TestChannelAdjacency:
+    EDGES = np.array([[0, 1], [1, 2]], np.int32)
+
+    def test_labels_match_union_find(self):
+        rng = np.random.default_rng(21)
+        for p in (0.3, 0.6):
+            mask = rng.random((4, 5, 7)) < p
+            edges = np.array([[0, 1], [2, 3]], np.int32)
+            ours = np.asarray(cl.label_components(mask, edges))
+            ref = _union_find_labels(mask, edges)
+            np.testing.assert_array_equal(ours, ref)
+
+    def test_adjacent_channels_merge_nonadjacent_dont(self):
+        mask = np.zeros((3, 2, 2), bool)
+        mask[0, 0, 0] = mask[1, 0, 0] = mask[2, 0, 0] = True
+        ours = np.asarray(cl.label_components(
+            mask, np.array([[0, 1]], np.int32)))
+        assert ours[0, 0, 0] == ours[1, 0, 0] != ours[2, 0, 0]
+
+    def _stack(self, e=14, amp=4.0, seed=2):
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal((e, 3, 5, 12)).astype(np.float32)
+        x[:, 0, 1:3, 4:9] += amp  # effect on channels 0 and 1,
+        x[:, 1, 1:3, 4:9] += amp  # which are adjacent
+        return x
+
+    def test_one_sample_spatiospectral(self):
+        res = cl.cluster_test_one_sample(self._stack(), n_perm=99, seed=1,
+                                         adjacency=self.EDGES)
+        assert res.t_obs.shape == (3, 5, 12)
+        # the two adjacent effect channels form ONE cluster
+        big = res.clusters[0]
+        assert big["p"] < 0.05 and big["size"] == 2 * 2 * 5
+        assert (res.p_map[2] == 1.0).all() or (res.p_map[2] > 0.05).all()
+
+    def test_empty_adjacency_splits_channels(self):
+        res = cl.cluster_test_one_sample(
+            self._stack(), n_perm=99, seed=1,
+            adjacency=np.zeros((0, 2), np.int32))
+        sizes = sorted(c["size"] for c in res.clusters if c["p"] < 0.05)
+        assert sizes == [10, 10]
+
+    def test_sharded_matches_single_device_4d(self):
+        import ninwavelets_tpu.parallel as par
+        x = self._stack()
+        a = cl.cluster_test_one_sample(x, n_perm=24, seed=7,
+                                       adjacency=self.EDGES)
+        b = par.sharded_cluster_test_one_sample(
+            x, mesh=par.make_mesh(data=4, freq=1), n_perm=24, seed=7,
+            adjacency=self.EDGES)
+        np.testing.assert_array_equal(a.p_map, b.p_map)
+        np.testing.assert_array_equal(a.null_max, b.null_max)
+
+    def test_independent_4d(self):
+        xa = self._stack(seed=3)
+        xb = self._stack(amp=0.0, seed=4)
+        res = cl.cluster_test_independent(xa, xb, n_perm=99, seed=5,
+                                          adjacency=self.EDGES)
+        assert res.clusters[0]["p"] < 0.05
+
+    def test_tfce_adjacency(self):
+        # TFCE extent must grow when the effect channels are linked
+        x = self._stack()
+        linked = cl.tfce_test_one_sample(x, n_perm=29, seed=6, stop=25.0,
+                                         adjacency=self.EDGES)
+        split = cl.tfce_test_one_sample(
+            x, n_perm=29, seed=6, stop=25.0,
+            adjacency=np.zeros((0, 2), np.int32))
+        sel = np.abs(linked.t_obs) > 3.0
+        assert (np.abs(linked.tfce_obs[sel])
+                > np.abs(split.tfce_obs[sel])).all()
+        assert (linked.p_map[:2, 1:3, 4:9] < 0.05).all()
+
+    def test_shape_validation(self):
+        with pytest.raises(ValueError):
+            cl.cluster_test_one_sample(np.zeros((5, 3, 4)),
+                                       adjacency=self.EDGES)
+        with pytest.raises(ValueError):
+            cl.cluster_test_one_sample(np.zeros((5, 2, 3, 4)))
+
+    def test_adapter_cluster_test_all(self):
+        import ninwavelets_tpu as nw
+        rng = np.random.default_rng(13)
+        n = 256
+        t = np.arange(n) / 250.0
+        data = rng.standard_normal((12, 3, n)).astype(np.float32)
+        win = (t > 0.5) & (t < 0.8)
+        burst = 6.0 * np.sin(2 * np.pi * 40 * t) * win
+        data[:, 0, :] += burst
+        data[:, 1, :] += burst
+        ew = nw.EpochsWavelet(
+            nw.ArrayEpochs(data, 250.0, ch_names=["a", "b", "c"]),
+            nw.Morse(250.0))
+        adj = np.zeros((3, 3), bool)
+        adj[0, 1] = adj[1, 0] = True
+        res = ew.cluster_test_all(np.linspace(20, 60, 4), adjacency=adj,
+                                  baseline=(0.0, 0.4), n_perm=99)
+        assert res.t_obs.shape == (3, 4, n)
+        assert res.clusters[0]["p"] < 0.05
+        # matrix adjacency -> the 0-1 edge, both burst channels in one
+        # cluster
+        sig = res.p_map < 0.05
+        assert sig[0].any() and sig[1].any()
+
+    def test_as_edges_forms(self):
+        from ninwavelets_tpu.utils.mne_adapter import EpochsWavelet
+        m = np.zeros((4, 4), bool)
+        m[0, 2] = m[2, 0] = m[1, 3] = m[3, 1] = True
+        np.testing.assert_array_equal(
+            EpochsWavelet._as_edges(m), [[0, 2], [1, 3]])
+        np.testing.assert_array_equal(
+            EpochsWavelet._as_edges([[0, 1]]), [[0, 1]])
+        assert EpochsWavelet._as_edges(()).shape == (0, 2)
