@@ -148,6 +148,90 @@ def main_ssq():
     }))
 
 
+def main_cluster():
+    """BENCH_MODE=cluster: cluster-permutation null throughput — sign-flip
+    t-maps as (chunk, E) @ (E, F*N) MXU matmuls + batched component
+    labeling + mass scatter, reported as permutations/s.  The reference
+    has no inferential statistics at all."""
+    import jax
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from ninwavelets_tpu.ops.cluster import _sign_flip_null
+
+    epochs = int(os.environ.get("BENCH_EPOCHS", 40))
+    n_freqs = int(os.environ.get("BENCH_FREQS", 100))
+    n = int(os.environ.get("BENCH_N", 1024))
+    n_perm = int(os.environ.get("BENCH_PERMS", 256))
+    iters = int(os.environ.get("BENCH_ITERS", 3))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(
+        (epochs, n_freqs, n)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    step = lambda d: _sign_flip_null(d, key, n_perm=n_perm, threshold=2.0)
+    jax.block_until_ready(step(x))
+    t0 = time.perf_counter()
+    for k in range(iters):
+        out = step(x * (1.0 + 1e-7 * k))         # chained work: tunnel-
+    s = float(jnp.sum(out))                      # honest timing (CLAUDE.md)
+    elapsed = time.perf_counter() - t0
+    value = n_perm * iters / elapsed
+    print(json.dumps({
+        "metric": "cluster_permutations_per_s",
+        "value": round(value, 2),
+        "unit": "perm/s",
+        "vs_baseline": None,
+        "config": {"epochs": epochs, "freqs": n_freqs, "segment_n": n,
+                   "n_perm": n_perm, "iters": iters,
+                   "device": str(jax.devices()[0])},
+    }))
+
+
+def main_multitaper():
+    """BENCH_MODE=multitaper: epoch-mean multitaper Morse power (K
+    orthogonal orders through one fused (K*F, N)-bank pass), EEG-s/s like
+    the main bench (EEG seconds counted once, not per taper)."""
+    import jax
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from ninwavelets_tpu.ops.multitaper import (multitaper_banks,
+                                                multitaper_mean_power)
+
+    sfreq = 1000.0
+    n = int(os.environ.get("BENCH_N", 2048))
+    channels = int(os.environ.get("BENCH_CHANNELS", 64))
+    epochs = int(os.environ.get("BENCH_EPOCHS", 16))
+    n_freqs = int(os.environ.get("BENCH_FREQS", 100))
+    n_tapers = int(os.environ.get("BENCH_TAPERS", 3))
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+
+    freqs = np.arange(1.0, n_freqs + 1.0, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    signals = jnp.asarray(
+        rng.standard_normal((epochs, channels, n)).astype(np.float32))
+    # build banks once (host-side cache) so the loop times the transform
+    multitaper_banks(freqs, n, sfreq, n_tapers=n_tapers, interpolate=True)
+    step = lambda s: multitaper_mean_power(s, freqs, sfreq,
+                                           n_tapers=n_tapers,
+                                           interpolate=True)
+    jax.block_until_ready(step(signals))
+    t0 = time.perf_counter()
+    for k in range(iters):
+        out = step(signals * (1.0 + 1e-7 * k))   # chained work: tunnel-
+    s = float(jnp.sum(out))                      # honest timing (CLAUDE.md)
+    elapsed = time.perf_counter() - t0
+    value = epochs * (n / sfreq) * iters / elapsed
+    print(json.dumps({
+        "metric": "multitaper_eeg_seconds_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "EEG-s/s",
+        "vs_baseline": round(value / REF_EEG_SECONDS_PER_S, 1),
+        "config": {"channels": channels, "freqs": n_freqs, "segment_n": n,
+                   "epochs_per_call": epochs, "n_tapers": n_tapers,
+                   "iters": iters, "device": str(jax.devices()[0])},
+    }))
+
+
 def main_grad():
     """BENCH_MODE=grad: one backward step through the fused mean-power
     pipeline (fused forward + analytic adjoint backward).  Reported in the
@@ -350,5 +434,9 @@ if __name__ == "__main__":
         main_grad()
     elif mode == "ssq":
         main_ssq()
+    elif mode == "cluster":
+        main_cluster()
+    elif mode == "multitaper":
+        main_multitaper()
     else:
         main()

@@ -74,6 +74,11 @@ class PipelineConfig:
     # of {"plv", "coherence", "wpli", "pli", "dwpli", "ppc"}; "both" is
     # kept as an alias for "plv,coherence"
     connectivity_window: Optional[Tuple[float, float]] = None  # (start_s, stop_s)
+    cluster_test: bool = False      # one-sample cluster permutation test of
+    # the baseline-corrected single-trial power against zero (needs
+    # ``baseline``); spatio-spectral when ``cluster_adjacency`` is set
+    cluster_adjacency: Optional[tuple] = None  # (M, 2) channel edges
+    cluster_n_perm: int = 999
 
 
 def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
@@ -211,6 +216,27 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
             out["ridge_hz"] = np.stack([
                 ridge_frequencies(power[ch], freqs)
                 for ch in range(power.shape[0])])
+
+    if cfg.cluster_test:
+        # Cluster permutation inference (extension — ``ops.cluster``):
+        # one-sample sign-flip test of the baseline-corrected single-trial
+        # power against zero, across ALL channels (spatio-spectral with
+        # ``cluster_adjacency`` edges; empty adjacency still corrects the
+        # FWER over every channel).
+        if cfg.baseline is None:
+            raise ValueError(
+                "cluster_test needs baseline=(start, stop) so zero is the "
+                "null hypothesis for the single-trial planes")
+        from .ops import cluster as _cluster
+        from .ops.cwt import power as xla_power
+        from .utils.mne_adapter import EpochsWavelet as _EW
+        trials = xla_power(waves, bank_r, bank_i, interpolate=interp)
+        trials = baseline_tf(trials, sfreq, cfg.baseline[0],
+                             cfg.baseline[1], cfg.baseline_method)
+        adj = _EW._as_edges(() if cfg.cluster_adjacency is None
+                            else cfg.cluster_adjacency)
+        out["cluster"] = _cluster.cluster_test_one_sample(
+            trials, n_perm=int(cfg.cluster_n_perm), adjacency=adj)
 
     if cfg.baseline is not None:
         start, stop = cfg.baseline

@@ -348,7 +348,10 @@ def test_pipeline_all_stages_integration():
                            ssq=True,
                            superlet=(1, 4),
                            connectivity="both",
-                           connectivity_window=(0.1, 0.9))
+                           connectivity_window=(0.1, 0.9),
+                           cluster_test=True,
+                           cluster_adjacency=((0, 1),),
+                           cluster_n_perm=29)
     out = cfg.run_pipeline(p, FakeEpochs())
     n_f, n = 16, 1000
     assert np.asarray(out["power"]).shape == (2, n_f, n)
@@ -361,6 +364,8 @@ def test_pipeline_all_stages_integration():
     assert np.asarray(out["superlet_power"]).shape == (2, n_f, n)
     assert np.asarray(out["plv_matrix"]).shape == (n_f, 2, 2)
     assert np.asarray(out["coherence_matrix"]).shape == (n_f, 2, 2)
+    assert out["cluster"].t_obs.shape == (2, n_f, n)
+    assert out["cluster"].null_max.shape == (29,)
     # The golden signal's steady 60 Hz: both channels share it ->
     # off-diagonal PLV high at the 60 Hz row.
     row = int(np.argmin(np.abs(np.arange(20.0, 340.0, 20.0) - 60.0)))
@@ -395,3 +400,19 @@ def test_streaming_ssq_matches_whole_signal_interior():
     with pytest.raises(ValueError, match="analytic"):
         StreamingCWT(mh._wdef(), [40.0], sfreq, window=1024,
                      halo=256).ssq_power_device(sig[:2048])
+
+
+def test_pipeline_cluster_requires_baseline():
+    import numpy as np
+    import pytest
+
+    class FakeEpochs:
+        info = {'sfreq': 500.0}
+        ch_names = ['a']
+        def get_data(self):
+            return np.random.default_rng(0).standard_normal((4, 1, 128))
+
+    with pytest.raises(ValueError, match="baseline"):
+        cfg.run_pipeline(cfg.PipelineConfig(freqs=(20.0, 40.0, 10.0),
+                                            cluster_test=True),
+                         FakeEpochs())
