@@ -1,0 +1,276 @@
+"""Spectral (wavelet-domain) Granger causality via Wilson spectral
+factorization (Wilson 1972; Dhamala, Rangarajan & Ding, NeuroImage 2008).
+
+No reference counterpart — this is the nonparametric route to DIRECTED
+frequency-resolved coupling: factorize the (cross-)spectral density
+matrix S(f) = H(f) Σ H(f)† into a causal transfer function H and a noise
+covariance Σ, then read Geweke's Granger causality off the factors.
+Applied per time slice of the wavelet cross-spectrogram it yields
+time-VARYING directed influence, the capability parametric VAR fits
+struggle with on nonstationary EEG.
+
+Design notes (TPU):
+* the factorization grid must be UNIFORM over [0, Nyquist] (the Wilson
+  "plus operator" is an FFT across frequency), so ``wavelet_granger``
+  builds its own uniform-grid bank; rows are energy-normalized because a
+  per-frequency gain distorts the GC ratio (a global constant cancels);
+* Wilson iterations are batched over (time, pair) with a FIXED iteration
+  count (static for jit) — each step is one frequency-axis FFT pair plus
+  small-matrix algebra;
+* no complex linear algebra primitives are used on device: the pairwise
+  path is closed-form 2x2 complex algebra, the general path embeds the
+  complex solve as a real (2C, 2C) ``jnp.linalg.solve``; the init is
+  diagonal (no cholesky) — Wilson converges regardless of init;
+* complex arrays never cross the jit boundary: public entry points take
+  float signals and return the real GC planes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["wilson_factorize", "spectral_granger_pairwise",
+           "granger_from_factors", "wavelet_granger", "uniform_freqs"]
+
+
+def uniform_freqs(n_bins: int, sfreq: float) -> np.ndarray:
+    """The one-sided uniform factorization grid: ``n_bins`` frequencies
+    ``k * (sfreq/2) / (n_bins - 1)``, k = 0..n_bins-1 (DC..Nyquist)."""
+    return np.linspace(0.0, sfreq / 2.0, int(n_bins))
+
+
+def _two_sided(s: jnp.ndarray) -> jnp.ndarray:
+    """Hermitian completion of a one-sided (..., K, C, C) spectral matrix
+    onto the full 2(K-1) circle: ``S(-f) = conj(S(f))`` entrywise (real
+    processes have real lag covariances)."""
+    body = jnp.conj(s[..., -2:0:-1, :, :])
+    return jnp.concatenate([s, body], axis=-3)
+
+
+def _plus_operator(g: jnp.ndarray, half: int) -> jnp.ndarray:
+    """Wilson's causal-part operator on a full-circle (..., 2h, C, C)
+    function: to lag domain, keep lags 1..h-1, halve lag 0 and keep only
+    its upper triangle (incl. diagonal), zero the rest, back to
+    frequency."""
+    gam = jnp.fft.ifft(g, axis=-3)
+    lag0 = jnp.triu(0.5 * gam[..., 0, :, :])
+    n2 = g.shape[-3]
+    keep = (jnp.arange(n2) < half)[:, None, None]
+    gam = jnp.where(keep, gam, 0.0)
+    gam = gam.at[..., 0, :, :].set(lag0)
+    return jnp.fft.fft(gam, axis=-3)
+
+
+def _solve_complex(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """``a^{-1} b`` for complex (..., C, C) via the real (2C, 2C) block
+    embedding [[Re, -Im], [Im, Re]] — TPU-safe (no complex LU)."""
+    ar, ai = jnp.real(a), jnp.imag(a)
+    br, bi = jnp.real(b), jnp.imag(b)
+    top = jnp.concatenate([ar, -ai], axis=-1)
+    bot = jnp.concatenate([ai, ar], axis=-1)
+    big_a = jnp.concatenate([top, bot], axis=-2)
+    big_b = jnp.concatenate([br, bi], axis=-2)
+    x = jnp.linalg.solve(big_a, big_b)
+    c = a.shape[-1]
+    return x[..., :c, :] + 1j * x[..., c:, :]
+
+
+def _dagger(m: jnp.ndarray) -> jnp.ndarray:
+    return jnp.conj(jnp.swapaxes(m, -1, -2))
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def _wilson_full(s_full: jnp.ndarray, *, n_iter: int = 60):
+    """Run Wilson's iteration on the full-circle spectral matrix
+    (..., 2h, C, C).  Returns (psi_full, h_one_sided, sigma)."""
+    n2 = s_full.shape[-3]
+    h = n2 // 2
+    c = s_full.shape[-1]
+    eye = jnp.eye(c, dtype=s_full.dtype)
+
+    # diagonal init: psi0 = diag(sqrt(mean S_ii)) — Wilson converges from
+    # any invertible causal init, and this avoids a device cholesky.
+    diag0 = jnp.sqrt(jnp.maximum(
+        jnp.real(jnp.diagonal(jnp.mean(s_full, axis=-3),
+                              axis1=-2, axis2=-1)), 1e-20))
+    psi0 = (diag0[..., None, :, None] * eye) * jnp.ones(
+        s_full.shape[:-3] + (n2, 1, 1))
+    psi0 = psi0.astype(s_full.dtype)
+
+    def step(psi, _):
+        x = _solve_complex(psi, s_full)
+        g = _dagger(_solve_complex(psi, _dagger(x))) + eye
+        gamma = _plus_operator(g, h)
+        return psi @ gamma, None
+
+    psi, _ = lax.scan(step, psi0, None, length=n_iter)
+    # zero-lag coefficient = frequency mean; Sigma = A0 A0^dagger,
+    # H = psi A0^{-1} (one-sided half returned).
+    a0 = jnp.mean(psi, axis=-3)
+    sigma = jnp.real(a0 @ _dagger(a0))
+    a0inv = _solve_complex(a0.astype(psi.dtype), eye)
+    h_fn = psi[..., : h + 1, :, :] @ jnp.expand_dims(a0inv, -3)
+    return psi, h_fn, sigma
+
+
+def wilson_factorize(s: jnp.ndarray, n_iter: int = 60):
+    """Factorize a one-sided (..., K, C, C) Hermitian spectral density
+    into ``S(f) = H(f) Sigma H(f)^dagger`` (H causal, H(lag 0) = I).
+
+    Returns ``(H, Sigma)`` with H (..., K, C, C) complex and Sigma
+    (..., C, C) real.  K-1 must be the half grid (K uniform bins from DC
+    to Nyquist).
+
+    Grid resolution caveat: the discrete factorization is exact for the
+    circular process whose covariance is the inverse DFT of the sampled
+    spectrum — the true lag covariance must have decayed within 2(K-1)
+    lags.  Sharp resonances (poles near the unit circle) need fine
+    grids: a |z| ~ 0.9 pole plateaus at ~12%% reconstruction error on
+    K = 33 but reaches 6e-6 at K = 129 (see tests/test_granger.py).
+    """
+    s = jnp.asarray(s)
+    if s.shape[-1] != s.shape[-2]:
+        raise ValueError("spectral matrix must be square, got %s"
+                         % (s.shape,))
+    if s.shape[-3] < 3:
+        raise ValueError("need at least 3 frequency bins (DC..Nyquist)")
+    _, h_fn, sigma = _wilson_full(_two_sided(s.astype(jnp.complex64)),
+                                  n_iter=n_iter)
+    return h_fn, sigma
+
+
+def granger_from_factors(h_fn: jnp.ndarray, sigma: jnp.ndarray,
+                         s: jnp.ndarray) -> jnp.ndarray:
+    """Geweke's pairwise spectral GC from 2x2 factors: for the (x, y)
+    system, influence y -> x at f is
+
+        ln( S_xx / (S_xx - (Sig_yy - Sig_xy^2 / Sig_xx) |H_xy|^2) ).
+
+    ``h_fn``/``s`` are (..., K, 2, 2), ``sigma`` (..., 2, 2); returns
+    (..., K, 2) = [y->x, x->y].
+    """
+    sxx = jnp.real(s[..., 0, 0])
+    syy = jnp.real(s[..., 1, 1])
+    sig = sigma[..., None, :, :]
+    cond_y = sig[..., 1, 1] - sig[..., 0, 1] ** 2 / sig[..., 0, 0]
+    cond_x = sig[..., 0, 0] - sig[..., 0, 1] ** 2 / sig[..., 1, 1]
+    hxy2 = jnp.abs(h_fn[..., 0, 1]) ** 2
+    hyx2 = jnp.abs(h_fn[..., 1, 0]) ** 2
+    eps = 1e-12
+    gc_yx = jnp.log(jnp.maximum(sxx, eps)
+                    / jnp.maximum(sxx - cond_y * hxy2, eps))
+    gc_xy = jnp.log(jnp.maximum(syy, eps)
+                    / jnp.maximum(syy - cond_x * hyx2, eps))
+    return jnp.stack([gc_yx, gc_xy], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def _pairwise_jit(s_r, s_i, pairs, *, n_iter):
+    s = s_r + 1j * s_i
+    # gather all (i, j) 2x2 submatrices: (..., P, K, 2, 2)
+    i, j = pairs[:, 0], pairs[:, 1]
+    ii = jnp.stack([i, i, j, j], -1)
+    jj = jnp.stack([i, j, i, j], -1)
+    # (..., K, P, 4) -> (..., P, K, 2, 2)
+    g = s[..., ii, jj]
+    g = jnp.moveaxis(g, -2, -3)
+    g = g.reshape(*g.shape[:-1], 2, 2)
+    h_fn, sigma = _wilson_full(_two_sided(g), n_iter=n_iter)[1:]
+    gc = granger_from_factors(h_fn, sigma, g)
+    return gc
+
+
+def spectral_granger_pairwise(s: jnp.ndarray,
+                              n_iter: int = 60) -> jnp.ndarray:
+    """All-pairs spectral Granger causality of a one-sided (..., K, C, C)
+    spectral matrix: each unordered channel pair's 2x2 submatrix is
+    factorized independently (batched), giving the (..., K, C, C) GC
+    plane with ``out[..., i, j]`` = influence j -> i (diagonal 0).
+
+    Pairwise (not conditional multivariate) GC — the standard Dhamala
+    nonparametric estimator.
+    """
+    s = jnp.asarray(s)
+    c = s.shape[-1]
+    pairs = np.array([(a, b) for a in range(c) for b in range(a + 1, c)],
+                     np.int32).reshape(-1, 2)
+    gc = _pairwise_jit(jnp.real(s).astype(jnp.float32),
+                       jnp.imag(s).astype(jnp.float32),
+                       jnp.asarray(pairs), n_iter=n_iter)
+    k = s.shape[-3]
+    out = jnp.zeros((*s.shape[:-3], k, c, c), jnp.float32)
+    i, j = pairs[:, 0], pairs[:, 1]
+    # gc[..., p, :, 0] = j->i goes to out[i, j]; [..., 1] = i->j to [j, i]
+    out = out.at[..., i, j].set(jnp.moveaxis(gc[..., 0], -2, -1))
+    out = out.at[..., j, i].set(jnp.moveaxis(gc[..., 1], -2, -1))
+    return out
+
+
+@partial(jax.jit, static_argnames=("time_decim", "interpolate"))
+def _wavelet_granger_jit(sigs, bank_r, *, time_decim, interpolate):
+    from .cwt import cwt_from_bank
+    e, c, n = sigs.shape
+
+    # epoch-accumulated cross spectra at the decimated time points:
+    # (T', K, C, C) complex, built from one CWT per epoch (scan keeps
+    # memory at O(C*K*N)).
+    t_idx = jnp.arange(0, n, time_decim)
+
+    def step(acc, sig):
+        w = cwt_from_bank(sig, bank_r, interpolate)      # (C, K, N)
+        wt = w[..., t_idx]                               # (C, K, T')
+        cross = jnp.einsum("akt,bkt->tkab", wt, jnp.conj(wt))
+        return acc + cross, None
+
+    init = jnp.zeros((t_idx.shape[0], bank_r.shape[0], c, c),
+                     jnp.complex64)
+    cross, _ = lax.scan(step, init, sigs)
+    cross = cross / e
+    return jnp.real(cross), jnp.imag(cross)
+
+
+def wavelet_granger(sigs_r, sfreq: float, n_bins: int = 65,
+                    b: float = 17.5, r: float = 3.0,
+                    time_decim: int = 16, n_iter: int = 60,
+                    interpolate: bool = True):
+    """Time-resolved pairwise spectral Granger causality of an (E, C, N)
+    multi-channel epoch stack (Dhamala et al. 2008, wavelet variant).
+
+    Builds an ENERGY-normalized Morse bank on the uniform ``n_bins``
+    factorization grid (DC row synthesized as the first analyzed bin —
+    wavelets have no DC atom), epoch-averages the wavelet cross-spectral
+    matrix at every ``time_decim``-th sample, Wilson-factorizes each
+    (time, pair) 2x2 spectral matrix, and returns the (T', K, C, C) GC
+    array with ``[..., i, j]`` = influence j -> i at each time/frequency
+    (T' = ceil(N / time_decim), K = n_bins).
+
+    ``n_bins - 1`` should be a power of two (the factorization FFTs run
+    over 2(K-1) points).
+    """
+    from .bank import make_fft_bank
+    from ..models.zoo import Morse
+
+    sigs = jnp.asarray(np.asarray(sigs_r, np.float32))
+    if sigs.ndim != 3:
+        raise ValueError("expected (epochs, channels, N), got %s"
+                         % (sigs.shape,))
+    e, c, n = sigs.shape
+    freqs = uniform_freqs(n_bins, sfreq)
+    freqs[0] = freqs[1]  # no DC wavelet: reuse the first analyzed bin
+    morse = Morse(sfreq, b=b, r=r)
+    bank = make_fft_bank(morse._wdef(), jnp.asarray(freqs, jnp.float32),
+                         n, sfreq, bool(interpolate))
+    bank = jnp.asarray(bank)
+    # energy normalization: per-frequency gain distorts the GC ratio
+    norms = jnp.sqrt(jnp.sum(jnp.abs(bank) ** 2, -1, keepdims=True) / n)
+    bank = bank / jnp.maximum(norms, 1e-20)
+
+    sr, si = _wavelet_granger_jit(
+        sigs, bank, time_decim=int(time_decim),
+        interpolate=bool(interpolate))
+    s = (jnp.asarray(sr) + 1j * jnp.asarray(si))
+    return spectral_granger_pairwise(s, n_iter=n_iter)

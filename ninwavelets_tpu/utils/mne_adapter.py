@@ -637,6 +637,24 @@ class EpochsWavelet:
         return _pac(waves, bp, ba, interpolate=self.wavelet.interpolate,
                     method=method, n_bins=n_bins, mean_epochs=True)
 
+    def granger(self, picks=None, n_bins: int = 65, time_decim: int = 16,
+                n_iter: int = 60) -> jnp.ndarray:
+        """(T', K, C, C) time-resolved pairwise spectral Granger
+        causality over channels (extension — ``ops.granger``, Dhamala et
+        al. 2008): ``out[t, k, i, j]`` is the influence j -> i at the
+        ``k``-th uniform frequency bin (``ops.granger.uniform_freqs(
+        n_bins, sfreq)``) and every ``time_decim``-th sample.  ``picks``
+        restricts to a channel-name subset (order kept).  Uses its own
+        energy-normalized uniform-grid Morse bank, independent of this
+        wavelet's bank."""
+        from ..ops.granger import wavelet_granger
+        waves = np.asarray(self._host_data())
+        if picks is not None:
+            idx = [self.epochs.ch_names.index(ch) for ch in picks]
+            waves = waves[:, idx, :]
+        return wavelet_granger(waves, self.wavelet.sfreq, n_bins=n_bins,
+                               time_decim=time_decim, n_iter=n_iter)
+
     def bicoherence(self, ch_name: str, freqs1: Numbers,
                     freqs2: Numbers = None,
                     eps: float = 1e-12) -> jnp.ndarray:

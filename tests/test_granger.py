@@ -1,0 +1,160 @@
+"""Wilson spectral factorization + wavelet Granger causality
+(`ops/granger.py`) against analytic VAR oracles: the true spectral
+matrix of a known VAR has a closed-form factorization (H with unit
+zero-lag, the innovation covariance), so both the factors and Geweke's
+GC are checkable exactly — then end-to-end on simulated VAR epochs."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from ninwavelets_tpu.ops import granger as gr
+
+FS = 200.0
+
+
+def _var_system():
+    """VAR(2): y drives x in the ~40 Hz band; x never drives y."""
+    a1 = np.array([[0.55, 0.25], [0.0, 0.55]])
+    a2 = np.array([[-0.8, 0.0], [0.0, -0.8]])
+    # resonance: roots of 1 - 0.55 z + 0.8 z^2 -> ~|pole| .9, ~48 Hz @ 200
+    sig = np.diag([1.0, 0.7])
+    return [a1, a2], sig
+
+
+def _true_spectrum(coeffs, sig, freqs):
+    k = len(freqs)
+    s = np.zeros((k, 2, 2), np.complex128)
+    h = np.zeros((k, 2, 2), np.complex128)
+    for idx, f in enumerate(freqs):
+        a = np.eye(2, dtype=np.complex128)
+        for lag, ak in enumerate(coeffs, start=1):
+            a -= ak * np.exp(-2j * np.pi * f * lag / FS)
+        h[idx] = np.linalg.inv(a)
+        s[idx] = h[idx] @ sig @ h[idx].conj().T
+    return s, h
+
+
+def _simulate(coeffs, sig, e=24, n=2048, seed=0):
+    rng = np.random.default_rng(seed)
+    p = len(coeffs)
+    burn = 200
+    out = np.zeros((e, 2, n), np.float32)
+    chol = np.linalg.cholesky(sig)
+    for ep in range(e):
+        x = np.zeros((n + burn, 2))
+        eps = rng.standard_normal((n + burn, 2)) @ chol.T
+        for t in range(p, n + burn):
+            acc = eps[t].copy()
+            for lag, ak in enumerate(coeffs, start=1):
+                acc += ak @ x[t - lag]
+            x[t] = acc
+        out[ep] = x[burn:].T
+    return out
+
+
+class TestWilson:
+    def setup_method(self):
+        self.coeffs, self.sig = _var_system()
+        # sharp resonance (poles |z| ~ 0.89): the lag covariance
+        # must decay within 2(K-1) lags, so use a fine grid
+        self.freqs = gr.uniform_freqs(129, FS)
+        self.s, self.h_true = _true_spectrum(self.coeffs, self.sig,
+                                             self.freqs)
+
+    def test_reconstructs_spectrum(self):
+        h, sig = gr.wilson_factorize(self.s, n_iter=100)
+        h, sig = np.asarray(h, np.complex128), np.asarray(sig, np.float64)
+        recon = h @ sig[None] @ np.conj(np.swapaxes(h, -1, -2))
+        rel = np.abs(recon - self.s).max() / np.abs(self.s).max()
+        assert rel < 1e-4
+
+    def test_recovers_innovation_covariance(self):
+        _, sig = gr.wilson_factorize(self.s, n_iter=100)
+        np.testing.assert_allclose(np.asarray(sig), self.sig, atol=5e-3)
+
+    def test_recovers_transfer_function(self):
+        h, _ = gr.wilson_factorize(self.s, n_iter=100)
+        np.testing.assert_allclose(np.asarray(h), self.h_true,
+                                   atol=5e-3 * np.abs(self.h_true).max())
+
+    def test_gc_matches_analytic(self):
+        gc = np.asarray(gr.spectral_granger_pairwise(
+            jnp.asarray(self.s, jnp.complex64), n_iter=100))
+        analytic = np.asarray(gr.granger_from_factors(
+            jnp.asarray(self.h_true, jnp.complex64),
+            jnp.asarray(self.sig, jnp.float32),
+            jnp.asarray(self.s, jnp.complex64)))
+        np.testing.assert_allclose(gc[:, 0, 1], analytic[:, 0],
+                                   atol=2e-3)
+        np.testing.assert_allclose(gc[:, 1, 0], analytic[:, 1],
+                                   atol=2e-3)
+        # direction: y drives x, never the reverse
+        assert gc[:, 0, 1].max() > 0.05
+        assert gc[:, 1, 0].max() < 1e-3
+        assert np.all(gc[..., range(2), range(2)] == 0.0)
+
+    def test_batched_matches_loop(self):
+        # a (T, K, C, C) batch factorizes each slice independently
+        s2 = np.stack([self.s, 1.7 * self.s])
+        h, sig = gr.wilson_factorize(s2, n_iter=80)
+        h0, sig0 = gr.wilson_factorize(self.s, n_iter=80)
+        np.testing.assert_allclose(np.asarray(h)[0], np.asarray(h0),
+                                   rtol=2e-4, atol=2e-5)
+        # scaling S by c scales Sigma by c, H unchanged
+        np.testing.assert_allclose(np.asarray(sig)[1],
+                                   1.7 * np.asarray(sig)[0], rtol=2e-3,
+                                   atol=1e-6)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            gr.wilson_factorize(np.zeros((4, 2, 3)))
+        with pytest.raises(ValueError):
+            gr.wilson_factorize(np.zeros((2, 2, 2)))
+
+
+class TestWaveletGranger:
+    def test_direction_on_simulated_var(self):
+        coeffs, sig = _var_system()
+        data = _simulate(coeffs, sig, e=24, n=2048)
+        gc = np.asarray(gr.wavelet_granger(data, FS, n_bins=33,
+                                           time_decim=32, n_iter=60))
+        assert gc.shape == (64, 33, 2, 2)
+        m = gc[:, :, :, :].mean(axis=(0,))   # (K, 2, 2) time-mean
+        # y -> x dominates everywhere it matters; x -> y stays near zero
+        assert m[:, 0, 1].max() > 5 * max(m[:, 1, 0].max(), 1e-6)
+        # the driven influence peaks in the resonance band (> 25 Hz)
+        freqs = gr.uniform_freqs(33, FS)
+        assert freqs[m[:, 0, 1].argmax()] > 25.0
+
+    def test_scale_invariance(self):
+        coeffs, sig = _var_system()
+        data = _simulate(coeffs, sig, e=8, n=1024, seed=3)
+        a = np.asarray(gr.wavelet_granger(data, FS, n_bins=17,
+                                          time_decim=64, n_iter=40))
+        b = np.asarray(gr.wavelet_granger(3.0 * data, FS, n_bins=17,
+                                          time_decim=64, n_iter=40))
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            gr.wavelet_granger(np.zeros((4, 128)), FS)
+
+
+class TestAdapter:
+    def test_epochswavelet_granger(self):
+        import ninwavelets_tpu as nw
+        coeffs, sig = _var_system()
+        data3 = np.concatenate(
+            [_simulate(coeffs, sig, e=8, n=512, seed=5),
+             np.random.default_rng(9).standard_normal(
+                 (8, 1, 512)).astype(np.float32)], axis=1)
+        ew = nw.EpochsWavelet(
+            nw.ArrayEpochs(data3, FS, ch_names=["x", "y", "z"]),
+            nw.Morse(FS))
+        gc = np.asarray(ew.granger(picks=["x", "y"], n_bins=17,
+                                   time_decim=64, n_iter=40))
+        assert gc.shape == (8, 17, 2, 2)
+        m = gc.mean(0)
+        assert m[:, 0, 1].max() > m[:, 1, 0].max()
+        full = np.asarray(ew.granger(n_bins=9, time_decim=128, n_iter=30))
+        assert full.shape == (4, 9, 3, 3)
