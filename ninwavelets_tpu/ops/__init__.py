@@ -45,7 +45,8 @@ from .extensions import (bicoherence, bicoherence_from_banks, imcoh,
 from .fused import (fused_itc, fused_itc_from_bank, fused_mean_power,
                     fused_mean_power_from_bank, itc_auto, mean_power_auto)
 from .granger import (granger_from_factors, spectral_granger_pairwise,
-                      uniform_freqs, wavelet_granger, wilson_factorize)
+                      uniform_freqs, wavelet_granger,
+                      wavelet_granger_significance, wilson_factorize)
 from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
                     reverse_timeline, wavelet_timeline)
 from .denoise import denoise, denoise_from_bank
@@ -133,5 +134,6 @@ __all__ = [
     "multitaper_banks", "multitaper_mean_power", "multitaper_power",
     "multitaper_power_from_banks",
     "wilson_factorize", "spectral_granger_pairwise", "wavelet_granger",
-    "granger_from_factors", "uniform_freqs",
+    "wavelet_granger_significance", "granger_from_factors",
+    "uniform_freqs",
 ]

@@ -34,7 +34,8 @@ import numpy as np
 from jax import lax
 
 __all__ = ["wilson_factorize", "spectral_granger_pairwise",
-           "granger_from_factors", "wavelet_granger", "uniform_freqs"]
+           "granger_from_factors", "wavelet_granger",
+           "wavelet_granger_significance", "uniform_freqs"]
 
 
 def uniform_freqs(n_bins: int, sfreq: float) -> np.ndarray:
@@ -211,6 +212,100 @@ def spectral_granger_pairwise(s: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("time_decim", "interpolate"))
+def _decimated_cwt(sigs, bank_r, *, time_decim, interpolate):
+    """(E, C, K, T') decimated CWT coefficients of (E, C, N) signals as
+    (real, imag) — the per-trial tableau the surrogate nulls re-pair."""
+    from .cwt import cwt_from_bank
+    n = sigs.shape[-1]
+    t_idx = jnp.arange(0, n, time_decim)
+
+    def step(_, sig):
+        w = cwt_from_bank(sig, bank_r, interpolate)[..., t_idx]
+        return 0, (jnp.real(w), jnp.imag(w))
+
+    _, (wr, wi) = lax.scan(step, 0, sigs)
+    return wr, wi
+
+
+@partial(jax.jit, static_argnames=())
+def _cross_from_tableau(wr, wi, perms):
+    """Epoch-mean cross spectra with each channel's trial axis re-paired
+    by its own permutation: (..., E, C, K, T') tableau + (C, E) perms ->
+    (T', K, C, C) complex as (real, imag).  Identity perms give the
+    observed cross spectra."""
+    w = wr + 1j * wi
+    # gather channel c's trials in permuted order: out[e, c] =
+    # w[perms[c, e], c] via one two-array advanced index
+    wp = w[perms.T, jnp.arange(w.shape[1])[None, :]]
+    cross = jnp.einsum("eakt,ebkt->tkab", wp, jnp.conj(wp))
+    return jnp.real(cross) / w.shape[0], jnp.imag(cross) / w.shape[0]
+
+
+def wavelet_granger_significance(sigs_r, sfreq: float,
+                                 n_surrogates: int = 19, seed: int = 0,
+                                 n_bins: int = 65, time_decim: int = 16,
+                                 n_iter: int = 60,
+                                 interpolate: bool = True):
+    """``(gc, p)``: time-resolved pairwise GC plus trial-shuffle
+    surrogate p-values.
+
+    Each surrogate independently permutes every channel's trial axis
+    before the cross spectra — per-channel spectra and trial counts are
+    preserved while genuine cross-trial alignment (and hence any true
+    directed coupling) is destroyed, the standard nonparametric GC null.
+    All surrogates factorize in ONE batched Wilson call.  ``p`` is the
+    (1 + count) / (n + 1) exceedance of the observed GC per
+    (time, frequency, direction) cell (diagonal 1).
+    """
+    sigs, bank = _granger_inputs(sigs_r, sfreq, n_bins, interpolate)
+    e, c, _ = sigs.shape
+    wr, wi = _decimated_cwt(sigs, bank, time_decim=int(time_decim),
+                            interpolate=bool(interpolate))
+    ident = jnp.tile(jnp.arange(e)[None, :], (c, 1))
+    sr, si = _cross_from_tableau(wr, wi, ident)
+    gc = spectral_granger_pairwise(jnp.asarray(sr) + 1j * jnp.asarray(si),
+                                   n_iter=n_iter)
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, n_surrogates * c).reshape(
+        n_surrogates, c, 2)
+    perms = jnp.stack([
+        jnp.stack([jax.random.permutation(keys[s, ch], e)
+                   for ch in range(c)]) for s in range(n_surrogates)])
+    surr = [
+        _cross_from_tableau(wr, wi, perms[s]) for s in range(n_surrogates)]
+    s_all = jnp.stack([a + 1j * b for a, b in surr])
+    gc_surr = spectral_granger_pairwise(s_all, n_iter=n_iter)
+    count = jnp.sum(gc_surr >= gc[None], axis=0)
+    p = (count + 1.0) / (n_surrogates + 1.0)
+    eye = jnp.eye(gc.shape[-1], dtype=bool)
+    p = jnp.where(eye, 1.0, p)
+    return gc, p
+
+
+def _granger_inputs(sigs_r, sfreq, n_bins, interpolate,
+                    b: float = 17.5, r: float = 3.0):
+    """Validated signals + the energy-normalized uniform-grid bank
+    (per-frequency gain would distort the GC ratio; DC row synthesized
+    as the first analyzed bin — wavelets have no DC atom)."""
+    from .bank import make_fft_bank
+    from ..models.zoo import Morse
+
+    sigs = jnp.asarray(np.asarray(sigs_r, np.float32))
+    if sigs.ndim != 3:
+        raise ValueError("expected (epochs, channels, N), got %s"
+                         % (sigs.shape,))
+    freqs = uniform_freqs(n_bins, sfreq)
+    freqs[0] = freqs[1]  # no DC wavelet: reuse the first analyzed bin
+    morse = Morse(sfreq, b=b, r=r)
+    bank = jnp.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(freqs, jnp.float32), sigs.shape[-1],
+        sfreq, bool(interpolate)))
+    norms = jnp.sqrt(jnp.sum(jnp.abs(bank) ** 2, -1, keepdims=True)
+                     / sigs.shape[-1])
+    return sigs, bank / jnp.maximum(norms, 1e-20)
+
+
+@partial(jax.jit, static_argnames=("time_decim", "interpolate"))
 def _wavelet_granger_jit(sigs, bank_r, *, time_decim, interpolate):
     from .cwt import cwt_from_bank
     e, c, n = sigs.shape
@@ -251,24 +346,7 @@ def wavelet_granger(sigs_r, sfreq: float, n_bins: int = 65,
     ``n_bins - 1`` should be a power of two (the factorization FFTs run
     over 2(K-1) points).
     """
-    from .bank import make_fft_bank
-    from ..models.zoo import Morse
-
-    sigs = jnp.asarray(np.asarray(sigs_r, np.float32))
-    if sigs.ndim != 3:
-        raise ValueError("expected (epochs, channels, N), got %s"
-                         % (sigs.shape,))
-    e, c, n = sigs.shape
-    freqs = uniform_freqs(n_bins, sfreq)
-    freqs[0] = freqs[1]  # no DC wavelet: reuse the first analyzed bin
-    morse = Morse(sfreq, b=b, r=r)
-    bank = make_fft_bank(morse._wdef(), jnp.asarray(freqs, jnp.float32),
-                         n, sfreq, bool(interpolate))
-    bank = jnp.asarray(bank)
-    # energy normalization: per-frequency gain distorts the GC ratio
-    norms = jnp.sqrt(jnp.sum(jnp.abs(bank) ** 2, -1, keepdims=True) / n)
-    bank = bank / jnp.maximum(norms, 1e-20)
-
+    sigs, bank = _granger_inputs(sigs_r, sfreq, n_bins, interpolate, b, r)
     sr, si = _wavelet_granger_jit(
         sigs, bank, time_decim=int(time_decim),
         interpolate=bool(interpolate))

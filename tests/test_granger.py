@@ -158,3 +158,48 @@ class TestAdapter:
         assert m[:, 0, 1].max() > m[:, 1, 0].max()
         full = np.asarray(ew.granger(n_bins=9, time_decim=128, n_iter=30))
         assert full.shape == (4, 9, 3, 3)
+
+
+def test_stats_demo_headless(capsys):
+    """The statistics walkthrough runs end to end (no plot) and recovers
+    its ground truths."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "stats_demo", os.path.join(os.path.dirname(__file__), "..",
+                                   "examples", "stats_demo.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(plot=False)
+    out = capsys.readouterr().out
+    assert "cluster test" in out and "p=0.00" in out
+    assert "TFCE" in out and "Granger" in out
+
+
+class TestSignificance:
+    def test_surrogates_kill_coupling_and_keep_detection(self):
+        coeffs, sig = _var_system()
+        data = _simulate(coeffs, sig, e=16, n=1024, seed=7)
+        gc, p = gr.wavelet_granger_significance(
+            data, FS, n_surrogates=19, n_bins=17, time_decim=128,
+            n_iter=40)
+        gc, p = np.asarray(gc), np.asarray(p)
+        assert gc.shape == p.shape == (8, 17, 2, 2)
+        # the true direction reaches significance somewhere in the
+        # resonance band; the absent direction does not dominate
+        m = gc.mean(0)
+        band = m[:, 0, 1].argmax()
+        assert p[:, band, 0, 1].min() == pytest.approx(0.05, abs=1e-6)
+        assert (p[..., range(2), range(2)] == 1.0).all()
+        # significant cells are rarer in the reverse direction
+        assert (p[..., 0, 1] <= 0.05).sum() > (p[..., 1, 0] <= 0.05).sum()
+
+    def test_gc_matches_plain_wavelet_granger(self):
+        coeffs, sig = _var_system()
+        data = _simulate(coeffs, sig, e=8, n=512, seed=8)
+        gc, _ = gr.wavelet_granger_significance(
+            data, FS, n_surrogates=2, n_bins=9, time_decim=128, n_iter=30)
+        plain = gr.wavelet_granger(data, FS, n_bins=9, time_decim=128,
+                                   n_iter=30)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(plain),
+                                   rtol=2e-4, atol=2e-5)
