@@ -232,6 +232,46 @@ def main_multitaper():
     }))
 
 
+def main_granger():
+    """BENCH_MODE=granger: time-resolved pairwise wavelet Granger
+    causality (epoch-mean cross spectra + batched Wilson factorization),
+    reported as factorized time-frequency GC cells per second."""
+    import jax
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from ninwavelets_tpu.ops.granger import wavelet_granger
+
+    sfreq = 1000.0
+    n = int(os.environ.get("BENCH_N", 2048))
+    channels = int(os.environ.get("BENCH_CHANNELS", 4))
+    epochs = int(os.environ.get("BENCH_EPOCHS", 16))
+    n_bins = int(os.environ.get("BENCH_BINS", 65))
+    time_decim = int(os.environ.get("BENCH_TDECIM", 32))
+    iters = int(os.environ.get("BENCH_ITERS", 3))
+
+    rng = np.random.default_rng(0)
+    sigs = rng.standard_normal((epochs, channels, n)).astype(np.float32)
+    step = lambda s: wavelet_granger(s, sfreq, n_bins=n_bins,
+                                     time_decim=time_decim)
+    jax.block_until_ready(step(sigs))
+    t0 = time.perf_counter()
+    for k in range(iters):
+        out = step(sigs * (1.0 + 1e-7 * k))  # chained work: tunnel-
+    s = float(jnp.sum(out))                  # honest timing (CLAUDE.md)
+    elapsed = time.perf_counter() - t0
+    cells = out.shape[0] * n_bins * channels * (channels - 1)
+    value = cells * iters / elapsed
+    print(json.dumps({
+        "metric": "granger_tf_cells_per_s",
+        "value": round(value, 2),
+        "unit": "GC cells/s",
+        "vs_baseline": None,
+        "config": {"channels": channels, "bins": n_bins, "segment_n": n,
+                   "epochs": epochs, "time_decim": time_decim,
+                   "iters": iters, "device": str(jax.devices()[0])},
+    }))
+
+
 def main_grad():
     """BENCH_MODE=grad: one backward step through the fused mean-power
     pipeline (fused forward + analytic adjoint backward).  Reported in the
@@ -438,5 +478,7 @@ if __name__ == "__main__":
         main_cluster()
     elif mode == "multitaper":
         main_multitaper()
+    elif mode == "granger":
+        main_granger()
     else:
         main()

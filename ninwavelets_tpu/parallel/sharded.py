@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -912,3 +913,64 @@ def sharded_multitaper_mean_power(signals_r, banks, *, mesh: Mesh,
         local, mesh=mesh,
         in_specs=(sig_spec, P(FREQ_AXIS, None, None)),
         out_specs=out_spec)(signals_r, banks)
+
+
+@partial(jax.jit, static_argnames=("mesh", "time_decim", "n_iter",
+                                   "interpolate"))
+def sharded_wavelet_granger(sigs, bank_r, *, mesh: Mesh,
+                            time_decim: int = 16, n_iter: int = 60,
+                            interpolate: bool = True):
+    """Time-resolved pairwise Granger causality over the mesh:
+    (E, C, N) + the energy-normalized uniform-grid bank (from
+    ``ops.granger._granger_inputs``) -> (T', K, C, C).
+
+    Two shard_map stages: (1) epochs shard over ``data`` — each shard
+    accumulates its local wavelet cross-spectra, one ``psum`` completes
+    the epoch mean (replicated (T', K, C, C) planes, tiny); (2) the
+    Wilson factorizations are embarrassingly parallel over time slices,
+    so T' re-shards over ``data`` and each shard factorizes its slice
+    locally.  Mesh result == single-device ``ops.granger
+    .wavelet_granger`` for the same bank.  T' must divide the data-axis
+    size.
+    """
+    from ..ops.granger import _pairwise_jit
+    from ..ops.cwt import cwt_from_bank
+    e, c, n = sigs.shape
+    t_idx = jnp.arange(0, n, time_decim)
+
+    def local_cross(sig_shard, br):
+        def step(acc, sig):
+            w = cwt_from_bank(sig, br, interpolate)[..., t_idx]
+            return acc + jnp.einsum("akt,bkt->tkab", w, jnp.conj(w)), None
+
+        init = jnp.zeros((t_idx.shape[0], br.shape[0], c, c),
+                         jnp.complex64)
+        init = lax.pcast(init, (DATA_AXIS,), to="varying")
+        cross, _ = lax.scan(step, init, sig_shard)
+        cross = lax.psum(cross, DATA_AXIS) / e
+        return jnp.real(cross), jnp.imag(cross)
+
+    sr, si = jax.shard_map(
+        local_cross, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(None, None)),
+        out_specs=(P(), P()))(sigs, bank_r)
+
+    pairs = np.array([(a, b) for a in range(c) for b in range(a + 1, c)],
+                     np.int32).reshape(-1, 2)
+
+    def local_gc(sr_shard, si_shard):
+        return _pairwise_jit(sr_shard, si_shard, jnp.asarray(pairs),
+                             n_iter=n_iter)
+
+    gc_pairs = jax.shard_map(
+        local_gc, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS))(sr, si)
+    # scatter pair planes into the (T', K, C, C) matrix (host-static
+    # pair list, device data)
+    k = bank_r.shape[0]
+    out = jnp.zeros((sr.shape[0], k, c, c), jnp.float32)
+    i, j = pairs[:, 0], pairs[:, 1]
+    out = out.at[..., i, j].set(jnp.moveaxis(gc_pairs[..., 0], -2, -1))
+    out = out.at[..., j, i].set(jnp.moveaxis(gc_pairs[..., 1], -2, -1))
+    return out

@@ -203,3 +203,19 @@ class TestSignificance:
                                    n_iter=30)
         np.testing.assert_allclose(np.asarray(gc), np.asarray(plain),
                                    rtol=2e-4, atol=2e-5)
+
+
+class TestSharded:
+    def test_sharded_matches_single_device(self):
+        import ninwavelets_tpu.parallel as par
+        from ninwavelets_tpu.ops.granger import _granger_inputs
+        coeffs, sig = _var_system()
+        data = _simulate(coeffs, sig, e=8, n=512, seed=11)
+        sigs, bank = _granger_inputs(data, FS, 17, True)
+        single = np.asarray(gr.wavelet_granger(data, FS, n_bins=17,
+                                               time_decim=64, n_iter=40))
+        for d in (2, 4):
+            mesh = par.make_mesh(data=d, freq=1)
+            out = np.asarray(par.sharded_wavelet_granger(
+                sigs, bank, mesh=mesh, time_decim=64, n_iter=40))
+            np.testing.assert_allclose(out, single, rtol=5e-3, atol=1e-5)
