@@ -84,7 +84,6 @@ def _dagger(m: jnp.ndarray) -> jnp.ndarray:
     return jnp.conj(jnp.swapaxes(m, -1, -2))
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
 def _wilson_full(s_full: jnp.ndarray, *, n_iter: int = 60):
     """Run Wilson's iteration on the full-circle spectral matrix
     (..., 2h, C, C).  Returns (psi_full, h_one_sided, sigma)."""
@@ -118,6 +117,15 @@ def _wilson_full(s_full: jnp.ndarray, *, n_iter: int = 60):
     return psi, h_fn, sigma
 
 
+@partial(jax.jit, static_argnames=("n_iter",))
+def _wilson_ri(sr, si, *, n_iter):
+    """Float-boundary Wilson wrapper: complex is built, iterated and
+    split INSIDE the compiled program (axon TPU rejects complex64 at
+    jit/host boundaries and in eager ops — CLAUDE.md)."""
+    _, h_fn, sigma = _wilson_full(_two_sided(sr + 1j * si), n_iter=n_iter)
+    return jnp.real(h_fn), jnp.imag(h_fn), sigma
+
+
 def wilson_factorize(s: jnp.ndarray, n_iter: int = 60):
     """Factorize a one-sided (..., K, C, C) Hermitian spectral density
     into ``S(f) = H(f) Sigma H(f)^dagger`` (H causal, H(lag 0) = I).
@@ -133,15 +141,16 @@ def wilson_factorize(s: jnp.ndarray, n_iter: int = 60):
     grids: a |z| ~ 0.9 pole plateaus at ~12%% reconstruction error on
     K = 33 but reaches 6e-6 at K = 129 (see tests/test_granger.py).
     """
-    s = jnp.asarray(s)
+    s = np.asarray(s)  # host split: complex64 must not cross jit/host
     if s.shape[-1] != s.shape[-2]:
         raise ValueError("spectral matrix must be square, got %s"
                          % (s.shape,))
     if s.shape[-3] < 3:
         raise ValueError("need at least 3 frequency bins (DC..Nyquist)")
-    _, h_fn, sigma = _wilson_full(_two_sided(s.astype(jnp.complex64)),
-                                  n_iter=n_iter)
-    return h_fn, sigma
+    hr, hi, sigma = _wilson_ri(
+        jnp.asarray(np.real(s), jnp.float32),
+        jnp.asarray(np.imag(s), jnp.float32), n_iter=n_iter)
+    return np.asarray(hr) + 1j * np.asarray(hi), sigma
 
 
 def granger_from_factors(h_fn: jnp.ndarray, sigma: jnp.ndarray,
@@ -185,6 +194,26 @@ def _pairwise_jit(s_r, s_i, pairs, *, n_iter):
     return gc
 
 
+def _pair_list(c: int) -> np.ndarray:
+    return np.array([(a, b) for a in range(c) for b in range(a + 1, c)],
+                    np.int32).reshape(-1, 2)
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def _pairwise_assemble(s_r, s_i, pairs, *, n_iter):
+    """Float-boundary all-pairs GC: factorize every 2x2 submatrix and
+    scatter the two directions into the (..., K, C, C) plane — one
+    compiled program, complex only inside."""
+    gc = _pairwise_jit(s_r, s_i, pairs, n_iter=n_iter)
+    k, c = s_r.shape[-3], s_r.shape[-1]
+    out = jnp.zeros((*s_r.shape[:-3], k, c, c), jnp.float32)
+    i, j = pairs[:, 0], pairs[:, 1]
+    # gc[..., p, :, 0] = j->i goes to out[i, j]; [..., 1] = i->j to [j, i]
+    out = out.at[..., i, j].set(jnp.moveaxis(gc[..., 0], -2, -1))
+    out = out.at[..., j, i].set(jnp.moveaxis(gc[..., 1], -2, -1))
+    return out
+
+
 def spectral_granger_pairwise(s: jnp.ndarray,
                               n_iter: int = 60) -> jnp.ndarray:
     """All-pairs spectral Granger causality of a one-sided (..., K, C, C)
@@ -193,22 +222,15 @@ def spectral_granger_pairwise(s: jnp.ndarray,
     plane with ``out[..., i, j]`` = influence j -> i (diagonal 0).
 
     Pairwise (not conditional multivariate) GC — the standard Dhamala
-    nonparametric estimator.
+    nonparametric estimator.  Complex input is split on HOST (complex64
+    must not cross the jit boundary on TPU runtimes).
     """
-    s = jnp.asarray(s)
+    s = np.asarray(s)
     c = s.shape[-1]
-    pairs = np.array([(a, b) for a in range(c) for b in range(a + 1, c)],
-                     np.int32).reshape(-1, 2)
-    gc = _pairwise_jit(jnp.real(s).astype(jnp.float32),
-                       jnp.imag(s).astype(jnp.float32),
-                       jnp.asarray(pairs), n_iter=n_iter)
-    k = s.shape[-3]
-    out = jnp.zeros((*s.shape[:-3], k, c, c), jnp.float32)
-    i, j = pairs[:, 0], pairs[:, 1]
-    # gc[..., p, :, 0] = j->i goes to out[i, j]; [..., 1] = i->j to [j, i]
-    out = out.at[..., i, j].set(jnp.moveaxis(gc[..., 0], -2, -1))
-    out = out.at[..., j, i].set(jnp.moveaxis(gc[..., 1], -2, -1))
-    return out
+    return _pairwise_assemble(
+        jnp.asarray(np.real(s), jnp.float32),
+        jnp.asarray(np.imag(s), jnp.float32),
+        jnp.asarray(_pair_list(c)), n_iter=n_iter)
 
 
 @partial(jax.jit, static_argnames=("time_decim", "interpolate"))
@@ -263,8 +285,8 @@ def wavelet_granger_significance(sigs_r, sfreq: float,
                             interpolate=bool(interpolate))
     ident = jnp.tile(jnp.arange(e)[None, :], (c, 1))
     sr, si = _cross_from_tableau(wr, wi, ident)
-    gc = spectral_granger_pairwise(jnp.asarray(sr) + 1j * jnp.asarray(si),
-                                   n_iter=n_iter)
+    pairs = jnp.asarray(_pair_list(c))
+    gc = _pairwise_assemble(sr, si, pairs, n_iter=n_iter)
     key = jax.random.PRNGKey(seed)
     keys = jax.random.split(key, n_surrogates * c).reshape(
         n_surrogates, c, 2)
@@ -273,8 +295,9 @@ def wavelet_granger_significance(sigs_r, sfreq: float,
                    for ch in range(c)]) for s in range(n_surrogates)])
     surr = [
         _cross_from_tableau(wr, wi, perms[s]) for s in range(n_surrogates)]
-    s_all = jnp.stack([a + 1j * b for a, b in surr])
-    gc_surr = spectral_granger_pairwise(s_all, n_iter=n_iter)
+    sr_all = jnp.stack([a for a, _ in surr])
+    si_all = jnp.stack([b for _, b in surr])
+    gc_surr = _pairwise_assemble(sr_all, si_all, pairs, n_iter=n_iter)
     count = jnp.sum(gc_surr >= gc[None], axis=0)
     p = (count + 1.0) / (n_surrogates + 1.0)
     eye = jnp.eye(gc.shape[-1], dtype=bool)
@@ -350,5 +373,6 @@ def wavelet_granger(sigs_r, sfreq: float, n_bins: int = 65,
     sr, si = _wavelet_granger_jit(
         sigs, bank, time_decim=int(time_decim),
         interpolate=bool(interpolate))
-    s = (jnp.asarray(sr) + 1j * jnp.asarray(si))
-    return spectral_granger_pairwise(s, n_iter=n_iter)
+    c = sigs.shape[1]
+    return _pairwise_assemble(sr, si, jnp.asarray(_pair_list(c)),
+                              n_iter=n_iter)
