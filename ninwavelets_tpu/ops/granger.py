@@ -34,6 +34,7 @@ import numpy as np
 from jax import lax
 
 __all__ = ["wilson_factorize", "spectral_granger_pairwise",
+           "conditional_granger", "wavelet_conditional_granger",
            "granger_from_factors", "wavelet_granger",
            "wavelet_granger_significance", "uniform_freqs"]
 
@@ -231,6 +232,111 @@ def spectral_granger_pairwise(s: jnp.ndarray,
         jnp.asarray(np.real(s), jnp.float32),
         jnp.asarray(np.imag(s), jnp.float32),
         jnp.asarray(_pair_list(c)), n_iter=n_iter)
+
+
+# ---------------------------------------------------------------------------
+# conditional (multivariate) Granger causality
+# ---------------------------------------------------------------------------
+
+def _solve_real(a, b):
+    return jnp.linalg.solve(a, b)
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def _conditional_jit(s_r, s_i, *, n_iter):
+    """(..., K, C, C) conditional GC from the float-pair spectral matrix.
+
+    Derivation (reduces exactly to the bivariate Geweke formula at
+    C = 2): factorize the FULL system S = H Sigma H^dagger and, for each
+    excluded source j, the REDUCED system without j, S_red = G Sigma_G
+    G^dagger.  The reduced innovations are eta = G^{-1} [H eps]_rows,
+    i.e. eta(f) = Q(f) eps(f) with Q = G^{-1} H_rows; eta is white with
+    flat spectrum Sigma_G, and the part of target i's innovation power
+    attributable to source j's (partialized) innovation is
+    sigma_{jj|rest} |Q_{i,j}(f)|^2, giving
+
+        F_{j->i|rest}(f) = ln( Sigma_G[i,i]
+                               / (Sigma_G[i,i]
+                                  - sigma_{jj|rest} |Q_{i,j}(f)|^2) ).
+    """
+    s = s_r + 1j * s_i
+    c = s.shape[-1]
+    k = s.shape[-3]
+    _, h_full, sigma = _wilson_full(_two_sided(s), n_iter=n_iter)
+
+    # all C reduced systems batched on a new axis (static numpy index
+    # arrays, C is small): keep[j] = channel indices with j removed
+    keep = np.stack([np.delete(np.arange(c), j) for j in range(c)])
+
+    # (..., K, Cx, C-1, C-1) -> (..., Cx, K, C-1, C-1)
+    s_red = jnp.moveaxis(s[..., keep[:, :, None], keep[:, None, :]],
+                         -4, -3)
+    _, g_red, sigma_g = _wilson_full(_two_sided(s_red), n_iter=n_iter)
+
+    # Q = G^{-1} H_rows : (..., Cx, K, C-1, C)
+    h_rows = jnp.moveaxis(
+        h_full[..., keep[:, :, None], np.arange(c)[None, None, :]],
+        -4, -3)
+    q = _solve_complex(g_red, h_rows)
+
+    # sigma_{jj|rest} from the full innovation covariance: (..., Cx)
+    sig_rr = sigma[..., keep[:, :, None], keep[:, None, :]]
+    col_j = sigma[..., keep, np.arange(c)[:, None]]      # (..., Cx, C-1)
+    sig_jj = jnp.diagonal(sigma, axis1=-2, axis2=-1)     # (..., C)
+    solved = _solve_real(sig_rr, col_j[..., None])[..., 0]
+    sigma_cond = sig_jj - jnp.sum(col_j * solved, -1)
+
+    # |Q[pos(i), j]|^2 per excluded j: take column j along the last axis
+    # (index aligns to the Cx axis and broadcasts over any batch dims)
+    idx = jnp.broadcast_to(jnp.arange(c)[:, None, None, None],
+                           q.shape[:-1] + (1,))
+    q_j = jnp.take_along_axis(q, idx, axis=-1)[..., 0]   # (..., Cx, K, C-1)
+    diag_g = jnp.diagonal(sigma_g, axis1=-2, axis2=-1)   # (..., Cx, C-1)
+    num = diag_g[..., None, :]
+    den = num - sigma_cond[..., None, None] * jnp.abs(q_j) ** 2
+    eps = 1e-12
+    f_red = jnp.log(jnp.maximum(num, eps)
+                    / jnp.maximum(den, eps))       # (..., Cx, K, C-1)
+
+    # scatter back: out[..., k, i, j] = f_red[..., j, k, pos(i in keep[j])]
+    out = jnp.zeros((*s.shape[:-3], k, c, c), jnp.float32)
+    for j in range(c):
+        out = out.at[..., :, keep[j], j].set(f_red[..., j, :, :])
+    return out
+
+
+def conditional_granger(s, n_iter: int = 60) -> jnp.ndarray:
+    """Conditional multivariate Granger causality of a one-sided
+    (..., K, C, C) spectral matrix: ``out[..., i, j]`` is the influence
+    j -> i CONDITIONED on all remaining channels (diagonal 0) — indirect
+    routes that pairwise GC misreads as direct are suppressed.
+
+    One full factorization plus C reduced ones (all batched).  Complex
+    input splits on host (complex64 must not cross the jit boundary).
+    """
+    s = np.asarray(s)
+    if s.shape[-1] != s.shape[-2] or s.shape[-1] < 3:
+        raise ValueError(
+            "conditional GC needs (..., K, C>=3, C) spectra; use the "
+            "pairwise estimator for C = 2, got %s" % (s.shape,))
+    return _conditional_jit(jnp.asarray(np.real(s), jnp.float32),
+                            jnp.asarray(np.imag(s), jnp.float32),
+                            n_iter=n_iter)
+
+
+def wavelet_conditional_granger(sigs_r, sfreq: float, n_bins: int = 65,
+                                time_decim: int = 16, n_iter: int = 60,
+                                interpolate: bool = True) -> jnp.ndarray:
+    """Time-resolved CONDITIONAL Granger causality of an (E, C, N) epoch
+    stack: ``wavelet_granger``'s cross-spectra pipeline with the
+    multivariate conditional estimator per time slice."""
+    sigs, bank = _granger_inputs(sigs_r, sfreq, n_bins, interpolate)
+    if sigs.shape[1] < 3:
+        raise ValueError("conditional GC needs >= 3 channels")
+    sr, si = _wavelet_granger_jit(
+        sigs, bank, time_decim=int(time_decim),
+        interpolate=bool(interpolate))
+    return _conditional_jit(sr, si, n_iter=n_iter)
 
 
 @partial(jax.jit, static_argnames=("time_decim", "interpolate"))

@@ -638,7 +638,7 @@ class EpochsWavelet:
                     method=method, n_bins=n_bins, mean_epochs=True)
 
     def granger(self, picks=None, n_bins: int = 65, time_decim: int = 16,
-                n_iter: int = 60) -> jnp.ndarray:
+                n_iter: int = 60, conditional: bool = False) -> jnp.ndarray:
         """(T', K, C, C) time-resolved pairwise spectral Granger
         causality over channels (extension — ``ops.granger``, Dhamala et
         al. 2008): ``out[t, k, i, j]`` is the influence j -> i at the
@@ -646,14 +646,18 @@ class EpochsWavelet:
         n_bins, sfreq)``) and every ``time_decim``-th sample.  ``picks``
         restricts to a channel-name subset (order kept).  Uses its own
         energy-normalized uniform-grid Morse bank, independent of this
-        wavelet's bank."""
-        from ..ops.granger import wavelet_granger
+        wavelet's bank.  ``conditional=True`` switches to the
+        multivariate conditional estimator (needs >= 3 channels;
+        indirect routes suppressed)."""
+        from ..ops.granger import (wavelet_conditional_granger,
+                                   wavelet_granger)
         waves = np.asarray(self._host_data())
         if picks is not None:
             idx = [self.epochs.ch_names.index(ch) for ch in picks]
             waves = waves[:, idx, :]
-        return wavelet_granger(waves, self.wavelet.sfreq, n_bins=n_bins,
-                               time_decim=time_decim, n_iter=n_iter)
+        fn = wavelet_conditional_granger if conditional else wavelet_granger
+        return fn(waves, self.wavelet.sfreq, n_bins=n_bins,
+                  time_decim=time_decim, n_iter=n_iter)
 
     def bicoherence(self, ch_name: str, freqs1: Numbers,
                     freqs2: Numbers = None,

@@ -219,3 +219,108 @@ class TestSharded:
             out = np.asarray(par.sharded_wavelet_granger(
                 sigs, bank, mesh=mesh, time_decim=64, n_iter=40))
             np.testing.assert_allclose(out, single, rtol=5e-3, atol=1e-5)
+
+
+class TestConditional:
+    def _chain(self):
+        """x <- z <- y chain (no direct y -> x), order [x, y, z]."""
+        a = np.diag([0.5, 0.5, 0.5])
+        a[0, 2] = 0.5   # x <- z
+        a[2, 1] = 0.5   # z <- y
+        return [a], np.diag([1.0, 0.8, 0.9])
+
+    def test_mediated_link_suppressed(self):
+        coeffs, sig = self._chain()
+        freqs = gr.uniform_freqs(65, FS)
+        k = len(freqs)
+        s = np.zeros((k, 3, 3), np.complex128)
+        for idx, f in enumerate(freqs):
+            h = np.linalg.inv(np.eye(3)
+                              - coeffs[0] * np.exp(-2j * np.pi * f / FS))
+            s[idx] = h @ sig @ h.conj().T
+        pw = np.asarray(gr.spectral_granger_pairwise(s, n_iter=100))
+        cg = np.asarray(gr.conditional_granger(s, n_iter=100))
+        # pairwise is fooled by the indirect route; conditional is not
+        assert pw[:, 0, 1].max() > 0.2
+        assert cg[:, 0, 1].max() < 1e-3
+        # direct links survive conditioning, absent ones stay zero
+        assert cg[:, 0, 2].max() > 0.3
+        assert cg[:, 2, 1].max() > 0.3
+        assert cg[:, 1, 0].max() < 1e-3
+        assert cg[:, 1, 2].max() < 1e-3
+        assert np.all(cg[:, range(3), range(3)] == 0.0)
+
+    def test_reduces_to_pairwise_when_rest_is_independent(self):
+        """With an INDEPENDENT third channel, conditioning changes
+        nothing: F_{y->x|z} == F_{y->x}."""
+        coeffs, sig2 = _var_system()
+        a = np.zeros((3, 3))
+        a[:2, :2] = coeffs[0]
+        a[2, 2] = 0.3
+        a2 = np.zeros((3, 3))
+        a2[:2, :2] = coeffs[1]
+        sig3 = np.diag([1.0, 0.7, 0.5])
+        freqs = gr.uniform_freqs(129, FS)
+        k = len(freqs)
+        s = np.zeros((k, 3, 3), np.complex128)
+        for idx, f in enumerate(freqs):
+            z1 = np.exp(-2j * np.pi * f / FS)
+            h = np.linalg.inv(np.eye(3) - a * z1 - a2 * z1 * z1)
+            s[idx] = h @ sig3 @ h.conj().T
+        cg = np.asarray(gr.conditional_granger(s, n_iter=150))
+        pw = np.asarray(gr.spectral_granger_pairwise(
+            s[:, :2, :2], n_iter=150))
+        np.testing.assert_allclose(cg[:, 0, 1], pw[:, 0, 1], atol=2e-3)
+        np.testing.assert_allclose(cg[:, 1, 0], pw[:, 1, 0], atol=2e-3)
+
+    def test_wavelet_conditional_on_simulated_chain(self):
+        coeffs, sig = self._chain()
+        data = _simulate3(coeffs, sig, e=24, n=2048, seed=6)
+        cg = np.asarray(gr.wavelet_conditional_granger(
+            data, FS, n_bins=33, time_decim=64, n_iter=60))
+        pw = np.asarray(gr.wavelet_granger(data, FS, n_bins=33,
+                                           time_decim=64, n_iter=60))
+        m_c, m_p = cg.mean(0), pw.mean(0)
+        # conditioning collapses the mediated y->x link
+        assert m_c[:, 0, 1].max() < 0.4 * m_p[:, 0, 1].max()
+        # direct links stay comparable
+        assert m_c[:, 0, 2].max() > 0.5 * m_p[:, 0, 2].max()
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            gr.conditional_granger(np.zeros((8, 2, 2)))
+        with pytest.raises(ValueError):
+            gr.wavelet_conditional_granger(np.zeros((4, 2, 128)), FS)
+
+
+def _simulate3(coeffs, sig, e, n, seed):
+    rng = np.random.default_rng(seed)
+    p = len(coeffs)
+    burn = 200
+    c = sig.shape[0]
+    out = np.zeros((e, c, n), np.float32)
+    chol = np.linalg.cholesky(sig)
+    for ep in range(e):
+        x = np.zeros((n + burn, c))
+        eps = rng.standard_normal((n + burn, c)) @ chol.T
+        for t in range(p, n + burn):
+            acc = eps[t].copy()
+            for lag, ak in enumerate(coeffs, start=1):
+                acc += ak @ x[t - lag]
+            x[t] = acc
+        out[ep] = x[burn:].T
+    return out
+
+
+def test_adapter_conditional_flag():
+    import ninwavelets_tpu as nw
+    a = np.diag([0.5, 0.5, 0.5])
+    a[0, 2] = 0.5
+    a[2, 1] = 0.5
+    data = _simulate3([a], np.diag([1.0, 0.8, 0.9]), e=8, n=512, seed=12)
+    ew = nw.EpochsWavelet(
+        nw.ArrayEpochs(data, FS, ch_names=["x", "y", "z"]), nw.Morse(FS))
+    cg = np.asarray(ew.granger(n_bins=17, time_decim=128, n_iter=40,
+                               conditional=True))
+    assert cg.shape == (4, 17, 3, 3)
+    assert np.all(cg[..., range(3), range(3)] == 0.0)
