@@ -44,9 +44,10 @@ from .extensions import (bicoherence, bicoherence_from_banks, imcoh,
                          wavelet_coherence_from_bank)
 from .fused import (fused_itc, fused_itc_from_bank, fused_mean_power,
                     fused_mean_power_from_bank, itc_auto, mean_power_auto)
-from .granger import (conditional_granger, granger_from_factors,
+from .granger import (conditional_granger, dtf_pdc, granger_from_factors,
                       spectral_granger_pairwise, uniform_freqs,
-                      wavelet_conditional_granger, wavelet_granger,
+                      wavelet_conditional_granger, wavelet_dtf_pdc,
+                      wavelet_granger,
                       wavelet_granger_significance, wilson_factorize)
 from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
                     reverse_timeline, wavelet_timeline)
@@ -137,5 +138,6 @@ __all__ = [
     "wilson_factorize", "spectral_granger_pairwise", "wavelet_granger",
     "wavelet_granger_significance", "granger_from_factors",
     "conditional_granger", "wavelet_conditional_granger",
+    "dtf_pdc", "wavelet_dtf_pdc",
     "uniform_freqs",
 ]

@@ -324,3 +324,49 @@ def test_adapter_conditional_flag():
                                conditional=True))
     assert cg.shape == (4, 17, 3, 3)
     assert np.all(cg[..., range(3), range(3)] == 0.0)
+
+
+class TestDtfPdc:
+    def test_pdc_direct_only_dtf_cascades(self):
+        # x <- z <- y chain, order [x, y, z]
+        a = np.diag([0.5, 0.5, 0.5])
+        a[0, 2] = 0.5
+        a[2, 1] = 0.5
+        sig = np.diag([1.0, 0.8, 0.9])
+        freqs = gr.uniform_freqs(65, FS)
+        k = len(freqs)
+        s = np.zeros((k, 3, 3), np.complex128)
+        a_true = np.zeros((k, 3, 3), np.complex128)
+        for idx, f in enumerate(freqs):
+            at = np.eye(3) - a * np.exp(-2j * np.pi * f / FS)
+            a_true[idx] = at
+            h = np.linalg.inv(at)
+            s[idx] = h @ sig @ h.conj().T
+        dtf, pdc = gr.dtf_pdc(s, n_iter=100)
+        dtf, pdc = np.asarray(dtf), np.asarray(pdc)
+        # PDC: only DIRECT links (A_xy = 0 in the chain)
+        assert pdc[:, 0, 1].max() < 0.02        # y->x mediated: ~0
+        assert pdc[:, 0, 2].max() > 0.3         # z->x direct
+        assert pdc[:, 2, 1].max() > 0.3         # y->z direct
+        # DTF: the cascade shows up (H_xy != 0)
+        assert dtf[:, 0, 1].max() > 0.1
+        # against the closed-form normalizations of the TRUE factors
+        h_true = np.linalg.inv(a_true)
+        dtf_true = np.abs(h_true) / np.sqrt(
+            (np.abs(h_true) ** 2).sum(-1, keepdims=True))
+        pdc_true = np.abs(a_true) / np.sqrt(
+            (np.abs(a_true) ** 2).sum(-2, keepdims=True))
+        np.testing.assert_allclose(dtf, dtf_true, atol=5e-3)
+        np.testing.assert_allclose(pdc, pdc_true, atol=5e-3)
+
+    def test_wavelet_dtf_pdc_shapes(self):
+        a = np.diag([0.5, 0.5, 0.5])
+        a[0, 2] = 0.5
+        data = _simulate3([a], np.diag([1.0, 0.8, 0.9]), e=8, n=512,
+                          seed=14)
+        dtf, pdc = gr.wavelet_dtf_pdc(data, FS, n_bins=17, time_decim=128,
+                                      n_iter=40)
+        assert np.asarray(dtf).shape == np.asarray(pdc).shape \
+            == (4, 17, 3, 3)
+        assert float(np.asarray(dtf).max()) <= 1.0 + 1e-5
+        assert float(np.asarray(pdc).max()) <= 1.0 + 1e-5
