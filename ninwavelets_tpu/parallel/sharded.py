@@ -974,3 +974,28 @@ def sharded_wavelet_granger(sigs, bank_r, *, mesh: Mesh,
     out = out.at[..., i, j].set(jnp.moveaxis(gc_pairs[..., 0], -2, -1))
     out = out.at[..., j, i].set(jnp.moveaxis(gc_pairs[..., 1], -2, -1))
     return out
+
+
+@partial(jax.jit, static_argnames=("mesh", "orthogonalize", "interpolate",
+                                   "log", "eps", "time_range"))
+def sharded_env_corr(sigs, bank_r, *, mesh: Mesh,
+                     orthogonalize: bool = True, interpolate: bool = False,
+                     log: bool = True, eps: float = 1e-12,
+                     time_range=None):
+    """All-pairs power-envelope correlation over the mesh: (E, C, N) ->
+    (F, C, C).
+
+    The per-epoch Pearson correlations are local to each trial and the
+    epoch MEAN is linear, so epochs shard over ``data`` (one ``pmean``)
+    and bank rows over ``freq`` (row-independent scan).  Mesh result ==
+    single-device ``ops.envelope.env_corr_matrix``."""
+    from ..ops.envelope import env_corr_matrix_from_bank
+
+    def local(sig, br):
+        r = env_corr_matrix_from_bank(sig, br, orthogonalize, interpolate,
+                                      log, eps, time_range)
+        return lax.pmean(r, DATA_AXIS)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(DATA_AXIS), _BANK_SPEC),
+        out_specs=P(FREQ_AXIS))(sigs, bank_r)

@@ -637,6 +637,21 @@ class EpochsWavelet:
         return _pac(waves, bp, ba, interpolate=self.wavelet.interpolate,
                     method=method, n_bins=n_bins, mean_epochs=True)
 
+    def env_corr(self, freqs: Numbers, orthogonalize: bool = True,
+                 log: bool = True, time_range=None) -> jnp.ndarray:
+        """(F, C, C) power-envelope correlation matrices over ALL
+        channels (extension — ``ops.envelope``, Hipp et al. 2012):
+        ``orthogonalize=True`` projects out the zero-lag source-leakage
+        component before correlating (volume-conduction-robust resting-
+        state coupling); ``time_range`` is a seconds pair."""
+        from ..ops.envelope import env_corr_matrix
+        waves = self._all_data()
+        br, bi = self._conn_bank(waves.shape[-1], freqs)
+        return env_corr_matrix(
+            waves, br, orthogonalize=orthogonalize,
+            interpolate=self.wavelet.interpolate, log=log,
+            time_range=self._samples(time_range))
+
     def granger(self, picks=None, n_bins: int = 65, time_decim: int = 16,
                 n_iter: int = 60, conditional: bool = False) -> jnp.ndarray:
         """(T', K, C, C) time-resolved pairwise spectral Granger

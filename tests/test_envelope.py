@@ -1,0 +1,139 @@
+"""Power-envelope correlations (`ops/envelope.py`) against a literal
+numpy oracle and the Hipp orthogonalization's defining behaviors."""
+import numpy as np
+import pytest
+
+import ninwavelets_tpu as nw
+import ninwavelets_tpu.parallel as par
+from ninwavelets_tpu.ops import envelope as env
+from ninwavelets_tpu.ops.bank import make_fft_bank
+
+SFREQ = 250.0
+N = 512
+
+
+def _bank(freqs, n):
+    import jax.numpy as jnp
+    m = nw.Morse(SFREQ)
+    return np.asarray(make_fft_bank(m._wdef(), jnp.asarray(
+        np.asarray(freqs, np.float32)), n, SFREQ, True), np.float32)
+
+
+def _numpy_env_corr(sigs, bank, orthogonalize, log=True, eps=1e-12):
+    e, c, n = sigs.shape
+    spec = np.fft.fft(sigs, axis=-1)
+    mask = np.zeros(n)
+    mask[: n // 2] = 1.0  # interpolate=True analytic trick
+    spec = spec * mask
+    out = np.zeros((len(bank), c, c))
+    for fi, row in enumerate(bank):
+        w = np.fft.ifft(spec * row, axis=-1)
+        envs = np.log(np.abs(w) ** 2 + eps) if log else np.abs(w) ** 2
+        r = np.zeros((c, c))
+        for a in range(c):
+            if orthogonalize:
+                proj = np.imag(w * np.conj(w[:, a][:, None, :])) \
+                    / np.maximum(np.abs(w[:, a])[:, None, :], 1e-20)
+                target = np.log(proj ** 2 + eps) if log else proj ** 2
+            else:
+                target = envs
+            for b in range(c):
+                acc = 0.0
+                for ep in range(e):
+                    x = envs[ep, a] - envs[ep, a].mean()
+                    y = target[ep, b] - target[ep, b].mean()
+                    den = np.sqrt((x * x).sum() * (y * y).sum())
+                    acc += (x * y).sum() / den if den > 0 else 0.0
+                r[a, b] = acc / e
+        if orthogonalize:
+            r = 0.5 * (r + r.T)
+            np.fill_diagonal(r, 0.0)
+        out[fi] = r
+    return out
+
+
+def _coupled_data(e=6, seed=0, leak=0.0):
+    """Two sources with a COMMON slow amplitude modulation on independent
+    carriers (true envelope coupling), plus an optional zero-lag leakage
+    mix, plus an independent third channel."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(N) / SFREQ
+    out = np.zeros((e, 3, N), np.float32)
+    for ep in range(e):
+        am = 1.0 + 0.8 * np.sin(2 * np.pi * 1.3 * t + rng.uniform(0, 6.3))
+        ph1, ph2 = rng.uniform(0, 6.3, 2)
+        s1 = am * np.sin(2 * np.pi * 30 * t + ph1)
+        s2 = am * np.sin(2 * np.pi * 30 * t + ph2)
+        s3 = rng.standard_normal(N)
+        noise = 0.2 * rng.standard_normal((3, N))
+        out[ep, 0] = s1 + leak * s2 + noise[0]
+        out[ep, 1] = s2 + leak * s1 + noise[1]
+        out[ep, 2] = s3 + noise[2]
+    return out
+
+
+class TestEnvCorr:
+    def test_matches_numpy_oracle(self):
+        rng = np.random.default_rng(3)
+        sigs = rng.standard_normal((3, 3, 128)).astype(np.float32)
+        bank = _bank([20.0, 40.0], 128)
+        for orth in (True, False):
+            ours = np.asarray(env.env_corr_matrix(
+                sigs, bank, orthogonalize=orth, interpolate=True))
+            ref = _numpy_env_corr(sigs, bank, orth)
+            np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_detects_envelope_coupling(self):
+        r = np.asarray(env.env_corr_matrix(
+            _coupled_data(), _bank([30.0], N), orthogonalize=True,
+            interpolate=True))[0]
+        assert r[0, 1] > 0.4          # common amplitude modulation
+        assert abs(r[0, 2]) < 0.25    # independent channel
+        assert r[0, 1] > 3 * abs(r[0, 2])
+
+    def test_orthogonalization_kills_pure_leakage(self):
+        """Channels that are zero-lag mixtures of ONE source: plain AEC
+        saturates, orthogonalized AEC collapses."""
+        rng = np.random.default_rng(5)
+        t = np.arange(N) / SFREQ
+        e = 6
+        sigs = np.zeros((e, 2, N), np.float32)
+        for ep in range(e):
+            am = 1.0 + 0.8 * np.sin(2 * np.pi * 1.1 * t
+                                    + rng.uniform(0, 6.3))
+            s = am * np.sin(2 * np.pi * 30 * t + rng.uniform(0, 6.3))
+            n1, n2 = 0.05 * rng.standard_normal((2, N))
+            sigs[ep, 0] = s + n1
+            sigs[ep, 1] = 0.7 * s + n2   # pure zero-lag leak
+        bank = _bank([30.0], N)
+        plain = np.asarray(env.env_corr_matrix(
+            sigs, bank, orthogonalize=False, interpolate=True))[0]
+        orth = np.asarray(env.env_corr_matrix(
+            sigs, bank, orthogonalize=True, interpolate=True))[0]
+        assert plain[0, 1] > 0.9
+        assert orth[0, 1] < 0.4
+        assert np.allclose(np.diag(orth), 0.0)
+        assert np.allclose(np.diag(plain), 1.0)
+
+    def test_sharded_matches_single_device(self):
+        sigs = _coupled_data(e=8)
+        bank = _bank([20.0, 30.0, 40.0, 50.0], N)
+        single = np.asarray(env.env_corr_matrix(
+            sigs, bank, orthogonalize=True, interpolate=True))
+        for d, f in ((2, 2), (4, 1)):
+            mesh = par.make_mesh(data=d, freq=f)
+            out = np.asarray(par.sharded_env_corr(
+                sigs, bank, mesh=mesh, orthogonalize=True,
+                interpolate=True))
+            np.testing.assert_allclose(out, single, rtol=2e-4, atol=2e-5)
+
+    def test_adapter(self):
+        ew = nw.EpochsWavelet(
+            nw.ArrayEpochs(_coupled_data(), SFREQ,
+                           ch_names=["a", "b", "c"]),
+            nw.Morse(SFREQ, interpolate=True))
+        r = np.asarray(ew.env_corr([25.0, 30.0, 35.0]))
+        assert r.shape == (3, 3, 3)
+        assert r[1, 0, 1] > 0.3
+        plain = np.asarray(ew.env_corr([30.0], orthogonalize=False))
+        assert plain[0, 0, 1] > r[1, 0, 1] - 0.2
