@@ -23,6 +23,8 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            ppc_from_bank, ppc_matrix, ppc_matrix_from_bank,
                            surrogate_pvalues, wpli_matrix,
                            wpli_matrix_from_bank)
+from .bursts import (BurstSummary, burst_summary, burst_table,
+                     burst_threshold)
 from .cluster import (ClusterResult, TfceResult, cluster_mass,
                       cluster_test_independent,
                       cluster_test_one_sample, cluster_test_paired,
@@ -102,6 +104,7 @@ __all__ = [
     "ppc", "ppc_auto", "ppc_from_bank",
     "wpli_matrix", "wpli_matrix_from_bank",
     "ppc_matrix", "ppc_matrix_from_bank",
+    "BurstSummary", "burst_summary", "burst_table", "burst_threshold",
     "ClusterResult", "cluster_mass", "cluster_test_independent",
     "cluster_test_one_sample", "cluster_test_paired", "label_components",
     "max_stat_test_independent", "max_stat_test_one_sample",

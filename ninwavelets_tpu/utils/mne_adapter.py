@@ -637,6 +637,24 @@ class EpochsWavelet:
         return _pac(waves, bp, ba, interpolate=self.wavelet.interpolate,
                     method=method, n_bins=n_bins, mean_epochs=True)
 
+    def bursts(self, ch_name: str, freqs: Numbers, factor: float = 6.0,
+               min_area: int = 1, threshold=None, table: bool = False):
+        """Oscillatory burst statistics of one channel's single-trial
+        power (extension — ``ops.bursts``, Shin et al. 2017): per-epoch
+        ``BurstSummary`` (count/rate/duration/span/peak), or the host
+        burst listing with ``table=True``.  ``freqs`` must be uniformly
+        spaced (the span unit is its step)."""
+        from ..ops.bursts import burst_summary, burst_table
+        freqs = np.asarray(freqs, np.float32)
+        step = float(freqs[1] - freqs[0]) if freqs.size > 1 else 1.0
+        trials = self.single_trial_power(ch_name, freqs)
+        if table:
+            return burst_table(np.asarray(trials), threshold,
+                               self.wavelet.sfreq, freqs, factor,
+                               min_area)
+        return burst_summary(trials, threshold, self.wavelet.sfreq,
+                             step, factor, min_area)
+
     def env_corr(self, freqs: Numbers, orthogonalize: bool = True,
                  log: bool = True, time_range=None) -> jnp.ndarray:
         """(F, C, C) power-envelope correlation matrices over ALL
