@@ -14,6 +14,7 @@ from .cwt import (abs_from_bank, analytic_spectrum, cwt_abs, cwt_from_bank,
 from .fit import fit_frequencies, learn_bank
 from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            nm_plv, nm_plv_from_bank, pac, pac_from_banks,
+                           pac_pair_from_banks, pac_significance,
                            pair_matrix_scan, phase_lag, phase_lag_auto,
                            phase_lag_significance,
                            phase_lag_from_bank, phase_lag_from_sums,
@@ -43,7 +44,8 @@ from .extensions import (bicoherence, bicoherence_from_banks, imcoh,
                          bump_spectrum, cross_power_from_bank,
                          dog_spectrum, epoch_coherence_from_bank,
                          paul_spectrum, wavelet_coherence,
-                         wavelet_coherence_from_bank)
+                         wavelet_coherence_from_bank, wavelet_entropy,
+                         wtc_significance)
 from .fused import (fused_itc, fused_itc_from_bank, fused_mean_power,
                     fused_mean_power_from_bank, itc_auto, mean_power_auto)
 from .granger import (conditional_granger, dtf_pdc, granger_from_factors,
@@ -91,11 +93,13 @@ __all__ = [
     "paul_spectrum", "dog_spectrum", "bump_spectrum",
     "cross_power_from_bank", "epoch_coherence_from_bank",
     "wavelet_coherence", "wavelet_coherence_from_bank",
+    "wavelet_entropy", "wtc_significance",
     "bicoherence", "bicoherence_from_banks",
     "imcoh", "imcoh_auto", "imcoh_from_bank", "imcoh_from_sums",
     "psi", "psi_from_bank", "psi_from_sums",
     "plv", "plv_from_bank", "plv_sums", "pac", "pac_from_banks",
     "nm_plv", "nm_plv_from_bank", "plv_significance", "surrogate_pvalues",
+    "pac_significance", "pac_pair_from_banks",
     "pair_matrix_scan", "plv_matrix", "plv_matrix_from_bank",
     "coherence_matrix", "coherence_matrix_from_bank",
     "phase_lag", "phase_lag_auto", "phase_lag_from_bank",

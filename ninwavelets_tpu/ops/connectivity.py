@@ -36,7 +36,8 @@ __all__ = ["plv_from_bank", "plv", "plv_sums", "pac_from_banks", "pac",
            "pac_mean_from_banks",
            "coherence_matrix_from_bank", "coherence_matrix",
            "nm_plv_from_bank", "nm_plv", "nm_plv_sums",
-           "surrogate_pvalues", "plv_significance",
+           "surrogate_pvalues", "plv_significance", "pac_significance",
+           "pac_pair_from_banks",
            "phase_lag_sums", "phase_lag_from_sums", "phase_lag_from_bank",
            "phase_lag", "phase_lag_auto", "PHASE_LAG_METHODS",
            "phase_lag_significance",
@@ -518,6 +519,21 @@ def _phase_amp(sig, bank_phase, bank_amp, interpolate, eps):
     return u, jnp.abs(wa)
 
 
+def pac_pair_from_banks(sig_phase: jnp.ndarray, sig_amp: jnp.ndarray,
+                        bank_phase: jnp.ndarray, bank_amp: jnp.ndarray,
+                        interpolate: bool = False, method: str = "mvl",
+                        n_bins: int = 18, eps: float = 1e-20):
+    """``pac_from_banks`` with the phase and amplitude taken from two
+    DIFFERENT signals — the cross-channel comodulogram, and the building
+    block of the circular-shift surrogate null (phase from the real
+    signal, amplitude from a rolled copy)."""
+    wp = cwt_from_bank(sig_phase, bank_phase, interpolate)
+    wa = cwt_from_bank(sig_amp, bank_amp, interpolate)
+    u = wp / jnp.maximum(jnp.abs(wp), eps)
+    return _pac_score(u, jnp.abs(wa), sig_phase.shape[-1], method,
+                      n_bins, eps)
+
+
 def pac_from_banks(signal: jnp.ndarray, bank_phase: jnp.ndarray,
                    bank_amp: jnp.ndarray, interpolate: bool = False,
                    method: str = "mvl", n_bins: int = 18,
@@ -542,7 +558,10 @@ def pac_from_banks(signal: jnp.ndarray, bank_phase: jnp.ndarray,
     ``pac`` wrapper does a scan-mean over a leading epoch axis).
     """
     u, a = _phase_amp(signal, bank_phase, bank_amp, interpolate, eps)
-    n = signal.shape[-1]
+    return _pac_score(u, a, signal.shape[-1], method, n_bins, eps)
+
+
+def _pac_score(u, a, n, method, n_bins, eps):
     if method == "mvl":
         # (..., Fp, N) @ (..., N, Fa) -> (..., Fp, Fa)
         mr = u.real @ jnp.swapaxes(a, -1, -2)
@@ -584,6 +603,54 @@ def pac_mean_from_banks(sig, bank_phase, bank_amp, interpolate, method,
                                     method, n_bins), None
 
     return lax.scan(step, zero, sig)[0] / sig.shape[0]
+
+
+def pac_pair_mean(sig_p, sig_a, bank_phase, bank_amp, interpolate,
+                  method, n_bins):
+    """Epoch-mean cross-signal comodulogram via a scan."""
+    zero = jnp.zeros(sig_p.shape[1:-1] + (bank_phase.shape[0],
+                                          bank_amp.shape[0]), jnp.float32)
+
+    def step(acc, pair):
+        sp, sa = pair
+        return acc + pac_pair_from_banks(sp, sa, bank_phase, bank_amp,
+                                         interpolate, method, n_bins), None
+
+    return lax.scan(step, zero, (sig_p, sig_a))[0] / sig_p.shape[0]
+
+
+@partial(jax.jit, static_argnames=("interpolate", "method", "n_bins",
+                                   "n_surrogates", "min_shift", "seed"))
+def _pac_sig_jit(sig, bp, ba, *, interpolate, method, n_bins,
+                 n_surrogates, min_shift, seed):
+    obs = pac_mean_from_banks(sig, bp, ba, interpolate, method, n_bins)
+    pv = surrogate_pvalues(
+        lambda shifted: pac_pair_mean(sig, shifted, bp, ba, interpolate,
+                                      method, n_bins),
+        obs, sig, jax.random.PRNGKey(seed), n_surrogates, min_shift)
+    return obs, pv
+
+
+def pac_significance(signal_r, bank_phase_r, bank_amp_r,
+                     interpolate: bool = False, method: str = "mvl",
+                     n_bins: int = 18, n_surrogates: int = 199,
+                     min_shift: int | None = None, seed: int = 0):
+    """Epoch-mean PAC comodulogram plus circular-shift surrogate
+    p-values: ``((Fp, Fa) pac, same-shape p)``.
+
+    The null rolls each epoch's AMPLITUDE-providing copy by a random
+    offset while the phase copy stays put — per-band spectra and
+    waveforms are preserved, phase-amplitude alignment destroyed (Tort
+    2010's recommended surrogate).  ``signal_r`` is (E, N)."""
+    sig = jnp.asarray(np.asarray(signal_r, np.float32))
+    if sig.ndim == 1:
+        sig = sig[None]
+    return _pac_sig_jit(sig, jnp.asarray(bank_phase_r),
+                        jnp.asarray(bank_amp_r),
+                        interpolate=bool(interpolate), method=str(method),
+                        n_bins=int(n_bins),
+                        n_surrogates=int(n_surrogates),
+                        min_shift=min_shift, seed=int(seed))
 
 
 @partial(jax.jit, static_argnames=("interpolate", "method", "n_bins",

@@ -137,3 +137,107 @@ class TestEnvCorr:
         assert r[1, 0, 1] > 0.3
         plain = np.asarray(ew.env_corr([30.0], orthogonalize=False))
         assert plain[0, 0, 1] > r[1, 0, 1] - 0.2
+
+
+class TestWaveletEntropy:
+    def test_flat_and_peaked(self):
+        from ninwavelets_tpu.ops import wavelet_entropy
+        flat = np.ones((4, 10, 7))
+        np.testing.assert_allclose(np.asarray(wavelet_entropy(flat)),
+                                   1.0, rtol=1e-5)
+        peak = np.zeros((10, 7))
+        peak[3] = 1.0
+        np.testing.assert_allclose(np.asarray(wavelet_entropy(peak)),
+                                   0.0, atol=1e-6)
+
+    def test_matches_numpy(self):
+        from ninwavelets_tpu.ops import wavelet_entropy
+        rng = np.random.default_rng(8)
+        p = rng.random((5, 6, 9)).astype(np.float32)
+        ours = np.asarray(wavelet_entropy(p, normalized=False))
+        q = p / p.sum(axis=-2, keepdims=True)
+        ref = -(q * np.log(q)).sum(axis=-2)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+    def test_unnormalized_scale(self):
+        from ninwavelets_tpu.ops import wavelet_entropy
+        flat = np.ones((4, 8))
+        assert float(np.asarray(
+            wavelet_entropy(flat, normalized=False))[0]) == \
+            pytest.approx(np.log(4))
+
+
+class TestWtcSignificance:
+    def test_shared_tone_exceeds_red_noise_level(self):
+        import jax.numpy as jnp
+        from ninwavelets_tpu.ops import wavelet_coherence, wtc_significance
+        from ninwavelets_tpu.ops.bank import make_fft_bank
+        n = 1024
+        rng = np.random.default_rng(1)
+        t = np.arange(n) / SFREQ
+        freqs = np.arange(10.0, 40.0, 5.0).astype(np.float32)
+        m = nw.Morse(SFREQ)
+        bank = jnp.asarray(np.asarray(make_fft_bank(
+            m._wdef(), jnp.asarray(freqs), n, SFREQ, True), np.float32))
+        shared = np.sin(2 * np.pi * 20 * t)
+        a = (shared + 0.5 * rng.standard_normal(n)).astype(np.float32)
+        b = (shared + 0.5 * rng.standard_normal(n)).astype(np.float32)
+        wtc = np.asarray(wavelet_coherence(a, b, bank, freqs, SFREQ,
+                                           interpolate=True))
+        thr = np.asarray(wtc_significance(a, b, bank, freqs, SFREQ,
+                                          n_surrogates=50,
+                                          interpolate=True))
+        assert thr.shape == (6,)
+        assert np.all((0.3 < thr) & (thr < 0.999))
+        row20 = 2  # 20 Hz
+        assert (wtc[row20] > thr[row20]).mean() > 0.9
+        # uncoupled row stays mostly below its level (q=0.95 null)
+        assert (wtc[5] > thr[5]).mean() < 0.35
+
+    def test_deterministic(self):
+        import jax.numpy as jnp
+        from ninwavelets_tpu.ops import wtc_significance
+        from ninwavelets_tpu.ops.bank import make_fft_bank
+        n = 256
+        rng = np.random.default_rng(3)
+        a = rng.standard_normal(n).astype(np.float32)
+        b = rng.standard_normal(n).astype(np.float32)
+        freqs = np.array([15.0, 30.0], np.float32)
+        m = nw.Morse(SFREQ)
+        bank = jnp.asarray(np.asarray(make_fft_bank(
+            m._wdef(), jnp.asarray(freqs), n, SFREQ, True), np.float32))
+        t1 = np.asarray(wtc_significance(a, b, bank, freqs, SFREQ,
+                                         n_surrogates=20, seed=5))
+        t2 = np.asarray(wtc_significance(a, b, bank, freqs, SFREQ,
+                                         n_surrogates=20, seed=5))
+        np.testing.assert_array_equal(t1, t2)
+
+
+class TestPacSignificance:
+    def test_detects_theta_gamma_coupling(self):
+        import jax.numpy as jnp
+        from ninwavelets_tpu.ops import pac_significance
+        from ninwavelets_tpu.ops.bank import make_fft_bank
+        sfreq, n, e = 500.0, 2048, 8
+        rng = np.random.default_rng(0)
+        t = np.arange(n) / sfreq
+        sig = np.zeros((e, n), np.float32)
+        for ep in range(e):
+            th = np.sin(2 * np.pi * 6 * t + rng.uniform(0, 6.3))
+            gam = (1 + 0.8 * th) * np.sin(2 * np.pi * 60 * t
+                                          + rng.uniform(0, 6.3))
+            sig[ep] = th + 0.5 * gam + 0.3 * rng.standard_normal(n)
+        m = nw.Morse(sfreq)
+        bp = jnp.asarray(np.asarray(make_fft_bank(
+            m._wdef(), jnp.asarray(np.array([3.0, 6.0], np.float32)),
+            n, sfreq, True), np.float32))
+        ba = jnp.asarray(np.asarray(make_fft_bank(
+            m._wdef(), jnp.asarray(np.array([30.0, 60.0], np.float32)),
+            n, sfreq, True), np.float32))
+        pac, p = pac_significance(sig, bp, ba, interpolate=True,
+                                  n_surrogates=99)
+        pac, p = np.asarray(pac), np.asarray(p)
+        assert pac.shape == p.shape == (2, 2)
+        assert p[1, 1] == pytest.approx(0.01)   # 6 Hz phase -> 60 Hz amp
+        assert p[0, 0] > 0.05                   # uncoupled pair
+        assert pac[1, 1] > 2 * pac[0, 0]
