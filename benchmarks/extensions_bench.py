@@ -265,6 +265,60 @@ def main():
            ms=round((time.perf_counter() - t0) * 1e3, 1),
            config=dict(e=16, c=8, f=64, n=n, steps=steps))
 
+    # --- cluster permutation null (matmul t-maps + batched labeling) --------
+    from ninwavelets_tpu.ops.cluster import _sign_flip_null
+    trials = jnp.asarray(rng.standard_normal((40, 100, 1024))
+                         .astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    d = t(lambda x: _sign_flip_null(x, key, n_perm=256, threshold=2.0),
+          trials, iters=3)
+    record(op="cluster_null_256perm", perms_per_s=round(256 / d, 1),
+           config=dict(e=40, f=100, n=1024, n_perm=256))
+
+    # --- multitaper epoch mean (K*F-row fused bank) --------------------------
+    from ninwavelets_tpu.ops.multitaper import (multitaper_banks,
+                                                multitaper_mean_power)
+    sig_mt = jnp.asarray(rng.standard_normal((16, 8, n)).astype(np.float32))
+    mt_freqs = np.arange(1.0, 101.0, dtype=np.float32)
+    multitaper_banks(mt_freqs, n, sfreq, n_tapers=3, interpolate=True)
+    d = t(lambda s: multitaper_mean_power(s, mt_freqs, sfreq, n_tapers=3,
+                                          interpolate=True), sig_mt,
+          iters=5)
+    record(op="multitaper_k3_mean_power",
+           eeg_s_per_s=round(16 * n / sfreq / d, 1),
+           config=dict(e=16, c=8, f=100, k=3, n=n))
+
+    # --- orthogonalized envelope correlation (seed-channel scan) ------------
+    from ninwavelets_tpu.ops.envelope import env_corr_matrix
+    sig_env = jnp.asarray(rng.standard_normal((16, 16, n))
+                          .astype(np.float32))
+    bank_env = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.arange(10.0, 42.0, 2.0), n, sfreq, True),
+        np.float32))
+    d = t(lambda s: env_corr_matrix(s, bank_env, orthogonalize=True,
+                                    interpolate=True), sig_env, iters=3)
+    record(op="env_corr_orth_16ch", ms=round(d * 1e3, 1),
+           config=dict(e=16, c=16, f=16, n=n))
+
+    # --- time-resolved pairwise Granger --------------------------------------
+    from ninwavelets_tpu.ops.granger import wavelet_granger
+    sig_gc = jnp.asarray(rng.standard_normal((16, 4, n)).astype(np.float32))
+    d = t(lambda s: wavelet_granger(s, sfreq, n_bins=65, time_decim=32),
+          sig_gc, iters=3)
+    t_slices = -(-n // 32)
+    record(op="wavelet_granger_4ch",
+           gc_cells_per_s=round(t_slices * 65 * 12 / d, 1),
+           config=dict(e=16, c=4, bins=65, n=n, time_decim=32))
+
+    # --- burst statistics -----------------------------------------------------
+    from ninwavelets_tpu.ops.bursts import burst_summary
+    trials_b = jnp.asarray(
+        rng.standard_normal((40, 60, 1024)).astype(np.float32) ** 2)
+    d = t(lambda x: burst_summary(x, sfreq=sfreq).count, trials_b,
+          iters=5)
+    record(op="burst_summary", epochs_per_s=round(40 / d, 1),
+           config=dict(e=40, f=60, n=1024))
+
     print(f"wrote {len(rows)} rows -> {OUT}")
 
 
