@@ -637,6 +637,14 @@ class EpochsWavelet:
         return _pac(waves, bp, ba, interpolate=self.wavelet.interpolate,
                     method=method, n_bins=n_bins, mean_epochs=True)
 
+    def wavelet_entropy(self, ch_name: str, freqs: Numbers,
+                        normalized: bool = True) -> jnp.ndarray:
+        """(N,) time-resolved wavelet entropy of the channel's
+        epoch-mean power (extension — ``ops.wavelet_entropy``, Rosso):
+        how evenly the energy spreads across the analysis bands."""
+        from ..ops.extensions import wavelet_entropy
+        return wavelet_entropy(self.power(ch_name, freqs), normalized)
+
     def bursts(self, ch_name: str, freqs: Numbers, factor: float = 6.0,
                min_area: int = 1, threshold=None, table: bool = False):
         """Oscillatory burst statistics of one channel's single-trial
@@ -821,7 +829,8 @@ class RawWavelet:
 
     def coherence(self, ch_a: str, ch_b: str, freqs: Numbers,
                   cycles: float = 1.0, scale_width: float = 0.6,
-                  eps: float = 1e-12, return_phase: bool = False):
+                  eps: float = 1e-12, return_phase: bool = False,
+                  significance: int = 0, seed: int = 0):
         """(F, N) SINGLE-TRIAL smoothed wavelet coherence between two
         channels of the continuous recording (extension —
         ``ops.extensions.wavelet_coherence``: Torrence–Webster time/scale
@@ -841,11 +850,21 @@ class RawWavelet:
         br, bi = _bank.make_fft_bank_ri(w._wdef(), arr, data.shape[-1],
                                         w.sfreq, w.interpolate,
                                         w.real_wave_length)
-        return wavelet_coherence(jnp.asarray(data[ia]),
+        out = wavelet_coherence(jnp.asarray(data[ia]),
                                  jnp.asarray(data[ib]), br, arr, w.sfreq,
                                  bank_i=bi, interpolate=w.interpolate,
                                  cycles=cycles, scale_width=scale_width,
                                  eps=eps, return_phase=return_phase)
+        if significance:
+            # Grinsted AR(1) Monte-Carlo levels: (F,) per-row threshold
+            from ..ops.extensions import wtc_significance
+            thr = wtc_significance(
+                data[ia], data[ib], br, arr, w.sfreq,
+                n_surrogates=int(significance), seed=seed,
+                interpolate=w.interpolate, cycles=cycles,
+                scale_width=scale_width, eps=eps)
+            return (*(out if return_phase else (out,)), thr)
+        return out
 
     # -- event-locked epoching ---------------------------------------------
 

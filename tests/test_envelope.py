@@ -241,3 +241,31 @@ class TestPacSignificance:
         assert p[1, 1] == pytest.approx(0.01)   # 6 Hz phase -> 60 Hz amp
         assert p[0, 0] > 0.05                   # uncoupled pair
         assert pac[1, 1] > 2 * pac[0, 0]
+
+
+def test_adapter_entropy_and_raw_wtc_significance():
+    rng = np.random.default_rng(9)
+    n = 512
+    t = np.arange(n) / SFREQ
+    data = (np.sin(2 * np.pi * 20 * t)[None]
+            + 0.3 * rng.standard_normal((2, n))).astype(np.float32)
+    # EpochsWavelet.wavelet_entropy
+    ew = nw.EpochsWavelet(
+        nw.ArrayEpochs(data[None], SFREQ, ch_names=["a", "b"]),
+        nw.Morse(SFREQ))
+    freqs = np.arange(10.0, 40.0, 5.0)
+    h = np.asarray(ew.wavelet_entropy("a", freqs))
+    assert h.shape == (n,) and np.all((h >= 0) & (h <= 1 + 1e-5))
+
+    class FakeRaw:
+        info = {"sfreq": SFREQ}
+        ch_names = ["a", "b"]
+        def get_data(self):
+            return data
+
+    rw = nw.RawWavelet(FakeRaw(), nw.Morse(SFREQ), window=256)
+    wtc, thr = rw.coherence("a", "b", freqs, significance=20)
+    assert np.asarray(wtc).shape == (6, n)
+    assert np.asarray(thr).shape == (6,)
+    # the shared 20 Hz tone is coherent above its red-noise level
+    assert (np.asarray(wtc)[2] > np.asarray(thr)[2]).mean() > 0.8
