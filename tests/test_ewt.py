@@ -1,0 +1,85 @@
+"""Empirical wavelet transform (`ops/ewt.py`): tight-frame identity,
+perfect reconstruction, and mode separation on known multicomponent
+signals."""
+import numpy as np
+import pytest
+
+import importlib
+
+# `ops.ewt` the function shadows the module attribute; import by path
+ew = importlib.import_module("ninwavelets_tpu.ops.ewt")
+
+SFREQ = 1000.0
+N = 4096
+
+
+def _three_tones(noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(N) / SFREQ
+    parts = [np.sin(2 * np.pi * f * t) for f in (20.0, 60.0, 150.0)]
+    sig = sum(parts) + noise * rng.standard_normal(N)
+    return sig.astype(np.float32), parts
+
+
+class TestFilterbank:
+    def test_tight_frame_identity(self):
+        filters = np.asarray(ew.ewt_filterbank([30.0, 100.0], N, SFREQ))
+        assert filters.shape == (3, N // 2 + 1)
+        np.testing.assert_allclose((filters ** 2).sum(0), 1.0, atol=2e-6)
+
+    def test_gamma_validation(self):
+        with pytest.raises(ValueError):
+            ew.ewt_filterbank([30.0, 100.0], N, SFREQ, gamma=0.9)
+        with pytest.raises(ValueError):
+            ew.ewt_filterbank([0.0, 100.0], N, SFREQ)
+        with pytest.raises(ValueError):
+            ew.ewt_filterbank([30.0, 600.0], N, SFREQ)
+
+    def test_bands_partition_the_axis(self):
+        filters = np.asarray(ew.ewt_filterbank([30.0, 100.0], N, SFREQ))
+        om = np.arange(N // 2 + 1) * SFREQ / N
+        # flat regions: each filter is ~1 in its own band's interior
+        assert filters[0][om < 25].min() > 0.99
+        assert filters[1][(om > 40) & (om < 90)].min() > 0.99
+        assert filters[2][om > 120].min() > 0.99
+
+
+class TestDecomposition:
+    def test_boundaries_isolate_tones(self):
+        sig, _ = _three_tones()
+        b = ew.ewt_boundaries(sig, SFREQ, 3)
+        assert b.shape == (2,)
+        assert 20 < b[0] < 60 < b[1] < 150
+
+    def test_perfect_reconstruction(self):
+        sig, _ = _three_tones(noise=0.3)
+        modes, b = ew.ewt(sig, SFREQ, n_modes=3)
+        rec = np.asarray(ew.ewt_reconstruct(modes))
+        np.testing.assert_allclose(rec, sig, atol=2e-5)
+
+    def test_modes_match_components(self):
+        sig, parts = _three_tones(noise=0.05, seed=1)
+        modes, b = ew.ewt(sig, SFREQ, n_modes=3)
+        modes = np.asarray(modes)
+        assert modes.shape == (3, N)
+        for m, part in zip(modes, parts):
+            r = np.corrcoef(m, part)[0, 1]
+            assert r > 0.95
+
+    def test_batched_and_explicit_boundaries(self):
+        sig, _ = _three_tones()
+        batch = np.stack([sig, 2.0 * sig])
+        modes, b = ew.ewt(batch, SFREQ, n_modes=3,
+                          boundaries=[35.0, 100.0])
+        assert np.asarray(modes).shape == (2, 3, N)
+        np.testing.assert_allclose(np.asarray(modes)[1],
+                                   2 * np.asarray(modes)[0], rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_too_many_modes_raises(self):
+        t = np.arange(N) / SFREQ
+        pure = np.sin(2 * np.pi * 50 * t).astype(np.float32)
+        with pytest.raises(ValueError):
+            ew.ewt_boundaries(pure, SFREQ, 40)
+        with pytest.raises(ValueError):
+            ew.ewt_boundaries(pure, SFREQ, 1)
