@@ -47,6 +47,14 @@ __all__ = [
 _CHUNK = 64  # permutations per scan step: one MXU batch, bounded HBM
 
 
+def _dot(a, b):
+    """Exact-f32 contraction: the null's t-maps must match the observed
+    map's f32 sums — DEFAULT matmul precision is single-pass bf16 on TPU
+    (~5e-3 rel err), and the pooled-variance cancellation amplifies it
+    (power planes have mean >> std), which would bias every null."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def t_threshold(alpha: float, dof: int) -> float:
     """Two-sided Student-t critical value ``t`` with ``P(|T| > t) = alpha``.
 
@@ -298,7 +306,7 @@ def sign_chunk_max_mass(signs: jnp.ndarray, xf: jnp.ndarray,
     (chunk, E) @ (E, prod(plane)) MXU contraction + clustering (``plane``
     is (F, N), or (C, F, N) with channel ``adjacency``).  Shared by the
     single-device scan and the mesh-sharded null."""
-    t = _t_from_sign_sums(signs @ xf, s2, n_obs).reshape(-1, *plane)
+    t = _t_from_sign_sums(_dot(signs, xf), s2, n_obs).reshape(-1, *plane)
     return cluster_mass(t, threshold, adjacency)[4]
 
 
@@ -309,7 +317,7 @@ def relabel_chunk_max_mass(ind: jnp.ndarray, xf: jnp.ndarray,
                            adjacency=None) -> jnp.ndarray:
     """Max cluster mass of every relabeling t-map in one chunk (two
     indicator matmuls).  Shared with the mesh-sharded null."""
-    t = _t_pooled(ind @ xf, ind @ x2f, s1t, s2t, na,
+    t = _t_pooled(_dot(ind, xf), _dot(ind, x2f), s1t, s2t, na,
                   nb).reshape(-1, *plane)
     return cluster_mass(t, threshold, adjacency)[4]
 
@@ -565,7 +573,8 @@ def _sign_flip_tfce_null(x, key, *, n_perm: int, chunk: int = _CHUNK,
     signs = sign_draws(key, n_perm, ne, chunk)
 
     def per_chunk(k):
-        t = _t_from_sign_sums(signs[k] @ xf, s2, ne).reshape(chunk, *plane)
+        t = _t_from_sign_sums(_dot(signs[k], xf), s2,
+                              ne).reshape(chunk, *plane)
         enh = tfce_map(t, start, step, stop, e, h, adjacency)
         return jnp.max(jnp.abs(enh).reshape(chunk, -1), -1)
 
@@ -586,7 +595,7 @@ def _relabel_tfce_null(x, key, *, n_perm: int, na: int,
     ind = relabel_draws(key, n_perm, ne, na, chunk)
 
     def per_chunk(k):
-        t = _t_pooled(ind[k] @ xf, ind[k] @ x2f, s1t, s2t, na,
+        t = _t_pooled(_dot(ind[k], xf), _dot(ind[k], x2f), s1t, s2t, na,
                       nb).reshape(chunk, *plane)
         enh = tfce_map(t, start, step, stop, e, h, adjacency)
         return jnp.max(jnp.abs(enh).reshape(chunk, -1), -1)
@@ -649,15 +658,14 @@ def tfce_test_independent(xa, xb, n_perm: int = 199, seed: int = 0,
 
 @partial(jax.jit, static_argnames=("n_perm", "chunk"))
 def _sign_flip_maxt(x, key, *, n_perm: int, chunk: int = _CHUNK):
-    e, f, n = x.shape
-    xf = x.reshape(e, f * n)
+    e = x.shape[0]
+    xf = x.reshape(e, -1)
     s2 = jnp.sum(xf * xf, 0)
     n_chunks = _pad_perms(n_perm, chunk)
-    signs = jax.random.rademacher(
-        key, (n_chunks * chunk, e), jnp.float32).reshape(n_chunks, chunk, e)
+    signs = sign_draws(key, n_perm, e, chunk)
 
     def per_chunk(k):
-        t = _t_from_sign_sums(signs[k] @ xf, s2, e)
+        t = _t_from_sign_sums(_dot(signs[k], xf), s2, e)
         return jnp.max(jnp.abs(t), -1)
 
     return _null_scan(per_chunk, n_chunks, n_perm)
@@ -671,15 +679,11 @@ def _relabel_maxt(x, key, *, n_perm: int, na: int, chunk: int = _CHUNK):
     x2f = xf * xf
     s1t, s2t = jnp.sum(xf, 0), jnp.sum(x2f, 0)
     n_chunks = _pad_perms(n_perm, chunk)
-    total = n_chunks * chunk
-    keys = jax.random.split(key, total)
-    perms = jax.vmap(lambda k: jax.random.permutation(k, e))(keys)
-    ind = jnp.zeros((total, e), jnp.float32).at[
-        jnp.arange(total)[:, None], perms[:, :na]].set(1.0)
-    ind = ind.reshape(n_chunks, chunk, e)
+    ind = relabel_draws(key, n_perm, e, na, chunk)
 
     def per_chunk(k):
-        t = _t_pooled(ind[k] @ xf, ind[k] @ x2f, s1t, s2t, na, nb)
+        t = _t_pooled(_dot(ind[k], xf), _dot(ind[k], x2f), s1t, s2t, na,
+                      nb)
         return jnp.max(jnp.abs(t), -1)
 
     return _null_scan(per_chunk, n_chunks, n_perm)

@@ -531,7 +531,9 @@ def wavelet_entropy(power: jnp.ndarray, normalized: bool = True,
     h = -jnp.sum(jnp.where(p > 0, p * jnp.log(jnp.maximum(p, eps)), 0.0),
                  axis=-2)
     if normalized:
-        h = h / np.log(power.shape[-2])
+        f = power.shape[-2]
+        # one band: h is identically 0; ln(1) = 0 would give 0/0 NaN
+        h = h / np.log(f) if f > 1 else jnp.zeros_like(h)
     return h
 
 

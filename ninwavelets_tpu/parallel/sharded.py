@@ -851,10 +851,9 @@ def sharded_cluster_test_one_sample(x, *, mesh: Mesh, n_perm: int = 999,
                                     seed: int = 0, adjacency=None):
     """``ops.cluster.cluster_test_one_sample`` with the permutation null
     computed over the mesh (same key -> same result as single-device)."""
-    from ..ops.cluster import (cluster_test_one_sample, t_threshold)
+    from ..ops.cluster import _resolve_threshold, cluster_test_one_sample
     x = jnp.asarray(x, jnp.float32)
-    thr = float(threshold) if threshold is not None else t_threshold(
-        alpha, x.shape[0] - 1)
+    thr = _resolve_threshold(threshold, alpha, x.shape[0] - 1)
     null = sharded_cluster_null(x, jax.random.PRNGKey(seed), mesh=mesh,
                                 n_perm=n_perm, threshold=thr,
                                 adjacency=adjacency)
@@ -868,12 +867,11 @@ def sharded_cluster_test_independent(xa, xb, *, mesh: Mesh,
                                      adjacency=None):
     """``ops.cluster.cluster_test_independent`` with the relabeling null
     computed over the mesh."""
-    from ..ops.cluster import (cluster_test_independent, t_threshold)
+    from ..ops.cluster import _resolve_threshold, cluster_test_independent
     xa = jnp.asarray(xa, jnp.float32)
     xb = jnp.asarray(xb, jnp.float32)
     na = xa.shape[0]
-    thr = float(threshold) if threshold is not None else t_threshold(
-        alpha, na + xb.shape[0] - 2)
+    thr = _resolve_threshold(threshold, alpha, na + xb.shape[0] - 2)
     null = sharded_cluster_null(jnp.concatenate([xa, xb], 0),
                                 jax.random.PRNGKey(seed), mesh=mesh,
                                 n_perm=n_perm, threshold=thr, na=na,
@@ -930,8 +928,8 @@ def sharded_wavelet_granger(sigs, bank_r, *, mesh: Mesh,
     Wilson factorizations are embarrassingly parallel over time slices,
     so T' re-shards over ``data`` and each shard factorizes its slice
     locally.  Mesh result == single-device ``ops.granger
-    .wavelet_granger`` for the same bank.  T' must divide the data-axis
-    size.
+    .wavelet_granger`` for the same bank.  The data-axis size must
+    divide T' (= ceil(N / time_decim)).
     """
     from ..ops.granger import _pairwise_jit
     from ..ops.cwt import cwt_from_bank
@@ -955,8 +953,8 @@ def sharded_wavelet_granger(sigs, bank_r, *, mesh: Mesh,
         in_specs=(P(DATA_AXIS), P(None, None)),
         out_specs=(P(), P()))(sigs, bank_r)
 
-    pairs = np.array([(a, b) for a in range(c) for b in range(a + 1, c)],
-                     np.int32).reshape(-1, 2)
+    from ..ops.granger import _pair_list
+    pairs = _pair_list(c)
 
     def local_gc(sr_shard, si_shard):
         return _pairwise_jit(sr_shard, si_shard, jnp.asarray(pairs),

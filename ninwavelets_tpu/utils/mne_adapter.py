@@ -334,13 +334,14 @@ class EpochsWavelet:
         """
         from ..ops import cluster as _cl
         adjacency = self._as_edges(adjacency)
+        if other is None and baseline is None:
+            # validate BEFORE the expensive all-channel transform
+            raise ValueError(
+                "one-sample cluster test needs baseline=(start, stop) "
+                "so zero is the null hypothesis for the trial planes")
         x = self.single_trial_power_all(freqs, baseline, baseline_method,
                                         decim)
         if other is None:
-            if baseline is None:
-                raise ValueError(
-                    "one-sample cluster test needs baseline=(start, stop) "
-                    "so zero is the null hypothesis for the trial planes")
             y = None
         elif isinstance(other, EpochsWavelet):
             y = other.single_trial_power_all(freqs, baseline,
@@ -655,6 +656,11 @@ class EpochsWavelet:
         from ..ops.bursts import burst_summary, burst_table
         freqs = np.asarray(freqs, np.float32)
         step = float(freqs[1] - freqs[0]) if freqs.size > 1 else 1.0
+        if freqs.size > 2 and not np.allclose(np.diff(freqs), step,
+                                              rtol=1e-5):
+            raise ValueError(
+                "bursts needs a uniformly spaced freqs grid (the Hz "
+                "span unit is its step); got non-uniform spacing")
         trials = self.single_trial_power(ch_name, freqs)
         if table:
             return burst_table(np.asarray(trials), threshold,
@@ -856,6 +862,11 @@ class RawWavelet:
                                  cycles=cycles, scale_width=scale_width,
                                  eps=eps, return_phase=return_phase)
         if significance:
+            if bi is not None:
+                raise ValueError(
+                    "significance levels need an analytic (real-bank) "
+                    "family — the AR(1) null is built on the real bank "
+                    "and would not match a Normal/Twice-mode estimator")
             # Grinsted AR(1) Monte-Carlo levels: (F,) per-row threshold
             from ..ops.extensions import wtc_significance
             thr = wtc_significance(
