@@ -1,0 +1,100 @@
+"""Variational Mode Decomposition (Dragomiretskiy & Zosso, IEEE TSP
+2014): decompose a signal into K band-limited intrinsic modes by solving
+
+    min sum_k || d/dt [ analytic(u_k) e^{-j w_k t} ] ||^2
+    s.t. sum_k u_k = x
+
+with ADMM.  No reference counterpart — VMD is the other standard
+adaptive decomposition next to the EWT (``ops/ewt.py``): instead of
+cutting the spectrum at detected boundaries it lets K Wiener-filter
+modes and their center frequencies converge jointly, which handles
+overlapping or drifting components the hard segmentation cannot.
+
+Design notes (TPU):
+* every ADMM update is closed-form ON THE rfft GRID — the mode update is
+  a Wiener filter ``(x - sum_others + lam/2) / (1 + 2 alpha (w-w_k)^2)``,
+  the center-frequency update a power-weighted mean — so one iteration
+  is pure elementwise work plus tiny reductions, and the whole solver is
+  a fixed-length ``lax.scan`` (static for jit, batched over leading
+  axes);
+* complex spectra live only inside the program: the public entry point
+  takes float signals and returns float modes;
+* K is static; modes update Gauss-Seidel style via a small unrolled
+  Python loop over k (K is single digits), keeping the exact update
+  order of the reference algorithm.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["vmd"]
+
+
+@partial(jax.jit, static_argnames=("n_modes", "alpha", "tau", "n_iter",
+                                   "sfreq"))
+def _vmd_jit(signal, *, n_modes, alpha, tau, n_iter, sfreq):
+    n = signal.shape[-1]
+    k_bins = n // 2 + 1
+    freqs = jnp.arange(k_bins, dtype=jnp.float32) * (sfreq / n)  # Hz
+    xhat = jnp.fft.rfft(signal)                  # (..., K_bins)
+    batch = signal.shape[:-1]
+
+    # init: center frequencies spread uniformly over (0, Nyquist)
+    w0 = (jnp.arange(1, n_modes + 1, dtype=jnp.float32)
+          / (n_modes + 1.0)) * (sfreq / 2.0)
+    w0 = jnp.broadcast_to(w0, batch + (n_modes,))
+    u0 = jnp.zeros(batch + (n_modes, k_bins), jnp.complex64)
+    lam0 = jnp.zeros_like(xhat)
+
+    def step(carry, _):
+        u, w, lam = carry
+        for k in range(n_modes):
+            others = jnp.sum(u, axis=-2) - u[..., k, :]
+            num = xhat - others + 0.5 * lam
+            den = 1.0 + 2.0 * alpha * jnp.square(
+                freqs - w[..., k:k + 1])
+            uk = num / den
+            u = u.at[..., k, :].set(uk)
+            p = jnp.square(jnp.abs(uk))
+            wk = jnp.sum(freqs * p, -1) / jnp.maximum(
+                jnp.sum(p, -1), 1e-20)
+            w = w.at[..., k].set(wk)
+        # dual ascent on the reconstruction constraint (paper sign
+        # convention, matching the +lam/2 in the mode numerator)
+        lam = lam + tau * (xhat - jnp.sum(u, axis=-2))
+        return (u, w, lam), None
+
+    (u, w, _), _ = lax.scan(step, (u0, w0, lam0), None, length=n_iter)
+    modes = jnp.fft.irfft(u, n=n, axis=-1)
+    order = jnp.argsort(w, axis=-1)
+    modes = jnp.take_along_axis(modes, order[..., None], axis=-2)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    return modes, w
+
+
+def vmd(signal_r, sfreq: float, n_modes: int = 3, alpha: float = 2000.0,
+        tau: float = 0.0, n_iter: int = 200):
+    """``(modes, center_freqs)`` of a real (..., N) signal: modes
+    (..., K, N) sorted by ascending center frequency (Hz, (..., K)).
+
+    ``alpha`` is the bandwidth penalty (larger -> narrower modes);
+    ``tau`` the dual ascent rate (0 disables the exact-reconstruction
+    constraint — the standard choice for noisy data, where the residual
+    absorbs the noise); ``n_iter`` fixed ADMM iterations (static).
+    ``alpha`` here is in the reference implementation's convention after
+    normalizing time to [0, 1): the penalty enters as
+    ``2 alpha ((f - f_k)/sfreq)^2`` — pass the same values you would
+    give vmdpy (e.g. 2000).
+    """
+    signal_r = jnp.asarray(np.asarray(signal_r, np.float32))
+    # the classic implementation works on unit-normalized frequency;
+    # fold the sfreq scaling into alpha so user-facing alpha matches.
+    alpha_eff = float(alpha) / float(sfreq) ** 2
+    return _vmd_jit(signal_r, n_modes=int(n_modes), alpha=alpha_eff,
+                    tau=float(tau), n_iter=int(n_iter),
+                    sfreq=float(sfreq))

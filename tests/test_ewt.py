@@ -83,3 +83,54 @@ class TestDecomposition:
             ew.ewt_boundaries(pure, SFREQ, 40)
         with pytest.raises(ValueError):
             ew.ewt_boundaries(pure, SFREQ, 1)
+
+
+class TestVmd:
+    def test_three_tones_recovered(self):
+        from ninwavelets_tpu.ops.vmd import vmd
+        rng = np.random.default_rng(0)
+        t = np.arange(N) / SFREQ
+        parts = [np.sin(2 * np.pi * f * t) for f in (20.0, 60.0, 150.0)]
+        sig = (sum(parts) + 0.1 * rng.standard_normal(N)).astype(
+            np.float32)
+        modes, w = vmd(sig, SFREQ, n_modes=3, alpha=2000.0, n_iter=200)
+        modes, w = np.asarray(modes), np.asarray(w)
+        np.testing.assert_allclose(w, [20.0, 60.0, 150.0], atol=0.5)
+        for m, part in zip(modes, parts):
+            assert np.corrcoef(m, part)[0, 1] > 0.99
+        # tau=0: the residual is (approximately) the injected noise
+        resid = np.linalg.norm(modes.sum(0) - sig) / np.linalg.norm(sig)
+        assert resid < 0.12
+
+    def test_exact_reconstruction_with_dual_ascent(self):
+        from ninwavelets_tpu.ops.vmd import vmd
+        t = np.arange(N) / SFREQ
+        sig = (np.sin(2 * np.pi * 30 * t)
+               + np.sin(2 * np.pi * 90 * t)).astype(np.float32)
+        modes, _ = vmd(sig, SFREQ, n_modes=2, alpha=2000.0, tau=1.0,
+                       n_iter=400)
+        rec = np.asarray(modes).sum(0)
+        resid = np.linalg.norm(rec - sig) / np.linalg.norm(sig)
+        assert resid < 5e-3
+
+    def test_batched(self):
+        from ninwavelets_tpu.ops.vmd import vmd
+        t = np.arange(1024) / SFREQ
+        sig = (np.sin(2 * np.pi * 25 * t)
+               + np.sin(2 * np.pi * 80 * t)).astype(np.float32)
+        batch = np.stack([sig, 3.0 * sig])
+        modes, w = vmd(batch, SFREQ, n_modes=2, n_iter=150)
+        modes, w = np.asarray(modes), np.asarray(w)
+        assert modes.shape == (2, 2, 1024) and w.shape == (2, 2)
+        np.testing.assert_allclose(w[0], w[1], atol=0.5)
+        np.testing.assert_allclose(modes[1], 3.0 * modes[0], rtol=1e-3,
+                                   atol=1e-3)
+
+    def test_modes_sorted_by_frequency(self):
+        from ninwavelets_tpu.ops.vmd import vmd
+        t = np.arange(2048) / SFREQ
+        sig = (np.sin(2 * np.pi * 120 * t)
+               + np.sin(2 * np.pi * 15 * t)).astype(np.float32)
+        _, w = vmd(sig, SFREQ, n_modes=2, n_iter=150)
+        w = np.asarray(w)
+        assert w[0] < w[1]
