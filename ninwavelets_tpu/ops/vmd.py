@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["vmd"]
+__all__ = ["vmd", "instantaneous", "hilbert_spectrum"]
 
 
 @partial(jax.jit, static_argnames=("n_modes", "alpha", "tau", "n_iter",
@@ -98,3 +98,72 @@ def vmd(signal_r, sfreq: float, n_modes: int = 3, alpha: float = 2000.0,
     return _vmd_jit(signal_r, n_modes=int(n_modes), alpha=alpha_eff,
                     tau=float(tau), n_iter=int(n_iter),
                     sfreq=float(sfreq))
+
+
+@partial(jax.jit, static_argnames=("sfreq", "smooth"))
+def _instantaneous_jit(modes, *, sfreq, smooth):
+    n = modes.shape[-1]
+    spec = jnp.fft.fft(modes)
+    # analytic signal: zero the negative frequencies, double positives
+    gain = jnp.zeros(n).at[0].set(1.0)
+    gain = gain.at[1:(n + 1) // 2].set(2.0)
+    if n % 2 == 0:
+        gain = gain.at[n // 2].set(1.0)
+    z = jnp.fft.ifft(spec * gain)
+    amp = jnp.abs(z)
+    phase = jnp.angle(z)
+    dphi = jnp.diff(phase, axis=-1)
+    dphi = jnp.mod(dphi + jnp.pi, 2.0 * jnp.pi) - jnp.pi   # unwrap step
+    inst = dphi * (sfreq / (2.0 * jnp.pi))
+    inst = jnp.concatenate([inst[..., :1], inst], axis=-1)
+    if smooth > 1:
+        kern = jnp.ones((smooth,), jnp.float32) / smooth
+        pad = smooth // 2
+        padded = jnp.pad(inst, [(0, 0)] * (inst.ndim - 1)
+                         + [(pad, smooth - 1 - pad)], mode="edge")
+        inst = jax.vmap(lambda row: jnp.convolve(row, kern, mode="valid"),
+                        in_axes=0, out_axes=0)(
+            padded.reshape(-1, padded.shape[-1])).reshape(inst.shape)
+    return inst, amp
+
+
+def instantaneous(modes, sfreq: float, smooth: int = 0):
+    """``(if_hz, amplitude)`` of (..., M, N) band-limited modes (EWT/VMD
+    outputs): analytic signal per mode, instantaneous frequency from the
+    wrapped phase difference (optionally boxcar-smoothed over ``smooth``
+    samples), amplitude as the analytic envelope.  Together with ``vmd``
+    / ``ewt`` this is the Hilbert–Huang pipeline (adaptive modes +
+    instantaneous attributes) without EMD's sifting."""
+    modes = jnp.asarray(np.asarray(modes, np.float32))
+    return _instantaneous_jit(modes, sfreq=float(sfreq),
+                              smooth=int(smooth))
+
+
+@partial(jax.jit, static_argnames=("sfreq", "n_bins", "fmax"))
+def _hilbert_spectrum_jit(if_hz, amp, *, sfreq, n_bins, fmax):
+    n = if_hz.shape[-1]
+    step = fmax / n_bins
+    rows = jnp.clip((if_hz / step).astype(jnp.int32), 0, n_bins - 1)
+    flat_r = rows.reshape(-1, n)
+    flat_a = amp.reshape(-1, n)
+    cols = jnp.broadcast_to(jnp.arange(n), flat_r.shape)
+    out = jnp.zeros((flat_r.shape[0], n_bins, n), jnp.float32)
+    out = out.at[jnp.arange(flat_r.shape[0])[:, None], flat_r,
+                 cols].add(flat_a * flat_a)
+    out = out.reshape(*if_hz.shape[:-1], n_bins, n)
+    # sum the mode axis: one TF energy plane per signal
+    return jnp.sum(out, axis=-3)
+
+
+def hilbert_spectrum(modes, sfreq: float, n_bins: int = 64,
+                     fmax: float | None = None, smooth: int = 5):
+    """(..., n_bins, N) Hilbert spectrum of (..., M, N) adaptive modes:
+    each mode's instantaneous energy ``a(t)^2`` scattered into the
+    frequency bin of its instantaneous frequency — the sharp,
+    mode-adaptive counterpart of the scalogram.  ``fmax`` defaults to
+    Nyquist; returns the energy plane plus nothing else (bin k spans
+    ``[k, k+1) * fmax / n_bins`` Hz)."""
+    if_hz, amp = instantaneous(modes, sfreq, smooth)
+    return _hilbert_spectrum_jit(
+        if_hz, amp, sfreq=float(sfreq), n_bins=int(n_bins),
+        fmax=float(sfreq / 2.0 if fmax is None else fmax))

@@ -134,3 +134,50 @@ class TestVmd:
         _, w = vmd(sig, SFREQ, n_modes=2, n_iter=150)
         w = np.asarray(w)
         assert w[0] < w[1]
+
+
+class TestHilbertSpectrum:
+    def test_instantaneous_tracks_chirp(self):
+        import importlib
+        vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
+        t = np.arange(N) / SFREQ
+        f0, f1 = 20.0, 80.0
+        k = (f1 - f0) / t[-1]
+        chirp = np.sin(2 * np.pi * (f0 * t + 0.5 * k * t ** 2)).astype(
+            np.float32)
+        if_hz, amp = vm.instantaneous(chirp[None, :], SFREQ, smooth=21)
+        if_hz, amp = np.asarray(if_hz)[0], np.asarray(amp)[0]
+        true_if = f0 + k * t
+        sl = slice(N // 8, -N // 8)
+        assert np.abs(if_hz[sl] - true_if[sl]).max() < 1.5
+        np.testing.assert_allclose(amp[sl], 1.0, atol=0.05)
+
+    def test_constant_tone(self):
+        import importlib
+        vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
+        t = np.arange(2048) / SFREQ
+        tone = np.sin(2 * np.pi * 60 * t).astype(np.float32)
+        if_hz, _ = vm.instantaneous(tone[None, :], SFREQ)
+        mid = np.asarray(if_hz)[0][100:-100]
+        np.testing.assert_allclose(mid, 60.0, atol=0.5)
+
+    def test_hilbert_spectrum_energy_lands_in_the_right_bins(self):
+        import importlib
+        vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
+        t = np.arange(2048) / SFREQ
+        sig = (np.sin(2 * np.pi * 30 * t)
+               + np.sin(2 * np.pi * 120 * t)).astype(np.float32)
+        modes, _ = vm.vmd(sig, SFREQ, n_modes=2, n_iter=150)
+        hs = np.asarray(vm.hilbert_spectrum(modes, SFREQ, n_bins=50,
+                                            fmax=250.0))
+        assert hs.shape == (50, 2048)
+        mid = hs[:, 200:-200]
+        row_energy = mid.sum(-1)
+        # 30 Hz and 120 Hz sit exactly on 5 Hz-bin boundaries, so the IF
+        # jitter splits energy between the two adjacent bins — check the
+        # bands, not single bins
+        band_30 = row_energy[5:8].sum()
+        band_120 = row_energy[23:26].sum()
+        assert (band_30 + band_120) > 0.95 * row_energy.sum()
+        assert band_30 > 0.3 * row_energy.sum()
+        assert band_120 > 0.3 * row_energy.sum()
