@@ -58,7 +58,7 @@ from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
 from .denoise import denoise, denoise_from_bank
 from .envelope import env_corr_matrix, env_corr_matrix_from_bank
 from .ewt import ewt, ewt_boundaries, ewt_filterbank, ewt_reconstruct
-from .vmd import hilbert_spectrum, instantaneous, vmd
+from .vmd import hilbert_spectrum, instantaneous, mvmd, vmd
 from .multitaper import (multitaper_banks, multitaper_mean_power,
                          multitaper_power, multitaper_power_from_banks)
 from .icwt import coverage, icwt_from_bank, icwt_ri
@@ -127,7 +127,7 @@ __all__ = [
     "denoise", "denoise_from_bank",
     "env_corr_matrix", "env_corr_matrix_from_bank",
     "ewt", "ewt_boundaries", "ewt_filterbank", "ewt_reconstruct",
-    "vmd", "instantaneous", "hilbert_spectrum",
+    "vmd", "mvmd", "instantaneous", "hilbert_spectrum",
     "superlet_banks", "superlet_weights", "superlet_power",
     "superlet_power_from_banks", "superlet_mean_power",
     "ssq_power", "ssq_power_from_bank", "ssq_mean_power",

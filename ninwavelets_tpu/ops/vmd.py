@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["vmd", "instantaneous", "hilbert_spectrum"]
+__all__ = ["vmd", "mvmd", "instantaneous", "hilbert_spectrum"]
 
 
 @partial(jax.jit, static_argnames=("n_modes", "alpha", "tau", "n_iter",
@@ -98,6 +98,65 @@ def vmd(signal_r, sfreq: float, n_modes: int = 3, alpha: float = 2000.0,
     return _vmd_jit(signal_r, n_modes=int(n_modes), alpha=alpha_eff,
                     tau=float(tau), n_iter=int(n_iter),
                     sfreq=float(sfreq))
+
+
+@partial(jax.jit, static_argnames=("n_modes", "alpha", "tau", "n_iter",
+                                   "sfreq"))
+def _mvmd_jit(signals, *, n_modes, alpha, tau, n_iter, sfreq):
+    n = signals.shape[-1]
+    c = signals.shape[-2]
+    k_bins = n // 2 + 1
+    freqs = jnp.arange(k_bins, dtype=jnp.float32) * (sfreq / n)
+    xhat = jnp.fft.rfft(signals)                 # (..., C, K_bins)
+    batch = signals.shape[:-2]
+
+    w0 = (jnp.arange(1, n_modes + 1, dtype=jnp.float32)
+          / (n_modes + 1.0)) * (sfreq / 2.0)
+    w0 = jnp.broadcast_to(w0, batch + (n_modes,))
+    u0 = jnp.zeros(batch + (n_modes, c, k_bins), jnp.complex64)
+    lam0 = jnp.zeros_like(xhat)
+
+    def step(carry, _):
+        u, w, lam = carry
+        for k in range(n_modes):
+            others = jnp.sum(u, axis=-3) - u[..., k, :, :]
+            num = xhat - others + 0.5 * lam          # (..., C, K_bins)
+            den = 1.0 + 2.0 * alpha * jnp.square(
+                freqs - w[..., k:k + 1, None])       # (..., 1, K_bins)
+            uk = num / den
+            u = u.at[..., k, :, :].set(uk)
+            # SHARED center frequency: power-weighted over all channels
+            p = jnp.square(jnp.abs(uk))
+            wk = jnp.sum(freqs * p, (-2, -1)) / jnp.maximum(
+                jnp.sum(p, (-2, -1)), 1e-20)
+            w = w.at[..., k].set(wk)
+        lam = lam + tau * (xhat - jnp.sum(u, axis=-3))
+        return (u, w, lam), None
+
+    (u, w, _), _ = lax.scan(step, (u0, w0, lam0), None, length=n_iter)
+    modes = jnp.fft.irfft(u, n=n, axis=-1)
+    order = jnp.argsort(w, axis=-1)
+    modes = jnp.take_along_axis(modes, order[..., None, None], axis=-3)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    return modes, w
+
+
+def mvmd(signals_r, sfreq: float, n_modes: int = 3,
+         alpha: float = 2000.0, tau: float = 0.0, n_iter: int = 200):
+    """Multivariate VMD (Rehman & Aftab, IEEE TSP 2019) of a real
+    (..., C, N) multi-channel block: ``(modes, center_freqs)`` with
+    modes (..., K, C, N) and ONE shared center frequency per mode —
+    the joint-oscillation decomposition (a common rhythm lands in the
+    same mode index on every channel, with per-channel amplitude and
+    phase preserved).  Same knobs as ``vmd``."""
+    signals_r = jnp.asarray(np.asarray(signals_r, np.float32))
+    if signals_r.ndim < 2:
+        raise ValueError("expected (..., channels, N), got %s"
+                         % (signals_r.shape,))
+    alpha_eff = float(alpha) / float(sfreq) ** 2
+    return _mvmd_jit(signals_r, n_modes=int(n_modes), alpha=alpha_eff,
+                     tau=float(tau), n_iter=int(n_iter),
+                     sfreq=float(sfreq))
 
 
 @partial(jax.jit, static_argnames=("sfreq", "smooth"))

@@ -181,3 +181,48 @@ class TestHilbertSpectrum:
         assert (band_30 + band_120) > 0.95 * row_energy.sum()
         assert band_30 > 0.3 * row_energy.sum()
         assert band_120 > 0.3 * row_energy.sum()
+
+
+class TestMvmd:
+    def test_shared_modes_across_channels(self):
+        import importlib
+        vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
+        rng = np.random.default_rng(3)
+        t = np.arange(2048) / SFREQ
+        # a common 25 Hz rhythm with channel-specific amplitude/phase,
+        # plus a 90 Hz rhythm only on channel 1
+        x = np.zeros((2, 2048), np.float32)
+        x[0] = 1.0 * np.sin(2 * np.pi * 25 * t)
+        x[1] = 0.5 * np.sin(2 * np.pi * 25 * t + 1.0) \
+            + np.sin(2 * np.pi * 90 * t)
+        x += 0.05 * rng.standard_normal(x.shape).astype(np.float32)
+        modes, w = vm.mvmd(x, SFREQ, n_modes=2, n_iter=200)
+        modes, w = np.asarray(modes), np.asarray(w)
+        assert modes.shape == (2, 2, 2048) and w.shape == (2,)
+        np.testing.assert_allclose(w, [25.0, 90.0], atol=1.0)
+        # mode 0 carries the common rhythm on BOTH channels, with the
+        # amplitude ratio preserved
+        rms = np.sqrt((modes[0] ** 2).mean(-1))
+        assert rms[0] / rms[1] == pytest.approx(2.0, rel=0.15)
+        # mode 1 (90 Hz) lives on channel 1 only
+        rms1 = np.sqrt((modes[1] ** 2).mean(-1))
+        assert rms1[1] > 5 * rms1[0]
+
+    def test_batched(self):
+        import importlib
+        vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
+        t = np.arange(1024) / SFREQ
+        x = np.stack([np.sin(2 * np.pi * 30 * t),
+                      np.sin(2 * np.pi * 30 * t + 0.5)]).astype(
+            np.float32)
+        batch = np.stack([x, 2.0 * x])
+        modes, w = vm.mvmd(batch, SFREQ, n_modes=1, n_iter=100)
+        assert np.asarray(modes).shape == (2, 1, 2, 1024)
+        assert np.asarray(w).shape == (2, 1)
+        np.testing.assert_allclose(np.asarray(w)[:, 0], 30.0, atol=0.5)
+
+    def test_validation(self):
+        import importlib
+        vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
+        with pytest.raises(ValueError):
+            vm.mvmd(np.zeros(64), SFREQ)
