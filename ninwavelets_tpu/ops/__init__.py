@@ -69,6 +69,7 @@ from .scattering import (lowpass_spectrum, scattering,
 from .superlets import (superlet_banks, superlet_mean_power,
                         superlet_power, superlet_power_from_banks,
                         superlet_weights)
+from .stockwell import istockwell, stockwell, stockwell_ri
 from .sst import (ssq_mean_power, ssq_mean_power_from_bank, ssq_power,
                   ssq_power_from_bank)
 from .tc_stats import (ar1_coefficient, background_power, coi_mask,
@@ -130,6 +131,7 @@ __all__ = [
     "vmd", "mvmd", "instantaneous", "hilbert_spectrum",
     "superlet_banks", "superlet_weights", "superlet_power",
     "superlet_power_from_banks", "superlet_mean_power",
+    "stockwell", "stockwell_ri", "istockwell",
     "ssq_power", "ssq_power_from_bank", "ssq_mean_power",
     "ssq_mean_power_from_bank",
     "extract_ridge", "ridge_frequencies",
