@@ -14,7 +14,8 @@ from .cwt import (abs_from_bank, analytic_spectrum, cwt_abs, cwt_from_bank,
 from .fit import fit_frequencies, learn_bank
 from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            nm_plv, nm_plv_from_bank, pac, pac_from_banks,
-                           pac_pair_from_banks, pac_significance,
+                           pac_pair, pac_pair_from_banks,
+                           pac_significance,
                            pair_matrix_scan, phase_lag, phase_lag_auto,
                            phase_lag_significance,
                            phase_lag_from_bank, phase_lag_from_sums,
@@ -102,7 +103,7 @@ __all__ = [
     "psi", "psi_from_bank", "psi_from_sums",
     "plv", "plv_from_bank", "plv_sums", "pac", "pac_from_banks",
     "nm_plv", "nm_plv_from_bank", "plv_significance", "surrogate_pvalues",
-    "pac_significance", "pac_pair_from_banks",
+    "pac_significance", "pac_pair_from_banks", "pac_pair",
     "pair_matrix_scan", "plv_matrix", "plv_matrix_from_bank",
     "coherence_matrix", "coherence_matrix_from_bank",
     "phase_lag", "phase_lag_auto", "phase_lag_from_bank",

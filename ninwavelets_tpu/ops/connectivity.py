@@ -37,7 +37,7 @@ __all__ = ["plv_from_bank", "plv", "plv_sums", "pac_from_banks", "pac",
            "coherence_matrix_from_bank", "coherence_matrix",
            "nm_plv_from_bank", "nm_plv", "nm_plv_sums",
            "surrogate_pvalues", "plv_significance", "pac_significance",
-           "pac_pair_from_banks",
+           "pac_pair_from_banks", "pac_pair",
            "phase_lag_sums", "phase_lag_from_sums", "phase_lag_from_bank",
            "phase_lag", "phase_lag_auto", "PHASE_LAG_METHODS",
            "phase_lag_significance",
@@ -617,6 +617,16 @@ def pac_pair_mean(sig_p, sig_a, bank_phase, bank_amp, interpolate,
                                          interpolate, method, n_bins), None
 
     return lax.scan(step, zero, (sig_p, sig_a))[0] / sig_p.shape[0]
+
+
+@partial(jax.jit, static_argnames=("interpolate", "method", "n_bins"))
+def pac_pair(sig_phase_r, sig_amp_r, bank_phase_r, bank_amp_r, *,
+             interpolate: bool = False, method: str = "mvl",
+             n_bins: int = 18):
+    """Jitted epoch-mean CROSS-SIGNAL comodulogram: phase from the
+    first (E, N) batch, amplitude from the second."""
+    return pac_pair_mean(sig_phase_r, sig_amp_r, bank_phase_r,
+                         bank_amp_r, interpolate, method, n_bins)
 
 
 @partial(jax.jit, static_argnames=("interpolate", "method", "n_bins",

@@ -628,14 +628,35 @@ class EpochsWavelet:
                     eps=eps, n_surrogates=n_surrogates, seed=seed)
 
     def pac(self, ch_name: str, freqs_phase: Numbers, freqs_amp: Numbers,
-            method: str = "mvl", n_bins: int = 18) -> jnp.ndarray:
-        """(F_phase, F_amp) epoch-mean phase-amplitude comodulogram of one
-        channel (extension — ``ops.connectivity.pac``)."""
-        from ..ops.connectivity import pac as _pac
+            method: str = "mvl", n_bins: int = 18, ch_amp=None,
+            significance: int = 0, seed: int = 0):
+        """(F_phase, F_amp) epoch-mean phase-amplitude comodulogram
+        (extension — ``ops.connectivity.pac``).  ``ch_amp`` takes the
+        amplitude from a DIFFERENT channel (cross-channel PAC);
+        ``significance=S`` also returns circular-shift surrogate
+        p-values (same-channel only): ``(pac, p)``."""
         waves = self._channel_data(ch_name)
         bp, _ = self._conn_bank(waves.shape[-1], freqs_phase)
         ba, _ = self._conn_bank(waves.shape[-1], freqs_amp)
-        return _pac(waves, bp, ba, interpolate=self.wavelet.interpolate,
+        interp = self.wavelet.interpolate
+        if significance:
+            if ch_amp is not None:
+                raise ValueError("significance is same-channel only "
+                                 "(the surrogate rolls the amplitude "
+                                 "copy of the SAME signal)")
+            from ..ops.connectivity import pac_significance
+            return pac_significance(waves, bp, ba, interpolate=interp,
+                                    method=method, n_bins=n_bins,
+                                    n_surrogates=int(significance),
+                                    seed=seed)
+        if ch_amp is not None and ch_amp != ch_name:
+            from ..ops.connectivity import pac_pair
+            amp_waves = self._channel_data(ch_amp)
+            return pac_pair(waves, amp_waves, bp, ba,
+                            interpolate=interp, method=method,
+                            n_bins=n_bins)
+        from ..ops.connectivity import pac as _pac
+        return _pac(waves, bp, ba, interpolate=interp,
                     method=method, n_bins=n_bins, mean_epochs=True)
 
     def wavelet_entropy(self, ch_name: str, freqs: Numbers,

@@ -269,3 +269,28 @@ def test_adapter_entropy_and_raw_wtc_significance():
     assert np.asarray(thr).shape == (6,)
     # the shared 20 Hz tone is coherent above its red-noise level
     assert (np.asarray(wtc)[2] > np.asarray(thr)[2]).mean() > 0.8
+
+
+def test_adapter_cross_channel_pac():
+    rng = np.random.default_rng(0)
+    n, e = 2048, 6
+    sf = 500.0
+    t = np.arange(n) / sf
+    data = np.zeros((e, 2, n), np.float32)
+    for ep in range(e):
+        th = np.sin(2 * np.pi * 6 * t + rng.uniform(0, 6.3))
+        gam = (1 + 0.8 * th) * np.sin(2 * np.pi * 60 * t
+                                      + rng.uniform(0, 6.3))
+        data[ep, 0] = th + 0.3 * rng.standard_normal(n)
+        data[ep, 1] = 0.5 * gam + 0.3 * rng.standard_normal(n)
+    ew = nw.EpochsWavelet(
+        nw.ArrayEpochs(data, sf, ch_names=["p", "a"]),
+        nw.Morse(sf, interpolate=True))
+    cross = float(np.asarray(ew.pac("p", [6.0], [60.0],
+                                    ch_amp="a"))[0, 0])
+    same = float(np.asarray(ew.pac("p", [6.0], [60.0]))[0, 0])
+    assert cross > 3 * same          # the coupling crosses channels
+    pacv, p = ew.pac("p", [6.0], [60.0], significance=19)
+    assert np.asarray(p).shape == (1, 1)
+    with pytest.raises(ValueError):
+        ew.pac("p", [6.0], [60.0], ch_amp="a", significance=9)
