@@ -226,3 +226,18 @@ class TestMvmd:
         vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
         with pytest.raises(ValueError):
             vm.mvmd(np.zeros(64), SFREQ)
+
+
+def test_decomposition_demo_headless(capsys):
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "decomposition_demo", os.path.join(
+            os.path.dirname(__file__), "..", "examples",
+            "decomposition_demo.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(plot=False)
+    out = capsys.readouterr().out
+    assert "EWT boundaries" in out and "VMD center frequencies" in out
+    assert "Stockwell ridge" in out and "MVMD shared centers" in out
