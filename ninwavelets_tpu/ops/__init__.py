@@ -71,6 +71,8 @@ from .superlets import (superlet_banks, superlet_mean_power,
                         superlet_power, superlet_power_from_banks,
                         superlet_weights)
 from .stockwell import istockwell, stockwell, stockwell_ri
+from .specparam import (SpectralFit, aperiodic_model, peaks_model,
+                        specparam)
 from .sst import (ssq_mean_power, ssq_mean_power_from_bank, ssq_power,
                   ssq_power_from_bank)
 from .tc_stats import (ar1_coefficient, background_power, coi_mask,
@@ -133,6 +135,7 @@ __all__ = [
     "superlet_banks", "superlet_weights", "superlet_power",
     "superlet_power_from_banks", "superlet_mean_power",
     "stockwell", "stockwell_ri", "istockwell",
+    "specparam", "SpectralFit", "aperiodic_model", "peaks_model",
     "ssq_power", "ssq_power_from_bank", "ssq_mean_power",
     "ssq_mean_power_from_bank",
     "extract_ridge", "ridge_frequencies",

@@ -1,0 +1,81 @@
+"""Spectral parametrization (`ops/specparam.py`): synthetic spectra with
+known aperiodic and peak parameters must be recovered."""
+import numpy as np
+import pytest
+
+from ninwavelets_tpu.ops import specparam
+
+FREQS = np.arange(2.0, 80.0, 0.5)
+
+
+def _spectrum(offset, exponent, peaks=(), noise=0.0, seed=0, knee=0.0):
+    rng = np.random.default_rng(seed)
+    logp = offset - np.log10(knee + FREQS ** exponent)
+    for c, a, w in peaks:
+        logp = logp + a * np.exp(-0.5 * ((FREQS - c) / w) ** 2)
+    logp = logp + noise * rng.standard_normal(FREQS.size)
+    return 10.0 ** logp
+
+
+class TestSpecparam:
+    def test_recovers_aperiodic_and_peaks(self):
+        power = _spectrum(1.2, 1.5, [(10.0, 0.6, 1.5), (22.0, 0.3, 3.0)],
+                          noise=0.02)
+        fit = specparam(power, FREQS, max_peaks=4)
+        assert float(fit.offset) == pytest.approx(1.2, abs=0.05)
+        assert float(fit.exponent) == pytest.approx(1.5, abs=0.05)
+        assert float(fit.r_squared) > 0.99
+        peaks = fit.peaks(min_amplitude=0.1)
+        assert len(peaks) == 2
+        assert peaks[0]["center"] == pytest.approx(10.0, abs=0.5)
+        assert peaks[0]["amplitude"] == pytest.approx(0.6, abs=0.1)
+        assert peaks[1]["center"] == pytest.approx(22.0, abs=1.0)
+
+    def test_pure_aperiodic_has_no_peaks(self):
+        power = _spectrum(0.5, 2.0, noise=0.01, seed=3)
+        fit = specparam(power, FREQS, max_peaks=3)
+        assert float(fit.exponent) == pytest.approx(2.0, abs=0.05)
+        assert fit.peaks(min_amplitude=0.1) == []
+
+    def test_batched(self):
+        p1 = _spectrum(1.0, 1.0, [(12.0, 0.5, 2.0)], noise=0.01, seed=1)
+        p2 = _spectrum(0.3, 2.5, noise=0.01, seed=2)
+        fit = specparam(np.stack([p1, p2]), FREQS, max_peaks=3)
+        assert fit.exponent.shape == (2,)
+        assert fit.exponent[0] == pytest.approx(1.0, abs=0.07)
+        assert fit.exponent[1] == pytest.approx(2.5, abs=0.07)
+        assert fit.amplitudes[0].max() > 0.3
+        assert fit.amplitudes[1].max() < 0.1
+
+    def test_knee(self):
+        power = _spectrum(2.0, 2.0, knee=100.0, noise=0.005, seed=4)
+        fit = specparam(power, FREQS, max_peaks=2, fit_knee=True,
+                        n_steps=4000)
+        assert float(fit.r_squared) > 0.995
+        # the knee model must beat the knee-less fit on this spectrum
+        flat = specparam(power, FREQS, max_peaks=2, fit_knee=False)
+        assert float(fit.r_squared) > float(flat.r_squared)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            specparam(np.ones(10), np.linspace(0.0, 5.0, 10))
+        with pytest.raises(ValueError):
+            specparam(np.ones(9), FREQS)
+
+    def test_on_engine_spectrum(self):
+        # end to end off the global wavelet spectrum of a noisy alpha
+        import ninwavelets_tpu as nw
+        rng = np.random.default_rng(5)
+        sfreq, n = 250.0, 4096
+        t = np.arange(n) / sfreq
+        # 1/f-ish noise: cumulative sum of white noise (brown, exp ~2)
+        sig = np.cumsum(rng.standard_normal(n)).astype(np.float32)
+        sig = sig - sig.mean()
+        sig = sig / sig.std()
+        sig = sig + 1.5 * np.sin(2 * np.pi * 10 * t).astype(np.float32)
+        freqs = np.arange(2.0, 40.0, 0.5)
+        power = np.asarray(nw.Morse(sfreq).power(sig, freqs)).mean(-1)
+        fit = specparam(power, freqs, max_peaks=3)
+        assert 1.0 < float(fit.exponent) < 3.2   # brownian-ish slope
+        peaks = fit.peaks(min_amplitude=0.15)
+        assert peaks and abs(peaks[0]["center"] - 10.0) < 1.5
