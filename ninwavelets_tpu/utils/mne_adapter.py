@@ -659,6 +659,16 @@ class EpochsWavelet:
         return _pac(waves, bp, ba, interpolate=interp,
                     method=method, n_bins=n_bins, mean_epochs=True)
 
+    def specparam(self, ch_name: str, freqs: Numbers,
+                  max_peaks: int = 4, fit_knee: bool = False, **kw):
+        """FOOOF-style spectral fit of the channel's time-averaged
+        epoch-mean wavelet power (extension — ``ops.specparam``):
+        aperiodic offset/knee/exponent + oscillatory peaks."""
+        from ..ops.specparam import specparam as _fit
+        power = np.asarray(self.power(ch_name, freqs)).mean(-1)
+        return _fit(power, np.asarray(freqs, np.float64),
+                    max_peaks=max_peaks, fit_knee=fit_knee, **kw)
+
     def wavelet_entropy(self, ch_name: str, freqs: Numbers,
                         normalized: bool = True) -> jnp.ndarray:
         """(N,) time-resolved wavelet entropy of the channel's

@@ -79,3 +79,21 @@ class TestSpecparam:
         assert 1.0 < float(fit.exponent) < 3.2   # brownian-ish slope
         peaks = fit.peaks(min_amplitude=0.15)
         assert peaks and abs(peaks[0]["center"] - 10.0) < 1.5
+
+
+def test_adapter_specparam():
+    import ninwavelets_tpu as nw
+    rng = np.random.default_rng(6)
+    sfreq, n = 250.0, 2048
+    t = np.arange(n) / sfreq
+    data = (np.cumsum(rng.standard_normal((6, 1, n)), -1)
+            / 20.0).astype(np.float32)
+    data[:, 0] += (2.0 * np.sin(2 * np.pi * 11 * t)).astype(np.float32)
+    ew = nw.EpochsWavelet(nw.ArrayEpochs(data, sfreq, ch_names=["c"]),
+                          nw.Morse(sfreq))
+    fit = ew.specparam("c", np.arange(3.0, 40.0, 0.5))
+    assert float(fit.r_squared) > 0.9
+    peaks = fit.peaks(min_amplitude=0.15)
+    # a very tall line decomposes into stacked Gaussians; at least one
+    # sits on the 11 Hz oscillation
+    assert peaks and min(abs(p["center"] - 11.0) for p in peaks) < 2.5
