@@ -143,9 +143,11 @@ def ewt(signal_r, sfreq: float, n_modes: int = 3, boundaries=None,
     sum to 1 (tight frame), so ``modes.sum(axis=-2)`` reconstructs the
     input exactly.
     """
-    signal_r = jnp.asarray(np.asarray(signal_r, np.float32))
-    host = np.asarray(signal_r)
+    host = np.asarray(signal_r, np.float32)
+    signal_r = jnp.asarray(host)
     if boundaries is None:
+        # detect from the first signal in the batch (host copy kept from
+        # BEFORE the device upload — no D2H round trip)
         boundaries = ewt_boundaries(host.reshape(-1, host.shape[-1])[0],
                                     sfreq, n_modes, smooth)
     filters = ewt_filterbank(boundaries, signal_r.shape[-1], sfreq, gamma)

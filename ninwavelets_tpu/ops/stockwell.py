@@ -35,11 +35,7 @@ def _stockwell_jit(signal, bins, *, sfreq):
     nu = jnp.fft.fftfreq(n, 1.0 / sfreq)               # (N,) Hz, fft order
     # rolled spectra: row k holds X(nu + f_k) -> gather at (j + bin_k) % N
     idx = (jnp.arange(n)[None, :] + bins[:, None]) % n  # (F, N)
-    shifted = spec[..., None, :]
-    shifted = jnp.take_along_axis(
-        jnp.broadcast_to(shifted, (*spec.shape[:-1], bins.shape[0], n)),
-        jnp.broadcast_to(idx, (*spec.shape[:-1], bins.shape[0], n)),
-        axis=-1)
+    shifted = spec[..., idx]                            # (..., F, N)
     f_k = bins.astype(jnp.float32) * (sfreq / n)        # (F,) Hz
     gauss = jnp.exp(-2.0 * (jnp.pi * nu[None, :]) ** 2
                     / jnp.maximum(f_k[:, None], 1e-20) ** 2)
@@ -72,15 +68,8 @@ def stockwell(signal_r, freqs, sfreq: float) -> np.ndarray:
     return np.asarray(r) + 1j * np.asarray(i)
 
 
-def istockwell(st_r, st_i, freqs, sfreq: float, n: int) -> jnp.ndarray:
-    """Least-action inverse over the covered rows: time-average each row
-    back to its Fourier coefficient (``mean_t S(f, t) = X(f) / N``),
-    rebuild the covered part of the spectrum (Hermitian completion) and
-    inverse-FFT.  Exact for signals whose energy lies entirely on the
-    analyzed bins (tested); band-limited projection otherwise."""
-    st_r = jnp.asarray(st_r)
-    st_i = jnp.asarray(st_i)
-    bins = _bins(freqs, n, sfreq)
+@partial(jax.jit, static_argnames=("n",))
+def _istockwell_jit(st_r, st_i, bins, *, n):
     coef_r = jnp.mean(st_r, axis=-1) * n               # (..., F)
     coef_i = jnp.mean(st_i, axis=-1) * n
     spec_r = jnp.zeros((*st_r.shape[:-2], n)).at[..., bins].set(coef_r)
@@ -88,5 +77,17 @@ def istockwell(st_r, st_i, freqs, sfreq: float, n: int) -> jnp.ndarray:
     # Hermitian completion (real signals): X(-f) = conj X(f)
     spec_r = spec_r.at[..., (n - bins) % n].set(coef_r)
     spec_i = spec_i.at[..., (n - bins) % n].set(-coef_i)
-    spec = spec_r + 1j * spec_i
-    return jnp.real(jnp.fft.ifft(spec))
+    # complex only INSIDE the compiled program (eager complex ops fail
+    # on the axon TPU runtime)
+    return jnp.real(jnp.fft.ifft(spec_r + 1j * spec_i))
+
+
+def istockwell(st_r, st_i, freqs, sfreq: float, n: int) -> jnp.ndarray:
+    """Least-action inverse over the covered rows: time-average each row
+    back to its Fourier coefficient (``mean_t S(f, t) = X(f) / N``),
+    rebuild the covered part of the spectrum (Hermitian completion) and
+    inverse-FFT.  Exact for signals whose energy lies entirely on the
+    analyzed bins (tested); band-limited projection otherwise."""
+    bins = _bins(freqs, n, sfreq)
+    return _istockwell_jit(jnp.asarray(st_r), jnp.asarray(st_i),
+                           jnp.asarray(bins), n=int(n))

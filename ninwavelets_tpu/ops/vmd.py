@@ -12,7 +12,7 @@ overlapping or drifting components the hard segmentation cannot.
 
 Design notes (TPU):
 * every ADMM update is closed-form ON THE rfft GRID — the mode update is
-  a Wiener filter ``(x - sum_others + lam/2) / (1 + 2 alpha (w-w_k)^2)``,
+  a Wiener filter ``(x - sum_others + lam/2) / (1 + alpha (w-w_k)^2)``,
   the center-frequency update a power-weighted mean — so one iteration
   is pure elementwise work plus tiny reductions, and the whole solver is
   a fixed-length ``lax.scan`` (static for jit, batched over leading
@@ -56,8 +56,7 @@ def _vmd_jit(signal, *, n_modes, alpha, tau, n_iter, sfreq):
         for k in range(n_modes):
             others = jnp.sum(u, axis=-2) - u[..., k, :]
             num = xhat - others + 0.5 * lam
-            den = 1.0 + 2.0 * alpha * jnp.square(
-                freqs - w[..., k:k + 1])
+            den = 1.0 + alpha * jnp.square(freqs - w[..., k:k + 1])
             uk = num / den
             u = u.at[..., k, :].set(uk)
             p = jnp.square(jnp.abs(uk))
@@ -86,10 +85,10 @@ def vmd(signal_r, sfreq: float, n_modes: int = 3, alpha: float = 2000.0,
     ``tau`` the dual ascent rate (0 disables the exact-reconstruction
     constraint — the standard choice for noisy data, where the residual
     absorbs the noise); ``n_iter`` fixed ADMM iterations (static).
-    ``alpha`` here is in the reference implementation's convention after
-    normalizing time to [0, 1): the penalty enters as
-    ``2 alpha ((f - f_k)/sfreq)^2`` — pass the same values you would
-    give vmdpy (e.g. 2000).
+    ``alpha`` follows the vmdpy/MATLAB code convention (the paper's
+    factor 2 folded in): the penalty enters as
+    ``alpha ((f - f_k)/sfreq)^2`` — pass the same values you would give
+    vmdpy (e.g. 2000).
     """
     signal_r = jnp.asarray(np.asarray(signal_r, np.float32))
     # the classic implementation works on unit-normalized frequency;
@@ -121,7 +120,7 @@ def _mvmd_jit(signals, *, n_modes, alpha, tau, n_iter, sfreq):
         for k in range(n_modes):
             others = jnp.sum(u, axis=-3) - u[..., k, :, :]
             num = xhat - others + 0.5 * lam          # (..., C, K_bins)
-            den = 1.0 + 2.0 * alpha * jnp.square(
+            den = 1.0 + alpha * jnp.square(
                 freqs - w[..., k:k + 1, None])       # (..., 1, K_bins)
             uk = num / den
             u = u.at[..., k, :, :].set(uk)

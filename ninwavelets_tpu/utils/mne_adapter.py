@@ -635,21 +635,23 @@ class EpochsWavelet:
         amplitude from a DIFFERENT channel (cross-channel PAC);
         ``significance=S`` also returns circular-shift surrogate
         p-values (same-channel only): ``(pac, p)``."""
+        cross = ch_amp is not None and ch_amp != ch_name
+        if significance and cross:
+            # validate BEFORE fetching data / building banks
+            raise ValueError("significance is same-channel only "
+                             "(the surrogate rolls the amplitude "
+                             "copy of the SAME signal)")
         waves = self._channel_data(ch_name)
         bp, _ = self._conn_bank(waves.shape[-1], freqs_phase)
         ba, _ = self._conn_bank(waves.shape[-1], freqs_amp)
         interp = self.wavelet.interpolate
         if significance:
-            if ch_amp is not None:
-                raise ValueError("significance is same-channel only "
-                                 "(the surrogate rolls the amplitude "
-                                 "copy of the SAME signal)")
             from ..ops.connectivity import pac_significance
             return pac_significance(waves, bp, ba, interpolate=interp,
                                     method=method, n_bins=n_bins,
                                     n_surrogates=int(significance),
                                     seed=seed)
-        if ch_amp is not None and ch_amp != ch_name:
+        if cross:
             from ..ops.connectivity import pac_pair
             amp_waves = self._channel_data(ch_amp)
             return pac_pair(waves, amp_waves, bp, ba,
