@@ -74,6 +74,9 @@ class PipelineConfig:
     # of {"plv", "coherence", "wpli", "pli", "dwpli", "ppc"}; "both" is
     # kept as an alias for "plv,coherence"
     connectivity_window: Optional[Tuple[float, float]] = None  # (start_s, stop_s)
+    specparam: bool = False         # FOOOF-style fit of each channel's
+    # COI-masked global spectrum (requires ``global_spectrum``)
+    specparam_peaks: int = 4
     cluster_test: bool = False      # one-sample cluster permutation test of
     # the baseline-corrected single-trial power against zero (needs
     # ``baseline``); spatio-spectral when ``cluster_adjacency`` is set
@@ -216,6 +219,17 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
             out["ridge_hz"] = np.stack([
                 ridge_frequencies(power[ch], freqs)
                 for ch in range(power.shape[0])])
+
+    if cfg.specparam:
+        # Aperiodic + peaks parametrization of the global wavelet
+        # spectrum (extension — ``ops.specparam``).
+        if not cfg.global_spectrum:
+            raise ValueError("specparam needs global_spectrum=True "
+                             "(it fits the COI-masked global spectrum)")
+        from .ops.specparam import specparam as _specfit
+        out["specparam"] = _specfit(
+            np.asarray(out["global_spectrum"]), freqs,
+            max_peaks=int(cfg.specparam_peaks))
 
     if cfg.cluster_test:
         # Cluster permutation inference (extension — ``ops.cluster``):

@@ -29,7 +29,7 @@ from .sharded import (sharded_cluster_null,
                       sharded_pac, sharded_phase_lag,
                       sharded_fused_phase_lag, sharded_ppc,
                       sharded_plv, sharded_plv_matrix, sharded_power,
-                      sharded_env_corr,
+                      sharded_env_corr, sharded_stockwell,
                       sharded_ssq_mean_power, sharded_superlet_mean_power,
                       sharded_wavelet_granger)
 from .streaming import StreamingCWT
@@ -49,7 +49,7 @@ __all__ = [
     "sharded_cluster_null", "sharded_cluster_test_one_sample",
     "sharded_cluster_test_independent",
     "sharded_superlet_mean_power", "sharded_multitaper_mean_power",
-    "sharded_wavelet_granger", "sharded_env_corr",
+    "sharded_wavelet_granger", "sharded_env_corr", "sharded_stockwell",
     "distributed_mean_power", "distributed_itc",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",
     "chunked_fused_power", "chunked_power_auto",

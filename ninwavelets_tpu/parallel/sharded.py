@@ -997,3 +997,22 @@ def sharded_env_corr(sigs, bank_r, *, mesh: Mesh,
     return jax.shard_map(
         local, mesh=mesh, in_specs=(P(DATA_AXIS), _BANK_SPEC),
         out_specs=P(FREQ_AXIS))(sigs, bank_r)
+
+
+@partial(jax.jit, static_argnames=("mesh", "sfreq"))
+def sharded_stockwell(signals_r, bins, *, mesh: Mesh, sfreq: float):
+    """S-transform over the mesh: (E, ..., N) + (F,) FFT-bin indices ->
+    (real, imag) (E, ..., F, N) pairs, epochs sharded over ``data`` and
+    frequency rows over ``freq`` — both axes embarrassingly parallel, no
+    collective (like ``sharded_cwt_ri``)."""
+    from ..ops.stockwell import _stockwell_jit
+    ndim = signals_r.ndim
+    out_spec = P(DATA_AXIS, *([None] * (ndim - 2)), FREQ_AXIS, None)
+
+    def local(sig, b):
+        return _stockwell_jit(sig, b, sfreq=sfreq)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, *([None] * (ndim - 1))), P(FREQ_AXIS)),
+        out_specs=(out_spec, out_spec))(signals_r, bins)

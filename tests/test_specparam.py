@@ -97,3 +97,26 @@ def test_adapter_specparam():
     # a very tall line decomposes into stacked Gaussians; at least one
     # sits on the 11 Hz oscillation
     assert peaks and min(abs(p["center"] - 11.0) for p in peaks) < 2.5
+
+
+def test_pipeline_specparam_stage():
+    import ninwavelets_tpu.config as cfg
+
+    class FakeEpochs:
+        info = {'sfreq': 250.0}
+        ch_names = ['a']
+        def get_data(self):
+            rng = np.random.default_rng(1)
+            t = np.arange(1024) / 250.0
+            x = np.cumsum(rng.standard_normal((6, 1, 1024)), -1) / 10.0
+            return x + 2.0 * np.sin(2 * np.pi * 10 * t)
+
+    out = cfg.run_pipeline(
+        cfg.PipelineConfig(freqs=(3.0, 40.0, 1.0), global_spectrum=True,
+                           specparam=True), FakeEpochs())
+    fit = out["specparam"]
+    assert fit.exponent.shape == (1,)
+    assert float(fit.r_squared[0]) > 0.8
+    with pytest.raises(ValueError, match="global_spectrum"):
+        cfg.run_pipeline(cfg.PipelineConfig(freqs=(3.0, 40.0, 1.0),
+                                            specparam=True), FakeEpochs())

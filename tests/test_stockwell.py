@@ -90,3 +90,22 @@ class TestStockwell:
         assert st.shape == (3, 2, N)
         one = stockwell(x[1], [16.0, 32.0], SFREQ)
         np.testing.assert_allclose(st[1], one, atol=1e-6)
+
+
+def test_sharded_matches_single_device():
+    import jax.numpy as jnp
+    import ninwavelets_tpu.parallel as par
+    rng = np.random.default_rng(4)
+    sigs = rng.standard_normal((4, N)).astype(np.float32)
+    freqs = [16.0, 32.0, 48.0, 64.0]
+    r0, i0 = stockwell_ri(sigs, freqs, SFREQ)
+    bins = np.rint(np.asarray(freqs) * N / SFREQ).astype(np.int64)
+    for d, f in ((2, 2), (4, 2)):
+        mesh = par.make_mesh(data=d, freq=f)
+        r, i = par.sharded_stockwell(jnp.asarray(sigs),
+                                     jnp.asarray(bins), mesh=mesh,
+                                     sfreq=SFREQ)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r0),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(i), np.asarray(i0),
+                                   atol=1e-6)
