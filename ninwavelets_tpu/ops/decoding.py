@@ -1,0 +1,104 @@
+"""Time-frequency decoding (MVPA): cross-validated two-class decoding
+from the multichannel pattern at EVERY time-frequency pixel — the
+wavelet-domain analog of MNE's SlidingEstimator / temporal decoding,
+answering "WHEN and at WHICH frequency does the channel pattern carry
+condition information".
+
+No reference counterpart.  The per-pixel classifier is diagonal LDA
+(shrinkage to the diagonal is the standard, and for C channels with few
+trials the full covariance is unestimable anyway):
+
+    w = (mu_1 - mu_0) / (pooled_var + lam),   score = w . x
+
+evaluated with k-fold cross-validation and scored by ROC AUC on the
+held-out trials.
+
+Design notes (TPU):
+* every pixel's classifier is fit and scored SIMULTANEOUSLY — the class
+  means/variances are masked reductions over the trial axis and the AUC
+  is a pairwise comparison matrix, so the whole CV loop is a fixed
+  ``lax.scan`` over folds of elementwise work on (E, C, F, N) blocks;
+* fold assignment is a static round-robin (deterministic, no RNG needed
+  — trials are exchangeable under the null the caller tests against);
+* only the (F, N) AUC map (and optional per-fold maps) leave the device.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["tf_decode", "decode_auc"]
+
+
+def _masked_stats(x, keep):
+    """Mean/variance over the trial axis using only ``keep`` trials:
+    x (E, C, F, N), keep (E,) -> ((C, F, N), (C, F, N), count)."""
+    k = keep[:, None, None, None]
+    cnt = jnp.sum(keep)
+    mean = jnp.sum(x * k, 0) / jnp.maximum(cnt, 1.0)
+    var = jnp.sum(jnp.square(x - mean) * k, 0) / jnp.maximum(cnt - 1.0,
+                                                             1.0)
+    return mean, var, cnt
+
+
+def decode_auc(scores_a, scores_b, valid_a, valid_b):
+    """Held-out ROC AUC per pixel from decision scores: the fraction of
+    (class-a, class-b) trial pairs ranked correctly (ties count half).
+    scores_* (E, F, N); valid_* (E,) mask the held-out trials."""
+    diff = scores_a[:, None] - scores_b[None, :]        # (Ea, Eb, F, N)
+    pair = (valid_a[:, None] * valid_b[None, :])[..., None, None]
+    wins = jnp.where(diff > 0, 1.0, jnp.where(diff == 0, 0.5, 0.0))
+    n_pairs = jnp.maximum(jnp.sum(pair), 1.0)
+    return jnp.sum(wins * pair, (0, 1)) / n_pairs
+
+
+@partial(jax.jit, static_argnames=("n_folds", "lam"))
+def _tf_decode_jit(xa, xb, *, n_folds, lam):
+    ea, eb = xa.shape[0], xb.shape[0]
+    fold_a = jnp.arange(ea) % n_folds
+    fold_b = jnp.arange(eb) % n_folds
+
+    def fold(acc, f):
+        tr_a = (fold_a != f).astype(jnp.float32)
+        tr_b = (fold_b != f).astype(jnp.float32)
+        te_a = 1.0 - tr_a
+        te_b = 1.0 - tr_b
+        m0, v0, n0 = _masked_stats(xa, tr_a)
+        m1, v1, n1 = _masked_stats(xb, tr_b)
+        pooled = ((n0 - 1.0) * v0 + (n1 - 1.0) * v1) \
+            / jnp.maximum(n0 + n1 - 2.0, 1.0)
+        w = (m0 - m1) / (pooled + lam)                  # (C, F, N)
+        thr = jnp.sum(w * 0.5 * (m0 + m1), 0)           # bias (F, N)
+        sa = jnp.einsum("ecfn,cfn->efn", xa, w) - thr
+        sb = jnp.einsum("ecfn,cfn->efn", xb, w) - thr
+        return acc + decode_auc(sa, sb, te_a, te_b), None
+
+    auc, _ = lax.scan(fold, jnp.zeros(xa.shape[2:], jnp.float32),
+                      jnp.arange(n_folds))
+    return auc / n_folds
+
+
+def tf_decode(xa, xb, n_folds: int = 5, lam: float = 1e-3) -> jnp.ndarray:
+    """(F, N) cross-validated decoding AUC between two trial groups of
+    single-trial feature planes (Ea, C, F, N) vs (Eb, C, F, N) —
+    typically ``EpochsWavelet.single_trial_power_all`` outputs.
+
+    Diagonal-LDA per pixel, ``n_folds``-fold round-robin CV, ROC AUC on
+    held-out trials (0.5 = chance).  ``lam`` is the variance shrinkage
+    floor (also guards zero-variance pixels).  Feature scale: AUC is
+    invariant to monotone transforms of the score, but heavy-tailed
+    power benefits from a log transform on the caller side.
+    """
+    xa = jnp.asarray(np.asarray(xa, np.float32))
+    xb = jnp.asarray(np.asarray(xb, np.float32))
+    if xa.ndim != 4 or xb.ndim != 4 or xa.shape[1:] != xb.shape[1:]:
+        raise ValueError("expected (Ea, C, F, N) and (Eb, C, F, N) with "
+                         "matching planes, got %s and %s"
+                         % (xa.shape, xb.shape))
+    if min(xa.shape[0], xb.shape[0]) < n_folds:
+        raise ValueError("need at least n_folds trials per class")
+    return _tf_decode_jit(xa, xb, n_folds=int(n_folds), lam=float(lam))

@@ -661,6 +661,25 @@ class EpochsWavelet:
         return _pac(waves, bp, ba, interpolate=interp,
                     method=method, n_bins=n_bins, mean_epochs=True)
 
+    def decode(self, other, freqs: Numbers, n_folds: int = 5,
+               lam: float = 1e-3, log_power: bool = True,
+               baseline=None, baseline_method: str = "zscore",
+               decim: int = 1) -> jnp.ndarray:
+        """(F, N) cross-validated decoding AUC between this epochs
+        object's trials and ``other``'s, from the all-channel power
+        pattern at every TF pixel (extension — ``ops.decoding``; the
+        MNE SlidingEstimator analog).  ``log_power`` applies log1p to
+        tame heavy-tailed power before the diagonal-LDA fit."""
+        from ..ops.decoding import tf_decode
+        xa = self.single_trial_power_all(freqs, baseline,
+                                         baseline_method, decim)
+        xb = other.single_trial_power_all(freqs, baseline,
+                                          baseline_method, decim)
+        if log_power:
+            xa = jnp.log1p(xa)
+            xb = jnp.log1p(xb)
+        return tf_decode(xa, xb, n_folds=n_folds, lam=lam)
+
     def specparam(self, ch_name: str, freqs: Numbers,
                   max_peaks: int = 4, fit_knee: bool = False, **kw):
         """FOOOF-style spectral fit of the channel's time-averaged
