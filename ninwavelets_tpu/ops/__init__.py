@@ -13,6 +13,7 @@ from .cwt import (abs_from_bank, analytic_spectrum, cwt_abs, cwt_from_bank,
                   mean_power_from_bank, power, power_from_bank, split_complex)
 from .fit import fit_frequencies, learn_bank
 from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
+                           erpac, erpac_from_banks,
                            nm_plv, nm_plv_from_bank, pac, pac_from_banks,
                            pac_pair, pac_pair_from_banks,
                            pac_significance,
@@ -107,6 +108,7 @@ __all__ = [
     "plv", "plv_from_bank", "plv_sums", "pac", "pac_from_banks",
     "nm_plv", "nm_plv_from_bank", "plv_significance", "surrogate_pvalues",
     "pac_significance", "pac_pair_from_banks", "pac_pair",
+    "erpac", "erpac_from_banks",
     "pair_matrix_scan", "plv_matrix", "plv_matrix_from_bank",
     "coherence_matrix", "coherence_matrix_from_bank",
     "phase_lag", "phase_lag_auto", "phase_lag_from_bank",

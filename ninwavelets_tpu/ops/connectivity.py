@@ -37,7 +37,8 @@ __all__ = ["plv_from_bank", "plv", "plv_sums", "pac_from_banks", "pac",
            "coherence_matrix_from_bank", "coherence_matrix",
            "nm_plv_from_bank", "nm_plv", "nm_plv_sums",
            "surrogate_pvalues", "plv_significance", "pac_significance",
-           "pac_pair_from_banks", "pac_pair",
+           "pac_pair_from_banks", "pac_pair", "erpac",
+           "erpac_from_banks",
            "phase_lag_sums", "phase_lag_from_sums", "phase_lag_from_bank",
            "phase_lag", "phase_lag_auto", "PHASE_LAG_METHODS",
            "phase_lag_significance",
@@ -681,6 +682,65 @@ def pac(signal_r, bank_phase_r, bank_amp_r, interpolate: bool = False,
     return _pac_jit(signal_r, bank_phase_r, bank_amp_r,
                     interpolate=bool(interpolate), method=str(method),
                     n_bins=int(n_bins), mean_epochs=bool(mean_epochs))
+
+
+def erpac_from_banks(sigs: jnp.ndarray, bank_phase: jnp.ndarray,
+                     bank_amp: jnp.ndarray, interpolate: bool = False,
+                     eps: float = 1e-20) -> jnp.ndarray:
+    """Event-related PAC (Voytek et al. 2013): TIME-RESOLVED
+    phase-amplitude coupling across trials, (E, N) -> (Fp, Fa, N).
+
+    At every time point the circular-linear correlation between the
+    low-band phase (across trials) and the high-band amplitude (across
+    trials):
+
+        rho_cl = sqrt((r_ca^2 + r_sa^2 - 2 r_ca r_sa r_cs)
+                      / (1 - r_cs^2))
+
+    with r_ca = corr(cos phi, A), r_sa = corr(sin phi, A), r_cs =
+    corr(cos phi, sin phi) — unlike the comodulogram (which collapses
+    time) this shows WHEN coupling appears relative to the event.  All
+    correlations are trial-axis reductions; the (Fp, Fa) crossing is one
+    E-contraction einsum per plane (MXU-batched over time).
+    """
+    u, a = _phase_amp(sigs, bank_phase, bank_amp, interpolate, eps)
+    cosp, sinp = jnp.real(u), jnp.imag(u)          # (E, Fp, N)
+
+    def center(x):
+        return x - jnp.mean(x, axis=0, keepdims=True)
+
+    cc, ss, aa = center(cosp), center(sinp), center(a)
+
+    def norm(x):
+        return jnp.sqrt(jnp.maximum(jnp.sum(x * x, 0), eps))
+
+    nc, ns, na = norm(cc), norm(ss), norm(aa)
+    # cross-frequency correlations: contract trials -> (Fp, Fa, N)
+    r_ca = jnp.einsum("eft,egt->fgt", cc, aa) / (nc[:, None] * na[None])
+    r_sa = jnp.einsum("eft,egt->fgt", ss, aa) / (ns[:, None] * na[None])
+    # same-row circular self-correlation (Fp, N), broadcast over Fa
+    r_cs = (jnp.sum(cc * ss, 0) / (nc * ns))[:, None, :]
+    num = r_ca ** 2 + r_sa ** 2 - 2.0 * r_ca * r_sa * r_cs
+    den = jnp.maximum(1.0 - r_cs ** 2, eps)
+    return jnp.sqrt(jnp.clip(num / den, 0.0, 1.0))
+
+
+@partial(jax.jit, static_argnames=("interpolate", "eps"))
+def _erpac_jit(sigs, bp, ba, *, interpolate, eps):
+    return erpac_from_banks(sigs, bp, ba, interpolate, eps)
+
+
+def erpac(sigs_r, bank_phase_r, bank_amp_r, interpolate: bool = False,
+          eps: float = 1e-20) -> jnp.ndarray:
+    """Jitted float-boundary wrapper for ``erpac_from_banks``."""
+    sigs_r = jnp.asarray(np.asarray(sigs_r, np.float32))
+    if sigs_r.ndim != 2:
+        raise ValueError("erpac needs an (epochs, N) trial stack (the "
+                         "correlation runs ACROSS trials), got %s"
+                         % (sigs_r.shape,))
+    return _erpac_jit(sigs_r, jnp.asarray(bank_phase_r),
+                      jnp.asarray(bank_amp_r),
+                      interpolate=bool(interpolate), eps=float(eps))
 
 
 # ----------------------------------------------------------------------------

@@ -758,6 +758,19 @@ class EpochsWavelet:
         return fn(waves, self.wavelet.sfreq, n_bins=n_bins,
                   time_decim=time_decim, n_iter=n_iter)
 
+    def erpac(self, ch_name: str, freqs_phase: Numbers,
+              freqs_amp: Numbers) -> jnp.ndarray:
+        """(Fp, Fa, N) event-related PAC of one channel (extension —
+        ``ops.connectivity.erpac``, Voytek 2013): circular-linear
+        phase-amplitude correlation ACROSS trials at every time point —
+        WHEN does coupling appear relative to the event."""
+        from ..ops.connectivity import erpac as _erpac
+        waves = self._channel_data(ch_name)
+        bp, _ = self._conn_bank(waves.shape[-1], freqs_phase)
+        ba, _ = self._conn_bank(waves.shape[-1], freqs_amp)
+        return _erpac(waves, bp, ba,
+                      interpolate=self.wavelet.interpolate)
+
     def bicoherence(self, ch_name: str, freqs1: Numbers,
                     freqs2: Numbers = None,
                     eps: float = 1e-12) -> jnp.ndarray:

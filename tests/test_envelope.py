@@ -294,3 +294,85 @@ def test_adapter_cross_channel_pac():
     assert np.asarray(p).shape == (1, 1)
     with pytest.raises(ValueError):
         ew.pac("p", [6.0], [60.0], ch_amp="a", significance=9)
+
+
+class TestErpac:
+    def test_time_resolved_coupling_window(self):
+        import jax.numpy as jnp
+        from ninwavelets_tpu.ops import erpac
+        from ninwavelets_tpu.ops.bank import make_fft_bank
+        sfreq, n, e = 500.0, 1024, 40
+        rng = np.random.default_rng(2)
+        t = np.arange(n) / sfreq
+        window = (t > 1.0) & (t < 1.6)
+        sig = np.zeros((e, n), np.float32)
+        for ep in range(e):
+            ph = rng.uniform(0, 6.3)
+            th = np.sin(2 * np.pi * 6 * t + ph)
+            gam = np.sin(2 * np.pi * 60 * t + rng.uniform(0, 6.3))
+            depth = np.where(window, 0.9, 0.0)
+            sig[ep] = th + 0.4 * (1 + depth * th) * gam \
+                + 0.2 * rng.standard_normal(n)
+        m = nw.Morse(sfreq)
+        bp = jnp.asarray(np.asarray(make_fft_bank(
+            m._wdef(), jnp.asarray(np.array([6.0], np.float32)), n,
+            sfreq, True), np.float32))
+        ba = jnp.asarray(np.asarray(make_fft_bank(
+            m._wdef(), jnp.asarray(np.array([60.0], np.float32)), n,
+            sfreq, True), np.float32))
+        rho = np.asarray(erpac(sig, bp, ba, interpolate=True))[0, 0]
+        assert rho.shape == (n,)
+        inside = rho[(t > 1.1) & (t < 1.5)].mean()
+        outside = rho[(t > 0.2) & (t < 0.8)].mean()
+        assert inside > 2 * outside
+        assert inside > 0.4
+
+    def test_matches_numpy_circular_linear(self):
+        import jax.numpy as jnp
+        from ninwavelets_tpu.ops import erpac
+        from ninwavelets_tpu.ops.bank import make_fft_bank
+        sfreq, n, e = 250.0, 128, 12
+        rng = np.random.default_rng(5)
+        sig = rng.standard_normal((e, n)).astype(np.float32)
+        m = nw.Morse(sfreq)
+        bp = jnp.asarray(np.asarray(make_fft_bank(
+            m._wdef(), jnp.asarray(np.array([8.0], np.float32)), n,
+            sfreq, True), np.float32))
+        ba = jnp.asarray(np.asarray(make_fft_bank(
+            m._wdef(), jnp.asarray(np.array([40.0], np.float32)), n,
+            sfreq, True), np.float32))
+        rho = np.asarray(erpac(sig, bp, ba, interpolate=True))[0, 0]
+        # numpy oracle from the analytic coefficients
+        spec = np.fft.fft(sig, axis=-1)
+        mask = np.zeros(n)
+        mask[: n // 2] = 1.0
+        wp = np.fft.ifft(spec * mask * np.asarray(bp)[0], axis=-1)
+        wa = np.fft.ifft(spec * mask * np.asarray(ba)[0], axis=-1)
+        phi = np.angle(wp)
+        amp = np.abs(wa)
+
+        def corr(x, y):
+            xc = x - x.mean(0)
+            yc = y - y.mean(0)
+            return (xc * yc).sum(0) / np.sqrt(
+                (xc * xc).sum(0) * (yc * yc).sum(0))
+
+        rca = corr(np.cos(phi), amp)
+        rsa = corr(np.sin(phi), amp)
+        rcs = corr(np.cos(phi), np.sin(phi))
+        ref = np.sqrt(np.clip(
+            (rca ** 2 + rsa ** 2 - 2 * rca * rsa * rcs)
+            / (1 - rcs ** 2), 0, 1))
+        np.testing.assert_allclose(rho, ref, atol=2e-4)
+
+    def test_adapter_and_validation(self):
+        from ninwavelets_tpu.ops import erpac
+        rng = np.random.default_rng(1)
+        data = rng.standard_normal((8, 1, 256)).astype(np.float32)
+        ew = nw.EpochsWavelet(
+            nw.ArrayEpochs(data, 250.0, ch_names=["c"]), nw.Morse(250.0))
+        rho = np.asarray(ew.erpac("c", [6.0, 8.0], [40.0, 60.0, 80.0]))
+        assert rho.shape == (2, 3, 256)
+        assert np.all((rho >= 0) & (rho <= 1))
+        with pytest.raises(ValueError):
+            erpac(np.zeros(64), np.zeros((1, 64)), np.zeros((1, 64)))
