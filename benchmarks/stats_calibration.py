@@ -1,0 +1,93 @@
+"""False-positive-rate calibration of the inferential statistics on
+null data: a permutation test is only worth shipping if its corrected
+p-values are honest, so this script MEASURES the family-wise error of
+the cluster / TFCE / max-stat tests and the pointwise rate of the
+surrogate nulls over many independent null simulations, and commits the
+result (tests/artifacts/stats_calibration.json) where the suite gates
+it with binomial bounds.
+
+Run anywhere (CPU mesh is fine — the statistics are backend-agnostic):
+
+    python benchmarks/stats_calibration.py
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "artifacts",
+                   "stats_calibration.json")
+
+N_SIMS = 200
+ALPHA = 0.05
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ninwavelets_tpu.ops import cluster as cl
+    from ninwavelets_tpu.ops.bank import make_fft_bank
+    from ninwavelets_tpu.ops.connectivity import plv_significance
+    from ninwavelets_tpu.models import Morse
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    rows = {}
+
+    # --- cluster / TFCE / max-stat FWER on (E, F, N) null planes ----------
+    e, f, n = 20, 8, 32
+    hits_cluster = hits_tfce = hits_maxstat = 0
+    for s in range(N_SIMS):
+        x = rng.standard_normal((e, f, n)).astype(np.float32)
+        res = cl.cluster_test_one_sample(x, n_perm=99, seed=s)
+        if any(c["p"] <= ALPHA for c in res.clusters):
+            hits_cluster += 1
+        tf = cl.tfce_test_one_sample(x, n_perm=99, seed=s, stop=15.0)
+        if tf.p_map.min() <= ALPHA:
+            hits_tfce += 1
+        _, p = cl.max_stat_test_one_sample(x, n_perm=99, seed=s)
+        if p.min() <= ALPHA:
+            hits_maxstat += 1
+    rows["cluster_fwer"] = hits_cluster / N_SIMS
+    rows["tfce_fwer"] = hits_tfce / N_SIMS
+    rows["maxstat_fwer"] = hits_maxstat / N_SIMS
+
+    # --- independent-groups cluster FWER -----------------------------------
+    hits = 0
+    for s in range(N_SIMS):
+        xa = rng.standard_normal((10, f, n)).astype(np.float32)
+        xb = rng.standard_normal((12, f, n)).astype(np.float32)
+        res = cl.cluster_test_independent(xa, xb, n_perm=99, seed=s)
+        if any(c["p"] <= ALPHA for c in res.clusters):
+            hits += 1
+    rows["cluster_independent_fwer"] = hits / N_SIMS
+
+    # --- PLV surrogate null: POINTWISE rate should be ~alpha ---------------
+    sfreq, nn = 250.0, 256
+    morse = Morse(sfreq)
+    bank = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(np.array([10.0, 30.0], np.float32)),
+        nn, sfreq, True), np.float32))
+    frac = []
+    for s in range(40):
+        sa = rng.standard_normal((12, nn)).astype(np.float32)
+        sb = rng.standard_normal((12, nn)).astype(np.float32)
+        _, p = plv_significance(sa, sb, bank, interpolate=True,
+                                n_surrogates=99, seed=s)
+        frac.append(float((np.asarray(p) <= ALPHA).mean()))
+    rows["plv_pointwise_rate"] = float(np.mean(frac))
+
+    rows["n_sims"] = N_SIMS
+    rows["alpha"] = ALPHA
+    rows["elapsed_s"] = round(time.time() - t0, 1)
+    rows["device"] = str(jax.devices()[0])
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as fh:
+        json.dump(rows, fh, indent=1)
+    print(json.dumps(rows, indent=1))
+
+
+if __name__ == "__main__":
+    main()

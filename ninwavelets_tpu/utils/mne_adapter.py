@@ -944,6 +944,18 @@ class RawWavelet:
 
     # -- event-locked epoching ---------------------------------------------
 
+    def specparam(self, freqs: Numbers, picks=None, max_peaks: int = 4,
+                  fit_knee: bool = False, **kw):
+        """FOOOF-style spectral fit of the recording's time-averaged
+        wavelet power, batched over channels (extension —
+        ``ops.specparam``; resting-state aperiodic slope + oscillatory
+        peaks is THE standard use).  Returns a ``SpectralFit`` whose
+        leading axis is the picked channels."""
+        from ..ops.specparam import specparam as _fit
+        power = np.asarray(self.power(freqs, picks=picks)).mean(-1)
+        return _fit(power, np.asarray(freqs, np.float64),
+                    max_peaks=max_peaks, fit_knee=fit_knee, **kw)
+
     def modwt_denoise(self, picks=None, wavelet: str = "db4",
                       level=None, mode: str = "soft") -> np.ndarray:
         """(C, N) MODWT-shrinkage-denoised copy of the recording

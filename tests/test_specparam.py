@@ -120,3 +120,30 @@ def test_pipeline_specparam_stage():
     with pytest.raises(ValueError, match="global_spectrum"):
         cfg.run_pipeline(cfg.PipelineConfig(freqs=(3.0, 40.0, 1.0),
                                             specparam=True), FakeEpochs())
+
+
+def test_raw_specparam():
+    import ninwavelets_tpu as nw
+    rng = np.random.default_rng(9)
+    sfreq, n = 250.0, 4096
+    t = np.arange(n) / sfreq
+    data = np.cumsum(rng.standard_normal((2, n)), -1).astype(np.float32)
+    data /= data.std(-1, keepdims=True)
+    data[0] += (2.0 * np.sin(2 * np.pi * 10 * t)).astype(np.float32)
+
+    class FakeRaw:
+        info = {"sfreq": sfreq}
+        ch_names = ["a", "b"]
+        def get_data(self):
+            return data
+
+    rw = nw.RawWavelet(FakeRaw(), nw.Morse(sfreq), window=1024)
+    freqs = np.arange(3.0, 40.0, 0.5)
+    fit = rw.specparam(freqs)
+    assert fit.exponent.shape == (2,)
+    # wavelet-smoothed brownian spectra flatten somewhat at these freqs
+    assert all(0.4 < e < 3.5 for e in fit.exponent)
+    # channel a has the alpha line, channel b does not
+    amp_a = fit.amplitudes[0].max()
+    amp_b = fit.amplitudes[1].max()
+    assert amp_a > 0.2 and amp_a > 2 * amp_b
