@@ -57,7 +57,7 @@ from .granger import (conditional_granger, dtf_pdc, granger_from_factors,
                       wavelet_granger_significance, wilson_factorize)
 from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
                     reverse_timeline, wavelet_timeline)
-from .decoding import decode_auc, tf_decode
+from .decoding import decode_auc, temporal_generalization, tf_decode
 from .denoise import denoise, denoise_from_bank
 from .envelope import env_corr_matrix, env_corr_matrix_from_bank
 from .ewt import ewt, ewt_boundaries, ewt_filterbank, ewt_reconstruct
@@ -132,7 +132,7 @@ __all__ = [
     "icwt_from_bank", "icwt_ri", "coverage",
     "extract_modes", "extract_modes_ri",
     "denoise", "denoise_from_bank",
-    "tf_decode", "decode_auc",
+    "tf_decode", "decode_auc", "temporal_generalization",
     "env_corr_matrix", "env_corr_matrix_from_bank",
     "ewt", "ewt_boundaries", "ewt_filterbank", "ewt_reconstruct",
     "vmd", "mvmd", "instantaneous", "hilbert_spectrum",

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["tf_decode", "decode_auc"]
+__all__ = ["tf_decode", "decode_auc", "temporal_generalization"]
 
 
 def _masked_stats(x, keep):
@@ -102,3 +102,66 @@ def tf_decode(xa, xb, n_folds: int = 5, lam: float = 1e-3) -> jnp.ndarray:
     if min(xa.shape[0], xb.shape[0]) < n_folds:
         raise ValueError("need at least n_folds trials per class")
     return _tf_decode_jit(xa, xb, n_folds=int(n_folds), lam=float(lam))
+
+
+@partial(jax.jit, static_argnames=("n_folds", "lam"))
+def _temporal_gen_jit(xa, xb, *, n_folds, lam):
+    ea, eb = xa.shape[0], xb.shape[0]
+    fold_a = jnp.arange(ea) % n_folds
+    fold_b = jnp.arange(eb) % n_folds
+
+    def stats(x, keep):
+        k = keep[:, None, None]
+        cnt = jnp.sum(keep)
+        mean = jnp.sum(x * k, 0) / jnp.maximum(cnt, 1.0)
+        var = jnp.sum(jnp.square(x - mean) * k, 0) / jnp.maximum(
+            cnt - 1.0, 1.0)
+        return mean, var, cnt
+
+    def fold(acc, f):
+        tr_a = (fold_a != f).astype(jnp.float32)
+        tr_b = (fold_b != f).astype(jnp.float32)
+        te_a, te_b = 1.0 - tr_a, 1.0 - tr_b
+        m0, v0, n0 = stats(xa, tr_a)
+        m1, v1, n1 = stats(xb, tr_b)
+        pooled = ((n0 - 1.0) * v0 + (n1 - 1.0) * v1) / jnp.maximum(
+            n0 + n1 - 2.0, 1.0)
+        w = (m0 - m1) / (pooled + lam)                 # (C, T) per train t
+        thr = jnp.sum(w * 0.5 * (m0 + m1), 0)          # (T,)
+        # scores of every TEST time against every TRAIN time's decoder
+        sa = jnp.einsum("ecs,ct->ets", xa, w) - thr[:, None]
+        sb = jnp.einsum("ecs,ct->ets", xb, w) - thr[:, None]
+        diff = sa[:, None] - sb[None, :]               # (Ea, Eb, T, S)
+        pair = (te_a[:, None] * te_b[None, :])[..., None, None]
+        wins = jnp.where(diff > 0, 1.0,
+                         jnp.where(diff == 0, 0.5, 0.0))
+        auc = jnp.sum(wins * pair, (0, 1)) / jnp.maximum(
+            jnp.sum(pair), 1.0)
+        return acc + auc, None
+
+    auc, _ = lax.scan(fold, jnp.zeros((xa.shape[-1], xa.shape[-1]),
+                                      jnp.float32), jnp.arange(n_folds))
+    return auc / n_folds
+
+
+def temporal_generalization(xa, xb, n_folds: int = 5,
+                            lam: float = 1e-3) -> jnp.ndarray:
+    """(T, T) temporal generalization matrix (King & Dehaene 2014):
+    ``out[t_train, t_test]`` is the cross-validated AUC of a diagonal-LDA
+    decoder FIT on the channel pattern at ``t_train`` and TESTED at
+    ``t_test``, from (Ea, C, T) vs (Eb, C, T) feature courses (e.g. a
+    band's power per channel, decimated).  A diagonal-only matrix means
+    a sequential code; a square block means a sustained, stable code.
+    All T decoders fit simultaneously; every (train, test) pair scores
+    in one einsum + pairwise-comparison tensor per fold.
+    """
+    xa = jnp.asarray(np.asarray(xa, np.float32))
+    xb = jnp.asarray(np.asarray(xb, np.float32))
+    if xa.ndim != 3 or xb.ndim != 3 or xa.shape[1:] != xb.shape[1:]:
+        raise ValueError("expected (Ea, C, T) and (Eb, C, T) with "
+                         "matching planes, got %s and %s"
+                         % (xa.shape, xb.shape))
+    if min(xa.shape[0], xb.shape[0]) < n_folds:
+        raise ValueError("need at least n_folds trials per class")
+    return _temporal_gen_jit(xa, xb, n_folds=int(n_folds),
+                             lam=float(lam))

@@ -680,6 +680,21 @@ class EpochsWavelet:
             xb = jnp.log1p(xb)
         return tf_decode(xa, xb, n_folds=n_folds, lam=lam)
 
+    def decode_generalization(self, other, freqs: Numbers,
+                              n_folds: int = 5, lam: float = 1e-3,
+                              decim: int = 4,
+                              log_power: bool = True) -> jnp.ndarray:
+        """(T, T) temporal generalization matrix (King & Dehaene) from
+        the band-mean power per channel: decoders trained at each
+        (decimated) time tested at every other — diagonal = sequential
+        code, square block = sustained code."""
+        from ..ops.decoding import temporal_generalization
+        xa = self.single_trial_power_all(freqs, decim=decim).mean(-2)
+        xb = other.single_trial_power_all(freqs, decim=decim).mean(-2)
+        if log_power:
+            xa, xb = jnp.log1p(xa), jnp.log1p(xb)
+        return temporal_generalization(xa, xb, n_folds=n_folds, lam=lam)
+
     def specparam(self, ch_name: str, freqs: Numbers,
                   max_peaks: int = 4, fit_knee: bool = False, **kw):
         """FOOOF-style spectral fit of the channel's time-averaged

@@ -559,3 +559,22 @@ class TestChannelAdjacency:
         np.testing.assert_array_equal(
             EpochsWavelet._as_edges([[0, 1]]), [[0, 1]])
         assert EpochsWavelet._as_edges(()).shape == (0, 2)
+
+
+def test_calibration_artifact_within_binomial_bounds():
+    """The committed null-simulation study (benchmarks/stats_calibration
+    .py, 200 sims) must show honest error rates: FWER within the exact
+    binomial 99% envelope of alpha=0.05, surrogate pointwise rate at or
+    below alpha (circular shifts are mildly conservative)."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "artifacts",
+                        "stats_calibration.json")
+    with open(path) as fh:
+        rows = json.load(fh)
+    assert rows["n_sims"] >= 200 and rows["alpha"] == 0.05
+    # 99% binomial envelope for p=0.05, n=200: ~[0.013, 0.095]
+    for key in ("cluster_fwer", "tfce_fwer", "maxstat_fwer",
+                "cluster_independent_fwer"):
+        assert 0.013 <= rows[key] <= 0.095, (key, rows[key])
+    assert 0.005 <= rows["plv_pointwise_rate"] <= 0.08

@@ -79,3 +79,57 @@ class TestDecode:
         # decodable exactly where the burst lives (30 Hz row, 0.4-0.8 s)
         assert auc[2, 110:190].mean() > 0.8
         assert abs(auc[:, :80].mean() - 0.5) < 0.1
+
+
+class TestTemporalGeneralization:
+    def test_sustained_vs_sequential_codes(self):
+        rng = np.random.default_rng(7)
+        e, c, t_len = 24, 4, 20
+        pat1 = np.array([1.0, -1.0, 0.0, 0.5])
+        pat2 = np.array([0.0, 0.5, -1.0, 1.0])   # orthogonal-ish
+        xa = rng.standard_normal((e, c, t_len)).astype(np.float32)
+        xb = rng.standard_normal((e, c, t_len)).astype(np.float32)
+        # sequential code: pattern 1 early, pattern 2 late
+        xa[:, :, 3:8] += 2.0 * pat1[None, :, None]
+        xa[:, :, 12:17] += 2.0 * pat2[None, :, None]
+        g = np.asarray(dec.temporal_generalization(xa, xb, n_folds=4))
+        assert g.shape == (t_len, t_len)
+        # on-diagonal decoding strong in both windows
+        assert g[5, 5] > 0.9 and g[14, 14] > 0.9
+        # train-early/test-late fails (different pattern): near or below
+        # chance — crucially much worse than on-diagonal
+        assert g[5, 14] < g[5, 5] - 0.25
+        assert g[14, 5] < g[14, 14] - 0.25
+        # pre-stimulus: chance
+        assert abs(g[0, 0] - 0.5) < 0.25
+
+    def test_sustained_code_generalizes(self):
+        rng = np.random.default_rng(8)
+        e, c, t_len = 24, 4, 12
+        pat = np.array([1.0, -1.0, 0.5, 0.0])
+        xa = rng.standard_normal((e, c, t_len)).astype(np.float32)
+        xb = rng.standard_normal((e, c, t_len)).astype(np.float32)
+        xa[:, :, 2:10] += 2.0 * pat[None, :, None]
+        g = np.asarray(dec.temporal_generalization(xa, xb, n_folds=4))
+        # square block: off-diagonal generalization inside the window
+        assert g[3, 8] > 0.85 and g[8, 3] > 0.85
+
+    def test_adapter(self):
+        rng = np.random.default_rng(9)
+        sfreq, n, e = 250.0, 256, 16
+        t = np.arange(n) / sfreq
+        burst = (2.5 * np.sin(2 * np.pi * 30 * t)
+                 * ((t > 0.4) & (t < 0.8))).astype(np.float32)
+        da = rng.standard_normal((e, 2, n)).astype(np.float32)
+        db = rng.standard_normal((e, 2, n)).astype(np.float32)
+        da[:, 0] += burst
+        mk = lambda d: nw.EpochsWavelet(
+            nw.ArrayEpochs(d, sfreq, ch_names=["a", "b"]),
+            nw.Morse(sfreq))
+        g = np.asarray(mk(da).decode_generalization(
+            mk(db), np.linspace(25, 35, 3), n_folds=4, decim=8))
+        assert g.shape == (32, 32)
+        # decodable inside the burst window (samples 100-200 -> 12-25)
+        assert g[15, 20] > 0.75
+        # pre-stimulus chance is noisy with 4 held-out trials per fold
+        assert abs(g[:8, :8].mean() - 0.5) < 0.15
