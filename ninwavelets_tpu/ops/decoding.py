@@ -56,8 +56,8 @@ def decode_auc(scores_a, scores_b, valid_a, valid_b):
     return jnp.sum(wins * pair, (0, 1)) / n_pairs
 
 
-@partial(jax.jit, static_argnames=("n_folds", "lam"))
-def _tf_decode_jit(xa, xb, *, n_folds, lam):
+@partial(jax.jit, static_argnames=("n_folds", "lam", "vma_axes"))
+def _tf_decode_jit(xa, xb, *, n_folds, lam, vma_axes=()):
     ea, eb = xa.shape[0], xb.shape[0]
     fold_a = jnp.arange(ea) % n_folds
     fold_b = jnp.arange(eb) % n_folds
@@ -77,8 +77,11 @@ def _tf_decode_jit(xa, xb, *, n_folds, lam):
         sb = jnp.einsum("ecfn,cfn->efn", xb, w) - thr
         return acc + decode_auc(sa, sb, te_a, te_b), None
 
-    auc, _ = lax.scan(fold, jnp.zeros(xa.shape[2:], jnp.float32),
-                      jnp.arange(n_folds))
+    init = jnp.zeros(xa.shape[2:], jnp.float32)
+    if vma_axes:
+        # shard_map scan carries must share the body's varying-axes type
+        init = lax.pcast(init, tuple(vma_axes), to="varying")
+    auc, _ = lax.scan(fold, init, jnp.arange(n_folds))
     return auc / n_folds
 
 

@@ -30,6 +30,7 @@ from .sharded import (sharded_cluster_null,
                       sharded_fused_phase_lag, sharded_ppc,
                       sharded_plv, sharded_plv_matrix, sharded_power,
                       sharded_env_corr, sharded_stockwell,
+                      sharded_tf_decode,
                       sharded_ssq_mean_power, sharded_superlet_mean_power,
                       sharded_wavelet_granger)
 from .streaming import StreamingCWT
@@ -50,6 +51,7 @@ __all__ = [
     "sharded_cluster_test_independent",
     "sharded_superlet_mean_power", "sharded_multitaper_mean_power",
     "sharded_wavelet_granger", "sharded_env_corr", "sharded_stockwell",
+    "sharded_tf_decode",
     "distributed_mean_power", "distributed_itc",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",
     "chunked_fused_power", "chunked_power_auto",

@@ -1016,3 +1016,24 @@ def sharded_stockwell(signals_r, bins, *, mesh: Mesh, sfreq: float):
         local, mesh=mesh,
         in_specs=(P(DATA_AXIS, *([None] * (ndim - 1))), P(FREQ_AXIS)),
         out_specs=(out_spec, out_spec))(signals_r, bins)
+
+
+@partial(jax.jit, static_argnames=("mesh", "n_folds", "lam"))
+def sharded_tf_decode(xa, xb, *, mesh: Mesh, n_folds: int = 5,
+                      lam: float = 1e-3):
+    """Cross-validated TF decoding AUC over the mesh: (Ea, C, F, N) vs
+    (Eb, C, F, N) -> (F, N).
+
+    Every pixel's classifier is independent, so the frequency axis
+    shards over ``freq`` with NO collectives (trials and channels
+    replicate — the fold arithmetic needs every trial on each shard).
+    Mesh result == single-device ``ops.decoding.tf_decode``."""
+    from ..ops.decoding import _tf_decode_jit
+
+    def local(a, b):
+        return _tf_decode_jit(a, b, n_folds=n_folds, lam=lam,
+                              vma_axes=(FREQ_AXIS,))
+
+    spec = P(None, None, FREQ_AXIS, None)
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                         out_specs=P(FREQ_AXIS, None))(xa, xb)

@@ -133,3 +133,15 @@ class TestTemporalGeneralization:
         assert g[15, 20] > 0.75
         # pre-stimulus chance is noisy with 4 held-out trials per fold
         assert abs(g[:8, :8].mean() - 0.5) < 0.15
+
+
+def test_sharded_matches_single_device():
+    import ninwavelets_tpu.parallel as par
+    xa, xb = _groups(e=16, f=4, effect=1.5, window=(slice(1, 3),
+                                                    slice(4, 10)))
+    single = np.asarray(dec.tf_decode(xa, xb, n_folds=4))
+    for d, f in ((1, 4), (2, 2)):
+        mesh = par.make_mesh(data=d, freq=f)
+        out = np.asarray(par.sharded_tf_decode(xa, xb, mesh=mesh,
+                                               n_folds=4))
+        np.testing.assert_allclose(out, single, atol=1e-6)
