@@ -36,8 +36,8 @@ __all__ = ["tf_decode", "decode_auc", "temporal_generalization"]
 
 def _masked_stats(x, keep):
     """Mean/variance over the trial axis using only ``keep`` trials:
-    x (E, C, F, N), keep (E,) -> ((C, F, N), (C, F, N), count)."""
-    k = keep[:, None, None, None]
+    x (E, ...), keep (E,) -> ((...,), (...,), count)."""
+    k = keep.reshape(keep.shape + (1,) * (x.ndim - 1))
     cnt = jnp.sum(keep)
     mean = jnp.sum(x * k, 0) / jnp.maximum(cnt, 1.0)
     var = jnp.sum(jnp.square(x - mean) * k, 0) / jnp.maximum(cnt - 1.0,
@@ -48,12 +48,24 @@ def _masked_stats(x, keep):
 def decode_auc(scores_a, scores_b, valid_a, valid_b):
     """Held-out ROC AUC per pixel from decision scores: the fraction of
     (class-a, class-b) trial pairs ranked correctly (ties count half).
-    scores_* (E, F, N); valid_* (E,) mask the held-out trials."""
-    diff = scores_a[:, None] - scores_b[None, :]        # (Ea, Eb, F, N)
-    pair = (valid_a[:, None] * valid_b[None, :])[..., None, None]
-    wins = jnp.where(diff > 0, 1.0, jnp.where(diff == 0, 0.5, 0.0))
-    n_pairs = jnp.maximum(jnp.sum(pair), 1.0)
-    return jnp.sum(wins * pair, (0, 1)) / n_pairs
+    scores_* (E, ...); valid_* (E,) mask the held-out trials.
+
+    The pairwise comparison streams one class-a trial at a time through
+    a ``lax.scan`` so memory stays O(Eb * plane) — a materialized
+    (Ea, Eb, plane) tensor OOMs at ordinary trial counts."""
+    ones = (1,) * (scores_b.ndim - 1)
+    vb = valid_b.reshape(valid_b.shape + ones)
+
+    def one_a(acc, ab):
+        sa_i, va_i = ab
+        diff = sa_i[None] - scores_b                    # (Eb, ...)
+        wins = jnp.where(diff > 0, 1.0, jnp.where(diff == 0, 0.5, 0.0))
+        return acc + va_i * jnp.sum(wins * vb, 0), None
+
+    total, _ = lax.scan(one_a, jnp.zeros_like(scores_b[0]),
+                        (scores_a, valid_a))
+    n_pairs = jnp.maximum(jnp.sum(valid_a) * jnp.sum(valid_b), 1.0)
+    return total / n_pairs
 
 
 @partial(jax.jit, static_argnames=("n_folds", "lam", "vma_axes"))
@@ -72,9 +84,10 @@ def _tf_decode_jit(xa, xb, *, n_folds, lam, vma_axes=()):
         pooled = ((n0 - 1.0) * v0 + (n1 - 1.0) * v1) \
             / jnp.maximum(n0 + n1 - 2.0, 1.0)
         w = (m0 - m1) / (pooled + lam)                  # (C, F, N)
-        thr = jnp.sum(w * 0.5 * (m0 + m1), 0)           # bias (F, N)
-        sa = jnp.einsum("ecfn,cfn->efn", xa, w) - thr
-        sb = jnp.einsum("ecfn,cfn->efn", xb, w) - thr
+        # no bias term: AUC depends only on score DIFFERENCES, so any
+        # per-pixel threshold cancels in the pairwise comparison
+        sa = jnp.einsum("ecfn,cfn->efn", xa, w)
+        sb = jnp.einsum("ecfn,cfn->efn", xb, w)
         return acc + decode_auc(sa, sb, te_a, te_b), None
 
     init = jnp.zeros(xa.shape[2:], jnp.float32)
@@ -113,34 +126,19 @@ def _temporal_gen_jit(xa, xb, *, n_folds, lam):
     fold_a = jnp.arange(ea) % n_folds
     fold_b = jnp.arange(eb) % n_folds
 
-    def stats(x, keep):
-        k = keep[:, None, None]
-        cnt = jnp.sum(keep)
-        mean = jnp.sum(x * k, 0) / jnp.maximum(cnt, 1.0)
-        var = jnp.sum(jnp.square(x - mean) * k, 0) / jnp.maximum(
-            cnt - 1.0, 1.0)
-        return mean, var, cnt
-
     def fold(acc, f):
         tr_a = (fold_a != f).astype(jnp.float32)
         tr_b = (fold_b != f).astype(jnp.float32)
         te_a, te_b = 1.0 - tr_a, 1.0 - tr_b
-        m0, v0, n0 = stats(xa, tr_a)
-        m1, v1, n1 = stats(xb, tr_b)
+        m0, v0, n0 = _masked_stats(xa, tr_a)
+        m1, v1, n1 = _masked_stats(xb, tr_b)
         pooled = ((n0 - 1.0) * v0 + (n1 - 1.0) * v1) / jnp.maximum(
             n0 + n1 - 2.0, 1.0)
         w = (m0 - m1) / (pooled + lam)                 # (C, T) per train t
-        thr = jnp.sum(w * 0.5 * (m0 + m1), 0)          # (T,)
-        # scores of every TEST time against every TRAIN time's decoder
-        sa = jnp.einsum("ecs,ct->ets", xa, w) - thr[:, None]
-        sb = jnp.einsum("ecs,ct->ets", xb, w) - thr[:, None]
-        diff = sa[:, None] - sb[None, :]               # (Ea, Eb, T, S)
-        pair = (te_a[:, None] * te_b[None, :])[..., None, None]
-        wins = jnp.where(diff > 0, 1.0,
-                         jnp.where(diff == 0, 0.5, 0.0))
-        auc = jnp.sum(wins * pair, (0, 1)) / jnp.maximum(
-            jnp.sum(pair), 1.0)
-        return acc + auc, None
+        # no bias: it cancels in decode_auc's pairwise differences
+        sa = jnp.einsum("ecs,ct->ets", xa, w)
+        sb = jnp.einsum("ecs,ct->ets", xb, w)
+        return acc + decode_auc(sa, sb, te_a, te_b), None
 
     auc, _ = lax.scan(fold, jnp.zeros((xa.shape[-1], xa.shape[-1]),
                                       jnp.float32), jnp.arange(n_folds))

@@ -1000,11 +1000,7 @@ def sharded_env_corr(sigs, bank_r, *, mesh: Mesh,
 
 
 @partial(jax.jit, static_argnames=("mesh", "sfreq"))
-def sharded_stockwell(signals_r, bins, *, mesh: Mesh, sfreq: float):
-    """S-transform over the mesh: (E, ..., N) + (F,) FFT-bin indices ->
-    (real, imag) (E, ..., F, N) pairs, epochs sharded over ``data`` and
-    frequency rows over ``freq`` — both axes embarrassingly parallel, no
-    collective (like ``sharded_cwt_ri``)."""
+def _sharded_stockwell_jit(signals_r, bins, *, mesh: Mesh, sfreq: float):
     from ..ops.stockwell import _stockwell_jit
     ndim = signals_r.ndim
     out_spec = P(DATA_AXIS, *([None] * (ndim - 2)), FREQ_AXIS, None)
@@ -1018,9 +1014,22 @@ def sharded_stockwell(signals_r, bins, *, mesh: Mesh, sfreq: float):
         out_specs=(out_spec, out_spec))(signals_r, bins)
 
 
+def sharded_stockwell(signals_r, freqs, *, mesh: Mesh, sfreq: float):
+    """S-transform over the mesh: (E, ..., N) at the given analysis
+    frequencies (Hz, validated to FFT bins in (0, Nyquist] like every
+    other Stockwell surface) -> (real, imag) (E, ..., F, N) pairs,
+    epochs sharded over ``data`` and frequency rows over ``freq`` —
+    both axes embarrassingly parallel, no collective."""
+    from ..ops.stockwell import _bins
+    signals_r = jnp.asarray(signals_r)
+    bins = _bins(freqs, signals_r.shape[-1], sfreq)
+    return _sharded_stockwell_jit(signals_r, jnp.asarray(bins),
+                                  mesh=mesh, sfreq=float(sfreq))
+
+
 @partial(jax.jit, static_argnames=("mesh", "n_folds", "lam"))
-def sharded_tf_decode(xa, xb, *, mesh: Mesh, n_folds: int = 5,
-                      lam: float = 1e-3):
+def _sharded_tf_decode_jit(xa, xb, *, mesh: Mesh, n_folds: int,
+                           lam: float):
     """Cross-validated TF decoding AUC over the mesh: (Ea, C, F, N) vs
     (Eb, C, F, N) -> (F, N).
 
@@ -1037,3 +1046,20 @@ def sharded_tf_decode(xa, xb, *, mesh: Mesh, n_folds: int = 5,
     spec = P(None, None, FREQ_AXIS, None)
     return jax.shard_map(local, mesh=mesh, in_specs=(spec, spec),
                          out_specs=P(FREQ_AXIS, None))(xa, xb)
+
+
+def sharded_tf_decode(xa, xb, *, mesh: Mesh, n_folds: int = 5,
+                      lam: float = 1e-3):
+    """Validated wrapper (same checks as ``ops.decoding.tf_decode`` —
+    without them, trial counts below ``n_folds`` leave empty test folds
+    whose zero AUC silently deflates the average)."""
+    xa = jnp.asarray(np.asarray(xa, np.float32))
+    xb = jnp.asarray(np.asarray(xb, np.float32))
+    if xa.ndim != 4 or xb.ndim != 4 or xa.shape[1:] != xb.shape[1:]:
+        raise ValueError("expected (Ea, C, F, N) and (Eb, C, F, N) with "
+                         "matching planes, got %s and %s"
+                         % (xa.shape, xb.shape))
+    if min(xa.shape[0], xb.shape[0]) < n_folds:
+        raise ValueError("need at least n_folds trials per class")
+    return _sharded_tf_decode_jit(xa, xb, mesh=mesh,
+                                  n_folds=int(n_folds), lam=float(lam))

@@ -671,13 +671,20 @@ class EpochsWavelet:
         MNE SlidingEstimator analog).  ``log_power`` applies log1p to
         tame heavy-tailed power before the diagonal-LDA fit."""
         from ..ops.decoding import tf_decode
-        xa = self.single_trial_power_all(freqs, baseline,
-                                         baseline_method, decim)
-        xb = other.single_trial_power_all(freqs, baseline,
-                                          baseline_method, decim)
+        # log BEFORE baseline correction: zscore/percent-corrected power
+        # goes below -1, where log1p is NaN and would zero the AUC map
+        xa = self.single_trial_power_all(freqs, None, decim=decim)
+        xb = other.single_trial_power_all(freqs, None, decim=decim)
         if log_power:
             xa = jnp.log1p(xa)
             xb = jnp.log1p(xb)
+        if baseline is not None:
+            from ..ops.baseline import baseline_tf
+            sf = self.wavelet.sfreq / max(int(decim), 1)
+            xa = baseline_tf(xa, sf, baseline[0], baseline[1],
+                             baseline_method)
+            xb = baseline_tf(xb, sf, baseline[0], baseline[1],
+                             baseline_method)
         return tf_decode(xa, xb, n_folds=n_folds, lam=lam)
 
     def decode_generalization(self, other, freqs: Numbers,
@@ -967,7 +974,8 @@ class RawWavelet:
         peaks is THE standard use).  Returns a ``SpectralFit`` whose
         leading axis is the picked channels."""
         from ..ops.specparam import specparam as _fit
-        power = np.asarray(self.power(freqs, picks=picks)).mean(-1)
+        # reduce ON DEVICE: only the (C, F) mean crosses the slow tunnel
+        power = np.asarray(self.power(freqs, picks=picks).mean(-1))
         return _fit(power, np.asarray(freqs, np.float64),
                     max_peaks=max_peaks, fit_knee=fit_knee, **kw)
 

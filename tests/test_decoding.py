@@ -145,3 +145,26 @@ def test_sharded_matches_single_device():
         out = np.asarray(par.sharded_tf_decode(xa, xb, mesh=mesh,
                                                n_folds=4))
         np.testing.assert_allclose(out, single, atol=1e-6)
+
+
+def test_sharded_validates_like_single_device():
+    import ninwavelets_tpu.parallel as par
+    xa, xb = _groups(e=3)
+    mesh = par.make_mesh(data=1, freq=1)
+    with pytest.raises(ValueError):
+        par.sharded_tf_decode(xa, xb, mesh=mesh, n_folds=5)
+
+
+def test_adapter_decode_with_baseline_is_finite():
+    rng = np.random.default_rng(12)
+    sfreq, n, e = 250.0, 128, 12
+    da = rng.standard_normal((e, 2, n)).astype(np.float32)
+    db = rng.standard_normal((e, 2, n)).astype(np.float32)
+    mk = lambda d: nw.EpochsWavelet(
+        nw.ArrayEpochs(d, sfreq, ch_names=["a", "b"]), nw.Morse(sfreq))
+    auc = np.asarray(mk(da).decode(mk(db), [20.0, 30.0], n_folds=4,
+                                   baseline=(0.0, 0.2)))
+    # zscored-log power must stay finite: chance-level, never all-zero
+    assert np.isfinite(auc).all()
+    assert abs(auc.mean() - 0.5) < 0.1
+    assert auc.max() > 0.0

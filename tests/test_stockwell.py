@@ -99,13 +99,20 @@ def test_sharded_matches_single_device():
     sigs = rng.standard_normal((4, N)).astype(np.float32)
     freqs = [16.0, 32.0, 48.0, 64.0]
     r0, i0 = stockwell_ri(sigs, freqs, SFREQ)
-    bins = np.rint(np.asarray(freqs) * N / SFREQ).astype(np.int64)
     for d, f in ((2, 2), (4, 2)):
         mesh = par.make_mesh(data=d, freq=f)
-        r, i = par.sharded_stockwell(jnp.asarray(sigs),
-                                     jnp.asarray(bins), mesh=mesh,
+        r, i = par.sharded_stockwell(jnp.asarray(sigs), freqs, mesh=mesh,
                                      sfreq=SFREQ)
         np.testing.assert_allclose(np.asarray(r), np.asarray(r0),
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(i), np.asarray(i0),
                                    atol=1e-6)
+
+
+def test_sharded_stockwell_validates_frequencies():
+    import jax.numpy as jnp
+    import ninwavelets_tpu.parallel as par
+    mesh = par.make_mesh(data=1, freq=2)
+    with pytest.raises(ValueError):
+        par.sharded_stockwell(jnp.zeros((2, N)), [0.0, 16.0], mesh=mesh,
+                              sfreq=SFREQ)
