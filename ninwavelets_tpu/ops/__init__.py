@@ -55,6 +55,9 @@ from .granger import (conditional_granger, dtf_pdc, granger_from_factors,
                       wavelet_conditional_granger, wavelet_dtf_pdc,
                       wavelet_granger,
                       wavelet_granger_significance, wilson_factorize)
+from .graph import (char_path_length, clustering_onnela,
+                    global_efficiency, shortest_paths, small_worldness,
+                    strength)
 from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
                     reverse_timeline, wavelet_timeline)
 from .decoding import decode_auc, temporal_generalization, tf_decode
@@ -148,6 +151,8 @@ __all__ = [
     "ar1_coefficient", "background_power", "coi_mask", "efolding_times",
     "global_spectrum", "red_noise_spectrum", "significance_level",
     "significant_mask",
+    "strength", "clustering_onnela", "shortest_paths",
+    "global_efficiency", "char_path_length", "small_worldness",
     "analytic_mask", "fft_bin_freqs", "log_freqs", "reverse_timeline",
     "wavelet_timeline",
     "MNE_CONSTANT", "SizeError", "hamming_window", "interpolate_alias",

@@ -1,0 +1,102 @@
+"""Graph metrics (`ops/graph.py`) against brute-force numpy oracles and
+known-structure graphs."""
+import numpy as np
+import pytest
+
+from ninwavelets_tpu.ops import (char_path_length, clustering_onnela,
+                                 global_efficiency, shortest_paths,
+                                 small_worldness, strength)
+
+RNG = np.random.default_rng(3)
+
+
+def _rand_w(c=6, batch=()):
+    w = RNG.random(batch + (c, c)).astype(np.float32)
+    w = 0.5 * (w + np.swapaxes(w, -1, -2))
+    idx = np.arange(c)
+    w[..., idx, idx] = 0.0
+    return w
+
+
+def _floyd(w):
+    c = w.shape[-1]
+    d = np.where(w > 1e-12, 1.0 / np.maximum(w, 1e-12), np.inf)
+    np.fill_diagonal(d, 0.0)
+    for k in range(c):
+        d = np.minimum(d, d[:, k:k + 1] + d[k:k + 1, :])
+    return d
+
+
+class TestGraph:
+    def test_strength(self):
+        w = _rand_w()
+        np.testing.assert_allclose(np.asarray(strength(w)), w.sum(-1),
+                                   rtol=1e-6)
+
+    def test_shortest_paths_match_floyd_warshall(self):
+        w = _rand_w(c=7)
+        w[0, 3] = w[3, 0] = 0.0   # knock out an edge: relays matter
+        ours = np.asarray(shortest_paths(w))
+        ref = _floyd(w)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+    def test_disconnected_pair_unreachable(self):
+        w = np.zeros((4, 4), np.float32)
+        w[0, 1] = w[1, 0] = 1.0
+        w[2, 3] = w[3, 2] = 1.0
+        d = np.asarray(shortest_paths(w))
+        assert d[0, 1] == pytest.approx(1.0)
+        assert d[0, 2] > 1e8
+        ge = float(global_efficiency(w))
+        # only 4 of 12 ordered pairs reachable at distance 1
+        assert ge == pytest.approx(4.0 / 12.0)
+        assert float(char_path_length(w)) == pytest.approx(1.0)
+
+    def test_clustering_limits(self):
+        c = 5
+        full = np.ones((c, c), np.float32)
+        np.fill_diagonal(full, 0.0)
+        np.testing.assert_allclose(np.asarray(clustering_onnela(full)),
+                                   1.0, atol=1e-6)
+        star = np.zeros((c, c), np.float32)
+        star[0, 1:] = star[1:, 0] = 1.0   # hub: no triangles anywhere
+        np.testing.assert_allclose(np.asarray(clustering_onnela(star)),
+                                   0.0, atol=1e-6)
+
+    def test_clustering_matches_bruteforce(self):
+        w = _rand_w(c=6)
+        wn = w / w.max()
+        wp = np.cbrt(wn)
+        ref = np.zeros(6)
+        for i in range(6):
+            tri = 0.0
+            for j in range(6):
+                for h in range(6):
+                    if i != j and j != h and h != i:
+                        tri += wp[i, j] * wp[j, h] * wp[h, i]
+            k = (w[i] > 0).sum()
+            ref[i] = tri / (k * (k - 1)) if k > 1 else 0.0
+        np.testing.assert_allclose(np.asarray(clustering_onnela(w)), ref,
+                                   rtol=1e-5)
+
+    def test_batched_over_frequencies(self):
+        w = _rand_w(c=5, batch=(3,))
+        s = np.asarray(strength(w))
+        assert s.shape == (3, 5)
+        d = np.asarray(shortest_paths(w))
+        for f in range(3):
+            np.testing.assert_allclose(d[f], _floyd(w[f]), rtol=1e-5)
+
+    def test_small_world_lattice_beats_uniform(self):
+        # a ring lattice (high clustering) vs a flat uniform graph
+        c = 16
+        ring = np.zeros((c, c), np.float32)
+        for i in range(c):
+            for off in (1, 2):
+                ring[i, (i + off) % c] = ring[(i + off) % c, i] = 1.0
+        sig_ring = float(small_worldness(ring, n_nulls=10))
+        flat = np.full((c, c), 0.3, np.float32)
+        np.fill_diagonal(flat, 0.0)
+        sig_flat = float(small_worldness(flat, n_nulls=10))
+        assert sig_ring > sig_flat
+        assert sig_flat == pytest.approx(1.0, abs=0.05)
