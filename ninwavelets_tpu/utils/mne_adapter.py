@@ -597,6 +597,31 @@ class EpochsWavelet:
         return _coh_m(waves, br, bi, interpolate=self.wavelet.interpolate,
                       eps=eps, time_range=self._samples(time_range))
 
+    def network(self, freqs: Numbers, method: str = "wpli",
+                time_range=None, n_nulls: int = 0) -> dict:
+        """Graph-theoretic summary of the all-pairs connectivity at each
+        frequency (extension — ``ops.graph`` over the ``*_matrix``
+        estimators): dict with the (F, C, C) ``matrix`` plus per-node
+        ``strength`` (F, C), ``clustering`` (F, C), and per-frequency
+        ``efficiency`` / ``path_length`` (F,); ``n_nulls > 0`` adds
+        ``small_world`` sigma against weight-shuffled nulls."""
+        from ..ops import graph as _g
+        fn = {"wpli": self.wpli_matrix, "plv": self.plv_matrix,
+              "coherence": self.coherence_matrix,
+              "ppc": self.ppc_matrix}.get(method)
+        if fn is None:
+            raise ValueError("method must be one of wpli/plv/coherence/"
+                             "ppc, got %r" % (method,))
+        m = fn(freqs, time_range=time_range)
+        out = {"matrix": m,
+               "strength": _g.strength(m),
+               "clustering": _g.clustering_onnela(m),
+               "efficiency": _g.global_efficiency(m),
+               "path_length": _g.char_path_length(m)}
+        if n_nulls:
+            out["small_world"] = _g.small_worldness(m, n_nulls=n_nulls)
+        return out
+
     def nm_plv(self, ch_a: str, ch_b: str, freqs: Numbers, n: int = 1,
                m: int = 1, eps: float = 0.0) -> jnp.ndarray:
         """(F, N) n:m cross-frequency phase-locking between two channels

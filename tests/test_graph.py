@@ -100,3 +100,27 @@ class TestGraph:
         sig_flat = float(small_worldness(flat, n_nulls=10))
         assert sig_ring > sig_flat
         assert sig_flat == pytest.approx(1.0, abs=0.05)
+
+
+def test_adapter_network():
+    import ninwavelets_tpu as nw
+    rng = np.random.default_rng(7)
+    n, e = 256, 10
+    t = np.arange(n) / 250.0
+    shared = np.sin(2 * np.pi * 20 * t + 0.7)
+    data = 0.5 * rng.standard_normal((e, 3, n)).astype(np.float32)
+    data[:, 0] += shared.astype(np.float32)
+    data[:, 1] += np.roll(shared, 7).astype(np.float32)
+    ew = nw.EpochsWavelet(
+        nw.ArrayEpochs(data, 250.0, ch_names=["a", "b", "c"]),
+        nw.Morse(250.0))
+    net = ew.network([15.0, 20.0, 25.0], method="plv", n_nulls=5)
+    assert np.asarray(net["matrix"]).shape == (3, 3, 3)
+    assert np.asarray(net["strength"]).shape == (3, 3)
+    assert np.asarray(net["efficiency"]).shape == (3,)
+    assert "small_world" in net
+    # the lagged-coupled pair dominates node strength at 20 Hz
+    s20 = np.asarray(net["strength"])[1]
+    assert s20[2] < s20[0] and s20[2] < s20[1]
+    with pytest.raises(ValueError):
+        ew.network([20.0], method="nope")
