@@ -92,6 +92,19 @@ def main(plot: bool = False) -> None:
           f"{gfreqs[fwd.argmax()]:.0f} Hz; reverse peak {rev.max():.3f} "
           f"(true direction is c0->c1)")
 
+    # --- 5. MVPA decoding: WHERE in (f, t) is condition decodable? ------
+    auc = np.asarray(ew_a.decode(ew_b, freqs, n_folds=5))
+    k = np.unravel_index(auc.argmax(), auc.shape)
+    print(f"decoding: peak AUC {auc.max():.2f} at {freqs[k[0]]:.0f} Hz, "
+          f"t = {k[1] / SFREQ:.2f} s (chance elsewhere: "
+          f"{np.median(auc):.2f})")
+
+    # --- 6. network summary of the PLV graph ----------------------------
+    net = ew_a.network(freqs[:4], method="plv")
+    eff = np.asarray(net["efficiency"])
+    print(f"network: global efficiency by frequency "
+          f"{np.round(eff, 2)} (3 sensors; c0-c1 share the burst)")
+
     if plot:
         import pathlib
 

@@ -174,6 +174,7 @@ def test_stats_demo_headless(capsys):
     out = capsys.readouterr().out
     assert "cluster test" in out and "p=0.00" in out
     assert "TFCE" in out and "Granger" in out
+    assert "decoding: peak AUC" in out and "network: global" in out
 
 
 class TestSignificance:
