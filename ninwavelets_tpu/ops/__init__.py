@@ -26,6 +26,7 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            ppc_from_bank, ppc_matrix, ppc_matrix_from_bank,
                            surrogate_pvalues, wpli_matrix,
                            wpli_matrix_from_bank)
+from .bootstrap import bootstrap_ci
 from .bursts import (BurstSummary, burst_summary, burst_table,
                      burst_threshold)
 from .cluster import (ClusterResult, TfceResult, cluster_mass,
@@ -81,7 +82,8 @@ from .specparam import (SpectralFit, aperiodic_model, peaks_model,
 from .sst import (ssq_mean_power, ssq_mean_power_from_bank, ssq_power,
                   ssq_power_from_bank)
 from .tc_stats import (ar1_coefficient, background_power, coi_mask,
-                       efolding_times, global_spectrum, red_noise_spectrum,
+                       efolding_times, global_spectrum, itc_pvalue,
+                       itc_threshold, red_noise_spectrum,
                        significance_level, significant_mask)
 from .signal_utils import (MNE_CONSTANT, SizeError, hamming_window,
                            interpolate_alias, normalize, pad_to)
@@ -120,6 +122,7 @@ __all__ = [
     "ppc", "ppc_auto", "ppc_from_bank",
     "wpli_matrix", "wpli_matrix_from_bank",
     "ppc_matrix", "ppc_matrix_from_bank",
+    "bootstrap_ci",
     "BurstSummary", "burst_summary", "burst_table", "burst_threshold",
     "ClusterResult", "cluster_mass", "cluster_test_independent",
     "cluster_test_one_sample", "cluster_test_paired", "label_components",
@@ -150,7 +153,7 @@ __all__ = [
     "fit_frequencies", "learn_bank",
     "ar1_coefficient", "background_power", "coi_mask", "efolding_times",
     "global_spectrum", "red_noise_spectrum", "significance_level",
-    "significant_mask",
+    "significant_mask", "itc_pvalue", "itc_threshold",
     "strength", "clustering_onnela", "shortest_paths",
     "global_efficiency", "char_path_length", "small_worldness",
     "analytic_mask", "fft_bin_freqs", "log_freqs", "reverse_timeline",

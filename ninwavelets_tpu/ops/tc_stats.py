@@ -28,7 +28,7 @@ import numpy as np
 __all__ = [
     "ar1_coefficient", "red_noise_spectrum", "background_power",
     "significance_level", "significant_mask", "global_spectrum",
-    "efolding_times", "coi_mask",
+    "efolding_times", "coi_mask", "itc_pvalue", "itc_threshold",
 ]
 
 
@@ -192,3 +192,19 @@ def coi_mask(n: int, sfreq: float, efold_s: np.ndarray) -> np.ndarray:
     t = np.arange(n) / sfreq
     dist = np.minimum(t, t[::-1])
     return dist[None, :] >= np.asarray(efold_s, np.float64)[:, None]
+
+
+def itc_pvalue(itc, n_epochs: int):
+    """Rayleigh-test p-value plane for inter-trial coherence: under the
+    null of uniform phases, ``p = exp(-E * ITC^2)`` (the classic
+    approximation; excellent for E >= 10).  The matching critical value
+    is ``itc_threshold``.  Extension — the reference reports raw ITC
+    with no inferential calibration."""
+    itc = jnp.asarray(itc, jnp.float32)
+    return jnp.exp(-float(n_epochs) * itc * itc)
+
+
+def itc_threshold(alpha: float, n_epochs: int) -> float:
+    """ITC value above which the Rayleigh p falls below ``alpha``:
+    ``sqrt(-ln(alpha) / E)``."""
+    return float(np.sqrt(-np.log(alpha) / float(n_epochs)))

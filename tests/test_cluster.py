@@ -578,3 +578,47 @@ def test_calibration_artifact_within_binomial_bounds():
                 "cluster_independent_fwer"):
         assert 0.013 <= rows[key] <= 0.095, (key, rows[key])
     assert 0.005 <= rows["plv_pointwise_rate"] <= 0.08
+
+
+class TestBootstrapAndRayleigh:
+    def test_bootstrap_ci_covers_truth(self):
+        from ninwavelets_tpu.ops import bootstrap_ci
+        rng = np.random.default_rng(5)
+        # trials ~ N(mu, 1): the 95% CI should bracket mu ~95% of pixels
+        mu = 2.0
+        trials = (mu + rng.standard_normal((40, 6, 10))).astype(
+            np.float32)
+        lo, hi = bootstrap_ci(trials, alpha=0.05, n_boot=500)
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        cover = ((lo <= mu) & (mu <= hi)).mean()
+        assert cover > 0.85
+        assert np.all(lo < hi)
+        # CI midpoint tracks the sample mean
+        np.testing.assert_allclose(0.5 * (lo + hi), trials.mean(0),
+                                   atol=0.25)
+
+    def test_bootstrap_validates_and_is_deterministic(self):
+        from ninwavelets_tpu.ops import bootstrap_ci
+        x = np.random.default_rng(0).standard_normal(
+            (10, 3, 4)).astype(np.float32)
+        a = bootstrap_ci(x, n_boot=100, seed=3)
+        b = bootstrap_ci(x, n_boot=100, seed=3)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        with pytest.raises(ValueError):
+            bootstrap_ci(x[:1])
+
+    def test_rayleigh_itc_calibration(self):
+        from ninwavelets_tpu.ops import itc_pvalue, itc_threshold
+        # Monte Carlo: uniform phases, E epochs -> p uniform-ish; the
+        # alpha-level threshold is exceeded ~alpha of the time
+        rng = np.random.default_rng(1)
+        e, trials = 24, 2000
+        phases = rng.uniform(0, 2 * np.pi, (trials, e))
+        itc = np.abs(np.exp(1j * phases).mean(1))
+        thr = itc_threshold(0.05, e)
+        rate = (itc > thr).mean()
+        assert 0.02 < rate < 0.09
+        p = np.asarray(itc_pvalue(itc, e))
+        assert 0.02 < (p < 0.05).mean() < 0.09
+        # strong locking -> tiny p
+        assert float(np.asarray(itc_pvalue(0.9, e))) < 1e-6
