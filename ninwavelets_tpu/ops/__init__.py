@@ -41,7 +41,8 @@ from .dwt import (imodwt, max_level, modwt, modwt_corr, modwt_cov,
                   pow2_pad, wavedec, waverec, wavelet_filter)
 from .wpt import (best_basis, best_basis_reconstruct, imodwpt, modwpt,
                   node_band)
-from .extensions import (bicoherence, bicoherence_from_banks, imcoh,
+from .extensions import (bicoherence, bicoherence_from_banks, cfd,
+                         cfd_from_banks, imcoh,
                          imcoh_auto, imcoh_from_bank, imcoh_from_sums,
                          psi, psi_from_bank, psi_from_sums,
                          bump_spectrum, cross_power_from_bank,
@@ -109,7 +110,7 @@ __all__ = [
     "wavelet_entropy", "wtc_significance",
     "bicoherence", "bicoherence_from_banks",
     "imcoh", "imcoh_auto", "imcoh_from_bank", "imcoh_from_sums",
-    "psi", "psi_from_bank", "psi_from_sums",
+    "psi", "psi_from_bank", "psi_from_sums", "cfd", "cfd_from_banks",
     "plv", "plv_from_bank", "plv_sums", "pac", "pac_from_banks",
     "nm_plv", "nm_plv_from_bank", "plv_significance", "surrogate_pvalues",
     "pac_significance", "pac_pair_from_banks", "pac_pair",

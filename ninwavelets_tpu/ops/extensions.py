@@ -508,6 +508,52 @@ def psi(sigs_a_r, sigs_b_r, bank_r, bank_i=None, band=None,
                     normalize=bool(normalize))
 
 
+def cfd_from_banks(sigs: jnp.ndarray, bank_slow: jnp.ndarray,
+                   bank_fast: jnp.ndarray, band=None,
+                   interpolate: bool = False, eps: float = 1e-12,
+                   normalize: bool = True) -> jnp.ndarray:
+    """Cross-frequency directionality (Jiang, Bahramisharif, van Gerven
+    & Jensen, PLoS Biol 2015): (E, ..., N) -> (..., N).
+
+    DOES the slow phase drive the fast amplitude, or the reverse?  The
+    fast band's amplitude envelope (mean over ``bank_fast`` rows) is
+    treated as a signal and the phase slope index is computed between
+    the raw signal and that envelope across the ``band`` rows of
+    ``bank_slow``: positive = the slow oscillation LEADS the fast
+    amplitude (phase -> amplitude coupling direction), negative = the
+    amplitude leads, ~0 for zero-lag comodulation.
+
+    Caveat (inherent to any phase-slope measure): the slow rhythm must
+    be BROADBAND across the analyzed rows — a pure sinusoidal driver
+    puts the same spectral line in every wavelet row, the cross-phase
+    is then flat across rows, and the slope (hence CFD) is ~0 no matter
+    how strong or lagged the coupling.
+    """
+    wa = cwt_from_bank(sigs, bank_fast, interpolate)
+    env = jnp.mean(jnp.abs(wa), axis=-2)               # (E, ..., N)
+    return psi_from_bank(sigs, env, bank_slow, band, interpolate, eps,
+                         normalize)
+
+
+@partial(jax.jit, static_argnames=("band", "interpolate", "eps",
+                                   "normalize"))
+def _cfd_jit(sigs, bs, bf, *, band, interpolate, eps, normalize):
+    return cfd_from_banks(sigs, bs, bf, band, interpolate, eps,
+                          normalize)
+
+
+def cfd(sigs_r, bank_slow_r, bank_fast_r, band=None,
+        interpolate: bool = False, eps: float = 1e-12,
+        normalize: bool = True):
+    """Jitted float-boundary wrapper for ``cfd_from_banks`` (real
+    analytic banks; ``band`` is a static (lo, hi) slow-row pair)."""
+    b = None if band is None else (int(band[0]), int(band[1]))
+    return _cfd_jit(jnp.asarray(sigs_r), jnp.asarray(bank_slow_r),
+                    jnp.asarray(bank_fast_r), band=b,
+                    interpolate=bool(interpolate), eps=float(eps),
+                    normalize=bool(normalize))
+
+
 # ----------------------------------------------------------------------------
 # wavelet entropy (Rosso 2001)
 # ----------------------------------------------------------------------------

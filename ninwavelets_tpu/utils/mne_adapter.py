@@ -805,6 +805,19 @@ class EpochsWavelet:
         return fn(waves, self.wavelet.sfreq, n_bins=n_bins,
                   time_decim=time_decim, n_iter=n_iter)
 
+    def cfd(self, ch_name: str, freqs_slow: Numbers,
+            freqs_fast: Numbers, band=None) -> jnp.ndarray:
+        """(N,) cross-frequency directionality of one channel
+        (extension — ``ops.cfd``, Jiang 2015): positive where the slow
+        phase LEADS the fast amplitude envelope (phase drives
+        amplitude), negative for the reverse."""
+        from ..ops.extensions import cfd as _cfd
+        waves = self._channel_data(ch_name)
+        bs, _ = self._conn_bank(waves.shape[-1], freqs_slow)
+        bf, _ = self._conn_bank(waves.shape[-1], freqs_fast)
+        return _cfd(waves, bs, bf, band=band,
+                    interpolate=self.wavelet.interpolate)
+
     def erpac(self, ch_name: str, freqs_phase: Numbers,
               freqs_amp: Numbers) -> jnp.ndarray:
         """(Fp, Fa, N) event-related PAC of one channel (extension —

@@ -376,3 +376,58 @@ class TestErpac:
         assert np.all((rho >= 0) & (rho <= 1))
         with pytest.raises(ValueError):
             erpac(np.zeros(64), np.zeros((1, 64)), np.zeros((1, 64)))
+
+
+class TestCfd:
+    def _sim(self, d_samp, e=24, n=4096, sfreq=500.0, seed=0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / sfreq
+        out = np.zeros((e, n), np.float32)
+        f_axis = np.fft.rfftfreq(n, 1 / sfreq)
+        for ep in range(e):
+            spec = np.fft.rfft(rng.standard_normal(n))
+            spec[(f_axis < 5.0) | (f_axis > 12.0)] = 0
+            slow = np.fft.irfft(spec, n)
+            slow = (slow / slow.std()).astype(np.float32)
+            lag = np.roll(slow, d_samp)
+            fast = (1 + 0.5 * np.tanh(lag)) * np.sin(
+                2 * np.pi * 70 * t + rng.uniform(0, 6.3))
+            out[ep] = slow + 0.5 * fast \
+                + 0.1 * rng.standard_normal(n)
+        return out
+
+    def test_direction_follows_the_lag(self):
+        import jax.numpy as jnp
+        from ninwavelets_tpu.ops import cfd
+        from ninwavelets_tpu.ops.bank import make_fft_bank
+        sfreq, n = 500.0, 4096
+        m = nw.Morse(sfreq)
+        bs = jnp.asarray(np.asarray(make_fft_bank(
+            m._wdef(), jnp.asarray(np.arange(5.0, 13.0, 1.0,
+                                             dtype=np.float32)),
+            n, sfreq, True), np.float32))
+        bf = jnp.asarray(np.asarray(make_fft_bank(
+            m._wdef(), jnp.asarray(np.arange(60.0, 81.0, 5.0,
+                                             dtype=np.float32)),
+            n, sfreq, True), np.float32))
+        mid = slice(300, -300)
+        fwd = float(np.asarray(cfd(self._sim(10), bs, bf,
+                                   interpolate=True))[mid].mean())
+        rev = float(np.asarray(cfd(self._sim(-10), bs, bf,
+                                   interpolate=True))[mid].mean())
+        zero = float(np.asarray(cfd(self._sim(0), bs, bf,
+                                    interpolate=True))[mid].mean())
+        assert fwd > 0.05          # slow phase leads fast amplitude
+        assert rev < -0.05         # reversed lag flips the sign
+        assert abs(zero) < 0.03    # zero-lag comodulation: no direction
+
+    def test_adapter(self):
+        sfreq = 500.0
+        data = self._sim(10, e=10, n=1024)[:, None, :]
+        ew = nw.EpochsWavelet(
+            nw.ArrayEpochs(data, sfreq, ch_names=["c"]),
+            nw.Morse(sfreq, interpolate=True))
+        v = np.asarray(ew.cfd("c", np.arange(5.0, 13.0, 1.0),
+                              np.arange(60.0, 81.0, 5.0)))
+        assert v.shape == (1024,)
+        assert v[200:-200].mean() > 0.02
