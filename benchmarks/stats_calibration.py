@@ -79,6 +79,29 @@ def main():
         frac.append(float((np.asarray(p) <= ALPHA).mean()))
     rows["plv_pointwise_rate"] = float(np.mean(frac))
 
+    # --- spatio-spectral cluster FWER (channel adjacency) ------------------
+    hits = 0
+    edges = np.array([[0, 1], [1, 2]], np.int32)
+    for s in range(N_SIMS // 2):
+        x = rng.standard_normal((16, 3, 6, 16)).astype(np.float32)
+        res = cl.cluster_test_one_sample(x, n_perm=99, seed=s,
+                                         adjacency=edges)
+        if any(c["p"] <= ALPHA for c in res.clusters):
+            hits += 1
+    rows["cluster_adjacency_fwer"] = hits / (N_SIMS // 2)
+
+    # --- decoding null: cross-validated AUC must sit at chance -------------
+    from ninwavelets_tpu.ops.decoding import tf_decode
+    aucs = []
+    for s in range(60):
+        r2 = np.random.default_rng(1000 + s)
+        xa = r2.standard_normal((20, 4, 5, 12)).astype(np.float32)
+        xb = r2.standard_normal((20, 4, 5, 12)).astype(np.float32)
+        aucs.append(float(np.asarray(tf_decode(xa, xb,
+                                               n_folds=5)).mean()))
+    rows["decode_null_auc_mean"] = float(np.mean(aucs))
+    rows["decode_null_auc_sd"] = float(np.std(aucs))
+
     rows["n_sims"] = N_SIMS
     rows["alpha"] = ALPHA
     rows["elapsed_s"] = round(time.time() - t0, 1)

@@ -577,7 +577,10 @@ def test_calibration_artifact_within_binomial_bounds():
     for key in ("cluster_fwer", "tfce_fwer", "maxstat_fwer",
                 "cluster_independent_fwer"):
         assert 0.013 <= rows[key] <= 0.095, (key, rows[key])
+    # half as many sims -> wider envelope
+    assert 0.005 <= rows["cluster_adjacency_fwer"] <= 0.115
     assert 0.005 <= rows["plv_pointwise_rate"] <= 0.08
+    assert abs(rows["decode_null_auc_mean"] - 0.5) < 0.02
 
 
 class TestBootstrapAndRayleigh:
