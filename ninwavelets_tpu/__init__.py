@@ -13,7 +13,7 @@ The top-level exports mirror the reference package surface
 under ``ninwavelets_tpu.ops`` and the sharded engine under
 ``ninwavelets_tpu.parallel``.
 """
-from . import config, ops
+from . import config, io, ops
 from .models import (Bump, DOG, Haar, MexicanHat, Morlet, Morse, MorseMNE,
                      MorseMultitaper, Paul, Shannon, Superlet, WaveletBase,
                      WaveletMode)
@@ -31,6 +31,6 @@ __all__ = [
     "ArrayEpochs", "EpochsWavelet", "RawWavelet",
     # additions
     "plot_wavelet", "baseline_correct", "baseline_tf", "ops", "config",
-    "Parallel", "Sequence", "compose", "dict_map",
+    "Parallel", "Sequence", "compose", "dict_map", "io",
     "Paul", "DOG", "Bump", "Superlet", "MorseMultitaper",
 ]

@@ -211,29 +211,25 @@ class StreamingCWT:
 
     def _ext_batches(self, signal: np.ndarray):
         """Yield ``(batch_starts, (batch, window + 2*halo) ext array)``
-        groups — the one place the halo-window extraction arithmetic
-        lives (consumed by both ``blocks`` and ``power_device``).
+        groups (consumed by both ``blocks`` and ``power_device``).
 
-        Always the full (batch, ext) shape — a ragged tail batch would be
-        a second compiled program (minutes of Mosaic compile for one
-        partial batch); unused rows stay zero.
+        The extraction arithmetic lives in :mod:`ninwavelets_tpu.io`:
+        the native gather kernel fills each batch in one GIL-free C
+        call, and a worker thread prepares batch ``i+1`` while the
+        device consumes batch ``i``.  Always the full (batch, ext)
+        shape — a ragged tail batch would be a second compiled program
+        (minutes of Mosaic compile for one partial batch); unused rows
+        stay zero.
         """
-        n = signal.shape[-1]
-        lead = signal.shape[:-1]           # optional channel dims
-        h, w = self.halo, self.window
-        batch = self._effective_batch(lead)
-        starts = list(range(0, n, w))
-        for group in range(0, len(starts), batch):
-            batch_starts = starts[group:group + batch]
-            ext = np.zeros((batch,) + lead + (w + 2 * h,),
-                           dtype=np.float32)
-            for row, start in enumerate(batch_starts):
-                stop = min(start + w, n)
-                lo, hi = start - h, stop + h
-                src_lo, src_hi = max(lo, 0), min(hi, n)
-                ext[row, ..., src_lo - lo:src_lo - lo + (src_hi - src_lo)] \
-                    = signal[..., src_lo:src_hi]
-            yield batch_starts, ext
+        from ..io.stream import ArraySource
+        return self._source_batches(ArraySource(signal))
+
+    def _source_batches(self, source):
+        """``(batch_starts, ext)`` groups from any ``io.stream`` source
+        (in-memory array, mmap'd EDF file, ...)."""
+        from ..io.stream import iter_ext_batches
+        batch = self._effective_batch(tuple(source.lead))
+        return iter_ext_batches(source, self.window, self.halo, batch)
 
     def _effective_batch(self, lead) -> int:
         """Windows per device call, clamped so windows x channels stays
@@ -315,14 +311,24 @@ class StreamingCWT:
         tunneled chip D2H runs at a few MB/s, and even on directly-attached
         hardware the (F, N) plane is the largest tensor in the pipeline.
         """
-        signal = np.asarray(signal, dtype=np.float32)
-        n = signal.shape[-1]
-        span = self._effective_batch(signal.shape[:-1]) * self.window
+        from ..io.stream import ArraySource
+        return self.power_device_source(ArraySource(signal))
+
+    def power_device_source(self, source):
+        """``power_device`` over any :mod:`ninwavelets_tpu.io` source —
+        e.g. ``io.EDFSource(path)`` streams a recording straight off the
+        file mmap into the fused kernel, window batch by window batch,
+        without ever materializing the recording in host memory
+        (SURVEY §7.3's input-pipeline requirement); the native gather
+        for batch ``i+1`` runs on a worker thread while the device
+        computes batch ``i``."""
+        n = int(source.n_samples)
+        lead = tuple(source.lead)
+        span = self._effective_batch(lead) * self.window
         n_batches = -(-n // span)
-        buf = jnp.zeros(signal.shape[:-1]
-                        + (self.freqs.shape[0], n_batches * span),
+        buf = jnp.zeros(lead + (self.freqs.shape[0], n_batches * span),
                         jnp.float32)
-        for batch_starts, ext in self._ext_batches(signal):
+        for batch_starts, ext in self._source_batches(source):
             buf = _paste_batch(buf, jnp.asarray(ext), self._bank[0],
                                self._bank[1],
                                jnp.int32(batch_starts[0]), halo=self.halo,

@@ -897,6 +897,16 @@ class RawWavelet:
         self._batch = int(batch)
         self._precision = precision
 
+    @classmethod
+    def from_edf(cls, path, wavelet: WaveletBase, picks=None,
+                 **kw) -> "RawWavelet":
+        """Open an EDF recording directly (``io.EDFRaw`` under the
+        hood): ``power``/``power_channel`` then stream window batches
+        straight off the file mmap via the native gather kernels — the
+        recording is never materialized in host memory."""
+        from ..io.edf import EDFRaw
+        return cls(EDFRaw(path, picks=picks), wavelet, **kw)
+
     def invalidate(self) -> None:
         """Drop the cached ``get_data()`` snapshot and streams — call after
         mutating the raw object (crop/filter), like
@@ -911,6 +921,24 @@ class RawWavelet:
         if not hasattr(self, '_host'):
             self._host = np.asarray(self.raw.get_data(), np.float32)
         return self._host
+
+    def _file_source(self, picks=None):
+        """An ``io.stream`` source gathering straight off the file mmap
+        when the raw object is EDF-backed (``io.EDFRaw``), else None.
+        File-backed recordings then stream into the device without a
+        host snapshot (SURVEY §7.3's input-pipeline requirement)."""
+        reader = getattr(self.raw, "reader", None)
+        if reader is None or not hasattr(reader, "gather"):
+            return None
+        from ..io.stream import EDFSource
+        base = getattr(self.raw, "_picks", None)
+        if picks is not None:
+            names = picks                    # adapter picks are names
+        elif base is not None:
+            names = base
+        else:
+            names = None
+        return EDFSource(reader, picks=names)
 
     def _stream_for(self, freqs: Numbers):
         # One StreamingCWT (bank synthesis + halo derivation + compiled
@@ -934,6 +962,9 @@ class RawWavelet:
         (fetching it to host is the caller's choice — the plane is the
         largest tensor in the pipeline).  ``picks``: optional list of
         channel names."""
+        source = self._file_source(picks)
+        if source is not None:
+            return self._stream_for(freqs).power_device_source(source)
         data = self._host_data()
         if picks is not None:
             idx = [self.raw.ch_names.index(ch) for ch in picks]
@@ -943,6 +974,9 @@ class RawWavelet:
     def power_channel(self, ch_name: str, freqs: Numbers):
         """(F, N) power TFR of one channel (sliced on host — only that
         channel's samples ride the stream)."""
+        source = self._file_source([ch_name])
+        if source is not None:
+            return self._stream_for(freqs).power_device_source(source)[0]
         data = self._host_data()[self.raw.ch_names.index(ch_name)]
         return self._stream_for(freqs).power_device(data)
 
