@@ -1110,21 +1110,34 @@ class RawWavelet:
         sf = self.wavelet.sfreq
         start = int(round(tmin * sf))
         n_win = int(round((tmax - tmin) * sf)) + 1
-        data = self._host_data()
-        ch_names = list(self.raw.ch_names)
-        if picks is not None:
-            idx = [ch_names.index(ch) for ch in picks]
-            data = data[idx]
-            ch_names = list(picks)
-        n = data.shape[-1]
+        ch_names = (list(picks) if picks is not None
+                    else list(self.raw.ch_names))
+        source = self._file_source(picks)
+        if source is not None:
+            n = int(source.n_samples)
+        else:
+            data = self._host_data()
+            if picks is not None:
+                idx = [self.raw.ch_names.index(ch) for ch in picks]
+                data = data[idx]
+            n = data.shape[-1]
         keep = (ev + start >= 0) & (ev + start + n_win <= n)
         ev = ev[keep]
         if ev.size == 0:
             raise ValueError(
                 "no event window fits inside the recording "
                 f"(N={n}, window={n_win} samples at offset {start})")
-        windows = np.stack([data[:, e + start:e + start + n_win]
-                            for e in ev])              # (E, C, Nw)
+        # One native gather builds the (E, C, Nw) batch — straight off
+        # the file mmap for EDF-backed recordings (no host snapshot),
+        # off the cached snapshot otherwise (halo=0: every kept window
+        # is interior, so no zero-padding can occur).
+        if source is not None:
+            windows = source.gather(ev + start, n_win, 0)
+        else:
+            from ..io.native import f32_gather
+            flat = data.reshape(-1, n)
+            windows = f32_gather(flat, ev + start, n_win, 0).reshape(
+                (len(ev),) + data.shape[:-1] + (n_win,))
         times = tmin + np.arange(n_win) / sf
         return EpochsWavelet(
             ArrayEpochs(windows, sf, ch_names, times=times), self.wavelet)

@@ -247,6 +247,30 @@ class TestSources:
         pc = np.asarray(rw.power_channel("b", freqs))
         np.testing.assert_allclose(pc, p_file[1], rtol=1e-4, atol=1e-9)
 
+    def test_epochs_from_edf_gather(self, tmp_path):
+        """Event-locked epoching off the file mmap == snapshot slicing."""
+        rng = np.random.default_rng(14)
+        sfreq = 250.0
+        data = rng.standard_normal((2, 2500))
+        path = os.path.join(tmp_path, "e.edf")
+        write_edf(path, data, sfreq, ch_names=["a", "b"])
+        morse = nw.Morse(sfreq)
+        rw = nw.RawWavelet.from_edf(path, morse)
+        events = np.array([10, 300, 1200, 2490])  # first/last get dropped
+        ew = rw.epochs(events, tmin=-0.2, tmax=0.2)
+        n_win = int(round(0.4 * sfreq)) + 1
+        assert ew._host_data().shape == (2, 2, n_win)
+        assert not hasattr(rw, "_host")  # still no snapshot
+        # parity vs snapshot-path epoching on the decoded samples
+        raw_mem = type("R", (), {})()
+        raw_mem.info = {"sfreq": sfreq}
+        raw_mem.ch_names = ["a", "b"]
+        raw_mem.get_data = lambda: EDFReader(path).get_data()
+        ew_mem = nw.RawWavelet(raw_mem, nw.Morse(sfreq)).epochs(
+            events, tmin=-0.2, tmax=0.2)
+        np.testing.assert_allclose(ew._host_data(), ew_mem._host_data(),
+                                   rtol=1e-5, atol=1e-7)
+
     def test_from_edf_picks(self, tmp_path):
         rng = np.random.default_rng(13)
         data = rng.standard_normal((3, 1024))
