@@ -70,6 +70,10 @@ int ninw_edf_gather(const int16_t* data, long n_records, long rec_stride,
         const long hi = starts[w] + window + halo;
         const long src_lo = std::max(lo, 0L);
         const long src_hi = std::min(hi, total);
+        if (src_hi <= src_lo) {                  // window fully outside
+            zero(out + w * n_ch * ext, n_ch * ext);
+            continue;
+        }
         for (long c = 0; c < n_ch; ++c) {
             float* row = out + (w * n_ch + c) * ext;
             zero(row, src_lo - lo);
@@ -87,7 +91,7 @@ int ninw_edf_gather(const int16_t* data, long n_records, long rec_stride,
                 dst += run;
                 s += run;
             }
-            zero(row + (src_hi - lo), hi - std::max(src_hi, lo));
+            zero(row + (src_hi - lo), hi - src_hi);
         }
     }
     return 0;
@@ -106,14 +110,17 @@ int ninw_f32_gather(const float* data, long n_ch, long n_samples,
         const long hi = starts[w] + window + halo;
         const long src_lo = std::max(lo, 0L);
         const long src_hi = std::min(hi, n_samples);
+        if (src_hi <= src_lo) {                  // window fully outside
+            zero(out + w * n_ch * ext, n_ch * ext);
+            continue;
+        }
         for (long c = 0; c < n_ch; ++c) {
             float* row = out + (w * n_ch + c) * ext;
             zero(row, src_lo - lo);
-            if (src_hi > src_lo)
-                std::memcpy(row + (src_lo - lo), data + c * n_samples + src_lo,
-                            static_cast<size_t>(src_hi - src_lo)
-                                * sizeof(float));
-            zero(row + (src_hi - lo), hi - std::max(src_hi, lo));
+            std::memcpy(row + (src_lo - lo), data + c * n_samples + src_lo,
+                        static_cast<size_t>(src_hi - src_lo)
+                            * sizeof(float));
+            zero(row + (src_hi - lo), hi - src_hi);
         }
     }
     return 0;

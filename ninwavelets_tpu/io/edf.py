@@ -93,7 +93,7 @@ class EDFReader:
         dmin = np.array([_num(b) for b in raw_fields["dmin"]])
         dmax = np.array([_num(b) for b in raw_fields["dmax"]])
         nsamp = np.array([_num(b, int) for b in raw_fields["nsamp"]])
-        self.units = [_ascii(b) for b in raw_fields["dim"]]
+        units_all = [_ascii(b) for b in raw_fields["dim"]]
 
         self._all_labels = labels
         self._nsamp = nsamp
@@ -108,6 +108,8 @@ class EDFReader:
         if not self._data_idx:
             raise ValueError(f"{path}: only annotation signals present")
         self.ch_names = [labels[i] for i in self._data_idx]
+        # aligned with ch_names (annotation signals filtered out too)
+        self.units = [units_all[i] for i in self._data_idx]
 
         size = os.path.getsize(self.path)
         n_avail = (size - header_bytes) // 2 // max(self._rec_stride, 1)
@@ -290,6 +292,15 @@ def write_edf(path: str, data: np.ndarray, sfreq: float,
             nudge *= 10.0
         return p
 
+    rd8 = g8(record_duration)
+    if float(rd8) != record_duration:
+        # Silent truncation would shift every derived sfreq: timing
+        # drift across the recording.  Refuse instead.
+        raise ValueError(
+            f"record_duration={record_duration!r} does not fit the 8-char "
+            f"EDF header field exactly (nearest: {rd8}); choose a "
+            "representable duration")
+
     pmin = data.min(axis=1)
     pmax = data.max(axis=1)
     flat = pmax <= pmin
@@ -319,7 +330,7 @@ def write_edf(path: str, data: np.ndarray, sfreq: float,
         f("0", 8), f(patient_id, 80), f(recording_id, 80),
         f(start.strftime("%d.%m.%y"), 8), f(start.strftime("%H.%M.%S"), 8),
         f(header_bytes, 8), f("", 44), f(n_records, 8),
-        f(("%g" % record_duration), 8), f(n_ch, 4)])
+        f(rd8, 8), f(n_ch, 4)])
     sig = b"".join(
         [b"".join(f(nm, 16) for nm in ch_names)]
         + [b"".join(f("", 80) for _ in range(n_ch))]

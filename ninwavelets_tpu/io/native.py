@@ -45,9 +45,13 @@ _L = ctypes.c_long
 
 
 def _build() -> Optional[str]:
+    import platform
     with open(_SRC, "rb") as f:
         src = f.read()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    # Key the cache on platform too: a cloned _build/ from another
+    # architecture must trigger a rebuild, not a CDLL failure.
+    host = f"{platform.system()}-{platform.machine()}".encode()
+    tag = hashlib.sha256(src + b"\0" + host).hexdigest()[:16]
     so = os.path.join(_BUILD_DIR, f"libninwio-{tag}.so")
     if os.path.exists(so):
         return so
@@ -76,7 +80,12 @@ def _load() -> Optional[ctypes.CDLL]:
         so = _build()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError as e:
+            logger.warning("native IO library %s unloadable (%s); using "
+                           "numpy fallback", so, e)
+            return None
         lib.ninw_edf_gather.restype = ctypes.c_int
         lib.ninw_edf_gather.argtypes = [
             _I16P, _L, _L, _I64P, _F64P, _F64P, _L, _L,
@@ -110,18 +119,29 @@ def _edf_gather_np(data: np.ndarray, rec_stride: int, ch_off: np.ndarray,
     n_ch = len(ch_off)
     ext = window + 2 * halo
     out = np.zeros((len(starts), n_ch, ext), np.float32)
-    # channel-major (C, total) digital view, then window slicing
-    dig = np.empty((n_ch, total), np.int16)
+    if len(starts) == 0:
+        return out
+    # Decode only the batch's span (streaming must stay O(batch), not
+    # O(recording), on the fallback path too): records covering
+    # [span_lo, span_hi), channel-major.
+    span_lo = max(int(starts.min()) - halo, 0)
+    span_hi = min(int(starts.max()) + window + halo, total)
+    if span_hi <= span_lo:
+        return out
+    rec_lo, rec_hi = span_lo // ns, -(-span_hi // ns)
+    dig = np.empty((n_ch, (rec_hi - rec_lo) * ns), np.int16)
     for c, off in enumerate(ch_off):
-        dig[c] = recs[:, off:off + ns].reshape(-1)[:total]
+        dig[c] = recs[rec_lo:rec_hi, off:off + ns].reshape(-1)
     a = scale.astype(np.float32)[:, None]
     b = dc.astype(np.float32)[:, None]
+    base = rec_lo * ns
     for w, start in enumerate(starts):
         lo, hi = start - halo, start + window + halo
         src_lo, src_hi = max(lo, 0), min(hi, total)
         if src_hi > src_lo:
             out[w, :, src_lo - lo:src_hi - lo] = (
-                a * dig[:, src_lo:src_hi].astype(np.float32) + b)
+                a * dig[:, src_lo - base:src_hi - base].astype(np.float32)
+                + b)
     return out
 
 

@@ -55,7 +55,12 @@ class EDFSource:
             reader = EDFReader(reader)
         self.reader = reader
         self._picks = picks
-        if picks is not None and hasattr(reader, "pick"):
+        if picks is not None and not hasattr(reader, "pick"):
+            raise ValueError(
+                f"{type(reader).__name__} cannot re-pick channels; pass "
+                "picks to EDFReader.pick()/EDFSource(EDFReader(...)) "
+                "instead of wrapping an already-picked view")
+        if picks is not None:
             src = reader.pick(picks)
             self.sfreq = float(src.sfreq)
             self.n_samples = int(src.n_samples)

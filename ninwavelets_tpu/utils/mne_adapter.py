@@ -931,13 +931,16 @@ class RawWavelet:
         if reader is None or not hasattr(reader, "gather"):
             return None
         from ..io.stream import EDFSource
-        base = getattr(self.raw, "_picks", None)
         if picks is not None:
-            names = picks                    # adapter picks are names
-        elif base is not None:
-            names = base
+            # Same contract as the snapshot path: picks resolve against
+            # THIS adapter's channel list (which honors any construction-
+            # time subset), never against the full file.
+            for ch in picks:
+                if ch not in self.raw.ch_names:
+                    raise ValueError(f"channel {ch!r} not in raw.ch_names")
+            names = list(picks)
         else:
-            names = None
+            names = getattr(self.raw, "_picks", None)
         return EDFSource(reader, picks=names)
 
     def _stream_for(self, freqs: Numbers):

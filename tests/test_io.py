@@ -34,6 +34,8 @@ def _ext_oracle(data2d, starts, window, halo):
 
 class TestNativeGather:
     def test_library_builds(self):
+        if os.environ.get("NINW_NATIVE_IO") == "0":
+            pytest.skip("native IO disabled by env")
         assert native_available(), "g++ is in this image; build must work"
 
     def test_f32_gather_matches_oracle(self):
@@ -56,6 +58,33 @@ class TestNativeGather:
         data = np.arange(12, dtype=np.float32).reshape(1, 12)
         got = native.f32_gather(data, [0], window=12, halo=0)
         np.testing.assert_array_equal(got[0, 0], data[0])
+
+    def test_fully_outside_windows_zero(self):
+        """Starts far outside the recording yield all-zero rows — the
+        native kernel must not write out of bounds (review finding:
+        unclamped zero() offsets corrupted the heap)."""
+        rng = np.random.default_rng(20)
+        data = rng.standard_normal((2, 100)).astype(np.float32)
+        starts = [-10**6, -200, 100, 500, 10**6, 50]
+        got = native.f32_gather(data, starts, window=16, halo=4)
+        ref = _ext_oracle(data, starts, 16, 4)
+        np.testing.assert_array_equal(got, ref)
+        assert np.all(got[[0, 1, 3, 4]] == 0)   # fully-outside rows
+        assert np.any(got[2] != 0) and np.any(got[5] != 0)
+
+    def test_edf_gather_outside_windows_zero(self, tmp_path=None):
+        import tempfile
+        rng = np.random.default_rng(21)
+        data = rng.standard_normal((2, 300)) * 10
+        path = tempfile.mktemp(suffix=".edf")
+        write_edf(path, data, 100.0)
+        r = EDFReader(path)
+        starts = [-10**6, 250, 10**6]
+        got = r.gather(starts, window=64, halo=16)
+        full = r.get_data()
+        np.testing.assert_array_equal(got, _ext_oracle(full, starts, 64, 16))
+        assert np.all(got[0] == 0) and np.all(got[2] == 0)
+        os.unlink(path)
 
     def test_bad_geometry_raises(self):
         if not native_available():
@@ -155,6 +184,27 @@ class TestEDF:
             f.write(b"0       " * 4)
         with pytest.raises(ValueError):
             EDFReader(p)
+
+    def test_units_aligned_with_ch_names(self, tmp_path):
+        rng = np.random.default_rng(22)
+        data = rng.standard_normal((2, 100))
+        path = os.path.join(tmp_path, "u.edf")
+        write_edf(path, data, 100.0, ch_names=["Fz", "Pz"], units="mV")
+        r = EDFReader(path)
+        assert r.units == ["mV", "mV"]
+        assert len(r.units) == len(r.ch_names)
+
+    def test_record_duration_must_fit_header(self, tmp_path):
+        data = np.zeros((1, 16))
+        path = os.path.join(tmp_path, "rd.edf")
+        # 1/1024 s = 0.0009765625: 12 chars — unrepresentable in 8
+        with pytest.raises(ValueError, match="8-char"):
+            write_edf(path, data, 16384.0, record_duration=1.0 / 1024)
+        # 1/128 s = "0.007812" truncates -> must also refuse
+        with pytest.raises(ValueError, match="8-char"):
+            write_edf(path, data, 2048.0, record_duration=1.0 / 128)
+        write_edf(path, data, 256.0, record_duration=0.0625)  # "0.0625" ok
+        assert EDFReader(path).sfreq == 256.0
 
     def test_edfraw_duck(self, tmp_path):
         rng = np.random.default_rng(8)
@@ -282,3 +332,20 @@ class TestSources:
         assert rw.raw.ch_names == ["c", "a"]
         p = np.asarray(rw.power(np.arange(5.0, 20.0, 5.0)))
         assert p.shape[0] == 2
+        # picks resolve against the ADAPTER's channel list: "b" exists
+        # in the file but was excluded at construction (review finding:
+        # the file path used to resolve against the full file)
+        with pytest.raises(ValueError):
+            rw.power(np.arange(5.0, 20.0, 5.0), picks=["b"])
+        with pytest.raises(ValueError):
+            rw.epochs([600], tmin=-0.1, tmax=0.1, picks=["b"])
+
+    def test_edf_source_rejects_picks_on_picked_view(self, tmp_path):
+        from ninwavelets_tpu.io import EDFSource
+        rng = np.random.default_rng(23)
+        data = rng.standard_normal((2, 200))
+        path = os.path.join(tmp_path, "pp.edf")
+        write_edf(path, data, 100.0, ch_names=["a", "b"])
+        view = EDFReader(path).pick(["a"])
+        with pytest.raises(ValueError, match="re-pick"):
+            EDFSource(view, picks=["a"])
