@@ -319,6 +319,39 @@ def main():
     record(op="burst_summary", epochs_per_s=round(40 / d, 1),
            config=dict(e=40, f=60, n=1024))
 
+    # --- native IO: EDF file -> streamed TFR ---------------------------------
+    # Whole pipeline: mmap'd int16 gather (C++ kernel, prefetch thread)
+    # -> H2D -> fused window kernel -> on-device plane.  Best-of-3 like
+    # BENCH_MODE=streaming (transfer-heavy; tunnel load swings ~2x).
+    import tempfile
+
+    from ninwavelets_tpu.io import EDFSource, write_edf
+    from ninwavelets_tpu.parallel.streaming import StreamingCWT
+    from ninwavelets_tpu.parallel.chunked import halo_samples
+
+    n_edf, c_edf = 120_000, 4           # 2 min x 4 ch at 1 kHz
+    sig_edf = rng.standard_normal((c_edf, n_edf)).astype(np.float32)
+    edf_path = tempfile.mktemp(suffix=".edf")
+    write_edf(edf_path, sig_edf, sfreq)
+    h = halo_samples(morse._wdef(), 2.0, sfreq)
+    win = 16384 - 2 * h
+    win -= win % 2
+    s_edf = StreamingCWT(morse._wdef(), np.linspace(2.0, 100.0, 100),
+                         sfreq, window=win, halo=h, interpolate=True)
+    src = EDFSource(edf_path)
+    jax.block_until_ready(s_edf.power_device_source(src))
+    d = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = s_edf.power_device_source(src)
+        jax.block_until_ready(out)
+        d = min(d, time.perf_counter() - t0)
+    os.unlink(edf_path)
+    record(op="edf_stream_power",
+           eeg_s_per_s=round(c_edf * (n_edf / sfreq) / d, 1),
+           config=dict(c=c_edf, n=n_edf, f=100, window=win, halo=h,
+                       fused=bool(s_edf._fused)))
+
     print(f"wrote {len(rows)} rows -> {OUT}")
 
 
