@@ -33,6 +33,7 @@ from .sharded import (sharded_cluster_null,
                       sharded_tf_decode,
                       sharded_ssq_mean_power, sharded_superlet_mean_power,
                       sharded_wavelet_granger)
+from .online import OnlineCWT
 from .streaming import StreamingCWT
 
 __all__ = [
@@ -55,5 +56,5 @@ __all__ = [
     "distributed_mean_power", "distributed_itc",
     "chunk_bank", "chunked_power", "chunked_abs", "chunked_cwt_ri",
     "chunked_fused_power", "chunked_power_auto",
-    "halo_samples", "pow2_halo", "StreamingCWT",
+    "halo_samples", "pow2_halo", "StreamingCWT", "OnlineCWT",
 ]
