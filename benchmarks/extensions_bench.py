@@ -319,6 +319,21 @@ def main():
     record(op="burst_summary", epochs_per_s=round(40 / d, 1),
            config=dict(e=40, f=60, n=1024))
 
+    # --- 2-D time-frequency reassignment --------------------------------------
+    from ninwavelets_tpu.ops.reassign import reassigned_mean_power
+    bank_ra = jnp.asarray(np.asarray(
+        make_fft_bank(morse._wdef(), jnp.arange(2.0, 102.0), n, sfreq,
+                      True), np.float32))
+    f_ra = jnp.arange(2.0, 102.0, dtype=jnp.float32)
+    sig_ra = jnp.asarray(
+        rng.standard_normal((8, 4, n)).astype(np.float32))
+    d = t(lambda s: reassigned_mean_power(s, bank_ra, f_ra, sfreq,
+                                          interpolate=True, t_decim=16),
+          sig_ra, iters=5)
+    record(op="reassigned_mean_power",
+           eeg_s_per_s=round(8 * 4 * (n / sfreq) / d, 1),
+           config=dict(e=8, c=4, f=100, n=n, t_decim=16))
+
     # --- native IO: EDF file -> streamed TFR ---------------------------------
     # Whole pipeline: mmap'd int16 gather (C++ kernel, prefetch thread)
     # -> H2D -> fused window kernel -> on-device plane.  Best-of-3 like

@@ -80,6 +80,7 @@ from .superlets import (superlet_banks, superlet_mean_power,
 from .stockwell import istockwell, stockwell, stockwell_ri
 from .specparam import (SpectralFit, aperiodic_model, peaks_model,
                         specparam)
+from .reassign import reassigned_mean_power, reassigned_power
 from .sst import (ssq_mean_power, ssq_mean_power_from_bank, ssq_power,
                   ssq_power_from_bank)
 from .tc_stats import (ar1_coefficient, background_power, coi_mask,
@@ -148,6 +149,7 @@ __all__ = [
     "stockwell", "stockwell_ri", "istockwell",
     "specparam", "SpectralFit", "aperiodic_model", "peaks_model",
     "ssq_power", "ssq_power_from_bank", "ssq_mean_power",
+    "reassigned_power", "reassigned_mean_power",
     "ssq_mean_power_from_bank",
     "extract_ridge", "ridge_frequencies",
     "scattering", "scattering_from_banks", "lowpass_spectrum",

@@ -231,6 +231,22 @@ class EpochsWavelet:
                          interpolate=self.wavelet.interpolate,
                          rel_threshold=rel_threshold)
 
+    def reassigned_power(self, ch_name: str, freqs: Numbers,
+                         rel_threshold: float = 1e-6,
+                         t_decim: int = 16) -> jnp.ndarray:
+        """(F, ceil(N/t_decim)) epoch-mean REASSIGNED scalogram of one
+        channel (extension — ``ops.reassign``, Auger & Flandrin 1995):
+        2-D reassignment moves each cell's energy to its local centroid
+        in BOTH time and frequency (synchrosqueezing sharpens frequency
+        only), per trial, then averages.  Analytic families only."""
+        from ..ops.reassign import reassigned_mean_power as _ra
+        waves = self._channel_data(ch_name)
+        bank_r = self._ssq_bank(waves, freqs)
+        return _ra(waves, bank_r, self.wavelet._bank_freqs,
+                   self.wavelet.sfreq,
+                   interpolate=self.wavelet.interpolate,
+                   rel_threshold=rel_threshold, t_decim=t_decim)
+
     def superlet_power(self, ch_name: str, freqs: Numbers,
                        sigma: float = 3.0, order_min: int = 1,
                        order_max: int = 8,
