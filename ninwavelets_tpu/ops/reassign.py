@@ -52,11 +52,25 @@ def _edges(f_grid: jnp.ndarray) -> jnp.ndarray:
 
 def _reassign_one(signal, bank, f_grid, *, sfreq: float,
                   interpolate: bool, rel_threshold: float,
-                  t_decim: int) -> jnp.ndarray:
-    """(N,) x (F, N) -> (F, T') reassigned power of ONE signal."""
+                  t_decim: int, f_own=None, pmax_axes=(),
+                  vma_axes=()) -> jnp.ndarray:
+    """(N,) x (F_local, N) -> (F_out, T') reassigned power of ONE signal.
+
+    ``bank`` may be a SLICE of the full bank (frequency-sharded
+    variant): targeting is by VALUE against the full ``f_grid`` edges,
+    so a shard's source rows scatter into the full-height plane and a
+    ``psum`` over the freq axis completes it.  ``f_own`` gives the
+    slice's own analysis frequencies (gated cells keep their own row);
+    ``pmax_axes`` reduces the noise-gate floor across mesh axes so
+    every shard gates against the signal's GLOBAL power peak;
+    ``vma_axes`` marks the scan carry varying under ``shard_map``.
+    """
     n = signal.shape[-1]
     n_f = bank.shape[0]
+    n_out = f_grid.shape[0]
     n_t = -(-n // t_decim)
+    if f_own is None:
+        f_own = f_grid
 
     spec = analytic_spectrum(signal, interpolate)
     nu = _bin_nu(n, sfreq)
@@ -80,8 +94,11 @@ def _reassign_one(signal, bank, f_grid, *, sfreq: float,
 
     # Noise gate: cells below rel_threshold x peak keep their own bin
     # (reassigning noise smears it coherently; same convention as sst).
-    gate = power < rel_threshold * jnp.max(power)
-    omega = jnp.where(gate, f_grid[:, None], omega)
+    peak = jnp.max(power)
+    for ax in pmax_axes:
+        peak = lax.pmax(peak, ax)
+    gate = power < rel_threshold * peak
+    omega = jnp.where(gate, f_own[:, None], omega)
     t_hat = jnp.where(gate, t_idx[None, :], t_hat)
 
     col = jnp.clip(jnp.floor(t_hat / t_decim), 0, n_t - 1).astype(jnp.int32)
@@ -114,7 +131,9 @@ def _reassign_one(signal, bank, f_grid, *, sfreq: float,
                               precision=lax.Precision.HIGHEST)
         return acc + jnp.sum(blk, axis=0), None
 
-    acc0 = jnp.zeros((n_f, n_t), jnp.float32)
+    acc0 = jnp.zeros((n_out, n_t), jnp.float32)
+    if vma_axes:
+        acc0 = lax.pcast(acc0, vma_axes, to="varying")
     steps = (n_f + pad) // K
     out, _ = lax.scan(step, acc0,
                       (power.reshape(steps, K, n),

@@ -31,6 +31,7 @@ from .sharded import (sharded_cluster_null,
                       sharded_plv, sharded_plv_matrix, sharded_power,
                       sharded_env_corr, sharded_stockwell,
                       sharded_tf_decode,
+                      sharded_reassigned_mean_power,
                       sharded_ssq_mean_power, sharded_superlet_mean_power,
                       sharded_wavelet_granger)
 from .online import OnlineCWT
@@ -44,6 +45,7 @@ __all__ = [
     "sharded_fused_mean_power", "sharded_fused_itc",
     "sharded_fused_power_itc", "sharded_fused_coherence",
     "sharded_cross_power", "sharded_coherence", "sharded_ssq_mean_power",
+    "sharded_reassigned_mean_power",
     "sharded_plv", "sharded_plv_matrix", "sharded_coherence_matrix",
     "sharded_pac", "sharded_mean_power_grad", "sharded_nm_plv",
     "sharded_phase_lag", "sharded_fused_phase_lag", "sharded_ppc",

@@ -613,6 +613,55 @@ def sharded_ssq_mean_power(signals_r, bank_r, f_grid, *, mesh: Mesh,
         out_specs=out_spec)(signals_r, bank_r, f_grid)
 
 
+@partial(jax.jit, static_argnames=("mesh", "sfreq", "interpolate",
+                                   "rel_threshold", "t_decim"))
+def sharded_reassigned_mean_power(signals_r, bank_r, f_grid, *, mesh: Mesh,
+                                  sfreq: float, interpolate: bool = True,
+                                  rel_threshold: float = 1e-6,
+                                  t_decim: int = 16):
+    """Epoch-mean 2-D REASSIGNED scalogram over the mesh:
+    (E, ..., N) -> (..., F, ceil(N/t_decim)).
+
+    Same layout reasoning as ``sharded_ssq_mean_power`` — reassignment
+    moves energy between analysis rows, so SOURCE rows (bank slices)
+    shard over ``freq``, each shard scatters into a full-height partial
+    plane (targeting is by value against the full grid's edges), and a
+    ``psum`` over ``freq`` + ``pmean`` over ``data`` complete it.  The
+    noise-gate floor is ``pmax``-reduced per signal so shards gate
+    against the global peak: mesh result == single-device
+    ``ops.reassign.reassigned_mean_power``.
+    """
+    from ..ops.reassign import _reassign_one
+
+    e = signals_r.shape[0]
+
+    def local(sig, br, fg):
+        offset = lax.axis_index(FREQ_AXIS) * br.shape[0]
+        f_own = lax.dynamic_slice_in_dim(fg, offset, br.shape[0])
+        inner = sig.shape[1:-1]
+        flat = sig.reshape((-1, sig.shape[-1]))
+
+        def one(s):
+            return _reassign_one(
+                s, br, fg, sfreq=sfreq, interpolate=interpolate,
+                rel_threshold=rel_threshold, t_decim=t_decim,
+                f_own=f_own, pmax_axes=(FREQ_AXIS,),
+                vma_axes=(DATA_AXIS, FREQ_AXIS))
+
+        planes = lax.map(one, flat)              # (E_loc*prod(inner), F, T')
+        planes = planes.reshape((sig.shape[0],) + inner + planes.shape[1:])
+        total = jnp.sum(planes, axis=0)          # local epoch sum
+        total = lax.psum(total, FREQ_AXIS)       # complete target rows
+        return lax.psum(total, DATA_AXIS) / e    # global epoch mean
+
+    out_spec = P(*([None] * (signals_r.ndim - 2)), None, None)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS), _BANK_SPEC, P(None)),
+        out_specs=out_spec)(signals_r, bank_r,
+                            jnp.asarray(f_grid, jnp.float32))
+
+
 @partial(jax.jit, static_argnames=("mesh", "interpolate", "precision",
                                    "interpret"))
 def sharded_fused_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,

@@ -463,6 +463,28 @@ def test_sharded_ssq_mean_power_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
 
 
+def test_sharded_reassigned_mean_power_matches_single_device():
+    """2-D reassignment: freq-sharded sources scatter by VALUE into
+    full-height planes; psum-completed mesh result must equal the
+    single-device epoch mean bit-for-float32."""
+    from ninwavelets_tpu.ops.reassign import reassigned_mean_power
+
+    mesh = par.make_mesh(data=2, freq=4)
+    sig = _epochs_block(e=4, c=2, n=1024, seed=11)
+    freqs = np.arange(20.0, 84.0, 2.0, dtype=np.float32)   # 32 rows / 4
+    bank, _ = _morse_bank(1024, freqs=freqs, interpolate=True)
+    f_grid = jnp.asarray(freqs)
+    want = np.asarray(reassigned_mean_power(
+        jnp.asarray(sig), jnp.asarray(bank), f_grid, 1000.0,
+        interpolate=True, t_decim=16))
+    got = np.asarray(par.sharded_reassigned_mean_power(
+        jnp.asarray(sig), jnp.asarray(bank), f_grid, mesh=mesh,
+        sfreq=1000.0, interpolate=True, t_decim=16))
+    assert got.shape == want.shape == (2, 32, 64)
+    np.testing.assert_allclose(got, want, rtol=2e-5,
+                               atol=1e-6 * want.max())
+
+
 def test_sharded_mean_power_grad_matches_single_device():
     """The distributed training step: power, signal grad (epoch-sharded, no
     collective) and bank grad (freq-sharded, data-psum-completed) must all
