@@ -784,6 +784,40 @@ class EpochsWavelet:
         return burst_summary(trials, threshold, self.wavelet.sfreq,
                              step, factor, min_area)
 
+    def modwt_var(self, ch_name: str, wavelet: str = "db4",
+                  level=None, mean: bool = True) -> jnp.ndarray:
+        """Wavelet variance by octave scale of one channel (extension —
+        ``ops.dwt.modwt_var``): per-epoch MODWT variance, averaged over
+        epochs (``mean=True``, the (J,) event-locked analog of
+        ``RawWavelet.modwt_var``) or per epoch ((E, J), for
+        across-epoch statistics).  Epoch lengths are reflect-padded to
+        a power of two on device (the TPU FFT constraint)."""
+        from ..ops.dwt import modwt_var as _var
+        from ..ops.dwt import pow2_pad
+        waves = self._channel_data(ch_name)
+        padded, _ = pow2_pad(waves)
+        out = _var(padded, wavelet, level)
+        return jnp.mean(out, axis=0) if mean else out
+
+    def modwt_denoise(self, wavelet: str = "db4", level=None,
+                      mode: str = "soft") -> "EpochsWavelet":
+        """A NEW ``EpochsWavelet`` over MODWT-shrinkage-denoised copies
+        of every epoch/channel (extension — ``ops.dwt.modwt_denoise``,
+        level-dependent universal thresholding), so any downstream
+        transform (``power``/``itc``/connectivity/...) runs on the
+        cleaned trials.  Composable: the returned adapter carries the
+        same channel names, sfreq, and wavelet object."""
+        from ..ops.dwt import modwt_denoise as _denoise
+        data = np.asarray(self._all_data())          # (E, C, N)
+        den = np.asarray(_denoise(data.reshape(-1, data.shape[-1]),
+                                  wavelet, level, mode,
+                                  pad_pow2=True)).reshape(data.shape)
+        times = getattr(self.epochs, "times", None)
+        return EpochsWavelet(
+            ArrayEpochs(den, self.wavelet.sfreq,
+                        list(self.epochs.ch_names), times=times),
+            self.wavelet)
+
     def env_corr(self, freqs: Numbers, orthogonalize: bool = True,
                  log: bool = True, time_range=None) -> jnp.ndarray:
         """(F, C, C) power-envelope correlation matrices over ALL

@@ -291,6 +291,45 @@ class TestIntegration:
         # (8 Hz at 1 kHz -> ~level 6: [7.8, 15.6] Hz)
         assert int(np.argmax(v)) in (5, 6)
 
+    def test_epochs_adapter_surfaces(self):
+        """EpochsWavelet.modwt_var / modwt_denoise: event-locked analogs
+        of the Raw surfaces, composable with the CWT pipeline."""
+        import ninwavelets_tpu as nw
+
+        rng = np.random.default_rng(3)
+        t = np.arange(1500) / 1000.0
+        tone = np.sin(2 * np.pi * 8 * t)
+        data = np.stack([np.stack([tone + 0.5 * rng.standard_normal(1500),
+                                   rng.standard_normal(1500)])
+                         for _ in range(6)])          # (6, 2, 1500)
+
+        class FakeEpochs:
+            info = {'sfreq': 1000.0}
+            ch_names = ['a', 'b']
+
+            def get_data(self):
+                return data
+
+        ew = nw.EpochsWavelet(FakeEpochs(), nw.Morse(1000.0))
+        v = np.asarray(ew.modwt_var('a', wavelet="db4"))
+        assert v.ndim == 1 and np.all(v >= 0)
+        assert int(np.argmax(v)) in (5, 6)            # the 8 Hz octave
+        ve = np.asarray(ew.modwt_var('a', wavelet="db4", mean=False))
+        assert ve.shape == (6, v.shape[0])
+        np.testing.assert_allclose(ve.mean(0), v, rtol=1e-5)
+
+        den = ew.modwt_denoise(wavelet="db8")
+        assert isinstance(den, nw.EpochsWavelet)
+        assert den.epochs.ch_names == ['a', 'b']
+        dd = den._host_data()
+        assert dd.shape == data.shape
+        clean = np.broadcast_to(tone, (6, 1500))
+        assert (((dd[:, 0] - clean) ** 2).mean()
+                < 0.6 * ((data[:, 0] - clean) ** 2).mean())
+        # composable downstream: power on the cleaned trials
+        p = np.asarray(den.power('a', np.arange(4.0, 20.0, 2.0)))
+        assert p.shape == (8, 1500)
+
     def test_modwt_cov_corr(self):
         """Covariance partitions across scales; correlation is a
         scale-resolved Pearson r: +1 for identical signals, sign follows
