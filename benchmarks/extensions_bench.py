@@ -334,6 +334,16 @@ def main():
            eeg_s_per_s=round(8 * 4 * (n / sfreq) / d, 1),
            config=dict(e=8, c=4, f=100, n=n, t_decim=16))
 
+    # --- matching pursuit ------------------------------------------------------
+    from ninwavelets_tpu.ops.mp import matching_pursuit
+    sig_mp = jnp.asarray(
+        rng.standard_normal((8, 4, 1024)).astype(np.float32))
+    d = t(lambda s: matching_pursuit(s, 20, 250.0).residual, sig_mp,
+          iters=5)
+    record(op="matching_pursuit_20atoms",
+           eeg_s_per_s=round(8 * 4 * (1024 / 250.0) / d, 1),
+           config=dict(b=32, n=1024, atoms=20))
+
     # --- native IO: EDF file -> streamed TFR ---------------------------------
     # Whole pipeline: mmap'd int16 gather (C++ kernel, prefetch thread)
     # -> H2D -> fused window kernel -> on-device plane.  Best-of-3 like

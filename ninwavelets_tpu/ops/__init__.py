@@ -67,6 +67,8 @@ from .denoise import denoise, denoise_from_bank
 from .envelope import env_corr_matrix, env_corr_matrix_from_bank
 from .ewt import ewt, ewt_boundaries, ewt_filterbank, ewt_reconstruct
 from .vmd import hilbert_spectrum, instantaneous, mvmd, vmd
+from .mp import (MPResult, gabor_dictionary, matching_pursuit,
+                 mp_tfr)
 from .multitaper import (multitaper_banks, multitaper_mean_power,
                          multitaper_power, multitaper_power_from_banks)
 from .icwt import coverage, icwt_from_bank, icwt_ri
@@ -150,6 +152,7 @@ __all__ = [
     "specparam", "SpectralFit", "aperiodic_model", "peaks_model",
     "ssq_power", "ssq_power_from_bank", "ssq_mean_power",
     "reassigned_power", "reassigned_mean_power",
+    "MPResult", "gabor_dictionary", "matching_pursuit", "mp_tfr",
     "ssq_mean_power_from_bank",
     "extract_ridge", "ridge_frequencies",
     "scattering", "scattering_from_banks", "lowpass_spectrum",

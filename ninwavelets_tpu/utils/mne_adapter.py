@@ -784,6 +784,20 @@ class EpochsWavelet:
         return burst_summary(trials, threshold, self.wavelet.sfreq,
                              step, factor, min_area)
 
+    def matching_pursuit(self, ch_name: str, n_atoms: int = 20,
+                         scales_s=None, freqs=None):
+        """Per-epoch greedy Gabor decomposition of one channel
+        (extension — ``ops.mp``, Mallat & Zhang 1993; Durka's EEG MP):
+        an ``MPResult`` whose fields are (E, n_atoms) — amplitude,
+        phase, scale [s], center time [s], carrier [Hz], energy — plus
+        the (E, N) residuals.  The spindle workflow: threshold
+        ``freq_hz``/``scale_s``/``amplitude`` per atom instead of
+        eyeballing a TFR; render with ``ops.mp_tfr``."""
+        from ..ops.mp import matching_pursuit as _mp
+        waves = self._channel_data(ch_name)
+        return _mp(waves, n_atoms, self.wavelet.sfreq,
+                   scales_s=scales_s, freqs=freqs)
+
     def modwt_var(self, ch_name: str, wavelet: str = "db4",
                   level=None, mean: bool = True) -> jnp.ndarray:
         """Wavelet variance by octave scale of one channel (extension —
