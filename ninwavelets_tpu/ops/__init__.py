@@ -32,6 +32,7 @@ from .bursts import (BurstSummary, burst_summary, burst_table,
 from .cluster import (ClusterResult, TfceResult, cluster_mass,
                       cluster_test_independent,
                       cluster_test_one_sample, cluster_test_paired,
+                      cluster_test_regression, t_regression,
                       label_components, max_stat_test_independent,
                       max_stat_test_one_sample, t_independent, t_one_sample,
                       t_threshold, tfce_map, tfce_test_independent,
@@ -130,6 +131,7 @@ __all__ = [
     "BurstSummary", "burst_summary", "burst_table", "burst_threshold",
     "ClusterResult", "cluster_mass", "cluster_test_independent",
     "cluster_test_one_sample", "cluster_test_paired", "label_components",
+    "cluster_test_regression", "t_regression",
     "max_stat_test_independent", "max_stat_test_one_sample",
     "t_independent", "t_one_sample", "t_threshold",
     "TfceResult", "tfce_map", "tfce_test_one_sample",

@@ -122,6 +122,28 @@ def t_independent(xa: jnp.ndarray, xb: jnp.ndarray) -> jnp.ndarray:
     return _t_pooled(s1a, s2a, s1t, s2t, na, nb)
 
 
+def _t_from_r(r: jnp.ndarray, dof: int) -> jnp.ndarray:
+    """Regression/correlation t from Pearson r at ``dof = E - 2`` —
+    matches ``scipy.stats.linregress`` / ``pearsonr``."""
+    r = jnp.clip(r, -0.999999, 0.999999)
+    return r * jnp.sqrt(dof / jnp.maximum(1.0 - r * r, 1e-12))
+
+
+def t_regression(x: jnp.ndarray, z) -> jnp.ndarray:
+    """Pixelwise regression t of trial planes (E, ...) against a
+    continuous per-trial covariate ``z`` (E,) — the massive-univariate
+    GLM slope statistic (identical t to the Pearson correlation)."""
+    x = jnp.asarray(x, jnp.float32)
+    z = jnp.asarray(z, jnp.float32)
+    e = x.shape[0]
+    zc = z - jnp.mean(z)
+    xc = x - jnp.mean(x, 0)
+    num = jnp.tensordot(zc, xc, axes=(0, 0))
+    den = jnp.sqrt(jnp.maximum(jnp.sum(zc * zc)
+                               * jnp.sum(xc * xc, 0), 1e-30))
+    return _t_from_r(num / den, e - 2)
+
+
 # ---------------------------------------------------------------------------
 # connected components + cluster mass (batched over leading axes)
 # ---------------------------------------------------------------------------
@@ -368,6 +390,50 @@ def _sign_flip_null(x: jnp.ndarray, key, *, n_perm: int, threshold: float,
     return _null_scan(per_chunk, n_chunks, n_perm)
 
 
+def regression_draws(key, n_perm: int, zc: jnp.ndarray,
+                     chunk: int) -> jnp.ndarray:
+    """(chunks, chunk, E) rows of PERMUTED centered covariate values —
+    the exchangeability scheme for a continuous regressor (Maris &
+    Oostenveld: shuffle the covariate across trials)."""
+    n_chunks = _pad_perms(n_perm, chunk)
+    keys = jax.random.split(key, n_chunks * chunk)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, zc))(keys)
+    return perms.reshape(n_chunks, chunk, zc.shape[0])
+
+
+def regression_chunk_max_mass(zp: jnp.ndarray, xf: jnp.ndarray,
+                              x2: jnp.ndarray, z2, dof: int,
+                              threshold: float, plane: tuple,
+                              adjacency=None) -> jnp.ndarray:
+    """Max cluster mass of every permuted-covariate t-map in one chunk:
+    the numerators are ONE (chunk, E) @ (E, plane) matmul; the variance
+    terms are permutation-invariant."""
+    num = _dot(zp, xf)
+    r = num / jnp.sqrt(jnp.maximum(z2 * x2, 1e-30))
+    t = _t_from_r(r, dof).reshape(-1, *plane)
+    return cluster_mass(t, threshold, adjacency)[4]
+
+
+@partial(jax.jit, static_argnames=("n_perm", "threshold", "chunk"))
+def _regression_null(x: jnp.ndarray, z: jnp.ndarray, key, *, n_perm: int,
+                     threshold: float, chunk: int = _CHUNK,
+                     adjacency=None) -> jnp.ndarray:
+    """(P,) null of max cluster masses under covariate shuffles."""
+    e, plane = x.shape[0], x.shape[1:]
+    zc = z - jnp.mean(z)
+    xc = (x - jnp.mean(x, 0)).reshape(e, -1)
+    x2 = jnp.sum(xc * xc, 0)
+    z2 = jnp.sum(zc * zc)
+    n_chunks = _pad_perms(n_perm, chunk)
+    draws = regression_draws(key, n_perm, zc, chunk)
+
+    def per_chunk(k):
+        return regression_chunk_max_mass(draws[k], xc, x2, z2, e - 2,
+                                         threshold, plane, adjacency)
+
+    return _null_scan(per_chunk, n_chunks, n_perm)
+
+
 @partial(jax.jit, static_argnames=("n_perm", "threshold", "na", "chunk"))
 def _relabel_null(x: jnp.ndarray, key, *, n_perm: int, threshold: float,
                   na: int, chunk: int = _CHUNK,
@@ -513,6 +579,33 @@ def cluster_test_paired(xa, xb, **kw) -> ClusterResult:
     if xa.shape != xb.shape:
         raise ValueError("paired conditions must have equal shapes")
     return cluster_test_one_sample(xa - xb, **kw)
+
+
+def cluster_test_regression(x, z, n_perm: int = 999,
+                            threshold: Optional[float] = None,
+                            alpha: float = 0.05, seed: int = 0,
+                            null_max: Optional[jnp.ndarray] = None,
+                            adjacency=None) -> ClusterResult:
+    """Cluster permutation test of a CONTINUOUS per-trial covariate
+    (reaction time, stimulus intensity, age...) against single-trial
+    planes: pixelwise regression t (= Pearson-r t, dof E-2), covariate
+    values shuffled across trials for the null (Maris & Oostenveld's
+    exchangeability argument applies unchanged).  ``x`` is (E, F, N) —
+    or (E, C, F, N) with channel ``adjacency``; ``z`` is (E,)."""
+    x = jnp.asarray(x, jnp.float32)
+    z = jnp.asarray(z, jnp.float32)
+    _check_stack(x, adjacency, "x")
+    e = x.shape[0]
+    if z.shape != (e,):
+        raise ValueError(f"covariate must be ({e},), got {z.shape}")
+    if e < 4:
+        raise ValueError("regression needs at least 4 trials")
+    thr = _resolve_threshold(threshold, alpha, e - 2)
+    if null_max is None:
+        null_max = _regression_null(x, z, jax.random.PRNGKey(seed),
+                                    n_perm=n_perm, threshold=thr,
+                                    adjacency=adjacency)
+    return _finish(t_regression(x, z), null_max, thr, adjacency)
 
 
 def cluster_test_independent(xa, xb, n_perm: int = 999,

@@ -400,6 +400,25 @@ class EpochsWavelet:
             return np.stack([iu[keep], ju[keep]], -1).astype(np.int32)
         return adjacency.reshape(-1, 2).astype(np.int32)
 
+    def cluster_regression(self, ch_name: str, freqs: Numbers,
+                           covariate, *, baseline=None,
+                           baseline_method: str = "zscore",
+                           decim: int = 1, n_perm: int = 999,
+                           threshold=None, alpha: float = 0.05,
+                           seed: int = 0):
+        """Cluster permutation test of a CONTINUOUS per-trial covariate
+        (reaction time, intensity, dose...) against this channel's
+        single-trial power (extension — ``ops.cluster_test_regression``):
+        pixelwise regression t, covariate shuffled across trials for the
+        null.  Baseline correction optional (the regression centers the
+        planes itself)."""
+        from ..ops import cluster as _cl
+        x = self.single_trial_power(ch_name, freqs, baseline,
+                                    baseline_method, decim)
+        return _cl.cluster_test_regression(
+            x, np.asarray(covariate, np.float32), n_perm=n_perm,
+            threshold=threshold, alpha=alpha, seed=seed)
+
     def cluster_test(self, ch_name: str, freqs: Numbers, other=None, *,
                      paired: bool = False, baseline=None,
                      baseline_method: str = "zscore", decim: int = 1,

@@ -41,6 +41,19 @@ class TestTStats:
         x = np.ones((8, 3, 4), np.float32)
         assert np.all(np.asarray(cl.t_one_sample(x)) == 0.0)
 
+    def test_regression_matches_scipy(self):
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((16, 4, 7)).astype(np.float32)
+        z = rng.standard_normal(16).astype(np.float32)
+        t = np.asarray(cl.t_regression(x, z))
+        ref = np.empty((4, 7))
+        for i in range(4):
+            for j in range(7):
+                r = stats.pearsonr(z.astype(np.float64),
+                                   x[:, i, j].astype(np.float64))[0]
+                ref[i, j] = r * np.sqrt(14 / (1 - r * r))
+        np.testing.assert_allclose(t, ref, rtol=2e-4, atol=2e-4)
+
     def test_threshold_matches_scipy(self):
         assert cl.t_threshold(0.05, 11) == pytest.approx(
             stats.t.ppf(0.975, 11))
@@ -184,6 +197,36 @@ class TestEndToEnd:
         a = cl.cluster_test_one_sample(x, n_perm=29, seed=9)
         b = cl.cluster_test_one_sample(x, n_perm=29, seed=9)
         np.testing.assert_array_equal(a.p_map, b.p_map)
+
+    def test_regression_detects_covariate_effect(self):
+        """Power in one band scales with a continuous covariate."""
+        rng = np.random.default_rng(21)
+        e, f, n = 24, 6, 20
+        z = rng.standard_normal(e).astype(np.float32)
+        x = rng.standard_normal((e, f, n)).astype(np.float32)
+        x[:, 2:4, 5:12] += 1.5 * z[:, None, None]
+        res = cl.cluster_test_regression(x, z, n_perm=199, seed=6)
+        assert res.clusters and res.clusters[0]["p"] < 0.05
+        assert (res.p_map[2:4, 5:12] < 0.05).all()
+
+    def test_regression_null_calibrated(self):
+        """FWER over null simulations (single-seed asserts trip on the
+        designed 5% false-positive rate; measured 0.033 over 60 sims)."""
+        hits = 0
+        for i in range(10):
+            rng = np.random.default_rng(3000 + i)
+            x = rng.standard_normal((20, 6, 20)).astype(np.float32)
+            z = rng.standard_normal(20).astype(np.float32)
+            res = cl.cluster_test_regression(x, z, n_perm=99, seed=i)
+            hits += bool(res.clusters and res.clusters[0]["p"] <= 0.05)
+        assert hits <= 3          # P(>3 | FWER=.05) ~ 1e-3
+
+    def test_regression_validation(self):
+        x = np.zeros((8, 4, 5), np.float32)
+        with pytest.raises(ValueError):
+            cl.cluster_test_regression(x, np.zeros(7))
+        with pytest.raises(ValueError):
+            cl.cluster_test_regression(x[:3], np.zeros(3))
 
     def test_precomputed_null_reused(self):
         x = _effect()
