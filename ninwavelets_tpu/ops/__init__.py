@@ -34,7 +34,8 @@ from .cluster import (ClusterResult, TfceResult, cluster_mass,
                       cluster_test_one_sample, cluster_test_paired,
                       cluster_test_regression, t_regression,
                       label_components, max_stat_test_independent,
-                      max_stat_test_one_sample, t_independent, t_one_sample,
+                      max_stat_test_one_sample, max_stat_test_regression,
+                      t_independent, t_one_sample,
                       t_threshold, tfce_map, tfce_test_independent,
                       tfce_test_one_sample)
 from .dwt import (imodwt, max_level, modwt, modwt_corr, modwt_cov,
@@ -133,6 +134,7 @@ __all__ = [
     "cluster_test_one_sample", "cluster_test_paired", "label_components",
     "cluster_test_regression", "t_regression",
     "max_stat_test_independent", "max_stat_test_one_sample",
+    "max_stat_test_regression",
     "t_independent", "t_one_sample", "t_threshold",
     "TfceResult", "tfce_map", "tfce_test_one_sample",
     "tfce_test_independent",

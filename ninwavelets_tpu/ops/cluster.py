@@ -806,3 +806,32 @@ def max_stat_test_independent(xa, xb, n_perm: int = 999, seed: int = 0):
                          jax.random.PRNGKey(seed), n_perm=n_perm,
                          na=xa.shape[0])
     return _maxt_pmap(t_independent(xa, xb), null)
+
+
+@partial(jax.jit, static_argnames=("n_perm", "chunk"))
+def _regression_maxt(x, z, key, *, n_perm: int, chunk: int = _CHUNK):
+    e = x.shape[0]
+    zc = z - jnp.mean(z)
+    xc = (x - jnp.mean(x, 0)).reshape(e, -1)
+    x2 = jnp.sum(xc * xc, 0)
+    z2 = jnp.sum(zc * zc)
+    n_chunks = _pad_perms(n_perm, chunk)
+    draws = regression_draws(key, n_perm, zc, chunk)
+
+    def per_chunk(k):
+        r = _dot(draws[k], xc) / jnp.sqrt(jnp.maximum(z2 * x2, 1e-30))
+        return jnp.max(jnp.abs(_t_from_r(r, e - 2)), -1)
+
+    return _null_scan(per_chunk, n_chunks, n_perm)
+
+
+def max_stat_test_regression(x, z, n_perm: int = 999, seed: int = 0):
+    """(t_map, p_map) of a continuous covariate under the max-|t|
+    covariate-shuffle null (see ``cluster_test_regression``)."""
+    x = jnp.asarray(x, jnp.float32)
+    z = jnp.asarray(z, jnp.float32)
+    if z.shape != (x.shape[0],):
+        raise ValueError(f"covariate must be ({x.shape[0]},), got "
+                         f"{z.shape}")
+    null = _regression_maxt(x, z, jax.random.PRNGKey(seed), n_perm=n_perm)
+    return _maxt_pmap(t_regression(x, z), null)

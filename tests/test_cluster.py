@@ -221,6 +221,16 @@ class TestEndToEnd:
             hits += bool(res.clusters and res.clusters[0]["p"] <= 0.05)
         assert hits <= 3          # P(>3 | FWER=.05) ~ 1e-3
 
+    def test_regression_maxt(self):
+        rng = np.random.default_rng(23)
+        e = 24
+        z = rng.standard_normal(e).astype(np.float32)
+        x = rng.standard_normal((e, 6, 20)).astype(np.float32)
+        x[:, 2, 8] += 3.0 * z         # one focal pixel
+        t, p = cl.max_stat_test_regression(x, z, n_perm=199, seed=0)
+        assert p[2, 8] < 0.05
+        assert (p > 0.05).sum() >= p.size - 3   # everything else quiet
+
     def test_regression_validation(self):
         x = np.zeros((8, 4, 5), np.float32)
         with pytest.raises(ValueError):
