@@ -73,6 +73,7 @@ from .mp import (MPResult, gabor_dictionary, matching_pursuit,
                  mp_tfr)
 from .multitaper import (multitaper_banks, multitaper_mean_power,
                          multitaper_power, multitaper_power_from_banks)
+from .irasa import IrasaResult, aperiodic_fit, irasa, welch_psd
 from .icwt import coverage, icwt_from_bank, icwt_ri
 from .ridge import (extract_modes, extract_modes_ri, extract_ridge,
                     ridge_frequencies)
@@ -157,6 +158,7 @@ __all__ = [
     "ssq_power", "ssq_power_from_bank", "ssq_mean_power",
     "reassigned_power", "reassigned_mean_power",
     "MPResult", "gabor_dictionary", "matching_pursuit", "mp_tfr",
+    "IrasaResult", "irasa", "welch_psd", "aperiodic_fit",
     "ssq_mean_power_from_bank",
     "extract_ridge", "ridge_frequencies",
     "scattering", "scattering_from_banks", "lowpass_spectrum",

@@ -1078,6 +1078,19 @@ class RawWavelet:
         return self._stream_for(freqs).ssq_power_device(
             data, rel_threshold=rel_threshold)
 
+    def irasa(self, band=(1.0, 40.0), picks=None, hset=None,
+              nperseg: int = 1024):
+        """Fractal/oscillatory split of each channel's Welch spectrum
+        (extension — ``ops.irasa``, Wen & Liu 2016): IrasaResult with
+        (C, Fb) components; pair with ``ops.aperiodic_fit`` for the
+        model-free 1/f exponent (vs ``specparam``'s parametric fit)."""
+        from ..ops.irasa import irasa as _irasa
+        data = self._host_data()
+        if picks is not None:
+            data = data[[self.raw.ch_names.index(ch) for ch in picks]]
+        return _irasa(data, self.wavelet.sfreq, band=band, hset=hset,
+                      nperseg=nperseg)
+
     def coherence(self, ch_a: str, ch_b: str, freqs: Numbers,
                   cycles: float = 1.0, scale_width: float = 0.6,
                   eps: float = 1e-12, return_phase: bool = False,
