@@ -125,7 +125,7 @@ class WaveletBase:
 
     @staticmethod
     def _check_freqs(freqs: Numbers) -> jnp.ndarray:
-        arr = jnp.asarray(np.asarray(freqs, dtype=np.float32))
+        arr = jnp.asarray(freqs, jnp.float32)
         if arr.ndim != 1 or arr.shape[0] == 0:
             raise ValueError("freqs must be a non-empty 1-D sequence")
         if np.any(np.asarray(arr) == 0.0):
@@ -321,7 +321,7 @@ class WaveletBase:
         """
         from ..ops import bank as _bank
         from ..ops.scattering import scattering as _scat
-        wave_r = jnp.asarray(np.asarray(wave, dtype=np.float32))
+        wave_r = jnp.asarray(wave, jnp.float32)
         n = wave_r.shape[-1]
 
         def build(freqs, analytic):

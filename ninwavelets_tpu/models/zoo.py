@@ -245,7 +245,7 @@ class Superlet:
         """(..., F, N) superlet power of ``wave`` at ``freqs``."""
         from ..ops.superlets import superlet_power
         freqs = WaveletBase._check_freqs(freqs)
-        return superlet_power(jnp.asarray(np.asarray(wave, np.float32)),
+        return superlet_power(jnp.asarray(wave, jnp.float32),
                               freqs, self.sfreq, **self._kw())
 
     def mean_power(self, waves, freqs: Numbers) -> jnp.ndarray:
@@ -253,7 +253,7 @@ class Superlet:
         from ..ops.superlets import superlet_mean_power
         freqs = WaveletBase._check_freqs(freqs)
         return superlet_mean_power(
-            jnp.asarray(np.asarray(waves, np.float32)), freqs, self.sfreq,
+            jnp.asarray(waves, jnp.float32), freqs, self.sfreq,
             **self._kw())
 
 

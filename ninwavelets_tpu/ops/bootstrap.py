@@ -53,7 +53,7 @@ def bootstrap_ci(trials, alpha: float = 0.05, n_boot: int = 1000,
     mean is one row of a counts-matrix contraction), take the
     ``alpha/2`` and ``1 - alpha/2`` per-pixel quantiles.
     """
-    trials = jnp.asarray(np.asarray(trials, np.float32))
+    trials = jnp.asarray(trials, jnp.float32)
     if trials.ndim < 2 or trials.shape[0] < 2:
         raise ValueError("expected (epochs >= 2, ...), got %s"
                          % (trials.shape,))

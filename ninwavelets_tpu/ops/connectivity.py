@@ -653,7 +653,7 @@ def pac_significance(signal_r, bank_phase_r, bank_amp_r,
     offset while the phase copy stays put — per-band spectra and
     waveforms are preserved, phase-amplitude alignment destroyed (Tort
     2010's recommended surrogate).  ``signal_r`` is (E, N)."""
-    sig = jnp.asarray(np.asarray(signal_r, np.float32))
+    sig = jnp.asarray(signal_r, jnp.float32)
     if sig.ndim == 1:
         sig = sig[None]
     return _pac_sig_jit(sig, jnp.asarray(bank_phase_r),
@@ -733,7 +733,7 @@ def _erpac_jit(sigs, bp, ba, *, interpolate, eps):
 def erpac(sigs_r, bank_phase_r, bank_amp_r, interpolate: bool = False,
           eps: float = 1e-20) -> jnp.ndarray:
     """Jitted float-boundary wrapper for ``erpac_from_banks``."""
-    sigs_r = jnp.asarray(np.asarray(sigs_r, np.float32))
+    sigs_r = jnp.asarray(sigs_r, jnp.float32)
     if sigs_r.ndim != 2:
         raise ValueError("erpac needs an (epochs, N) trial stack (the "
                          "correlation runs ACROSS trials), got %s"

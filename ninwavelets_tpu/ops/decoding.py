@@ -109,8 +109,8 @@ def tf_decode(xa, xb, n_folds: int = 5, lam: float = 1e-3) -> jnp.ndarray:
     invariant to monotone transforms of the score, but heavy-tailed
     power benefits from a log transform on the caller side.
     """
-    xa = jnp.asarray(np.asarray(xa, np.float32))
-    xb = jnp.asarray(np.asarray(xb, np.float32))
+    xa = jnp.asarray(xa, jnp.float32)
+    xb = jnp.asarray(xb, jnp.float32)
     if xa.ndim != 4 or xb.ndim != 4 or xa.shape[1:] != xb.shape[1:]:
         raise ValueError("expected (Ea, C, F, N) and (Eb, C, F, N) with "
                          "matching planes, got %s and %s"
@@ -156,8 +156,8 @@ def temporal_generalization(xa, xb, n_folds: int = 5,
     All T decoders fit simultaneously; every (train, test) pair scores
     in one einsum + pairwise-comparison tensor per fold.
     """
-    xa = jnp.asarray(np.asarray(xa, np.float32))
-    xb = jnp.asarray(np.asarray(xb, np.float32))
+    xa = jnp.asarray(xa, jnp.float32)
+    xb = jnp.asarray(xb, jnp.float32)
     if xa.ndim != 3 or xb.ndim != 3 or xa.shape[1:] != xb.shape[1:]:
         raise ValueError("expected (Ea, C, T) and (Eb, C, T) with "
                          "matching planes, got %s and %s"

@@ -112,7 +112,7 @@ def env_corr_matrix(sigs_r, bank_r, orthogonalize: bool = True,
                     eps: float = 1e-12, time_range=None) -> jnp.ndarray:
     """Float-boundary jitted ``env_corr_matrix_from_bank`` (real banks —
     envelope coupling needs an analytic family)."""
-    sigs_r = jnp.asarray(np.asarray(sigs_r, np.float32))
+    sigs_r = jnp.asarray(sigs_r, jnp.float32)
     return _env_corr_jit(sigs_r, jnp.asarray(bank_r),
                          orthogonalize=bool(orthogonalize),
                          interpolate=bool(interpolate), log=bool(log),

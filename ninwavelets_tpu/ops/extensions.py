@@ -639,7 +639,7 @@ def wtc_significance(sig_a_r, sig_b_r, bank_r, freqs, sfreq: float,
     noise = jax.random.normal(jax.random.PRNGKey(seed),
                               (2, int(n_surrogates), n), jnp.float32)
     return _wtc_null_jit(jnp.asarray(bank_r),
-                         jnp.asarray(np.asarray(freqs, np.float32)),
+                         jnp.asarray(freqs, jnp.float32),
                          noise, jnp.float32(alpha_a),
                          jnp.float32(alpha_b), sfreq=float(sfreq),
                          interpolate=bool(interpolate),

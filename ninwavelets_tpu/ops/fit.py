@@ -71,7 +71,7 @@ def fit_frequencies(signals, wdef: WaveletDef, freqs0, sfreq: float,
       freqs0: (F,) initial frequencies (Hz) — e.g. a coarse uniform grid.
     """
     signals = jnp.asarray(signals)
-    freqs0 = jnp.asarray(np.asarray(freqs0, np.float32))
+    freqs0 = jnp.asarray(freqs0, jnp.float32)
     return _fit_freqs_jit(signals, freqs0, wdef=wdef, sfreq=float(sfreq),
                           interpolate=bool(interpolate), steps=int(steps),
                           lr=float(lr), n=int(signals.shape[-1]))

@@ -474,7 +474,7 @@ def _granger_inputs(sigs_r, sfreq, n_bins, interpolate,
     from .bank import make_fft_bank
     from ..models.zoo import Morse
 
-    sigs = jnp.asarray(np.asarray(sigs_r, np.float32))
+    sigs = jnp.asarray(sigs_r, jnp.float32)
     if sigs.ndim != 3:
         raise ValueError("expected (epochs, channels, N), got %s"
                          % (sigs.shape,))

@@ -46,16 +46,15 @@ def morse_taper_def(b: float, r: float, order: int) -> WaveletDef:
                               int(order)))
 
 
-def multitaper_banks(freqs, n: int, sfreq: float, b: float = 17.5,
-                     r: float = 3.0, n_tapers: int = 3,
-                     interpolate: bool = False,
-                     real_wave_length: float = 1.0) -> jnp.ndarray:
-    """(F, K, n) stacked real Morse-taper banks (taper k = order k).
-
-    F-major so a flatten to (F·K, n) keeps each frequency's tapers
-    contiguous (one shard when rows shard over ``freq``).
-    """
-    freqs = jnp.asarray(np.asarray(freqs, np.float32))
+@lru_cache(maxsize=64)
+def _banks_np(freqs_key: tuple, n: int, sfreq: float, b: float, r: float,
+              n_tapers: int, interpolate: bool,
+              real_wave_length: float) -> np.ndarray:
+    """NUMPY bank cache: synthesis runs hundreds of eager device ops
+    (Laguerre recurrences) — measured 3.5 s per call over the tunnel,
+    which used to dominate every ``multitaper_mean_power`` call.  Cache
+    numpy, never device arrays (the CLAUDE.md tracer-leak rule)."""
+    freqs = jnp.asarray(freqs_key, jnp.float32)
     rows = []
     for k in range(int(n_tapers)):
         br, bi = make_fft_bank_ri(morse_taper_def(float(b), float(r), k),
@@ -64,8 +63,25 @@ def multitaper_banks(freqs, n: int, sfreq: float, b: float = 17.5,
                                   float(real_wave_length))
         if bi is not None:  # pragma: no cover - Reverse-mode banks are real
             raise ValueError("Morse taper banks must be real")
-        rows.append(br)
-    return jnp.stack(rows, axis=1)
+        rows.append(np.asarray(br))
+    return np.stack(rows, axis=1)
+
+
+def multitaper_banks(freqs, n: int, sfreq: float, b: float = 17.5,
+                     r: float = 3.0, n_tapers: int = 3,
+                     interpolate: bool = False,
+                     real_wave_length: float = 1.0) -> jnp.ndarray:
+    """(F, K, n) stacked real Morse-taper banks (taper k = order k).
+
+    F-major so a flatten to (F·K, n) keeps each frequency's tapers
+    contiguous (one shard when rows shard over ``freq``).  Cached per
+    (freqs, geometry) — synthesis is expensive eager work.
+    """
+    key = tuple(np.asarray(freqs, np.float32).tolist())
+    return jnp.asarray(_banks_np(key, int(n), float(sfreq), float(b),
+                                 float(r), int(n_tapers),
+                                 bool(interpolate),
+                                 float(real_wave_length)))
 
 
 def multitaper_power_from_banks(signal: jnp.ndarray, banks: jnp.ndarray,
@@ -95,7 +111,7 @@ def multitaper_power(signal_r, freqs, sfreq: float, b: float = 17.5,
                      interpolate: bool = False) -> jnp.ndarray:
     """(..., F, N) multitaper Morse power of real ``signal_r`` (float
     boundary; banks built host-side per geometry and cached by jit)."""
-    signal_r = jnp.asarray(np.asarray(signal_r, np.float32))
+    signal_r = jnp.asarray(signal_r, jnp.float32)
     banks = multitaper_banks(freqs, signal_r.shape[-1], sfreq, b, r,
                              n_tapers, interpolate)
     return _mt_power_jit(signal_r, banks, interpolate=interpolate)
@@ -111,7 +127,7 @@ def multitaper_mean_power(signals_r, freqs, sfreq: float, b: float = 17.5,
     dispatches to the fused Pallas kernel on TPU — followed by a K-group
     reshape-mean.
     """
-    signals_r = jnp.asarray(np.asarray(signals_r, np.float32))
+    signals_r = jnp.asarray(signals_r, jnp.float32)
     banks = multitaper_banks(freqs, signals_r.shape[-1], sfreq, b, r,
                              n_tapers, interpolate)
     f, k, n = banks.shape

@@ -56,7 +56,7 @@ def stockwell_ri(signal_r, freqs, sfreq: float):
     frequencies (rounded to FFT bins): (real, imag) (..., F, N) pair
     (float program boundary).  ``abs(...)**2`` is the S-spectrogram;
     the complex phase is absolutely referenced."""
-    signal_r = jnp.asarray(np.asarray(signal_r, np.float32))
+    signal_r = jnp.asarray(signal_r, jnp.float32)
     bins = _bins(freqs, signal_r.shape[-1], sfreq)
     return _stockwell_jit(signal_r, jnp.asarray(bins), sfreq=float(sfreq))
 

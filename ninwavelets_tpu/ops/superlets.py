@@ -66,7 +66,7 @@ def superlet_banks(freqs, n: int, sfreq: float, base_sigma: float = 3.0,
     family (``make_fft_bank_ri``), so geometry-identical calls hit the
     compile cache per order.
     """
-    freqs = jnp.asarray(np.asarray(freqs, np.float32))
+    freqs = jnp.asarray(freqs, jnp.float32)
     rows = []
     for k in range(1, int(order_max) + 1):
         br, bi = make_fft_bank_ri(_morlet_def(k * float(base_sigma)),

@@ -169,9 +169,7 @@ def efolding_times(wdef, freqs, sfreq: float) -> np.ndarray:
     for i, f in enumerate(freqs):
         probe_seconds = max(16.0 / f, 2.0)
         n = int(2 ** np.ceil(np.log2(sfreq * probe_seconds)))
-        grid = jnp.asarray(np.asarray(
-            fft_bin_freqs(n, sfreq, dtype=jnp.float32), np.float64),
-            jnp.float32)
+        grid = fft_bin_freqs(n, sfreq, dtype=jnp.float32)
         sr, si = _probe_spectrum(wdef, grid, jnp.float32(f))
         spec = np.asarray(sr, np.float64) + 1j * np.asarray(si, np.float64)
         env = np.abs(np.fft.ifft(spec))

@@ -90,7 +90,7 @@ def vmd(signal_r, sfreq: float, n_modes: int = 3, alpha: float = 2000.0,
     ``alpha ((f - f_k)/sfreq)^2`` — pass the same values you would give
     vmdpy (e.g. 2000).
     """
-    signal_r = jnp.asarray(np.asarray(signal_r, np.float32))
+    signal_r = jnp.asarray(signal_r, jnp.float32)
     # the classic implementation works on unit-normalized frequency;
     # fold the sfreq scaling into alpha so user-facing alpha matches.
     alpha_eff = float(alpha) / float(sfreq) ** 2
@@ -148,7 +148,7 @@ def mvmd(signals_r, sfreq: float, n_modes: int = 3,
     the joint-oscillation decomposition (a common rhythm lands in the
     same mode index on every channel, with per-channel amplitude and
     phase preserved).  Same knobs as ``vmd``."""
-    signals_r = jnp.asarray(np.asarray(signals_r, np.float32))
+    signals_r = jnp.asarray(signals_r, jnp.float32)
     if signals_r.ndim < 2:
         raise ValueError("expected (..., channels, N), got %s"
                          % (signals_r.shape,))
@@ -192,7 +192,7 @@ def instantaneous(modes, sfreq: float, smooth: int = 0):
     samples), amplitude as the analytic envelope.  Together with ``vmd``
     / ``ewt`` this is the Hilbert–Huang pipeline (adaptive modes +
     instantaneous attributes) without EMD's sifting."""
-    modes = jnp.asarray(np.asarray(modes, np.float32))
+    modes = jnp.asarray(modes, jnp.float32)
     return _instantaneous_jit(modes, sfreq=float(sfreq),
                               smooth=int(smooth))
 

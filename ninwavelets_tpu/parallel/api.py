@@ -27,7 +27,7 @@ def _as_f32(signals):
     if isinstance(signals, jax.Array):
         return signals if signals.dtype == jnp.float32 \
             else signals.astype(jnp.float32)
-    return jnp.asarray(np.asarray(signals, dtype=np.float32))
+    return jnp.asarray(signals, jnp.float32)
 
 
 def _resolve(wavelet):
@@ -43,7 +43,7 @@ def _build(wavelet, freqs, n, sfreq, interpolate):
     wdef, _ = _resolve(wavelet)
     rwl = float(getattr(wavelet, "real_wave_length", 1.0))
     return make_fft_bank_ri(wdef,
-                            jnp.asarray(np.asarray(freqs, np.float32)),
+                            jnp.asarray(freqs, jnp.float32),
                             n, float(sfreq), interpolate, rwl)
 
 

@@ -120,7 +120,7 @@ def chunk_bank(wdef: WaveletDef, freqs, chunk_len: int, halo: int,
     Built through the jitted float-boundary ``make_fft_bank_ri`` — an eager
     ``bank.real``/``bank.imag`` on a complex bank would hit the TPU
     runtime's unsupported eager-complex path (see CLAUDE.md)."""
-    return make_fft_bank_ri(wdef, jnp.asarray(np.asarray(freqs, np.float32)),
+    return make_fft_bank_ri(wdef, jnp.asarray(freqs, jnp.float32),
                             chunk_len + 2 * halo, sfreq, interpolate)
 
 

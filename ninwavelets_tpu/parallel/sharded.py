@@ -1102,8 +1102,8 @@ def sharded_tf_decode(xa, xb, *, mesh: Mesh, n_folds: int = 5,
     """Validated wrapper (same checks as ``ops.decoding.tf_decode`` —
     without them, trial counts below ``n_folds`` leave empty test folds
     whose zero AUC silently deflates the average)."""
-    xa = jnp.asarray(np.asarray(xa, np.float32))
-    xb = jnp.asarray(np.asarray(xb, np.float32))
+    xa = jnp.asarray(xa, jnp.float32)
+    xb = jnp.asarray(xb, jnp.float32)
     if xa.ndim != 4 or xb.ndim != 4 or xa.shape[1:] != xb.shape[1:]:
         raise ValueError("expected (Ea, C, F, N) and (Eb, C, F, N) with "
                          "matching planes, got %s and %s"
