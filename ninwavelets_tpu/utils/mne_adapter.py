@@ -780,6 +780,37 @@ class EpochsWavelet:
         from ..ops.extensions import wavelet_entropy
         return wavelet_entropy(self.power(ch_name, freqs), normalized)
 
+    def cp_power(self, freqs: Numbers, rank: int, tensor: str = "cfn",
+                 ch_name: Optional[str] = None, nonneg: bool = True,
+                 n_iter: int = 100, seed: int = 0, baseline=None,
+                 baseline_method: str = "zscore", decim: int = 1):
+        """Rank-R PARAFAC model of a power tensor (extension —
+        ``ops.cpd``, the ERPWAVELAB multiway workflow): each component
+        is an outer product of mode signatures.  ``tensor`` picks the
+        modes: ``"cfn"`` (channel x freq x time of the epoch-mean
+        power — spatial/spectral/temporal signatures), ``"efn"`` (epoch
+        x freq x time of ONE channel, ``ch_name`` required — trial
+        loadings), or ``"ecfn"`` (4-way single-trial).  Returns
+        ``(weights, factors, fit)`` with unit-norm factor columns;
+        ``nonneg`` defaults True (power is nonnegative).  Note: with a
+        baseline like zscore the tensor has negative entries — pass
+        ``nonneg=False`` then."""
+        from ..ops.cpd import cp_decompose
+        if tensor == "cfn":
+            x = self.power_all(freqs, baseline, baseline_method, decim)
+        elif tensor == "efn":
+            if ch_name is None:
+                raise ValueError("tensor='efn' needs ch_name")
+            x = self.single_trial_power(ch_name, freqs, baseline,
+                                        baseline_method, decim)
+        elif tensor == "ecfn":
+            x = self.single_trial_power_all(freqs, baseline,
+                                            baseline_method, decim)
+        else:
+            raise ValueError("tensor must be 'cfn', 'efn' or 'ecfn'")
+        return cp_decompose(x, rank, n_iter=n_iter, nonneg=nonneg,
+                            seed=seed)
+
     def bursts(self, ch_name: str, freqs: Numbers, factor: float = 6.0,
                min_area: int = 1, threshold=None, table: bool = False):
         """Oscillatory burst statistics of one channel's single-trial
