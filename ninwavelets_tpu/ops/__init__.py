@@ -68,6 +68,7 @@ from .decoding import decode_auc, temporal_generalization, tf_decode
 from .denoise import denoise, denoise_from_bank
 from .envelope import env_corr_matrix, env_corr_matrix_from_bank
 from .cpd import cp_decompose, cp_reconstruct
+from .cycles import CycleTable, cycle_features
 from .emd import eemd, emd
 from .ewt import ewt, ewt_boundaries, ewt_filterbank, ewt_reconstruct
 from .vmd import hilbert_spectrum, instantaneous, mvmd, vmd
@@ -152,6 +153,7 @@ __all__ = [
     "tf_decode", "decode_auc", "temporal_generalization",
     "env_corr_matrix", "env_corr_matrix_from_bank",
     "cp_decompose", "cp_reconstruct",
+    "cycle_features", "CycleTable",
     "emd", "eemd",
     "ewt", "ewt_boundaries", "ewt_filterbank", "ewt_reconstruct",
     "vmd", "mvmd", "instantaneous", "hilbert_spectrum",

@@ -780,6 +780,18 @@ class EpochsWavelet:
         from ..ops.extensions import wavelet_entropy
         return wavelet_entropy(self.power(ch_name, freqs), normalized)
 
+    def cycles(self, ch_name: str, f_range, **kw):
+        """Cycle-by-cycle waveform features of one channel (extension —
+        ``ops.cycles``, the bycycle method of Cole & Voytek 2019): a
+        ``CycleTable`` of per-epoch padded (E, K) shape features
+        (period, rise-decay / peak-trough asymmetry, amplitude,
+        monotonicity) plus burst flags.  ``f_range=(f_lo, f_hi)`` sets
+        the segmentation band; thresholds pass through to
+        ``ops.cycles.cycle_features``."""
+        from ..ops.cycles import cycle_features
+        return cycle_features(self._channel_data(ch_name),
+                              self.wavelet.sfreq, f_range, **kw)
+
     def cp_power(self, freqs: Numbers, rank: int, tensor: str = "cfn",
                  ch_name: Optional[str] = None, nonneg: bool = True,
                  n_iter: int = 100, seed: int = 0, baseline=None,
