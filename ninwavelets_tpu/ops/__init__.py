@@ -33,6 +33,7 @@ from .cluster import (ClusterResult, TfceResult, cluster_mass,
                       cluster_test_independent,
                       cluster_test_one_sample, cluster_test_paired,
                       cluster_test_regression, t_regression,
+                      fdr_correction,
                       label_components, max_stat_test_independent,
                       max_stat_test_one_sample, max_stat_test_regression,
                       t_independent, t_one_sample,
@@ -141,7 +142,7 @@ __all__ = [
     "max_stat_test_regression",
     "t_independent", "t_one_sample", "t_threshold",
     "TfceResult", "tfce_map", "tfce_test_one_sample",
-    "tfce_test_independent",
+    "tfce_test_independent", "fdr_correction",
     "modwt", "imodwt", "modwt_mra", "modwt_var", "modwt_denoise",
     "wavelet_filter", "max_level", "wavedec", "waverec", "pow2_pad",
     "modwt_cov", "modwt_corr", "modwt_var_ci",

@@ -41,7 +41,7 @@ __all__ = [
     "cluster_test_independent", "max_stat_test_one_sample",
     "max_stat_test_independent", "t_threshold", "ClusterResult",
     "TfceResult", "tfce_map", "tfce_test_one_sample",
-    "tfce_test_independent",
+    "tfce_test_independent", "fdr_correction",
 ]
 
 _CHUNK = 64  # permutations per scan step: one MXU batch, bounded HBM
@@ -835,3 +835,35 @@ def max_stat_test_regression(x, z, n_perm: int = 999, seed: int = 0):
                          f"{z.shape}")
     null = _regression_maxt(x, z, jax.random.PRNGKey(seed), n_perm=n_perm)
     return _maxt_pmap(t_regression(x, z), null)
+
+
+@partial(jax.jit, static_argnames=("method",))
+def _fdr_jit(flat, *, method):
+    m = flat.shape[0]
+    order = jnp.argsort(flat)
+    ranked = jnp.take(flat, order)
+    denom = jnp.arange(1, m + 1, dtype=jnp.float32)
+    factor = m / denom
+    if method == "by":
+        factor = factor * jnp.sum(1.0 / denom)
+    adj = ranked * factor
+    # step-up: adjusted p_(i) = min over j >= i of p_(j) * m/j
+    adj = jnp.clip(lax.cummin(adj, reverse=True), 0.0, 1.0)
+    return jnp.zeros_like(flat).at[order].set(adj)
+
+
+def fdr_correction(p, alpha: float = 0.05, method: str = "bh"):
+    """``(reject, p_adjusted)`` — step-up false-discovery-rate control
+    over every element of a p-value map of any shape: Benjamini-
+    Hochberg (``"bh"``, valid under independence or positive regression
+    dependence — the usual choice for TF maps) or Benjamini-Yekutieli
+    (``"by"``, valid under arbitrary dependence).  The lighter-handed
+    alternative to the FWER family above (cluster mass, TFCE, max-|t|)
+    when per-pixel discovery matters more than familywise control;
+    ``reject = p_adjusted <= alpha``.
+    """
+    if method not in ("bh", "by"):
+        raise ValueError("method must be 'bh' or 'by'")
+    p = jnp.asarray(p, jnp.float32)
+    p_adj = _fdr_jit(p.reshape(-1), method=method).reshape(p.shape)
+    return p_adj <= alpha, p_adj

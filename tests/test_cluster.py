@@ -678,3 +678,48 @@ class TestBootstrapAndRayleigh:
         assert 0.02 < (p < 0.05).mean() < 0.09
         # strong locking -> tiny p
         assert float(np.asarray(itc_pvalue(0.9, e))) < 1e-6
+
+
+class TestFdrCorrection:
+    """fdr_correction against scipy.stats.false_discovery_control."""
+
+    def _ps(self, seed, m=257):
+        rng = np.random.default_rng(seed)
+        # mixture: mostly uniform nulls plus a clump of small p-values
+        p = rng.uniform(size=m)
+        p[:40] = rng.uniform(0.0, 0.01, size=40)
+        return p.astype(np.float32)
+
+    def test_bh_matches_scipy(self):
+        from scipy.stats import false_discovery_control
+        from ninwavelets_tpu.ops import fdr_correction
+        p = self._ps(0)
+        rej, padj = fdr_correction(p, alpha=0.05)
+        ref = false_discovery_control(np.asarray(p, np.float64),
+                                      method="bh")
+        np.testing.assert_allclose(np.asarray(padj), ref, atol=2e-6)
+        np.testing.assert_array_equal(np.asarray(rej), ref <= 0.05)
+
+    def test_by_matches_scipy(self):
+        from scipy.stats import false_discovery_control
+        from ninwavelets_tpu.ops import fdr_correction
+        p = self._ps(1)
+        rej, padj = fdr_correction(p, method="by")
+        ref = false_discovery_control(np.asarray(p, np.float64),
+                                      method="by")
+        np.testing.assert_allclose(np.asarray(padj), ref, atol=2e-6)
+
+    def test_shape_preserved_and_validation(self):
+        from ninwavelets_tpu.ops import fdr_correction
+        p = self._ps(2, m=60).reshape(3, 4, 5)
+        rej, padj = fdr_correction(p)
+        assert rej.shape == p.shape and padj.shape == p.shape
+        with pytest.raises(ValueError):
+            fdr_correction(p, method="holm")
+
+    def test_null_only_rejects_nothing(self):
+        from ninwavelets_tpu.ops import fdr_correction
+        rng = np.random.default_rng(3)
+        p = rng.uniform(0.2, 1.0, size=500).astype(np.float32)
+        rej, _ = fdr_correction(p, alpha=0.05)
+        assert not bool(np.any(np.asarray(rej)))
