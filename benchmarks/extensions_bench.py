@@ -344,6 +344,49 @@ def main():
            eeg_s_per_s=round(8 * 4 * (1024 / 250.0) / d, 1),
            config=dict(b=32, n=1024, atoms=20))
 
+    # --- IRASA fractal/oscillatory split ----------------------------------
+    from ninwavelets_tpu.ops.irasa import irasa
+    sig_ir = jnp.asarray(
+        rng.standard_normal((16, 60_000)).astype(np.float32))
+    d = t(lambda s: irasa(s, sfreq)[1], sig_ir, iters=5)
+    record(op="irasa_16x60k",
+           signal_s_per_s=round(16 * 60_000 / sfreq / d, 1),
+           config=dict(b=16, n=60_000))
+
+    # --- EMD / EEMD ---------------------------------------------------------
+    from ninwavelets_tpu.ops.emd import eemd, emd
+    sig_emd = jnp.asarray(
+        rng.standard_normal((64, 2048)).astype(np.float32))
+    d = t(lambda s: emd(s, n_imfs=6)[1], sig_emd, iters=3)
+    record(op="emd_64x2048_6imf",
+           signal_s_per_s=round(64 * 2048 / sfreq / d, 1),
+           config=dict(b=64, n=2048, imfs=6, spline="natural"))
+    sig_e1 = jnp.asarray(rng.standard_normal((2048,)).astype(np.float32))
+    d = t(lambda s: eemd(s, n_imfs=6, n_ensembles=64)[1], sig_e1,
+          iters=3)
+    record(op="eemd_64ens_2048",
+           signal_s_per_s=round(2048 / sfreq / d, 1),
+           config=dict(n=2048, imfs=6, ensembles=64))
+
+    # --- CP/PARAFAC ---------------------------------------------------------
+    from ninwavelets_tpu.ops.cpd import cp_decompose
+    xcp = jnp.asarray(np.abs(
+        rng.standard_normal((64, 100, 512))).astype(np.float32))
+    d = t(lambda x: cp_decompose(x, 3, n_iter=100)[2], xcp, iters=3)
+    record(op="cp_rank3_100sweeps_64x100x512", seconds=round(d, 4),
+           config=dict(shape=[64, 100, 512], rank=3, n_iter=100))
+
+    # --- cycle-by-cycle -------------------------------------------------------
+    from ninwavelets_tpu.ops.cycles import cycle_features
+    tcy = np.arange(4096) / sfreq
+    sig_cy = jnp.asarray((np.sin(2 * np.pi * 10.0 * tcy)
+                          + 0.1 * rng.standard_normal((64, 4096))
+                          ).astype(np.float32))
+    d = t(lambda s: cycle_features(s, sfreq, (6.0, 15.0)).rdsym, sig_cy)
+    record(op="cycles_64x4096",
+           signal_s_per_s=round(64 * 4096 / sfreq / d, 1),
+           config=dict(b=64, n=4096, band=[6.0, 15.0]))
+
     # --- native IO: EDF file -> streamed TFR ---------------------------------
     # Whole pipeline: mmap'd int16 gather (C++ kernel, prefetch thread)
     # -> H2D -> fused window kernel -> on-device plane.  Best-of-3 like
