@@ -71,6 +71,7 @@ from .envelope import env_corr_matrix, env_corr_matrix_from_bank
 from .cpd import cp_decompose, cp_reconstruct
 from .cycles import CycleTable, cycle_features
 from .emd import eemd, emd
+from .hmm import HMMResult, hmm_fit, viterbi
 from .ewt import ewt, ewt_boundaries, ewt_filterbank, ewt_reconstruct
 from .vmd import hilbert_spectrum, instantaneous, mvmd, vmd
 from .mp import (MPResult, gabor_dictionary, matching_pursuit,
@@ -156,6 +157,7 @@ __all__ = [
     "cp_decompose", "cp_reconstruct",
     "cycle_features", "CycleTable",
     "emd", "eemd",
+    "hmm_fit", "viterbi", "HMMResult",
     "ewt", "ewt_boundaries", "ewt_filterbank", "ewt_reconstruct",
     "vmd", "mvmd", "instantaneous", "hilbert_spectrum",
     "superlet_banks", "superlet_weights", "superlet_power",

@@ -1134,6 +1134,37 @@ class RawWavelet:
         return _irasa(data, self.wavelet.sfreq, band=band, hset=hset,
                       nperseg=nperseg)
 
+    def states(self, n_states: int = 4,
+               bands=((1.0, 4.0), (4.0, 8.0), (8.0, 13.0), (13.0, 30.0)),
+               picks=None, decim: Optional[int] = None,
+               n_iter: int = 50, stickiness: float = 0.9,
+               seed: int = 0):
+        """Recurring spectral states of the recording (extension —
+        ``ops.hmm``, the osl-dynamics/Vidaurre HMM workflow): per-channel
+        log band-power envelopes (``bands``, default the canonical
+        delta/theta/alpha/beta) are z-scored and segmented by a K-state
+        Gaussian HMM.  Returns the ``HMMResult``; its ``means`` rows are
+        the state spectral profiles over the (channel x band) feature
+        grid, ``states``/``gamma`` the decoded time course at the
+        decimated envelope rate (``decim`` defaults to ~20 Hz)."""
+        from ..ops.hmm import hmm_fit
+        bands = [(float(lo), float(hi)) for lo, hi in bands]
+        rows = 4                       # freq rows averaged per band
+        freqs = np.concatenate([np.linspace(lo, hi, rows)
+                                for lo, hi in bands]).astype(np.float32)
+        p = self.power(freqs, picks)                     # (C, F, N)
+        c, f, n = p.shape
+        if decim is None:
+            decim = max(1, int(self.wavelet.sfreq // 20))
+        nt = n // decim
+        p = p[:, :, :nt * decim].reshape(c, len(bands), rows, nt, decim)
+        p = jnp.mean(p, axis=(2, 4))                     # (C, B, nt)
+        feats = jnp.log(p + 1e-12).reshape(c * len(bands), nt).T
+        feats = ((feats - jnp.mean(feats, 0))
+                 / (jnp.std(feats, 0) + 1e-6))
+        return hmm_fit(feats, n_states, n_iter=n_iter,
+                       stickiness=stickiness, seed=seed)
+
     def coherence(self, ch_a: str, ch_b: str, freqs: Numbers,
                   cycles: float = 1.0, scale_width: float = 0.6,
                   eps: float = 1e-12, return_phase: bool = False,
