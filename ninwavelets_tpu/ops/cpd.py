@@ -35,8 +35,16 @@ from jax import lax
 __all__ = ["cp_decompose", "cp_reconstruct"]
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _mttkrp(x, factors, mode):
-    """einsum('ijk,jr,kr->ir', x, B, C)-style MTTKRP for any ndim."""
+    """einsum('ijk,jr,kr->ir', x, B, C)-style MTTKRP for any ndim.
+
+    Precision.HIGHEST throughout: the fit metric cancels three
+    O(||X||^2) terms, and on TPU the DEFAULT single-pass bf16 matmul
+    (~5e-3 rel err — CLAUDE.md) would swamp the residual of any model
+    with fit > ~0.93 (and degrade the ALS normal equations)."""
     nd = x.ndim
     letters = string.ascii_lowercase[:nd]
     ins = [letters]
@@ -46,7 +54,8 @@ def _mttkrp(x, factors, mode):
             continue
         ins.append(letters[m] + "r")
         ops.append(factors[m])
-    return jnp.einsum(",".join(ins) + "->" + letters[mode] + "r", *ops)
+    return jnp.einsum(",".join(ins) + "->" + letters[mode] + "r", *ops,
+                      precision=_HI)
 
 
 def _gram_product(factors, skip):
@@ -54,7 +63,7 @@ def _gram_product(factors, skip):
     for m, f in enumerate(factors):
         if m == skip:
             continue
-        g = f.T @ f
+        g = jnp.matmul(f.T, f, precision=_HI)
         v = g if v is None else v * g
     return v
 
@@ -104,8 +113,8 @@ def _cp_jit(x, key, *, rank, n_iter, nonneg, shape, ridge):
     # ||Xh||^2 = 1^T (hadamard of all Grams) 1.
     m_last = _mttkrp(x, factors, nd - 1)
     inner = jnp.sum(m_last * factors[nd - 1])
-    vfull = _gram_product(factors, nd - 1) * (
-        factors[nd - 1].T @ factors[nd - 1])
+    vfull = _gram_product(factors, nd - 1) * jnp.matmul(
+        factors[nd - 1].T, factors[nd - 1], precision=_HI)
     norm_xh2 = jnp.sum(vfull)
     norm_x2 = jnp.sum(x * x)
     resid2 = jnp.maximum(norm_x2 - 2.0 * inner + norm_xh2, 0.0)
@@ -156,4 +165,5 @@ def cp_reconstruct(weights, factors):
     ins = ["r"] + [letters[m] + "r" for m in range(nd)]
     return jnp.einsum(",".join(ins) + "->" + letters,
                       jnp.asarray(weights, jnp.float32),
-                      *[jnp.asarray(f, jnp.float32) for f in factors])
+                      *[jnp.asarray(f, jnp.float32) for f in factors],
+                      precision=_HI)

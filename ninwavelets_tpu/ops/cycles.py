@@ -56,11 +56,10 @@ class CycleTable(NamedTuple):
 
 def _bandpass(x, sfreq, f_lo, f_hi, trans_frac=0.25):
     """Raised-cosine bandpass on the rfft grid of the pow2-padded row."""
+    from .dwt import pow2_pad
     n = x.shape[-1]
-    n2 = 1 << (n - 1).bit_length()
-    if n2 != n:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n2 - n)],
-                    mode="reflect")
+    x, _ = pow2_pad(x)
+    n2 = x.shape[-1]
     f = jnp.arange(n2 // 2 + 1, dtype=jnp.float32) * (sfreq / n2)
     tl = f_lo * trans_frac
     th = f_hi * trans_frac
@@ -190,9 +189,13 @@ def _row_features(x, xf, sfreq, kmax):
     decay_zx = jnp.where(decay_zx >= n, tr1, decay_zx)   # fallback: trough
     peak_dur = jnp.maximum((decay_zx - rise_zx).astype(jnp.float32), 1.0)
     rise_zx_next = jnp.take(rise_zx, jnp.clip(kk + 1, 0, kmax - 1))
-    has_next = (kk + 1) < jnp.sum(valid)
+    # the compacted neighbor is only usable when it is RAW-adjacent
+    # (nothing was dropped in between — its left trough is our right
+    # trough); otherwise fall back to the within-cycle estimate.
+    tr0_next = jnp.take(tr0, jnp.clip(kk + 1, 0, kmax - 1))
+    adjacent = ((kk + 1) < jnp.sum(valid)) & (tr0_next == tr1)
     trough_dur = jnp.where(
-        has_next, (rise_zx_next - decay_zx).astype(jnp.float32),
+        adjacent, (rise_zx_next - decay_zx).astype(jnp.float32),
         period - peak_dur)                               # edge fallback
     trough_dur = jnp.maximum(trough_dur, 1.0)
     ptsym = peak_dur / (peak_dur + trough_dur)
@@ -217,7 +220,13 @@ def _burst_flags(n_cycles, amp, period, mono, kmax, amp_fraction,
     c_amp = frac >= amp_fraction
 
     def consistency(v):
-        nxt = jnp.concatenate([v[:, 1:], v[:, -1:]], axis=-1)
+        # edge cycles get a one-sided rule on BOTH ends: the first
+        # cycle's prv duplicates itself (the concat below), and the
+        # LAST VALID cycle's nxt must too — shifting left would pull
+        # the zero padding in and veto every burst's final cycle.
+        kk = jnp.arange(kmax)[None, :]
+        shifted = jnp.concatenate([v[:, 1:], v[:, -1:]], axis=-1)
+        nxt = jnp.where(kk >= (n_cycles - 1)[:, None], v, shifted)
         prv = jnp.concatenate([v[:, :1], v[:, :-1]], axis=-1)
         r_n = jnp.minimum(v, nxt) / jnp.maximum(jnp.maximum(v, nxt), 1e-12)
         r_p = jnp.minimum(v, prv) / jnp.maximum(jnp.maximum(v, prv), 1e-12)

@@ -127,11 +127,16 @@ def _hmm_body(x, key, *, n_states, n_iter, stickiness):
         pi, a, means, variances = carry
         gamma, xi, ll = jax.vmap(
             lambda seq: _e_step(seq, pi, a, means, variances))(x)
-        # M-step over all sequences
+        # M-step over all sequences.  Precision.HIGHEST: on TPU the
+        # DEFAULT matmul is single-pass bf16 (~5e-3 rel err — CLAUDE.md)
+        # and E[x^2] - mu^2 cancels catastrophically for non-centered
+        # features; true-f32 accumulation keeps the cancellation at
+        # f32 eps, which the z-scored-feature convention then absorbs.
         g = gamma.reshape(-1, k)                             # (B*T, K)
         nk = jnp.sum(g, 0) + 1e-8
-        means = (g.T @ flat) / nk[:, None]
-        ex2 = (g.T @ (flat * flat)) / nk[:, None]
+        hi = lax.Precision.HIGHEST
+        means = jnp.matmul(g.T, flat, precision=hi) / nk[:, None]
+        ex2 = jnp.matmul(g.T, flat * flat, precision=hi) / nk[:, None]
         variances = jnp.maximum(ex2 - means * means, _VAR_FLOOR)
         xi_tot = jnp.sum(xi, 0) + 1e-8
         a = xi_tot / jnp.sum(xi_tot, 1, keepdims=True)

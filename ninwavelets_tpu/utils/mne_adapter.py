@@ -793,7 +793,8 @@ class EpochsWavelet:
                               self.wavelet.sfreq, f_range, **kw)
 
     def cp_power(self, freqs: Numbers, rank: int, tensor: str = "cfn",
-                 ch_name: Optional[str] = None, nonneg: bool = True,
+                 ch_name: Optional[str] = None,
+                 nonneg: Optional[bool] = None,
                  n_iter: int = 100, seed: int = 0, baseline=None,
                  baseline_method: str = "zscore", decim: int = 1):
         """Rank-R PARAFAC model of a power tensor (extension —
@@ -804,10 +805,19 @@ class EpochsWavelet:
         x freq x time of ONE channel, ``ch_name`` required — trial
         loadings), or ``"ecfn"`` (4-way single-trial).  Returns
         ``(weights, factors, fit)`` with unit-norm factor columns;
-        ``nonneg`` defaults True (power is nonnegative).  Note: with a
-        baseline like zscore the tensor has negative entries — pass
-        ``nonneg=False`` then."""
+        ``nonneg`` defaults True for raw power (nonnegative by
+        construction) and False when a ``baseline`` correction is
+        applied (zscore/logratio tensors are signed — HALS would
+        silently clamp half the data); passing ``nonneg=True`` together
+        with a baseline raises."""
         from ..ops.cpd import cp_decompose
+        if nonneg is None:
+            nonneg = baseline is None
+        elif nonneg and baseline is not None:
+            raise ValueError(
+                "nonneg=True with a baseline correction: baselined "
+                "power is signed and HALS would clamp the negative "
+                "half; pass nonneg=False (or drop the baseline)")
         if tensor == "cfn":
             x = self.power_all(freqs, baseline, baseline_method, decim)
         elif tensor == "efn":

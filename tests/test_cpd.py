@@ -140,3 +140,15 @@ class TestAdapter:
                                      ch_name=ep.ch_names[0], n_iter=50)
         assert np.asarray(facs[0]).shape == (8, 2)      # epochs
         assert np.asarray(facs[1]).shape == (10, 2)     # freqs
+
+    def test_nonneg_baseline_guard(self):
+        ep = self._epochs()
+        ew = nw.EpochsWavelet(ep, nw.Morse(250.0))
+        freqs = np.arange(8.0, 48.0, 4.0)
+        # explicit nonneg with a signed baselined tensor must raise
+        with pytest.raises(ValueError):
+            ew.cp_power(freqs, rank=2, nonneg=True, baseline=(0.0, 0.4))
+        # default flips to signed ALS and runs
+        wts, facs, fit = ew.cp_power(freqs, rank=2, n_iter=30,
+                                     baseline=(0.0, 0.4))
+        assert len(facs) == 3

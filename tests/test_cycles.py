@@ -164,3 +164,16 @@ class TestSurface:
         tab = ew.cycles("EEG 000", (5.0, 12.0))
         assert tab.n_cycles.shape == (2,)
         assert int(tab.n_cycles[0]) > 50
+
+
+class TestReviewRegressions:
+    def test_last_cycle_of_a_burst_flagged(self):
+        # review finding: the consistency neighbor of the LAST valid
+        # cycle used to be zero padding, vetoing every burst's end
+        x = _sig(np.sin(2 * np.pi * 8.0 * T), noise=0.005)
+        tab = cycle_features(x, SFREQ, (5.0, 12.0))
+        k = int(tab.n_cycles)
+        burst = np.asarray(tab.is_burst)[:k]
+        assert bool(burst[-1])
+        assert bool(burst[0])
+        assert burst.mean() > 0.98
