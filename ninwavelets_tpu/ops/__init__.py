@@ -72,6 +72,7 @@ from .cpd import cp_decompose, cp_reconstruct
 from .cycles import CycleTable, cycle_features
 from .emd import eemd, emd
 from .hmm import HMMResult, hmm_fit, viterbi
+from .ica import ICAResult, fastica, ica_remove, ica_transform
 from .ewt import ewt, ewt_boundaries, ewt_filterbank, ewt_reconstruct
 from .vmd import hilbert_spectrum, instantaneous, mvmd, vmd
 from .mp import (MPResult, gabor_dictionary, matching_pursuit,
@@ -158,6 +159,7 @@ __all__ = [
     "cycle_features", "CycleTable",
     "emd", "eemd",
     "hmm_fit", "viterbi", "HMMResult",
+    "fastica", "ica_transform", "ica_remove", "ICAResult",
     "ewt", "ewt_boundaries", "ewt_filterbank", "ewt_reconstruct",
     "vmd", "mvmd", "instantaneous", "hilbert_spectrum",
     "superlet_banks", "superlet_weights", "superlet_power",

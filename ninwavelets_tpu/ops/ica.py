@@ -1,0 +1,167 @@
+"""Independent component analysis (FastICA, Hyvärinen & Oja 2000) for
+artifact separation.  No reference counterpart — this is the standard
+EEG preprocessing step the reference leaves to mne: unmix a (C, N)
+recording into statistically independent sources, inspect/flag the
+ocular-cardiac-muscle components, and reconstruct without them.
+
+Design notes (TPU):
+* whitening is an eigendecomposition of the C x C channel covariance
+  (C is at most a few hundred — one small ``jnp.linalg.eigh``), with
+  the data matmuls at ``Precision.HIGHEST`` (statistic path — DEFAULT
+  bf16 would bias the covariance, see CLAUDE.md);
+* the symmetric (parallel) FastICA fixed point runs a STATIC number of
+  iterations inside one ``lax.scan``: each step is two (K, N) x (N, K)
+  matmuls (the nonlinearity moment and its derivative mean) plus a
+  K x K symmetric-decorrelation eigh — all MXU/compiler-friendly, no
+  data-dependent convergence branching; the final per-iteration
+  convergence metric is returned so the caller can CHECK convergence
+  instead of trusting it;
+* component order is deterministic: sorted by explained variance of
+  the mixing columns (sklearn leaves them permutation-random, which
+  makes downstream component-index bookkeeping fragile);
+* signs are fixed by making each mixing column's largest-|.|
+  coefficient positive (ICA's intrinsic sign ambiguity).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["fastica", "ica_transform", "ica_remove", "ICAResult"]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class ICAResult(NamedTuple):
+    """Fitted ICA model.  ``sources = unmixing @ (x - mean)``;
+    ``x ~= mixing @ sources + mean``."""
+    unmixing: jnp.ndarray   # (K, C)
+    mixing: jnp.ndarray     # (C, K)
+    mean: jnp.ndarray       # (C,)
+    sources: jnp.ndarray    # (K, N)
+    convergence: jnp.ndarray  # (n_iter,) max |1 - |<w_new, w_old>||
+
+
+def _g(u, fun: str):
+    """FastICA nonlinearity g(u) and its derivative mean factor."""
+    if fun == "logcosh":
+        gu = jnp.tanh(u)
+        gpu = 1.0 - gu * gu
+    elif fun == "exp":
+        e = jnp.exp(-0.5 * u * u)
+        gu = u * e
+        gpu = (1.0 - u * u) * e
+    elif fun == "cube":
+        gu = u ** 3
+        gpu = 3.0 * u * u
+    else:
+        raise ValueError("fun must be 'logcosh', 'exp' or 'cube'")
+    return gu, gpu
+
+
+def _sym_decorrelate(w):
+    """W <- (W W^T)^(-1/2) W via eigh of the K x K Gram."""
+    s, e = jnp.linalg.eigh(jnp.matmul(w, w.T, precision=_HI))
+    inv_sqrt = e @ jnp.diag(1.0 / jnp.sqrt(jnp.maximum(s, 1e-12))) @ e.T
+    return jnp.matmul(inv_sqrt, w, precision=_HI)
+
+
+@partial(jax.jit, static_argnames=("n_components", "fun", "n_iter"))
+def _fastica_jit(x, key, *, n_components, fun, n_iter):
+    c, n = x.shape
+    k = n_components
+    mean = jnp.mean(x, axis=1)
+    xc = x - mean[:, None]
+    cov = jnp.matmul(xc, xc.T, precision=_HI) / n
+    s, e = jnp.linalg.eigh(cov)                     # ascending
+    # top-K principal directions whiten the data
+    s_top = s[-k:][::-1]
+    e_top = e[:, -k:][:, ::-1]
+    whiten = (e_top / jnp.sqrt(jnp.maximum(s_top, 1e-12))).T  # (K, C)
+    z = jnp.matmul(whiten, xc, precision=_HI)       # (K, N), cov = I
+
+    w0 = _sym_decorrelate(jax.random.normal(key, (k, k), jnp.float32))
+
+    def step(w, _):
+        u = jnp.matmul(w, z, precision=_HI)         # (K, N)
+        gu, gpu = _g(u, fun)
+        w_new = (jnp.matmul(gu, z.T, precision=_HI) / n
+                 - jnp.mean(gpu, axis=1)[:, None] * w)
+        w_new = _sym_decorrelate(w_new)
+        conv = jnp.max(jnp.abs(1.0 - jnp.abs(
+            jnp.sum(w_new * w, axis=1))))
+        return w_new, conv
+
+    w, conv = lax.scan(step, w0, None, length=n_iter)
+
+    unmixing = jnp.matmul(w, whiten, precision=_HI)          # (K, C)
+    mixing = e_top * jnp.sqrt(jnp.maximum(s_top, 1e-12)) @ w.T  # (C, K)
+    # deterministic order: explained variance = ||mixing col||^2
+    # (sources are unit variance after whitening+rotation)
+    power = jnp.sum(mixing * mixing, axis=0)
+    order = jnp.argsort(-power)
+    unmixing = unmixing[order]
+    mixing = mixing[:, order]
+    # sign convention: the largest-|.| mixing coefficient is positive
+    flip = jnp.sign(jnp.take_along_axis(
+        mixing, jnp.argmax(jnp.abs(mixing), axis=0)[None, :], axis=0))[0]
+    flip = jnp.where(flip == 0, 1.0, flip)
+    unmixing = unmixing * flip[:, None]
+    mixing = mixing * flip[None, :]
+    sources = jnp.matmul(unmixing, xc, precision=_HI)
+    return unmixing, mixing, mean, sources, conv
+
+
+def fastica(x, n_components: int | None = None, fun: str = "logcosh",
+            n_iter: int = 200, seed: int = 0) -> ICAResult:
+    """Symmetric FastICA of a (C, N) recording: ``ICAResult`` with
+    variance-sorted, sign-fixed components.
+
+    ``fun`` is the contrast nonlinearity (``logcosh`` is the robust
+    default; ``exp`` for very super-Gaussian sources like blinks,
+    ``cube`` = kurtosis); ``n_iter`` is a static iteration count —
+    check ``convergence[-1]`` (should be ~0, it is
+    ``max_k |1 - |cos angle(w_k_new, w_k_old)||`` of the last sweep).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 2:
+        raise ValueError("expected (channels, samples)")
+    c, n = x.shape
+    if n < c:
+        raise ValueError("need more samples than channels")
+    k = c if n_components is None else int(n_components)
+    if not (1 <= k <= c):
+        raise ValueError("n_components must be in [1, channels]")
+    if fun not in ("logcosh", "exp", "cube"):
+        raise ValueError("fun must be 'logcosh', 'exp' or 'cube'")
+    un, mix, mean, src, conv = _fastica_jit(
+        x, jax.random.PRNGKey(seed), n_components=k, fun=fun,
+        n_iter=int(n_iter))
+    return ICAResult(un, mix, mean, src, conv)
+
+
+def ica_transform(x, result: ICAResult) -> jnp.ndarray:
+    """(K, N) source estimates of new data under a fitted model."""
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.matmul(result.unmixing,
+                      x - result.mean[:, None], precision=_HI)
+
+
+def ica_remove(x, result: ICAResult, exclude) -> jnp.ndarray:
+    """(C, N) reconstruction of ``x`` with the ``exclude``d component
+    indices zeroed — the artifact-removal step (mne's ``ica.apply``)."""
+    x = jnp.asarray(x, jnp.float32)
+    k = result.unmixing.shape[0]
+    exclude = np.atleast_1d(np.asarray(exclude, np.int64))
+    if exclude.size and (exclude.min() < 0 or exclude.max() >= k):
+        raise ValueError(f"exclude indices must be in [0, {k})")
+    keep = np.ones(k, np.float32)
+    keep[exclude] = 0.0
+    src = ica_transform(x, result)
+    return (jnp.matmul(result.mixing * jnp.asarray(keep)[None, :], src,
+                       precision=_HI) + result.mean[:, None])

@@ -1144,6 +1144,26 @@ class RawWavelet:
         return _irasa(data, self.wavelet.sfreq, band=band, hset=hset,
                       nperseg=nperseg)
 
+    def ica(self, n_components: Optional[int] = None, picks=None, **kw):
+        """FastICA decomposition of the recording (extension —
+        ``ops.ica``): an ``ICAResult`` with variance-sorted, sign-fixed
+        components.  Inspect ``result.sources`` / ``result.mixing`` to
+        flag artifact components, then reconstruct without them via
+        ``ica_clean``."""
+        from ..ops.ica import fastica
+        data = self._host_data()
+        if picks is not None:
+            data = data[[self.raw.ch_names.index(ch) for ch in picks]]
+        return fastica(data, n_components, **kw)
+
+    def ica_clean(self, result, exclude) -> np.ndarray:
+        """(C, N) copy of the recording with the ``exclude``d ICA
+        components removed (mne's ``ica.apply`` step).  Wrap it in a
+        new ``RawWavelet`` to run any downstream analysis on the
+        cleaned recording."""
+        from ..ops.ica import ica_remove
+        return np.asarray(ica_remove(self._host_data(), result, exclude))
+
     def states(self, n_states: int = 4,
                bands=((1.0, 4.0), (4.0, 8.0), (8.0, 13.0), (13.0, 30.0)),
                picks=None, decim: Optional[int] = None,
