@@ -71,6 +71,7 @@ from .envelope import env_corr_matrix, env_corr_matrix_from_bank
 from .cpd import cp_decompose, cp_reconstruct
 from .cycles import CycleTable, cycle_features
 from .emd import eemd, emd
+from .filtering import bandpass, highpass, lowpass, notch, resample
 from .hmm import HMMResult, hmm_fit, viterbi
 from .ica import ICAResult, fastica, ica_remove, ica_transform
 from .ewt import ewt, ewt_boundaries, ewt_filterbank, ewt_reconstruct
@@ -160,6 +161,7 @@ __all__ = [
     "emd", "eemd",
     "hmm_fit", "viterbi", "HMMResult",
     "fastica", "ica_transform", "ica_remove", "ICAResult",
+    "bandpass", "lowpass", "highpass", "notch", "resample",
     "ewt", "ewt_boundaries", "ewt_filterbank", "ewt_reconstruct",
     "vmd", "mvmd", "instantaneous", "hilbert_spectrum",
     "superlet_banks", "superlet_weights", "superlet_power",

@@ -1144,6 +1144,42 @@ class RawWavelet:
         return _irasa(data, self.wavelet.sfreq, band=band, hset=hset,
                       nperseg=nperseg)
 
+    def filter(self, f_lo: Optional[float] = None,
+               f_hi: Optional[float] = None, notch_hz=None,
+               picks=None) -> np.ndarray:
+        """(C, N) zero-phase filtered copy of the recording (extension —
+        ``ops.filtering``): band/low/highpass from whichever of
+        ``f_lo``/``f_hi`` is given, plus optional ``notch_hz`` (a line
+        frequency or list of them).  Wrap the result in a new
+        ``RawWavelet`` for downstream analysis."""
+        from ..ops import filtering as flt
+        data = self._host_data()
+        if picks is not None:
+            data = data[[self.raw.ch_names.index(ch) for ch in picks]]
+        sfreq = self.wavelet.sfreq
+        out = jnp.asarray(data)
+        if f_lo is not None and f_hi is not None:
+            out = flt.bandpass(out, sfreq, f_lo, f_hi)
+        elif f_hi is not None:
+            out = flt.lowpass(out, sfreq, f_hi)
+        elif f_lo is not None:
+            out = flt.highpass(out, sfreq, f_lo)
+        if notch_hz is not None:
+            for f0 in np.atleast_1d(notch_hz):
+                out = flt.notch(out, sfreq, float(f0))
+        return np.asarray(out)
+
+    def resample(self, new_sfreq: float, picks=None):
+        """``(data, new_sfreq)`` — FFT-resampled copy of the recording
+        (extension — ``ops.resample``; pow2 rate ratios are exact
+        spectrum truncation, anything else anti-aliased + cubic)."""
+        from ..ops.filtering import resample as _resample
+        data = self._host_data()
+        if picks is not None:
+            data = data[[self.raw.ch_names.index(ch) for ch in picks]]
+        y, sf = _resample(data, self.wavelet.sfreq, new_sfreq)
+        return np.asarray(y), sf
+
     def ica(self, n_components: Optional[int] = None, picks=None, **kw):
         """FastICA decomposition of the recording (extension —
         ``ops.ica``): an ``ICAResult`` with variance-sorted, sign-fixed
