@@ -387,6 +387,36 @@ def main():
            signal_s_per_s=round(64 * 4096 / sfreq / d, 1),
            config=dict(b=64, n=4096, band=[6.0, 15.0]))
 
+    # --- HMM spectral states ---------------------------------------------------
+    from ninwavelets_tpu.ops.hmm import hmm_fit
+    xhmm = jnp.asarray(
+        rng.standard_normal((8, 6000, 12)).astype(np.float32))
+    d = t(lambda x: hmm_fit(x, 4, n_iter=50).loglik, xhmm, iters=3)
+    record(op="hmm_8x6000x12_k4_50em", seconds=round(d, 4),
+           config=dict(b=8, t=6000, d=12, k=4, n_iter=50))
+
+    # --- FastICA ---------------------------------------------------------------
+    from ninwavelets_tpu.ops.ica import fastica
+    xica = jnp.asarray(
+        rng.laplace(size=(64, 250_000)).astype(np.float32))
+    d = t(lambda x: fastica(x, n_iter=100).sources, xica, iters=3)
+    record(op="fastica_64x250k_100it", seconds=round(d, 3),
+           config=dict(c=64, n=250_000, n_iter=100))
+
+    # --- filtering / resampling --------------------------------------------------
+    from ninwavelets_tpu.ops.filtering import bandpass as _bp
+    from ninwavelets_tpu.ops.filtering import resample as _rs
+    xf = jnp.asarray(
+        rng.standard_normal((64, 600_000)).astype(np.float32))
+    d = t(lambda x: _bp(x, sfreq, 1.0, 40.0), xf, iters=5)
+    record(op="bandpass_64x600k",
+           signal_s_per_s=round(64 * 600_000 / sfreq / d, 1),
+           config=dict(c=64, n=600_000))
+    d = t(lambda x: _rs(x, sfreq, 250.0)[0], xf, iters=5)
+    record(op="resample_4x_64x600k",
+           signal_s_per_s=round(64 * 600_000 / sfreq / d, 1),
+           config=dict(c=64, n=600_000, new_sfreq=250.0))
+
     # --- native IO: EDF file -> streamed TFR ---------------------------------
     # Whole pipeline: mmap'd int16 gather (C++ kernel, prefetch thread)
     # -> H2D -> fused window kernel -> on-device plane.  Best-of-3 like

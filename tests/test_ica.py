@@ -168,3 +168,18 @@ class TestValidation:
             (3, 400)).astype(np.float32), n_iter=20)
         with pytest.raises(ValueError):
             ica_remove(np.zeros((3, 400), np.float32), res, [5])
+
+
+def test_preprocess_demo_headless(capsys):
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "preprocess_demo", os.path.join(
+            os.path.dirname(__file__), "..", "examples",
+            "preprocess_demo.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    out = capsys.readouterr().out
+    assert "[filter]" in out and "[ica]" in out
+    assert "[states]" in out and "[cycles]" in out
