@@ -90,7 +90,11 @@ def _backward_stats(log_b, log_a, log_alpha):
         lbeta = lbeta - jnp.max(lbeta)
         return (lbeta, xi_acc), lbeta
 
-    init = (jnp.zeros(k), jnp.zeros((k, k)))
+    # derive the zero inits from the data so their varying-axes type
+    # matches the scanned operands under shard_map (CLAUDE.md: scan
+    # zero-inits inside shard_map need data-derived carries)
+    zero = 0.0 * log_b[0, 0]
+    init = (jnp.zeros(k) + zero, jnp.zeros((k, k)) + zero)
     (_, xi_sum), lbetas = lax.scan(
         step, init, (log_b[1:], log_alpha[:-1]), reverse=True)
     lbeta_full = jnp.concatenate([lbetas, jnp.zeros((1, k))])
@@ -107,21 +111,27 @@ def _e_step(x, pi, a, means, variances):
     return gamma, xi_sum, loglik
 
 
-def _hmm_body(x, key, *, n_states, n_iter, stickiness):
-    b, t, d = x.shape
-    k = n_states
-    # deterministic seeding: k-means-like means from shuffled strided
-    # frames, global variance, sticky uniform transitions
+def _init_params(x, key, k, stickiness):
+    """Deterministic EM seeding from a (B, T, D) block: k-means-like
+    means from shuffled frame chunks, global variance, sticky uniform
+    transitions.  Shared by the single-device and sharded fits."""
+    d = x.shape[-1]
     flat = x.reshape(-1, d)
     chunk = max(1, min(16, flat.shape[0] // k))
     idx = jax.random.permutation(key, flat.shape[0])[:k * chunk]
     seeds = flat[idx].reshape(k, chunk, d).mean(1)           # (K, D)
     gvar = jnp.var(flat, axis=0) + _VAR_FLOOR
-    means0 = seeds
-    var0 = jnp.broadcast_to(gvar, (k, d))
     pi0 = jnp.full((k,), 1.0 / k)
     a0 = (1.0 - stickiness) / (k - 1.0) * (1.0 - jnp.eye(k)) \
         + stickiness * jnp.eye(k)
+    return pi0, a0, seeds, jnp.broadcast_to(gvar, (k, d))
+
+
+def _hmm_body(x, key, *, n_states, n_iter, stickiness):
+    b, t, d = x.shape
+    k = n_states
+    flat = x.reshape(-1, d)
+    pi0, a0, means0, var0 = _init_params(x, key, k, stickiness)
 
     def em(carry, _):
         pi, a, means, variances = carry

@@ -33,7 +33,8 @@ from .sharded import (sharded_cluster_null,
                       sharded_tf_decode,
                       sharded_reassigned_mean_power,
                       sharded_ssq_mean_power, sharded_superlet_mean_power,
-                      sharded_wavelet_granger)
+                      sharded_wavelet_granger,
+                      sharded_hmm_fit, sharded_fastica)
 from .online import OnlineCWT
 from .streaming import StreamingCWT
 
@@ -50,6 +51,7 @@ __all__ = [
     "sharded_pac", "sharded_mean_power_grad", "sharded_nm_plv",
     "sharded_phase_lag", "sharded_fused_phase_lag", "sharded_ppc",
     "sharded_imcoh", "sharded_modwt",
+    "sharded_hmm_fit", "sharded_fastica",
     "sharded_cluster_null", "sharded_cluster_test_one_sample",
     "sharded_cluster_test_independent",
     "sharded_superlet_mean_power", "sharded_multitaper_mean_power",

@@ -1112,3 +1112,162 @@ def sharded_tf_decode(xa, xb, *, mesh: Mesh, n_folds: int = 5,
         raise ValueError("need at least n_folds trials per class")
     return _sharded_tf_decode_jit(xa, xb, mesh=mesh,
                                   n_folds=int(n_folds), lam=float(lam))
+
+
+# --------------------------------------------------------------- HMM ----
+
+_SHARDED_FN_CACHE: dict = {}
+
+
+def sharded_hmm_fit(x, *, mesh: Mesh, n_states: int, n_iter: int = 50,
+                    stickiness: float = 0.9, seed: int = 0):
+    """Mesh-parallel ``ops.hmm.hmm_fit``: sequences shard over the data
+    axis, every EM sufficient statistic (state weights, moment matmuls,
+    transition counts, initial-state mass, log-likelihood) is one
+    ``psum``, so the fit is numerically the single-device EM with a
+    different f32 reduction order.  Decoded ``gamma``/``states`` come
+    back sharded over sequences; parameters are replicated.
+
+    ``B`` must divide by the data-axis size.
+    """
+    from ..ops.hmm import (_VAR_FLOOR, _e_step, _init_params,
+                           _viterbi_jit_body)
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 3:
+        raise ValueError("expected (B, T, D) sequences")
+    b, t, d = x.shape
+    ndata = mesh.shape[DATA_AXIS]
+    if b % ndata:
+        raise ValueError(f"B={b} must divide by the data axis ({ndata})")
+    k = int(n_states)
+
+    # init must be mesh-invariant: computed once from the full block
+    pi0, a0, means0, var0 = _init_params(
+        x, jax.random.PRNGKey(seed), k, float(stickiness))
+
+    # cache the jitted shard_map per (mesh, knobs): the EM scan trace is
+    # expensive and a fresh shard_map per call would re-run it every time
+    cache_key = ("hmm", mesh, k, int(n_iter), d)
+    if cache_key in _SHARDED_FN_CACHE:
+        out = _SHARDED_FN_CACHE[cache_key](x, pi0, a0, means0, var0)
+        from ..ops.hmm import HMMResult
+        return HMMResult(*out)
+
+    def local(xl, pi0, a0, means0, var0):
+        flat = xl.reshape(-1, d)
+        hi = lax.Precision.HIGHEST
+
+        def em(carry, _):
+            pi, a, means, variances = carry
+            gamma, xi, ll = jax.vmap(
+                lambda seq: _e_step(seq, pi, a, means, variances))(xl)
+            g = gamma.reshape(-1, k)
+            nk = lax.psum(jnp.sum(g, 0), DATA_AXIS) + 1e-8
+            m1 = lax.psum(jnp.matmul(g.T, flat, precision=hi),
+                          DATA_AXIS)
+            m2 = lax.psum(jnp.matmul(g.T, flat * flat, precision=hi),
+                          DATA_AXIS)
+            means = m1 / nk[:, None]
+            variances = jnp.maximum(m2 / nk[:, None] - means * means,
+                                    _VAR_FLOOR)
+            xi_tot = lax.psum(jnp.sum(xi, 0), DATA_AXIS) + 1e-8
+            a = xi_tot / jnp.sum(xi_tot, 1, keepdims=True)
+            pi = lax.psum(jnp.sum(gamma[:, 0, :], 0), DATA_AXIS) + 1e-8
+            pi = pi / jnp.sum(pi)
+            return (pi, a, means, variances), lax.psum(jnp.sum(ll),
+                                                       DATA_AXIS)
+
+        (pi, a, means, variances), ll_trace = lax.scan(
+            em, (pi0, a0, means0, var0), None, length=int(n_iter))
+        gamma, _, _ = jax.vmap(
+            lambda seq: _e_step(seq, pi, a, means, variances))(xl)
+        states = jax.vmap(lambda seq: _viterbi_jit_body(
+            seq, pi, a, means, variances))(xl)
+        return pi, a, means, variances, gamma, states, ll_trace
+
+    rep = P()
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS), rep, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep, P(DATA_AXIS), P(DATA_AXIS), rep)))
+    _SHARDED_FN_CACHE[cache_key] = fn
+    out = fn(x, pi0, a0, means0, var0)
+    from ..ops.hmm import HMMResult
+    return HMMResult(*out)
+
+
+# ------------------------------------------------------------ FastICA ----
+
+def sharded_fastica(x, *, mesh: Mesh, n_components: int | None = None,
+                    fun: str = "logcosh", n_iter: int = 200,
+                    seed: int = 0):
+    """Mesh-parallel ``ops.ica.fastica``: SAMPLES shard over the data
+    axis (the natural split for one long recording) — the channel
+    covariance, the nonlinearity moment matmuls, and the derivative
+    means are each one ``psum``; the K x K eigendecompositions run
+    replicated.  Returns an ``ICAResult`` whose ``sources`` are sharded
+    over time; ``N`` must divide by the data-axis size.
+    """
+    from ..ops.ica import (ICAResult, _g, _sym_decorrelate)
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 2:
+        raise ValueError("expected (channels, samples)")
+    c, n = x.shape
+    ndata = mesh.shape[DATA_AXIS]
+    if n % ndata:
+        raise ValueError(f"N={n} must divide by the data axis ({ndata})")
+    k = c if n_components is None else int(n_components)
+    if not (1 <= k <= c):
+        raise ValueError("n_components must be in [1, channels]")
+    if fun not in ("logcosh", "exp", "cube"):
+        raise ValueError("fun must be 'logcosh', 'exp' or 'cube'")
+    hi = lax.Precision.HIGHEST
+    w_init = _sym_decorrelate(jax.random.normal(
+        jax.random.PRNGKey(seed), (k, k), jnp.float32))
+
+    cache_key = ("ica", mesh, k, fun, int(n_iter), c, n)
+    if cache_key in _SHARDED_FN_CACHE:
+        return ICAResult(*_SHARDED_FN_CACHE[cache_key](x, w_init))
+
+    def local(xl, w0):
+        mean = lax.psum(jnp.sum(xl, axis=1), DATA_AXIS) / n
+        xc = xl - mean[:, None]
+        cov = lax.psum(jnp.matmul(xc, xc.T, precision=hi), DATA_AXIS) / n
+        s, e = jnp.linalg.eigh(cov)
+        s_top = s[-k:][::-1]
+        e_top = e[:, -k:][:, ::-1]
+        whiten = (e_top / jnp.sqrt(jnp.maximum(s_top, 1e-12))).T
+        z = jnp.matmul(whiten, xc, precision=hi)
+
+        def step(w, _):
+            u = jnp.matmul(w, z, precision=hi)
+            gu, gpu = _g(u, fun)
+            m = lax.psum(jnp.matmul(gu, z.T, precision=hi), DATA_AXIS)
+            gp = lax.psum(jnp.sum(gpu, axis=1), DATA_AXIS)
+            w_new = _sym_decorrelate(m / n - (gp / n)[:, None] * w)
+            conv = jnp.max(jnp.abs(1.0 - jnp.abs(
+                jnp.sum(w_new * w, axis=1))))
+            return w_new, conv
+
+        w, conv = lax.scan(step, w0, None, length=int(n_iter))
+        unmixing = jnp.matmul(w, whiten, precision=hi)
+        mixing = e_top * jnp.sqrt(jnp.maximum(s_top, 1e-12)) @ w.T
+        power = jnp.sum(mixing * mixing, axis=0)
+        order = jnp.argsort(-power)
+        unmixing = unmixing[order]
+        mixing = mixing[:, order]
+        flip = jnp.sign(jnp.take_along_axis(
+            mixing, jnp.argmax(jnp.abs(mixing), axis=0)[None, :],
+            axis=0))[0]
+        flip = jnp.where(flip == 0, 1.0, flip)
+        unmixing = unmixing * flip[:, None]
+        mixing = mixing * flip[None, :]
+        sources = jnp.matmul(unmixing, xc, precision=hi)
+        return unmixing, mixing, mean, sources, conv
+
+    rep = P()
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(None, DATA_AXIS), rep),
+        out_specs=(rep, rep, rep, P(None, DATA_AXIS), rep)))
+    _SHARDED_FN_CACHE[cache_key] = fn
+    return ICAResult(*fn(x, w_init))

@@ -159,3 +159,32 @@ class TestRawStates:
         assert acc > 0.9
         with pytest.raises(ValueError):
             hmm_fit(x, k, n_restarts=0)
+
+
+class TestSharded:
+    def test_sharded_matches_single_device(self):
+        from ninwavelets_tpu.parallel import sharded_hmm_fit
+        from ninwavelets_tpu.parallel.mesh import make_mesh
+        seqs = np.stack([_sample_hmm(400, PI, A, MEANS, STDS, seed=s)[0]
+                         for s in range(8)])
+        mesh = make_mesh(data=8)
+        res_s = sharded_hmm_fit(seqs, mesh=mesh, n_states=2, n_iter=30,
+                                seed=0)
+        res_1 = hmm_fit(seqs, 2, n_iter=30, seed=0)
+        np.testing.assert_allclose(np.asarray(res_s.transition),
+                                   np.asarray(res_1.transition),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res_s.means),
+                                   np.asarray(res_1.means), atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(res_s.states),
+                                      np.asarray(res_1.states))
+        np.testing.assert_allclose(np.asarray(res_s.loglik),
+                                   np.asarray(res_1.loglik), rtol=1e-5)
+
+    def test_validation(self):
+        from ninwavelets_tpu.parallel import sharded_hmm_fit
+        from ninwavelets_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=8)
+        with pytest.raises(ValueError):
+            sharded_hmm_fit(np.zeros((6, 100, 3), np.float32),
+                            mesh=mesh, n_states=2)

@@ -183,3 +183,25 @@ def test_preprocess_demo_headless(capsys):
     out = capsys.readouterr().out
     assert "[filter]" in out and "[ica]" in out
     assert "[states]" in out and "[cycles]" in out
+
+
+class TestSharded:
+    def test_sharded_matches_single_device(self):
+        from ninwavelets_tpu.parallel import sharded_fastica
+        from ninwavelets_tpu.parallel.mesh import make_mesh
+        x, _ = _mix(_sources(20), 21)      # (4, 5000), 5000 % 8 == 0
+        mesh = make_mesh(data=8)
+        res_s = sharded_fastica(x, mesh=mesh, n_iter=200, seed=0)
+        res_1 = fastica(x, n_iter=200, seed=0)
+        np.testing.assert_allclose(np.asarray(res_s.unmixing),
+                                   np.asarray(res_1.unmixing),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(res_s.sources),
+                                   np.asarray(res_1.sources), atol=5e-3)
+
+    def test_validation(self):
+        from ninwavelets_tpu.parallel import sharded_fastica
+        from ninwavelets_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=8)
+        with pytest.raises(ValueError):
+            sharded_fastica(np.zeros((4, 1001), np.float32), mesh=mesh)
