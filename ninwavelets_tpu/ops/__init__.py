@@ -74,6 +74,8 @@ from .emd import eemd, emd
 from .filtering import bandpass, highpass, lowpass, notch, resample
 from .hmm import HMMResult, hmm_fit, viterbi
 from .ica import ICAResult, fastica, ica_remove, ica_transform
+from .spatial import (SpatialResult, covariance, csp, csp_features, ged,
+                      spatial_apply, ssd)
 from .ewt import ewt, ewt_boundaries, ewt_filterbank, ewt_reconstruct
 from .vmd import hilbert_spectrum, instantaneous, mvmd, vmd
 from .mp import (MPResult, gabor_dictionary, matching_pursuit,
@@ -107,6 +109,8 @@ from .spectra import (MEXICAN_HAT_PEAK_FREQ, haar_time, mexican_hat_time,
                       morse_taper_spectrum, shannon_spectrum)
 
 __all__ = [
+    "SpatialResult", "covariance", "csp", "csp_features", "ged",
+    "spatial_apply", "ssd",
     "WaveletDef", "WaveletMode", "make_fft_bank", "make_fft_bank_ri",
     "make_fft_wavelet", "make_fft_wavelet_ri", "make_time_wavelet",
     "make_time_wavelet_ri", "pad_spectrum_to",

@@ -1,0 +1,244 @@
+"""Spatial filtering by generalized eigendecomposition: GED, CSP, SSD.
+
+No reference counterpart — the reference (``Hiroki-Maeda/ninwavelets``)
+analyzes channels independently; these are the standard multichannel
+component extractors (Cohen 2022 "A tutorial on generalized
+eigendecomposition"; Blankertz 2008 CSP; Nikulin 2011 SSD) that turn a
+(C, N) montage into a few high-SNR component time series which the rest
+of this framework (CWT power, connectivity, decoding) then consumes.
+
+All three are the same math: maximize ``w^T S w / w^T R w`` — solve the
+generalized symmetric eigenproblem ``S w = lam R w``.
+
+Design notes (TPU):
+* covariances are (C, N) x (N, C) matmuls at ``Precision.HIGHEST``
+  (statistic path — DEFAULT bf16 would bias them, see CLAUDE.md), with
+  per-sequence mean removal fused in;
+* there is no generalized-eigh primitive in XLA, so the solve whitens
+  with the symmetric inverse square root of R (one C x C ``eigh``) and
+  runs a second ``eigh`` on the whitened S — C is at most a few hundred,
+  both are trivial next to the covariance matmuls;
+* R is shrunk toward ``mean(diag) * I`` (Ledoit-Wolf-style ridge with a
+  fixed ``shrink`` weight) so rank-deficient reference covariances never
+  blow up the whitener;
+* filters/patterns have deterministic sign (largest-|.| pattern
+  coefficient positive) and descending-eigenvalue order, so component
+  indices are stable run to run;
+* patterns follow Haufe 2014: ``A = S W inv(W^T S W)`` — and because the
+  GED filters diagonalize S exactly, the inverse is elementwise, so the
+  pattern for component k is just ``(S @ w_k) / (w_k^T S w_k)``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import filtering as _filt
+
+__all__ = [
+    "SpatialResult", "covariance", "ged", "csp", "csp_features",
+    "ssd", "spatial_apply",
+]
+
+_HI = lax.Precision.HIGHEST
+
+
+class SpatialResult(NamedTuple):
+    """Fitted spatial decomposition.  ``sources = filters.T @ x`` per
+    epoch; ``patterns[:, k]`` is component k's forward topography."""
+    filters: jnp.ndarray    # (C, K) columns w_k
+    patterns: jnp.ndarray   # (C, K) Haufe forward models
+    eigvals: jnp.ndarray    # (K,) generalized eigenvalues, descending
+
+
+@jax.jit
+def _cov_jit(x):
+    e, c, n = x.shape
+    xc = x - jnp.mean(x, axis=2, keepdims=True)
+    # one (C, E*N) @ (E*N, C) matmul — per-epoch centering makes the
+    # epoch concatenation exact, and the flat matmul compiles/runs far
+    # better on TPU than the batched ecn,edn->cd einsum
+    y = xc.transpose(1, 0, 2).reshape(c, e * n)
+    cov = jnp.matmul(y, y.T, precision=_HI)
+    return cov / jnp.float32(e * (n - 1))
+
+
+def covariance(x) -> jnp.ndarray:
+    """Mean-removed channel covariance of ``x`` — (C, N) or a stack of
+    epochs (E, C, N) (per-epoch centering, epoch-summed, one normalizer:
+    the standard pooled estimate).  One jitted program — eager per-op
+    dispatch over the TPU tunnel costs seconds per op."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == 2:
+        x = x[None]
+    if x.ndim != 3:
+        raise ValueError(f"expected (C, N) or (E, C, N), got {x.shape}")
+    return _cov_jit(x)
+
+
+def _shrunk(cov, shrink: float):
+    c = cov.shape[0]
+    tr = jnp.trace(cov) / c
+    return (1.0 - shrink) * cov + shrink * tr * jnp.eye(c, dtype=cov.dtype)
+
+
+def _ged_core(cov_s, cov_r, shrink: float):
+    """Whiten-and-eigh generalized solve; returns (eigvals desc,
+    filters (C, C) columns, patterns (C, C))."""
+    cov_s = 0.5 * (cov_s + cov_s.T)
+    cov_r = _shrunk(0.5 * (cov_r + cov_r.T), shrink)
+    s_r, e_r = jnp.linalg.eigh(cov_r)
+    inv_sqrt = jnp.matmul(
+        e_r / jnp.sqrt(jnp.maximum(s_r, 1e-12)), e_r.T, precision=_HI)
+    m = jnp.matmul(jnp.matmul(inv_sqrt, cov_s, precision=_HI), inv_sqrt,
+                   precision=_HI)
+    d, v = jnp.linalg.eigh(0.5 * (m + m.T))
+    d = d[::-1]
+    filters = jnp.matmul(inv_sqrt, v[:, ::-1], precision=_HI)
+    # Haufe patterns: S W inv(W^T S W); W^T S W = diag(w^T S w) exactly
+    # at the solution, so invert elementwise.
+    sw = jnp.matmul(cov_s, filters, precision=_HI)
+    denom = jnp.maximum(jnp.sum(filters * sw, axis=0), 1e-20)
+    patterns = sw / denom[None, :]
+    # deterministic sign: largest-|.| pattern coefficient positive
+    flip = jnp.sign(jnp.take_along_axis(
+        patterns, jnp.argmax(jnp.abs(patterns), axis=0)[None, :], axis=0))
+    flip = jnp.where(flip == 0, 1.0, flip)
+    return d, filters * flip, patterns * flip
+
+
+@partial(jax.jit, static_argnames=("n_components", "shrink"))
+def _ged_jit(cov_s, cov_r, *, n_components: int, shrink: float):
+    d, f, p = _ged_core(cov_s, cov_r, shrink)
+    k = n_components
+    return d[:k], f[:, :k], p[:, :k]
+
+
+def ged(cov_s, cov_r, n_components: Optional[int] = None,
+        shrink: float = 0.01) -> SpatialResult:
+    """Generalized eigendecomposition ``S w = lam R w`` of two channel
+    covariances: components (descending ``lam``) maximize the
+    signal-to-reference variance ratio.  Pass covariances from
+    :func:`covariance`, or any symmetric PSD pair."""
+    cov_s = jnp.asarray(cov_s, jnp.float32)
+    cov_r = jnp.asarray(cov_r, jnp.float32)
+    if cov_s.shape != cov_r.shape or cov_s.ndim != 2 \
+            or cov_s.shape[0] != cov_s.shape[1]:
+        raise ValueError("cov_s/cov_r must be matching square matrices")
+    c = cov_s.shape[0]
+    k = c if n_components is None else int(n_components)
+    if not (1 <= k <= c):
+        raise ValueError("n_components must be in [1, C]")
+    d, f, p = _ged_jit(cov_s, cov_r, n_components=k, shrink=float(shrink))
+    return SpatialResult(f, p, d)
+
+
+def csp(xa, xb, n_components: int = 4, shrink: float = 0.01,
+        f_lo: Optional[float] = None, f_hi: Optional[float] = None,
+        sfreq: Optional[float] = None) -> SpatialResult:
+    """Common spatial patterns for two-class epochs (E, C, N): GED of
+    class-A covariance against the pooled covariance (Blankertz 2008),
+    keeping the ``n_components`` most discriminative filters — the
+    eigenvalue-spectrum EXTREMES, alternating top/bottom (top maximizes
+    class-A variance, bottom class-B), which is the half-and-half
+    selection every CSP pipeline uses.  Eigenvalues are the class-A
+    variance fractions in (0, 1); 0.5 is non-discriminative.
+
+    Optional ``f_lo``/``f_hi`` (with ``sfreq``) bandpass both classes
+    first (CSP is a narrowband method; broadband covariances mostly
+    measure 1/f noise).
+    """
+    xa = jnp.asarray(xa, jnp.float32)
+    xb = jnp.asarray(xb, jnp.float32)
+    if xa.ndim != 3 or xb.ndim != 3 or xa.shape[1:] != xb.shape[1:]:
+        raise ValueError("xa/xb must be (E, C, N) with matching (C, N)")
+    if f_lo is not None or f_hi is not None:
+        if sfreq is None or f_lo is None or f_hi is None:
+            raise ValueError("bandpass needs f_lo, f_hi AND sfreq")
+        xa = _filt.bandpass(xa, sfreq, f_lo, f_hi)
+        xb = _filt.bandpass(xb, sfreq, f_lo, f_hi)
+    c = xa.shape[1]
+    k = int(n_components)
+    if not (1 <= k <= c):
+        raise ValueError("n_components must be in [1, C]")
+    ca = covariance(xa)
+    cb = covariance(xb)
+    return _csp_from_covs(ca, cb, k, shrink)
+
+
+def _csp_select(c: int, k: int) -> jnp.ndarray:
+    """Alternate eigen-spectrum extremes: 0, C-1, 1, C-2, ... — the
+    top/bottom half-and-half selection every CSP pipeline uses."""
+    idx = np.empty(c, dtype=np.int64)
+    idx[0::2] = np.arange((c + 1) // 2)
+    idx[1::2] = c - 1 - np.arange(c // 2)
+    return jnp.asarray(idx[:k])
+
+
+def _csp_from_covs(ca, cb, k: int, shrink: float) -> SpatialResult:
+    c = ca.shape[0]
+    d, f, p = _ged_jit(ca, ca + cb, n_components=c, shrink=float(shrink))
+    sel = _csp_select(c, k)
+    return SpatialResult(f[:, sel], p[:, sel], d[sel])
+
+
+@jax.jit
+def _apply3_jit(x, filters):
+    return jnp.einsum("ck,ecn->ekn", filters, x, precision=_HI)
+
+
+def spatial_apply(x, filters) -> jnp.ndarray:
+    """Project epochs (E, C, N) (or one (C, N) recording) onto component
+    time series (E, K, N) / (K, N)."""
+    x = jnp.asarray(x, jnp.float32)
+    filters = jnp.asarray(filters, jnp.float32)
+    if x.ndim == 2:
+        return _apply3_jit(x[None], filters)[0]
+    return _apply3_jit(x, filters)
+
+
+@jax.jit
+def csp_features(x, filters) -> jnp.ndarray:
+    """Log-variance CSP features: (E, C, N) epochs -> (E, K) — the
+    classic LDA-ready feature vector (log of per-component variance,
+    normalized to the per-epoch total so gain fluctuations cancel)."""
+    src = spatial_apply(x, filters)
+    v = jnp.var(src, axis=2)
+    return jnp.log(jnp.maximum(v / jnp.sum(v, axis=1, keepdims=True),
+                               1e-30))
+
+
+def ssd(x, sfreq: float, f_lo: float, f_hi: float,
+        n_components: Optional[int] = None, flank: float = 2.0,
+        gap: float = 1.0, shrink: float = 0.01) -> SpatialResult:
+    """Spatio-spectral decomposition (Nikulin 2011): maximize power in
+    the [f_lo, f_hi] band against its flanking noise bands.  ``x`` is
+    (C, N) or (E, C, N).  The signal covariance comes from a
+    [f_lo, f_hi] bandpass; the noise covariance from a
+    [f_lo - flank, f_hi + flank] bandpass with the
+    [f_lo - gap, f_hi + gap] band notched out (the Nikulin recipe:
+    flanks only, no leakage from the signal band)."""
+    x = jnp.asarray(x, jnp.float32)
+    if f_lo - flank <= 0:
+        raise ValueError("f_lo - flank must stay positive")
+    if gap >= flank:
+        raise ValueError("gap must be < flank (else the noise band is "
+                         "empty)")
+    xs = _filt.bandpass(x, sfreq, f_lo, f_hi)
+    broad = _filt.bandpass(x, sfreq, f_lo - flank, f_hi + flank)
+    center = 0.5 * (f_lo + f_hi)
+    width = (f_hi - f_lo) + 2.0 * gap
+    xn = _filt.notch(broad, sfreq, center, width)
+    cov_s = covariance(xs)
+    cov_n = covariance(xn)
+    c = cov_s.shape[0]
+    k = c if n_components is None else int(n_components)
+    if not (1 <= k <= c):
+        raise ValueError("n_components must be in [1, C]")
+    d, f, p = _ged_jit(cov_s, cov_n, n_components=k, shrink=float(shrink))
+    return SpatialResult(f, p, d)

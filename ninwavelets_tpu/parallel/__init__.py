@@ -34,7 +34,8 @@ from .sharded import (sharded_cluster_null,
                       sharded_reassigned_mean_power,
                       sharded_ssq_mean_power, sharded_superlet_mean_power,
                       sharded_wavelet_granger,
-                      sharded_hmm_fit, sharded_fastica)
+                      sharded_hmm_fit, sharded_fastica,
+                      sharded_covariance, sharded_csp)
 from .online import OnlineCWT
 from .streaming import StreamingCWT
 
@@ -52,6 +53,7 @@ __all__ = [
     "sharded_phase_lag", "sharded_fused_phase_lag", "sharded_ppc",
     "sharded_imcoh", "sharded_modwt",
     "sharded_hmm_fit", "sharded_fastica",
+    "sharded_covariance", "sharded_csp",
     "sharded_cluster_null", "sharded_cluster_test_one_sample",
     "sharded_cluster_test_independent",
     "sharded_superlet_mean_power", "sharded_multitaper_mean_power",

@@ -1271,3 +1271,54 @@ def sharded_fastica(x, *, mesh: Mesh, n_components: int | None = None,
         out_specs=(rep, rep, rep, P(None, DATA_AXIS), rep)))
     _SHARDED_FN_CACHE[cache_key] = fn
     return ICAResult(*fn(x, w_init))
+
+
+def sharded_covariance(x, *, mesh: Mesh) -> jnp.ndarray:
+    """Mesh-parallel ``ops.spatial.covariance``: epochs shard over the
+    data axis; each shard accumulates its per-epoch-centered (C, C)
+    covariance sum and ONE ``psum`` pools them — bit-identical to the
+    single-device pooled estimate (per-epoch statistics make the shard
+    split exact, no cross-shard moments).  E must divide by the data
+    axis."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 3:
+        raise ValueError("expected (E, C, N)")
+    e, c, n = x.shape
+    ndata = mesh.shape[DATA_AXIS]
+    if e % ndata:
+        raise ValueError(f"E={e} must divide by the data axis ({ndata})")
+    hi = lax.Precision.HIGHEST
+
+    cache_key = ("spatial_cov", mesh, x.shape)
+    if cache_key not in _SHARDED_FN_CACHE:
+        def local(xl):
+            xc = xl - jnp.mean(xl, axis=2, keepdims=True)
+            # flat (C, E_local*N) matmul — see ops.spatial.covariance
+            y = xc.transpose(1, 0, 2).reshape(c, -1)
+            s = jnp.matmul(y, y.T, precision=hi)
+            return lax.psum(s, DATA_AXIS) / jnp.float32(e * (n - 1))
+
+        _SHARDED_FN_CACHE[cache_key] = jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=(P(DATA_AXIS, None, None),),
+            out_specs=P()))
+    return _SHARDED_FN_CACHE[cache_key](x)
+
+
+def sharded_csp(xa, xb, *, mesh: Mesh, n_components: int = 4,
+                shrink: float = 0.01):
+    """Mesh-parallel ``ops.spatial.csp``: both class covariances pool
+    over epoch shards (``sharded_covariance``); the tiny C x C
+    generalized eigensolve runs replicated on host-visible arrays.
+    No bandpass here — filter before sharding if needed."""
+    from ..ops.spatial import _csp_from_covs
+    xa = jnp.asarray(xa, jnp.float32)
+    xb = jnp.asarray(xb, jnp.float32)
+    if xa.ndim != 3 or xb.ndim != 3 or xa.shape[1:] != xb.shape[1:]:
+        raise ValueError("xa/xb must be (E, C, N) with matching (C, N)")
+    c = xa.shape[1]
+    k = int(n_components)
+    if not (1 <= k <= c):
+        raise ValueError("n_components must be in [1, C]")
+    ca = sharded_covariance(xa, mesh=mesh)
+    cb = sharded_covariance(xb, mesh=mesh)
+    return _csp_from_covs(ca, cb, k, float(shrink))

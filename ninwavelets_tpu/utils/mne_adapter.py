@@ -904,6 +904,69 @@ class EpochsWavelet:
                         list(self.epochs.ch_names), times=times),
             self.wavelet)
 
+    # -- spatial filtering (extension — ops.spatial) -----------------------
+
+    def csp(self, labels, n_components: int = 4,
+            f_lo: Optional[float] = None, f_hi: Optional[float] = None,
+            shrink: float = 0.01):
+        """Common spatial patterns over all channels (extension —
+        ``ops.spatial.csp``): ``labels`` is a length-E two-class vector
+        (class A = the smaller label).  Returns a ``SpatialResult``;
+        feed it to :meth:`spatial_epochs` to analyze component time
+        series, or ``ops.spatial.csp_features`` for decoding."""
+        from ..ops import spatial as _sp
+        data = self._all_data()
+        y = np.asarray(labels)
+        if y.shape != (data.shape[0],):
+            raise ValueError("labels must be one value per epoch")
+        classes = np.unique(y)
+        if classes.size != 2:
+            raise ValueError(f"need exactly 2 classes, got {classes}")
+        return _sp.csp(data[y == classes[0]], data[y == classes[1]],
+                       n_components=n_components, f_lo=f_lo, f_hi=f_hi,
+                       sfreq=self.wavelet.sfreq, shrink=shrink)
+
+    def ged(self, f_lo: float, f_hi: float,
+            n_components: Optional[int] = None, shrink: float = 0.01):
+        """Narrowband-vs-broadband GED over all channels (extension —
+        ``ops.spatial.ged``, Cohen 2022): components maximize
+        [f_lo, f_hi] power relative to the raw recording."""
+        from ..ops import filtering as _ft
+        from ..ops import spatial as _sp
+        data = self._all_data()
+        xs = _ft.bandpass(data, self.wavelet.sfreq, f_lo, f_hi)
+        return _sp.ged(_sp.covariance(xs), _sp.covariance(data),
+                       n_components=n_components, shrink=shrink)
+
+    def ssd(self, f_lo: float, f_hi: float,
+            n_components: Optional[int] = None, flank: float = 2.0,
+            gap: float = 1.0, shrink: float = 0.01):
+        """Spatio-spectral decomposition over all channels (extension —
+        ``ops.spatial.ssd``, Nikulin 2011): band power against its
+        flanking noise bands."""
+        from ..ops import spatial as _sp
+        return _sp.ssd(self._all_data(), self.wavelet.sfreq, f_lo, f_hi,
+                       n_components=n_components, flank=flank, gap=gap,
+                       shrink=shrink)
+
+    def spatial_epochs(self, result,
+                       n_components: Optional[int] = None
+                       ) -> "EpochsWavelet":
+        """A NEW ``EpochsWavelet`` over the spatially filtered component
+        time series (channels become ``comp0, comp1, ...``), so any
+        downstream transform runs on high-SNR components instead of raw
+        sensors.  Composable like :meth:`modwt_denoise`."""
+        from ..ops import spatial as _sp
+        filters = result.filters if hasattr(result, "filters") else result
+        if n_components is not None:
+            filters = filters[:, :n_components]
+        src = np.asarray(_sp.spatial_apply(self._all_data(), filters))
+        names = [f"comp{k}" for k in range(src.shape[1])]
+        times = getattr(self.epochs, "times", None)
+        return EpochsWavelet(
+            ArrayEpochs(src, self.wavelet.sfreq, names, times=times),
+            self.wavelet)
+
     def env_corr(self, freqs: Numbers, orthogonalize: bool = True,
                  log: bool = True, time_range=None) -> jnp.ndarray:
         """(F, C, C) power-envelope correlation matrices over ALL

@@ -1,0 +1,256 @@
+"""Spatial filtering (GED / CSP / SSD) — scipy generalized-eigh oracle,
+planted-topography recovery, Haufe patterns, feature separability."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.linalg
+
+from ninwavelets_tpu.ops import spatial as sp
+
+
+def _spd(rng, c, cond=10.0):
+    a = rng.standard_normal((c, c))
+    q, _ = np.linalg.qr(a)
+    lam = np.linspace(1.0, cond, c)
+    return (q * lam) @ q.T
+
+
+def test_covariance_matches_numpy():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((7, 513)).astype(np.float32)
+    got = np.asarray(sp.covariance(x))
+    want = np.cov(x)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_covariance_epochs_pooled():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 5, 257)).astype(np.float32)
+    got = np.asarray(sp.covariance(x))
+    want = sum(np.cov(e) for e in x) / 4
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_ged_matches_scipy_generalized_eigh():
+    rng = np.random.default_rng(2)
+    c = 8
+    s = _spd(rng, c)
+    r = _spd(rng, c, cond=4.0)
+    res = sp.ged(s, r, shrink=0.0)
+    w, v = scipy.linalg.eigh(s, r)
+    np.testing.assert_allclose(np.asarray(res.eigvals), w[::-1],
+                               rtol=1e-4, atol=1e-5)
+    # filters match up to sign/scale: normalized column cosines ~ 1
+    f = np.asarray(res.filters)
+    v = v[:, ::-1]
+    cos = np.abs(np.sum(f * v, 0)) / (
+        np.linalg.norm(f, axis=0) * np.linalg.norm(v, axis=0))
+    np.testing.assert_allclose(cos, 1.0, atol=1e-4)
+
+
+def test_ged_rayleigh_quotient_is_eigval():
+    rng = np.random.default_rng(3)
+    s, r = _spd(rng, 6), _spd(rng, 6, cond=3.0)
+    res = sp.ged(s, r, n_components=3, shrink=0.0)
+    f = np.asarray(res.filters)
+    quot = np.diag(f.T @ s @ f) / np.diag(f.T @ r @ f)
+    np.testing.assert_allclose(quot, np.asarray(res.eigvals),
+                               rtol=1e-4)
+
+
+def _planted(rng, e, c, n, sfreq, freq, snr=3.0):
+    """Epochs = topography * narrowband oscillation + spatially white
+    pink-ish noise; returns (epochs, topography)."""
+    topo = rng.standard_normal(c)
+    topo /= np.linalg.norm(topo)
+    t = np.arange(n) / sfreq
+    osc = np.sin(2 * np.pi * freq * t[None, :]
+                 + rng.uniform(0, 2 * np.pi, (e, 1)))
+    noise = rng.standard_normal((e, c, n))
+    x = snr * topo[None, :, None] * osc[:, None, :] + noise
+    return x.astype(np.float32), topo
+
+
+def test_ged_recovers_planted_topography():
+    rng = np.random.default_rng(4)
+    sfreq = 128.0
+    x, topo = _planted(rng, 12, 6, 512, sfreq, 11.0)
+    from ninwavelets_tpu.ops import filtering as ft
+    xs = np.asarray(ft.bandpass(x, sfreq, 9.0, 13.0))
+    res = sp.ged(sp.covariance(xs), sp.covariance(x))
+    pat = np.asarray(res.patterns[:, 0])
+    cos = abs(pat @ topo) / np.linalg.norm(pat)
+    assert cos > 0.95
+    # narrowband/broadband ratio: the rhythmic component is far above
+    # the noise floor set by the band's width fraction
+    ev = np.asarray(res.eigvals)
+    assert ev[0] > 3.0 * np.median(ev)
+
+
+def test_ssd_recovers_planted_topography():
+    rng = np.random.default_rng(5)
+    x, topo = _planted(rng, 10, 6, 1024, 128.0, 10.0)
+    res = sp.ssd(x, 128.0, 8.0, 12.0, n_components=2)
+    pat = np.asarray(res.patterns[:, 0])
+    cos = abs(pat @ topo) / np.linalg.norm(pat)
+    assert cos > 0.95
+    assert float(res.eigvals[0]) > float(res.eigvals[1])
+
+
+def test_ssd_validation():
+    x = np.zeros((3, 256), np.float32)
+    with pytest.raises(ValueError):
+        sp.ssd(x, 128.0, 1.0, 4.0, flank=2.0)   # f_lo - flank <= 0
+    with pytest.raises(ValueError):
+        sp.ssd(x, 128.0, 8.0, 12.0, flank=2.0, gap=2.5)
+
+
+def _two_class(rng, e, c, n, sfreq):
+    """Class A: 11 Hz rhythm on topo_a; class B: same on topo_b."""
+    t = np.arange(n) / sfreq
+    topo_a = np.eye(c)[0] + 0.1 * rng.standard_normal(c)
+    topo_b = np.eye(c)[c - 1] + 0.1 * rng.standard_normal(c)
+    osc = lambda: np.sin(2 * np.pi * 11.0 * t[None, :]
+                         + rng.uniform(0, 2 * np.pi, (e, 1)))
+    base = lambda: rng.standard_normal((e, c, n))
+    xa = 2.5 * topo_a[None, :, None] * osc()[:, None, :] + base()
+    xb = 2.5 * topo_b[None, :, None] * osc()[:, None, :] + base()
+    return (xa.astype(np.float32), xb.astype(np.float32),
+            topo_a / np.linalg.norm(topo_a),
+            topo_b / np.linalg.norm(topo_b))
+
+
+def test_csp_eigvals_and_patterns():
+    rng = np.random.default_rng(6)
+    xa, xb, topo_a, topo_b = _two_class(rng, 16, 6, 512, 128.0)
+    res = sp.csp(xa, xb, n_components=2, f_lo=9.0, f_hi=13.0,
+                 sfreq=128.0)
+    ev = np.asarray(res.eigvals)
+    assert 0.0 < ev.min() and ev.max() < 1.0
+    # component 0 favors class A (lam > .5), component 1 class B
+    assert ev[0] > 0.6 and ev[1] < 0.4
+    pats = np.asarray(res.patterns)
+    cos_a = abs(pats[:, 0] @ topo_a) / np.linalg.norm(pats[:, 0])
+    cos_b = abs(pats[:, 1] @ topo_b) / np.linalg.norm(pats[:, 1])
+    assert cos_a > 0.9 and cos_b > 0.9
+
+
+def test_csp_features_separate_classes():
+    rng = np.random.default_rng(7)
+    xa, xb, _, _ = _two_class(rng, 20, 6, 512, 128.0)
+    res = sp.csp(xa, xb, n_components=2, f_lo=9.0, f_hi=13.0,
+                 sfreq=128.0)
+    fa = np.asarray(sp.csp_features(jnp.asarray(xa), res.filters))
+    fb = np.asarray(sp.csp_features(jnp.asarray(xb), res.filters))
+    # class A has larger component-0 log variance in every trial pairing
+    assert fa[:, 0].mean() > fb[:, 0].mean() + 0.5
+    assert fb[:, 1].mean() > fa[:, 1].mean() + 0.5
+
+
+def test_csp_validation():
+    xa = np.zeros((4, 5, 64), np.float32)
+    with pytest.raises(ValueError):
+        sp.csp(xa, np.zeros((4, 6, 64), np.float32))
+    with pytest.raises(ValueError):
+        sp.csp(xa, xa, f_lo=8.0, f_hi=12.0)  # missing sfreq
+
+
+def test_spatial_apply_shapes():
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((3, 5, 128)).astype(np.float32)
+    f = rng.standard_normal((5, 2)).astype(np.float32)
+    assert sp.spatial_apply(x, f).shape == (3, 2, 128)
+    assert sp.spatial_apply(x[0], f).shape == (2, 128)
+    # projection really is filters.T @ x
+    np.testing.assert_allclose(np.asarray(sp.spatial_apply(x[0], f)),
+                               f.T @ x[0], rtol=1e-5, atol=1e-5)
+
+
+def test_ged_sign_deterministic():
+    rng = np.random.default_rng(9)
+    s, r = _spd(rng, 5), _spd(rng, 5, cond=3.0)
+    a = sp.ged(s, r)
+    b = sp.ged(s, r)
+    np.testing.assert_array_equal(np.asarray(a.filters),
+                                  np.asarray(b.filters))
+    p = np.asarray(a.patterns)
+    assert (p[np.abs(p).argmax(0), np.arange(p.shape[1])] > 0).all()
+
+
+# -- sharded ----------------------------------------------------------------
+
+def test_sharded_covariance_matches_single_device():
+    from ninwavelets_tpu import parallel as par
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((8, 5, 256)).astype(np.float32)
+    mesh = par.make_mesh(data=4, freq=1)
+    got = np.asarray(par.sharded_covariance(x, mesh=mesh))
+    want = np.asarray(sp.covariance(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_csp_matches_single_device():
+    from ninwavelets_tpu import parallel as par
+    rng = np.random.default_rng(11)
+    xa, xb, _, _ = _two_class(rng, 16, 6, 256, 128.0)
+    mesh = par.make_mesh(data=4, freq=1)
+    got = par.sharded_csp(xa, xb, mesh=mesh, n_components=2)
+    want = sp.csp(xa, xb, n_components=2)
+    np.testing.assert_allclose(np.asarray(got.eigvals),
+                               np.asarray(want.eigvals), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.filters),
+                               np.asarray(want.filters),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_sharded_covariance_validates_divisibility():
+    from ninwavelets_tpu import parallel as par
+    mesh = par.make_mesh(data=4, freq=1)
+    with pytest.raises(ValueError):
+        par.sharded_covariance(np.zeros((6, 3, 64), np.float32),
+                               mesh=mesh)
+
+
+# -- adapter ----------------------------------------------------------------
+
+def _adapter(rng, e=12, c=5, n=512, sfreq=128.0):
+    from ninwavelets_tpu import Morse
+    from ninwavelets_tpu.utils.mne_adapter import ArrayEpochs, EpochsWavelet
+    data = rng.standard_normal((e, c, n)).astype(np.float32)
+    names = [f"ch{i}" for i in range(c)]
+    return EpochsWavelet(ArrayEpochs(data, sfreq, names), Morse(sfreq)), data
+
+
+def test_adapter_csp_and_spatial_epochs():
+    rng = np.random.default_rng(12)
+    xa, xb, _, _ = _two_class(rng, 8, 5, 512, 128.0)
+    from ninwavelets_tpu import Morse
+    from ninwavelets_tpu.utils.mne_adapter import ArrayEpochs, EpochsWavelet
+    data = np.concatenate([xa, xb])
+    y = np.r_[np.zeros(8), np.ones(8)]
+    ew = EpochsWavelet(ArrayEpochs(data, 128.0,
+                                   [f"ch{i}" for i in range(5)]),
+                       Morse(128.0))
+    res = ew.csp(y, n_components=2, f_lo=9.0, f_hi=13.0)
+    want = sp.csp(xa, xb, n_components=2, f_lo=9.0, f_hi=13.0,
+                  sfreq=128.0)
+    np.testing.assert_allclose(np.asarray(res.eigvals),
+                               np.asarray(want.eigvals), rtol=1e-5)
+    comp = ew.spatial_epochs(res)
+    assert comp.epochs.ch_names == ["comp0", "comp1"]
+    # the component adapter is fully composable: run a TFR on it
+    p = comp.power("comp0", [10.0, 20.0])
+    assert p.shape == (2, 512)
+    with pytest.raises(ValueError):
+        ew.csp(y[:5])
+    with pytest.raises(ValueError):
+        ew.csp(np.zeros(16))
+
+
+def test_adapter_ged_ssd():
+    rng = np.random.default_rng(13)
+    ew, data = _adapter(rng)
+    g = ew.ged(8.0, 12.0, n_components=3)
+    assert np.asarray(g.filters).shape == (5, 3)
+    s = ew.ssd(8.0, 12.0, n_components=2)
+    assert np.asarray(s.patterns).shape == (5, 2)
