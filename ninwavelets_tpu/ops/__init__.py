@@ -30,7 +30,8 @@ from .bootstrap import bootstrap_ci
 from .bursts import (BurstSummary, burst_summary, burst_table,
                      burst_threshold)
 from .cluster import (ClusterResult, TfceResult, cluster_mass,
-                      cluster_test_independent,
+                      cluster_test_f, cluster_test_independent,
+                      f_oneway, f_threshold,
                       cluster_test_one_sample, cluster_test_paired,
                       cluster_test_regression, t_regression,
                       fdr_correction,
@@ -143,6 +144,7 @@ __all__ = [
     "bootstrap_ci",
     "BurstSummary", "burst_summary", "burst_table", "burst_threshold",
     "ClusterResult", "cluster_mass", "cluster_test_independent",
+    "cluster_test_f", "f_oneway", "f_threshold",
     "cluster_test_one_sample", "cluster_test_paired", "label_components",
     "cluster_test_regression", "t_regression",
     "max_stat_test_independent", "max_stat_test_one_sample",

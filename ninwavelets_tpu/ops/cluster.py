@@ -38,7 +38,8 @@ from jax import lax
 __all__ = [
     "t_one_sample", "t_independent", "label_components", "cluster_mass",
     "cluster_test_one_sample", "cluster_test_paired",
-    "cluster_test_independent", "max_stat_test_one_sample",
+    "cluster_test_independent", "cluster_test_f", "f_oneway",
+    "f_threshold", "max_stat_test_one_sample",
     "max_stat_test_independent", "t_threshold", "ClusterResult",
     "TfceResult", "tfce_map", "tfce_test_one_sample",
     "tfce_test_independent", "fdr_correction",
@@ -72,6 +73,13 @@ def t_threshold(alpha: float, dof: int) -> float:
         g1 = (z ** 3 + z) / 4.0
         g2 = (5 * z ** 5 + 16 * z ** 3 + 3 * z) / 96.0
         return z + g1 / dof + g2 / dof ** 2
+
+
+def f_threshold(alpha: float, dfn: int, dfd: int) -> float:
+    """Upper-tail F critical value with ``P(F > f) = alpha`` (the F test
+    is one-sided by construction)."""
+    from scipy.stats import f as _f
+    return float(_f.ppf(1.0 - alpha, dfn, dfd))
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +150,44 @@ def t_regression(x: jnp.ndarray, z) -> jnp.ndarray:
     den = jnp.sqrt(jnp.maximum(jnp.sum(zc * zc)
                                * jnp.sum(xc * xc, 0), 1e-30))
     return _t_from_r(num / den, e - 2)
+
+
+def _f_from_group_sums(sg: jnp.ndarray, sizes: tuple,
+                       sst: jnp.ndarray) -> jnp.ndarray:
+    """One-way F maps from per-group sums of GRAND-CENTERED data.
+
+    ``sg`` is (..., G, M) (M = flattened plane) and ``sst`` (M,);
+    centering makes the grand sum exactly zero (and permutation-
+    invariant), so ``SS_between = sum_g S_g^2/n_g`` with no grand-term
+    cancellation, and ``SS_total = sum x^2`` is permutation-invariant.
+    ``F = (SSB/(G-1)) / ((SST-SSB)/(n-G))``.
+    """
+    g = len(sizes)
+    n = sum(sizes)
+    inv = jnp.asarray([1.0 / s for s in sizes], jnp.float32)
+    ssb = jnp.sum(sg * sg * inv[:, None], axis=-2)
+    ssw = jnp.maximum(sst - ssb, 1e-30)
+    return (ssb / (g - 1)) / (ssw / (n - g))
+
+
+def f_oneway(groups) -> jnp.ndarray:
+    """Pixelwise one-way ANOVA F over a sequence of (E_g, ...) trial
+    stacks (the multi-condition analogue of ``t_independent``)."""
+    groups = [jnp.asarray(x, jnp.float32) for x in groups]
+    sizes = tuple(int(x.shape[0]) for x in groups)
+    x = jnp.concatenate(groups, 0)
+    return _f_oneway_jit(x, sizes=sizes)
+
+
+@partial(jax.jit, static_argnames=("sizes",))
+def _f_oneway_jit(x, *, sizes: tuple):
+    plane = x.shape[1:]
+    xc = (x - jnp.mean(x, 0)).reshape(x.shape[0], -1)
+    sst = jnp.sum(xc * xc, 0)
+    starts = np.cumsum((0,) + sizes[:-1])
+    sg = jnp.stack([jnp.sum(xc[int(s):int(s) + sz], 0)
+                    for s, sz in zip(starts, sizes)], axis=0)  # (G, M)
+    return _f_from_group_sums(sg, sizes, sst).reshape(plane)
 
 
 # ---------------------------------------------------------------------------
@@ -366,6 +412,55 @@ def relabel_draws(key, n_perm: int, n_obs: int, na: int,
     ind = jnp.zeros((total, n_obs), jnp.float32).at[
         jnp.arange(total)[:, None], perms[:, :na]].set(1.0)
     return ind.reshape(n_chunks, chunk, n_obs)
+
+
+def anova_draws(key, n_perm: int, sizes: tuple,
+                chunk: int = _CHUNK) -> jnp.ndarray:
+    """(n_chunks, chunk, G, E) one-hot group indicators under label
+    permutations of the concatenated stack (canonical draws shared by
+    the single-device and sharded F nulls)."""
+    n_chunks = _pad_perms(n_perm, chunk)
+    total = n_chunks * chunk
+    n = sum(sizes)
+    base = np.repeat(np.arange(len(sizes)), sizes)
+    keys = jax.random.split(key, total)
+    labs = jax.vmap(lambda k: jax.random.permutation(
+        k, jnp.asarray(base)))(keys)
+    ind = jax.nn.one_hot(labs, len(sizes), axis=1, dtype=jnp.float32)
+    return ind.reshape(n_chunks, chunk, len(sizes), n)
+
+
+def anova_chunk_max_mass(ind: jnp.ndarray, xf: jnp.ndarray,
+                         sst: jnp.ndarray, sizes: tuple,
+                         threshold: float, plane: tuple,
+                         adjacency=None) -> jnp.ndarray:
+    """Max cluster mass of every relabeled F-map in one chunk: group
+    sums are ONE (chunk*G, E) @ (E, M) matmul over the grand-centered
+    stack; SS_total is permutation-invariant."""
+    ch, g, e = ind.shape
+    sg = _dot(ind.reshape(ch * g, e), xf).reshape(ch, g, -1)
+    f = _f_from_group_sums(sg, sizes, sst).reshape(-1, *plane)
+    return cluster_mass(f, threshold, adjacency)[4]
+
+
+@partial(jax.jit, static_argnames=("n_perm", "threshold", "sizes",
+                                   "chunk"))
+def _anova_null(x: jnp.ndarray, key, *, n_perm: int, threshold: float,
+                sizes: tuple, chunk: int = _CHUNK,
+                adjacency=None) -> jnp.ndarray:
+    """(P,) null of max cluster masses under group relabelings of the
+    concatenated (E, ...) stack (one-way F)."""
+    e, plane = x.shape[0], x.shape[1:]
+    xf = (x - jnp.mean(x, 0)).reshape(e, -1)
+    sst = jnp.sum(xf * xf, 0)
+    n_chunks = _pad_perms(n_perm, chunk)
+    draws = anova_draws(key, n_perm, sizes, chunk)
+
+    def per_chunk(k):
+        return anova_chunk_max_mass(draws[k], xf, sst, sizes, threshold,
+                                    plane, adjacency)
+
+    return _null_scan(per_chunk, n_chunks, n_perm)
 
 
 @partial(jax.jit, static_argnames=("n_perm", "threshold", "chunk"))
@@ -635,6 +730,46 @@ def cluster_test_independent(xa, xb, n_perm: int = 999,
                                  n_perm=n_perm, threshold=thr, na=na,
                                  adjacency=adjacency)
     return _finish(t_independent(xa, xb), null_max, thr, adjacency)
+
+
+def cluster_test_f(groups, n_perm: int = 999,
+                   threshold: Optional[float] = None,
+                   alpha: float = 0.05, seed: int = 0,
+                   null_max: Optional[jnp.ndarray] = None,
+                   adjacency=None) -> ClusterResult:
+    """Cluster permutation test of equal means across G >= 2 independent
+    trial groups (one-way ANOVA, the multi-condition generalization of
+    ``cluster_test_independent``): pixelwise F maps, condition labels
+    permuted across the concatenated stack (Maris & Oostenveld).  Each
+    group is (E_g, F, N) — or (E_g, C, F, N) with channel ``adjacency``.
+
+    ``threshold`` defaults to the F critical value at ``alpha`` with
+    (G-1, n-G) degrees of freedom.  F is one-sided, so all clusters are
+    positive; the returned ``ClusterResult.t_obs`` holds the F map.
+    """
+    groups = [jnp.asarray(x, jnp.float32) for x in groups]
+    if len(groups) < 2:
+        raise ValueError("need at least 2 groups")
+    for x in groups:
+        _check_stack(x, adjacency, "group")
+        if x.shape[0] < 2:
+            raise ValueError("need at least 2 epochs per group")
+    plane = groups[0].shape[1:]
+    if any(x.shape[1:] != plane for x in groups):
+        raise ValueError("group planes must match")
+    sizes = tuple(int(x.shape[0]) for x in groups)
+    n = sum(sizes)
+    g = len(sizes)
+    if threshold is None:
+        threshold = f_threshold(alpha, g - 1, n - g)
+    thr = float(threshold)
+    x = jnp.concatenate(groups, 0)
+    if null_max is None:
+        null_max = _anova_null(x, jax.random.PRNGKey(seed),
+                               n_perm=n_perm, threshold=thr,
+                               sizes=sizes, adjacency=adjacency)
+    return _finish(_f_oneway_jit(x, sizes=sizes), null_max, thr,
+                   adjacency)
 
 
 # ---------------------------------------------------------------------------

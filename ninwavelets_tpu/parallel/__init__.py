@@ -35,7 +35,8 @@ from .sharded import (sharded_cluster_null,
                       sharded_ssq_mean_power, sharded_superlet_mean_power,
                       sharded_wavelet_granger,
                       sharded_hmm_fit, sharded_fastica,
-                      sharded_covariance, sharded_csp)
+                      sharded_covariance, sharded_csp,
+                      sharded_cluster_test_f)
 from .online import OnlineCWT
 from .streaming import StreamingCWT
 
@@ -55,7 +56,7 @@ __all__ = [
     "sharded_hmm_fit", "sharded_fastica",
     "sharded_covariance", "sharded_csp",
     "sharded_cluster_null", "sharded_cluster_test_one_sample",
-    "sharded_cluster_test_independent",
+    "sharded_cluster_test_independent", "sharded_cluster_test_f",
     "sharded_superlet_mean_power", "sharded_multitaper_mean_power",
     "sharded_wavelet_granger", "sharded_env_corr", "sharded_stockwell",
     "sharded_tf_decode",

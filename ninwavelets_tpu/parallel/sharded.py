@@ -831,10 +831,10 @@ def sharded_fused_power_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
 
 
 @partial(jax.jit, static_argnames=("mesh", "n_perm", "threshold", "na",
-                                   "chunk"))
+                                   "sizes", "chunk"))
 def sharded_cluster_null(x, key, *, mesh: Mesh, n_perm: int,
-                         threshold: float, na=None, chunk: int = 64,
-                         adjacency=None):
+                         threshold: float, na=None, sizes=None,
+                         chunk: int = 64, adjacency=None):
     """Permutation null of max cluster masses over the mesh: (P,).
 
     Permutations are embarrassingly parallel, so the DRAW (the canonical
@@ -845,11 +845,13 @@ def sharded_cluster_null(x, key, *, mesh: Mesh, n_perm: int,
     == single-device ``ops.cluster._sign_flip_null`` / ``_relabel_null``
     for the same key, bit for bit.  ``na=None`` selects the one-sample
     sign-flip null; ``na=k`` the independent-groups relabeling null with
-    the first k trials as group A.  With channel ``adjacency`` edges the
-    stack is (E, C, F, N) (spatio-spectral clusters); the adjacency
-    replicates to every shard.
+    the first k trials as group A; ``sizes=(n1, n2, ...)`` the one-way-F
+    relabeling null over G groups stacked in order.  With channel
+    ``adjacency`` edges the stack is (E, C, F, N) (spatio-spectral
+    clusters); the adjacency replicates to every shard.
     """
-    from ..ops.cluster import (_pad_perms, relabel_chunk_max_mass,
+    from ..ops.cluster import (_pad_perms, anova_chunk_max_mass,
+                               anova_draws, relabel_chunk_max_mass,
                                relabel_draws, sign_chunk_max_mass,
                                sign_draws)
     x = jnp.asarray(x, jnp.float32)
@@ -858,7 +860,15 @@ def sharded_cluster_null(x, key, *, mesh: Mesh, n_perm: int,
     n_chunks = _pad_perms(n_perm, chunk)
     d = mesh.shape[DATA_AXIS]
     pad_chunks = -(-n_chunks // d) * d
-    if na is None:
+    if sizes is not None:
+        draws = anova_draws(key, n_perm, sizes, chunk)
+        xf = xf - jnp.mean(xf, 0)
+        aux = (jnp.sum(xf * xf, 0),)
+
+        def chunk_fn(dchunk, xf_, aux_):
+            return anova_chunk_max_mass(dchunk, xf_, aux_[0], sizes,
+                                        threshold, plane, adjacency)
+    elif na is None:
         draws = sign_draws(key, n_perm, e, chunk)
         aux = (jnp.sum(xf * xf, 0),)
 
@@ -876,8 +886,8 @@ def sharded_cluster_null(x, key, *, mesh: Mesh, n_perm: int,
                                           aux_[2], na, nb, threshold,
                                           plane, adjacency)
     if pad_chunks != n_chunks:
-        reps = jnp.broadcast_to(draws[:1],
-                                (pad_chunks - n_chunks, chunk, e))
+        reps = jnp.broadcast_to(
+            draws[:1], (pad_chunks - n_chunks,) + draws.shape[1:])
         draws = jnp.concatenate([draws, reps], 0)
 
     def local(dr, xf_, *aux_):
@@ -888,9 +898,10 @@ def sharded_cluster_null(x, key, *, mesh: Mesh, n_perm: int,
         return out
 
     aux_specs = tuple(P(*([None] * a.ndim)) for a in aux)
+    draw_spec = P(DATA_AXIS, *([None] * (draws.ndim - 1)))
     out = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(DATA_AXIS, None, None), P(None, None)) + aux_specs,
+        in_specs=(draw_spec, P(None, None)) + aux_specs,
         out_specs=P(DATA_AXIS, None))(draws, xf, *aux)
     return out.reshape(-1)[:n_perm]
 
@@ -927,6 +938,26 @@ def sharded_cluster_test_independent(xa, xb, *, mesh: Mesh,
                                 adjacency=adjacency)
     return cluster_test_independent(xa, xb, threshold=thr, null_max=null,
                                     adjacency=adjacency)
+
+
+def sharded_cluster_test_f(groups, *, mesh: Mesh, n_perm: int = 999,
+                           threshold=None, alpha: float = 0.05,
+                           seed: int = 0, adjacency=None):
+    """``ops.cluster.cluster_test_f`` (one-way ANOVA clusters) with the
+    relabeling null computed over the mesh."""
+    from ..ops.cluster import cluster_test_f, f_threshold
+    groups = [jnp.asarray(x, jnp.float32) for x in groups]
+    sizes = tuple(int(x.shape[0]) for x in groups)
+    if threshold is None:
+        threshold = f_threshold(alpha, len(sizes) - 1,
+                                sum(sizes) - len(sizes))
+    thr = float(threshold)
+    null = sharded_cluster_null(jnp.concatenate(groups, 0),
+                                jax.random.PRNGKey(seed), mesh=mesh,
+                                n_perm=n_perm, threshold=thr,
+                                sizes=sizes, adjacency=adjacency)
+    return cluster_test_f(groups, threshold=thr, null_max=null,
+                          adjacency=adjacency)
 
 
 @partial(jax.jit, static_argnames=("mesh", "interpolate"))

@@ -419,6 +419,35 @@ class EpochsWavelet:
             x, np.asarray(covariate, np.float32), n_perm=n_perm,
             threshold=threshold, alpha=alpha, seed=seed)
 
+    def cluster_f(self, ch_name: str, freqs: Numbers, others, *,
+                  baseline=None, baseline_method: str = "zscore",
+                  decim: int = 1, n_perm: int = 999, threshold=None,
+                  alpha: float = 0.05, seed: int = 0, mesh=None):
+        """One-way-ANOVA cluster permutation test across G >= 2
+        conditions of this channel's single-trial power (extension —
+        ``ops.cluster.cluster_test_f``): this adapter is condition 1;
+        ``others`` is a sequence of ``EpochsWavelet`` adapters (same
+        channel/freqs computed there) or precomputed (E_g, F, N) arrays
+        for the remaining conditions.  ``mesh`` shards the relabeling
+        null over its ``data`` axis (same seed -> identical result)."""
+        from ..ops import cluster as _cl
+        groups = [self.single_trial_power(ch_name, freqs, baseline,
+                                          baseline_method, decim)]
+        for o in others:
+            if isinstance(o, EpochsWavelet):
+                groups.append(o.single_trial_power(
+                    ch_name, freqs, baseline, baseline_method, decim))
+            else:
+                groups.append(jnp.asarray(o, jnp.float32))
+        if mesh is not None:
+            from ..parallel.sharded import sharded_cluster_test_f
+            return sharded_cluster_test_f(
+                groups, mesh=mesh, n_perm=n_perm, threshold=threshold,
+                alpha=alpha, seed=seed)
+        return _cl.cluster_test_f(groups, n_perm=n_perm,
+                                  threshold=threshold, alpha=alpha,
+                                  seed=seed)
+
     def cluster_test(self, ch_name: str, freqs: Numbers, other=None, *,
                      paired: bool = False, baseline=None,
                      baseline_method: str = "zscore", decim: int = 1,

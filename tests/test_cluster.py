@@ -723,3 +723,95 @@ class TestFdrCorrection:
         p = rng.uniform(0.2, 1.0, size=500).astype(np.float32)
         rej, _ = fdr_correction(p, alpha=0.05)
         assert not bool(np.any(np.asarray(rej)))
+
+
+class TestFOneway:
+    def test_matches_scipy(self):
+        rng = np.random.default_rng(0)
+        gs = [rng.standard_normal((n, 4, 7)).astype(np.float32) + s
+              for n, s in ((8, 0.0), (10, 0.3), (7, -0.2))]
+        got = np.asarray(cl.f_oneway(gs))
+        want = stats.f_oneway(*[g.astype(np.float64) for g in gs],
+                              axis=0).statistic
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_two_groups_f_is_t_squared(self):
+        xa, xb = _effect(amp=2.0), _noise()
+        f = np.asarray(cl.f_oneway([xa, xb]))
+        t = np.asarray(cl.t_independent(jnp.asarray(xa),
+                                        jnp.asarray(xb)))
+        np.testing.assert_allclose(f, t * t, rtol=1e-3, atol=1e-3)
+
+    def test_f_threshold_matches_scipy(self):
+        assert cl.f_threshold(0.05, 2, 22) == pytest.approx(
+            stats.f.ppf(0.95, 2, 22))
+
+    def test_anova_null_matches_scipy_per_permutation(self):
+        rng = np.random.default_rng(1)
+        sizes = (5, 6, 4)
+        x = rng.standard_normal((sum(sizes), 4, 6)).astype(np.float32)
+        thr = 2.0
+        n_perm, chunk = 8, 8
+        key = jax.random.PRNGKey(3)
+        null = np.asarray(cl._anova_null(
+            jnp.asarray(x), key, n_perm=n_perm, threshold=thr,
+            sizes=sizes, chunk=chunk))
+        base = np.repeat(np.arange(3), sizes)
+        keys = jax.random.split(key, n_perm)
+        labs = np.asarray(jax.vmap(
+            lambda k: jax.random.permutation(k, jnp.asarray(base)))(keys))
+        for p in range(n_perm):
+            groups = [x[labs[p] == g].astype(np.float64) for g in range(3)]
+            f = stats.f_oneway(*groups, axis=0).statistic
+            assert null[p] == pytest.approx(_numpy_max_mass(f, thr),
+                                            rel=5e-4, abs=5e-4)
+
+    def test_detects_group_effect(self):
+        res = cl.cluster_test_f([_effect(amp=4.0, e=10), _noise(e=9),
+                                 _noise(e=11)], n_perm=199, seed=7)
+        assert res.clusters[0]["p"] < 0.05
+        assert (res.p_map[2:4, 5:12] < 0.05).all()
+        # F maps are one-sided: every cluster is positive
+        assert all(c["sign"] == 1 for c in res.clusters)
+
+    def test_null_calibrated(self):
+        res = cl.cluster_test_f([_noise(e=8, ), _noise(e=9), _noise(e=7)],
+                                n_perm=199, seed=8)
+        assert all(c["p"] > 0.05 for c in res.clusters)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            cl.cluster_test_f([_noise()])
+        with pytest.raises(ValueError):
+            cl.cluster_test_f([_noise(), _noise()[:1]])
+        with pytest.raises(ValueError):
+            cl.cluster_test_f([_noise(f=4), _noise(f=5)])
+
+    def test_sharded_matches_single_device(self):
+        from ninwavelets_tpu import parallel as par
+        groups = [_effect(amp=3.0, e=8), _noise(e=8), _noise(e=8)]
+        mesh = par.make_mesh(data=4, freq=1)
+        a = par.sharded_cluster_test_f(groups, mesh=mesh, n_perm=64,
+                                       seed=11)
+        b = cl.cluster_test_f(groups, n_perm=64, seed=11)
+        np.testing.assert_array_equal(a.null_max, b.null_max)
+        np.testing.assert_array_equal(a.p_map, b.p_map)
+
+    def test_adapter_cluster_f(self):
+        from ninwavelets_tpu import Morse
+        from ninwavelets_tpu.utils.mne_adapter import (ArrayEpochs,
+                                                       EpochsWavelet)
+        rng = np.random.default_rng(21)
+
+        def make(amp):
+            sig = rng.standard_normal((6, 1, 256)).astype(np.float32)
+            t = np.arange(256) / 128.0
+            sig[:, 0, 100:160] += amp * np.sin(
+                2 * np.pi * 10.0 * t[100:160])
+            return EpochsWavelet(ArrayEpochs(sig, 128.0, ["ch0"]),
+                                 Morse(128.0))
+        a, b, c = make(4.0), make(0.0), make(0.0)
+        res = a.cluster_f("ch0", list(range(4, 20)), [b, c],
+                          baseline=(0.0, 0.5), n_perm=99, seed=5)
+        assert res.clusters and res.clusters[0]["p"] < 0.1
+        assert all(cl_["sign"] == 1 for cl_ in res.clusters)
