@@ -13,6 +13,7 @@ from .cwt import (abs_from_bank, analytic_spectrum, cwt_abs, cwt_from_bank,
                   mean_power_from_bank, power, power_from_bank, split_complex)
 from .fit import fit_frequencies, learn_bank
 from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
+                           lagged_coherence, lagged_coherence_morse,
                            erpac, erpac_from_banks,
                            nm_plv, nm_plv_from_bank, pac, pac_from_banks,
                            pac_pair, pac_pair_from_banks,
@@ -131,6 +132,7 @@ __all__ = [
     "psi", "psi_from_bank", "psi_from_sums", "cfd", "cfd_from_banks",
     "plv", "plv_from_bank", "plv_sums", "pac", "pac_from_banks",
     "nm_plv", "nm_plv_from_bank", "plv_significance", "surrogate_pvalues",
+    "lagged_coherence", "lagged_coherence_morse",
     "pac_significance", "pac_pair_from_banks", "pac_pair",
     "erpac", "erpac_from_banks",
     "pair_matrix_scan", "plv_matrix", "plv_matrix_from_bank",

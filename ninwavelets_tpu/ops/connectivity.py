@@ -22,7 +22,7 @@ formulated for the TPU:
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache as _lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,8 @@ from jax import lax
 
 from .cwt import analytic_spectrum, cwt_from_bank
 
-__all__ = ["plv_from_bank", "plv", "plv_sums", "pac_from_banks", "pac",
+__all__ = ["lagged_coherence", "lagged_coherence_morse",
+           "plv_from_bank", "plv", "plv_sums", "pac_from_banks", "pac",
            "plv_auto", "pair_matrix_scan", "plv_matrix_from_bank", "plv_matrix",
            "pac_mean_from_banks",
            "coherence_matrix_from_bank", "coherence_matrix",
@@ -981,3 +982,110 @@ def coherence_matrix(sigs_r, bank_r, bank_i=None, interpolate: bool = False,
     return _coh_matrix_jit(sigs_r, bank_r, bank_i,
                            interpolate=bool(interpolate), eps=float(eps),
                            time_range=tr)
+
+
+# ----------------------------------------------------------------------------
+# Lagged coherence (rhythmicity)
+# ----------------------------------------------------------------------------
+
+def _lagged_indices(freqs, sfreq: float, n: int, lag: int):
+    """Host-side per-frequency sample grids: ``idx[f, k]`` is the k-th
+    coefficient sample, spaced ``lag`` periods apart; ``valid[f, k]``
+    masks samples past the signal end (strides differ per frequency, so
+    K is the MAX count and short rows are masked — static shapes)."""
+    freqs = np.asarray(freqs, np.float64)
+    stride = lag * sfreq / freqs                     # samples per lag
+    k_max = int(np.floor((n - 1) / stride.min())) + 1
+    k = np.arange(k_max)[None, :]
+    pos = k * stride[:, None]
+    valid = pos <= n - 1
+    idx = np.minimum(np.round(pos), n - 1).astype(np.int32)
+    return jnp.asarray(idx), jnp.asarray(valid)
+
+
+@partial(jax.jit, static_argnames=("interpolate", "pooled"))
+def _lagged_coh_jit(sig, bank_r, idx, valid, *, interpolate,
+                    pooled=False):
+    w = cwt_from_bank(sig, bank_r, interpolate)      # (..., F, N)
+    shape = w.shape[:-1] + (idx.shape[-1],)
+    wk = jnp.take_along_axis(w, jnp.broadcast_to(idx, shape), axis=-1)
+    a, b = wk[..., :-1], wk[..., 1:]
+    m = (valid[..., :-1] & valid[..., 1:]).astype(jnp.float32)
+    num = jnp.sum(a * jnp.conj(b) * m, axis=-1)
+    p_a = jnp.sum(jnp.abs(a) ** 2 * m, axis=-1)
+    p_b = jnp.sum(jnp.abs(b) ** 2 * m, axis=-1)
+    if pooled:  # pool the pair sums over every leading axis (epochs)
+        red = tuple(range(num.ndim - 1))
+        num, p_a, p_b = (jnp.sum(v, axis=red) for v in (num, p_a, p_b))
+    return jnp.abs(num) / jnp.maximum(jnp.sqrt(p_a * p_b), 1e-20)
+
+
+def lagged_coherence(sig_r, bank_r, freqs, sfreq: float, lag: int = 1,
+                     interpolate: bool = False,
+                     pooled: bool = False) -> jnp.ndarray:
+    """Wavelet lagged coherence — rhythmicity per frequency (after
+    Fransen et al. 2015, with the wavelet's own support as the spectral
+    window): coefficients sampled ``lag`` periods apart, and
+
+    ``L(f) = |sum_k w_k conj(w_{k+1})| / sqrt(sum|w_k|^2 sum|w_{k+1}|^2)``
+
+    — 1 for a sustained rhythm whose phase advances deterministically
+    cycle to cycle, low for noise or one-off transients (what plain
+    power cannot distinguish).  ``sig_r`` is (..., N) real; returns
+    (..., F), or (F,) with ``pooled=True`` (the pair sums pool over
+    every leading axis — the right estimator for epoched data, where
+    per-epoch ratios would be averaged with equal weight regardless of
+    how many pairs each epoch contributes).  ``freqs`` must be the Hz
+    values of the bank rows."""
+    sig = jnp.asarray(sig_r, jnp.float32)
+    bank_r = jnp.asarray(bank_r, jnp.float32)
+    n = sig.shape[-1]
+    if bank_r.shape != (len(np.atleast_1d(freqs)), n):
+        raise ValueError("bank must be (F, N) matching freqs and signal")
+    if lag < 1:
+        raise ValueError("lag must be >= 1 period")
+    if np.asarray(freqs, np.float64).min() * n < lag * sfreq:
+        raise ValueError("signal too short for even one lag at the "
+                         "lowest frequency")
+    idx, valid = _lagged_indices(freqs, sfreq, n, int(lag))
+    return _lagged_coh_jit(sig, bank_r, idx, valid,
+                           interpolate=bool(interpolate),
+                           pooled=bool(pooled))
+
+
+@_lru_cache(maxsize=None)
+def _short_morse_def(beta: float, gamma: float):
+    """Reverse-mode Morse WaveletDef with (beta, gamma) baked in, cached
+    (WaveletDef is a static jit key — see ops.superlets._morlet_def)."""
+    from .bank import WaveletDef, WaveletMode
+    from .spectra import morse_spectrum
+
+    def tf(grid, freq=1.0):
+        return morse_spectrum(grid, freq, beta, gamma)
+
+    return WaveletDef(mode=WaveletMode.Reverse, trans_formula=tf,
+                      params=("lagged-coh-morse", float(beta),
+                              float(gamma)))
+
+
+def lagged_coherence_morse(sig_r, freqs, sfreq: float,
+                           n_cycles: float = 3.0, lag=None,
+                           gamma: float = 3.0) -> jnp.ndarray:
+    """:func:`lagged_coherence` with a self-consistent window: a SHORT
+    Morse bank whose duration is ~``n_cycles`` periods
+    (``beta = n_cycles^2 / gamma`` so ``P = sqrt(beta gamma) = n_cycles``)
+    and ``lag`` defaulting to ``ceil(n_cycles)`` — samples one window
+    apart are near-independent under noise, which is what makes the
+    metric discriminative (with a long analysis wavelet and ``lag=1``
+    the wavelet's own autocorrelation pushes even white noise toward 1;
+    measured 0.85 for the default ``Morse(beta=17.5)`` at lag 1)."""
+    from .bank import make_fft_bank_ri
+    sig = jnp.asarray(sig_r, jnp.float32)
+    if lag is None:
+        lag = int(np.ceil(n_cycles))
+    beta = float(n_cycles) ** 2 / float(gamma)
+    br, _ = make_fft_bank_ri(_short_morse_def(beta, float(gamma)),
+                             jnp.asarray(np.asarray(freqs, np.float32)),
+                             int(sig.shape[-1]), float(sfreq), True)
+    return lagged_coherence(sig, br, freqs, sfreq, lag=int(lag),
+                            interpolate=True)

@@ -933,6 +933,31 @@ class EpochsWavelet:
                         list(self.epochs.ch_names), times=times),
             self.wavelet)
 
+    def lagged_coherence(self, ch_name: str, freqs: Numbers,
+                         n_cycles: float = 3.0, lag=None) -> jnp.ndarray:
+        """(F,) rhythmicity of one channel (extension —
+        ``ops.connectivity.lagged_coherence_morse``, after Fransen et
+        al. 2015): wavelet coefficients sampled ``lag`` windows apart,
+        pair sums POOLED over epochs.  ~1 for sustained rhythms, low
+        for noise or one-off transients."""
+        from ..ops.connectivity import (_lagged_indices,
+                                        _lagged_coh_jit,
+                                        _short_morse_def)
+        from ..ops.bank import make_fft_bank_ri
+        waves = self._channel_data(ch_name)
+        sfreq = self.wavelet.sfreq
+        if lag is None:
+            lag = int(np.ceil(n_cycles))
+        beta = float(n_cycles) ** 2 / 3.0
+        br, _ = make_fft_bank_ri(
+            _short_morse_def(beta, 3.0),
+            jnp.asarray(np.asarray(freqs, np.float32)),
+            int(waves.shape[-1]), float(sfreq), True)
+        idx, valid = _lagged_indices(freqs, sfreq, waves.shape[-1],
+                                     int(lag))
+        return _lagged_coh_jit(waves, br, idx, valid, interpolate=True,
+                               pooled=True)
+
     # -- spatial filtering (extension — ops.spatial) -----------------------
 
     def csp(self, labels, n_components: int = 4,
