@@ -450,6 +450,55 @@ def main():
            config=dict(c=c_edf, n=n_edf, f=100, window=win, halo=h,
                        fused=bool(s_edf._fused)))
 
+    # --- spatial filtering + CSP decoding ------------------------------------
+    from ninwavelets_tpu.ops import spatial as _sp
+    from ninwavelets_tpu.ops.decoding import csp_decode
+    e_sp, c_sp, n_sp = 64, 64, 2048
+    t_sp = np.arange(n_sp) / sfreq
+    osc_sp = np.sin(2 * np.pi * 11.0 * t_sp[None, :]
+                    + rng.uniform(0, 2 * np.pi, (e_sp, 1)))
+    topo_a = np.eye(c_sp)[0]
+    topo_b = np.eye(c_sp)[c_sp - 1]
+    xa_sp = (2.0 * topo_a[None, :, None] * osc_sp[:, None, :]
+             + rng.standard_normal((e_sp, c_sp, n_sp))).astype(np.float32)
+    xb_sp = (2.0 * topo_b[None, :, None] * osc_sp[:, None, :]
+             + rng.standard_normal((e_sp, c_sp, n_sp))).astype(np.float32)
+    d = t(lambda x: _sp.ssd(x, sfreq, 9.0, 13.0,
+                            n_components=8).eigvals, jnp.asarray(xa_sp),
+          iters=5)
+    record(op="ssd_fit", eeg_s_per_s=round(e_sp * n_sp / sfreq / d, 1),
+           config=dict(e=e_sp, c=c_sp, n=n_sp))
+    d = t(lambda x: csp_decode(x, jnp.asarray(xb_sp), n_folds=5,
+                               n_components=4, f_lo=9.0, f_hi=13.0,
+                               sfreq=sfreq), jnp.asarray(xa_sp), iters=3)
+    record(op="csp_decode_5fold", ms=round(d * 1e3, 1),
+           config=dict(e=2 * e_sp, c=c_sp, n=n_sp))
+
+    # --- one-way F cluster test (999-permutation null) ------------------------
+    from ninwavelets_tpu.ops import cluster as _cl
+    groups = [jnp.asarray(
+        rng.standard_normal((20, 100, 256)).astype(np.float32))
+        for _ in range(3)]
+    xcat = jnp.concatenate(groups, 0)
+    thr = _cl.f_threshold(0.05, 2, 57)
+    import jax as _jax
+    key_f = _jax.random.PRNGKey(0)
+    d = t(lambda x: _cl._anova_null(x, key_f, n_perm=999, threshold=thr,
+                                    sizes=(20, 20, 20)), xcat, iters=3)
+    record(op="cluster_f_null_999", ms=round(d * 1e3, 1),
+           config=dict(groups=3, e=60, plane=(100, 256)))
+
+    # --- lagged coherence ------------------------------------------------------
+    from ninwavelets_tpu.ops.connectivity import lagged_coherence_morse
+    freqs_lc = np.arange(2.0, 60.0, 1.0)
+    sig_lc = jnp.asarray(
+        rng.standard_normal((16, 65536)).astype(np.float32))
+    d = t(lambda s: lagged_coherence_morse(s, freqs_lc, sfreq), sig_lc,
+          iters=5)
+    record(op="lagged_coherence",
+           eeg_s_per_s=round(16 * 65536 / sfreq / d, 1),
+           config=dict(rows=16, n=65536, f=len(freqs_lc)))
+
     print(f"wrote {len(rows)} rows -> {OUT}")
 
 

@@ -980,6 +980,25 @@ class EpochsWavelet:
                        n_components=n_components, f_lo=f_lo, f_hi=f_hi,
                        sfreq=self.wavelet.sfreq, shrink=shrink)
 
+    def csp_decode(self, labels, n_folds: int = 5,
+                   n_components: int = 4,
+                   f_lo: Optional[float] = None,
+                   f_hi: Optional[float] = None, **kw):
+        """Scalar cross-validated CSP+LDA decoding AUC between the two
+        classes in ``labels`` (extension — ``ops.decoding.csp_decode``;
+        the classic motor-imagery pipeline)."""
+        from ..ops.decoding import csp_decode as _cd
+        data = self._all_data()
+        y = np.asarray(labels)
+        if y.shape != (data.shape[0],):
+            raise ValueError("labels must be one value per epoch")
+        classes = np.unique(y)
+        if classes.size != 2:
+            raise ValueError(f"need exactly 2 classes, got {classes}")
+        return _cd(data[y == classes[0]], data[y == classes[1]],
+                   n_folds=n_folds, n_components=n_components,
+                   f_lo=f_lo, f_hi=f_hi, sfreq=self.wavelet.sfreq, **kw)
+
     def ged(self, f_lo: float, f_hi: float,
             n_components: Optional[int] = None, shrink: float = 0.01):
         """Narrowband-vs-broadband GED over all channels (extension —

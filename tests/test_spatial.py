@@ -254,3 +254,49 @@ def test_adapter_ged_ssd():
     assert np.asarray(g.filters).shape == (5, 3)
     s = ew.ssd(8.0, 12.0, n_components=2)
     assert np.asarray(s.patterns).shape == (5, 2)
+
+
+# -- CSP decoding -------------------------------------------------------------
+
+def test_csp_decode_separates_planted_classes():
+    from ninwavelets_tpu.ops.decoding import csp_decode
+    rng = np.random.default_rng(14)
+    xa, xb, _, _ = _two_class(rng, 24, 6, 512, 128.0)
+    auc = float(csp_decode(xa, xb, n_folds=4, n_components=2,
+                           f_lo=9.0, f_hi=13.0, sfreq=128.0))
+    assert auc > 0.9
+
+
+def test_csp_decode_chance_on_identical_distributions():
+    from ninwavelets_tpu.ops.decoding import csp_decode
+    rng = np.random.default_rng(15)
+    xa = rng.standard_normal((40, 5, 256)).astype(np.float32)
+    xb = rng.standard_normal((40, 5, 256)).astype(np.float32)
+    auc = float(csp_decode(xa, xb, n_folds=4, n_components=2))
+    assert abs(auc - 0.5) < 0.15
+
+
+def test_csp_decode_validation():
+    from ninwavelets_tpu.ops.decoding import csp_decode
+    x = np.zeros((6, 4, 128), np.float32)
+    with pytest.raises(ValueError):
+        csp_decode(x, np.zeros((6, 5, 128), np.float32))
+    with pytest.raises(ValueError):
+        csp_decode(x[:3], x, n_folds=5)
+    with pytest.raises(ValueError):
+        csp_decode(x, x, f_lo=8.0, f_hi=12.0)  # missing sfreq
+
+
+def test_adapter_csp_decode():
+    rng = np.random.default_rng(16)
+    xa, xb, _, _ = _two_class(rng, 12, 5, 512, 128.0)
+    from ninwavelets_tpu import Morse
+    from ninwavelets_tpu.utils.mne_adapter import ArrayEpochs, EpochsWavelet
+    data = np.concatenate([xa, xb])
+    y = np.r_[np.zeros(12), np.ones(12)]
+    ew = EpochsWavelet(ArrayEpochs(data, 128.0,
+                                   [f"ch{i}" for i in range(5)]),
+                       Morse(128.0))
+    auc = float(ew.csp_decode(y, n_folds=3, n_components=2,
+                              f_lo=9.0, f_hi=13.0))
+    assert auc > 0.85
