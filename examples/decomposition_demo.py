@@ -11,13 +11,12 @@ penalty loose enough for a 60 Hz sweep) tracks it as one drifting mode,
 and the Hilbert spectrum of the VMD modes draws its instantaneous
 frequency as a sharp line.
 """
-import importlib
 import sys
 
 import numpy as np
 
-ew = importlib.import_module("ninwavelets_tpu.ops.ewt")
-vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
+from ninwavelets_tpu.ops import ewt as ew
+from ninwavelets_tpu.ops import vmd as vm
 from ninwavelets_tpu.ops import stockwell  # noqa: E402
 
 SFREQ = 1000.0

@@ -18,6 +18,8 @@ from .models import (Bump, DOG, Haar, MexicanHat, Morlet, Morse, MorseMNE,
                      MorseMultitaper, Paul, Shannon, Superlet, WaveletBase,
                      WaveletMode)
 from .ops.baseline import Baseline, baseline_correct, baseline_tf
+from .ops.ewt import ewt
+from .ops.vmd import vmd
 from .utils import (ArrayEpochs, EpochsWavelet, Parallel, RawWavelet,
                     Sequence,
                     compose, dict_map, plot_tf, plot_wavelet)
@@ -33,4 +35,6 @@ __all__ = [
     "plot_wavelet", "baseline_correct", "baseline_tf", "ops", "config",
     "Parallel", "Sequence", "compose", "dict_map", "io",
     "Paul", "DOG", "Bump", "Superlet", "MorseMultitaper",
+    # decomposition conveniences (ops.ewt / ops.vmd are the modules)
+    "ewt", "vmd",
 ]

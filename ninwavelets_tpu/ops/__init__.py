@@ -73,14 +73,17 @@ from .denoise import denoise, denoise_from_bank
 from .envelope import env_corr_matrix, env_corr_matrix_from_bank
 from .cpd import cp_decompose, cp_reconstruct
 from .cycles import CycleTable, cycle_features
-from .emd import eemd, emd
+from .emd import eemd
+from .emd import emd as empirical_mode_decomposition
 from .filtering import bandpass, highpass, lowpass, notch, resample
 from .hmm import HMMResult, hmm_fit, viterbi
 from .ica import ICAResult, fastica, ica_remove, ica_transform
 from .spatial import (SpatialResult, covariance, csp, csp_features, ged,
                       spatial_apply, ssd)
-from .ewt import ewt, ewt_boundaries, ewt_filterbank, ewt_reconstruct
-from .vmd import hilbert_spectrum, instantaneous, mvmd, vmd
+from .ewt import ewt_boundaries, ewt_filterbank, ewt_reconstruct
+from .ewt import ewt as empirical_wavelet_transform
+from .vmd import hilbert_spectrum, instantaneous, mvmd
+from .vmd import vmd as variational_mode_decomposition
 from .mp import (MPResult, gabor_dictionary, matching_pursuit,
                  mp_tfr)
 from .multitaper import (multitaper_banks, multitaper_mean_power,
@@ -167,12 +170,17 @@ __all__ = [
     "env_corr_matrix", "env_corr_matrix_from_bank",
     "cp_decompose", "cp_reconstruct",
     "cycle_features", "CycleTable",
-    "emd", "eemd",
+    "emd", "eemd", "empirical_mode_decomposition",
     "hmm_fit", "viterbi", "HMMResult",
     "fastica", "ica_transform", "ica_remove", "ICAResult",
     "bandpass", "lowpass", "highpass", "notch", "resample",
+    # "ewt"/"vmd" are the SUBMODULES here (the transforms live at
+    # ops.ewt.ewt / ops.vmd.vmd and as the long-name aliases below);
+    # round 3 shipped the functions shadowing their modules — fixed r4.
     "ewt", "ewt_boundaries", "ewt_filterbank", "ewt_reconstruct",
+    "empirical_wavelet_transform",
     "vmd", "mvmd", "instantaneous", "hilbert_spectrum",
+    "variational_mode_decomposition",
     "superlet_banks", "superlet_weights", "superlet_power",
     "superlet_power_from_banks", "superlet_mean_power",
     "stockwell", "stockwell_ri", "istockwell",

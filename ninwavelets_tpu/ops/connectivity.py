@@ -1070,7 +1070,8 @@ def _short_morse_def(beta: float, gamma: float):
 
 def lagged_coherence_morse(sig_r, freqs, sfreq: float,
                            n_cycles: float = 3.0, lag=None,
-                           gamma: float = 3.0) -> jnp.ndarray:
+                           gamma: float = 3.0,
+                           pooled: bool = False) -> jnp.ndarray:
     """:func:`lagged_coherence` with a self-consistent window: a SHORT
     Morse bank whose duration is ~``n_cycles`` periods
     (``beta = n_cycles^2 / gamma`` so ``P = sqrt(beta gamma) = n_cycles``)
@@ -1088,4 +1089,4 @@ def lagged_coherence_morse(sig_r, freqs, sfreq: float,
                              jnp.asarray(np.asarray(freqs, np.float32)),
                              int(sig.shape[-1]), float(sfreq), True)
     return lagged_coherence(sig, br, freqs, sfreq, lag=int(lag),
-                            interpolate=True)
+                            interpolate=True, pooled=bool(pooled))

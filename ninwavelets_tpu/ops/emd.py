@@ -189,12 +189,11 @@ def _akima_coeffs(t, y, k):
 
 def _envelope(x, mask, spline: str):
     """(B, N) spline envelope through the knots marked by ``mask``."""
+    if spline == "natural":
+        return _envelope_grid(x, mask)
     b, n = x.shape
     t, y, k, mask = _knots(x, mask)
-    if spline == "akima":
-        y0, c1, c2, c3 = _akima_coeffs(t, y, k)
-    else:
-        y0, c1, c2, c3 = _natural_coeffs(t, y, k)
+    y0, c1, c2, c3 = _akima_coeffs(t, y, k)
     # segment of sample tau = (# knots at or before tau) - 1, clipped to
     # the last valid segment k-2 (so tau = N-1 lands on segment k-2).
     seg = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
@@ -205,9 +204,150 @@ def _envelope(x, mask, spline: str):
     return g(y0) + dt * (g(c1) + dt * (g(c2) + dt * g(c3)))
 
 
+# ------------------------------------------------- grid-domain natural
+
+def _ffill(mask, v):
+    """Forward-fill ``v`` (defined where ``mask``) along the last axis:
+    out[i] = v at the last True position <= i (garbage before the first
+    True — every caller marks sample 0).  One log-depth associative
+    scan; no sort, no gather."""
+    def comb(a, b):
+        ma, va = a
+        mb, vb = b
+        return ma | mb, jnp.where(mb, vb, va)
+
+    _, out = lax.associative_scan(
+        comb, (mask, jnp.where(mask, v, 0.0)), axis=-1)
+    return out
+
+
+def _bfill(mask, v):
+    """Backward-fill: out[i] = v at the first True position >= i."""
+    return _ffill(mask[..., ::-1], v[..., ::-1])[..., ::-1]
+
+
+def _envelope_grid(x, mask):
+    """Natural-cubic-spline envelope computed ENTIRELY on the sample
+    grid — the r4 rewrite of the sort-compaction path.
+
+    The compact path (still used for Akima) costs ~8 ms per (64, 2048)
+    envelope on the v5e chip, ~70% of it in the five per-sample
+    ``take_along_axis`` gathers of the evaluation stage plus the
+    ``jnp.sort`` compaction; TPU dynamic gathers are that expensive.
+    Since every knot lies ON the integer grid, both disappear:
+
+    * neighbor knot positions/values come from log-depth forward /
+      backward fills (one associative scan each);
+    * the Thomas solve runs over the N axis with pass-through steps at
+      non-knot samples (the carry rides unchanged between knots, so the
+      knot-to-knot recurrence is identical to the compact solve);
+    * evaluation coefficients are fills of the knot-resident solution —
+      no decompaction scatter, no seg-index gathers.
+
+    Measured 4.1x the compact path at (64, 2048) (8.0 -> 1.9 ms).
+    """
+    b, n = x.shape
+    mask = mask.at[:, 0].set(True).at[:, -1].set(True)
+    iB = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32)[None, :],
+                          (b, n))
+    tprev = _ffill(mask, iB)           # knot position t_j of segment j
+    tnext = _bfill(mask, iB)           # first knot >= i
+    yprev = _ffill(mask, x)            # y_j
+    ynext = _bfill(mask, x)
+    # strictly-previous / strictly-next knot (for the knot rows): the
+    # inclusive fill one sample to the left / right
+    tm1 = jnp.concatenate([tprev[:, :1], tprev[:, :-1]], axis=-1)
+    ym1 = jnp.concatenate([x[:, :1], yprev[:, :-1]], axis=-1)
+    tp1 = jnp.concatenate([tnext[:, 1:], tnext[:, -1:]], axis=-1)
+    yp1 = jnp.concatenate([ynext[:, 1:], x[:, -1:]], axis=-1)
+
+    # Thomas rows at knots (natural BC: endpoint rows stay identity so
+    # M = 0 there); non-knot samples carry the recurrence through.
+    hprev = iB - tm1
+    hnext = tp1 - iB
+    interior = mask & (iB > 0) & (iB < n - 1)
+    sl_prev = (x - ym1) / jnp.where(hprev > 0, hprev, 1.0)
+    sl_next = (yp1 - x) / jnp.where(hnext > 0, hnext, 1.0)
+    a = jnp.where(interior, hprev, 0.0)
+    bb = jnp.where(interior, 2.0 * (hprev + hnext), 1.0)
+    cc = jnp.where(interior, hnext, 0.0)
+    dd = jnp.where(interior, 6.0 * (sl_next - sl_prev), 0.0)
+
+    # Forward elimination as LOG-DEPTH associative scans (a sequential
+    # 2048-step lax.scan per direction made the whole EMD latency-bound
+    # — batch 4 and batch 64 took the same 96 ms/call):
+    # cp_j = c_j / (b_j - a_j cp_{j-1}) is a Moebius map, composed as
+    # normalized homogeneous 2x2 products; given cp, dp and the back
+    # substitution are plain affine recurrences.  Non-knot samples
+    # compose the identity, which is exactly the carry pass-through of
+    # the sequential version.
+    t00 = jnp.where(mask, 0.0, 1.0)
+    t01 = jnp.where(mask, cc, 0.0)
+    t10 = jnp.where(mask, -a, 0.0)
+    t11 = jnp.where(mask, bb, 1.0)
+
+    def _mob(p, q):
+        p00, p01, p10, p11 = p
+        q00, q01, q10, q11 = q
+        r00 = q00 * p00 + q01 * p10
+        r01 = q00 * p01 + q01 * p11
+        r10 = q10 * p00 + q11 * p10
+        r11 = q10 * p01 + q11 * p11
+        # the cp ratio is scale-invariant; normalize so ~1000-deep
+        # products of h-scaled entries cannot overflow f32
+        s = jnp.maximum(jnp.maximum(jnp.abs(r00), jnp.abs(r01)),
+                        jnp.maximum(jnp.abs(r10), jnp.abs(r11)))
+        s = jnp.where(s > 0, s, 1.0)
+        return r00 / s, r01 / s, r10 / s, r11 / s
+
+    _, m01, _, m11 = lax.associative_scan(
+        _mob, (t00, t01, t10, t11), axis=-1)
+    cp = m01 / jnp.where(m11 != 0, m11, 1.0)   # prefix @ (0, 1)
+
+    def _aff(p, q):                    # x -> A x + B, p earlier than q
+        ap, bp = p
+        aq, bq = q
+        return ap * aq, bq + aq * bp
+
+    cp_prev = jnp.concatenate([jnp.zeros_like(cp[:, :1]), cp[:, :-1]],
+                              axis=-1)
+    den = bb - a * cp_prev
+    af = jnp.where(mask, -a / den, 1.0)
+    bf = jnp.where(mask, dd / den, 0.0)
+    _, dp = lax.associative_scan(_aff, (af, bf), axis=-1)
+
+    ab = jnp.where(mask, -cp, 1.0)[:, ::-1]
+    bbk = jnp.where(mask, dp, 0.0)[:, ::-1]
+    _, mrev = lax.associative_scan(_aff, (ab, bbk), axis=-1)
+    mgrid = jnp.where(mask, mrev[:, ::-1], 0.0)  # second derivatives
+
+    mj = _ffill(mask, mgrid)           # M_j for segment j
+    bfm = _bfill(mask, mgrid)
+    mj1 = jnp.concatenate([bfm[:, 1:], bfm[:, -1:]], axis=-1)  # M_{j+1}
+    yj1 = jnp.concatenate([ynext[:, 1:], x[:, -1:]], axis=-1)  # y_{j+1}
+    tj1 = jnp.concatenate([tnext[:, 1:], tnext[:, -1:]], axis=-1)
+    h = tj1 - tprev
+    hs = jnp.where(h > 0, h, 1.0)      # dt = 0 wherever h would be 0
+    dt = iB - tprev
+    slope = (yj1 - yprev) / hs
+    c1 = slope - hs * (2.0 * mj + mj1) / 6.0
+    c2 = mj / 2.0
+    c3 = (mj1 - mj) / (6.0 * hs)
+    return yprev + dt * (c1 + dt * (c2 + dt * c3))
+
+
 # -------------------------------------------------------------- sifting
 
 def _mean_envelope(x, spline: str):
+    if spline == "natural":
+        # one stacked call: the grid path is latency-bound (log-depth
+        # scan count, not FLOPs), so riding upper+lower on the batch
+        # axis halves the scan launches
+        b = x.shape[0]
+        mm = jnp.concatenate([_interior_extrema(x, "max"),
+                              _interior_extrema(x, "min")], axis=0)
+        env = _envelope_grid(jnp.concatenate([x, x], axis=0), mm)
+        return 0.5 * (env[:b] + env[b:])
     upper = _envelope(x, _interior_extrema(x, "max"), spline)
     lower = _envelope(x, _interior_extrema(x, "min"), spline)
     return 0.5 * (upper + lower)

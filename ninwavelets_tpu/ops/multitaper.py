@@ -84,6 +84,24 @@ def multitaper_banks(freqs, n: int, sfreq: float, b: float = 17.5,
                                  float(real_wave_length)))
 
 
+@lru_cache(maxsize=64)
+def _flat_banks_dev(freqs_key: tuple, n: int, sfreq: float, b: float,
+                    r: float, n_tapers: int, interpolate: bool,
+                    real_wave_length: float, backend: str) -> jnp.ndarray:
+    """DEVICE-resident (F·K, n) flat bank cache.  `_banks_np` already
+    caches the synthesis, but a fresh ``jnp.asarray`` per call re-uploads
+    ~2.4 MB over the ~5 MB/s axon tunnel — measured as the difference
+    between 45 ms and 21.6 ms per ``multitaper_mean_power`` call at the
+    bench config.  Created EAGERLY (outside any trace), so caching the
+    device array is safe (the tracer-leak rule forbids caching arrays
+    made inside a jit trace); keyed on the backend so a CPU test run and
+    the chip never share an entry."""
+    arr = _banks_np(freqs_key, n, sfreq, b, r, n_tapers, interpolate,
+                    real_wave_length)
+    f, k, nn = arr.shape
+    return jnp.asarray(arr.reshape(f * k, nn))
+
+
 def multitaper_power_from_banks(signal: jnp.ndarray, banks: jnp.ndarray,
                                 interpolate: bool = False,
                                 weights=None) -> jnp.ndarray:
@@ -101,20 +119,26 @@ def multitaper_power_from_banks(signal: jnp.ndarray, banks: jnp.ndarray,
     return jnp.tensordot(p, w / jnp.sum(w), axes=[[-2], [0]])
 
 
-@partial(jax.jit, static_argnames=("interpolate",))
-def _mt_power_jit(signal_r, banks, *, interpolate):
-    return multitaper_power_from_banks(signal_r, banks, interpolate)
+@partial(jax.jit, static_argnames=("n_tapers", "interpolate"))
+def _mt_power_jit(signal_r, flat, *, n_tapers, interpolate):
+    f = flat.shape[0] // n_tapers
+    return multitaper_power_from_banks(
+        signal_r, flat.reshape(f, n_tapers, flat.shape[-1]), interpolate)
 
 
 def multitaper_power(signal_r, freqs, sfreq: float, b: float = 17.5,
                      r: float = 3.0, n_tapers: int = 3,
                      interpolate: bool = False) -> jnp.ndarray:
     """(..., F, N) multitaper Morse power of real ``signal_r`` (float
-    boundary; banks built host-side per geometry and cached by jit)."""
+    boundary; banks built host-side per geometry, cached on device)."""
     signal_r = jnp.asarray(signal_r, jnp.float32)
-    banks = multitaper_banks(freqs, signal_r.shape[-1], sfreq, b, r,
-                             n_tapers, interpolate)
-    return _mt_power_jit(signal_r, banks, interpolate=interpolate)
+    key = tuple(np.asarray(freqs, np.float32).tolist())
+    flat = _flat_banks_dev(key, int(signal_r.shape[-1]), float(sfreq),
+                           float(b), float(r), int(n_tapers),
+                           bool(interpolate), 1.0,
+                           jax.default_backend())
+    return _mt_power_jit(signal_r, flat, n_tapers=int(n_tapers),
+                         interpolate=interpolate)
 
 
 def multitaper_mean_power(signals_r, freqs, sfreq: float, b: float = 17.5,
@@ -125,13 +149,24 @@ def multitaper_mean_power(signals_r, freqs, sfreq: float, b: float = 17.5,
     The epoch mean and the taper mean commute, so the whole estimate is
     ONE (F·K, N)-bank epoch-mean power — which ``mean_power_auto``
     dispatches to the fused Pallas kernel on TPU — followed by a K-group
-    reshape-mean.
+    reshape-mean, all inside one jitted program (eager reshape/mean
+    dispatches over the axon tunnel were part of the round-3 27x gap;
+    the other part was re-uploading the bank every call, fixed by
+    ``_flat_banks_dev``).
     """
     signals_r = jnp.asarray(signals_r, jnp.float32)
-    banks = multitaper_banks(freqs, signals_r.shape[-1], sfreq, b, r,
-                             n_tapers, interpolate)
-    f, k, n = banks.shape
-    p = mean_power_auto(signals_r, banks.reshape(f * k, n), None,
-                        interpolate=interpolate)
-    p = p.reshape(*p.shape[:-2], f, k, p.shape[-1])
+    key = tuple(np.asarray(freqs, np.float32).tolist())
+    flat = _flat_banks_dev(key, int(signals_r.shape[-1]), float(sfreq),
+                           float(b), float(r), int(n_tapers),
+                           bool(interpolate), 1.0,
+                           jax.default_backend())
+    return _mt_mean_jit(signals_r, flat, n_tapers=int(n_tapers),
+                        interpolate=bool(interpolate))
+
+
+@partial(jax.jit, static_argnames=("n_tapers", "interpolate"))
+def _mt_mean_jit(signals_r, flat, *, n_tapers, interpolate):
+    p = mean_power_auto(signals_r, flat, None, interpolate=interpolate)
+    f = flat.shape[0] // n_tapers
+    p = p.reshape(*p.shape[:-2], f, n_tapers, p.shape[-1])
     return jnp.mean(p, axis=-2)

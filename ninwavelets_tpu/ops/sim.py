@@ -32,8 +32,8 @@ def _key(seed):
     return seed
 
 
-@partial(jax.jit, static_argnames=("shape", "exponent"))
-def _powerlaw_jit(key, *, shape: tuple, exponent: float):
+@partial(jax.jit, static_argnames=("shape", "exponent", "n_out"))
+def _powerlaw_jit(key, *, shape: tuple, exponent: float, n_out: int):
     n = shape[-1]
     white = jax.random.normal(key, shape, jnp.float32)
     spec = jnp.fft.rfft(white)
@@ -42,7 +42,8 @@ def _powerlaw_jit(key, *, shape: tuple, exponent: float):
     # the output is exactly mean-free
     gain = jnp.where(f > 0, jnp.power(jnp.maximum(f, 1.0),
                                       exponent / 2.0), 0.0)
-    x = jnp.fft.irfft(spec * gain, n=n)
+    x = jnp.fft.irfft(spec * gain, n=n)[..., :n_out]
+    x = x - jnp.mean(x, axis=-1, keepdims=True)
     sd = jnp.std(x, axis=-1, keepdims=True)
     return x / jnp.maximum(sd, 1e-20)
 
@@ -50,11 +51,19 @@ def _powerlaw_jit(key, *, shape: tuple, exponent: float):
 def powerlaw_noise(seed, shape, exponent: float = -2.0) -> jnp.ndarray:
     """Unit-variance noise with power spectrum ``P(f) ~ f**exponent``
     (``exponent=-2`` is brown/1/f^2, ``-1`` pink, ``0`` white).
-    ``shape`` is (..., N); ``seed`` an int or a PRNG key."""
+    ``shape`` is (..., N); ``seed`` an int or a PRNG key.
+
+    Shaping runs on a next-power-of-two grid and crops (a non-pow2
+    FFT lowers to a dense O(N^2) DFT matmul on TPU — see
+    ``parallel.pow2_halo``); mean/variance are re-normalized on the
+    cropped window so the output is exactly mean-free, unit-variance
+    for any N."""
     shape = tuple(int(s) for s in np.atleast_1d(shape)) \
         if not isinstance(shape, tuple) else shape
-    return _powerlaw_jit(_key(seed), shape=shape,
-                         exponent=float(exponent))
+    n = int(shape[-1])
+    npad = 1 << max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    return _powerlaw_jit(_key(seed), shape=shape[:-1] + (npad,),
+                         exponent=float(exponent), n_out=n)
 
 
 @partial(jax.jit, static_argnames=("shape", "r"))

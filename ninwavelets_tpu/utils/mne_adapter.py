@@ -939,24 +939,14 @@ class EpochsWavelet:
         ``ops.connectivity.lagged_coherence_morse``, after Fransen et
         al. 2015): wavelet coefficients sampled ``lag`` windows apart,
         pair sums POOLED over epochs.  ~1 for sustained rhythms, low
-        for noise or one-off transients."""
-        from ..ops.connectivity import (_lagged_indices,
-                                        _lagged_coh_jit,
-                                        _short_morse_def)
-        from ..ops.bank import make_fft_bank_ri
+        for noise or one-off transients.  Delegates to the public
+        ops-level entry so the too-short-signal validation and the
+        beta/gamma derivation live in exactly one place."""
+        from ..ops.connectivity import lagged_coherence_morse
         waves = self._channel_data(ch_name)
-        sfreq = self.wavelet.sfreq
-        if lag is None:
-            lag = int(np.ceil(n_cycles))
-        beta = float(n_cycles) ** 2 / 3.0
-        br, _ = make_fft_bank_ri(
-            _short_morse_def(beta, 3.0),
-            jnp.asarray(np.asarray(freqs, np.float32)),
-            int(waves.shape[-1]), float(sfreq), True)
-        idx, valid = _lagged_indices(freqs, sfreq, waves.shape[-1],
-                                     int(lag))
-        return _lagged_coh_jit(waves, br, idx, valid, interpolate=True,
-                               pooled=True)
+        return lagged_coherence_morse(waves, freqs, self.wavelet.sfreq,
+                                      n_cycles=n_cycles, lag=lag,
+                                      pooled=True)
 
     # -- spatial filtering (extension — ops.spatial) -----------------------
 

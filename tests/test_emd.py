@@ -1,7 +1,6 @@
 """EMD / EEMD (`ops/emd.py`): spline envelopes against scipy oracles,
 exact completeness, tone separation, ensemble averaging, and degenerate
 inputs."""
-import importlib
 
 import jax.numpy as jnp
 import numpy as np
@@ -9,7 +8,7 @@ import pytest
 from scipy.interpolate import Akima1DInterpolator, CubicSpline
 
 # `ops.emd` the function shadows the module attribute; import by path
-em = importlib.import_module("ninwavelets_tpu.ops.emd")
+from ninwavelets_tpu.ops import emd as em
 
 SFREQ = 500.0
 N = 2048

@@ -4,10 +4,8 @@ signals."""
 import numpy as np
 import pytest
 
-import importlib
 
-# `ops.ewt` the function shadows the module attribute; import by path
-ew = importlib.import_module("ninwavelets_tpu.ops.ewt")
+from ninwavelets_tpu.ops import ewt as ew
 
 SFREQ = 1000.0
 N = 4096
@@ -138,8 +136,7 @@ class TestVmd:
 
 class TestHilbertSpectrum:
     def test_instantaneous_tracks_chirp(self):
-        import importlib
-        vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
+        from ninwavelets_tpu.ops import vmd as vm
         t = np.arange(N) / SFREQ
         f0, f1 = 20.0, 80.0
         k = (f1 - f0) / t[-1]
@@ -153,8 +150,7 @@ class TestHilbertSpectrum:
         np.testing.assert_allclose(amp[sl], 1.0, atol=0.05)
 
     def test_constant_tone(self):
-        import importlib
-        vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
+        from ninwavelets_tpu.ops import vmd as vm
         t = np.arange(2048) / SFREQ
         tone = np.sin(2 * np.pi * 60 * t).astype(np.float32)
         if_hz, _ = vm.instantaneous(tone[None, :], SFREQ)
@@ -162,8 +158,7 @@ class TestHilbertSpectrum:
         np.testing.assert_allclose(mid, 60.0, atol=0.5)
 
     def test_hilbert_spectrum_energy_lands_in_the_right_bins(self):
-        import importlib
-        vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
+        from ninwavelets_tpu.ops import vmd as vm
         t = np.arange(2048) / SFREQ
         sig = (np.sin(2 * np.pi * 30 * t)
                + np.sin(2 * np.pi * 120 * t)).astype(np.float32)
@@ -185,8 +180,7 @@ class TestHilbertSpectrum:
 
 class TestMvmd:
     def test_shared_modes_across_channels(self):
-        import importlib
-        vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
+        from ninwavelets_tpu.ops import vmd as vm
         rng = np.random.default_rng(3)
         t = np.arange(2048) / SFREQ
         # a common 25 Hz rhythm with channel-specific amplitude/phase,
@@ -209,8 +203,7 @@ class TestMvmd:
         assert rms1[1] > 5 * rms1[0]
 
     def test_batched(self):
-        import importlib
-        vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
+        from ninwavelets_tpu.ops import vmd as vm
         t = np.arange(1024) / SFREQ
         x = np.stack([np.sin(2 * np.pi * 30 * t),
                       np.sin(2 * np.pi * 30 * t + 0.5)]).astype(
@@ -222,8 +215,7 @@ class TestMvmd:
         np.testing.assert_allclose(np.asarray(w)[:, 0], 30.0, atol=0.5)
 
     def test_validation(self):
-        import importlib
-        vm = importlib.import_module("ninwavelets_tpu.ops.vmd")
+        from ninwavelets_tpu.ops import vmd as vm
         with pytest.raises(ValueError):
             vm.mvmd(np.zeros(64), SFREQ)
 

@@ -2,15 +2,14 @@
 and lopsided shapes — the classes of bugs that power-of-two test
 geometries hide (reshape mistakes, off-by-one Nyquist handling,
 padding)."""
-import importlib
 
 import numpy as np
 import pytest
 
 from ninwavelets_tpu.ops import cluster as cl
 
-ew_mod = importlib.import_module("ninwavelets_tpu.ops.ewt")
-vm_mod = importlib.import_module("ninwavelets_tpu.ops.vmd")
+from ninwavelets_tpu.ops import ewt as ew_mod
+from ninwavelets_tpu.ops import vmd as vm_mod
 
 RNG = np.random.default_rng(123)
 
