@@ -153,6 +153,55 @@ def _dft_constants(n: int, analytic: bool):
             as_f32(w2.real), as_f32(w2.imag), as_f32(w2.real + w2.imag))
 
 
+def _make_muls(precision: str, w1c, w2r, w2i, w2s):
+    """The precision-dispatched stage-1/stage-2 matmul closures, shared by
+    every kernel variant (power/itc/... and the ssq kernel)."""
+    mxu_prec = (lax.Precision.HIGHEST if precision == "exact"
+                else lax.Precision.DEFAULT)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=mxu_prec)
+    if precision in ("fast3", "mixed"):
+        w1c_h, w1c_l = _split_hi_lo(w1c)
+        w2_hl = [_split_hi_lo(w) for w in (w2r, w2i, w2s)]
+
+        if precision == "mixed":                 # single-pass bf16 stage 1
+            mul1 = lambda m: dot(w1c, m)
+        else:
+            def mul1(m):
+                mh, ml = _split_hi_lo(m)
+                return dot(w1c_h, mh) + dot(w1c_h, ml) + dot(w1c_l, mh)
+
+        def mul2(b, wi):
+            bh, bl = _split_hi_lo(b)
+            wh, wl = w2_hl[wi]
+            return dot(bh, wh) + dot(bl, wh) + dot(bh, wl)
+    else:
+        w2 = (w2r, w2i, w2s)
+        mul1 = lambda m: dot(w1c, m)
+        mul2 = lambda b, wi: dot(b, w2[wi])
+    return mul1, mul2
+
+
+def _stages12(m, mul1, mul2, twr, twi, e_total: int):
+    """Stage 1 + twiddle + 3-mult stage 2 on the stacked [real; imag]
+    product rows ``m``: returns the complex coefficient tile (xr, xi),
+    rows ordered (e, fb, n1), lanes n2."""
+    a = mul1(m)                                       # (256, E*128)
+    ar, ai = a[:LANES], a[LANES:]                     # rows (fb, n1)
+    brs, bis = [], []
+    for e in range(e_total):
+        s = slice(e * LANES, (e + 1) * LANES)
+        are, aie = ar[:, s], ai[:, s]
+        brs.append(are * twr - aie * twi)
+        bis.append(are * twi + aie * twr)
+    br = jnp.concatenate(brs, 0)                      # (E*128, 128)
+    bi = jnp.concatenate(bis, 0)
+    t1 = mul2(br, 0)
+    t2 = mul2(bi, 1)
+    t3 = mul2(br + bi, 2)
+    return t1 - t2, t3 - t1 - t2
+
+
 def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
             w2r_ref, w2i_ref, w2s_ref, *out_refs, n_epochs: int,
             n1_dim: int, precision: str, epilogue: str = "power",
@@ -179,32 +228,9 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
                 48 vs 64 MXU tile-passes per program.
     """
     bank = bank_ref[0]                                # (FB*K1, E*128)
-    w1c = w1c_ref[...]
     twr, twi = twr_ref[...], twi_ref[...]
-    w2r, w2i, w2s = w2r_ref[...], w2i_ref[...], w2s_ref[...]
-    mxu_prec = (lax.Precision.HIGHEST if precision == "exact"
-                else lax.Precision.DEFAULT)
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
-                            precision=mxu_prec)
-    if precision in ("fast3", "mixed"):
-        w1c_h, w1c_l = _split_hi_lo(w1c)
-        w2_hl = [_split_hi_lo(w) for w in (w2r, w2i, w2s)]
-
-        if precision == "mixed":                 # single-pass bf16 stage 1
-            mul1 = lambda m: dot(w1c, m)
-        else:
-            def mul1(m):
-                mh, ml = _split_hi_lo(m)
-                return dot(w1c_h, mh) + dot(w1c_h, ml) + dot(w1c_l, mh)
-
-        def mul2(b, wi):
-            bh, bl = _split_hi_lo(b)
-            wh, wl = w2_hl[wi]
-            return dot(bh, wh) + dot(bl, wh) + dot(bh, wl)
-    else:
-        w2 = (w2r, w2i, w2s)
-        mul1 = lambda m: dot(w1c, m)
-        mul2 = lambda b, wi: dot(b, w2[wi])
+    mul1, mul2 = _make_muls(precision, w1c_ref[...], w2r_ref[...],
+                            w2i_ref[...], w2s_ref[...])
 
     e_total = n_epochs
     fb = LANES // n1_dim
@@ -329,6 +355,18 @@ def _kernel(spec_r_ref, spec_i_ref, bank_ref, w1c_ref, twr_ref, twi_ref,
         inv = lax.rsqrt(cr * cr + ci * ci)
         out_refs[0][0, 0] = (cr * inv).sum(0)
         out_refs[1][0, 0] = (ci * inv).sum(0)
+    elif epilogue == "amax":
+        # Per-epoch plane max over this program's FB rows (the ssq noise
+        # gate needs each epoch's GLOBAL power peak; XLA finishes with a
+        # max over the f-block axis).  Out tile (E_pad, 128): row e holds
+        # max_e broadcast along lanes, pad rows are zero.
+        pm = p.reshape(e_total, LANES, LANES).max(axis=2).max(axis=1)
+        e_pad = out_refs[0].shape[-2]
+        tile = jnp.broadcast_to(pm[:, None], (e_total, LANES))
+        if e_pad > e_total:
+            tile = jnp.concatenate(
+                [tile, jnp.zeros((e_pad - e_total, LANES), jnp.float32)], 0)
+        out_refs[0][0, 0] = tile
     else:  # itc: accumulate the unit-phase coefficients c/|c|
         inv = lax.rsqrt(p)        # |c|=0 -> inf -> NaN, matching the
         ur, ui = xr * inv, xi * inv   # reference's 0/0 behavior
@@ -418,7 +456,12 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
 
     rep = lambda shape: pl.BlockSpec(shape, lambda fi, ci: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
-    out_rows = e * LANES if epilogue == "power_each" else LANES
+    if epilogue == "power_each":
+        out_rows = e * LANES
+    elif epilogue == "amax":
+        out_rows = e + (-e) % 8          # f32 sublane tile
+    else:
+        out_rows = LANES
     plane = jax.ShapeDtypeStruct((c, n_blocks, out_rows, LANES), jnp.float32)
     out_spec = pl.BlockSpec((1, 1, out_rows, LANES),
                             lambda fi, ci: (ci, fi, 0, 0),
@@ -476,9 +519,235 @@ def _fused_call(signals: jnp.ndarray, bank: jnp.ndarray, interpolate: bool,
         tf = jnp.transpose(tf, (2, 0, 1, 3, 5, 4)).reshape(
             e, c, n_blocks * fb, n)
         return tf[:, :, :f_total] if pad_f else tf
+    if epilogue == "amax":
+        # raw (C, n_blocks, E_pad, 128); callers max over blocks/lanes.
+        return out
     if n_outs == 1:
         return to_natural(out)
     return tuple(to_natural(o) for o in out)
+
+
+def _ssq_kernel(spec_r_ref, spec_i_ref, bank_ref, floor_ref, w1c_ref,
+                twr_ref, twi_ref, w2r_ref, w2i_ref, w2s_ref, out_ref, *,
+                n_epochs: int, n1_dim: int, precision: str,
+                nu_scale: float, e0: float, estep: float, log_grid: bool,
+                n_edges: int, f_out: int):
+    """Fused synchrosqueezing program: one (channel, frequency-block)
+    step computes BOTH coefficient planes (w and its time-derivative dw)
+    through the shared matmul-iDFT stages, maps every cell to its target
+    row with the closed-form uniform-grid bisect (``ops/sst.py``
+    semantics), and select-reduces the reassigned power into a
+    full-height (F_out, N1, 128) accumulator that successive f-blocks
+    revisit (grid (c, fi), fi innermost -> consecutive revisits, the
+    CLAUDE.md pallas accumulation rule).
+
+    The derivative plane costs ONE extra pipeline pass, not a second
+    dispatch from XLA: dW rows are the iDFT of (i 2 pi nu) * S * bank,
+    so stage 0's bank*spec products are reused with the per-bin factor
+    nu = (128*k1 + k2) * sfreq / N built from iotas (bin mapping
+    k = 128*k1 + k2 — see ``_dft_constants``).
+
+    Scale convention: bank pre-scale 1/N (no E folding), identical to
+    the XLA path's ifft — power, the 1e-30 omega clamp, and the floors
+    from the ``amax`` epilogue all agree without rescaling.
+    """
+    bank = bank_ref[0]                                # (FB*K1, E*128)
+    twr, twi = twr_ref[...], twi_ref[...]
+    mul1, mul2 = _make_muls(precision, w1c_ref[...], w2r_ref[...],
+                            w2i_ref[...], w2s_ref[...])
+    e_total = n_epochs
+    fb = LANES // n1_dim
+    k1_dim = spec_r_ref.shape[1]
+    spec_r, spec_i = spec_r_ref[0], spec_i_ref[0]     # (K1, E*128)
+    if fb > 1:
+        spec_r = jnp.concatenate([spec_r] * fb, 0)
+        spec_i = jnp.concatenate([spec_i] * fb, 0)
+    pr = bank * spec_r                                # stage 0 products
+    pi = bank * spec_i
+    xr, xi = _stages12(jnp.concatenate([pr, pi], 0),
+                       mul1, mul2, twr, twi, e_total)
+
+    # derivative spectra: S~ = S * i*2pi*nu -> (re, im) = (-nu*Si, nu*Sr)
+    rows, lanes = pr.shape
+    row_i = lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    lane_i = lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    k1 = (row_i % k1_dim).astype(jnp.float32)         # rows (fb, k1)
+    k2 = (lane_i % LANES).astype(jnp.float32)         # lanes (e, k2)
+    nu2pi = nu_scale * (float(LANES) * k1 + k2)
+    dxr, dxi = _stages12(jnp.concatenate([-(nu2pi * pi), nu2pi * pr], 0),
+                         mul1, mul2, twr, twi, e_total)
+
+    p = xr * xr + xi * xi
+    num = dxi * xr - dxr * xi                         # Im(dW conj W)
+    omega = num / (2.0 * np.pi * jnp.maximum(p, 1e-30))
+    if log_grid:
+        safe = jnp.log(jnp.maximum(omega, 1e-30))
+        cnt = jnp.where(omega > 0.0, jnp.ceil((safe - e0) / estep), 0.0)
+    else:
+        cnt = jnp.ceil((omega - e0) / estep)
+    idx = jnp.clip(cnt, 0.0, float(n_edges)).astype(jnp.int32)
+
+    p3 = p.reshape(e_total, LANES, LANES)
+    idx3 = idx.reshape(e_total, LANES, LANES)
+    keep3 = p3 >= floor_ref[0, :e_total][:, None, :]  # floor per epoch row
+    sub_i = lax.broadcasted_iota(jnp.int32, (e_total, LANES, LANES), 1)
+    src = pl.program_id(1) * fb + sub_i // n1_dim     # own global row
+    idx3 = jnp.where(keep3, idx3, src)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(o, _):
+        contrib = jnp.sum(jnp.where(idx3 == o, p3, 0.0), axis=0)
+        contrib = contrib.reshape(fb, n1_dim, LANES).sum(0)
+        out_ref[0, o] = out_ref[0, o] + contrib
+        return 0
+
+    lax.fori_loop(0, f_out, body, 0)
+
+
+def supports_ssq(signals_shape, bank, uniform_grid,
+                 interpolate: bool) -> bool:
+    """True when the fused ssq kernel can run this workload: conforming
+    (E, C, N) geometry, a REAL bank, the analytic (interpolate) path,
+    and a single lin/log closed-form row map (piecewise grids fall back
+    to the XLA edge-count scan)."""
+    if uniform_grid is None or uniform_grid[0] not in ("lin", "log"):
+        return False
+    if not interpolate or bank is None or len(signals_shape) != 3:
+        return False
+    if bank.ndim != 2 or bank.shape[-1] != signals_shape[-1]:
+        return False
+    return _supported(signals_shape[-1]) and not jnp.iscomplexobj(bank)
+
+
+def _fused_ssq_call(signals, bank, floors, *, uniform_grid, sfreq: float,
+                    interpolate: bool, interpret: bool, precision: str):
+    """One pallas dispatch: (E, C, N) x (F, N) -> (C, F, N) epoch-SUMMED
+    reassigned power at scale 1/N^2 (the XLA path's per-epoch power);
+    ``floors`` is the (C, E) per-epoch gate threshold."""
+    e, c, n = signals.shape
+    f_total = bank.shape[0]
+    n1_dim = n // LANES
+    k1_dim = n1_dim // 2 if interpolate else n1_dim
+    fb = _f_block(n)
+    pad_f = (-f_total) % fb
+    if pad_f:
+        bank = jnp.pad(bank, ((0, pad_f), (0, 0)))
+    n_blocks = (f_total + pad_f) // fb
+
+    spec = jnp.fft.rfft(signals)[..., :k1_dim * LANES]
+
+    def to_lanes(x):
+        x = x.reshape(e, c, k1_dim, LANES)
+        return jnp.transpose(x, (1, 2, 0, 3)).reshape(c, k1_dim, e * LANES)
+
+    spec_r, spec_i = to_lanes(spec.real), to_lanes(spec.imag)
+    bank_t = _prepare_bank(bank, n, interpolate, 1)   # scale 1/N
+    bank_rows = fb * k1_dim
+    bank_t = jnp.broadcast_to(bank_t[:, :, None, :],
+                              (n_blocks, bank_rows, e, LANES)
+                              ).reshape(n_blocks, bank_rows, e * LANES)
+    e_pad = e + (-e) % 8
+    floor_t = floors.astype(jnp.float32)              # (C, E)
+    if e_pad > e:
+        floor_t = jnp.pad(floor_t, ((0, 0), (0, e_pad - e)))
+    floor_t = jnp.broadcast_to(floor_t[:, :, None], (c, e_pad, LANES))
+    consts = _dft_constants(n, interpolate)
+
+    kind, e0, estep = uniform_grid
+    rep = lambda shape: pl.BlockSpec(shape, lambda ci, fi: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_ssq_kernel, n_epochs=e, n1_dim=n1_dim,
+                          precision=precision,
+                          nu_scale=2.0 * np.pi * sfreq / n,
+                          e0=float(e0), estep=float(estep),
+                          log_grid=(kind == "log"),
+                          n_edges=f_total - 1, f_out=f_total),
+        grid=(c, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, k1_dim, e * LANES),
+                         lambda ci, fi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k1_dim, e * LANES),
+                         lambda ci, fi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bank_rows, e * LANES),
+                         lambda ci, fi: (fi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_pad, LANES),
+                         lambda ci, fi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((2 * LANES, 2 * fb * k1_dim)),
+            rep((LANES, LANES)),
+            rep((LANES, LANES)),
+            rep((LANES, LANES)),
+            rep((LANES, LANES)),
+            rep((LANES, LANES)),
+        ],
+        out_specs=pl.BlockSpec((1, f_total, n1_dim, LANES),
+                               lambda ci, fi: (ci, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, f_total, n1_dim, LANES),
+                                       jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * kernel_flops(c, n_blocks, e, n, interpolate)
+                  + 2 * c * n_blocks * f_total * e * LANES * LANES,
+            bytes_accessed=c * n_blocks * (2 * k1_dim * e * LANES * 4
+                                           + bank_rows * e * LANES * 4)
+                           + c * f_total * n1_dim * LANES * 4,
+            transcendentals=0),
+    )(spec_r, spec_i, bank_t, floor_t, *consts)
+    # [o, n1, n2] -> natural n = n1 + N1*n2
+    return jnp.transpose(out, (0, 1, 3, 2)).reshape(c, f_total, n)
+
+
+@functools.lru_cache(maxsize=None)
+def _ssq_jitted(uniform_grid, sfreq: float, rel_threshold: float,
+                interpolate: bool, interpret: bool, precision: str):
+    """Cached jitted fused-ssq callable (never wrap a fresh jit per call
+    — the cache keys on function identity)."""
+    def call(signals, bank):
+        e = signals.shape[0]
+        chunk = max(1, MAX_EPOCHS_PER_CALL // 2)  # ~2x live VMEM vs power
+        total = None
+        for lo in range(0, e, chunk):
+            part = signals[lo:lo + chunk]
+            amax = _fused_call(part, bank, interpolate, interpret,
+                               precision, "amax")
+            floors = rel_threshold * amax.max(axis=(1, 3))[:, :part.shape[0]]
+            plane = _fused_ssq_call(
+                part, bank, floors,
+                uniform_grid=uniform_grid, sfreq=sfreq,
+                interpolate=interpolate, interpret=interpret,
+                precision=precision)
+            total = plane if total is None else total + plane
+        return total / e
+
+    return jax.jit(call)
+
+
+def fused_ssq_mean_power(signals_r, bank_r, *, uniform_grid, sfreq: float,
+                         rel_threshold: float = 1e-6,
+                         interpolate: bool = True, interpret: bool = False,
+                         precision: str = DEFAULT_PRECISION):
+    """Epoch-mean synchrosqueezed power through the fused kernel:
+    (E, C, N) real signals x (F, N) real bank -> (C, F, N).  Matches
+    ``ops.sst.ssq_mean_power`` (same gate and closed-form row map; rel
+    err ~1e-5 at "fast3" away from row edges — cells whose instantaneous
+    frequency sits ON a bisect edge may round to the neighboring row).
+    Epoch chunks are python-loop unrolled inside one cached jit, so any
+    E compiles at most two program shapes (body + ragged tail)."""
+    signals = jnp.asarray(signals_r, jnp.float32)
+    bank = jnp.asarray(bank_r, jnp.float32)
+    return _ssq_jitted(tuple(uniform_grid), float(sfreq),
+                       float(rel_threshold), bool(interpolate),
+                       bool(interpret), precision)(signals, bank)
 
 
 def _mean_power_bwd(signals, bank, interpolate: bool, g):

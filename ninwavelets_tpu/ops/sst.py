@@ -23,9 +23,13 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_FUSED_SSQ = os.environ.get("NINW_FUSED_SSQ", "1") != "0"
 
 from jax import lax
 
@@ -296,6 +300,20 @@ def ssq_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray, freqs,
     """
     f_grid = jnp.asarray(freqs, jnp.float32)
     e = signals.shape[0]
+    # Stream epoch CHUNKS, not single epochs: the scan exists only to
+    # bound memory (the w/dw complex planes are ~210 MB per epoch at the
+    # bench config), and one-epoch steps left the chip latency-bound —
+    # 16 sequential reassignments per call.  The noise-gate floor is per
+    # (epoch, channel) (axis (-2,-1) reduce), so chunking is exact; the
+    # zero-padded tail epochs contribute only power-0 cells to the sum.
+    block = min(int(e), _epoch_block(signals.shape, bank.shape[0]))
+    pad = (-e) % block
+    if pad:
+        signals = jnp.concatenate(
+            [signals, jnp.zeros((pad,) + signals.shape[1:],
+                                signals.dtype)], axis=0)
+    chunks = signals.reshape((signals.shape[0] // block, block)
+                             + signals.shape[1:])
     zero = jnp.zeros(signals.shape[1:-1] + (bank.shape[0],
                                             signals.shape[-1]), jnp.float32)
     if vma_axes:
@@ -305,12 +323,24 @@ def ssq_mean_power_from_bank(signals: jnp.ndarray, bank: jnp.ndarray, freqs,
         # vma_axes forwarded: the edge-count scan inside _reassigned_power
         # zero-inits its own carry, which must match shard_map's
         # varying-axes type too.
-        return acc + _reassigned_power(sig, bank, f_grid, sfreq, interpolate,
-                                       rel_threshold, vma_axes=vma_axes,
-                                       uniform_grid=uniform_grid), None
+        part = _reassigned_power(sig, bank, f_grid, sfreq, interpolate,
+                                 rel_threshold, vma_axes=vma_axes,
+                                 uniform_grid=uniform_grid)
+        return acc + jnp.sum(part, axis=0), None
 
-    total = lax.scan(step, zero, signals)[0]
+    total = lax.scan(step, zero, chunks)[0]
     return total / e
+
+
+def _epoch_block(signals_shape, n_rows, budget_bytes=2 << 30) -> int:
+    """Epochs per scan step such that the two complex CWT planes of a
+    step stay under ``budget_bytes`` (~2 GB of the 16 GB HBM — leaves
+    room for the power/omega/count planes XLA materializes alongside)."""
+    inner = 1
+    for s in signals_shape[1:-1]:
+        inner *= int(s)
+    per_epoch = 2 * 8 * inner * int(n_rows) * int(signals_shape[-1])
+    return max(1, budget_bytes // max(per_epoch, 1))
 
 
 @partial(jax.jit, static_argnames=("sfreq", "interpolate", "rel_threshold",
@@ -345,9 +375,29 @@ def _ssq_mean_jit(signals_r, bank_r, f_grid, *, sfreq, interpolate,
 def ssq_mean_power(signals_r, bank_r, freqs, sfreq: float,
                    interpolate: bool = True, rel_threshold: float = 1e-6):
     """Jitted float-boundary wrapper for ``ssq_mean_power_from_bank``
-    (uniform-grid mapping detected on host frequencies)."""
+    (uniform-grid mapping detected on host frequencies).
+
+    On TPU with a conforming (E, C, N) workload, a real bank, and a
+    single lin/log grid, dispatches to the fused Pallas ssq kernel
+    (``ops.fused.fused_ssq_mean_power`` — w and dW through one in-VMEM
+    matmul-iDFT pass, closed-form row map, select-reduce accumulation;
+    measured 825 vs 349 EEG-s/s at the bench config).  Reassigned power
+    is conserved per time column to ~1e-5; individual cells whose
+    instantaneous frequency lands ON a bisect edge may round to the
+    neighboring row at "fast3" precision.  ``NINW_FUSED_SSQ=0`` forces
+    the XLA path for A/B."""
     freqs = np.asarray(freqs, np.float32)
-    return _ssq_mean_jit(signals_r, bank_r, jnp.asarray(freqs),
+    hint = uniform_grid_hint(freqs)
+    signals_r = jnp.asarray(signals_r, jnp.float32)
+    bank_arr = jnp.asarray(bank_r)
+    from .fused import fused_ssq_mean_power, supports_ssq
+    if (_FUSED_SSQ and jax.default_backend() == "tpu"
+            and supports_ssq(signals_r.shape, bank_arr, hint,
+                             bool(interpolate))):
+        return fused_ssq_mean_power(
+            signals_r, bank_arr, uniform_grid=hint, sfreq=float(sfreq),
+            rel_threshold=float(rel_threshold), interpolate=interpolate)
+    return _ssq_mean_jit(signals_r, bank_arr, jnp.asarray(freqs),
                          sfreq=float(sfreq), interpolate=interpolate,
                          rel_threshold=float(rel_threshold),
-                         uniform_grid=uniform_grid_hint(freqs))
+                         uniform_grid=hint)

@@ -471,3 +471,74 @@ def test_plv_epilogue_matches_xla(e):
     finite = np.isfinite(want)
     np.testing.assert_allclose(got[finite], want[finite], rtol=1e-3,
                                atol=1e-4)
+
+
+class TestFusedSSQ:
+    """The r4 fused synchrosqueezing kernel (w + dW through one in-VMEM
+    matmul-iDFT pass, closed-form row map, select-reduce accumulation
+    over f-block revisits) vs the XLA path in ``ops/sst.py``."""
+
+    def _drive(self, freqs, e=4, c=2, n=2048, seed=3, tone=None):
+        from ninwavelets_tpu.ops.sst import ssq_mean_power, \
+            uniform_grid_hint
+        sfreq = 1000.0
+        morse = nw.Morse(sfreq)
+        bank = np.asarray(make_fft_bank(morse._wdef(),
+                                        jnp.asarray(freqs), n, sfreq,
+                                        True), np.float32)
+        rng = np.random.default_rng(seed)
+        sig = 0.1 * rng.standard_normal((e, c, n)).astype(np.float32)
+        if tone is not None:
+            t = np.arange(n) / sfreq
+            sig += np.sin(2 * np.pi * tone * t).astype(np.float32)
+        sig_j, bank_j = jnp.asarray(sig), jnp.asarray(bank)
+        want = np.asarray(ssq_mean_power(sig_j, bank_j,
+                                         jnp.asarray(freqs), sfreq))
+        hint = uniform_grid_hint(freqs)
+        assert fused.supports_ssq(sig.shape, bank_j, hint, True)
+        got = np.asarray(fused.fused_ssq_mean_power(
+            sig_j, bank_j, uniform_grid=hint, sfreq=sfreq,
+            interpret=True, precision="exact"))
+        return want, got
+
+    def test_linear_grid_parity(self):
+        freqs = np.arange(1.0, 101.0, dtype=np.float32)
+        want, got = self._drive(freqs, tone=40.0)
+        snr = 10 * np.log10((want ** 2).sum()
+                            / max(float(((got - want) ** 2).sum()), 1e-30))
+        assert snr > 80.0, snr
+        # reassignment conserves power per time column exactly (every
+        # source cell lands in exactly one output row)
+        np.testing.assert_allclose(got.sum(1), want.sum(1), rtol=1e-5)
+
+    def test_log_grid_parity(self):
+        freqs = (4.0 * 2.0 ** (np.arange(48) / 8.0)).astype(np.float32)
+        want, got = self._drive(freqs, tone=60.0)
+        snr = 10 * np.log10((want ** 2).sum()
+                            / max(float(((got - want) ** 2).sum()), 1e-30))
+        assert snr > 80.0, snr
+
+    def test_epoch_chunking(self):
+        """E beyond one chunk (> MAX_EPOCHS_PER_CALL // 2) must take the
+        multi-chunk path and still match."""
+        freqs = np.arange(1.0, 51.0, dtype=np.float32)
+        want, got = self._drive(freqs, e=fused.MAX_EPOCHS_PER_CALL // 2
+                                + 3, tone=25.0)
+        snr = 10 * np.log10((want ** 2).sum()
+                            / max(float(((got - want) ** 2).sum()), 1e-30))
+        assert snr > 80.0, snr
+
+    def test_supports_gates(self):
+        from ninwavelets_tpu.ops.sst import uniform_grid_hint
+        bank = jnp.zeros((10, 2048), jnp.float32)
+        lin = uniform_grid_hint(np.arange(1.0, 11.0))
+        assert fused.supports_ssq((4, 2, 2048), bank, lin, True)
+        # piecewise / irregular grids fall back
+        assert not fused.supports_ssq((4, 2, 2048), bank, None, True)
+        # non-analytic path, wrong rank, complex bank, bad N
+        assert not fused.supports_ssq((4, 2, 2048), bank, lin, False)
+        assert not fused.supports_ssq((2, 2048), bank, lin, True)
+        assert not fused.supports_ssq(
+            (4, 2, 2048), jnp.zeros((10, 2048), jnp.complex64), lin, True)
+        assert not fused.supports_ssq(
+            (4, 2, 2000), jnp.zeros((10, 2000), jnp.float32), lin, True)
