@@ -499,6 +499,22 @@ def main():
            eeg_s_per_s=round(16 * 65536 / sfreq / d, 1),
            config=dict(rows=16, n=65536, f=len(freqs_lc)))
 
+    # --- 2-D wavelets (r4: the reference roadmap's "2D wavelet") ----------
+    from ninwavelets_tpu.ops.cwt2d import power2d
+    from ninwavelets_tpu.ops.dwt2d import wavedec2, waverec2
+    imgs = jnp.asarray(
+        rng.standard_normal((8, 256, 256)).astype(np.float32))
+    f2 = (0.03, 0.06, 0.12, 0.24)
+    d = t(lambda x: power2d(x, f2), imgs, iters=5)
+    record(op="cwt2d_power_8x256x256_4f6o",
+           megapixel_per_s=round(8 * 256 * 256 / d / 1e6, 1),
+           config=dict(batch=8, hw=256, f=4, orientations=6))
+    d = t(lambda x: waverec2(wavedec2(x, "db4", level=4), "db4"), imgs,
+          iters=5)
+    record(op="dwt2d_roundtrip_8x256x256_l4",
+           megapixel_per_s=round(8 * 256 * 256 / d / 1e6, 1),
+           config=dict(batch=8, hw=256, level=4, wavelet="db4"))
+
     print(f"wrote {len(rows)} rows -> {OUT}")
 
 

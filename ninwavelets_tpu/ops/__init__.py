@@ -80,6 +80,8 @@ from .hmm import HMMResult, hmm_fit, viterbi
 from .ica import ICAResult, fastica, ica_remove, ica_transform
 from .spatial import (SpatialResult, covariance, csp, csp_features, ged,
                       spatial_apply, ssd)
+from .cwt2d import cwt2, morlet2d_bank, pow2_pad2, power2d
+from .dwt2d import dwt2, idwt2, max_level2, wavedec2, waverec2
 from .ewt import ewt_boundaries, ewt_filterbank, ewt_reconstruct
 from .ewt import ewt as empirical_wavelet_transform
 from .vmd import hilbert_spectrum, instantaneous, mvmd
@@ -171,6 +173,9 @@ __all__ = [
     "cp_decompose", "cp_reconstruct",
     "cycle_features", "CycleTable",
     "emd", "eemd", "empirical_mode_decomposition",
+    # 2-D wavelets (the reference roadmap's one unbuilt item)
+    "cwt2", "power2d", "morlet2d_bank", "pow2_pad2",
+    "dwt2", "idwt2", "wavedec2", "waverec2", "max_level2",
     "hmm_fit", "viterbi", "HMMResult",
     "fastica", "ica_transform", "ica_remove", "ICAResult",
     "bandpass", "lowpass", "highpass", "notch", "resample",

@@ -247,6 +247,29 @@ class EpochsWavelet:
                    interpolate=self.wavelet.interpolate,
                    rel_threshold=rel_threshold, t_decim=t_decim)
 
+    def tfr_power2d(self, ch_name: str, freqs: Numbers,
+                    img_freqs=(0.02, 0.05, 0.1, 0.2), thetas=None,
+                    log_power: bool = True):
+        """Directional 2-D wavelet analysis OF the epoch-mean TFR plane
+        (extension — ``ops.cwt2d``, the reference roadmap's "2D wavelet",
+        ``README.md:524``): the (F, N) spectro-temporal map is treated as
+        an image and decomposed over oriented 2-D Morlets, so horizontal
+        ridges (sustained rhythms), vertical edges (broadband events) and
+        oblique structure (chirps / frequency sweeps) land in different
+        orientation channels.
+
+        Returns ``(power, (F, N))``: power is (F2, T, Fp, Np) over the
+        pow2-padded plane, the tuple is the crop for the original sizes.
+        ``img_freqs`` are cycles/pixel of the TFR image; ``log_power``
+        applies log1p first (the usual variance stabilization before
+        image analysis)."""
+        from ..ops.cwt2d import pow2_pad2, power2d
+        plane = self.power(ch_name, freqs)           # (F, N)
+        if log_power:
+            plane = jnp.log1p(plane)
+        padded, crop = pow2_pad2(plane)
+        return power2d(padded, img_freqs, thetas), crop
+
     def superlet_power(self, ch_name: str, freqs: Numbers,
                        sigma: float = 3.0, order_min: int = 1,
                        order_max: int = 8,
