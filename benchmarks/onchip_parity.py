@@ -3,7 +3,7 @@
 The Pallas interpreter cannot see Mosaic's compiled numerics (DEFAULT
 matmuls run in full f32 there), so the compiled kernel's accuracy is
 recorded HERE, on the real chip, and committed as an artifact the CPU test
-suite gates on (``tests/artifacts/onchip_parity_r02.json``,
+suite gates on (``tests/artifacts/onchip_parity_r04.json``,
 ``tests/test_onchip_parity.py``).
 
 Run on the TPU host:  python benchmarks/onchip_parity.py
@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "artifacts",
-                   "onchip_parity_r02.json")
+                   "onchip_parity_r04.json")
 
 
 def main():
@@ -208,6 +208,36 @@ def main():
                    rel_err=max(rel_s, rel_b),
                    snr_db=round(min(snr_s, snr_b), 1),
                    wall_s=round(time.time() - t0, 1))
+
+    # --- ssq: the r4 fused synchrosqueezing kernel -----------------------
+    # Tone + noise; the plane SNR and the column-sum (energy
+    # conservation) error are recorded separately — individual cells ON
+    # a bisect edge may legitimately round to the neighboring row, which
+    # caps the raw plane SNR on noise-heavy inputs without any energy
+    # being lost.
+    from ninwavelets_tpu.ops.sst import uniform_grid_hint
+    from ninwavelets_tpu.ops.sst import _ssq_mean_jit
+    n, c, e = 2048, 4, 16
+    freqs_np = np.arange(1.0, 101.0, dtype=np.float32)
+    bank = bank_for(n)
+    tt = np.arange(n, dtype=np.float64) / sfreq
+    sig = (np.sin(2 * np.pi * 40.0 * tt)[None, None, :]
+           + 0.1 * rng.standard_normal((e, c, n))).astype(np.float32)
+    sig = jnp.asarray(sig)
+    hint = uniform_grid_hint(freqs_np)
+    want = np.asarray(_ssq_mean_jit(
+        sig, bank, jnp.asarray(freqs_np), sfreq=sfreq, interpolate=True,
+        rel_threshold=1e-6, uniform_grid=hint))
+    for prec in ("exact", "fast3"):
+        t0 = time.time()
+        got = np.asarray(fused.fused_ssq_mean_power(
+            sig, bank, uniform_grid=hint, sfreq=sfreq, precision=prec))
+        rel, snr = compare(want, got)
+        cs = float(np.abs(got.sum(1) - want.sum(1)).max()
+                   / want.sum(1).max())
+        record(epilogue="ssq", n=n, e=e, c=c, precision=prec,
+               rel_err=rel, snr_db=round(snr, 1), colsum_rel=cs,
+               wall_s=round(time.time() - t0, 1))
 
     print(f"wrote {len(rows)} rows -> {OUT}")
 

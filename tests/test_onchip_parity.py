@@ -3,7 +3,7 @@
 The interpret-mode tests in ``test_fused.py`` run DEFAULT matmuls in full
 f32 and cannot see Mosaic's bf16 rounding; the compiled kernel's accuracy
 is recorded on the real chip by ``benchmarks/onchip_parity.py`` into
-``tests/artifacts/onchip_parity_r02.json`` and gated HERE, so a kernel
+``tests/artifacts/onchip_parity_r04.json`` and gated HERE, so a kernel
 change that silently degrades on-chip accuracy fails CI the next time the
 sweep is refreshed.  A live TPU-marked test re-checks one cell when the
 suite ever runs with a TPU backend (the default conftest forces CPU).
@@ -16,7 +16,7 @@ import numpy as np
 import pytest
 
 ARTIFACT = os.path.join(os.path.dirname(__file__), "artifacts",
-                        "onchip_parity_r02.json")
+                        "onchip_parity_r04.json")
 
 #: (epilogue, precision) -> max allowed rel_err across all geometries.
 #: fast3/exact are the accuracy modes (float32-gate); bf16 is the
@@ -73,8 +73,23 @@ def test_artifact_covers_the_sweep():
 
 def test_compiled_kernel_within_gates():
     for r in _rows():
+        if r["epilogue"] == "ssq":
+            continue                   # gated by its own invariants below
         gate = GATES[(r["epilogue"], r["precision"])]
         assert r["rel_err"] < gate, r
+
+
+def test_ssq_kernel_conserves_energy():
+    """The fused ssq kernel (r4): cells ON a bisect edge may round to the
+    neighboring row (capping raw plane SNR on noisy inputs), but the
+    reassignment must conserve power per time column to float32 — and
+    the plane SNR still has to clear a sanity bar (measured 63 dB fast3
+    on chip)."""
+    rows = [r for r in _rows() if r["epilogue"] == "ssq"]
+    assert {r["precision"] for r in rows} >= {"exact", "fast3"}
+    for r in rows:
+        assert r["colsum_rel"] < 1e-4, r
+        assert r["snr_db"] >= 40.0, r
 
 
 def test_accuracy_modes_hit_float32_snr():
