@@ -515,6 +515,16 @@ def main():
            megapixel_per_s=round(8 * 256 * 256 / d / 1e6, 1),
            config=dict(batch=8, hw=256, level=4, wavelet="db4"))
 
+    # --- microstates (r4: broadband states family) ------------------------
+    from ninwavelets_tpu.ops.microstates import microstate_fit
+    xms = jnp.asarray(
+        rng.standard_normal((64, 120000)).astype(np.float32))
+    d = t(lambda x: microstate_fit(x, 4, n_init=8, n_iter=40).gev, xms,
+          iters=3)
+    record(op="microstates_k4_64x120k",
+           signal_s_per_s=round(120000 / sfreq / d, 1),
+           config=dict(c=64, n=120000, k=4, n_init=8, n_iter=40))
+
     print(f"wrote {len(rows)} rows -> {OUT}")
 
 

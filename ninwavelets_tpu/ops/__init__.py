@@ -77,6 +77,8 @@ from .emd import eemd
 from .emd import emd as empirical_mode_decomposition
 from .filtering import bandpass, highpass, lowpass, notch, resample
 from .hmm import HMMResult, hmm_fit, viterbi
+from .microstates import (MicrostateResult, gfp, microstate_backfit,
+                          microstate_fit, microstate_stats)
 from .ica import ICAResult, fastica, ica_remove, ica_transform
 from .spatial import (SpatialResult, covariance, csp, csp_features, ged,
                       spatial_apply, ssd)
@@ -177,6 +179,8 @@ __all__ = [
     "cwt2", "power2d", "morlet2d_bank", "pow2_pad2",
     "dwt2", "idwt2", "wavedec2", "waverec2", "max_level2",
     "hmm_fit", "viterbi", "HMMResult",
+    "MicrostateResult", "gfp", "microstate_fit", "microstate_backfit",
+    "microstate_stats",
     "fastica", "ica_transform", "ica_remove", "ICAResult",
     "bandpass", "lowpass", "highpass", "notch", "resample",
     # "ewt"/"vmd" are the SUBMODULES here (the transforms live at

@@ -1380,6 +1380,24 @@ class RawWavelet:
         return hmm_fit(feats, n_states, n_iter=n_iter,
                        stickiness=stickiness, seed=seed)
 
+    def microstates(self, n_states: int = 4, peaks_only: bool = True,
+                    n_init: int = 8, n_iter: int = 40, seed: int = 0):
+        """EEG microstate decomposition of the recording (extension —
+        ``ops.microstates``, Pascual-Marqui et al. 1995): polarity-
+        invariant topographic clustering into ``n_states`` maps (the
+        canonical A/B/C/D at the default 4), fitted on GFP peaks and
+        backfitted to every sample.  The broadband complement of
+        :meth:`states` (spectral HMM).  Returns ``(result, stats)``:
+        a ``MicrostateResult`` and the coverage / duration / occurrence
+        / transition statistics dict."""
+        from ..ops.microstates import microstate_fit, microstate_stats
+        data = self._host_data()                       # (C, N)
+        res = microstate_fit(data, n_states, peaks_only=peaks_only,
+                             n_init=n_init, n_iter=n_iter, seed=seed)
+        stats = microstate_stats(res.labels, int(n_states),
+                                 self.wavelet.sfreq)
+        return res, stats
+
     def coherence(self, ch_a: str, ch_b: str, freqs: Numbers,
                   cycles: float = 1.0, scale_width: float = 0.6,
                   eps: float = 1e-12, return_phase: bool = False,
