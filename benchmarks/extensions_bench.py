@@ -515,6 +515,18 @@ def main():
            megapixel_per_s=round(8 * 256 * 256 / d / 1e6, 1),
            config=dict(batch=8, hw=256, level=4, wavelet="db4"))
 
+    # --- phase-slope index matrix (r4: directed connectivity) -------------
+    from ninwavelets_tpu.ops.connectivity import psi_matrix
+    xpsi = jnp.asarray(
+        rng.standard_normal((32, 32, 2048)).astype(np.float32))
+    fpsi = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.arange(10.0, 90.0, 2.0, dtype=jnp.float32),
+        2048, sfreq, True), np.float32))
+    d = t(lambda x: psi_matrix(x, fpsi, interpolate=True), xpsi, iters=5)
+    record(op="psi_matrix_32ch",
+           eeg_s_per_s=round(32 * 32 * 2048 / sfreq / d, 1),
+           config=dict(e=32, c=32, n=2048, f=40))
+
     # --- microstates (r4: broadband states family) ------------------------
     from ninwavelets_tpu.ops.microstates import microstate_fit
     xms = jnp.asarray(

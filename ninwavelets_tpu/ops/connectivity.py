@@ -45,7 +45,8 @@ __all__ = ["lagged_coherence", "lagged_coherence_morse",
            "phase_lag_significance",
            "ppc_from_bank", "ppc", "ppc_auto",
            "wpli_matrix_from_bank", "wpli_matrix",
-           "ppc_matrix_from_bank", "ppc_matrix"]
+           "ppc_matrix_from_bank", "ppc_matrix",
+           "psi_matrix_from_bank", "psi_matrix"]
 
 
 # ----------------------------------------------------------------------------
@@ -982,6 +983,141 @@ def coherence_matrix(sigs_r, bank_r, bank_i=None, interpolate: bool = False,
     return _coh_matrix_jit(sigs_r, bank_r, bank_i,
                            interpolate=bool(interpolate), eps=float(eps),
                            time_range=tr)
+
+
+# ----------------------------------------------------------------------------
+# Phase-slope index (directed connectivity)
+# ----------------------------------------------------------------------------
+
+def _psi_row_creps(spec, bank_row, n0, n1, e, eps, complete=None):
+    """Coherency REPLICATES for one bank row: the full-sample estimate
+    plus the (locally held) leave-one-epoch-out estimates, as a (real,
+    imag) pair of (E_local + 1, C, C) stacks (the LAST row is the full
+    sample).  ``e`` is the GLOBAL epoch count; ``complete`` (the sharded
+    path's ``psum``) finishes the total cross-spectral sums across
+    devices — identity when None.
+
+    The per-epoch time-summed cross products ``sum_t W_a conj(W_b)`` are
+    four HIGHEST-precision batched matmuls (time is the contraction) —
+    jackknife replicates differ from the total by O(1/E), so default
+    bf16 matmul round-off (~5e-3) would swamp exactly the differences
+    the jackknife variance is built from."""
+    w = jnp.fft.ifft(spec * bank_row)[..., n0:n1]             # (E, C, n)
+    wr, wi = jnp.real(w), jnp.imag(w)
+    hp = jax.lax.Precision.HIGHEST
+    sr = (jnp.einsum('ean,ebn->eab', wr, wr, precision=hp)
+          + jnp.einsum('ean,ebn->eab', wi, wi, precision=hp))
+    si = (jnp.einsum('ean,ebn->eab', wi, wr, precision=hp)
+          - jnp.einsum('ean,ebn->eab', wr, wi, precision=hp))
+    tot_r, tot_i = jnp.sum(sr, axis=0), jnp.sum(si, axis=0)
+    if complete is not None:
+        tot_r, tot_i = complete(tot_r), complete(tot_i)
+    rep_r = jnp.concatenate(
+        [(tot_r[None] - sr) / (e - 1.0), tot_r[None] / e], axis=0)
+    rep_i = jnp.concatenate(
+        [(tot_i[None] - si) / (e - 1.0), tot_i[None] / e], axis=0)
+    # coherency: S_ab / sqrt(S_aa S_bb); the diagonal of rep_r IS the
+    # per-replicate power (rep_i diagonal is rounding noise)
+    p = jnp.einsum('raa->ra', rep_r)                          # (E+1, C)
+    den = jnp.sqrt(jnp.maximum(p[:, :, None] * p[:, None, :], 0.0))
+    den = jnp.maximum(den, eps * jnp.max(den))
+    return rep_r / den, rep_i / den
+
+
+def psi_reps_scan(sigs, bank, n0, n1, e, eps, interpolate,
+                  complete=None) -> jnp.ndarray:
+    """(E_local + 1, C, C) PSI replicates: leave-one-out rows for every
+    locally held epoch plus the full-sample estimate last, accumulated
+    over adjacent bank-row pairs inside ``lax.scan``.  Shared by the
+    single-device and ``parallel.sharded_psi_matrix`` paths."""
+    spec = analytic_spectrum(sigs, interpolate)
+
+    def creps(row):
+        return _psi_row_creps(spec, row, n0, n1, e, eps, complete)
+
+    def step(prev, bank_row):
+        cur = creps(bank_row)
+        pr, pi = prev
+        cr, ci = cur
+        return cur, pr * ci - pi * cr          # Im(conj(prev) * cur)
+
+    _, incs = lax.scan(step, creps(bank[0]), bank[1:])
+    reps = jnp.sum(incs, axis=0)
+    # Pin the diagonal to exact 0 (a channel has no slope against
+    # itself).  On CPU the two si einsums cancel exactly; on TPU the
+    # matmul lowering leaves FMA-style rounding noise there (same
+    # failure mode as the documented wpli self-pair gotcha), and the
+    # jackknife normalization would blow that noise up to O(1) values.
+    c = reps.shape[-1]
+    return reps * (1.0 - jnp.eye(c, dtype=reps.dtype))
+
+
+def psi_matrix_from_bank(sigs: jnp.ndarray, bank: jnp.ndarray,
+                  interpolate: bool = False, eps: float = 1e-12,
+                  time_range=None, normalize: bool = True) -> jnp.ndarray:
+    """Phase-slope index over every channel pair: (E, C, N) -> (C, C).
+
+    The all-pairs, jackknife-normalized form of the pairwise
+    time-resolved ``extensions.psi``.  Nolte et al. 2008 (PRL 100:234101): ``PSI_ab = Im sum_f
+    conj(C_ab(f)) C_ab(f + df)`` with ``C`` the complex coherency —
+    positive ``PSI[a, b]`` means channel ``a`` temporally LEADS ``b``
+    (consistent phase-lag slope across the band), and unlike the
+    imaginary part of coherency alone the sign is a genuine direction
+    estimate that vanishes for instantaneous (volume-conducted) mixing.
+    Antisymmetric with zero diagonal.
+
+    Here ``C(f)`` comes from the wavelet cross-spectra of the given bank
+    rows (epoch- and time-averaged); adjacent-row pairs play f/f + df,
+    so the bank rows MUST be in ascending frequency order, and the slope
+    interpretation is cleanest on a uniformly spaced grid (a log grid
+    yields a log-frequency slope — same sign, different weighting).
+
+    ``normalize=True`` (standard practice and the default) divides by
+    the leave-one-epoch-out jackknife standard error, making the result
+    a z-like statistic (|PSI| > 2 is the conventional threshold); the
+    replicates stream through the SAME per-row scan, so the cost is one
+    extra batch row per epoch.  Needs E >= 3 for a meaningful jackknife.
+
+    Memory is O(E*C*N + E*C*C): the (E, C, F, N) coefficient tensor
+    never exists — one signal FFT up front, one iFFT per bank row,
+    accumulated across adjacent-row pairs inside ``lax.scan``.
+    """
+    e = sigs.shape[0]
+    if e < 2:
+        raise ValueError("psi needs at least 2 epochs (>= 3 for a "
+                         "meaningful jackknife)")
+    if bank.shape[0] < 2:
+        raise ValueError("psi needs at least 2 bank rows (adjacent "
+                         "frequency pairs form the slope)")
+    n0, n1 = time_range if time_range is not None else (0, sigs.shape[-1])
+    psi_reps = psi_reps_scan(sigs, bank, n0, n1, e, eps,
+                             interpolate)                     # (E+1, C, C)
+    psi = psi_reps[e]
+    if not normalize:
+        return psi
+    jk = psi_reps[:e]
+    jk_mean = jnp.mean(jk, axis=0)
+    var = (e - 1.0) * jnp.mean((jk - jk_mean) ** 2, axis=0)
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    return jnp.where(std > 0, psi / jnp.where(std > 0, std, 1.0), 0.0)
+
+
+@partial(jax.jit, static_argnames=("interpolate", "eps", "time_range",
+                                   "normalize"))
+def _psi_matrix_jit(sigs, bank_r, *, interpolate, eps, time_range, normalize):
+    return psi_matrix_from_bank(sigs, bank_r, interpolate, eps,
+                                time_range, normalize)
+
+
+def psi_matrix(sigs_r, bank_r, interpolate: bool = False, eps: float = 1e-12,
+        time_range=None, normalize: bool = True):
+    """Jitted float-boundary wrapper for ``psi_matrix_from_bank`` (real
+    analytic banks only — coherency phase needs the analytic signal)."""
+    tr = None if time_range is None else (int(time_range[0]),
+                                          int(time_range[1]))
+    return _psi_matrix_jit(sigs_r, bank_r, interpolate=bool(interpolate),
+                    eps=float(eps), time_range=tr,
+                    normalize=bool(normalize))
 
 
 # ----------------------------------------------------------------------------

@@ -563,6 +563,51 @@ def sharded_coherence_matrix(sigs, bank_r, bank_i=None, *, mesh: Mesh,
         out_specs=out_spec)(sigs, bank_r, bank_i)
 
 
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "eps",
+                                   "time_range", "normalize"))
+def sharded_psi_matrix(sigs, bank_r, *, mesh: Mesh, interpolate: bool = False,
+                eps: float = 1e-12, time_range=None,
+                normalize: bool = True):
+    """Phase-slope index over the mesh: (E, C, N) -> (C, C).
+
+    Epochs shard over ``data``; the bank is REPLICATED — adjacent-row
+    pairs form the frequency slope, so the row scan is sequential and
+    cannot split over ``freq``.  Each shard contracts its local epochs
+    into per-epoch cross-spectral sums, one ``psum`` per row completes
+    the full-sample total (every shard then holds the identical
+    full-sample replicate plus ITS epochs' leave-one-out replicates),
+    and the jackknife moments are completed by two final ``psum``s.
+    Mesh result == single-device ``ops.connectivity.psi_matrix_from_bank``.
+    """
+    from ..ops.connectivity import psi_reps_scan
+    e = sigs.shape[0]
+    n0, n1 = time_range if time_range is not None else (0, sigs.shape[-1])
+
+    ndev = mesh.shape[DATA_AXIS]
+
+    def local(sg, br):
+        reps = psi_reps_scan(
+            sg, br, n0, n1, e, eps, interpolate,
+            complete=lambda s: lax.psum(s, DATA_AXIS))
+        # reps[-1] is value-identical on every shard but still carries
+        # the data-varying type (it was concatenated with the local
+        # leave-one-out rows); one tiny (C, C) psum/ndev makes it
+        # replicated for real (ndev is a power of two — exact division).
+        psi = lax.psum(reps[-1], DATA_AXIS) / ndev
+        if not normalize:
+            return psi
+        jk = reps[:-1]                       # this shard's epochs
+        jk_mean = lax.psum(jnp.sum(jk, axis=0), DATA_AXIS) / e
+        var = (e - 1.0) / e * lax.psum(
+            jnp.sum((jk - jk_mean) ** 2, axis=0), DATA_AXIS)
+        std = jnp.sqrt(jnp.maximum(var, 0.0))
+        return jnp.where(std > 0, psi / jnp.where(std > 0, std, 1.0), 0.0)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(DATA_AXIS), None),
+        out_specs=P())(sigs, bank_r)
+
+
 @partial(jax.jit, static_argnames=("mesh", "sfreq", "interpolate",
                                    "rel_threshold", "uniform_grid"))
 def sharded_ssq_mean_power(signals_r, bank_r, f_grid, *, mesh: Mesh,

@@ -684,6 +684,23 @@ class EpochsWavelet:
         return _coh_m(waves, br, bi, interpolate=self.wavelet.interpolate,
                       eps=eps, time_range=self._samples(time_range))
 
+    def psi_matrix(self, freqs: Numbers, time_range=None,
+                   normalize: bool = True) -> jnp.ndarray:
+        """(C, C) phase-slope index over every channel pair (extension —
+        ``ops.connectivity.psi_matrix``, Nolte 2008; the all-pairs
+        jackknife-normalized form of :meth:`psi`): positive ``[a, b]`` means
+        channel ``a`` temporally leads ``b`` across the band spanned by
+        ``freqs`` (sorted ascending here — adjacent frequencies form the
+        slope).  ``normalize=True`` divides by the jackknife standard
+        error (z-like; |PSI| > 2 is the conventional threshold)."""
+        from ..ops.connectivity import psi_matrix as _psi_m
+        waves = self._all_data()
+        freqs = np.sort(np.asarray(list(freqs), np.float64))
+        br, _ = self._conn_bank(waves.shape[-1], freqs)
+        return _psi_m(waves, br, interpolate=self.wavelet.interpolate,
+                      time_range=self._samples(time_range),
+                      normalize=normalize)
+
     def network(self, freqs: Numbers, method: str = "wpli",
                 time_range=None, n_nulls: int = 0) -> dict:
         """Graph-theoretic summary of the all-pairs connectivity at each

@@ -600,3 +600,91 @@ def test_phase_lag_significance():
         phase_lag_significance(jnp.asarray(a[:, None]),
                                jnp.asarray(b2[:, None]), bank,
                                method="nope")
+
+
+class TestPSI:
+    """Phase-slope index (Nolte 2008): float64 oracle, direction
+    detection, antisymmetry, jackknife normalization."""
+    FREQS = np.arange(16.0, 80.0, 4.0)
+
+    @staticmethod
+    def _psi_oracle(x, bank):
+        """Direct float64 transcription of the PSI definition."""
+        e, c, n = x.shape
+        spec = np.fft.fft(np.asarray(x, np.float64))
+        s = np.zeros((bank.shape[0], c, c), complex)
+        for f in range(bank.shape[0]):
+            w = np.fft.ifft(spec * np.asarray(bank[f], np.float64))
+            s[f] = np.einsum('ean,ebn->ab', w, w.conj())
+        p = np.real(np.einsum('faa->fa', s))
+        coh = s / np.sqrt(p[:, :, None] * p[:, None, :])
+        return np.imag(np.sum(coh[:-1].conj() * coh[1:], axis=0))
+
+    def _delayed(self, e=16, n=2048, delay=8, seed=0):
+        """ch0 leads ch1 by `delay` samples; ch2 independent noise."""
+        rng = np.random.default_rng(seed)
+        s = rng.standard_normal((e, n + delay))
+        x = np.stack([s[:, delay:], s[:, :n],
+                      rng.standard_normal((e, n))], axis=1)
+        x += 0.2 * rng.standard_normal(x.shape)
+        return jnp.asarray(x.astype(np.float32))
+
+    def test_matches_float64_oracle(self):
+        from ninwavelets_tpu.ops.connectivity import psi_matrix
+        x = self._delayed(e=8, n=1024)
+        bank = _bank(self.FREQS, 1024, interpolate=False)
+        got = np.asarray(psi_matrix(x, bank, normalize=False))
+        want = self._psi_oracle(np.asarray(x), np.asarray(bank))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_direction_and_antisymmetry(self):
+        from ninwavelets_tpu.ops.connectivity import psi_matrix
+        x = self._delayed()
+        bank = _bank(self.FREQS, 2048, interpolate=False)
+        z = np.asarray(psi_matrix(x, bank))
+        # leader -> follower strongly positive, mirror negative
+        assert z[0, 1] > 2.0
+        assert z[1, 0] < -2.0
+        # uncoupled channel: no consistent slope
+        assert abs(z[0, 2]) < 4.0 and abs(z[1, 2]) < 4.0
+        np.testing.assert_allclose(z, -z.T, atol=1e-4)
+        np.testing.assert_allclose(np.diag(z), 0.0, atol=1e-6)
+
+    def test_unnormalized_antisymmetry_and_null(self):
+        from ninwavelets_tpu.ops.connectivity import psi_matrix
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((12, 3, 1024)).astype(
+            np.float32))
+        bank = _bank(self.FREQS, 1024, interpolate=False)
+        raw = np.asarray(psi_matrix(x, bank, normalize=False))
+        np.testing.assert_allclose(raw, -raw.T, atol=1e-5)
+        z = np.asarray(psi_matrix(x, bank))
+        off = z[~np.eye(3, dtype=bool)]
+        assert np.abs(off).max() < 5.0      # z-like under independence
+
+    def test_validation(self):
+        from ninwavelets_tpu.ops.connectivity import psi_matrix_from_bank
+        bank = _bank(self.FREQS, 256, interpolate=False)
+        with pytest.raises(ValueError, match="epochs"):
+            psi_matrix_from_bank(jnp.zeros((1, 2, 256)), bank)
+        with pytest.raises(ValueError, match="bank rows"):
+            psi_matrix_from_bank(jnp.zeros((4, 2, 256)), bank[:1])
+
+    def test_adapter(self):
+        from tests.test_epochs import FakeEpochs
+        x = np.asarray(self._delayed(e=12, n=1024))
+        ew = nw.EpochsWavelet(FakeEpochs(x, SFREQ), nw.Morse(SFREQ))
+        z = np.asarray(ew.psi_matrix(self.FREQS[::-1]))   # unsorted freqs OK
+        assert z.shape == (3, 3)
+        assert z[0, 1] > 2.0
+
+    def test_sharded_matches_single_device(self):
+        from ninwavelets_tpu.ops.connectivity import psi_matrix
+        mesh = par.make_mesh(data=4, freq=2)
+        x = self._delayed(e=16, n=1024)
+        bank = _bank(self.FREQS, 1024, interpolate=False)
+        for normalize in (False, True):
+            want = np.asarray(psi_matrix(x, bank, normalize=normalize))
+            got = np.asarray(par.sharded_psi_matrix(x, bank, mesh=mesh,
+                                             normalize=normalize))
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
