@@ -537,6 +537,20 @@ def main():
            signal_s_per_s=round(120000 / sfreq / d, 1),
            config=dict(c=64, n=120000, k=4, n_init=8, n_iter=40))
 
+    # --- complexity (r4: entropy family) ---------------------------------
+    from ninwavelets_tpu.ops.complexity import (permutation_entropy,
+                                                sample_entropy)
+    xcx = jnp.asarray(
+        rng.standard_normal((16, 8, 2048)).astype(np.float32))
+    d = t(lambda x: sample_entropy(x), xcx, iters=3)
+    record(op="sampen_m2_128x2048",
+           signal_s_per_s=round(16 * 8 * 2048 / sfreq / d, 1),
+           config=dict(e=16, c=8, n=2048, m=2))
+    d = t(lambda x: permutation_entropy(x), xcx, iters=5)
+    record(op="perm_entropy_m3_128x2048",
+           signal_s_per_s=round(16 * 8 * 2048 / sfreq / d, 1),
+           config=dict(e=16, c=8, n=2048, m=3))
+
     print(f"wrote {len(rows)} rows -> {OUT}")
 
 

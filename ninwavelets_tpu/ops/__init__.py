@@ -73,6 +73,9 @@ from .decoding import (csp_decode, decode_auc,
 from .denoise import denoise, denoise_from_bank
 from .envelope import env_corr_matrix, env_corr_matrix_from_bank
 from .cpd import cp_decompose, cp_reconstruct
+from .complexity import (multiscale_entropy,
+                         multiscale_permutation_entropy,
+                         permutation_entropy, sample_entropy)
 from .cycles import CycleTable, cycle_features
 from .emd import eemd
 from .emd import emd as empirical_mode_decomposition
@@ -181,6 +184,8 @@ __all__ = [
     "cwt2", "power2d", "morlet2d_bank", "pow2_pad2",
     "dwt2", "idwt2", "wavedec2", "waverec2", "max_level2",
     "hmm_fit", "viterbi", "HMMResult",
+    "sample_entropy", "multiscale_entropy", "permutation_entropy",
+    "multiscale_permutation_entropy",
     "MicrostateResult", "gfp", "microstate_fit", "microstate_backfit",
     "microstate_stats",
     "fastica", "ica_transform", "ica_remove", "ICAResult",

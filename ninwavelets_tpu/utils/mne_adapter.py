@@ -849,6 +849,31 @@ class EpochsWavelet:
         from ..ops.extensions import wavelet_entropy
         return wavelet_entropy(self.power(ch_name, freqs), normalized)
 
+    def sample_entropy(self, m: int = 2, r: float = 0.2) -> jnp.ndarray:
+        """(E, C) sample entropy of every epoch and channel (extension —
+        ``ops.complexity.sample_entropy``, Richman-Moorman; tolerance
+        ``r * std`` per trace).  Higher = less regular."""
+        from ..ops.complexity import sample_entropy
+        return sample_entropy(self._all_data(), m=m, r=r)
+
+    def permutation_entropy(self, m: int = 3, tau: int = 1,
+                            normalized: bool = True) -> jnp.ndarray:
+        """(E, C) permutation entropy of every epoch and channel
+        (extension — ``ops.complexity.permutation_entropy``,
+        Bandt-Pompe; normalized to [0, 1] by default)."""
+        from ..ops.complexity import permutation_entropy
+        return permutation_entropy(self._all_data(), m=m, tau=tau,
+                                   normalized=normalized)
+
+    def multiscale_entropy(self, m: int = 2, r: float = 0.2,
+                           scales=10) -> jnp.ndarray:
+        """(E, C, S) multiscale-entropy profile of every epoch and
+        channel (extension — ``ops.complexity.multiscale_entropy``,
+        Costa 2002; tolerance fixed from the scale-1 std)."""
+        from ..ops.complexity import multiscale_entropy
+        return multiscale_entropy(self._all_data(), m=m, r=r,
+                                  scales=scales)
+
     def cycles(self, ch_name: str, f_range, **kw):
         """Cycle-by-cycle waveform features of one channel (extension —
         ``ops.cycles``, the bycycle method of Cole & Voytek 2019): a
