@@ -551,6 +551,16 @@ def main():
            signal_s_per_s=round(16 * 8 * 2048 / sfreq / d, 1),
            config=dict(e=16, c=8, n=2048, m=3))
 
+    # --- autoreject-global (r4: preprocessing) ---------------------------
+    from ninwavelets_tpu.ops.reject import autoreject_global
+    xar = np.asarray(rng.standard_normal((128, 64, 1024)), np.float32)
+    xar[::16, 3, 100:160] += 12.0                     # planted artifacts
+    xar_dev = jnp.asarray(xar)
+    d = t(lambda x: autoreject_global(x).cv_error, xar_dev, iters=3)
+    record(op="autoreject_global_128x64x1024",
+           epochs_per_s=round(128 / d, 1),
+           config=dict(e=128, c=64, n=1024, t_grid=30, folds=5))
+
     print(f"wrote {len(rows)} rows -> {OUT}")
 
 

@@ -81,6 +81,8 @@ from .emd import eemd
 from .emd import emd as empirical_mode_decomposition
 from .filtering import bandpass, highpass, lowpass, notch, resample
 from .hmm import HMMResult, hmm_fit, viterbi
+from .reject import (RejectResult, autoreject_global, ptp,
+                     ptp_reject)
 from .microstates import (MicrostateResult, gfp, microstate_backfit,
                           microstate_fit, microstate_stats)
 from .ica import ICAResult, fastica, ica_remove, ica_transform
@@ -184,6 +186,7 @@ __all__ = [
     "cwt2", "power2d", "morlet2d_bank", "pow2_pad2",
     "dwt2", "idwt2", "wavedec2", "waverec2", "max_level2",
     "hmm_fit", "viterbi", "HMMResult",
+    "RejectResult", "autoreject_global", "ptp", "ptp_reject",
     "sample_entropy", "multiscale_entropy", "permutation_entropy",
     "multiscale_permutation_entropy",
     "MicrostateResult", "gfp", "microstate_fit", "microstate_backfit",

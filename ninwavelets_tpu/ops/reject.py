@@ -1,0 +1,142 @@
+"""Automated epoch rejection: peak-to-peak thresholds and the
+cross-validated global threshold search.
+
+No reference counterpart — this is the standard preprocessing gate
+(mne's ``reject=dict(eeg=...)``; Jas et al. 2017 "Autoreject"'s global
+variant) applied before any of the TFR statistics this engine computes:
+trials whose peak-to-peak amplitude exceeds a threshold on any channel
+are dropped, and the threshold itself is chosen by cross-validation
+instead of folklore.
+
+TPU design — rejection is masking, never dynamic shapes:
+
+* per-trial/channel peak-to-peak is one max-minus-min reduction over
+  the (E, C, N) batch;
+* the autoreject-global search evaluates EVERY candidate threshold x
+  fold jointly: keep masks are (T, E) 0/1 WEIGHTS, the kept-trial
+  evoked means are one weighted (T*K, E) @ (E, C*N) matmul against the
+  trial stack, and the validation target (the median evoked — robust
+  to the very artifacts being hunted) is a sort-based median per fold
+  — no data-dependent shapes anywhere, so the whole search is one
+  compiled program;
+* candidate grids default to quantiles of the observed per-trial max
+  peak-to-peak (always bracketing the data), drawn on device.
+
+The adapter (``EpochsWavelet.drop_bad``) applies the mask on the HOST
+(a one-time epoch subset — downstream shapes must actually shrink) and
+returns a new composable adapter, mirroring ``modwt_denoise``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["ptp", "ptp_reject", "autoreject_global", "RejectResult"]
+
+
+class RejectResult(NamedTuple):
+    """Outcome of the global threshold search.
+
+    ``threshold`` float: the winning peak-to-peak threshold.
+    ``drop_mask`` (E,) bool: True where the trial exceeds it (drop).
+    ``thresholds`` (T,): the candidate grid.  ``cv_error`` (T,): mean
+    validation RMSE per candidate (lower is better).
+    """
+    threshold: float
+    drop_mask: jnp.ndarray
+    thresholds: jnp.ndarray
+    cv_error: jnp.ndarray
+
+
+def ptp(x) -> jnp.ndarray:
+    """(..., N) -> (...,) peak-to-peak amplitude (max - min)."""
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.max(x, axis=-1) - jnp.min(x, axis=-1)
+
+
+def ptp_reject(x, threshold: float) -> jnp.ndarray:
+    """(E, C, N) -> (E,) bool drop mask: True where ANY channel's
+    peak-to-peak exceeds ``threshold`` (the mne ``reject`` rule)."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 3:
+        raise ValueError("x must be (E, C, N)")
+    return jnp.max(ptp(x), axis=-1) > threshold
+
+
+@partial(jax.jit, static_argnames=("n_folds",))
+def _cv_errors(x, thresholds, fold_ids, *, n_folds):
+    """(T,) mean validation RMSE of the kept-trial evoked vs the
+    fold-validation MEDIAN evoked, for every candidate threshold."""
+    e = x.shape[0]
+    trial_ptp = jnp.max(ptp(x), axis=-1)                  # (E,)
+    keep = (trial_ptp[None, :] <= thresholds[:, None])    # (T, E) 0/1
+    keep = keep.astype(jnp.float32)
+    flat = x.reshape((e, -1))                             # (E, C*N)
+
+    def fold(k):
+        train = (fold_ids != k).astype(jnp.float32)       # (E,)
+        w = keep * train[None, :]                         # (T, E)
+        cnt = jnp.sum(w, axis=1, keepdims=True)           # (T, 1)
+        mean_kept = jnp.matmul(
+            w, flat, precision=lax.Precision.HIGHEST
+        ) / jnp.maximum(cnt, 1.0)                         # (T, C*N)
+        # Validation target: the pointwise MEDIAN over validation
+        # trials — robust to the artifacts under test (Jas 2017 eq. 5).
+        val = fold_ids == k
+        big = jnp.where(val[:, None], flat, jnp.nan)
+        target = jnp.nanmedian(big, axis=0)               # (C*N,)
+        err = jnp.sqrt(jnp.mean((mean_kept - target[None, :]) ** 2,
+                                axis=1))                  # (T,)
+        # a threshold keeping NOTHING in train is invalid for this fold
+        return jnp.where(cnt[:, 0] > 0, err, jnp.inf)
+
+    errs = jax.vmap(fold)(jnp.arange(n_folds))            # (K, T)
+    return jnp.mean(errs, axis=0)
+
+
+def autoreject_global(x, thresholds=None, n_candidates: int = 30,
+                      n_folds: int = 5, seed: int = 0) -> RejectResult:
+    """Cross-validated global peak-to-peak threshold (Jas et al. 2017,
+    the "global autoreject" variant) for an (E, C, N) epochs batch.
+
+    For each candidate threshold, trials whose worst-channel
+    peak-to-peak exceeds it are dropped from the training folds; the
+    retained-trial evoked mean is scored against the validation folds'
+    pointwise MEDIAN evoked (robust to the artifacts being hunted), and
+    the threshold with the lowest mean RMSE wins.  ``thresholds``
+    defaults to ``n_candidates`` quantiles of the observed per-trial
+    max peak-to-peak, so the grid always brackets the data.
+
+    Returns a :class:`RejectResult`; apply ``drop_mask`` yourself or
+    use ``EpochsWavelet.drop_bad`` which returns a cleaned adapter.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 3:
+        raise ValueError("x must be (E, C, N)")
+    e = x.shape[0]
+    if e < max(int(n_folds), 2):
+        raise ValueError(f"need at least n_folds={n_folds} epochs")
+    if thresholds is None:
+        trial_ptp = jnp.max(ptp(x), axis=-1)
+        qs = jnp.linspace(0.0, 1.0, int(n_candidates))
+        thresholds = jnp.quantile(trial_ptp, qs)
+    else:
+        thresholds = jnp.asarray(thresholds, jnp.float32)
+        if thresholds.ndim != 1 or thresholds.shape[0] < 1:
+            raise ValueError("thresholds must be a 1-D grid")
+    # round-robin fold assignment of a seeded permutation — balanced
+    # folds with no dynamic shapes
+    perm = np.random.default_rng(int(seed)).permutation(e)
+    fold_ids = jnp.asarray(np.mod(np.argsort(perm), int(n_folds)),
+                           jnp.int32)
+    errs = _cv_errors(x, thresholds, fold_ids, n_folds=int(n_folds))
+    best = int(jnp.argmin(errs))
+    thr = float(thresholds[best])
+    return RejectResult(threshold=thr,
+                        drop_mask=ptp_reject(x, thr),
+                        thresholds=thresholds, cv_error=errs)

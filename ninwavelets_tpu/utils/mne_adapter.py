@@ -998,6 +998,36 @@ class EpochsWavelet:
                         list(self.epochs.ch_names), times=times),
             self.wavelet)
 
+    def drop_bad(self, threshold: Optional[float] = None,
+                 **kw) -> "EpochsWavelet":
+        """A NEW ``EpochsWavelet`` with bad trials dropped (extension —
+        ``ops.reject``): trials whose worst-channel peak-to-peak
+        exceeds ``threshold`` are removed.  With ``threshold=None`` the
+        threshold is chosen by cross-validation
+        (``ops.reject.autoreject_global``, Jas 2017; ``n_folds=`` /
+        ``n_candidates=`` / ``seed=`` pass through), and the result is
+        attached as ``.reject_result`` on the returned adapter.
+        Composable like :meth:`modwt_denoise`; raises if every trial
+        would be dropped."""
+        from ..ops import reject as _rej
+        data = np.asarray(self._all_data())          # (E, C, N)
+        res = None
+        if threshold is None:
+            res = _rej.autoreject_global(data, **kw)
+            mask = np.asarray(res.drop_mask)
+        else:
+            mask = np.asarray(_rej.ptp_reject(data, float(threshold)))
+        if mask.all():
+            raise ValueError("drop_bad would reject every trial — "
+                             "threshold too low for this data")
+        times = getattr(self.epochs, "times", None)
+        out = EpochsWavelet(
+            ArrayEpochs(data[~mask], self.wavelet.sfreq,
+                        list(self.epochs.ch_names), times=times),
+            self.wavelet)
+        out.reject_result = res
+        return out
+
     def lagged_coherence(self, ch_name: str, freqs: Numbers,
                          n_cycles: float = 3.0, lag=None) -> jnp.ndarray:
         """(F,) rhythmicity of one channel (extension —

@@ -1,0 +1,117 @@
+"""Epoch rejection (`ops/reject.py`): peak-to-peak rules, the
+cross-validated global threshold (planted-artifact recovery), and the
+composable EpochsWavelet.drop_bad adapter."""
+import numpy as np
+import pytest
+
+import ninwavelets_tpu as nw
+from ninwavelets_tpu.ops.reject import (autoreject_global, ptp,
+                                        ptp_reject)
+
+
+def _epochs(e=40, c=8, n=512, n_bad=6, amp_bad=12.0, seed=0):
+    """Evoked waveform + noise; `n_bad` trials get a huge transient on
+    one channel.  Returns (x, bad_mask)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 1000.0
+    evoked = np.sin(2 * np.pi * 7 * t) * np.exp(-t * 4)
+    x = evoked[None, None, :] + 0.4 * rng.standard_normal((e, c, n))
+    bad = np.zeros(e, bool)
+    bad[rng.choice(e, n_bad, replace=False)] = True
+    for i in np.flatnonzero(bad):
+        ch = rng.integers(c)
+        j = rng.integers(n - 50)
+        x[i, ch, j:j + 50] += amp_bad
+    return x.astype(np.float32), bad
+
+
+class TestPtp:
+    def test_matches_numpy(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((3, 4, 100))
+        np.testing.assert_allclose(np.asarray(ptp(x)),
+                                   x.max(-1) - x.min(-1), rtol=1e-6)
+
+    def test_reject_rule(self):
+        x, bad = _epochs(seed=2)
+        clean_max = np.asarray(ptp(x))[~bad].max()
+        mask = np.asarray(ptp_reject(x, clean_max + 0.5))
+        np.testing.assert_array_equal(mask, bad)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            ptp_reject(np.zeros((4, 100)), 1.0)
+
+
+class TestAutorejectGlobal:
+    def test_planted_artifacts_recovered(self):
+        x, bad = _epochs(seed=3)
+        res = autoreject_global(x, seed=0)
+        np.testing.assert_array_equal(np.asarray(res.drop_mask), bad)
+        # threshold sits between the clean and artifact populations
+        trial_ptp = np.asarray(ptp(x)).max(-1)
+        assert trial_ptp[~bad].max() <= res.threshold < trial_ptp[bad].min()
+        assert np.isfinite(np.asarray(res.cv_error)).any()
+
+    def test_cleaned_evoked_closer_to_truth(self):
+        x, bad = _epochs(e=60, n_bad=10, seed=4)
+        t = np.arange(512) / 1000.0
+        truth = np.sin(2 * np.pi * 7 * t) * np.exp(-t * 4)
+        res = autoreject_global(x, seed=1)
+        keep = ~np.asarray(res.drop_mask)
+        err_raw = np.abs(x.mean(0) - truth).mean()
+        err_clean = np.abs(x[keep].mean(0) - truth).mean()
+        assert err_clean < err_raw
+
+    def test_custom_grid(self):
+        x, bad = _epochs(seed=5)
+        trial_ptp = np.asarray(ptp(x)).max(-1)
+        lo, hi = trial_ptp[~bad].max(), trial_ptp[bad].min()
+        grid = np.linspace(0.5 * lo, 2 * hi, 40).astype(np.float32)
+        res = autoreject_global(x, thresholds=grid, seed=0)
+        assert res.thresholds.shape == (40,)
+        np.testing.assert_array_equal(np.asarray(res.drop_mask), bad)
+
+    def test_no_artifacts_keeps_most(self):
+        x, _ = _epochs(n_bad=0, seed=6)
+        res = autoreject_global(x, seed=0)
+        assert np.asarray(res.drop_mask).mean() < 0.5
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            autoreject_global(np.zeros((3, 4, 8)), n_folds=5)
+        with pytest.raises(ValueError):
+            autoreject_global(np.zeros((8, 4, 8)),
+                              thresholds=np.zeros((2, 2)))
+        with pytest.raises(ValueError):
+            autoreject_global(np.zeros((4, 100)))
+
+
+class TestAdapter:
+    def test_drop_bad_auto(self):
+        from tests.test_epochs import FakeEpochs
+        x, bad = _epochs(seed=7)
+        ew = nw.EpochsWavelet(FakeEpochs(x, 1000.0), nw.Morse(1000.0))
+        clean = ew.drop_bad()
+        assert len(clean.epochs) == int((~bad).sum())
+        assert clean.reject_result is not None
+        assert clean.reject_result.threshold > 0
+        # composable: downstream transforms run on the cleaned trials
+        p = np.asarray(clean.power_all([10.0, 20.0]))
+        assert p.shape[0] == x.shape[1]
+
+    def test_drop_bad_explicit_threshold(self):
+        from tests.test_epochs import FakeEpochs
+        x, bad = _epochs(seed=8)
+        thr = float(np.asarray(ptp(x)).max(-1)[~bad].max()) + 0.5
+        ew = nw.EpochsWavelet(FakeEpochs(x, 1000.0), nw.Morse(1000.0))
+        clean = ew.drop_bad(threshold=thr)
+        assert len(clean.epochs) == int((~bad).sum())
+        assert clean.reject_result is None
+
+    def test_drop_all_raises(self):
+        from tests.test_epochs import FakeEpochs
+        x, _ = _epochs(seed=9)
+        ew = nw.EpochsWavelet(FakeEpochs(x, 1000.0), nw.Morse(1000.0))
+        with pytest.raises(ValueError, match="every trial"):
+            ew.drop_bad(threshold=0.0)
