@@ -73,6 +73,8 @@ from .decoding import (csp_decode, decode_auc,
 from .denoise import denoise, denoise_from_bank
 from .envelope import env_corr_matrix, env_corr_matrix_from_bank
 from .cpd import cp_decompose, cp_reconstruct
+from .csd import (csd, csd_transform, interpolate_channels,
+                  interpolation_matrix, spline_matrices)
 from .complexity import (multiscale_entropy,
                          multiscale_permutation_entropy,
                          permutation_entropy, sample_entropy)
@@ -187,6 +189,8 @@ __all__ = [
     "dwt2", "idwt2", "wavedec2", "waverec2", "max_level2",
     "hmm_fit", "viterbi", "HMMResult",
     "RejectResult", "autoreject_global", "ptp", "ptp_reject",
+    "csd", "csd_transform", "interpolate_channels",
+    "interpolation_matrix", "spline_matrices",
     "sample_entropy", "multiscale_entropy", "permutation_entropy",
     "multiscale_permutation_entropy",
     "MicrostateResult", "gfp", "microstate_fit", "microstate_backfit",

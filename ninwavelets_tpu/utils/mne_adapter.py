@@ -1028,6 +1028,45 @@ class EpochsWavelet:
         out.reject_result = res
         return out
 
+    def csd(self, positions, **kw) -> "EpochsWavelet":
+        """A NEW ``EpochsWavelet`` over the current-source-density
+        transform of every trial (extension — ``ops.csd``, Perrin 1989
+        spherical splines): reference-free, volume-conduction-
+        suppressed topographies, the standard step before connectivity.
+        ``positions`` is (C, 3) electrode coordinates in this adapter's
+        channel order; ``stiffness=`` / ``lam=`` / ``head_radius=``
+        pass through.  Composable like :meth:`drop_bad`."""
+        from ..ops.csd import csd as _csd
+        data = np.asarray(self._all_data())          # (E, C, N)
+        if np.asarray(positions).shape[0] != data.shape[1]:
+            raise ValueError("positions must match the channel count")
+        out = np.asarray(_csd(data, positions, **kw))
+        times = getattr(self.epochs, "times", None)
+        return EpochsWavelet(
+            ArrayEpochs(out, self.wavelet.sfreq,
+                        list(self.epochs.ch_names), times=times),
+            self.wavelet)
+
+    def interpolate_bads(self, positions, bads, **kw) -> "EpochsWavelet":
+        """A NEW ``EpochsWavelet`` with the listed channels replaced by
+        spherical-spline interpolations from the good ones (extension —
+        ``ops.csd.interpolate_channels``; mne's ``interpolate_bads``).
+        ``bads`` is a list of channel NAMES; ``positions`` is (C, 3) in
+        this adapter's channel order."""
+        from ..ops.csd import interpolate_channels
+        names = list(self.epochs.ch_names)
+        idx = []
+        for ch in bads:
+            if ch not in names:
+                raise ValueError(f"channel {ch!r} not in ch_names")
+            idx.append(names.index(ch))
+        data = np.asarray(self._all_data())
+        out = np.asarray(interpolate_channels(data, positions, idx, **kw))
+        times = getattr(self.epochs, "times", None)
+        return EpochsWavelet(
+            ArrayEpochs(out, self.wavelet.sfreq, names, times=times),
+            self.wavelet)
+
     def lagged_coherence(self, ch_name: str, freqs: Numbers,
                          n_cycles: float = 3.0, lag=None) -> jnp.ndarray:
         """(F,) rhythmicity of one channel (extension —
