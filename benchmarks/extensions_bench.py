@@ -551,6 +551,14 @@ def main():
            signal_s_per_s=round(16 * 8 * 2048 / sfreq / d, 1),
            config=dict(e=16, c=8, n=2048, m=3))
 
+    # --- partial coherence (r4: conditional connectivity) ----------------
+    from ninwavelets_tpu.ops.connectivity import partial_coherence
+    d = t(lambda x: partial_coherence(x, fpsi, interpolate=True), xpsi,
+          iters=5)
+    record(op="partial_coherence_32ch",
+           eeg_s_per_s=round(32 * 32 * 2048 / sfreq / d, 1),
+           config=dict(e=32, c=32, n=2048, f=40))
+
     # --- autoreject-global (r4: preprocessing) ---------------------------
     from ninwavelets_tpu.ops.reject import autoreject_global
     xar = np.asarray(rng.standard_normal((128, 64, 1024)), np.float32)

@@ -25,6 +25,8 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            plv_matrix, plv_matrix_from_bank,
                            plv_significance, plv_sums, ppc, ppc_auto,
                            ppc_from_bank, ppc_matrix, ppc_matrix_from_bank,
+                           partial_coherence,
+                           partial_coherence_from_bank,
                            psi_matrix, psi_matrix_from_bank,
                            surrogate_pvalues, wpli_matrix,
                            wpli_matrix_from_bank)
@@ -159,6 +161,7 @@ __all__ = [
     "ppc", "ppc_auto", "ppc_from_bank",
     "wpli_matrix", "wpli_matrix_from_bank",
     "psi_matrix", "psi_matrix_from_bank",
+    "partial_coherence", "partial_coherence_from_bank",
     "ppc_matrix", "ppc_matrix_from_bank",
     "bootstrap_ci",
     "BurstSummary", "burst_summary", "burst_table", "burst_threshold",

@@ -46,7 +46,9 @@ __all__ = ["lagged_coherence", "lagged_coherence_morse",
            "ppc_from_bank", "ppc", "ppc_auto",
            "wpli_matrix_from_bank", "wpli_matrix",
            "ppc_matrix_from_bank", "ppc_matrix",
-           "psi_matrix_from_bank", "psi_matrix"]
+           "psi_matrix_from_bank", "psi_matrix",
+           "partial_coherence", "partial_coherence_from_bank",
+           "partial_coherence_per_row"]
 
 
 # ----------------------------------------------------------------------------
@@ -983,6 +985,74 @@ def coherence_matrix(sigs_r, bank_r, bank_i=None, interpolate: bool = False,
     return _coh_matrix_jit(sigs_r, bank_r, bank_i,
                            interpolate=bool(interpolate), eps=float(eps),
                            time_range=tr)
+
+
+# ----------------------------------------------------------------------------
+# Partial coherence (conditional on all other channels)
+# ----------------------------------------------------------------------------
+
+def partial_coherence_per_row(sr, si, e: int, lam: float):
+    """(C, C) magnitude-squared partial coherence from one bank row's
+    pairwise epoch sums (the ``pair_matrix_scan`` epilogue contract).
+
+    ``PCoh_ij = |S^{-1}_ij|^2 / (S^{-1}_ii S^{-1}_jj)`` — the precision
+    (inverse cross-spectral) matrix zeroes exactly where channels i and
+    j are uncorrelated GIVEN every other channel, so purely mediated
+    coupling (i - k - j chains) that ordinary coherence reports
+    vanishes here.  ``lam`` is a relative Tikhonov floor on the
+    diagonal (the inverse of a rank-deficient or ill-conditioned S is
+    otherwise garbage); the complex inverse runs as the real (2C, 2C)
+    block solve — no complex linalg primitives on device."""
+    from .granger import _solve_complex
+    c = sr.shape[0]
+    s = (jnp.mean(sr, axis=-1) + 1j * jnp.mean(si, axis=-1)) / e
+    tr = jnp.real(jnp.trace(s)) / c
+    s = s + lam * jnp.maximum(tr, 1e-30) * jnp.eye(c, dtype=s.dtype)
+    sinv = _solve_complex(s, jnp.eye(c, dtype=s.dtype))
+    d = jnp.maximum(jnp.real(jnp.diagonal(sinv)), 1e-30)
+    num = jnp.real(sinv) ** 2 + jnp.imag(sinv) ** 2
+    return num / (d[:, None] * d[None, :])
+
+
+def partial_coherence_from_bank(sigs: jnp.ndarray, bank: jnp.ndarray,
+                                interpolate: bool = False,
+                                lam: float = 1e-5,
+                                time_range=None) -> jnp.ndarray:
+    """All-pairs partial coherence: (E, C, N) -> (F, C, C).
+
+    The conditional counterpart of ``coherence_matrix_from_bank``:
+    channel-pair coupling with every OTHER channel partialed out, from
+    the inverse of the epoch- and time-averaged wavelet cross-spectral
+    matrix per bank row.  A pair whose marginal coherence is entirely
+    mediated by a third channel drops to ~0 here.  Symmetric, diagonal
+    1 by construction.  Needs E * n_time >= C independent samples for a
+    well-conditioned inverse (``lam`` floors the rest).
+    """
+    if sigs.shape[1] < 2:
+        raise ValueError("partial coherence needs at least 2 channels")
+    e = sigs.shape[0]
+
+    def per_row(sr, si):
+        return partial_coherence_per_row(sr, si, e, lam)
+
+    return pair_matrix_scan(sigs, bank, per_row, interpolate,
+                            time_range=time_range)
+
+
+@partial(jax.jit, static_argnames=("interpolate", "lam", "time_range"))
+def _pcoh_matrix_jit(sigs, bank_r, *, interpolate, lam, time_range):
+    return partial_coherence_from_bank(sigs, bank_r, interpolate, lam,
+                                       time_range)
+
+
+def partial_coherence(sigs_r, bank_r, interpolate: bool = False,
+                      lam: float = 1e-5, time_range=None):
+    """Jitted float-boundary wrapper for
+    ``partial_coherence_from_bank``."""
+    tr = None if time_range is None else (int(time_range[0]),
+                                          int(time_range[1]))
+    return _pcoh_matrix_jit(sigs_r, bank_r, interpolate=bool(interpolate),
+                            lam=float(lam), time_range=tr)
 
 
 # ----------------------------------------------------------------------------

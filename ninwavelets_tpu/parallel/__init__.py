@@ -30,6 +30,7 @@ from .sharded import (sharded_cluster_null,
                       sharded_fused_phase_lag, sharded_ppc,
                       sharded_plv, sharded_plv_matrix, sharded_power,
                       sharded_psi_matrix,
+                      sharded_partial_coherence,
                       sharded_env_corr, sharded_stockwell,
                       sharded_tf_decode,
                       sharded_reassigned_mean_power,
@@ -51,7 +52,7 @@ __all__ = [
     "sharded_cross_power", "sharded_coherence", "sharded_ssq_mean_power",
     "sharded_reassigned_mean_power",
     "sharded_plv", "sharded_plv_matrix", "sharded_coherence_matrix",
-    "sharded_psi_matrix",
+    "sharded_psi_matrix", "sharded_partial_coherence",
     "sharded_pac", "sharded_mean_power_grad", "sharded_nm_plv",
     "sharded_phase_lag", "sharded_fused_phase_lag", "sharded_ppc",
     "sharded_imcoh", "sharded_modwt",

@@ -563,6 +563,38 @@ def sharded_coherence_matrix(sigs, bank_r, bank_i=None, *, mesh: Mesh,
         out_specs=out_spec)(sigs, bank_r, bank_i)
 
 
+@partial(jax.jit, static_argnames=("mesh", "interpolate", "lam",
+                                   "time_range"))
+def sharded_partial_coherence(sigs, bank_r, *, mesh: Mesh,
+                              interpolate: bool = False,
+                              lam: float = 1e-5, time_range=None):
+    """All-pairs partial coherence over the mesh:
+    (E, C, N) -> (F, C, C).
+
+    Same layout as ``sharded_coherence_matrix`` (epochs over ``data``
+    psum-completed per row, bank rows over ``freq``); the tiny (C, C)
+    precision-matrix solve then runs on global sums, identically on
+    every data shard.  Mesh result == single-device
+    ``ops.connectivity.partial_coherence_from_bank``.
+    """
+    from ..ops.connectivity import (pair_matrix_scan,
+                                    partial_coherence_per_row)
+    n_epochs = sigs.shape[0]
+
+    def local(sg, br):
+        def per_row(sr, si):
+            sr = lax.psum(sr, DATA_AXIS)
+            si = lax.psum(si, DATA_AXIS)
+            return partial_coherence_per_row(sr, si, n_epochs, lam)
+
+        return pair_matrix_scan(sg, br, per_row, interpolate,
+                                time_range=time_range)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(DATA_AXIS), _BANK_SPEC),
+        out_specs=P(FREQ_AXIS, None, None))(sigs, bank_r)
+
+
 @partial(jax.jit, static_argnames=("mesh", "interpolate", "eps",
                                    "time_range", "normalize"))
 def sharded_psi_matrix(sigs, bank_r, *, mesh: Mesh, interpolate: bool = False,

@@ -684,6 +684,19 @@ class EpochsWavelet:
         return _coh_m(waves, br, bi, interpolate=self.wavelet.interpolate,
                       eps=eps, time_range=self._samples(time_range))
 
+    def partial_coherence(self, freqs: Numbers, time_range=None,
+                          lam: float = 1e-5) -> jnp.ndarray:
+        """(F, C, C) all-pairs PARTIAL coherence — each pair conditioned
+        on every other channel via the inverse cross-spectral matrix
+        (extension — ``ops.connectivity.partial_coherence``): purely
+        mediated coupling that :meth:`coherence_matrix` reports drops
+        to ~0 here."""
+        from ..ops.connectivity import partial_coherence as _pcoh
+        waves = self._all_data()
+        br, _ = self._conn_bank(waves.shape[-1], freqs)
+        return _pcoh(waves, br, interpolate=self.wavelet.interpolate,
+                     lam=lam, time_range=self._samples(time_range))
+
     def psi_matrix(self, freqs: Numbers, time_range=None,
                    normalize: bool = True) -> jnp.ndarray:
         """(C, C) phase-slope index over every channel pair (extension —

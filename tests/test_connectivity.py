@@ -602,6 +602,81 @@ def test_phase_lag_significance():
                                method="nope")
 
 
+class TestPartialCoherence:
+    """Inverse-cross-spectral conditional coupling: mediated chains
+    vanish, direct links survive, float64 oracle."""
+    FREQS = np.arange(16.0, 64.0, 6.0)
+
+    def _chain(self, e=24, n=2048, seed=0):
+        """x1 = z, x2 = z + e2, x3 = x2 + e3: marginally coh(1,3) is
+        high but x1 and x3 are independent GIVEN x2."""
+        rng = np.random.default_rng(seed)
+        z = rng.standard_normal((e, n))
+        e2 = 0.5 * rng.standard_normal((e, n))
+        e3 = 0.5 * rng.standard_normal((e, n))
+        x = np.stack([z, z + e2, z + e2 + e3], axis=1)
+        return jnp.asarray(x.astype(np.float32))
+
+    def test_mediated_chain_vanishes(self):
+        from ninwavelets_tpu.ops.connectivity import partial_coherence
+        x = self._chain()
+        bank = _bank(self.FREQS, 2048, interpolate=False)
+        pc = np.asarray(partial_coherence(x, bank)).mean(0)
+        coh = np.asarray(coherence_matrix(x, bank)).mean(0)
+        # marginal 1-3 coherence is strong; partialed on 2 it collapses
+        assert coh[0, 2] > 0.5
+        assert pc[0, 2] < 0.1
+        # the direct links survive the conditioning (attenuated — the
+        # conditioning channel carries part of each neighbor's signal,
+        # e.g. pc(1,2|3) < coh(1,2) because x3 = x2 + e3 explains x2)
+        assert pc[0, 1] > 0.3 and pc[1, 2] > 0.4
+        assert pc[0, 1] > 20 * pc[0, 2] and pc[1, 2] > 20 * pc[0, 2]
+        np.testing.assert_allclose(np.diagonal(pc), 1.0, atol=1e-4)
+        np.testing.assert_allclose(pc, pc.T, atol=1e-5)
+
+    def test_matches_float64_oracle(self):
+        from ninwavelets_tpu.ops.connectivity import partial_coherence
+        x = self._chain(e=8, n=1024, seed=1)
+        bank = _bank(self.FREQS, 1024, interpolate=False)
+        got = np.asarray(partial_coherence(x, bank, lam=1e-5))
+        xs = np.asarray(x, np.float64)
+        spec = np.fft.fft(xs)
+        bk = np.asarray(bank, np.float64)
+        for f in range(bk.shape[0]):
+            w = np.fft.ifft(spec * bk[f])                 # (E, C, N)
+            s = np.einsum('ean,ebn->ab', w, w.conj()) / (8 * 1024)
+            s = s + 1e-5 * np.real(np.trace(s)) / 3 * np.eye(3)
+            si = np.linalg.inv(s)
+            d = np.real(np.diag(si))
+            want = np.abs(si) ** 2 / (d[:, None] * d[None, :])
+            np.testing.assert_allclose(got[f], want, rtol=2e-2,
+                                       atol=2e-3)
+
+    def test_sharded_matches_single_device(self):
+        from ninwavelets_tpu.ops.connectivity import partial_coherence
+        mesh = par.make_mesh(data=2, freq=4)
+        x = self._chain(e=8, n=1024, seed=2)
+        bank = _bank(self.FREQS, 1024, interpolate=False)
+        want = np.asarray(partial_coherence(x, bank))
+        got = np.asarray(par.sharded_partial_coherence(x, bank,
+                                                       mesh=mesh))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_adapter_and_validation(self):
+        from tests.test_epochs import FakeEpochs
+        from ninwavelets_tpu.ops.connectivity import \
+            partial_coherence_from_bank
+        x = np.asarray(self._chain(e=8, n=1024, seed=3))
+        ew = nw.EpochsWavelet(FakeEpochs(x, SFREQ), nw.Morse(SFREQ))
+        pc = np.asarray(ew.partial_coherence(self.FREQS))
+        assert pc.shape == (self.FREQS.size, 3, 3)
+        assert pc.mean(0)[0, 2] < 0.1
+        with pytest.raises(ValueError, match="channels"):
+            partial_coherence_from_bank(
+                jnp.zeros((4, 1, 256)), _bank(self.FREQS, 256,
+                                              interpolate=False))
+
+
 class TestPSI:
     """Phase-slope index (Nolte 2008): float64 oracle, direction
     detection, antisymmetry, jackknife normalization."""
