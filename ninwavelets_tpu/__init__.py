@@ -22,13 +22,15 @@ from .ops.ewt import ewt
 from .ops.vmd import vmd
 from .utils import (ArrayEpochs, EpochsWavelet, Parallel, RawWavelet,
                     Sequence,
-                    compose, dict_map, plot_tf, plot_wavelet)
+                    compose, dict_map, plot_microstates, plot_tf,
+                    plot_topomap, plot_wavelet)
 
 __version__ = "0.1.0"
 
 __all__ = [
     # reference-parity surface (__init__.py:1-3 of the reference)
-    "WaveletBase", "WaveletMode", "plot_tf", "Baseline",
+    "WaveletBase", "WaveletMode", "plot_tf", "plot_topomap",
+    "plot_microstates", "Baseline",
     "Morse", "MorseMNE", "Morlet", "Haar", "MexicanHat", "Shannon",
     "ArrayEpochs", "EpochsWavelet", "RawWavelet",
     # additions

@@ -71,8 +71,8 @@ class PipelineConfig:
     superlet: Optional[Tuple[int, int]] = None  # (order_min, order_max)
     superlet_sigma: float = 3.0            # base cycle parameter
     connectivity: Optional[str] = None     # None or any subset (comma-sep)
-    # of {"plv", "coherence", "wpli", "pli", "dwpli", "ppc"}; "both" is
-    # kept as an alias for "plv,coherence"
+    # of {"plv", "coherence", "wpli", "pli", "dwpli", "ppc", "pcoh",
+    # "psi"}; "both" is kept as an alias for "plv,coherence"
     connectivity_window: Optional[Tuple[float, float]] = None  # (start_s, stop_s)
     specparam: bool = False         # FOOOF-style fit of each channel's
     # COI-masked global spectrum (requires ``global_spectrum``)
@@ -168,9 +168,12 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
     if cfg.connectivity is not None:
         # All-pairs (F, C, C) matrices over every channel (extension —
         # ``ops.connectivity``); reuses the bank already built for the TFR.
-        from .ops.connectivity import (coherence_matrix, plv_matrix,
-                                       ppc_matrix, wpli_matrix)
-        known = ("plv", "coherence", "wpli", "pli", "dwpli", "ppc")
+        from .ops.connectivity import (coherence_matrix,
+                                       partial_coherence, plv_matrix,
+                                       ppc_matrix, psi_matrix,
+                                       wpli_matrix)
+        known = ("plv", "coherence", "wpli", "pli", "dwpli", "ppc",
+                 "pcoh", "psi")
         asked = ("plv", "coherence") if cfg.connectivity == "both" else \
             tuple(m.strip() for m in cfg.connectivity.split(","))
         bad = [m for m in asked if m not in known]
@@ -200,6 +203,15 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
                     time_range=trange)
         if "ppc" in asked:
             out["ppc_matrix"] = ppc_matrix(
+                waves, bank_r, interpolate=interp, time_range=trange)
+        if "pcoh" in asked:
+            out["partial_coherence"] = partial_coherence(
+                waves, bank_r, interpolate=interp, time_range=trange)
+        if "psi" in asked:
+            # directed (C, C) phase-slope index, jackknife-normalized;
+            # needs an ascending frequency grid — cfg.freqs is an
+            # arange, ascending for any positive step.
+            out["psi_matrix"] = psi_matrix(
                 waves, bank_r, interpolate=interp, time_range=trange)
 
     if cfg.global_spectrum or cfg.ridge:

@@ -56,6 +56,44 @@ class TestPlotting:
         import matplotlib.pyplot as plt
         plt.close("all")
 
+    @staticmethod
+    def _scalp(c=32):
+        """Upper-hemisphere Fibonacci montage (realistic scalp cover)."""
+        i = np.arange(c, dtype=np.float64) + 0.5
+        phi = np.arccos(1 - i / c)          # polar angle < 90 deg
+        th = np.pi * (1 + 5 ** 0.5) * i
+        return np.stack([np.sin(phi) * np.cos(th),
+                         np.sin(phi) * np.sin(th), np.cos(phi)], axis=1)
+
+    def test_plot_topomap_interpolates_electrode_values(self):
+        from ninwavelets_tpu.utils.plotting import (_disc_projection,
+                                                    _topo_grid)
+        pos = self._scalp()
+        vals = pos[:, 2] ** 2 - pos[:, 0]   # smooth field
+        img, rad = _topo_grid(vals, pos, res=128, lam=1e-8)
+        p2d = _disc_projection(pos)
+        xs = np.linspace(-rad, rad, 128)
+        ix = np.clip(np.searchsorted(xs, p2d[:, 0]), 0, 127)
+        iy = np.clip(np.searchsorted(xs, p2d[:, 1]), 0, 127)
+        got = img[iy, ix]                   # row = y, col = x
+        err = np.nanmax(np.abs(got - vals))
+        assert err < 0.15 * np.abs(vals).max()   # nearest-pixel slack
+        ax = nw.plot_topomap(vals, pos, show=False)
+        assert ax is not None
+        import matplotlib.pyplot as plt
+        plt.close("all")
+
+    def test_plot_microstates_grid(self):
+        pos = self._scalp(16)
+        maps = np.stack([pos[:, 0], pos[:, 1], pos[:, 2]])
+        stats = {"coverage": np.array([0.5, 0.3, 0.2])}
+        fig = nw.plot_microstates(maps, pos, stats=stats, show=False)
+        assert len(fig.axes) == 3
+        assert "A" in fig.axes[0].get_title()
+        assert "50%" in fig.axes[0].get_title()
+        import matplotlib.pyplot as plt
+        plt.close("all")
+
 
 class TestDemo:
     def test_demo_sin_headless(self, capsys):

@@ -206,6 +206,17 @@ class TestPipeline:
         assert pp[row, 0, 1] > 0.8
         assert not w[row, 0, 1] > 0.5
 
+        # r4 additions: partial coherence + directed PSI stages.
+        p = cfg.PipelineConfig(freqs=(20.0, 60.0, 5.0),
+                               connectivity="pcoh,psi")
+        out = cfg.run_pipeline(p, FakeEpochs())
+        pc = np.asarray(out["partial_coherence"])
+        z = np.asarray(out["psi_matrix"])
+        assert pc.shape == (8, 3, 3) and z.shape == (3, 3)
+        np.testing.assert_allclose(
+            pc[:, np.arange(3), np.arange(3)], 1.0, atol=1e-4)
+        np.testing.assert_allclose(z, -z.T, atol=1e-4)
+
 
 class TestCoverageGaps:
     def test_profiler_trace_smoke(self, tmp_path):
