@@ -85,6 +85,9 @@ from .emd import eemd
 from .emd import emd as empirical_mode_decomposition
 from .filtering import bandpass, highpass, lowpass, notch, resample
 from .hmm import HMMResult, hmm_fit, viterbi
+from .erp import (PeakResult, evoked, fractional_area_latency,
+                  fractional_peak_onset, jackknife_onsets,
+                  mean_amplitude, peak_measures)
 from .reject import (RejectResult, autoreject_global, ptp,
                      ptp_reject)
 from .microstates import (MicrostateResult, gfp, microstate_backfit,
@@ -192,6 +195,9 @@ __all__ = [
     "dwt2", "idwt2", "wavedec2", "waverec2", "max_level2",
     "hmm_fit", "viterbi", "HMMResult",
     "RejectResult", "autoreject_global", "ptp", "ptp_reject",
+    "PeakResult", "evoked", "peak_measures", "mean_amplitude",
+    "fractional_area_latency", "fractional_peak_onset",
+    "jackknife_onsets",
     "csd", "csd_transform", "interpolate_channels",
     "interpolation_matrix", "spline_matrices",
     "sample_entropy", "multiscale_entropy", "permutation_entropy",

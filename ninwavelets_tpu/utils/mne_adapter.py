@@ -862,6 +862,34 @@ class EpochsWavelet:
         from ..ops.extensions import wavelet_entropy
         return wavelet_entropy(self.power(ch_name, freqs), normalized)
 
+    def evoked(self) -> jnp.ndarray:
+        """(C, N) trial-average (ERP) waveform of every channel
+        (extension — ``ops.erp.evoked``); the time-domain counterpart
+        of :meth:`evoked_power`."""
+        from ..ops.erp import evoked
+        return evoked(self._all_data())
+
+    def erp_peak(self, window=None, polarity: int = 1):
+        """Windowed ERP peak of every channel's evoked waveform
+        (extension — ``ops.erp.peak_measures``): a ``PeakResult`` of
+        (C,) latencies (SAMPLES) and amplitudes.  ``window`` is a
+        (start_s, stop_s) SECONDS pair (mne-style), ``polarity`` +1/-1
+        for positive/negative components."""
+        from ..ops.erp import evoked, peak_measures
+        return peak_measures(evoked(self._all_data()),
+                             self._samples(window), polarity)
+
+    def erp_onset(self, window, criterion: float = 0.5,
+                  polarity: int = 1):
+        """Jackknife component-onset latency per channel (extension —
+        ``ops.erp.jackknife_onsets``, Miller-Ulrich): returns
+        ``(onsets, mean, se)`` with the corrected standard error;
+        latencies in SAMPLES, ``window`` in SECONDS."""
+        from ..ops.erp import jackknife_onsets
+        return jackknife_onsets(self._all_data(),
+                                self._samples(window), criterion,
+                                polarity)
+
     def sample_entropy(self, m: int = 2, r: float = 0.2) -> jnp.ndarray:
         """(E, C) sample entropy of every epoch and channel (extension —
         ``ops.complexity.sample_entropy``, Richman-Moorman; tolerance
