@@ -85,6 +85,8 @@ from .emd import eemd
 from .emd import emd as empirical_mode_decomposition
 from .filtering import bandpass, highpass, lowpass, notch, resample
 from .hmm import HMMResult, hmm_fit, viterbi
+from .sleep import (EventTable, detect_slow_oscillations,
+                    detect_spindles)
 from .erp import (PeakResult, evoked, fractional_area_latency,
                   fractional_peak_onset, jackknife_onsets,
                   mean_amplitude, peak_measures)
@@ -195,6 +197,7 @@ __all__ = [
     "dwt2", "idwt2", "wavedec2", "waverec2", "max_level2",
     "hmm_fit", "viterbi", "HMMResult",
     "RejectResult", "autoreject_global", "ptp", "ptp_reject",
+    "EventTable", "detect_spindles", "detect_slow_oscillations",
     "PeakResult", "evoked", "peak_measures", "mean_amplitude",
     "fractional_area_latency", "fractional_peak_onset",
     "jackknife_onsets",

@@ -1532,6 +1532,30 @@ class RawWavelet:
         return hmm_fit(feats, n_states, n_iter=n_iter,
                        stickiness=stickiness, seed=seed)
 
+    def spindles(self, picks=None, **kw):
+        """Sleep-spindle detection over the recording's channels
+        (extension — ``ops.sleep.detect_spindles``, YASA-style
+        sigma-envelope rule): an ``EventTable`` with leading channel
+        dim; ``freq_range=`` / ``thresh=`` / ``duration=`` pass
+        through."""
+        from ..ops.sleep import detect_spindles
+        data = self._host_data()
+        if picks is not None:
+            idx = [self.raw.ch_names.index(ch) for ch in picks]
+            data = data[idx]
+        return detect_spindles(data, self.wavelet.sfreq, **kw)
+
+    def slow_oscillations(self, picks=None, **kw):
+        """Slow-oscillation detection (extension —
+        ``ops.sleep.detect_slow_oscillations``, Massimini criteria with
+        adaptive robust-sigma thresholds by default)."""
+        from ..ops.sleep import detect_slow_oscillations
+        data = self._host_data()
+        if picks is not None:
+            idx = [self.raw.ch_names.index(ch) for ch in picks]
+            data = data[idx]
+        return detect_slow_oscillations(data, self.wavelet.sfreq, **kw)
+
     def microstates(self, n_states: int = 4, peaks_only: bool = True,
                     n_init: int = 8, n_iter: int = 40, seed: int = 0):
         """EEG microstate decomposition of the recording (extension —
