@@ -77,7 +77,7 @@ from .envelope import env_corr_matrix, env_corr_matrix_from_bank
 from .cpd import cp_decompose, cp_reconstruct
 from .csd import (csd, csd_transform, interpolate_channels,
                   interpolation_matrix, spline_matrices)
-from .complexity import (multiscale_entropy,
+from .complexity import (dfa, multiscale_entropy,
                          multiscale_permutation_entropy,
                          permutation_entropy, sample_entropy)
 from .cycles import CycleTable, cycle_features
@@ -204,7 +204,7 @@ __all__ = [
     "csd", "csd_transform", "interpolate_channels",
     "interpolation_matrix", "spline_matrices",
     "sample_entropy", "multiscale_entropy", "permutation_entropy",
-    "multiscale_permutation_entropy",
+    "multiscale_permutation_entropy", "dfa",
     "MicrostateResult", "gfp", "microstate_fit", "microstate_backfit",
     "microstate_stats",
     "fastica", "ica_transform", "ica_remove", "ICAResult",

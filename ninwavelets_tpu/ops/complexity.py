@@ -38,7 +38,8 @@ import numpy as np
 from jax import lax
 
 __all__ = ["sample_entropy", "multiscale_entropy",
-           "permutation_entropy", "multiscale_permutation_entropy"]
+           "permutation_entropy", "multiscale_permutation_entropy",
+           "dfa"]
 
 _CHUNK = 8  # signals per lax.map step: bounds the live pair planes
 
@@ -248,3 +249,64 @@ def multiscale_permutation_entropy(x, m: int = 3, tau: int = 1,
                          "embedding")
     return _mpe_jit(x, m=int(m), tau=int(tau),
                     normalized=bool(normalized), scales=scales)
+
+
+def _dfa_fluct(y, s: int):
+    """RMS fluctuation of the integrated profile ``y`` (..., N) around
+    per-box least-squares lines at box size ``s`` (non-overlapping
+    boxes from the front; the ragged tail is dropped, the standard
+    Peng convention).  Closed-form per-box regression — the design
+    matrix is the same for every box, so slope/intercept are two
+    moment contractions, never a solve."""
+    n = y.shape[-1]
+    nb = n // s
+    b = y[..., :nb * s].reshape(y.shape[:-1] + (nb, s))
+    t = jnp.arange(s, dtype=jnp.float32)
+    tm = (s - 1) / 2.0
+    tv = jnp.sum((t - tm) ** 2)
+    ym = jnp.mean(b, axis=-1, keepdims=True)
+    slope = jnp.sum(b * (t - tm), axis=-1, keepdims=True) / tv
+    resid = b - ym - slope * (t - tm)
+    return jnp.sqrt(jnp.mean(resid ** 2, axis=(-2, -1)))
+
+
+@partial(jax.jit, static_argnames=("scales",))
+def _dfa_jit(x, *, scales):
+    y = jnp.cumsum(x - jnp.mean(x, axis=-1, keepdims=True), axis=-1)
+    f = jnp.stack([_dfa_fluct(y, s) for s in scales], axis=-1)
+    logs = jnp.log(jnp.asarray(scales, jnp.float32))
+    logf = jnp.log(jnp.maximum(f, 1e-30))
+    lm = jnp.mean(logs)
+    alpha = jnp.sum((logs - lm) * (logf - jnp.mean(
+        logf, axis=-1, keepdims=True)), axis=-1) / jnp.sum(
+            (logs - lm) ** 2)
+    return alpha, f
+
+
+def dfa(x, scales=None, min_scale: int = 4, n_scales: int = 12):
+    """Detrended fluctuation analysis (Peng 1995) of (..., N) series:
+    the scaling exponent alpha of the integrated, per-box-detrended
+    fluctuation ``F(s) ~ s^alpha``.
+
+    ``alpha`` = 0.5 for white noise, ~1.0 for 1/f (the long-range-
+    correlated regime neural amplitude envelopes live in — the
+    Linkenkaer-Hansen workflow), ~1.5 for brown noise.  ``scales``
+    defaults to ``n_scales`` log-spaced box sizes from ``min_scale`` to
+    N/4 (boxes need >= 4 points for a meaningful linear detrend; fewer
+    than ~4 boxes per scale makes F(s) noisy).  Returns
+    ``(alpha (...,), fluctuations (..., S))``; the log-log fit is
+    ordinary least squares over the scale list.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    if scales is None:
+        hi = n // 4
+        if hi <= min_scale:
+            raise ValueError("series too short for DFA (need N > "
+                             f"4 * {min_scale})")
+        scales = np.unique(np.round(np.geomspace(
+            min_scale, hi, int(n_scales))).astype(int))
+    scales = tuple(int(s) for s in scales)
+    if len(scales) < 2 or min(scales) < 4 or max(scales) > n:
+        raise ValueError("need >= 2 scales, each in [4, N]")
+    return _dfa_jit(x, scales=scales)

@@ -1532,6 +1532,21 @@ class RawWavelet:
         return hmm_fit(feats, n_states, n_iter=n_iter,
                        stickiness=stickiness, seed=seed)
 
+    def dfa(self, ch_name: str, freq: float, scales=None,
+            decim: int = 4, **kw):
+        """Long-range temporal correlation of one channel's band
+        amplitude envelope (extension — the Linkenkaer-Hansen 2001
+        workflow): the wavelet amplitude at ``freq`` Hz (streamed, so
+        any recording length works), decimated by ``decim``, through
+        ``ops.complexity.dfa``.  Returns ``(alpha, fluctuations)``;
+        ``scales`` are in DECIMATED samples (default log-spaced).
+        Healthy resting alpha envelopes run alpha ~ 0.6-0.9."""
+        from ..ops.complexity import dfa as _dfa
+        import jax.numpy as _jnp
+        p = self.power_channel(ch_name, [float(freq)])    # (1, N)
+        env = _jnp.sqrt(_jnp.maximum(p[0], 0.0))[::int(decim)]
+        return _dfa(env, scales=scales, **kw)
+
     def spindles(self, picks=None, **kw):
         """Sleep-spindle detection over the recording's channels
         (extension — ``ops.sleep.detect_spindles``, YASA-style

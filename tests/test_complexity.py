@@ -199,3 +199,81 @@ class TestAdapter:
         # channel 0 (near-sine) more regular than channel 1 (noise)
         assert np.all(se[:, 0] < se[:, 1])
         assert np.all(pe[:, 0] < pe[:, 1])
+
+
+class TestDFA:
+    def test_powerlaw_exponents(self):
+        """The canonical DFA calibration: alpha = (1 - exponent) / 2
+        + 1/2... concretely white -> 0.5, pink (1/f) -> 1.0, brown
+        (1/f^2) -> 1.5."""
+        from ninwavelets_tpu.ops.complexity import dfa
+        from ninwavelets_tpu.ops.sim import powerlaw_noise
+        n, b = 16384, 8
+        for exponent, want in ((0.0, 0.5), (-1.0, 1.0), (-2.0, 1.5)):
+            x = np.asarray(powerlaw_noise(3, (b, n), exponent=exponent))
+            alpha, f = dfa(x)
+            a = float(np.mean(np.asarray(alpha)))
+            assert abs(a - want) < 0.12, (exponent, a)
+            assert np.all(np.diff(np.log(np.asarray(f)), axis=-1) > 0)
+
+    def test_matches_numpy_oracle(self):
+        from ninwavelets_tpu.ops.complexity import dfa
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(2048)
+        scales = (8, 16, 32, 64, 128)
+        alpha, f = dfa(x, scales=scales)
+        # naive float64 oracle
+        y = np.cumsum(x - x.mean())
+        fo = []
+        for s in scales:
+            nb = len(y) // s
+            resid = []
+            t = np.arange(s)
+            for k in range(nb):
+                seg = y[k * s:(k + 1) * s]
+                coef = np.polyfit(t, seg, 1)
+                resid.append(seg - np.polyval(coef, t))
+            fo.append(np.sqrt(np.mean(np.concatenate(resid) ** 2)))
+        np.testing.assert_allclose(np.asarray(f), fo, rtol=1e-4)
+        lo = np.polyfit(np.log(scales), np.log(fo), 1)[0]
+        np.testing.assert_allclose(float(alpha), lo, rtol=1e-4)
+
+    def test_validation(self):
+        from ninwavelets_tpu.ops.complexity import dfa
+        with pytest.raises(ValueError):
+            dfa(np.zeros(10, np.float32))
+        with pytest.raises(ValueError):
+            dfa(np.zeros(1000, np.float32), scales=(2, 8))
+
+
+class TestRawDFA:
+    def test_envelope_alpha(self):
+        """1/f-modulated alpha-band amplitude gives alpha > 0.5 (long-
+        range correlated envelope); white-envelope control near 0.5."""
+        from ninwavelets_tpu.ops.sim import powerlaw_noise
+
+        class FakeRaw:
+            def __init__(self, data, sfreq=250.0):
+                self._data = data
+                self.info = {"sfreq": sfreq}
+                self.ch_names = ["EEG 000"]
+
+            def get_data(self):
+                return self._data
+
+        rng = np.random.default_rng(14)
+        n = 65536
+        t = np.arange(n) / 250.0
+        # carrier at 10 Hz with a long-range-correlated envelope
+        env = np.asarray(powerlaw_noise(7, (n,), exponent=-1.0))
+        env = 1.0 + 0.8 * (env - env.min()) / (env.max() - env.min())
+        x = (env * np.sin(2 * np.pi * 10 * t)).astype(np.float32)
+        rw = nw.RawWavelet(FakeRaw(x[None]), nw.Morse(250.0))
+        alpha, f = rw.dfa("EEG 000", 10.0)
+        assert 0.6 < float(alpha) < 1.4
+        # white-amplitude control: independent modulation per sample
+        xw = (np.abs(rng.standard_normal(n)) *
+              np.sin(2 * np.pi * 10 * t)).astype(np.float32)
+        rww = nw.RawWavelet(FakeRaw(xw[None]), nw.Morse(250.0))
+        aw, _ = rww.dfa("EEG 000", 10.0)
+        assert float(aw) < float(alpha) - 0.1
