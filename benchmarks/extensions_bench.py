@@ -569,6 +569,30 @@ def main():
            epochs_per_s=round(128 / d, 1),
            config=dict(e=128, c=64, n=1024, t_grid=30, folds=5))
 
+    # --- sleep events + ERP (r4) -----------------------------------------
+    from ninwavelets_tpu.ops.sleep import detect_spindles
+    xsl = jnp.asarray(
+        rng.standard_normal((8, 921600)).astype(np.float32))  # 8ch x 1h
+    d = t(lambda x: detect_spindles(x, 256.0, kmax=1024).valid.sum(),
+          xsl, iters=3)
+    record(op="spindles_8ch_1h_256hz", hours_per_s=round(8 / d, 1),
+           config=dict(c=8, n=921600, sfreq=256))
+    from ninwavelets_tpu.ops.erp import jackknife_onsets
+    xerp = jnp.asarray(
+        rng.standard_normal((64, 64, 1024)).astype(np.float32))
+    d = t(lambda x: jackknife_onsets(x, (100, 900))[2], xerp, iters=5)
+    record(op="erp_jackknife_onsets_64x64", ms=round(d * 1e3, 2),
+           config=dict(e=64, c=64, n=1024))
+
+    # --- DFA (r4) --------------------------------------------------------
+    from ninwavelets_tpu.ops.complexity import dfa
+    xdfa = jnp.asarray(
+        rng.standard_normal((64, 65536)).astype(np.float32))
+    d = t(lambda x: dfa(x)[0], xdfa, iters=5)
+    record(op="dfa_64x65536", signal_s_per_s=round(64 * 65536 / sfreq / d,
+                                                   1),
+           config=dict(b=64, n=65536, scales=12))
+
     print(f"wrote {len(rows)} rows -> {OUT}")
 
 

@@ -194,3 +194,18 @@ class TestFusedGuards:
         mex = nw.MexicanHat(1000)
         with pytest.raises(ValueError, match="Reverse/Both"):
             halo_samples(mex._wdef(), 5.0, 1000.0)
+
+
+class TestWorkflowDemo:
+    def test_workflow_demo_headless(self, capsys):
+        spec = importlib.util.spec_from_file_location(
+            "workflow_demo", os.path.join(os.path.dirname(__file__), "..",
+                                          "examples", "workflow_demo.py"))
+        demo = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(demo)
+        demo.main()
+        out = capsys.readouterr().out
+        assert "kept 35/40" in out
+        assert "3/3 planted events" in out
+        assert "partial coherence 0.0" in out
+        assert "long-range correlated" in out
