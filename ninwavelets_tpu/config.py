@@ -209,8 +209,13 @@ def run_pipeline(cfg: PipelineConfig, epochs) -> dict:
                 waves, bank_r, interpolate=interp, time_range=trange)
         if "psi" in asked:
             # directed (C, C) phase-slope index, jackknife-normalized;
-            # needs an ascending frequency grid — cfg.freqs is an
-            # arange, ascending for any positive step.
+            # adjacent bank rows form the slope, so the grid must
+            # ascend — a descending arange would silently NEGATE every
+            # direction estimate.
+            if len(freqs) < 2 or freqs[1] <= freqs[0]:
+                raise ValueError(
+                    "connectivity='psi' needs an ascending cfg.freqs "
+                    f"grid with >= 2 rows, got {cfg.freqs}")
             out["psi_matrix"] = psi_matrix(
                 waves, bank_r, interpolate=interp, time_range=trange)
 

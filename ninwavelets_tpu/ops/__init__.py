@@ -75,8 +75,11 @@ from .decoding import (csp_decode, decode_auc,
 from .denoise import denoise, denoise_from_bank
 from .envelope import env_corr_matrix, env_corr_matrix_from_bank
 from .cpd import cp_decompose, cp_reconstruct
-from .csd import (csd, csd_transform, interpolate_channels,
+from .csd import (csd_transform, interpolate_channels,
                   interpolation_matrix, spline_matrices)
+# NOTE: the bare `csd` FUNCTION is deliberately not imported here — it
+# would shadow the `ops.csd` MODULE (the ewt/vmd/emd lesson).  Reach it
+# as `ops.csd.csd`, or via `EpochsWavelet.csd`.
 from .complexity import (dfa, multiscale_entropy,
                          multiscale_permutation_entropy,
                          permutation_entropy, sample_entropy)
@@ -201,7 +204,7 @@ __all__ = [
     "PeakResult", "evoked", "peak_measures", "mean_amplitude",
     "fractional_area_latency", "fractional_peak_onset",
     "jackknife_onsets",
-    "csd", "csd_transform", "interpolate_channels",
+    "csd_transform", "interpolate_channels",
     "interpolation_matrix", "spline_matrices",
     "sample_entropy", "multiscale_entropy", "permutation_entropy",
     "multiscale_permutation_entropy", "dfa",

@@ -751,7 +751,7 @@ def erpac(sigs_r, bank_phase_r, bank_amp_r, interpolate: bool = False,
 # All-pairs connectivity matrices
 # ----------------------------------------------------------------------------
 
-def _pair_sums(w: jnp.ndarray):
+def _pair_sums(w: jnp.ndarray, precision=None):
     """Pairwise epoch sums ``S[a, b, n] = sum_e w[e, a, n] conj(w[e, b, n])``
     as a (real, imag) pair of (C, C, n) planes.
 
@@ -759,17 +759,23 @@ def _pair_sums(w: jnp.ndarray):
     of shape (n: C x 2E @ 2E x C): with ``u = [wr; wi]`` stacked on the
     epoch axis, ``S_r = u . u`` and ``S_i = [wi; -wr] . u`` — the epoch
     axis is the MXU contraction, the time axis the batch.
+
+    ``precision=None`` is DEFAULT (single-pass bf16 on TPU, fine for the
+    ratio statistics); epilogues that INVERT the sums (partial
+    coherence) must pass ``lax.Precision.HIGHEST`` — condition-number
+    amplification turns the ~5e-3 bf16 round-off into O(0.1) errors,
+    invisible on the CPU test mesh.
     """
     u = jnp.concatenate([w.real, w.imag], axis=0)             # (2E, C, n)
     v = jnp.concatenate([w.imag, -w.real], axis=0)
-    sr = jnp.einsum('ean,ebn->abn', u, u)
-    si = jnp.einsum('ean,ebn->abn', v, u)
+    sr = jnp.einsum('ean,ebn->abn', u, u, precision=precision)
+    si = jnp.einsum('ean,ebn->abn', v, u, precision=precision)
     return sr, si
 
 
 def pair_matrix_scan(sigs: jnp.ndarray, bank: jnp.ndarray, per_row,
                      interpolate: bool = False, unit: bool = False,
-                     eps: float = 0.0, time_range=None):
+                     eps: float = 0.0, time_range=None, precision=None):
     """Stream an all-pairs statistic over the bank rows.
 
     For each frequency row: iFFT the (E, C, N) coefficient slab (the
@@ -801,7 +807,7 @@ def pair_matrix_scan(sigs: jnp.ndarray, bank: jnp.ndarray, per_row,
             if eps:
                 mag = jnp.maximum(mag, eps)
             w = w / mag
-        return None, per_row(*_pair_sums(w[..., n0:n1]))
+        return None, per_row(*_pair_sums(w[..., n0:n1], precision))
 
     return lax.scan(row, None, bank)[1]
 
@@ -1036,7 +1042,8 @@ def partial_coherence_from_bank(sigs: jnp.ndarray, bank: jnp.ndarray,
         return partial_coherence_per_row(sr, si, e, lam)
 
     return pair_matrix_scan(sigs, bank, per_row, interpolate,
-                            time_range=time_range)
+                            time_range=time_range,
+                            precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("interpolate", "lam", "time_range"))

@@ -70,18 +70,26 @@ def spline_matrices(pos, stiffness: int = 4, n_legendre: int = 50):
     return g, h
 
 
+def _bordered_system(g, lam: float) -> np.ndarray:
+    """The Perrin sum-to-zero spline system ``[[G + lam I, 1],
+    [1^T, 0]]`` — shared by the CSD transform, channel interpolation,
+    and the topomap grid (``utils/plotting.py``), so the constraint and
+    regularization live in exactly one place."""
+    c = g.shape[0]
+    a = np.zeros((c + 1, c + 1))
+    a[:c, :c] = g + lam * np.eye(c)
+    a[:c, c] = 1.0
+    a[c, :c] = 1.0
+    return a
+
+
 @lru_cache(maxsize=16)
 def _csd_matrix_cached(pos_key, stiffness, n_legendre, lam, head_radius):
     pos = np.frombuffer(pos_key, np.float64).reshape(-1, 3)
     g, h = spline_matrices(pos, stiffness, n_legendre)
     c = g.shape[0]
-    # Bordered system (the sum-to-zero spline constraint): solve
-    # [[G + lam I, 1], [1^T, 0]] [w; d] = [x; 0]; CSD = H w / r^2.
-    a = np.zeros((c + 1, c + 1))
-    a[:c, :c] = g + lam * np.eye(c)
-    a[:c, c] = 1.0
-    a[c, :c] = 1.0
-    ainv = np.linalg.inv(a)
+    # solve [w; d] = A^{-1} [x; 0]; CSD = H w / r^2
+    ainv = np.linalg.inv(_bordered_system(g, lam))
     # x -> w is the top-left (C, C) block of A^{-1} applied to x
     w_of_x = ainv[:c, :c]
     t = (h @ w_of_x) / (head_radius ** 2)
@@ -147,11 +155,7 @@ def interpolation_matrix(pos, bad_idx, stiffness: int = 4,
         raise ValueError("need at least 3 good channels")
     gg, _ = spline_matrices(u[good], stiffness, n_legendre)
     ng = good.size
-    a = np.zeros((ng + 1, ng + 1))
-    a[:ng, :ng] = gg + lam * np.eye(ng)
-    a[:ng, ng] = 1.0
-    a[ng, :ng] = 1.0
-    ainv = np.linalg.inv(a)
+    ainv = np.linalg.inv(_bordered_system(gg, lam))
     # cross kernel bad x good
     cosang = np.clip(u[bad_idx] @ u[good].T, -1.0, 1.0)
     gb = _legendre_series(cosang, stiffness, n_legendre)

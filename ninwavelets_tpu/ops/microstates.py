@@ -138,6 +138,15 @@ def microstate_fit(x, n_states: int = 4, *, peaks_only: bool = True,
     g = gfp(x)
     g2 = jnp.sum(x * x, axis=0)
     w = _peak_mask(g) if peaks_only else jnp.ones_like(g)
+    if peaks_only:
+        # A recording with fewer strict GFP maxima than states cannot
+        # seed the prototypes (zero/NaN sampling probabilities would
+        # silently produce NaN maps) — fail loudly with the fix.
+        n_peaks = int(jnp.sum(w))
+        if n_peaks < n_states:
+            raise ValueError(
+                f"only {n_peaks} GFP peaks for {n_states} states — "
+                "constant-GFP data has none; pass peaks_only=False")
     keys = jax.random.split(jax.random.PRNGKey(seed), int(n_init))
     maps_all, gev_all = jax.vmap(
         lambda k: _fit_one(x, g2, w, k, n_states=int(n_states),

@@ -41,13 +41,17 @@ class EventTable(NamedTuple):
     ``peak_amp`` signal units (envelope peak for spindles, negative
     peak for slow oscillations), ``freq`` Hz (spindle oscillation
     frequency; the slow-oscillation cycle frequency), ``valid`` marks
-    real events — padded rows are zero."""
+    real events — padded rows are zero.  ``overflow`` (per row) is True
+    when the recording produced MORE threshold crossings than ``kmax``
+    bins — the detectors raise on it rather than silently dropping the
+    tail, so you never see it in a returned table."""
     start: jnp.ndarray
     stop: jnp.ndarray
     duration: jnp.ndarray
     peak_amp: jnp.ndarray
     freq: jnp.ndarray
     valid: jnp.ndarray
+    overflow: jnp.ndarray
 
 
 def _moving_rms(x, w: int):
@@ -65,12 +69,13 @@ def _moving_rms(x, w: int):
 
 
 def _segments_from_mask(mask, kmax: int):
-    """(seg_ids, n) 1-based in-mask segment ids (0 = background), ids
-    beyond ``kmax`` clipped into the overflow bin ``kmax``."""
+    """(seg_ids, overflow): 1-based in-mask segment ids (0 =
+    background), ids beyond ``kmax`` clipped into bin ``kmax``;
+    ``overflow`` True when clipping actually merged segments."""
     m = mask.astype(jnp.int32)
     rising = jnp.concatenate([m[:1], jnp.maximum(m[1:] - m[:-1], 0)])
-    seg = jnp.cumsum(rising) * m
-    return jnp.minimum(seg, kmax)
+    raw = jnp.cumsum(rising) * m
+    return jnp.minimum(raw, kmax), jnp.max(raw) > kmax
 
 
 def _seg_bounds(seg, kmax: int):
@@ -92,7 +97,7 @@ def _spindles_row(x, *, sfreq, f_lo, f_hi, rms_win, kmax, thresh,
     xf = _bandpass(x, sfreq, f_lo, f_hi)
     env = _moving_rms(xf, rms_win)
     thr = thresh * jnp.median(env)
-    seg = _segments_from_mask(env > thr, kmax)
+    seg, overflow = _segments_from_mask(env > thr, kmax)
     start, stop, found = _seg_bounds(seg, kmax)
     dur = (stop - start + 1).astype(jnp.float32) / sfreq
     ok = found & (dur >= dur_lo) & (dur <= dur_hi)
@@ -112,20 +117,21 @@ def _spindles_row(x, *, sfreq, f_lo, f_hi, rms_win, kmax, thresh,
         start=jnp.where(ok, start, 0).astype(jnp.int32),
         stop=jnp.where(ok, stop, 0).astype(jnp.int32),
         duration=jnp.where(ok, dur, z), peak_amp=peak, freq=freq,
-        valid=ok)
+        valid=ok, overflow=overflow)
 
 
 def detect_spindles(x, sfreq: float, freq_range=(11.0, 16.0),
                     thresh: float = 3.0, duration=(0.5, 2.0),
                     rms_win_s: float = 0.2,
-                    kmax: int = 256) -> EventTable:
+                    kmax: int = 4096) -> EventTable:
     """Sleep-spindle detection on (..., N) recordings (YASA-style
     moving-RMS rule): sigma-band envelope above ``thresh`` x its median
     for a duration inside ``duration`` seconds.  ``kmax`` caps the
-    per-row event table (static shapes — overflow events beyond kmax-1
-    merge into the last bin and are dropped by the duration test in
-    practice).  Returns an :class:`EventTable` with the spindle
-    frequency estimated from in-segment zero crossings.
+    per-row event table (static shapes); if a recording produces MORE
+    threshold crossings than ``kmax`` the call RAISES (no silent
+    truncation) — pass a larger ``kmax``.  Returns an
+    :class:`EventTable` with the spindle frequency estimated from
+    in-segment zero crossings.
     """
     x = jnp.asarray(x, jnp.float32)
     if x.shape[-1] < int(sfreq):
@@ -140,7 +146,12 @@ def detect_spindles(x, sfreq: float, freq_range=(11.0, 16.0),
                  dur_hi=dur_hi)
     for _ in range(x.ndim - 1):
         fn = jax.vmap(fn)
-    return fn(x)
+    tab = fn(x)
+    if bool(jnp.any(tab.overflow)):
+        raise ValueError(
+            f"more than kmax={kmax} threshold crossings in at least "
+            "one row — raise kmax (tables are cheap) or the threshold")
+    return tab
 
 
 @partial(jax.jit, static_argnames=("sfreq", "f_lo", "f_hi", "kmax",
@@ -154,7 +165,7 @@ def _so_row(x, amp_neg, amp_ptp, *, sfreq, f_lo, f_hi, kmax, dur_lo,
         amp_neg = neg_mult * sigma
         amp_ptp = ptp_mult * sigma
     neg = xf < 0
-    seg = _segments_from_mask(neg, kmax)             # negative phases
+    seg, oneg = _segments_from_mask(neg, kmax)       # negative phases
     start, stop, found = _seg_bounds(seg, kmax)
     dur_neg = (stop - start + 1).astype(jnp.float32) / sfreq
     # negative and following-positive peaks: the positive phase runs
@@ -163,7 +174,7 @@ def _so_row(x, amp_neg, amp_ptp, *, sfreq, f_lo, f_hi, kmax, dur_lo,
     neg_peak = -jax.ops.segment_max(
         jnp.where(seg > 0, -xf, -jnp.inf), seg,
         num_segments=kmax + 1)[1:]
-    pos_seg = _segments_from_mask(~neg, kmax)
+    pos_seg, opos = _segments_from_mask(~neg, kmax)
     pstart, pstop, pfound = _seg_bounds(pos_seg, kmax)
     pos_peak_all = jax.ops.segment_max(
         jnp.where(pos_seg > 0, xf, -jnp.inf), pos_seg,
@@ -191,7 +202,7 @@ def _so_row(x, amp_neg, amp_ptp, *, sfreq, f_lo, f_hi, kmax, dur_lo,
         peak_amp=jnp.where(ok, neg_peak, z),
         freq=jnp.where(ok & (dur_full > 0),
                        1.0 / jnp.maximum(dur_full, 1e-9), z),
-        valid=ok)
+        valid=ok, overflow=oneg | opos)
 
 
 def detect_slow_oscillations(x, sfreq: float, freq_range=(0.3, 1.5),
@@ -200,7 +211,7 @@ def detect_slow_oscillations(x, sfreq: float, freq_range=(0.3, 1.5),
                              amp_ptp: Optional[float] = None,
                              neg_mult: float = 4.0,
                              ptp_mult: float = 6.0,
-                             kmax: int = 512) -> EventTable:
+                             kmax: int = 32768) -> EventTable:
     """Slow-oscillation detection on (..., N) recordings (Massimini
     2004 criteria): delta-band negative half-waves of
     ``duration_neg`` seconds whose negative peak exceeds ``amp_neg``
@@ -230,4 +241,9 @@ def detect_slow_oscillations(x, sfreq: float, freq_range=(0.3, 1.5),
             None if amp_ptp is None else jnp.float32(amp_ptp))
     for _ in range(x.ndim - 1):
         fn = jax.vmap(fn, in_axes=(0, None, None))
-    return fn(x, amps[0], amps[1])
+    tab = fn(x, amps[0], amps[1])
+    if bool(jnp.any(tab.overflow)):
+        raise ValueError(
+            f"more than kmax={kmax} delta half-waves in at least one "
+            "row — raise kmax (tables are cheap)")
+    return tab

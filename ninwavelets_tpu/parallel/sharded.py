@@ -588,7 +588,8 @@ def sharded_partial_coherence(sigs, bank_r, *, mesh: Mesh,
             return partial_coherence_per_row(sr, si, n_epochs, lam)
 
         return pair_matrix_scan(sg, br, per_row, interpolate,
-                                time_range=time_range)
+                                time_range=time_range,
+                                precision=lax.Precision.HIGHEST)
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=(P(DATA_AXIS), _BANK_SPEC),

@@ -869,25 +869,46 @@ class EpochsWavelet:
         from ..ops.erp import evoked
         return evoked(self._all_data())
 
+    def _event_window(self, window):
+        """(start_s, stop_s) EVENT-relative seconds -> sample window.
+        Honors the epochs' time axis when the object carries one (mne
+        epochs start at tmin, usually negative — a (0.25, 0.35) window
+        must NOT mean samples 62..88 of a tmin=-0.2 epoch); falls back
+        to epoch-start-relative seconds otherwise."""
+        if window is None:
+            return None
+        times = getattr(self.epochs, "times", None)
+        if times is not None:
+            t = np.asarray(times, np.float64)
+            lo = int(np.searchsorted(t, float(window[0]), side="left"))
+            hi = int(np.searchsorted(t, float(window[1]), side="right"))
+            return (lo, hi)
+        return self._samples(window)
+
     def erp_peak(self, window=None, polarity: int = 1):
         """Windowed ERP peak of every channel's evoked waveform
         (extension — ``ops.erp.peak_measures``): a ``PeakResult`` of
-        (C,) latencies (SAMPLES) and amplitudes.  ``window`` is a
-        (start_s, stop_s) SECONDS pair (mne-style), ``polarity`` +1/-1
-        for positive/negative components."""
+        (C,) latencies and amplitudes.  ``window`` is a (start_s,
+        stop_s) SECONDS pair relative to the EVENT when the epochs
+        carry a ``times`` axis (mne-style tmin honored), else relative
+        to the epoch start.  Latencies are SAMPLES from the epoch
+        start — map to event time via ``epochs.times[latency]``.
+        ``polarity`` +1/-1 for positive/negative components."""
         from ..ops.erp import evoked, peak_measures
         return peak_measures(evoked(self._all_data()),
-                             self._samples(window), polarity)
+                             self._event_window(window), polarity)
 
     def erp_onset(self, window, criterion: float = 0.5,
                   polarity: int = 1):
         """Jackknife component-onset latency per channel (extension —
         ``ops.erp.jackknife_onsets``, Miller-Ulrich): returns
-        ``(onsets, mean, se)`` with the corrected standard error;
-        latencies in SAMPLES, ``window`` in SECONDS."""
+        ``(onsets, mean, se)`` with the corrected standard error.
+        Latencies in SAMPLES from the epoch start; ``window`` in
+        SECONDS, event-relative when the epochs carry ``times`` (see
+        :meth:`erp_peak`)."""
         from ..ops.erp import jackknife_onsets
         return jackknife_onsets(self._all_data(),
-                                self._samples(window), criterion,
+                                self._event_window(window), criterion,
                                 polarity)
 
     def sample_entropy(self, m: int = 2, r: float = 0.2) -> jnp.ndarray:

@@ -107,7 +107,8 @@ def _topo_grid(values, pos, res: int, stiffness: int = 4,
     plus the disc radius used.  The same Perrin system as
     ``ops.csd.interpolation_matrix``, evaluated at every grid pixel's
     back-projected sphere point."""
-    from ..ops.csd import _legendre_series, spline_matrices
+    from ..ops.csd import (_bordered_system, _legendre_series,
+                           spline_matrices)
 
     u = np.asarray(pos, np.float64)
     u = u / np.linalg.norm(u, axis=1, keepdims=True)
@@ -116,11 +117,8 @@ def _topo_grid(values, pos, res: int, stiffness: int = 4,
     p2d = _disc_projection(u)
     rad = float(np.max(np.hypot(p2d[:, 0], p2d[:, 1]))) * 1.1 + 1e-9
     g, _ = spline_matrices(u, stiffness, n_legendre)
-    a = np.zeros((c + 1, c + 1))
-    a[:c, :c] = g + lam * np.eye(c)
-    a[:c, c] = 1.0
-    a[c, :c] = 1.0
-    sol = np.linalg.solve(a, np.concatenate([vals, [0.0]]))
+    sol = np.linalg.solve(_bordered_system(g, lam),
+                          np.concatenate([vals, [0.0]]))
     w, d = sol[:c], sol[c]
     xs = np.linspace(-rad, rad, res)
     gx, gy = np.meshgrid(xs, xs)

@@ -91,6 +91,11 @@ class TestFit:
     def test_validation(self):
         with pytest.raises(ValueError):
             microstate_fit(np.zeros((4, 10, 3), np.float32), 4)
+        # constant-GFP data has no strict peaks: loud error, not NaNs
+        flat = np.ones((8, 100), np.float32) * np.linspace(
+            -1, 1, 8)[:, None]
+        with pytest.raises(ValueError, match="GFP peaks"):
+            microstate_fit(flat, 4)
         with pytest.raises(ValueError):
             microstate_fit(np.zeros((4, 100), np.float32), 4)  # K == C
         with pytest.raises(ValueError):
