@@ -25,6 +25,7 @@ from .connectivity import (coherence_matrix, coherence_matrix_from_bank,
                            plv_matrix, plv_matrix_from_bank,
                            plv_significance, plv_sums, ppc, ppc_auto,
                            ppc_from_bank, ppc_matrix, ppc_matrix_from_bank,
+                           kuramoto_order, kuramoto_order_from_bank,
                            partial_coherence,
                            partial_coherence_from_bank,
                            psi_matrix, psi_matrix_from_bank,
@@ -170,6 +171,7 @@ __all__ = [
     "wpli_matrix", "wpli_matrix_from_bank",
     "psi_matrix", "psi_matrix_from_bank",
     "partial_coherence", "partial_coherence_from_bank",
+    "kuramoto_order", "kuramoto_order_from_bank",
     "ppc_matrix", "ppc_matrix_from_bank",
     "bootstrap_ci",
     "BurstSummary", "burst_summary", "burst_table", "burst_threshold",

@@ -48,7 +48,8 @@ __all__ = ["lagged_coherence", "lagged_coherence_morse",
            "ppc_matrix_from_bank", "ppc_matrix",
            "psi_matrix_from_bank", "psi_matrix",
            "partial_coherence", "partial_coherence_from_bank",
-           "partial_coherence_per_row"]
+           "partial_coherence_per_row",
+           "kuramoto_order", "kuramoto_order_from_bank"]
 
 
 # ----------------------------------------------------------------------------
@@ -991,6 +992,49 @@ def coherence_matrix(sigs_r, bank_r, bank_i=None, interpolate: bool = False,
     return _coh_matrix_jit(sigs_r, bank_r, bank_i,
                            interpolate=bool(interpolate), eps=float(eps),
                            time_range=tr)
+
+
+# ----------------------------------------------------------------------------
+# Kuramoto order parameter (global synchrony)
+# ----------------------------------------------------------------------------
+
+def kuramoto_order_from_bank(sigs: jnp.ndarray, bank: jnp.ndarray,
+                             interpolate: bool = False,
+                             eps: float = 1e-12,
+                             mean_epochs: bool = True) -> jnp.ndarray:
+    """Global phase synchrony across channels: (E, C, N) -> (F, N)
+    (or (E, F, N) with ``mean_epochs=False``).
+
+    The Kuramoto order parameter ``R(f, t) = |mean_c exp(i phi_c)|`` —
+    1 when every channel shares the instantaneous phase, ~1/sqrt(C)
+    under independence.  The whole-head complement of the pairwise PLV
+    family (one number per (f, t) instead of a (C, C) matrix); bank
+    rows stream through ``lax.scan`` at O(E*C*N) memory."""
+    spec = analytic_spectrum(sigs, interpolate)               # (E, C, N)
+
+    def row(_, bank_row):
+        w = jnp.fft.ifft(spec * bank_row)
+        mag = jnp.maximum(jnp.abs(w), eps)
+        u = w / mag
+        r = jnp.abs(jnp.mean(u, axis=-2))                     # (E, N)
+        return None, jnp.mean(r, axis=0) if mean_epochs else r
+
+    out = lax.scan(row, None, bank)[1]                        # (F, ...)
+    return out if mean_epochs else jnp.moveaxis(out, 0, 1)
+
+
+@partial(jax.jit, static_argnames=("interpolate", "eps", "mean_epochs"))
+def _kuramoto_jit(sigs, bank_r, *, interpolate, eps, mean_epochs):
+    return kuramoto_order_from_bank(sigs, bank_r, interpolate, eps,
+                                    mean_epochs)
+
+
+def kuramoto_order(sigs_r, bank_r, interpolate: bool = False,
+                   eps: float = 1e-12, mean_epochs: bool = True):
+    """Jitted float-boundary wrapper for ``kuramoto_order_from_bank``
+    (real analytic banks only)."""
+    return _kuramoto_jit(sigs_r, bank_r, interpolate=bool(interpolate),
+                         eps=float(eps), mean_epochs=bool(mean_epochs))
 
 
 # ----------------------------------------------------------------------------

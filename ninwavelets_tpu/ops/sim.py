@@ -22,7 +22,7 @@ from jax import lax
 
 __all__ = [
     "powerlaw_noise", "ar1_noise", "oscillation", "asym_oscillation",
-    "bursty_oscillation", "combine",
+    "bursty_oscillation", "combine", "iaaft_surrogates",
 ]
 
 
@@ -156,3 +156,59 @@ def combine(signal, noise, snr_db: float = 0.0) -> jnp.ndarray:
     x = a * jnp.asarray(signal, jnp.float32) \
         + jnp.asarray(noise, jnp.float32)
     return x / jnp.maximum(jnp.std(x, axis=-1, keepdims=True), 1e-20)
+
+
+@partial(jax.jit, static_argnames=("n_surrogates", "n_iter"))
+def _iaaft_jit(key, x, *, n_surrogates, n_iter):
+    target_sorted = jnp.sort(x, axis=-1)              # (..., N)
+    amp = jnp.abs(jnp.fft.rfft(x))                    # (..., N/2+1)
+    n = x.shape[-1]
+
+    def one(k):
+        # start from a random shuffle of the original values
+        noise = jax.random.normal(k, x.shape)
+        order = jnp.argsort(noise, axis=-1)
+        s = jnp.take_along_axis(target_sorted, order, axis=-1)
+
+        def step(s, _):
+            spec = jnp.fft.rfft(s)
+            mag = jnp.maximum(jnp.abs(spec), 1e-30)
+            y = jnp.fft.irfft(spec / mag * amp, n=n)  # amplitude step
+            ranks = jnp.argsort(jnp.argsort(y, axis=-1), axis=-1)
+            return jnp.take_along_axis(target_sorted, ranks,
+                                       axis=-1), None  # rank step
+
+        s, _ = lax.scan(step, s, None, length=n_iter)
+        return s
+
+    return jax.vmap(one)(jax.random.split(key, n_surrogates))
+
+
+def iaaft_surrogates(seed, x, n_surrogates: int = 19,
+                     n_iter: int = 100) -> jnp.ndarray:
+    """IAAFT surrogates (Schreiber & Schmitz 1996): (..., N) ->
+    (S, ..., N) series with EXACTLY the original amplitude distribution
+    (every iteration ends on a rank remap onto the sorted original
+    values) and approximately the original power spectrum — the null
+    for nonlinearity tests: linear statistics survive, nonlinear
+    structure (waveform asymmetry, phase coupling) is destroyed.
+
+    The default ``n_surrogates=19`` gives a one-sided p = 0.05 rank
+    test.  N must be a power of two (the repo-wide TPU FFT rule —
+    non-pow2 lengths lower to a dense O(N^2) DFT matmul on chip).
+
+    CAVEAT (Schreiber-Schmitz): for strictly PERIODIC signals the
+    harmonic amplitude structure is so constraining that the iteration
+    can re-lock the phases to a time shift of the original, silently
+    PRESERVING nonlinear statistics — the null is meant for stochastic
+    (aperiodic) processes; detrend/jitter periodic content first.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    if n & (n - 1):
+        raise ValueError(f"N = {n} must be a power of two (TPU FFT "
+                         "rule); pad or crop first")
+    if n_surrogates < 1 or n_iter < 1:
+        raise ValueError("n_surrogates and n_iter must be >= 1")
+    return _iaaft_jit(_key(seed), x, n_surrogates=int(n_surrogates),
+                      n_iter=int(n_iter))

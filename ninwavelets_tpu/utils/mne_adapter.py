@@ -684,6 +684,19 @@ class EpochsWavelet:
         return _coh_m(waves, br, bi, interpolate=self.wavelet.interpolate,
                       eps=eps, time_range=self._samples(time_range))
 
+    def kuramoto_order(self, freqs: Numbers,
+                       mean_epochs: bool = True) -> jnp.ndarray:
+        """(F, N) global phase-synchrony time course across ALL
+        channels (extension — ``ops.connectivity.kuramoto_order``):
+        the Kuramoto order parameter R, 1 = whole-head phase lock,
+        ~1/sqrt(C) under independence.  ``mean_epochs=False`` keeps the
+        (E, F, N) per-trial courses."""
+        from ..ops.connectivity import kuramoto_order as _ko
+        waves = self._all_data()
+        br, _ = self._conn_bank(waves.shape[-1], freqs)
+        return _ko(waves, br, interpolate=self.wavelet.interpolate,
+                   mean_epochs=mean_epochs)
+
     def partial_coherence(self, freqs: Numbers, time_range=None,
                           lam: float = 1e-5) -> jnp.ndarray:
         """(F, C, C) all-pairs PARTIAL coherence — each pair conditioned

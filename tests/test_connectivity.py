@@ -763,3 +763,59 @@ class TestPSI:
             got = np.asarray(par.sharded_psi_matrix(x, bank, mesh=mesh,
                                              normalize=normalize))
             np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+class TestKuramoto:
+    def test_locked_vs_independent(self):
+        rng = np.random.default_rng(0)
+        n, c, e = 2048, 8, 6
+        t = np.arange(n) / SFREQ
+        locked = np.stack([[np.sin(2 * np.pi * 40 * t + 0.1 * ch)
+                            + 0.2 * rng.standard_normal(n)
+                            for ch in range(c)] for _ in range(e)])
+        indep = np.stack([[np.sin(2 * np.pi * 40 * t
+                                  + rng.uniform(0, 2 * np.pi))
+                           + 0.2 * rng.standard_normal(n)
+                           for _ in range(c)] for _ in range(e)])
+        freqs = np.arange(20.0, 60.0, 5.0)
+        bank = _bank(freqs, n)
+        from ninwavelets_tpu.ops.connectivity import kuramoto_order
+        row = int(np.argmin(np.abs(freqs - 40.0)))
+        rl = np.asarray(kuramoto_order(
+            jnp.asarray(locked.astype(np.float32)), bank,
+            interpolate=True))
+        ri = np.asarray(kuramoto_order(
+            jnp.asarray(indep.astype(np.float32)), bank,
+            interpolate=True))
+        assert rl.shape == (freqs.size, n)
+        m = 400
+        assert rl[row, m:-m].mean() > 0.9
+        assert ri[row, m:-m].mean() < 0.75
+        # per-epoch form averages to the epoch-mean form
+        re = np.asarray(kuramoto_order(
+            jnp.asarray(locked.astype(np.float32)), bank,
+            interpolate=True, mean_epochs=False))
+        assert re.shape == (e, freqs.size, n)
+        np.testing.assert_allclose(re.mean(0), rl, rtol=1e-5, atol=1e-6)
+
+    def test_single_channel_is_one(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((3, 1, 1024)).astype(
+            np.float32))
+        bank = _bank(np.arange(20.0, 40.0, 5.0), 1024)
+        from ninwavelets_tpu.ops.connectivity import kuramoto_order
+        r = np.asarray(kuramoto_order(x, bank, interpolate=True))
+        np.testing.assert_allclose(r, 1.0, atol=1e-5)
+
+    def test_adapter(self):
+        from tests.test_epochs import FakeEpochs
+        rng = np.random.default_rng(2)
+        t = np.arange(1024) / SFREQ
+        data = np.stack([[np.sin(2 * np.pi * 30 * t + 0.05 * ch)
+                          + 0.1 * rng.standard_normal(1024)
+                          for ch in range(4)] for _ in range(4)]
+                        ).astype(np.float32)
+        ew = nw.EpochsWavelet(FakeEpochs(data, SFREQ), nw.Morse(SFREQ))
+        r = np.asarray(ew.kuramoto_order([25.0, 30.0, 35.0]))
+        assert r.shape == (3, 1024)
+        assert r[1, 300:-300].mean() > 0.9

@@ -182,3 +182,55 @@ class TestLaggedCoherence:
         lc = np.asarray(ew.lagged_coherence("ch0", self.FREQS))
         assert lc.shape == (len(self.FREQS),)
         assert lc[self.FREQS == 12.0][0] > 0.9
+
+
+class TestIAAFT:
+    def test_distribution_exact_spectrum_close(self):
+        from ninwavelets_tpu.ops.sim import iaaft_surrogates, powerlaw_noise
+        x = np.asarray(powerlaw_noise(0, (2048,), exponent=-1.0))
+        s = np.asarray(iaaft_surrogates(1, x, n_surrogates=3, n_iter=50))
+        assert s.shape == (3, 2048)
+        for k in range(3):
+            # amplitude distribution EXACT (rank remap ends every iter)
+            np.testing.assert_array_equal(np.sort(s[k]), np.sort(x))
+            # power spectrum approximately preserved
+            pa = np.abs(np.fft.rfft(x)) ** 2
+            pb = np.abs(np.fft.rfft(s[k])) ** 2
+            num = np.sum((pa[1:] - pb[1:]) ** 2)
+            assert num / np.sum(pa[1:] ** 2) < 0.05
+            assert not np.array_equal(s[k], x)      # actually shuffled
+
+    def test_destroys_nonlinear_structure(self):
+        """Time-asymmetry statistic E[(dx)^3] of a time-irreversible
+        STOCHASTIC process (shot noise: fast rise, slow decay): large
+        observed, ~0 for the IAAFT surrogates -> one-sided p < 0.05.
+        (A strictly periodic signal would be a bad positive control —
+        its harmonic amplitude structure lets the iteration re-lock the
+        phases to a time shift of the original, the documented IAAFT
+        periodicity caveat.)"""
+        from ninwavelets_tpu.ops.sim import iaaft_surrogates
+        rng = np.random.default_rng(0)
+        n = 2048
+        spikes = (rng.random(n) < 0.02) * rng.exponential(1.0, n)
+        kernel = np.exp(-np.arange(100) / 15.0)
+        x = np.convolve(spikes, kernel)[:n]             + 0.05 * rng.standard_normal(n)
+        x = (x / x.std()).astype(np.float32)
+
+        def tasym(v):
+            d = np.diff(v)
+            return np.mean(d ** 3) / np.mean(d ** 2) ** 1.5
+
+        obs = abs(tasym(x))
+        sur = np.asarray(iaaft_surrogates(2, x, n_surrogates=19,
+                                          n_iter=100))
+        null = np.array([abs(tasym(sur[k])) for k in range(19)])
+        assert obs > 3 * null.max()     # decisive, not marginal
+
+    def test_batched_and_validation(self):
+        from ninwavelets_tpu.ops.sim import iaaft_surrogates
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((2, 3, 512)).astype(np.float32)
+        s = np.asarray(iaaft_surrogates(0, x, n_surrogates=2, n_iter=20))
+        assert s.shape == (2, 2, 3, 512)
+        with pytest.raises(ValueError, match="power of two"):
+            iaaft_surrogates(0, np.zeros(1000, np.float32))
