@@ -109,7 +109,9 @@ from .vmd import hilbert_spectrum, instantaneous, mvmd
 from .vmd import vmd as variational_mode_decomposition
 from .mp import (MPResult, gabor_dictionary, matching_pursuit,
                  mp_tfr)
-from .multitaper import (multitaper_banks, multitaper_mean_power,
+from .multitaper import (multitaper_banks, multitaper_coherence_matrix,
+                         multitaper_mean_power,
+                         multitaper_partial_coherence,
                          multitaper_power, multitaper_power_from_banks)
 from .irasa import IrasaResult, aperiodic_fit, irasa, welch_psd
 from .icwt import coverage, icwt_from_bank, icwt_ri
@@ -246,7 +248,8 @@ __all__ = [
     "morlet_norm_constants", "morlet_peak_freq", "morlet_spectrum",
     "morlet_time", "morse_spectrum", "morse_taper_spectrum",
     "shannon_spectrum",
-    "multitaper_banks", "multitaper_mean_power", "multitaper_power",
+    "multitaper_banks", "multitaper_mean_power",
+    "multitaper_coherence_matrix", "multitaper_partial_coherence", "multitaper_power",
     "multitaper_power_from_banks",
     "wilson_factorize", "spectral_granger_pairwise", "wavelet_granger",
     "wavelet_granger_significance", "granger_from_factors",

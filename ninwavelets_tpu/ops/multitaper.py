@@ -23,6 +23,7 @@ from functools import lru_cache, partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .bank import WaveletDef, WaveletMode, make_fft_bank_ri
 from .cwt import power_from_bank
@@ -31,7 +32,8 @@ from .spectra import morse_taper_spectrum
 
 __all__ = ["morse_taper_def", "multitaper_banks",
            "multitaper_power_from_banks", "multitaper_power",
-           "multitaper_mean_power"]
+           "multitaper_mean_power", "multitaper_coherence_matrix",
+           "multitaper_partial_coherence"]
 
 
 @lru_cache(maxsize=None)
@@ -170,3 +172,111 @@ def _mt_mean_jit(signals_r, flat, *, n_tapers, interpolate):
     f = flat.shape[0] // n_tapers
     p = p.reshape(*p.shape[:-2], f, n_tapers, p.shape[-1])
     return jnp.mean(p, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Multitaper cross-spectral connectivity
+# ---------------------------------------------------------------------------
+
+def _mt_pair_scan(sigs, banks, per_row, interpolate, time_range=None,
+                  precision=None):
+    """Stream an all-pairs statistic over the (F, K, n) taper banks:
+    per frequency, the K taper scalograms FOLD INTO THE EPOCH AXIS of
+    the pairwise cross-products (tapers are orthogonal estimates of the
+    same local spectrum — exactly extra degrees of freedom), so each
+    row hands ``per_row`` the same (sr, si) planes the single-taper
+    ``connectivity.pair_matrix_scan`` epilogues consume, built from
+    E * K effective samples."""
+    from .cwt import analytic_spectrum
+    from .connectivity import _pair_sums
+
+    spec = analytic_spectrum(sigs, interpolate)       # (E, C, N)
+    n0, n1 = time_range if time_range is not None else (0, sigs.shape[-1])
+
+    def row(_, bank_f):                               # (K, n)
+        w = jnp.fft.ifft(spec[None] * bank_f[:, None, None, :])
+        wf = w.reshape((-1,) + w.shape[2:])           # (K*E, C, N)
+        return None, per_row(*_pair_sums(wf[..., n0:n1], precision))
+
+    return lax.scan(row, None, banks)[1]
+
+
+def multitaper_coherence_matrix(sigs_r, freqs, sfreq: float,
+                                b: float = 17.5, r: float = 3.0,
+                                n_tapers: int = 3,
+                                interpolate: bool = False,
+                                eps: float = 1e-12,
+                                time_range=None) -> jnp.ndarray:
+    """(F, C, C) all-pairs multitaper coherence of (E, C, N) epochs:
+    ``|S_ab|^2 / (S_aa S_bb)`` with the cross-spectra averaged over
+    epochs, TIME, and the K orthogonal Morse tapers — the
+    variance-reduced estimator for low trial counts (K tapers behave
+    as K extra trials; a single-epoch recording still yields a usable
+    matrix, which the epoch-wise ``coherence_matrix`` cannot)."""
+    sigs = jnp.asarray(sigs_r, jnp.float32)
+    key = tuple(np.asarray(freqs, np.float32).tolist())
+    flat = _flat_banks_dev(key, int(sigs.shape[-1]), float(sfreq),
+                           float(b), float(r), int(n_tapers),
+                           bool(interpolate), 1.0, jax.default_backend())
+    tr = None if time_range is None else (int(time_range[0]),
+                                          int(time_range[1]))
+    return _mt_coh_jit(sigs, flat, n_tapers=int(n_tapers),
+                       interpolate=bool(interpolate), eps=float(eps),
+                       time_range=tr)
+
+
+@partial(jax.jit, static_argnames=("n_tapers", "interpolate", "eps",
+                                   "time_range"))
+def _mt_coh_jit(sigs, flat, *, n_tapers, interpolate, eps, time_range):
+    f = flat.shape[0] // n_tapers
+    banks = flat.reshape(f, n_tapers, flat.shape[-1])
+
+    def per_row(sr, si):
+        s_r = jnp.sum(sr, axis=-1)                    # (C, C) time sum
+        s_i = jnp.sum(si, axis=-1)
+        num = s_r * s_r + s_i * s_i
+        p = jnp.diagonal(s_r)
+        den = p[:, None] * p[None, :]
+        den = jnp.maximum(den, eps * jnp.max(den))
+        return num / den
+
+    return _mt_pair_scan(sigs, banks, per_row, interpolate, time_range)
+
+
+def multitaper_partial_coherence(sigs_r, freqs, sfreq: float,
+                                 b: float = 17.5, r: float = 3.0,
+                                 n_tapers: int = 3,
+                                 interpolate: bool = False,
+                                 lam: float = 1e-5,
+                                 time_range=None) -> jnp.ndarray:
+    """(F, C, C) multitaper PARTIAL coherence: the precision-matrix
+    conditioning of ``connectivity.partial_coherence`` on the
+    taper-augmented cross-spectra — K tapers multiply the effective
+    sample count, so the (C, C) inverse stays well-conditioned at trial
+    counts where the single-taper estimate is rank-starved (E * K *
+    n_time >= C is the requirement)."""
+    sigs = jnp.asarray(sigs_r, jnp.float32)
+    key = tuple(np.asarray(freqs, np.float32).tolist())
+    flat = _flat_banks_dev(key, int(sigs.shape[-1]), float(sfreq),
+                           float(b), float(r), int(n_tapers),
+                           bool(interpolate), 1.0, jax.default_backend())
+    tr = None if time_range is None else (int(time_range[0]),
+                                          int(time_range[1]))
+    return _mt_pcoh_jit(sigs, flat, n_tapers=int(n_tapers),
+                        interpolate=bool(interpolate), lam=float(lam),
+                        time_range=tr)
+
+
+@partial(jax.jit, static_argnames=("n_tapers", "interpolate", "lam",
+                                   "time_range"))
+def _mt_pcoh_jit(sigs, flat, *, n_tapers, interpolate, lam, time_range):
+    from .connectivity import partial_coherence_per_row
+    f = flat.shape[0] // n_tapers
+    banks = flat.reshape(f, n_tapers, flat.shape[-1])
+    e_eff = sigs.shape[0] * n_tapers
+
+    def per_row(sr, si):
+        return partial_coherence_per_row(sr, si, e_eff, lam)
+
+    return _mt_pair_scan(sigs, banks, per_row, interpolate, time_range,
+                         precision=jax.lax.Precision.HIGHEST)

@@ -684,6 +684,36 @@ class EpochsWavelet:
         return _coh_m(waves, br, bi, interpolate=self.wavelet.interpolate,
                       eps=eps, time_range=self._samples(time_range))
 
+    def multitaper_coherence_matrix(self, freqs: Numbers,
+                                    n_tapers: int = 3,
+                                    time_range=None) -> jnp.ndarray:
+        """(F, C, C) all-pairs MULTITAPER coherence (extension —
+        ``ops.multitaper.multitaper_coherence_matrix``): the K Morse
+        tapers fold into the epoch axis, so low trial counts (even a
+        single epoch) still yield a stable estimate."""
+        from ..ops.multitaper import multitaper_coherence_matrix as _m
+        waves = self._all_data()
+        return _m(waves, np.asarray(list(freqs), np.float64),
+                  self.wavelet.sfreq, n_tapers=n_tapers,
+                  interpolate=self.wavelet.interpolate,
+                  time_range=self._samples(time_range))
+
+    def multitaper_partial_coherence(self, freqs: Numbers,
+                                     n_tapers: int = 3,
+                                     lam: float = 1e-5,
+                                     time_range=None) -> jnp.ndarray:
+        """(F, C, C) multitaper PARTIAL coherence (extension —
+        ``ops.multitaper.multitaper_partial_coherence``): the
+        conditioning inverse runs on taper-augmented cross-spectra, so
+        it stays well-posed at trial counts where
+        :meth:`partial_coherence` is rank-starved."""
+        from ..ops.multitaper import multitaper_partial_coherence as _m
+        waves = self._all_data()
+        return _m(waves, np.asarray(list(freqs), np.float64),
+                  self.wavelet.sfreq, n_tapers=n_tapers, lam=lam,
+                  interpolate=self.wavelet.interpolate,
+                  time_range=self._samples(time_range))
+
     def kuramoto_order(self, freqs: Numbers,
                        mean_epochs: bool = True) -> jnp.ndarray:
         """(F, N) global phase-synchrony time course across ALL

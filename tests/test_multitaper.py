@@ -170,3 +170,89 @@ class TestShardedAndAdapter:
         np.testing.assert_allclose(
             np.asarray(ew.multitaper_power("a", freqs, n_tapers=1)),
             np.asarray(ew.power("a", freqs)), rtol=1e-5, atol=1e-7)
+
+
+class TestMultitaperConnectivity:
+    FREQS = np.arange(20.0, 60.0, 8.0)
+    SFREQ = 1000.0
+
+    def _pair(self, coupled: bool, e=1, n=2048, seed=0):
+        """Single (or few) epochs: shared 40 Hz source or independent."""
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / self.SFREQ
+        sig = np.empty((e, 2, n), np.float32)
+        for i in range(e):
+            base = np.sin(2 * np.pi * 40 * t + rng.uniform(0, 2 * np.pi))
+            sig[i, 0] = base + 0.4 * rng.standard_normal(n)
+            # NOTE the uncoupled control must be broadband noise: at
+            # E = 1 two same-frequency sinusoids are genuinely coherent
+            # (a constant phase offset IS a linear relation).
+            sig[i, 1] = (base + 0.4 * rng.standard_normal(n)
+                         if coupled else rng.standard_normal(n))
+        return sig
+
+    def test_single_epoch_detects_coupling(self):
+        """Epoch-wise coherence is degenerate (== 1) at E = 1; the
+        taper-augmented estimator is not."""
+        from ninwavelets_tpu.ops.multitaper import \
+            multitaper_coherence_matrix
+        row = int(np.argmin(np.abs(self.FREQS - 44.0)))
+        hi = np.asarray(multitaper_coherence_matrix(
+            self._pair(True), self.FREQS, self.SFREQ))
+        lo = np.asarray(multitaper_coherence_matrix(
+            self._pair(False, seed=1), self.FREQS, self.SFREQ))
+        assert hi.shape == (self.FREQS.size, 2, 2)
+        assert hi[row, 0, 1] > 0.7
+        assert lo[row, 0, 1] < 0.4
+        np.testing.assert_allclose(np.diagonal(hi, axis1=1, axis2=2),
+                                   1.0, atol=1e-4)
+
+    def test_matches_float64_oracle(self):
+        from ninwavelets_tpu.ops.multitaper import (
+            multitaper_banks, multitaper_coherence_matrix)
+        x = self._pair(True, e=2, n=1024, seed=2)
+        banks = np.asarray(multitaper_banks(
+            self.FREQS, 1024, self.SFREQ, n_tapers=3), np.float64)
+        got = np.asarray(multitaper_coherence_matrix(
+            x, self.FREQS, self.SFREQ, n_tapers=3))
+        spec = np.fft.fft(np.asarray(x, np.float64))    # (E, C, N)
+        for f in range(banks.shape[0]):
+            s = np.zeros((2, 2), complex)
+            for k in range(3):
+                w = np.fft.ifft(spec * banks[f, k])
+                s += np.einsum('ean,ebn->ab', w, w.conj())
+            num = np.abs(s) ** 2
+            p = np.real(np.diag(s))
+            want = num / np.maximum(p[:, None] * p[None, :],
+                                    1e-12 * (p[:, None] * p[None, :]).max())
+            np.testing.assert_allclose(got[f], want, rtol=2e-3,
+                                       atol=2e-4)
+
+    def test_partial_coherence_low_trials(self):
+        """Mediated chain at E = 2 (rank-starved for the single-taper
+        estimator at this time window) — tapers restore conditioning."""
+        from ninwavelets_tpu.ops.multitaper import \
+            multitaper_partial_coherence
+        rng = np.random.default_rng(3)
+        e, n = 2, 2048
+        z = rng.standard_normal((e, 1, n))
+        e2 = 0.5 * rng.standard_normal((e, 1, n))
+        e3 = 0.5 * rng.standard_normal((e, 1, n))
+        x = np.concatenate([z, z + e2, z + e2 + e3], 1).astype(np.float32)
+        pc = np.asarray(multitaper_partial_coherence(
+            x, self.FREQS, self.SFREQ)).mean(0)
+        assert pc[0, 2] < 0.1
+        assert pc[0, 1] > 0.25 and pc[1, 2] > 0.3
+        np.testing.assert_allclose(np.diagonal(pc), 1.0, atol=1e-4)
+
+    def test_adapter(self):
+        from tests.test_epochs import FakeEpochs
+        x = self._pair(True, e=2)
+        ew = nw.EpochsWavelet(FakeEpochs(x, self.SFREQ),
+                              nw.Morse(self.SFREQ))
+        c = np.asarray(ew.multitaper_coherence_matrix(self.FREQS))
+        assert c.shape == (self.FREQS.size, 2, 2)
+        row = int(np.argmin(np.abs(self.FREQS - 44.0)))
+        assert c[row, 0, 1] > 0.7
+        pc = np.asarray(ew.multitaper_partial_coherence(self.FREQS))
+        assert pc.shape == (self.FREQS.size, 2, 2)
