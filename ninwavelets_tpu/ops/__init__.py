@@ -88,6 +88,7 @@ from .cycles import CycleTable, cycle_features
 from .emd import eemd
 from .emd import emd as empirical_mode_decomposition
 from .filtering import bandpass, highpass, lowpass, notch, resample
+from .asr import ASRModel, asr_calibrate, asr_process
 from .hmm import HMMResult, hmm_fit, viterbi
 from .sleep import (EventTable, detect_slow_oscillations,
                     detect_spindles)
@@ -205,6 +206,7 @@ __all__ = [
     "hmm_fit", "viterbi", "HMMResult",
     "RejectResult", "autoreject_global", "ptp", "ptp_reject",
     "EventTable", "detect_spindles", "detect_slow_oscillations",
+    "ASRModel", "asr_calibrate", "asr_process",
     "PeakResult", "evoked", "peak_measures", "mean_amplitude",
     "fractional_area_latency", "fractional_peak_onset",
     "jackknife_onsets",

@@ -1596,6 +1596,31 @@ class RawWavelet:
         return hmm_fit(feats, n_states, n_iter=n_iter,
                        stickiness=stickiness, seed=seed)
 
+    def asr_clean(self, cutoff: float = 5.0, win_s: float = 0.5,
+                  calib_frac: float = 0.25, return_keep: bool = False):
+        """(C, N) ASR-cleaned copy of the recording (extension —
+        ``ops.asr``, Mullen 2015): the model calibrates on the
+        ``calib_frac`` cleanest windows (lowest worst-channel
+        peak-to-peak — automatic baseline selection), then every
+        50%-overlapped window's high-variance components are
+        reconstructed from it.  ``return_keep=True`` also returns the
+        (W, C) per-window component survival flags."""
+        from ..ops.asr import asr_calibrate, asr_process
+        from ..ops.reject import ptp
+        import jax.numpy as _jnp
+        data = self._host_data()
+        sfreq = self.wavelet.sfreq
+        win = max(2, int(round(win_s * sfreq)))
+        nw_ = data.shape[-1] // win
+        frames = data[:, :nw_ * win].reshape(data.shape[0], nw_, win)
+        score = np.asarray(ptp(_jnp.asarray(frames))).max(0)   # (W,)
+        n_keep = max(4, int(round(calib_frac * nw_)))
+        order = np.argsort(score)[:n_keep]
+        calib = frames[:, np.sort(order), :].reshape(data.shape[0], -1)
+        model = asr_calibrate(calib, sfreq, cutoff=cutoff, win_s=win_s)
+        cleaned, keep = asr_process(data, sfreq, model, win_s=win_s)
+        return (cleaned, keep) if return_keep else cleaned
+
     def dfa(self, ch_name: str, freq: float, scales=None,
             decim: int = 4, **kw):
         """Long-range temporal correlation of one channel's band
