@@ -537,6 +537,16 @@ def main():
            signal_s_per_s=round(120000 / sfreq / d, 1),
            config=dict(c=64, n=120000, k=4, n_init=8, n_iter=40))
 
+    # --- ASR (r4: preprocessing) -----------------------------------------
+    from ninwavelets_tpu.ops.asr import asr_calibrate, asr_process
+    xasr = jnp.asarray(
+        rng.standard_normal((64, 150000)).astype(np.float32))
+    m_asr = asr_calibrate(np.asarray(xasr)[:, :30000], 250.0)
+    d = t(lambda x: asr_process(x, 250.0, m_asr)[0], xasr, iters=3)
+    record(op="asr_64ch_10min", signal_s_per_s=round(150000 / 250.0 / d,
+                                                     1),
+           config=dict(c=64, n=150000, sfreq=250))
+
     # --- complexity (r4: entropy family) ---------------------------------
     from ninwavelets_tpu.ops.complexity import (permutation_entropy,
                                                 sample_entropy)

@@ -96,7 +96,7 @@ from .erp import (PeakResult, evoked, fractional_area_latency,
                   fractional_peak_onset, jackknife_onsets,
                   mean_amplitude, peak_measures)
 from .reject import (RejectResult, autoreject_global, ptp,
-                     ptp_reject)
+                     ptp_reject, regress_out)
 from .microstates import (MicrostateResult, gfp, microstate_backfit,
                           microstate_fit, microstate_stats)
 from .ica import ICAResult, fastica, ica_remove, ica_transform
@@ -205,6 +205,7 @@ __all__ = [
     "dwt2", "idwt2", "wavedec2", "waverec2", "max_level2",
     "hmm_fit", "viterbi", "HMMResult",
     "RejectResult", "autoreject_global", "ptp", "ptp_reject",
+    "regress_out",
     "EventTable", "detect_spindles", "detect_slow_oscillations",
     "ASRModel", "asr_calibrate", "asr_process",
     "PeakResult", "evoked", "peak_measures", "mean_amplitude",

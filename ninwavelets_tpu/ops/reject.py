@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["ptp", "ptp_reject", "autoreject_global", "RejectResult"]
+__all__ = ["ptp", "ptp_reject", "autoreject_global", "RejectResult",
+           "regress_out"]
 
 
 class RejectResult(NamedTuple):
@@ -140,3 +141,39 @@ def autoreject_global(x, thresholds=None, n_candidates: int = 30,
     return RejectResult(threshold=thr,
                         drop_mask=ptp_reject(x, thr),
                         thresholds=thresholds, cv_error=errs)
+
+
+@jax.jit
+def _regress_out_jit(x, refs):
+    xm = x - jnp.mean(x, axis=-1, keepdims=True)
+    rm = refs - jnp.mean(refs, axis=-1, keepdims=True)
+    # beta = (R R^T)^{-1} R X^T per batch row: tiny (K, K) solve
+    g = jnp.matmul(rm, jnp.swapaxes(rm, -1, -2),
+                   precision=lax.Precision.HIGHEST)
+    g = g + 1e-9 * jnp.trace(g, axis1=-2, axis2=-1)[..., None, None] \
+        * jnp.eye(g.shape[-1])
+    cross = jnp.matmul(rm, jnp.swapaxes(xm, -1, -2),
+                       precision=lax.Precision.HIGHEST)
+    beta = jnp.linalg.solve(g, cross)                 # (K, C)
+    return xm - jnp.matmul(jnp.swapaxes(beta, -1, -2), rm,
+                           precision=lax.Precision.HIGHEST)
+
+
+def regress_out(x, refs) -> jnp.ndarray:
+    """Least-squares regression of reference channels out of
+    (..., C, N) data (the classical EOG/ECG artifact correction —
+    Gratton & Coles): each data channel loses its best linear fit on
+    the (..., K, N) references.  Both are mean-centered first; the
+    (K, K) normal equations get a relative ridge so collinear
+    references stay solvable.  Shapes broadcast over leading batch
+    dims (epochs)."""
+    x = jnp.asarray(x, jnp.float32)
+    refs = jnp.asarray(refs, jnp.float32)
+    if refs.ndim == 1:
+        refs = refs[None, :]
+    if x.shape[-1] != refs.shape[-1]:
+        raise ValueError("x and refs must share the time axis")
+    if x.ndim != refs.ndim:
+        raise ValueError("x and refs need matching batch dims "
+                         "(add a channel axis to 1-D refs)")
+    return _regress_out_jit(x, refs)

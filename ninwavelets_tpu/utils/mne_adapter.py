@@ -1103,6 +1103,30 @@ class EpochsWavelet:
                         list(self.epochs.ch_names), times=times),
             self.wavelet)
 
+    def regress_out(self, ref_names) -> "EpochsWavelet":
+        """A NEW ``EpochsWavelet`` with the listed reference channels
+        (EOG/ECG) regressed out of every other channel per epoch
+        (extension — ``ops.reject.regress_out``, the Gratton-Coles
+        correction) and the references themselves dropped.  Composable
+        like :meth:`drop_bad`."""
+        from ..ops.reject import regress_out as _ro
+        names = list(self.epochs.ch_names)
+        ref_idx = []
+        for ch in ref_names:
+            if ch not in names:
+                raise ValueError(f"channel {ch!r} not in ch_names")
+            ref_idx.append(names.index(ch))
+        keep_idx = [i for i in range(len(names)) if i not in ref_idx]
+        if not keep_idx:
+            raise ValueError("no data channels left after removing refs")
+        data = np.asarray(self._all_data())          # (E, C, N)
+        cleaned = np.asarray(_ro(data[:, keep_idx], data[:, ref_idx]))
+        times = getattr(self.epochs, "times", None)
+        return EpochsWavelet(
+            ArrayEpochs(cleaned, self.wavelet.sfreq,
+                        [names[i] for i in keep_idx], times=times),
+            self.wavelet)
+
     def drop_bad(self, threshold: Optional[float] = None,
                  **kw) -> "EpochsWavelet":
         """A NEW ``EpochsWavelet`` with bad trials dropped (extension —

@@ -115,3 +115,54 @@ class TestAdapter:
         ew = nw.EpochsWavelet(FakeEpochs(x, 1000.0), nw.Morse(1000.0))
         with pytest.raises(ValueError, match="every trial"):
             ew.drop_bad(threshold=0.0)
+
+
+class TestRegressOut:
+    def test_removes_shared_artifact(self):
+        """Blink-like reference leaks into data channels with fixed
+        gains; regression recovers the underlying signals."""
+        rng = np.random.default_rng(0)
+        e, c, n = 6, 4, 1000
+        t = np.arange(n) / 1000.0
+        truth = np.stack([[np.sin(2 * np.pi * (8 + ch) * t)
+                           + 0.1 * rng.standard_normal(n)
+                           for ch in range(c)] for _ in range(e)])
+        blink = np.stack([np.exp(-0.5 * ((t - rng.uniform(0.2, 0.8))
+                                         / 0.05) ** 2) * 20.0
+                          for _ in range(e)])          # (E, N)
+        gains = rng.uniform(0.2, 0.8, c)
+        x = truth + gains[None, :, None] * blink[:, None, :]
+        eog = blink[:, None, :] + 0.2 * rng.standard_normal((e, 1, n))
+        from ninwavelets_tpu.ops.reject import regress_out
+        out = np.asarray(regress_out(x.astype(np.float32),
+                                     eog.astype(np.float32)))
+        tc = truth - truth.mean(-1, keepdims=True)
+        err_before = np.abs((x - x.mean(-1, keepdims=True)) - tc).mean()
+        err_after = np.abs(out - tc).mean()
+        assert err_after < 0.15 * err_before
+
+    def test_matches_lstsq_oracle(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((3, 500)).astype(np.float32)
+        refs = rng.standard_normal((2, 500)).astype(np.float32)
+        from ninwavelets_tpu.ops.reject import regress_out
+        got = np.asarray(regress_out(x, refs))
+        xm = x - x.mean(-1, keepdims=True)
+        rm = refs - refs.mean(-1, keepdims=True)
+        beta, *_ = np.linalg.lstsq(rm.T, xm.T, rcond=None)
+        want = xm - beta.T @ rm
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_adapter_drops_refs(self):
+        from tests.test_epochs import FakeEpochs
+        rng = np.random.default_rng(2)
+        data = rng.standard_normal((4, 3, 500)).astype(np.float32)
+        data[:, 0] += 0.5 * data[:, 2]               # ch0 contaminated
+        ew = nw.EpochsWavelet(FakeEpochs(data, 1000.0), nw.Morse(1000.0))
+        clean = ew.regress_out(["EEG 002"])
+        assert len(clean.epochs.ch_names) == 2
+        assert "EEG 002" not in clean.epochs.ch_names
+        got = np.asarray(clean._all_data())
+        assert got.shape == (4, 2, 500)
+        with pytest.raises(ValueError, match="ch_names"):
+            ew.regress_out(["nope"])
