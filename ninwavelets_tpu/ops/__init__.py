@@ -90,6 +90,10 @@ from .emd import emd as empirical_mode_decomposition
 from .filtering import bandpass, highpass, lowpass, notch, resample
 from .asr import ASRModel, asr_calibrate, asr_process
 from .hmm import HMMResult, hmm_fit, viterbi
+from .riemann import (epoch_covariances, mdm_decode,
+                      riemannian_distance, riemannian_mean,
+                      spd_expm, spd_logm, spd_sqrtm,
+                      tangent_decode, tangent_space)
 from .sleep import (EventTable, detect_slow_oscillations,
                     detect_spindles)
 from .erp import (PeakResult, evoked, fractional_area_latency,
@@ -208,6 +212,9 @@ __all__ = [
     "regress_out",
     "EventTable", "detect_spindles", "detect_slow_oscillations",
     "ASRModel", "asr_calibrate", "asr_process",
+    "epoch_covariances", "riemannian_distance", "riemannian_mean",
+    "spd_logm", "spd_expm", "spd_sqrtm", "tangent_space",
+    "mdm_decode", "tangent_decode",
     "PeakResult", "evoked", "peak_measures", "mean_amplitude",
     "fractional_area_latency", "fractional_peak_onset",
     "jackknife_onsets",

@@ -1,0 +1,220 @@
+"""Riemannian geometry of covariance matrices: AIRM distances, the
+geometric (Karcher) mean, tangent-space features, and the two standard
+covariance classifiers (MDM, tangent-space LDA).
+
+No reference counterpart — this is the pyRiemann workflow (Barachant
+2012), the state-of-the-art feature space for motor-imagery BCI and a
+strong complement to the CSP pipeline in ``ops/decoding.py``: trial
+covariances live on the SPD manifold, and respecting its geometry
+(affine-invariant metric) instead of flattening them Euclidean-style is
+worth real accuracy at low trial counts.
+
+TPU design: every manifold primitive reduces to a batched ``eigh`` on
+tiny (C, C) Hermitian stacks —
+
+* ``logm``/``expm``/``sqrtm`` transform the eigenvalues and sandwich
+  back (one eigh + two matmuls each, batched over trials);
+* the Karcher mean is the classical fixed point ``G <- G^{1/2}
+  exp(mean_k log(G^{-1/2} C_k G^{-1/2})) G^{1/2}`` run a fixed number
+  of ``lax.scan`` steps (quadratic convergence — 15 is plenty);
+* tangent vectors are upper-triangle flattenings with sqrt(2)
+  off-diagonal weights so the Euclidean inner product equals the
+  manifold metric at the reference;
+* everything runs at HIGHEST matmul precision (the repo rule for any
+  path feeding eigensolves/inverses).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["epoch_covariances", "spd_logm", "spd_expm", "spd_sqrtm",
+           "riemannian_distance", "riemannian_mean", "tangent_space",
+           "mdm_decode", "tangent_decode"]
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def epoch_covariances(x, shrink: float = 0.05) -> jnp.ndarray:
+    """(E, C, N) -> (E, C, C) per-trial covariance with relative
+    shrinkage toward the scaled identity (``shrink`` of the average
+    eigenvalue — keeps every trial SPD even when N < C)."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 3:
+        raise ValueError("x must be (E, C, N)")
+    xm = x - jnp.mean(x, axis=-1, keepdims=True)
+    c = jnp.einsum("ecn,edn->ecd", xm, xm, precision=_HP) / x.shape[-1]
+    tr = jnp.trace(c, axis1=-2, axis2=-1) / x.shape[1]
+    eye = jnp.eye(x.shape[1], dtype=c.dtype)
+    return (1.0 - shrink) * c + shrink * tr[:, None, None] * eye
+
+
+def _eig_fn(p, fn):
+    d, v = jnp.linalg.eigh(p)
+    d = jnp.maximum(d, 1e-12 * d[..., -1:])
+    return jnp.einsum("...ij,...j,...kj->...ik", v, fn(d), v,
+                      precision=_HP)
+
+
+def spd_logm(p) -> jnp.ndarray:
+    """Batched matrix logarithm of SPD stacks (eigh-based)."""
+    return _eig_fn(jnp.asarray(p, jnp.float32), jnp.log)
+
+
+def spd_expm(p) -> jnp.ndarray:
+    """Batched matrix exponential of symmetric stacks."""
+    p = jnp.asarray(p, jnp.float32)
+    d, v = jnp.linalg.eigh(p)
+    return jnp.einsum("...ij,...j,...kj->...ik", v, jnp.exp(d), v,
+                      precision=_HP)
+
+
+def spd_sqrtm(p) -> jnp.ndarray:
+    """Batched matrix square root of SPD stacks (and its inverse via
+    ``spd_sqrtm(p) @ x`` patterns — see ``_isqrtm``)."""
+    return _eig_fn(jnp.asarray(p, jnp.float32), jnp.sqrt)
+
+
+def _isqrtm(p):
+    return _eig_fn(p, lambda d: 1.0 / jnp.sqrt(d))
+
+
+def riemannian_distance(a, b) -> jnp.ndarray:
+    """Affine-invariant distance ``|| logm(A^{-1/2} B A^{-1/2}) ||_F``
+    between SPD stacks (broadcasting batch dims): congruence-invariant
+    (``d(WAW', WBW') = d(A, B)``), the geodesic metric the mean and
+    classifiers below use."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    ia = _isqrtm(a)
+    m = jnp.einsum("...ij,...jk,...kl->...il", ia, b, ia, precision=_HP)
+    lg = spd_logm(m)
+    return jnp.sqrt(jnp.sum(lg * lg, axis=(-2, -1)))
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def _karcher_jit(covs, weights, *, n_iter):
+    g0 = jnp.einsum("e,ecd->cd", weights, covs, precision=_HP)
+
+    def step(g, _):
+        gs, gis = spd_sqrtm(g), _isqrtm(g)
+        m = jnp.einsum("ij,ejk,kl->eil", gis, covs, gis, precision=_HP)
+        t = jnp.einsum("e,ecd->cd", weights, spd_logm(m), precision=_HP)
+        g_new = jnp.einsum("ij,jk,kl->il", gs, spd_expm(t), gs,
+                           precision=_HP)
+        return 0.5 * (g_new + g_new.T), None       # re-symmetrize
+
+    g, _ = lax.scan(step, 0.5 * (g0 + g0.T), None, length=n_iter)
+    return g
+
+
+def riemannian_mean(covs, weights=None, n_iter: int = 15) -> jnp.ndarray:
+    """Karcher (geometric) mean of an (E, C, C) SPD stack under the
+    affine-invariant metric — the fixed point where the weighted
+    tangent vectors sum to zero.  ``weights`` default uniform."""
+    covs = jnp.asarray(covs, jnp.float32)
+    if covs.ndim != 3 or covs.shape[-1] != covs.shape[-2]:
+        raise ValueError("covs must be (E, C, C)")
+    e = covs.shape[0]
+    if weights is None:
+        weights = jnp.full((e,), 1.0 / e, jnp.float32)
+    else:
+        weights = jnp.asarray(weights, jnp.float32)
+        weights = weights / jnp.sum(weights)
+    return _karcher_jit(covs, weights, n_iter=int(n_iter))
+
+
+def tangent_space(covs, ref) -> jnp.ndarray:
+    """Project an (E, C, C) SPD stack to the tangent space at ``ref``:
+    ``S_e = logm(ref^{-1/2} C_e ref^{-1/2})`` flattened to the upper
+    triangle with sqrt(2)-weighted off-diagonals — (E, C(C+1)/2)
+    Euclidean features whose inner product matches the manifold metric
+    at the reference (Barachant's tangent-space mapping)."""
+    covs = jnp.asarray(covs, jnp.float32)
+    ref = jnp.asarray(ref, jnp.float32)
+    ir = _isqrtm(ref)
+    m = jnp.einsum("ij,ejk,kl->eil", ir, covs, ir, precision=_HP)
+    s = spd_logm(m)
+    c = s.shape[-1]
+    iu, ju = np.triu_indices(c)
+    w = np.where(iu == ju, 1.0, np.sqrt(2.0)).astype(np.float32)
+    return s[:, iu, ju] * w[None, :]
+
+
+def _fold_ids(e, n_folds):
+    return np.mod(np.arange(e), n_folds)
+
+
+def mdm_decode(xa, xb, n_folds: int = 5, shrink: float = 0.05,
+               n_iter: int = 15):
+    """Cross-validated MDM (minimum distance to Riemannian mean)
+    accuracy between two-class epochs (Ea, C, N) vs (Eb, C, N) —
+    the pyRiemann baseline classifier: per fold, each class's Karcher
+    mean from the training trials, held-out trials labeled by the
+    smaller affine-invariant distance.  Returns scalar accuracy
+    (0.5 = chance)."""
+    ca, cb, ids_a, ids_b, nf = _decode_setup(xa, xb, n_folds, shrink)
+    correct = total = 0.0
+    for k in range(nf):
+        ma = riemannian_mean(ca[ids_a != k], n_iter=n_iter)
+        mb = riemannian_mean(cb[ids_b != k], n_iter=n_iter)
+        for covs, own in ((ca[ids_a == k], ma), (cb[ids_b == k], mb)):
+            other = mb if own is ma else ma
+            d_own = riemannian_distance(covs, own[None])
+            d_oth = riemannian_distance(covs, other[None])
+            correct += float(jnp.sum(d_own < d_oth))
+            total += covs.shape[0]
+    return correct / total
+
+
+def tangent_decode(xa, xb, n_folds: int = 5, shrink: float = 0.05,
+                   n_iter: int = 15, lam: float = 1e-3):
+    """Cross-validated tangent-space LDA AUC between two-class epochs:
+    per fold, the POOLED training trials' Karcher mean is the tangent
+    reference, both classes map to tangent vectors, and a ridge LDA
+    scores the held-out trials (ROC AUC, 0.5 = chance) — Barachant's
+    tangent-space pipeline, usually the strongest linear decoder on
+    motor-imagery covariances."""
+    from .decoding import decode_auc
+    ca, cb, ids_a, ids_b, nf = _decode_setup(xa, xb, n_folds, shrink)
+    aucs = []
+    for k in range(nf):
+        tra, trb = ca[ids_a != k], cb[ids_b != k]
+        ref = riemannian_mean(jnp.concatenate([tra, trb], 0),
+                              n_iter=n_iter)
+        fa, fb = tangent_space(ca, ref), tangent_space(cb, ref)
+        mu_a = jnp.mean(fa[ids_a != k], axis=0)
+        mu_b = jnp.mean(fb[ids_b != k], axis=0)
+        da = fa[ids_a != k] - mu_a
+        db = fb[ids_b != k] - mu_b
+        cov = (jnp.einsum("ek,el->kl", da, da, precision=_HP)
+               + jnp.einsum("ek,el->kl", db, db, precision=_HP)) \
+            / (da.shape[0] + db.shape[0] - 2)
+        cov = cov + lam * jnp.trace(cov) / cov.shape[0] \
+            * jnp.eye(cov.shape[0])
+        wvec = jnp.linalg.solve(cov, mu_a - mu_b)
+        sa = fa[ids_a == k] @ wvec
+        sb = fb[ids_b == k] @ wvec
+        va = jnp.ones(sa.shape[0], bool)
+        vb = jnp.ones(sb.shape[0], bool)
+        aucs.append(float(decode_auc(sa, sb, va, vb)))
+    return float(np.mean(aucs))
+
+
+def _decode_setup(xa, xb, n_folds, shrink):
+    xa = jnp.asarray(xa, jnp.float32)
+    xb = jnp.asarray(xb, jnp.float32)
+    if xa.ndim != 3 or xb.ndim != 3 or xa.shape[1:] != xb.shape[1:]:
+        raise ValueError("expected (Ea, C, N) and (Eb, C, N) with "
+                         "matching (C, N)")
+    nf = int(n_folds)
+    if min(xa.shape[0], xb.shape[0]) < nf:
+        raise ValueError("need at least n_folds trials per class")
+    ca = epoch_covariances(xa, shrink)
+    cb = epoch_covariances(xb, shrink)
+    return ca, cb, _fold_ids(xa.shape[0], nf), _fold_ids(xb.shape[0],
+                                                         nf), nf

@@ -954,6 +954,22 @@ class EpochsWavelet:
                                 self._event_window(window), criterion,
                                 polarity)
 
+    def riemann_decode(self, other: "EpochsWavelet",
+                       method: str = "tangent", n_folds: int = 5,
+                       shrink: float = 0.05, **kw) -> float:
+        """Cross-validated Riemannian covariance decoding between this
+        adapter's trials and ``other``'s (extension — ``ops.riemann``,
+        the pyRiemann workflow): ``method="tangent"`` (tangent-space
+        LDA, returns AUC) or ``"mdm"`` (minimum distance to the
+        Karcher mean, returns accuracy).  The geometry-respecting
+        alternative to :meth:`csp_decode`."""
+        from ..ops.riemann import mdm_decode, tangent_decode
+        fn = {"tangent": tangent_decode, "mdm": mdm_decode}.get(method)
+        if fn is None:
+            raise ValueError("method must be 'tangent' or 'mdm'")
+        return fn(self._all_data(), other._all_data(),
+                  n_folds=n_folds, shrink=shrink, **kw)
+
     def sample_entropy(self, m: int = 2, r: float = 0.2) -> jnp.ndarray:
         """(E, C) sample entropy of every epoch and channel (extension —
         ``ops.complexity.sample_entropy``, Richman-Moorman; tolerance
