@@ -547,6 +547,18 @@ def main():
                                                      1),
            config=dict(c=64, n=150000, sfreq=250))
 
+    # --- Riemannian decoding (r4) ----------------------------------------
+    from ninwavelets_tpu.ops.riemann import tangent_decode
+    xra = np.asarray(rng.standard_normal((40, 32, 512)), np.float32)
+    xrb = np.asarray(rng.standard_normal((40, 32, 512)), np.float32)
+    xra[:, 0] *= 2.5
+    xrb[:, 1] *= 2.5
+    t0r = time.perf_counter()
+    auc = tangent_decode(xra, xrb, n_folds=5)
+    record(op="riemann_tangent_decode_5fold",
+           ms=round((time.perf_counter() - t0r) * 1e3, 1),
+           config=dict(e=80, c=32, n=512, auc=round(float(auc), 3)))
+
     # --- complexity (r4: entropy family) ---------------------------------
     from ninwavelets_tpu.ops.complexity import (permutation_entropy,
                                                 sample_entropy)

@@ -1448,6 +1448,16 @@ class RawWavelet:
         from ..io.edf import EDFRaw
         return cls(EDFRaw(path, picks=picks), wavelet, **kw)
 
+    @classmethod
+    def from_brainvision(cls, vhdr_path, wavelet: WaveletBase,
+                         picks=None, **kw) -> "RawWavelet":
+        """Open a BrainVision recording (.vhdr) directly
+        (``io.BVRaw``); markers are at ``.raw.reader.markers`` —
+        feed them to :meth:`epochs` for stimulus-locked epoching
+        straight off the file."""
+        from ..io.brainvision import BVRaw
+        return cls(BVRaw(vhdr_path, picks=picks), wavelet, **kw)
+
     def invalidate(self) -> None:
         """Drop the cached ``get_data()`` snapshot and streams — call after
         mutating the raw object (crop/filter), like
