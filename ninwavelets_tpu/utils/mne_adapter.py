@@ -1813,6 +1813,30 @@ class RawWavelet:
         padded, _ = pow2_pad(jnp.asarray(data))
         return np.asarray(_var(padded, wavelet, level))
 
+    def epochs_from_markers(self, tmin: float, tmax: float,
+                            description=None, kind=None,
+                            picks=None) -> "EpochsWavelet":
+        """Event-locked epochs from the recording's embedded markers
+        (extension — BrainVision .vmrk via ``io.BVReader.markers``):
+        filter by marker ``description`` (e.g. ``"S  1"``) and/or
+        ``kind`` (e.g. ``"Stimulus"``), then slice like
+        :meth:`epochs`."""
+        reader = getattr(self.raw, "reader", None)
+        markers = getattr(reader, "markers", None)
+        if not markers:
+            raise ValueError(
+                "this recording carries no markers (open a BrainVision "
+                "file with a .vmrk via RawWavelet.from_brainvision)")
+        ev = [s for (s, k, d) in markers
+              if (kind is None or k == kind)
+              and (description is None or d == description)]
+        if not ev:
+            raise ValueError(
+                f"no markers match kind={kind!r} "
+                f"description={description!r}")
+        return self.epochs(np.asarray(ev, np.int64), tmin, tmax,
+                           picks=picks)
+
     def epochs(self, events, tmin: float, tmax: float,
                picks=None) -> "EpochsWavelet":
         """Slice event-locked windows out of the recording and return an

@@ -141,3 +141,41 @@ class TestPickedStreaming:
             nw.Morse(1000.0), window=2048)
         want = np.asarray(mem.power([30.0]))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestMarkerEpochs:
+    def test_epochs_from_markers(self, tmp_path):
+        rng = np.random.default_rng(6)
+        n = 10000
+        t = np.arange(n) / 1000.0
+        x = (0.2 * rng.standard_normal((2, n))).astype(np.float32)
+        # evoked bump after each "S  1" marker
+        events = [1000, 3000, 5000, 7000]
+        bump = np.exp(-0.5 * ((np.arange(300) - 150) / 40.0) ** 2)
+        for s in events:
+            x[0, s:s + 300] += 3.0 * bump.astype(np.float32)
+        mks = ([(s, "Stimulus", "S  1") for s in events]
+               + [(2000, "Stimulus", "S  2"), (500, "Response", "R  1")])
+        p = str(tmp_path / "rec.vhdr")
+        write_brainvision(p, x, 1000.0, ch_names=["c0", "c1"],
+                          markers=sorted(mks))
+        rw = nw.RawWavelet.from_brainvision(p, nw.Morse(1000.0))
+        ew = rw.epochs_from_markers(-0.1, 0.4, description="S  1")
+        assert len(ew.epochs) == 4
+        data = np.asarray(ew._all_data())
+        assert data.shape == (4, 2, 501)
+        # evoked bump sits at ~150 ms post-marker in every epoch
+        ev = data.mean(0)[0]
+        assert abs(int(np.argmax(ev)) - (100 + 150)) < 20
+        # kind filter
+        ew2 = rw.epochs_from_markers(-0.1, 0.4, kind="Stimulus")
+        assert len(ew2.epochs) == 5
+        with pytest.raises(ValueError, match="no markers match"):
+            rw.epochs_from_markers(-0.1, 0.4, description="nope")
+        # raws without markers refuse
+        class R:
+            _d = x; info = {"sfreq": 1000.0}; ch_names = ["c0", "c1"]
+            def get_data(self): return self._d
+        with pytest.raises(ValueError, match="no markers"):
+            nw.RawWavelet(R(), nw.Morse(1000.0)).epochs_from_markers(
+                -0.1, 0.4)
