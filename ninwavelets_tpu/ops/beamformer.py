@@ -32,7 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["LCMVResult", "lcmv", "lcmv_apply"]
+__all__ = ["LCMVResult", "lcmv", "lcmv_apply",
+           "DICSResult", "dics", "wavelet_csd",
+           "source_coherence"]
 
 _HP = jax.lax.Precision.HIGHEST
 
@@ -149,3 +151,73 @@ def lcmv_apply(result: LCMVResult, x) -> jnp.ndarray:
         raise ValueError("channel count does not match the filters")
     return jnp.einsum("sc,...cn->...sn", result.filters, x,
                       precision=_HP)
+
+
+class DICSResult(NamedTuple):
+    """Frequency-domain beamformer (one per analyzed frequency):
+    ``filters`` (S, C) real spatial filters, ``power`` (S,) source
+    cross-spectral power, ``nai`` (S,) unit-noise-gain power."""
+    filters: jnp.ndarray
+    power: jnp.ndarray
+    nai: jnp.ndarray
+
+
+def wavelet_csd(sigs_r, bank_r, interpolate: bool = False,
+                time_range=None):
+    """Epoch- and time-averaged wavelet cross-spectral density per bank
+    row: (E, C, N) -> ((F, C, C), (F, C, C)) real/imag pair (the
+    float-pair jit-boundary convention) — the input DICS consumes, and
+    exactly the sums the connectivity matrices are built from."""
+    from .connectivity import pair_matrix_scan
+    sigs = jnp.asarray(sigs_r, jnp.float32)
+    e_n = sigs.shape[0] * (sigs.shape[-1] if time_range is None
+                           else int(time_range[1]) - int(time_range[0]))
+
+    def per_row(sr, si):
+        return (jnp.sum(sr, axis=-1) / e_n, jnp.sum(si, axis=-1) / e_n)
+
+    out = pair_matrix_scan(sigs, jnp.asarray(bank_r, jnp.float32),
+                           per_row, interpolate, time_range=time_range,
+                           precision=_HP)
+    return out
+
+
+def dics(csd_r, csd_i, leadfield, reg: float = 0.05) -> DICSResult:
+    """DICS spatial filters at ONE frequency (Gross et al. 2001, PNAS
+    98:694) from a (C, C) cross-spectral density (real, imag) pair and
+    an (S, C) fixed-orientation leadfield: ``w_s = Re(S)^{-1} l_s /
+    (l_s^T Re(S)^{-1} l_s)`` (the standard real-filter variant), source
+    power ``w^T Re(S) w``, NAI normalized by ``w^T w``.  Use
+    :func:`wavelet_csd` to build the CSD from this framework's banks;
+    localize oscillatory sources on ``nai`` and couple them with
+    :func:`source_coherence`."""
+    cr = jnp.asarray(csd_r, jnp.float32)
+    lead = jnp.asarray(leadfield, jnp.float32)
+    if cr.ndim != 2 or cr.shape[0] != cr.shape[1]:
+        raise ValueError("csd must be (C, C)")
+    if lead.ndim != 2 or lead.shape[-1] != cr.shape[0]:
+        raise ValueError("leadfield must be (S, C) matching the csd")
+    w, _, _ = _lcmv_fixed_jit(cr, lead, reg=float(reg))
+    power = jnp.einsum("sc,cd,sd->s", w, cr, w, precision=_HP)
+    noise = jnp.sum(w * w, axis=1)
+    return DICSResult(filters=w, power=power,
+                      nai=power / jnp.maximum(noise, 1e-30))
+
+
+def source_coherence(result: DICSResult, csd_r, csd_i,
+                     eps: float = 1e-12) -> jnp.ndarray:
+    """(S, S) magnitude-squared coherence between the beamformed
+    sources at this frequency: project the sensor CSD through the DICS
+    filters (``S_src = W S W^T``, complex) and normalize by the source
+    auto-spectra — source-space connectivity with the volume-conduction
+    suppression the beamformer provides."""
+    w = result.filters
+    sr = jnp.einsum("ac,cd,bd->ab", w, jnp.asarray(csd_r, jnp.float32),
+                    w, precision=_HP)
+    si = jnp.einsum("ac,cd,bd->ab", w, jnp.asarray(csd_i, jnp.float32),
+                    w, precision=_HP)
+    num = sr * sr + si * si
+    p = jnp.diagonal(sr)
+    den = p[:, None] * p[None, :]
+    den = jnp.maximum(den, eps * jnp.max(den))
+    return num / den
