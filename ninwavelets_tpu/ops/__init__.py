@@ -89,9 +89,11 @@ from .emd import eemd
 from .emd import emd as empirical_mode_decomposition
 from .filtering import bandpass, highpass, lowpass, notch, resample
 from .asr import ASRModel, asr_calibrate, asr_process
-from .beamformer import (DICSResult, LCMVResult, dics, lcmv,
-                         lcmv_apply, source_coherence,
-                         wavelet_csd)
+from .beamformer import (DICSResult, LCMVResult,
+                         MinimumNormResult, dics, lcmv,
+                         lcmv_apply, minimum_norm,
+                         minimum_norm_apply,
+                         source_coherence, wavelet_csd)
 from .hmm import HMMResult, hmm_fit, viterbi
 from .riemann import (epoch_covariances, mdm_decode,
                       riemannian_distance, riemannian_mean,
@@ -217,6 +219,7 @@ __all__ = [
     "ASRModel", "asr_calibrate", "asr_process",
     "LCMVResult", "lcmv", "lcmv_apply",
     "DICSResult", "dics", "wavelet_csd", "source_coherence",
+    "MinimumNormResult", "minimum_norm", "minimum_norm_apply",
     "epoch_covariances", "riemannian_distance", "riemannian_mean",
     "spd_logm", "spd_expm", "spd_sqrtm", "tangent_space",
     "mdm_decode", "tangent_decode",

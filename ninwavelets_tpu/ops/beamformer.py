@@ -34,7 +34,8 @@ from jax import lax
 
 __all__ = ["LCMVResult", "lcmv", "lcmv_apply",
            "DICSResult", "dics", "wavelet_csd",
-           "source_coherence"]
+           "source_coherence", "MinimumNormResult",
+           "minimum_norm", "minimum_norm_apply"]
 
 _HP = jax.lax.Precision.HIGHEST
 
@@ -221,3 +222,66 @@ def source_coherence(result: DICSResult, csd_r, csd_i,
     den = p[:, None] * p[None, :]
     den = jnp.maximum(den, eps * jnp.max(den))
     return num / den
+
+
+class MinimumNormResult(NamedTuple):
+    """Linear inverse operator: ``kernel`` (S, C) maps sensor data to
+    source estimates (``method`` chooses the noise normalization)."""
+    kernel: jnp.ndarray
+    method: str
+
+
+def minimum_norm(leadfield, lam: float = 1.0 / 9.0,
+                 noise_cov=None, method: str = "mne",
+                 depth: float = 0.0) -> MinimumNormResult:
+    """Minimum-norm linear inverse from an (S, C) fixed-orientation
+    leadfield: ``K = R L^T (L R L^T + lam * N)^{-1}`` (Hamalainen) with
+    optional depth weighting ``R = diag(||l_s||^{-2 depth})``.
+
+    ``method``: ``"mne"`` (raw current estimates), ``"dspm"`` (divide
+    each row by its noise standard deviation ``sqrt(K N K^T)_ss`` — an
+    F/z map), or ``"sloreta"`` (divide by ``sqrt(K L R)_ss``, the
+    resolution-matrix standardization with ZERO localization bias for
+    a single source in the noiseless limit — the property the test
+    gates).  ``lam`` follows the mne convention ``1/SNR^2`` (default
+    SNR = 3); ``noise_cov`` defaults to identity.
+
+    The complement of :func:`lcmv`: non-adaptive (covariance-free), so
+    it has no correlated-source cancellation — use it when sources are
+    expected to be coherent, the beamformer when spatial resolution
+    matters more."""
+    lead = jnp.asarray(leadfield, jnp.float32)
+    if lead.ndim != 2:
+        raise ValueError("leadfield must be (S, C) fixed-orientation")
+    method = str(method).lower()
+    if method not in ("mne", "dspm", "sloreta"):
+        raise ValueError("method must be mne / dspm / sloreta")
+    s, c = lead.shape
+    ncov = (jnp.eye(c, dtype=jnp.float32) if noise_cov is None
+            else jnp.asarray(noise_cov, jnp.float32))
+    if depth:
+        r = jnp.sum(lead * lead, axis=1) ** (-float(depth))
+    else:
+        r = jnp.ones((s,), jnp.float32)
+    rl = lead * r[:, None]                          # rows of R L^T
+    gram = jnp.einsum("sc,sd->cd", rl, lead, precision=_HP)  # L^T R L
+    a = gram + float(lam) * ncov
+    kern = jnp.linalg.solve(a, rl.T).T              # (S, C)
+    if method == "dspm":
+        var = jnp.einsum("sc,cd,sd->s", kern, ncov, kern,
+                         precision=_HP)
+        kern = kern / jnp.sqrt(jnp.maximum(var, 1e-30))[:, None]
+    elif method == "sloreta":
+        res = jnp.einsum("sc,sc,s->s", kern, lead, r, precision=_HP)
+        kern = kern / jnp.sqrt(jnp.maximum(res, 1e-30))[:, None]
+    return MinimumNormResult(kernel=kern, method=method)
+
+
+def minimum_norm_apply(result: MinimumNormResult, x) -> jnp.ndarray:
+    """Project sensor data (..., C, N) to (..., S, N) source
+    estimates with the fitted inverse kernel."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.shape[-2] != result.kernel.shape[1]:
+        raise ValueError("channel count does not match the kernel")
+    return jnp.einsum("sc,...cn->...sn", result.kernel, x,
+                      precision=_HP)

@@ -180,3 +180,54 @@ class TestDICS:
         with pytest.raises(ValueError):
             dics(np.eye(4, dtype=np.float32), np.zeros((4, 4)),
                  np.zeros((3, 5), np.float32))
+
+
+class TestMinimumNorm:
+    def test_sloreta_zero_localization_bias(self):
+        """The defining sLORETA property: a single noiseless source at
+        ANY location peaks exactly at that location."""
+        from ninwavelets_tpu.ops.beamformer import (minimum_norm,
+                                                    minimum_norm_apply)
+        lf = _leadfield(c=24, s=40, seed=8)
+        # give rows wildly different norms (depth-like bias bait)
+        lf = lf * np.linspace(0.2, 3.0, 40)[:, None].astype(np.float32)
+        res = minimum_norm(lf, method="sloreta")
+        for src in (0, 7, 19, 39):
+            est = np.abs(np.asarray(
+                minimum_norm_apply(res, lf[src][:, None])))[:, 0]
+            assert int(np.argmax(est)) == src, src
+
+    def test_mne_recovers_correlated_sources(self):
+        """Fully correlated sources cancel in LCMV but NOT in the
+        non-adaptive minimum-norm inverse."""
+        from ninwavelets_tpu.ops.beamformer import (minimum_norm,
+                                                    minimum_norm_apply)
+        rng = np.random.default_rng(9)
+        lf = _leadfield(c=24, s=30, seed=9)
+        n = 8000
+        t = np.arange(n) / 1000.0
+        drive = 3.0 * np.sin(2 * np.pi * 15 * t)
+        x = (0.3 * rng.standard_normal((24, n))
+             + (lf[3] + lf[20])[:, None] * drive[None, :]).astype(
+                 np.float32)
+        res = minimum_norm(lf, method="sloreta")
+        est = np.asarray(minimum_norm_apply(res, x))
+        power = (est ** 2).mean(-1)
+        top2 = set(np.argsort(power)[-2:].tolist())
+        assert top2 == {3, 20}, top2
+
+    def test_dspm_noise_normalized(self):
+        """dSPM rows have unit predicted-noise variance."""
+        from ninwavelets_tpu.ops.beamformer import minimum_norm
+        lf = _leadfield(c=16, s=20, seed=10)
+        res = minimum_norm(lf, method="dspm")
+        k = np.asarray(res.kernel)
+        np.testing.assert_allclose(np.sum(k * k, axis=1), 1.0,
+                                   rtol=1e-4)
+
+    def test_validation(self):
+        from ninwavelets_tpu.ops.beamformer import minimum_norm
+        with pytest.raises(ValueError):
+            minimum_norm(np.zeros((5, 3, 8), np.float32))
+        with pytest.raises(ValueError):
+            minimum_norm(np.zeros((5, 8), np.float32), method="nope")
