@@ -17,11 +17,12 @@ file.
 """
 from __future__ import annotations
 
-import configparser
 import os
 from typing import Optional, Sequence
 
 import numpy as np
+
+from .stream import EDFSource
 
 __all__ = ["BVReader", "BVPick", "BVRaw", "BVSource",
            "read_markers", "write_brainvision"]
@@ -31,13 +32,25 @@ _FORMATS = {"IEEE_FLOAT_32": np.float32, "INT_16": np.int16,
 
 
 def _parse_ini(path):
-    txt = open(path, "r", encoding="utf-8", errors="replace").read()
-    # the first line is a magic comment, not INI
-    body = txt.split("\n", 1)[1] if txt.startswith("Brain") else txt
-    cp = configparser.ConfigParser(strict=False)
-    cp.optionxform = str                    # case-sensitive keys
-    cp.read_string(body)
-    return cp
+    """Minimal INI parse into {section: {key: value}} — deliberately
+    NOT configparser: real vendor .vhdr files ship a [Comment] section
+    full of free-form amplifier-setup text (no key=value shape) that
+    makes configparser raise, and '%' in values trips its
+    interpolation.  Lines without '=' are simply skipped; keys stay
+    case-sensitive; ';' lines are comments."""
+    out, sec = {}, None
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(";"):
+                continue
+            if line.startswith("[") and line.endswith("]"):
+                sec = line[1:-1]
+                out.setdefault(sec, {})
+            elif "=" in line and sec is not None:
+                key, val = line.split("=", 1)
+                out[sec][key.strip()] = val.strip()
+    return out
 
 
 class BVReader:
@@ -51,6 +64,8 @@ class BVReader:
     def __init__(self, vhdr_path: str) -> None:
         self.path = os.fspath(vhdr_path)
         cp = _parse_ini(self.path)
+        if "Common Infos" not in cp:
+            raise ValueError(f"{vhdr_path}: no [Common Infos] section")
         ci = cp["Common Infos"]
         fmt = ci.get("DataFormat", "BINARY").upper()
         if fmt != "BINARY":
@@ -64,15 +79,15 @@ class BVReader:
         n_ch = int(ci["NumberOfChannels"])
         # SamplingInterval is in MICROSECONDS
         self.sfreq = 1e6 / float(ci["SamplingInterval"])
-        binfmt = cp["Binary Infos"].get("BinaryFormat",
-                                        "IEEE_FLOAT_32").upper()
+        binfmt = cp.get("Binary Infos", {}).get(
+            "BinaryFormat", "IEEE_FLOAT_32").upper()
         if binfmt not in _FORMATS:
             raise ValueError(f"unsupported BinaryFormat {binfmt}")
         self._dtype = _FORMATS[binfmt]
 
         self.ch_names, self.units = [], []
         res = np.ones(n_ch, np.float64)
-        chsec = cp["Channel Infos"]
+        chsec = cp.get("Channel Infos", {})
         for i in range(n_ch):
             raw = chsec.get(f"Ch{i + 1}", f"ch{i + 1},,1,uV")
             parts = (raw.split(",") + ["", "1", "uV"])[:4]
@@ -176,24 +191,17 @@ class BVPick:
         return self._r.gather(starts, window, halo, self._picks)
 
 
-class BVSource:
-    """Streaming source over a BrainVision file (the ``io.stream``
-    contract: ``.lead``, ``.n_samples``, ``.sfreq``, ``.gather``)."""
+class BVSource(EDFSource):
+    """Streaming source over a BrainVision file — the same generic
+    reader-wrapping source as ``io.stream.EDFSource`` (BVReader/BVPick
+    satisfy the identical pick/gather/sfreq/n_samples contract; this
+    subclass only turns a .vhdr path into a reader first)."""
 
     def __init__(self, reader, picks: Optional[Sequence] = None) -> None:
         if isinstance(reader, (str, bytes)) or hasattr(reader,
                                                        "__fspath__"):
             reader = BVReader(reader)
-        self.reader = reader
-        self._picks = picks
-        names = (list(picks) if picks is not None
-                 else list(reader.ch_names))
-        self.lead = (len(names),)
-        self.sfreq = float(reader.sfreq)
-        self.n_samples = int(reader.n_samples)
-
-    def gather(self, starts, window: int, halo: int) -> np.ndarray:
-        return self.reader.gather(starts, window, halo, self._picks)
+        super().__init__(reader, picks)
 
 
 class BVRaw:
@@ -215,12 +223,13 @@ class BVRaw:
 
 def read_markers(vmrk_path: str):
     """Parse a .vmrk file to ``[(sample, type, description), ...]``
-    (0-based samples; BrainVision positions are 1-based)."""
+    (0-based samples; BrainVision positions are 1-based).  Commas
+    inside type/description use the format's ``\1`` escape; a marker
+    whose position field does not parse is SKIPPED (never silently
+    mapped to sample 0)."""
     cp = _parse_ini(vmrk_path)
     out = []
-    if "Marker Infos" not in cp:
-        return out
-    sec = cp["Marker Infos"]
+    sec = cp.get("Marker Infos", {})
     i = 1
     while f"Mk{i}" in sec:
         parts = sec[f"Mk{i}"].split(",")
@@ -228,8 +237,10 @@ def read_markers(vmrk_path: str):
             try:
                 pos = int(parts[2]) - 1
             except ValueError:
-                pos = 0
-            out.append((pos, parts[0].strip(), parts[1].strip()))
+                i += 1
+                continue
+            out.append((pos, parts[0].replace("\\1", ",").strip(),
+                        parts[1].replace("\\1", ",").strip()))
         i += 1
     return out
 
@@ -292,5 +303,7 @@ def write_brainvision(vhdr_path: str, data: np.ndarray, sfreq: float,
               f"DataFile={os.path.basename(eeg_path)}", "",
               "[Marker Infos]"]
         for i, (pos, mtype, desc) in enumerate(markers):
-            ml.append(f"Mk{i + 1}={mtype},{desc},{int(pos) + 1},1,0")
+            mt = str(mtype).replace(",", "\\1")
+            dc = str(desc).replace(",", "\\1")
+            ml.append(f"Mk{i + 1}={mt},{dc},{int(pos) + 1},1,0")
         open(vmrk_path, "w", encoding="utf-8").write("\n".join(ml) + "\n")

@@ -90,7 +90,7 @@ def asr_calibrate(x_cal, sfreq: float, cutoff: float = 5.0,
     x_cal = jnp.asarray(x_cal, jnp.float32)
     if x_cal.ndim != 2:
         raise ValueError("x_cal must be (C, N)")
-    win = max(2, int(round(win_s * sfreq)))
+    win = max(4, int(round(win_s * sfreq)) & ~1)      # match processing
     if x_cal.shape[-1] < 4 * win:
         raise ValueError("calibration needs at least 4 windows")
     return _calibrate_jit(x_cal, win=win, hop=win // 2,
@@ -100,6 +100,14 @@ def asr_calibrate(x_cal, sfreq: float, cutoff: float = 5.0,
 @partial(jax.jit, static_argnames=("win",))
 def _process_jit(x, mixing, v_cal, thresholds, *, win):
     c, n = x.shape
+    # calibration statistics are learned on mean-centered data, so the
+    # recording is centered per channel GLOBALLY here (a constant DC
+    # offset would otherwise blow every window past threshold) and the
+    # offsets are restored on the output.  Per-WINDOW centering would
+    # be wrong — it folds half of any slow artifact into a mean that
+    # gets reinjected after reconstruction.
+    ch_mean = jnp.mean(x, axis=-1, keepdims=True)
+    x = x - ch_mean
     hop = win // 2
     # pad so every sample is covered by exactly two Hann windows
     pad = (hop, win)
@@ -147,7 +155,7 @@ def _process_jit(x, mixing, v_cal, thresholds, *, win):
     wsum = wsum.at[idx.reshape(-1)].add(
         jnp.broadcast_to(hann, (w, win)).reshape(-1))
     out = acc / jnp.maximum(wsum[None, :], 1e-12)
-    return out[:, hop:hop + n], keep
+    return out[:, hop:hop + n] + ch_mean, keep
 
 
 def asr_process(x, sfreq: float, model: ASRModel,

@@ -129,8 +129,7 @@ def lcmv(cov, leadfield, reg: float = 0.05,
         if lead.shape[-1] != c:
             raise ValueError("leadfield must be (S, C) matching cov")
         lead_fixed = lead
-        nrm = jnp.linalg.norm(lead, axis=1, keepdims=True)
-        ori = jnp.pad(nrm * 0 + jnp.nan, ((0, 0), (0, 2)))  # unknown
+        ori = jnp.full((lead.shape[0], 3), jnp.nan, jnp.float32)
     else:
         raise ValueError("leadfield must be (S, C) or (S, 3, C)")
     w, power, nai = _lcmv_fixed_jit(cov, lead_fixed, reg=float(reg))
@@ -163,24 +162,33 @@ class DICSResult(NamedTuple):
     nai: jnp.ndarray
 
 
+@partial(jax.jit, static_argnames=("interpolate", "time_range"))
+def _wavelet_csd_jit(sigs, bank_r, *, interpolate, time_range):
+    from .connectivity import pair_matrix_scan
+    e_n = sigs.shape[0] * (sigs.shape[-1] if time_range is None
+                           else time_range[1] - time_range[0])
+
+    def per_row(sr, si):
+        return (jnp.sum(sr, axis=-1) / e_n, jnp.sum(si, axis=-1) / e_n)
+
+    return pair_matrix_scan(sigs, bank_r, per_row, interpolate,
+                            time_range=time_range, precision=_HP)
+
+
 def wavelet_csd(sigs_r, bank_r, interpolate: bool = False,
                 time_range=None):
     """Epoch- and time-averaged wavelet cross-spectral density per bank
     row: (E, C, N) -> ((F, C, C), (F, C, C)) real/imag pair (the
     float-pair jit-boundary convention) — the input DICS consumes, and
-    exactly the sums the connectivity matrices are built from."""
-    from .connectivity import pair_matrix_scan
-    sigs = jnp.asarray(sigs_r, jnp.float32)
-    e_n = sigs.shape[0] * (sigs.shape[-1] if time_range is None
-                           else int(time_range[1]) - int(time_range[0]))
-
-    def per_row(sr, si):
-        return (jnp.sum(sr, axis=-1) / e_n, jnp.sum(si, axis=-1) / e_n)
-
-    out = pair_matrix_scan(sigs, jnp.asarray(bank_r, jnp.float32),
-                           per_row, interpolate, time_range=time_range,
-                           precision=_HP)
-    return out
+    exactly the sums the connectivity matrices are built from.  Jitted
+    (the repo rule: complex intermediates must never run eagerly on the
+    axon TPU runtime)."""
+    tr = None if time_range is None else (int(time_range[0]),
+                                          int(time_range[1]))
+    return _wavelet_csd_jit(jnp.asarray(sigs_r, jnp.float32),
+                            jnp.asarray(bank_r, jnp.float32),
+                            interpolate=bool(interpolate),
+                            time_range=tr)
 
 
 def dics(csd_r, csd_i, leadfield, reg: float = 0.05) -> DICSResult:

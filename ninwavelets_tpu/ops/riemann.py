@@ -101,7 +101,12 @@ def _karcher_jit(covs, weights, *, n_iter):
     g0 = jnp.einsum("e,ecd->cd", weights, covs, precision=_HP)
 
     def step(g, _):
-        gs, gis = spd_sqrtm(g), _isqrtm(g)
+        # one eigh serves both the sqrt and inverse-sqrt factors
+        d, v = jnp.linalg.eigh(g)
+        d = jnp.maximum(d, 1e-12 * d[..., -1:])
+        gs = jnp.einsum("ij,j,kj->ik", v, jnp.sqrt(d), v, precision=_HP)
+        gis = jnp.einsum("ij,j,kj->ik", v, 1.0 / jnp.sqrt(d), v,
+                         precision=_HP)
         m = jnp.einsum("ij,ejk,kl->eil", gis, covs, gis, precision=_HP)
         t = jnp.einsum("e,ecd->cd", weights, spd_logm(m), precision=_HP)
         g_new = jnp.einsum("ij,jk,kl->il", gs, spd_expm(t), gs,

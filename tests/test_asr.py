@@ -108,3 +108,26 @@ class TestRawAdapter:
         err_after = np.abs(out[:, mask] - clean[:, mask]).mean()
         assert err_after < 0.35 * err_before
         assert out.shape == corrupted.shape
+
+
+class TestDCOffset:
+    def test_constant_offsets_pass_through(self):
+        """Un-highpassed data with big per-channel DC offsets: the
+        offsets must neither trip the keep test (calibration is
+        centered) nor be stripped from the output."""
+        corrupted, clean, mask = _recording(seed=4)
+        offs = np.linspace(-50, 50, corrupted.shape[0])[:, None]
+        model = asr_calibrate(clean[:, :int(20 * SFREQ)] + offs, SFREQ)
+        out, keep = asr_process(corrupted + offs, SFREQ, model)
+        out = np.asarray(out)
+        # clean windows keep their offsets and are barely touched
+        q = ~mask
+        np.testing.assert_allclose(
+            out[:, q].mean(-1), (corrupted + offs)[:, q].mean(-1),
+            atol=1.0)
+        assert float(np.asarray(keep).all(-1).mean()) > 0.8
+        # artifacts still removed
+        err_b = np.abs((corrupted + offs)[:, mask]
+                       - (clean + offs)[:, mask]).mean()
+        err_a = np.abs(out[:, mask] - (clean + offs)[:, mask]).mean()
+        assert err_a < 0.3 * err_b

@@ -179,3 +179,38 @@ class TestMarkerEpochs:
         with pytest.raises(ValueError, match="no markers"):
             nw.RawWavelet(R(), nw.Morse(1000.0)).epochs_from_markers(
                 -0.1, 0.4)
+
+
+class TestRobustness:
+    def test_vendor_style_header_with_comment_section(self, tmp_path):
+        """Real BrainVision Recorder headers carry a free-form
+        [Comment] section (and '%' in values) that must not break the
+        parser."""
+        x = _data(c=2)
+        p = str(tmp_path / "rec.vhdr")
+        write_brainvision(p, x, 1000.0, ch_names=["Fz", "Cz"])
+        with open(p, "a", encoding="utf-8") as f:
+            f.write("\n[Comment]\n"
+                    "A m p l i f i e r  S e t u p\n"
+                    "=============================\n"
+                    "Chn Name Res % of full scale\n"
+                    "1 Fz 0.1 100%\n")
+        r = BVReader(p)
+        assert r.ch_names == ["Fz", "Cz"]
+        np.testing.assert_allclose(r.get_data(), x, rtol=1e-6,
+                                   atol=1e-6)
+
+    def test_marker_commas_and_bad_positions(self, tmp_path):
+        x = _data(c=2)
+        p = str(tmp_path / "rec.vhdr")
+        write_brainvision(p, x, 1000.0,
+                          markers=[(500, "Comment", "bad, electrode"),
+                                   (900, "Stimulus", "S  1")])
+        r = BVReader(p)
+        assert r.markers == [(500, "Comment", "bad, electrode"),
+                             (900, "Stimulus", "S  1")]
+        # a corrupt position is skipped, never mapped to sample 0
+        vmrk = str(tmp_path / "rec.vmrk")
+        with open(vmrk, "a", encoding="utf-8") as f:
+            f.write("Mk3=Stimulus,oops,notanint,1,0\n")
+        assert read_markers(vmrk) == r.markers
