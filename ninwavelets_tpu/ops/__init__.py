@@ -95,6 +95,8 @@ from .beamformer import (DICSResult, LCMVResult,
                          minimum_norm_apply,
                          source_coherence, wavelet_csd)
 from .hmm import HMMResult, hmm_fit, viterbi
+from .trf import (TRFResult, lagged_design, trf_cv, trf_fit,
+                  trf_predict)
 from .riemann import (epoch_covariances, mdm_decode,
                       riemannian_distance, riemannian_mean,
                       spd_expm, spd_logm, spd_sqrtm,
@@ -223,6 +225,8 @@ __all__ = [
     "epoch_covariances", "riemannian_distance", "riemannian_mean",
     "spd_logm", "spd_expm", "spd_sqrtm", "tangent_space",
     "mdm_decode", "tangent_decode",
+    "TRFResult", "lagged_design", "trf_fit", "trf_predict",
+    "trf_cv",
     "PeakResult", "evoked", "peak_measures", "mean_amplitude",
     "fractional_area_latency", "fractional_peak_onset",
     "jackknife_onsets",

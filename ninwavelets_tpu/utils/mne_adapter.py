@@ -1646,6 +1646,26 @@ class RawWavelet:
         return hmm_fit(feats, n_states, n_iter=n_iter,
                        stickiness=stickiness, seed=seed)
 
+    def trf(self, stim, tmin_s: float = 0.0, tmax_s: float = 0.25,
+            lams=(1e-4, 1e-3, 1e-2, 1e-1, 1.0), n_folds: int = 5,
+            picks=None):
+        """Cross-validated temporal response function from a continuous
+        stimulus to this recording (extension — ``ops.trf``, the
+        mTRF-Toolbox/Crosse workflow; e.g. speech-envelope tracking).
+        ``stim`` is (N,) or (K, N) aligned with the recording; the lag
+        window runs ``tmin_s``..``tmax_s`` SECONDS (positive = response
+        follows stimulus).  Returns ``(TRFResult, r, best_lam)`` with
+        per-channel held-out Pearson r (contiguous folds)."""
+        from ..ops.trf import trf_cv
+        data = self._host_data()
+        if picks is not None:
+            idx = [self.raw.ch_names.index(ch) for ch in picks]
+            data = data[idx]
+        sf = self.wavelet.sfreq
+        lags = range(int(round(tmin_s * sf)),
+                     int(round(tmax_s * sf)) + 1)
+        return trf_cv(stim, data, lags, lams=lams, n_folds=n_folds)
+
     def asr_clean(self, cutoff: float = 5.0, win_s: float = 0.5,
                   calib_frac: float = 0.25, return_keep: bool = False):
         """(C, N) ASR-cleaned copy of the recording (extension —
