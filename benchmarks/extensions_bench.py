@@ -615,6 +615,23 @@ def main():
                                                    1),
            config=dict(b=64, n=65536, scales=12))
 
+    # --- TRF + LCMV (r4) -------------------------------------------------
+    from ninwavelets_tpu.ops.trf import trf_fit
+    stim_t = jnp.asarray(rng.standard_normal(250000).astype(np.float32))
+    resp_t = jnp.asarray(
+        rng.standard_normal((64, 250000)).astype(np.float32))
+    d = t(lambda r_: trf_fit(stim_t, r_, range(0, 64)).weights, resp_t,
+          iters=3)
+    record(op="trf_fit_64ch_250k_64lags",
+           signal_s_per_s=round(250000 / sfreq / d, 1),
+           config=dict(c=64, n=250000, lags=64))
+    from ninwavelets_tpu.ops.beamformer import lcmv
+    lf_b = jnp.asarray(rng.standard_normal((5000, 64)).astype(np.float32))
+    cov_b = jnp.asarray((np.eye(64) + 0.1).astype(np.float32))
+    d = t(lambda cv: lcmv(cv, lf_b).nai, cov_b, iters=5)
+    record(op="lcmv_5000src_64ch", ms=round(d * 1e3, 2),
+           config=dict(s=5000, c=64))
+
     print(f"wrote {len(rows)} rows -> {OUT}")
 
 

@@ -1,0 +1,93 @@
+"""Source imaging + encoding-model walkthrough (round-4 families):
+
+    LCMV localization -> beamformed source TFR -> DICS source
+    coherence -> sLORETA cross-check -> mTRF envelope tracking
+
+    python examples/source_demo.py
+
+Everything is planted: a random (but known) leadfield, three
+oscillatory sources (two coherent at 20 Hz, one independent), and a
+stimulus-driven channel — each stage prints what it recovered.
+"""
+import numpy as np
+
+import ninwavelets_tpu as nw
+from ninwavelets_tpu.ops.bank import make_fft_bank
+from ninwavelets_tpu.ops.beamformer import (dics, lcmv, lcmv_apply,
+                                            minimum_norm,
+                                            minimum_norm_apply,
+                                            source_coherence,
+                                            wavelet_csd)
+from ninwavelets_tpu.ops.trf import trf_cv
+
+SFREQ = 1000.0
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    c, s, n, e = 24, 30, 2048, 12
+    lf = rng.standard_normal((s, c))
+    lf /= np.linalg.norm(lf, axis=1, keepdims=True)
+    lf = lf.astype(np.float32)
+    t = np.arange(n) / SFREQ
+
+    # --- three 20 Hz sources: two partially coherent, one independent
+    x = 0.4 * rng.standard_normal((e, c, n))
+    for i in range(e):
+        drive = np.sin(2 * np.pi * 20 * t + rng.uniform(0, 2 * np.pi))
+        own = np.sin(2 * np.pi * 20 * t + rng.uniform(0, 2 * np.pi))
+        indep = np.sin(2 * np.pi * 20 * t + rng.uniform(0, 2 * np.pi))
+        x[i] += 2.0 * lf[4][:, None] * drive[None, :]
+        x[i] += 2.0 * lf[11][:, None] * (0.71 * drive
+                                         + 0.71 * own)[None, :]
+        x[i] += 2.0 * lf[22][:, None] * indep[None, :]
+    x = x.astype(np.float32)
+
+    # 1. LCMV localization on the broadband covariance
+    flat = x.transpose(1, 0, 2).reshape(c, -1)
+    cov = (flat @ flat.T / flat.shape[1]).astype(np.float32)
+    res = lcmv(cov, lf)
+    top3 = sorted(np.argsort(np.asarray(res.nai))[-3:].tolist())
+    print(f"lcmv: top-3 NAI sources {top3} (planted [4, 11, 22])")
+
+    # 2. beamformed source TFR through the ordinary engine
+    tc = np.asarray(lcmv_apply(res, x[0]))          # (S, N)
+    morse = nw.Morse(SFREQ)
+    p = np.asarray(morse.power(tc[4], np.arange(5.0, 40.0, 1.0)))
+    print(f"source-4 TFR peak: {5 + int(np.argmax(p.mean(-1)))} Hz "
+          f"(planted 20)")
+
+    # 3. DICS at 20 Hz + source coherence
+    bank = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.asarray(np.array([20.0], np.float32)), n,
+        SFREQ, True), np.float32))
+    cr, ci = wavelet_csd(x, bank, interpolate=True)
+    dres = dics(cr[0], ci[0], lf)
+    coh = np.asarray(source_coherence(dres, cr[0], ci[0]))
+    print(f"dics source coherence: coupled pair {coh[4, 11]:.2f}, "
+          f"independent {coh[4, 22]:.2f}")
+
+    # 4. sLORETA cross-check (non-adaptive — robust to coherent pairs)
+    mn = minimum_norm(lf, method="sloreta")
+    est = np.asarray(minimum_norm_apply(mn, flat))
+    mn_top = sorted(np.argsort((est ** 2).mean(-1))[-3:].tolist())
+    print(f"sloreta: top-3 sources {mn_top}")
+
+    # 5. mTRF: a stimulus envelope drives one channel
+    n2 = 25000
+    env = np.convolve(rng.standard_normal(n2), np.hanning(25),
+                      "same").astype(np.float32)
+    kern = (np.exp(-np.arange(30) / 8.0)
+            * np.sin(np.arange(30) / 4.0)).astype(np.float32)
+    resp = np.stack([np.convolve(env, kern)[:n2]
+                     + 0.5 * rng.standard_normal(n2),
+                     rng.standard_normal(n2)]).astype(np.float32)
+    _, r, lam = trf_cv(env, resp, range(0, 50), n_folds=4)
+    print(f"mtrf: held-out tracking r = {r[0]:.2f} (driven) / "
+          f"{r[1]:.2f} (noise), ridge {lam:g}")
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,7 @@ from .granger import (conditional_granger, dtf_pdc, granger_from_factors,
                       wavelet_granger,
                       wavelet_granger_significance, wilson_factorize)
 from .graph import (char_path_length, clustering_onnela,
+                    modularity_communities,
                     global_efficiency, shortest_paths, small_worldness,
                     strength)
 from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
@@ -262,6 +263,7 @@ __all__ = [
     "significant_mask", "itc_pvalue", "itc_threshold",
     "strength", "clustering_onnela", "shortest_paths", "csp_decode",
     "global_efficiency", "char_path_length", "small_worldness",
+    "modularity_communities",
     "analytic_mask", "fft_bin_freqs", "log_freqs", "reverse_timeline",
     "wavelet_timeline",
     "MNE_CONSTANT", "SizeError", "hamming_window", "interpolate_alias",

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["strength", "clustering_onnela", "shortest_paths",
+__all__ = ["modularity_communities",
+           "strength", "clustering_onnela", "shortest_paths",
            "global_efficiency", "char_path_length", "small_worldness"]
 
 
@@ -136,3 +137,31 @@ def small_worldness(w: jnp.ndarray, n_nulls: int = 20,
                                  n_nulls=int(n_nulls))
     return (c_obs / jnp.maximum(c_null, 1e-12)) \
         / jnp.maximum(l_obs / jnp.maximum(l_null, 1e-12), 1e-12)
+
+
+def modularity_communities(w, n_iter: int = 50):
+    """Two-community split by Newman's leading-eigenvector method
+    (Newman 2006, PNAS 103:8577) on a weighted undirected matrix:
+    the modularity matrix ``B = W - k k^T / 2m`` (k = strengths,
+    2m = total weight), its dominant eigenvector's SIGNS are the
+    community labels, and the returned ``q`` is the modularity of that
+    split (0 when the leading eigenvalue is non-positive — no
+    community structure).
+
+    Returns ``(labels (C,) int32 in {0, 1}, q float)``.  One symmetric
+    eigendecomposition — batched-eigh-friendly like the rest of the
+    module; for finer partitions apply recursively to the subgraphs
+    (host-side, data-dependent shapes)."""
+    w = _clean(jnp.asarray(w, jnp.float32))
+    k = jnp.sum(w, axis=-1)
+    two_m = jnp.maximum(jnp.sum(k), 1e-20)
+    b = w - jnp.outer(k, k) / two_m
+    vals, vecs = jnp.linalg.eigh(0.5 * (b + b.T))
+    lead = vecs[:, -1]
+    s = jnp.where(lead >= 0, 1.0, -1.0)
+    q = jnp.einsum("i,ij,j->", s, b, s) / (2.0 * two_m)
+    labels = (s > 0).astype(jnp.int32)
+    q = jnp.where(vals[-1] > 0, q, 0.0)
+    labels = jnp.where(vals[-1] > 0, labels,
+                       jnp.zeros_like(labels))
+    return labels, q

@@ -763,21 +763,29 @@ class EpochsWavelet:
         frequency (extension — ``ops.graph`` over the ``*_matrix``
         estimators): dict with the (F, C, C) ``matrix`` plus per-node
         ``strength`` (F, C), ``clustering`` (F, C), and per-frequency
-        ``efficiency`` / ``path_length`` (F,); ``n_nulls > 0`` adds
-        ``small_world`` sigma against weight-shuffled nulls."""
+        ``efficiency`` / ``path_length`` (F,), and Newman
+        leading-eigenvector ``communities`` (F, C) with per-frequency
+        ``modularity`` (F,); ``n_nulls > 0`` adds ``small_world``
+        sigma against weight-shuffled nulls.  ``method`` also accepts
+        ``"pcoh"`` (partial coherence)."""
         from ..ops import graph as _g
         fn = {"wpli": self.wpli_matrix, "plv": self.plv_matrix,
               "coherence": self.coherence_matrix,
-              "ppc": self.ppc_matrix}.get(method)
+              "ppc": self.ppc_matrix,
+              "pcoh": self.partial_coherence}.get(method)
         if fn is None:
             raise ValueError("method must be one of wpli/plv/coherence/"
-                             "ppc, got %r" % (method,))
+                             "ppc/pcoh, got %r" % (method,))
         m = fn(freqs, time_range=time_range)
+        comm = [_g.modularity_communities(m[fi])
+                for fi in range(m.shape[0])]
         out = {"matrix": m,
                "strength": _g.strength(m),
                "clustering": _g.clustering_onnela(m),
                "efficiency": _g.global_efficiency(m),
-               "path_length": _g.char_path_length(m)}
+               "path_length": _g.char_path_length(m),
+               "communities": np.stack([np.asarray(c) for c, _ in comm]),
+               "modularity": np.asarray([float(q) for _, q in comm])}
         if n_nulls:
             out["small_world"] = _g.small_worldness(m, n_nulls=n_nulls)
         return out

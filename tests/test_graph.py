@@ -122,5 +122,60 @@ def test_adapter_network():
     # the lagged-coupled pair dominates node strength at 20 Hz
     s20 = np.asarray(net["strength"])[1]
     assert s20[2] < s20[0] and s20[2] < s20[1]
+    # r4: community split + modularity per frequency
+    assert net["communities"].shape == (3, 3)
+    assert net["modularity"].shape == (3,)
+    # pcoh dispatch works too
+    net2 = ew.network([20.0], method="pcoh")
+    assert np.asarray(net2["matrix"]).shape == (1, 3, 3)
     with pytest.raises(ValueError):
         ew.network([20.0], method="nope")
+
+
+class TestModularity:
+    def test_planted_two_blocks(self):
+        """Two dense blocks with sparse cross links: the leading
+        eigenvector recovers the planted split with high modularity."""
+        from ninwavelets_tpu.ops.graph import modularity_communities
+        rng = np.random.default_rng(0)
+        c = 20
+        w = 0.02 * rng.random((c, c))
+        w[:10, :10] += 0.8 * rng.random((10, 10))
+        w[10:, 10:] += 0.8 * rng.random((10, 10))
+        w = (w + w.T) / 2
+        np.fill_diagonal(w, 0.0)
+        labels, q = modularity_communities(w)
+        labels = np.asarray(labels)
+        # split matches the blocks (up to label swap)
+        same = (labels[:10] == labels[0]).all() and \
+            (labels[10:] == labels[10]).all() and \
+            labels[0] != labels[10]
+        assert same, labels
+        assert float(q) > 0.3
+
+    def test_structureless_graph_q_zero(self):
+        from ninwavelets_tpu.ops.graph import modularity_communities
+        # complete uniform graph: B has no positive eigenvalue -> q = 0
+        c = 12
+        w = np.ones((c, c), np.float32)
+        np.fill_diagonal(w, 0.0)
+        labels, q = modularity_communities(w)
+        assert float(q) <= 1e-6
+        assert np.asarray(labels).sum() == 0      # single community
+
+    def test_matches_numpy_oracle(self):
+        from ninwavelets_tpu.ops.graph import modularity_communities
+        rng = np.random.default_rng(1)
+        w = rng.random((8, 8)); w = (w + w.T) / 2
+        np.fill_diagonal(w, 0.0)
+        labels, q = modularity_communities(w)
+        k = w.sum(1); two_m = k.sum()
+        b = w - np.outer(k, k) / two_m
+        vals, vecs = np.linalg.eigh(b)
+        s = np.where(vecs[:, -1] >= 0, 1.0, -1.0)
+        want_q = s @ b @ s / (2 * two_m)
+        if vals[-1] > 0:
+            got = np.asarray(labels).astype(float) * 2 - 1
+            agree = np.abs(np.mean(got * s))
+            assert agree == 1.0                  # same split (or flip)
+            np.testing.assert_allclose(float(q), want_q, rtol=1e-4)

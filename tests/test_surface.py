@@ -209,3 +209,17 @@ class TestWorkflowDemo:
         assert "3/3 planted events" in out
         assert "partial coherence 0.0" in out
         assert "long-range correlated" in out
+
+
+class TestSourceDemo:
+    def test_source_demo_headless(self, capsys):
+        spec = importlib.util.spec_from_file_location(
+            "source_demo", os.path.join(os.path.dirname(__file__), "..",
+                                        "examples", "source_demo.py"))
+        demo = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(demo)
+        demo.main()
+        out = capsys.readouterr().out
+        assert "top-3 NAI sources [4, 11, 22]" in out
+        assert "planted 20" in out
+        assert "sloreta: top-3 sources [4, 11, 22]" in out
