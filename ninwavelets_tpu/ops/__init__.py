@@ -72,8 +72,8 @@ from .graph import (char_path_length, clustering_onnela,
                     strength)
 from .grids import (analytic_mask, fft_bin_freqs, log_freqs,
                     reverse_timeline, wavelet_timeline)
-from .decoding import (csp_decode, decode_auc,
-                       temporal_generalization, tf_decode)
+from .decoding import (cca_reference, csp_decode, decode_auc,
+                       ssvep_cca, temporal_generalization, tf_decode)
 from .denoise import denoise, denoise_from_bank
 from .envelope import env_corr_matrix, env_corr_matrix_from_bank
 from .cpd import cp_decompose, cp_reconstruct
@@ -262,6 +262,7 @@ __all__ = [
     "global_spectrum", "red_noise_spectrum", "significance_level",
     "significant_mask", "itc_pvalue", "itc_threshold",
     "strength", "clustering_onnela", "shortest_paths", "csp_decode",
+    "cca_reference", "ssvep_cca",
     "global_efficiency", "char_path_length", "small_worldness",
     "modularity_communities",
     "analytic_mask", "fft_bin_freqs", "log_freqs", "reverse_timeline",

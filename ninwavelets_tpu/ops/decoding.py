@@ -32,7 +32,7 @@ import numpy as np
 from jax import lax
 
 __all__ = ["csp_decode", "tf_decode", "decode_auc",
-           "temporal_generalization"]
+           "temporal_generalization", "cca_reference", "ssvep_cca"]
 
 
 def _masked_stats(x, keep):
@@ -283,3 +283,76 @@ def csp_decode(xa, xb, n_folds: int = 5, n_components: int = 4,
                             shrink=float(shrink))
     return _csp_fold_auc_jit(xa, xb, filters, n_folds=nf,
                              lam=float(lam))
+
+
+# ---------------------------------------------------------------------------
+# SSVEP: canonical correlation against sinusoidal references
+# ---------------------------------------------------------------------------
+
+def cca_reference(freqs, n: int, sfreq: float,
+                  n_harmonics: int = 3) -> jnp.ndarray:
+    """(F, 2H, N) sinusoidal reference set per stimulus frequency:
+    sin/cos pairs at the fundamental and ``n_harmonics - 1`` harmonics
+    (Lin et al. 2006 — the standard CCA-SSVEP references)."""
+    freqs = np.asarray(list(freqs), np.float64)
+    t = np.arange(n) / float(sfreq)
+    rows = []
+    for f0 in freqs:
+        comps = []
+        for h in range(1, int(n_harmonics) + 1):
+            comps.append(np.sin(2 * np.pi * h * f0 * t))
+            comps.append(np.cos(2 * np.pi * h * f0 * t))
+        rows.append(np.stack(comps))
+    return jnp.asarray(np.stack(rows), jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("lam",))
+def _cca_rho_jit(x, refs, *, lam):
+    """Largest canonical correlation of every (trial, frequency) pair:
+    x (E, C, N), refs (F, R, N) -> (E, F).
+
+    Whitened cross-covariance: ``rho = sigma_max(Cxx^{-1/2} Cxy
+    Cyy^{-1/2})`` — computed as the sqrt of the dominant eigenvalue of
+    the SYMMETRIC M M^T (batched eigh; no SVD on device)."""
+    hp = jax.lax.Precision.HIGHEST
+    xm = x - jnp.mean(x, axis=-1, keepdims=True)
+    rm = refs - jnp.mean(refs, axis=-1, keepdims=True)
+    n = x.shape[-1]
+    cxx = jnp.einsum("ecn,edn->ecd", xm, xm, precision=hp) / n
+    cyy = jnp.einsum("frn,fsn->frs", rm, rm, precision=hp) / n
+    cxy = jnp.einsum("ecn,frn->efcr", xm, rm, precision=hp) / n
+
+    def isqrt(m):
+        d, v = jnp.linalg.eigh(m)
+        d = jnp.maximum(d, lam * d[..., -1:])
+        return jnp.einsum("...ij,...j,...kj->...ik", v,
+                          1.0 / jnp.sqrt(d), v, precision=hp)
+
+    ix = isqrt(cxx)                                   # (E, C, C)
+    iy = isqrt(cyy)                                   # (F, R, R)
+    m = jnp.einsum("eci,efir,frs->efcs", ix, cxy, iy, precision=hp)
+    mmt = jnp.einsum("efcs,efds->efcd", m, m, precision=hp)
+    vals = jnp.linalg.eigvalsh(mmt)                   # ascending
+    return jnp.sqrt(jnp.clip(vals[..., -1], 0.0, 1.0))
+
+
+def ssvep_cca(x, freqs, sfreq: float, n_harmonics: int = 3,
+              lam: float = 1e-6):
+    """CCA-based SSVEP frequency recognition (Lin 2006, the standard
+    BCI-speller decoder): per trial, the canonical correlation between
+    the (C, N) EEG and each stimulus frequency's sin/cos reference set;
+    the winning frequency is the argmax.
+
+    Returns ``(labels (E,) int32 indices into freqs, rho (E, F))``.
+    ``lam`` floors the whitened covariance eigenvalues (relative)."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == 2:
+        x = x[None]
+    if x.ndim != 3:
+        raise ValueError("x must be (E, C, N)")
+    freqs = list(freqs)
+    if not freqs:
+        raise ValueError("need at least one stimulus frequency")
+    refs = cca_reference(freqs, x.shape[-1], sfreq, n_harmonics)
+    rho = _cca_rho_jit(x, refs, lam=float(lam))
+    return jnp.argmax(rho, axis=-1).astype(jnp.int32), rho

@@ -962,6 +962,15 @@ class EpochsWavelet:
                                 self._event_window(window), criterion,
                                 polarity)
 
+    def ssvep(self, stim_freqs, n_harmonics: int = 3):
+        """CCA-based SSVEP frequency recognition per trial (extension —
+        ``ops.decoding.ssvep_cca``, Lin 2006): returns ``(labels (E,)
+        indices into stim_freqs, rho (E, F) canonical correlations)``
+        — the standard BCI-speller decoder."""
+        from ..ops.decoding import ssvep_cca
+        return ssvep_cca(self._all_data(), list(stim_freqs),
+                         self.wavelet.sfreq, n_harmonics=n_harmonics)
+
     def riemann_decode(self, other: "EpochsWavelet",
                        method: str = "tangent", n_folds: int = 5,
                        shrink: float = 0.05, **kw) -> float:

@@ -300,3 +300,75 @@ def test_adapter_csp_decode():
     auc = float(ew.csp_decode(y, n_folds=3, n_components=2,
                               f_lo=9.0, f_hi=13.0))
     assert auc > 0.85
+
+
+class TestSSVEP:
+    """CCA-based SSVEP recognition (`ops.decoding.ssvep_cca`)."""
+
+    @staticmethod
+    def _trials(stim_freqs, labels, c=8, n=1000, snr=0.4, seed=0,
+                sfreq=250.0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / sfreq
+        mix = rng.standard_normal(c)
+        x = np.stack([
+            snr * mix[:, None] * (np.sin(2 * np.pi * stim_freqs[k] * t)
+                                  + 0.4 * np.sin(4 * np.pi
+                                                 * stim_freqs[k] * t)
+                                  )[None, :]
+            + rng.standard_normal((c, n))
+            for k in labels])
+        return x.astype(np.float32)
+
+    def test_classifies_planted_frequencies(self):
+        from ninwavelets_tpu.ops.decoding import ssvep_cca
+        stim = [8.0, 10.0, 12.0, 15.0]
+        labels = [0, 1, 2, 3, 2, 1, 0, 3, 1, 2]
+        x = self._trials(stim, labels)
+        got, rho = ssvep_cca(x, stim, 250.0)
+        acc = np.mean(np.asarray(got) == np.asarray(labels))
+        assert acc >= 0.9, (np.asarray(got), labels)
+        assert rho.shape == (10, 4)
+        assert np.all((np.asarray(rho) >= 0) & (np.asarray(rho) <= 1))
+
+    def test_harmonics_help_squarewave(self):
+        """A square-wave-like stimulus puts energy in harmonics: the
+        3-harmonic reference beats the fundamental-only one."""
+        from ninwavelets_tpu.ops.decoding import ssvep_cca
+        rng = np.random.default_rng(1)
+        stim = [7.0, 11.0]
+        t = np.arange(1000) / 250.0
+        sq = np.sign(np.sin(2 * np.pi * 7.0 * t))
+        x = (0.35 * sq[None, :] * rng.standard_normal((6, 1))
+             + rng.standard_normal((6, 1000)))[None].transpose(0, 1, 2)
+        x = np.repeat(x, 8, axis=0).astype(np.float32)
+        x += 0.3 * rng.standard_normal(x.shape).astype(np.float32)
+        _, rho3 = ssvep_cca(x, stim, 250.0, n_harmonics=3)
+        _, rho1 = ssvep_cca(x, stim, 250.0, n_harmonics=1)
+        assert np.asarray(rho3)[:, 0].mean() > np.asarray(
+            rho1)[:, 0].mean()
+
+    def test_matches_sklearn_cca(self):
+        from ninwavelets_tpu.ops.decoding import cca_reference, ssvep_cca
+        from sklearn.cross_decomposition import CCA
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((1, 4, 600)).astype(np.float32)
+        stim = [9.0]
+        _, rho = ssvep_cca(x, stim, 200.0, n_harmonics=2, lam=1e-9)
+        refs = np.asarray(cca_reference(stim, 600, 200.0, 2))[0]
+        cca = CCA(n_components=1, max_iter=2000, tol=1e-9)
+        u, v = cca.fit_transform(x[0].T, refs.T)
+        want = abs(np.corrcoef(u[:, 0], v[:, 0])[0, 1])
+        np.testing.assert_allclose(float(rho[0, 0]), want, atol=2e-3)
+
+    def test_adapter_and_validation(self):
+        import ninwavelets_tpu as nw
+        from tests.test_epochs import FakeEpochs
+        from ninwavelets_tpu.ops.decoding import ssvep_cca
+        stim = [8.0, 13.0]
+        x = self._trials(stim, [0, 1, 1, 0], sfreq=250.0, seed=3)
+        ew = nw.EpochsWavelet(FakeEpochs(x, 250.0), nw.Morse(250.0))
+        labels, rho = ew.ssvep(stim)
+        assert np.array_equal(np.asarray(labels), [0, 1, 1, 0])
+        with pytest.raises(ValueError):
+            ssvep_cca(x, [], 250.0)
