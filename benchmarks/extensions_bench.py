@@ -632,6 +632,15 @@ def main():
     record(op="lcmv_5000src_64ch", ms=round(d * 1e3, 2),
            config=dict(s=5000, c=64))
 
+    # --- SSVEP CCA (r4) --------------------------------------------------
+    from ninwavelets_tpu.ops.decoding import ssvep_cca
+    xsv = jnp.asarray(
+        rng.standard_normal((200, 8, 1000)).astype(np.float32))
+    d = t(lambda x: ssvep_cca(x, [8.0, 10.0, 12.0, 15.0], 250.0)[1],
+          xsv, iters=5)
+    record(op="ssvep_cca_200trials", trials_per_s=round(200 / d, 1),
+           config=dict(e=200, c=8, n=1000, f=4, harmonics=3))
+
     print(f"wrote {len(rows)} rows -> {OUT}")
 
 

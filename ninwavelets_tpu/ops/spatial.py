@@ -42,8 +42,7 @@ from . import filtering as _filt
 
 __all__ = [
     "SpatialResult", "covariance", "ged", "csp", "csp_features",
-    "ssd", "spatial_apply",
-]
+    "ssd", "spatial_apply", "corrca"]
 
 _HI = lax.Precision.HIGHEST
 
@@ -242,3 +241,52 @@ def ssd(x, sfreq: float, f_lo: float, f_hi: float,
         raise ValueError("n_components must be in [1, C]")
     d, f, p = _ged_jit(cov_s, cov_n, n_components=k, shrink=float(shrink))
     return SpatialResult(f, p, d)
+
+
+def corrca(x, n_components: int = 3, shrink: float = 0.05):
+    """Correlated components analysis / inter-subject correlation
+    (Parra et al. 2019, Neuroimage 183:366 — the naturalistic-paradigm
+    workhorse): spatial filters maximizing the correlation of the SAME
+    stimulus-locked response ACROSS subjects (or repeated viewings).
+
+    ``x`` is (S, C, N): S subjects watching one stimulus.  Solves the
+    generalized eigenproblem ``R_between w = lambda R_within w`` with
+    ``R_between = sum_{i != j} C_ij`` (cross-subject covariances) and
+    ``R_within = sum_i C_ii`` — both built from ONE pooled-sum identity
+    (``R_b = C_pooled - R_w`` with ``C_pooled`` the covariance of the
+    summed subjects), so the cost is S + 1 covariances, not S^2.
+
+    Returns ``(filters (K, C), isc (K,))`` — ISC_k is the
+    component's across-subject correlation ``w^T R_b w / ((S-1)
+    w^T R_w w)``, 1 when every subject's component time course is
+    identical.  Filters apply per subject as ``w @ x_i``."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 3:
+        raise ValueError("x must be (subjects, C, N)")
+    s, c, n = x.shape
+    if s < 2:
+        raise ValueError("need at least 2 subjects/repeats")
+    if not 1 <= int(n_components) <= c:
+        raise ValueError("n_components must be in [1, C]")
+    xm = x - jnp.mean(x, axis=-1, keepdims=True)
+    hp = _HI
+    # within: sum of per-subject covariances
+    rw = jnp.einsum("scn,sdn->cd", xm, xm, precision=hp) / n
+    # pooled: covariance of the across-subject SUM; between = pooled - within
+    pooled = jnp.sum(xm, axis=0)
+    cp = jnp.matmul(pooled, pooled.T, precision=hp) / n
+    rb = cp - rw
+    rw = rw + shrink * jnp.trace(rw) / c * jnp.eye(c, dtype=rw.dtype)
+    # generalized symmetric eigenproblem via the within-whitening sandwich
+    d, v = jnp.linalg.eigh(rw)
+    d = jnp.maximum(d, 1e-12 * d[-1])
+    isq = jnp.einsum("ij,j,kj->ik", v, 1.0 / jnp.sqrt(d), v, precision=hp)
+    m = isq @ rb @ isq
+    vals, vecs = jnp.linalg.eigh(0.5 * (m + m.T))     # ascending
+    w = (isq @ vecs[:, ::-1][:, :int(n_components)]).T  # (K, C)
+    # normalize filters; ISC from the Rayleigh quotients
+    w = w / jnp.maximum(jnp.linalg.norm(w, axis=1, keepdims=True), 1e-30)
+    num = jnp.einsum("kc,cd,kd->k", w, rb, w, precision=hp)
+    den = jnp.einsum("kc,cd,kd->k", w, rw, w, precision=hp)
+    isc = num / jnp.maximum((s - 1.0) * den, 1e-30)
+    return w, isc

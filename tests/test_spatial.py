@@ -372,3 +372,44 @@ class TestSSVEP:
         assert np.array_equal(np.asarray(labels), [0, 1, 1, 0])
         with pytest.raises(ValueError):
             ssvep_cca(x, [], 250.0)
+
+
+class TestCorrCA:
+    def test_planted_shared_component(self):
+        """One stimulus-locked source shared by all subjects through a
+        common topography + subject-specific noise: the top component
+        recovers the topography direction and its ISC is high; on
+        unshared noise the ISC collapses."""
+        from ninwavelets_tpu.ops.spatial import corrca
+        rng = np.random.default_rng(0)
+        s, c, n = 6, 10, 4000
+        topo = rng.standard_normal(c); topo /= np.linalg.norm(topo)
+        shared = np.sin(2 * np.pi * 6 * np.arange(n) / 250.0) \
+            + 0.3 * rng.standard_normal(n)
+        x = np.stack([topo[:, None] * shared[None, :]
+                      + 0.8 * rng.standard_normal((c, n))
+                      for _ in range(s)]).astype(np.float32)
+        w, isc = corrca(x, n_components=3)
+        w = np.asarray(w); isc = np.asarray(isc)
+        # ISC sorted descending; top component aligned with the mixing
+        # direction up to the within-whitening transform: check the
+        # COMPONENT TIME COURSES correlate across subjects instead
+        tcs = np.einsum("c,scn->sn", w[0], x)
+        cors = [np.corrcoef(tcs[i], tcs[j])[0, 1]
+                for i in range(s) for j in range(i + 1, s)]
+        assert np.mean(cors) > 0.4
+        assert isc[0] > 0.3
+        assert isc[0] >= isc[1] >= isc[2]
+        # unshared noise: ISC near zero
+        xn = rng.standard_normal((s, c, n)).astype(np.float32)
+        _, isc0 = corrca(xn, n_components=2)
+        assert float(np.asarray(isc0)[0]) < 0.05
+
+    def test_validation(self):
+        from ninwavelets_tpu.ops.spatial import corrca
+        with pytest.raises(ValueError):
+            corrca(np.zeros((4, 100), np.float32))
+        with pytest.raises(ValueError):
+            corrca(np.zeros((1, 4, 100), np.float32))
+        with pytest.raises(ValueError):
+            corrca(np.zeros((3, 4, 100), np.float32), n_components=9)
