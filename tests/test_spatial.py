@@ -413,3 +413,52 @@ class TestCorrCA:
             corrca(np.zeros((1, 4, 100), np.float32))
         with pytest.raises(ValueError):
             corrca(np.zeros((3, 4, 100), np.float32), n_components=9)
+
+
+class TestXdawn:
+    @staticmethod
+    def _p300(c=12, n=60000, n_ev=120, amp=1.0, seed=0, sfreq=250.0):
+        rng = np.random.default_rng(seed)
+        L = int(0.6 * sfreq)                         # 600 ms response
+        t = np.arange(L) / sfreq
+        wave = np.exp(-0.5 * ((t - 0.3) / 0.06) ** 2)  # P300-ish bump
+        topo = rng.standard_normal(c); topo /= np.linalg.norm(topo)
+        ev = np.sort(rng.choice(np.arange(0, n - L, L),
+                                n_ev, replace=False))
+        x = rng.standard_normal((c, n))
+        for s in ev:
+            x[:, s:s + L] += amp * topo[:, None] * wave[None, :]
+        return (x.astype(np.float32), ev, wave.astype(np.float32),
+                topo.astype(np.float32), L)
+
+    def test_enhances_planted_response(self):
+        from ninwavelets_tpu.ops.spatial import xdawn
+        x, ev, wave, topo, L = self._p300(amp=1.0, seed=1)
+        w, evoked, ratios = xdawn(x, ev, L, n_components=3)
+        w = np.asarray(w); evoked = np.asarray(evoked)
+        ratios = np.asarray(ratios)
+        # top component's evoked estimate matches the planted waveform
+        r = abs(np.corrcoef(evoked[0], wave)[0, 1])
+        assert r > 0.9, r
+        # ratios descending; top clearly above the rest
+        assert ratios[0] >= ratios[1] >= ratios[2]
+        assert ratios[0] > 3 * ratios[1]
+        # virtual channel beats the best single channel's evoked SNR
+        def esnr(sig):
+            seg = np.stack([sig[s:s + L] for s in ev])
+            m = seg.mean(0)
+            return (m ** 2).mean() / np.maximum(
+                (seg - m).var(), 1e-30)
+        virt = w[0] @ x
+        best_single = max(esnr(x[ch]) for ch in range(x.shape[0]))
+        assert esnr(virt) > 2 * best_single
+
+    def test_validation(self):
+        from ninwavelets_tpu.ops.spatial import xdawn
+        with pytest.raises(ValueError):
+            xdawn(np.zeros((4, 100, 2), np.float32), [0], 10)
+        with pytest.raises(ValueError):
+            xdawn(np.zeros((4, 100), np.float32), [99], 10)
+        with pytest.raises(ValueError):
+            xdawn(np.zeros((4, 100), np.float32), [0, 20], 10,
+                  n_components=9)
