@@ -128,6 +128,55 @@ class EDFReader:
         if self.record_duration <= 0:
             raise ValueError(f"{path}: non-positive record duration")
 
+    # ------------------------------------------------------ annotations
+    def read_annotations(self):
+        """EDF+ annotations as ``[(onset_s, duration_s, text), ...]``:
+        the TAL byte streams of every annotation signal, parsed per
+        record (``+onset[\x15duration]\x14text\x14...\x00``; the
+        record-timekeeping TALs — empty text — are skipped)."""
+        ann_idx = [i for i, lab in enumerate(self._all_labels)
+                   if lab in _ANNOTATION_LABELS]
+        out = []
+        for ai in ann_idx:
+            off = int(self._ch_off_all[ai])
+            ns = int(self._nsamp[ai])
+            for r in range(self.n_records):
+                lo = r * self._rec_stride + off
+                raw = self._mm[lo:lo + ns].tobytes()
+                for tal in raw.split(b"\x00"):
+                    if not tal or not tal[:1] in (b"+", b"-"):
+                        continue
+                    head, *texts = tal.split(b"\x14")
+                    texts = [t for t in texts if t]
+                    if not texts:
+                        continue                  # timekeeping TAL
+                    if b"\x15" in head:
+                        o_b, d_b = head.split(b"\x15", 1)
+                    else:
+                        o_b, d_b = head, b""
+                    try:
+                        onset = float(o_b)
+                        dur = float(d_b) if d_b else 0.0
+                    except ValueError:
+                        continue                  # malformed TAL
+                    for t in texts:
+                        out.append((onset, dur,
+                                    t.decode("utf-8", "replace")))
+        out.sort(key=lambda a: a[0])
+        return out
+
+    @property
+    def markers(self):
+        """Annotations in the marker convention shared with
+        ``io.brainvision`` — ``[(sample, kind, text), ...]`` at this
+        reader's (uniform) rate — so ``RawWavelet.epochs_from_markers``
+        works identically on EDF+ and BrainVision files."""
+        if not hasattr(self, "_markers"):
+            sf = self.sfreq
+            self._markers = [(int(round(o * sf)), "Annotation", txt)
+                             for (o, d, txt) in self.read_annotations()]
+        return self._markers
+
     # ------------------------------------------------------------ info
     @property
     def sfreq(self) -> float:
@@ -241,7 +290,8 @@ def write_edf(path: str, data: np.ndarray, sfreq: float,
               ch_names: Optional[Sequence[str]] = None,
               units: str = "uV", record_duration: float = 1.0,
               patient_id: str = "X", recording_id: str = "X",
-              start: Optional[datetime.datetime] = None) -> None:
+              start: Optional[datetime.datetime] = None,
+              annotations=None) -> None:
     """Write a (C, N) array as a 16-bit EDF file.
 
     Per-channel calibration spans the data range, so quantization error
@@ -251,6 +301,11 @@ def write_edf(path: str, data: np.ndarray, sfreq: float,
     channel's calibrated range — a channel whose data never crosses
     zero pads at its nearest representable value.  Slicing off the pad
     is the caller's bookkeeping; ``n_records`` covers the padded length.
+
+    ``annotations`` (optional): ``[(onset_s, duration_s, text), ...]``
+    written as an EDF+ "EDF Annotations" TAL signal (the reserved
+    header field then reads EDF+C); ``EDFReader.read_annotations`` /
+    ``.markers`` round-trip them.
     """
     data = np.atleast_2d(np.asarray(data, np.float64))
     n_ch, n = data.shape
@@ -319,34 +374,69 @@ def write_edf(path: str, data: np.ndarray, sfreq: float,
         dig = np.concatenate(
             [dig, np.repeat(zero_dig[:, None], pad, axis=1)], axis=1)
 
+    # ---- EDF+ annotation signal (TAL byte stream per record) -------
+    ann_payloads, ann_ns = [], 0
+    if annotations:
+        anns = sorted((float(o), float(d), str(t))
+                      for (o, d, t) in annotations)
+        rd = float(record_duration)
+        for r in range(n_records):
+            tal = b"+%s\x14\x14\x00" % (("%g" % (r * rd))
+                                           .encode("ascii"))
+            for (o, d, t) in anns:
+                if r * rd <= o < (r + 1) * rd:
+                    head_b = b"+%s" % (("%g" % o).encode("ascii"))
+                    if d:
+                        head_b += b"\x15%s" % (("%g" % d)
+                                                .encode("ascii"))
+                    tal += head_b + b"\x14" + t.encode("utf-8")                         + b"\x14\x00"
+            ann_payloads.append(tal)
+        ann_ns = max((len(b) + 1) // 2 for b in ann_payloads) + 1
+        ann_payloads = [b + b"\x00" * (2 * ann_ns - len(b))
+                        for b in ann_payloads]
+    n_all = n_ch + (1 if annotations else 0)
+
     start = start or datetime.datetime(2000, 1, 1)
-    header_bytes = 256 + 256 * n_ch
+    header_bytes = 256 + 256 * n_all
 
     def f(text, width):
         b = str(text).encode("ascii", errors="replace")[:width]
         return b + b" " * (width - len(b))
 
+    all_names = list(ch_names) + (["EDF Annotations"]
+                                  if annotations else [])
+    all_units = [units] * n_ch + ([""] if annotations else [])
+    all_pmin = list(pmin) + ([-1.0] if annotations else [])
+    all_pmax = list(pmax) + ([1.0] if annotations else [])
+    all_ns = [ns] * n_ch + ([ann_ns] if annotations else [])
     head = b"".join([
         f("0", 8), f(patient_id, 80), f(recording_id, 80),
         f(start.strftime("%d.%m.%y"), 8), f(start.strftime("%H.%M.%S"), 8),
-        f(header_bytes, 8), f("", 44), f(n_records, 8),
-        f(rd8, 8), f(n_ch, 4)])
+        f(header_bytes, 8), f("EDF+C" if annotations else "", 44),
+        f(n_records, 8),
+        f(rd8, 8), f(n_all, 4)])
     sig = b"".join(
-        [b"".join(f(nm, 16) for nm in ch_names)]
-        + [b"".join(f("", 80) for _ in range(n_ch))]
-        + [b"".join(f(units, 8) for _ in range(n_ch))]
-        + [b"".join(f(g8(v), 8) for v in pmin)]
-        + [b"".join(f(g8(v), 8) for v in pmax)]
-        + [b"".join(f(int(dmin), 8) for _ in range(n_ch))]
-        + [b"".join(f(int(dmax), 8) for _ in range(n_ch))]
-        + [b"".join(f("", 80) for _ in range(n_ch))]
-        + [b"".join(f(ns, 8) for _ in range(n_ch))]
-        + [b"".join(f("", 32) for _ in range(n_ch))])
-    assert len(head) == 256 and len(sig) == 256 * n_ch
+        [b"".join(f(nm, 16) for nm in all_names)]
+        + [b"".join(f("", 80) for _ in range(n_all))]
+        + [b"".join(f(u, 8) for u in all_units)]
+        + [b"".join(f(g8(v), 8) for v in all_pmin)]
+        + [b"".join(f(g8(v), 8) for v in all_pmax)]
+        + [b"".join(f(int(dmin), 8) for _ in range(n_all))]
+        + [b"".join(f(int(dmax), 8) for _ in range(n_all))]
+        + [b"".join(f("", 80) for _ in range(n_all))]
+        + [b"".join(f(v, 8) for v in all_ns)]
+        + [b"".join(f("", 32) for _ in range(n_all))])
+    assert len(head) == 256 and len(sig) == 256 * n_all
 
     # record-interleave: record r = ch0[r*ns:(r+1)*ns] .. chC-1[...]
     recs = dig.reshape(n_ch, n_records, ns).transpose(1, 0, 2)
     with open(path, "wb") as out:
         out.write(head)
         out.write(sig)
-        out.write(np.ascontiguousarray(recs, dtype="<i2").tobytes())
+        if not annotations:
+            out.write(np.ascontiguousarray(recs, dtype="<i2").tobytes())
+        else:
+            for r in range(n_records):
+                out.write(np.ascontiguousarray(
+                    recs[r], dtype="<i2").tobytes())
+                out.write(ann_payloads[r])

@@ -349,3 +349,59 @@ class TestSources:
         view = EDFReader(path).pick(["a"])
         with pytest.raises(ValueError, match="re-pick"):
             EDFSource(view, picks=["a"])
+
+
+class TestAnnotations:
+    def test_edfplus_roundtrip_and_markers(self, tmp_path):
+        from ninwavelets_tpu.io.edf import EDFReader, write_edf
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((3, 2500)).astype(np.float32)
+        anns = [(0.5, 0.0, "stim/A"), (3.25, 0.5, "stim/B"),
+                (7.8, 0.0, "response")]
+        p = str(tmp_path / "rec.edf")
+        write_edf(p, x, 250.0, annotations=anns)
+        r = EDFReader(p)
+        # data untouched by the extra signal
+        assert r.ch_names == ["ch0", "ch1", "ch2"]
+        got = r.get_data()
+        err = np.abs(got - x).max()
+        assert err < np.abs(x).max() / 1000
+        # annotations round-trip (onset, duration, text)
+        back = r.read_annotations()
+        assert back == [(0.5, 0.0, "stim/A"), (3.25, 0.5, "stim/B"),
+                        (7.8, 0.0, "response")]
+        # marker convention at the recording rate
+        assert r.markers == [(125, "Annotation", "stim/A"),
+                             (812, "Annotation", "stim/B"),
+                             (1950, "Annotation", "response")]
+
+    def test_epochs_from_edf_markers(self, tmp_path):
+        """The full event workflow straight off an EDF+ file:
+        annotations -> marker epochs -> ERP."""
+        import ninwavelets_tpu as nw
+        from ninwavelets_tpu.io.edf import write_edf
+        rng = np.random.default_rng(1)
+        n, sfreq = 20000, 250.0
+        x = 0.2 * rng.standard_normal((2, n)).astype(np.float32)
+        bump = np.exp(-0.5 * ((np.arange(150) - 75) / 20.0) ** 2)
+        events = [1000, 5000, 9000, 13000]
+        for s in events:
+            x[0, s:s + 150] += 3.0 * bump.astype(np.float32)
+        write_edf(str(tmp_path / "rec.edf"), x, sfreq,
+                  ch_names=["c0", "c1"],
+                  annotations=[(s / sfreq, 0.0, "stim") for s in events])
+        rw = nw.RawWavelet.from_edf(str(tmp_path / "rec.edf"),
+                                    nw.Morse(sfreq))
+        ew = rw.epochs_from_markers(-0.1, 0.5, description="stim")
+        assert len(ew.epochs) == 4
+        ev = np.asarray(ew.evoked())[0]
+        assert abs(int(np.argmax(ev)) - (25 + 75)) < 10
+
+    def test_no_annotations_plain_edf(self, tmp_path):
+        from ninwavelets_tpu.io.edf import EDFReader, write_edf
+        x = np.zeros((2, 500), np.float32)
+        p = str(tmp_path / "plain.edf")
+        write_edf(p, x, 250.0)
+        r = EDFReader(p)
+        assert r.read_annotations() == []
+        assert r.markers == []
