@@ -5,6 +5,7 @@ The reference has no IO layer (in-memory numpy only); this package is
 the TPU build's data loader — mmap'd recordings, GIL-free native
 gathers, and double-buffered streaming into the fused compute path.
 """
+from .bdf import BDFRaw, BDFReader, status_events, write_bdf
 from .brainvision import (BVRaw, BVReader, BVSource,
                           read_markers, write_brainvision)
 from .edf import EDFRaw, EDFReader, write_edf
@@ -14,4 +15,5 @@ from .stream import ArraySource, EDFSource, iter_ext_batches
 __all__ = ["EDFReader", "EDFRaw", "write_edf", "native_available",
            "ArraySource", "EDFSource", "iter_ext_batches",
            "BVReader", "BVRaw", "BVSource", "read_markers",
-           "write_brainvision"]
+           "write_brainvision",
+           "BDFReader", "BDFRaw", "write_bdf", "status_events"]

@@ -1466,6 +1466,15 @@ class RawWavelet:
         return cls(EDFRaw(path, picks=picks), wavelet, **kw)
 
     @classmethod
+    def from_bdf(cls, path, wavelet: WaveletBase, picks=None,
+                 **kw) -> "RawWavelet":
+        """Open a BioSemi BDF recording (24-bit; ``io.BDFRaw``).
+        Trigger events live on the ``Status`` channel — extract them
+        with ``io.status_events(raw.get_data(picks=["Status"])[0])``."""
+        from ..io.bdf import BDFRaw
+        return cls(BDFRaw(path, picks=picks), wavelet, **kw)
+
+    @classmethod
     def from_brainvision(cls, vhdr_path, wavelet: WaveletBase,
                          picks=None, **kw) -> "RawWavelet":
         """Open a BrainVision recording (.vhdr) directly
