@@ -166,6 +166,30 @@ def main() -> None:
     print(f"dfa: alpha-envelope scaling exponent {float(alpha):.2f} "
           f"(> 0.5 = long-range correlated, as planted)")
 
+    # 9. one shareable HTML report for the whole run
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        rep = nw.Report(title="workflow demo — planted ground truth")
+        rep.add_dict("Cleaning", {
+            "trials_kept": kept, "trials_total": e,
+            "reject_threshold": clean.reject_result.threshold})
+        rep.add_table("Microstates", {
+            "state": ["A", "B", "C"],
+            "coverage": np.asarray(stats["coverage"]),
+            "duration_ms": 1e3 * np.asarray(stats["duration"])})
+        fig = nw.plot_microstates(np.asarray(res.maps), pos,
+                                  stats=stats, show=False)
+        rep.add_figure("Microstate maps", fig)
+        rep.add_dict("Connectivity", {
+            "pcoh_mediated": float(pc[0, 2]),
+            "pcoh_direct": float(pc[0, 1])})
+        rep.add_dict("DFA", {"alpha": float(alpha)})
+        out_path = rep.save("examples/out/workflow_report.html")
+        print(f"report -> {out_path}")
+    except Exception as err:  # pragma: no cover - report optional
+        print("report skipped:", err)
+
 
 if __name__ == "__main__":
     main()

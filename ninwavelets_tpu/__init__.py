@@ -22,6 +22,7 @@ from .ops.ewt import ewt
 from .ops.vmd import vmd
 from .utils import (ArrayEpochs, EpochsWavelet, Parallel, RawWavelet,
                     Sequence,
+                    Report,
                     compose, dict_map, plot_microstates, plot_tf,
                     plot_topomap, plot_wavelet)
 
@@ -30,7 +31,7 @@ __version__ = "0.1.0"
 __all__ = [
     # reference-parity surface (__init__.py:1-3 of the reference)
     "WaveletBase", "WaveletMode", "plot_tf", "plot_topomap",
-    "plot_microstates", "Baseline",
+    "plot_microstates", "Report", "Baseline",
     "Morse", "MorseMNE", "Morlet", "Haar", "MexicanHat", "Shannon",
     "ArrayEpochs", "EpochsWavelet", "RawWavelet",
     # additions

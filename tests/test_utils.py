@@ -427,3 +427,40 @@ def test_pipeline_cluster_requires_baseline():
         cfg.run_pipeline(cfg.PipelineConfig(freqs=(20.0, 40.0, 10.0),
                                             cluster_test=True),
                          FakeEpochs())
+
+
+class TestReport:
+    def test_full_report_roundtrip(self, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import ninwavelets_tpu as nw
+
+        rep = nw.Report(title="Subject 01 <QA>")
+        fig, ax = plt.subplots()
+        ax.plot([0, 1, 2], [1, 4, 9])
+        rep.add_figure("Power spectrum", fig, caption="demo & caption")
+        rep.add_table("Peaks", {"channel": ["Cz", "Pz"],
+                                "latency_ms": [301.5, 287.0]})
+        rep.add_dict("Summary", {"n_epochs": 40, "gev": 0.93,
+                                 "matrix": np.zeros((3, 3))})
+        rep.add_text("Notes", "run 2 excluded <artifacts>")
+        p = str(tmp_path / "report.html")
+        assert rep.save(p) == p
+        html_out = open(p, encoding="utf-8").read()
+        # one self-contained file: inline PNG, no external refs
+        assert "data:image/png;base64," in html_out
+        assert "Subject 01 &lt;QA&gt;" in html_out      # escaped title
+        assert "demo &amp; caption" in html_out
+        assert "301.5" in html_out and "Cz" in html_out
+        assert "array(3, 3)" in html_out
+        assert "run 2 excluded &lt;artifacts&gt;" in html_out
+        # nav links to every section
+        for i in range(4):
+            assert f'href="#s{i}"' in html_out
+
+    def test_table_validation(self):
+        import ninwavelets_tpu as nw
+        rep = nw.Report()
+        with pytest.raises(ValueError, match="share a length"):
+            rep.add_table("bad", {"a": [1, 2], "b": [1]})
