@@ -13,6 +13,11 @@ The reader mirrors ``io.edf.EDFReader``'s contract (``ch_names``,
 ``RawWavelet``/``epochs_from_markers`` work unchanged; BDF ``Status``
 trigger channels are exposed as data (BioSemi convention — extract
 events from the low 16 bits yourself or via ``status_events``).
+
+MAINTENANCE NOTE: the signal-header parse deliberately duplicates
+``EDFReader``'s (same field layout) rather than refactoring the EDF
+reader, which feeds the native int16 gather kernel and is left
+untouched; a header-parsing fix over there must be mirrored here.
 """
 from __future__ import annotations
 
@@ -108,14 +113,29 @@ class BDFReader:
             raise ValueError("mixed sampling rates; use pick()")
         return self.n_records * self._ns0
 
-    def _indices(self, picks: Optional[Sequence]):
+    def _indices(self, picks: Optional[Sequence],
+                 need_uniform: bool = True):
         if picks is None:
-            return list(self._data_idx)
-        idx = []
-        for ch in picks:
-            if ch not in self.ch_names:
-                raise ValueError(f"channel {ch!r} not in file")
-            idx.append(self._data_idx[self.ch_names.index(ch)])
+            idx = list(self._data_idx)
+        else:
+            idx = []
+            for ch in picks:
+                if isinstance(ch, (int, np.integer)):
+                    if not 0 <= int(ch) < len(self.ch_names):
+                        raise ValueError(f"channel index {ch} out of "
+                                         "range")
+                    idx.append(self._data_idx[int(ch)])
+                    continue
+                if ch not in self.ch_names:
+                    raise ValueError(f"channel {ch!r} not in file")
+                idx.append(self._data_idx[self.ch_names.index(ch)])
+        if need_uniform:
+            ns = self._nsamp[idx]
+            if not np.all(ns == ns[0]):
+                raise ValueError(
+                    "selected channels mix samples/record "
+                    f"({sorted(set(int(v) for v in ns))}); pick a "
+                    "uniform-rate subset")
         return idx
 
     def _channel(self, i: int) -> np.ndarray:
@@ -213,13 +233,18 @@ class BDFRaw:
 
 
 def status_events(status: np.ndarray, mask: int = 0xFFFF):
-    """Event extraction from a BioSemi Status channel: rising edges of
-    the masked trigger word -> ``[(sample, "Status", str(code)), ...]``
-    in the shared marker convention."""
+    """Event extraction from a BioSemi Status channel: every transition
+    TO a nonzero masked trigger word (including one already active at
+    sample 0 — recordings often start mid-trigger) ->
+    ``[(sample, "Status", str(code)), ...]`` in the shared marker
+    convention.  A falling transition between two nonzero codes emits
+    the NEW code (the mne ``find_events`` consecutive behavior)."""
     code = np.asarray(np.rint(status), np.int64) & mask
     change = np.flatnonzero(np.diff(code) != 0) + 1
-    return [(int(s), "Status", str(int(code[s])))
+    out = [(0, "Status", str(int(code[0])))] if code[0] != 0 else []
+    out += [(int(s), "Status", str(int(code[s])))
             for s in change if code[s] != 0]
+    return out
 
 
 def write_bdf(path: str, data: np.ndarray, sfreq: float,
@@ -235,6 +260,14 @@ def write_bdf(path: str, data: np.ndarray, sfreq: float,
     if abs(ns - round(ns)) > 1e-9:
         raise ValueError("sfreq*record_duration must be an integer")
     ns = int(round(ns))
+    rd8 = "%.8g" % record_duration
+    rd8 = rd8 if len(rd8) <= 8 else ("%.7g" % record_duration)[:8]
+    if float(rd8) != record_duration:
+        raise ValueError(
+            f"record_duration={record_duration!r} does not fit the "
+            f"8-char header field exactly (nearest: {rd8}) — the "
+            "derived sfreq would drift; choose a representable "
+            "duration")
     n_records = -(-n // ns)
     ch_names = (list(ch_names) if ch_names is not None
                 else [f"ch{i}" for i in range(n_ch)])
@@ -279,7 +312,7 @@ def write_bdf(path: str, data: np.ndarray, sfreq: float,
     head = b"\xffBIOSEMI" + b"".join([
         f("X", 80), f("X", 80), f("01.01.00", 8), f("00.00.00", 8),
         f(header_bytes, 8), f("24BIT", 44), f(n_records, 8),
-        f(g8(record_duration), 8), f(n_ch, 4)])
+        f(rd8, 8), f(n_ch, 4)])
     sig = b"".join(
         [b"".join(f(nm, 16) for nm in ch_names)]
         + [b"".join(f("", 80) for _ in range(n_ch))]

@@ -377,19 +377,33 @@ def write_edf(path: str, data: np.ndarray, sfreq: float,
     # ---- EDF+ annotation signal (TAL byte stream per record) -------
     ann_payloads, ann_ns = [], 0
     if annotations:
+        def tnum(v):
+            # full sub-second precision at ANY onset ("%g" keeps only
+            # 6 significant digits — an 8-hour onset would round by
+            # tens of ms) and never scientific notation (spec-invalid
+            # inside TALs)
+            out = ("%.6f" % float(v)).rstrip("0").rstrip(".")
+            return (out or "0").encode("ascii")
+
         anns = sorted((float(o), float(d), str(t))
                       for (o, d, t) in annotations)
         rd = float(record_duration)
+        total = n_records * rd
+        for (o, d, t) in anns:
+            if o < 0 or o > total:
+                raise ValueError(
+                    f"annotation onset {o} s outside the recording "
+                    f"(0..{total} s) — it would be silently lost")
+        buckets = [[] for _ in range(n_records)]
+        for a in anns:
+            buckets[min(int(a[0] // rd), n_records - 1)].append(a)
         for r in range(n_records):
-            tal = b"+%s\x14\x14\x00" % (("%g" % (r * rd))
-                                           .encode("ascii"))
-            for (o, d, t) in anns:
-                if r * rd <= o < (r + 1) * rd:
-                    head_b = b"+%s" % (("%g" % o).encode("ascii"))
-                    if d:
-                        head_b += b"\x15%s" % (("%g" % d)
-                                                .encode("ascii"))
-                    tal += head_b + b"\x14" + t.encode("utf-8")                         + b"\x14\x00"
+            tal = b"+%s\x14\x14\x00" % tnum(r * rd)
+            for (o, d, t) in buckets[r]:
+                head_b = b"+%s" % tnum(o)
+                if d:
+                    head_b += b"\x15%s" % tnum(d)
+                tal += head_b + b"\x14" + t.encode("utf-8") + b"\x14\x00"
             ann_payloads.append(tal)
         ann_ns = max((len(b) + 1) // 2 for b in ann_payloads) + 1
         ann_payloads = [b + b"\x00" * (2 * ann_ns - len(b))

@@ -153,15 +153,22 @@ def modularity_communities(w, n_iter: int = 50):
     module; for finer partitions apply recursively to the subgraphs
     (host-side, data-dependent shapes)."""
     w = _clean(jnp.asarray(w, jnp.float32))
-    k = jnp.sum(w, axis=-1)
-    two_m = jnp.maximum(jnp.sum(k), 1e-20)
-    b = w - jnp.outer(k, k) / two_m
-    vals, vecs = jnp.linalg.eigh(0.5 * (b + b.T))
-    lead = vecs[:, -1]
+    # the wpli/ppc matrices carry a NaN diagonal by convention (eps=0):
+    # NaN * 0 from _clean's eye mask survives and would poison k/B/eigh
+    # into a silent all-zero "no structure" answer — sanitize first
+    w = jnp.where(jnp.isfinite(w), w, 0.0)
+    k = jnp.sum(w, axis=-1)                            # (..., C)
+    two_m = jnp.maximum(jnp.sum(k, axis=-1), 1e-20)    # (...,)
+    b = w - k[..., :, None] * k[..., None, :] \
+        / two_m[..., None, None]
+    bs = 0.5 * (b + jnp.swapaxes(b, -1, -2))
+    vals, vecs = jnp.linalg.eigh(bs)                   # batched
+    lead = vecs[..., :, -1]
     s = jnp.where(lead >= 0, 1.0, -1.0)
-    q = jnp.einsum("i,ij,j->", s, b, s) / (2.0 * two_m)
-    labels = (s > 0).astype(jnp.int32)
-    q = jnp.where(vals[-1] > 0, q, 0.0)
-    labels = jnp.where(vals[-1] > 0, labels,
-                       jnp.zeros_like(labels))
+    q = jnp.einsum("...i,...ij,...j->...", s, b, s,
+                   precision=jax.lax.Precision.HIGHEST) \
+        / (2.0 * two_m)
+    ok = vals[..., -1] > 0
+    labels = jnp.where(ok[..., None], (s > 0), False).astype(jnp.int32)
+    q = jnp.where(ok, q, 0.0)
     return labels, q

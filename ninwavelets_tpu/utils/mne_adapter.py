@@ -777,15 +777,14 @@ class EpochsWavelet:
             raise ValueError("method must be one of wpli/plv/coherence/"
                              "ppc/pcoh, got %r" % (method,))
         m = fn(freqs, time_range=time_range)
-        comm = [_g.modularity_communities(m[fi])
-                for fi in range(m.shape[0])]
+        labels, q = _g.modularity_communities(m)     # batched over F
         out = {"matrix": m,
                "strength": _g.strength(m),
                "clustering": _g.clustering_onnela(m),
                "efficiency": _g.global_efficiency(m),
                "path_length": _g.char_path_length(m),
-               "communities": np.stack([np.asarray(c) for c, _ in comm]),
-               "modularity": np.asarray([float(q) for _, q in comm])}
+               "communities": np.asarray(labels),
+               "modularity": np.asarray(q)}
         if n_nulls:
             out["small_world"] = _g.small_worldness(m, n_nulls=n_nulls)
         return out
@@ -1470,7 +1469,8 @@ class RawWavelet:
                  **kw) -> "RawWavelet":
         """Open a BioSemi BDF recording (24-bit; ``io.BDFRaw``).
         Trigger events live on the ``Status`` channel — extract them
-        with ``io.status_events(raw.get_data(picks=["Status"])[0])``."""
+        with ``io.status_events(rw.raw.reader.get_data(["Status"])[0])``
+        (the underlying ``BDFReader`` takes channel-name picks)."""
         from ..io.bdf import BDFRaw
         return cls(BDFRaw(path, picks=picks), wavelet, **kw)
 

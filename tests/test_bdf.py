@@ -95,3 +95,28 @@ class TestRawWavelet:
             nw.Morse(1000.0), window=2048)
         want = np.asarray(mem.power([20.0, 40.0]))
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+class TestReviewRegressions:
+    def test_record_duration_guard(self, tmp_path):
+        with pytest.raises(ValueError, match="8-char"):
+            write_bdf(str(tmp_path / "x.bdf"),
+                      np.zeros((1, 200), np.float32), 300.0,
+                      record_duration=2.0 / 3.0)
+
+    def test_status_initial_and_consecutive(self):
+        status = np.zeros(500)
+        status[:50] = 5                       # active at sample 0
+        status[100:200] = 7
+        status[200:260] = 3                   # 7 -> 3 without a gap
+        ev = status_events(status)
+        assert ev == [(0, "Status", "5"), (100, "Status", "7"),
+                      (200, "Status", "3")]
+
+    def test_integer_picks(self, tmp_path):
+        x = _data()
+        p = str(tmp_path / "rec.bdf")
+        write_bdf(p, x, 1000.0)
+        r = BDFReader(p)
+        np.testing.assert_allclose(r.get_data([2, 0]),
+                                   r.get_data()[[2, 0]], rtol=1e-6)

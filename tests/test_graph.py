@@ -179,3 +179,26 @@ class TestModularity:
             agree = np.abs(np.mean(got * s))
             assert agree == 1.0                  # same split (or flip)
             np.testing.assert_allclose(float(q), want_q, rtol=1e-4)
+
+
+def test_modularity_survives_nan_diagonal():
+    """The wpli/ppc matrices carry a NaN diagonal by convention; the
+    community split must sanitize it instead of silently returning the
+    all-zero 'no structure' answer."""
+    from ninwavelets_tpu.ops.graph import modularity_communities
+    rng = np.random.default_rng(3)
+    w = 0.02 * rng.random((16, 16))
+    w[:8, :8] += 0.8 * rng.random((8, 8))
+    w[8:, 8:] += 0.8 * rng.random((8, 8))
+    w = (w + w.T) / 2
+    np.fill_diagonal(w, np.nan)
+    labels, q = modularity_communities(w)
+    labels = np.asarray(labels)
+    assert float(q) > 0.3
+    assert (labels[:8] == labels[0]).all() and \
+        (labels[8:] == labels[8]).all() and labels[0] != labels[8]
+    # batched over a leading frequency axis
+    wb = np.stack([w, w])
+    lb, qb = modularity_communities(wb)
+    assert np.asarray(lb).shape == (2, 16)
+    np.testing.assert_allclose(np.asarray(qb), float(q), rtol=1e-5)

@@ -405,3 +405,33 @@ class TestAnnotations:
         r = EDFReader(p)
         assert r.read_annotations() == []
         assert r.markers == []
+
+
+class TestAnnotationPrecision:
+    def test_late_onset_keeps_subsecond_precision(self, tmp_path):
+        """%g-style 6-significant-digit formatting would shift an
+        8-hour onset by tens of ms — the writer must keep full
+        sub-second precision at any onset."""
+        from ninwavelets_tpu.io.edf import EDFReader, write_edf
+        n = 250 * 40
+        x = np.zeros((1, n), np.float32)
+        p = str(tmp_path / "long.edf")
+        # recording "starts" late via a large onset near the end
+        write_edf(p, x, 250.0, annotations=[(28.805504, 0.0, "late")])
+        back = EDFReader(p).read_annotations()
+        assert back == [(28.805504, 0.0, "late")]
+
+    def test_out_of_range_annotation_raises(self, tmp_path):
+        from ninwavelets_tpu.io.edf import write_edf
+        x = np.zeros((1, 2500), np.float32)
+        with pytest.raises(ValueError, match="outside the recording"):
+            write_edf(str(tmp_path / "a.edf"), x, 250.0,
+                      annotations=[(11.0, 0.0, "late")])
+        with pytest.raises(ValueError, match="outside the recording"):
+            write_edf(str(tmp_path / "b.edf"), x, 250.0,
+                      annotations=[(-0.5, 0.0, "early")])
+        # exactly-at-end lands in the last record, not dropped
+        from ninwavelets_tpu.io.edf import EDFReader
+        p = str(tmp_path / "c.edf")
+        write_edf(p, x, 250.0, annotations=[(10.0, 0.0, "end")])
+        assert EDFReader(p).read_annotations() == [(10.0, 0.0, "end")]
