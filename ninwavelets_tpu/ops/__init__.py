@@ -110,7 +110,8 @@ from .erp import (PeakResult, evoked, fractional_area_latency,
 from .reject import (RejectResult, autoreject_global, ptp,
                      ptp_reject, regress_out)
 from .microstates import (MicrostateResult, gfp, microstate_backfit,
-                          microstate_fit, microstate_stats)
+                          microstate_fit, microstate_stats,
+                          microstate_syntax_test)
 from .ica import ICAResult, fastica, ica_remove, ica_transform
 from .spatial import (SpatialResult, corrca, covariance, csp,
                       csp_features, ged, spatial_apply, ssd, xdawn)
@@ -236,7 +237,7 @@ __all__ = [
     "sample_entropy", "multiscale_entropy", "permutation_entropy",
     "multiscale_permutation_entropy", "dfa",
     "MicrostateResult", "gfp", "microstate_fit", "microstate_backfit",
-    "microstate_stats",
+    "microstate_stats", "microstate_syntax_test",
     "fastica", "ica_transform", "ica_remove", "ICAResult",
     "bandpass", "lowpass", "highpass", "notch", "resample",
     # "ewt"/"vmd" are the SUBMODULES here (the transforms live at

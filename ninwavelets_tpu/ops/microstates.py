@@ -39,7 +39,8 @@ import numpy as np
 from jax import lax
 
 __all__ = ["MicrostateResult", "gfp", "microstate_fit",
-           "microstate_backfit", "microstate_stats"]
+           "microstate_backfit", "microstate_stats",
+           "microstate_syntax_test"]
 
 
 class MicrostateResult(NamedTuple):
@@ -220,3 +221,39 @@ def _stats_jit(labels, *, n_states, sfreq):
     transitions = counts / jnp.maximum(row, 1e-20)
     return {"coverage": coverage, "occurrence": occurrence,
             "duration": duration, "transitions": transitions}
+
+
+def microstate_syntax_test(labels, n_states: int, n_shuffles: int = 500,
+                           seed: int = 0):
+    """Directional-syntax test: is the microstate TRANSITION structure
+    asymmetric (A->B more likely than B->A) beyond what the coverage
+    alone predicts?
+
+    Statistic: ``sum_{i<j} |T_ij - T_ji|`` over the distinct-transition
+    count matrix.  Null: the transition SEQUENCE with the same segment
+    counts but shuffled order (segment-level permutation — sample-level
+    shuffles would destroy duration structure and inflate the
+    statistic).  Returns ``(asym, p)``; small p = the syntax has a
+    preferred direction (Lehmann's microstate-syntax hypothesis).
+
+    Host-side: the segment sequence is tiny (hundreds of entries), and
+    permutation of a variable-length symbol list is host work by
+    nature."""
+    labels = np.asarray(labels)
+    seq = labels[np.concatenate([[True], labels[1:] != labels[:-1]])]
+    if seq.size < 3:
+        raise ValueError("need at least 3 segments")
+    k = int(n_states)
+
+    def asym_of(s):
+        t = np.zeros((k, k))
+        np.add.at(t, (s[:-1], s[1:]), 1.0)
+        return float(np.abs(t - t.T)[np.triu_indices(k, 1)].sum())
+
+    obs = asym_of(seq)
+    rng = np.random.default_rng(int(seed))
+    count = 1
+    for _ in range(int(n_shuffles)):
+        perm = rng.permutation(seq)
+        count += asym_of(perm) >= obs
+    return obs, count / (int(n_shuffles) + 1)

@@ -158,3 +158,36 @@ class TestRawAdapter:
         np.testing.assert_allclose(np.sum(stats["coverage"]), 1.0,
                                    atol=1e-5)
         assert stats["transitions"].shape == (4, 4)
+
+
+class TestSyntax:
+    def test_directional_sequence_detected(self):
+        """A strictly cyclic A->B->C->A syntax is maximally asymmetric;
+        a symmetric random walk is not."""
+        from ninwavelets_tpu.ops import microstate_syntax_test
+        rng = np.random.default_rng(0)
+        # cyclic: repeat 0,1,2 with random dwell
+        seq = []
+        for _ in range(120):
+            seq.extend([len(seq) // 1 % 3] * 0)  # no-op clarity
+        labels = np.repeat(np.tile([0, 1, 2], 60),
+                           rng.integers(3, 9, 180))
+        asym, p = microstate_syntax_test(labels, 3, n_shuffles=300,
+                                         seed=1)
+        assert asym > 0 and p < 0.01
+        # symmetric: random distinct transitions
+        states = [0]
+        for _ in range(200):
+            nxt = rng.integers(3)
+            while nxt == states[-1]:
+                nxt = rng.integers(3)
+            states.append(nxt)
+        labels2 = np.repeat(states, rng.integers(3, 9, len(states)))
+        _, p2 = microstate_syntax_test(labels2, 3, n_shuffles=300,
+                                       seed=2)
+        assert p2 > 0.05
+
+    def test_validation(self):
+        from ninwavelets_tpu.ops import microstate_syntax_test
+        with pytest.raises(ValueError):
+            microstate_syntax_test(np.zeros(5, np.int32), 3)
