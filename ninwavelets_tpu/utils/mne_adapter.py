@@ -1135,6 +1135,34 @@ class EpochsWavelet:
                         list(self.epochs.ch_names), times=times),
             self.wavelet)
 
+    def subset(self, sel) -> "EpochsWavelet":
+        """A NEW ``EpochsWavelet`` over a trial subset (extension):
+        ``sel`` is a boolean mask or integer indices over epochs.
+        Composable like :meth:`drop_bad` — the standard way to carve
+        condition groups for :meth:`cluster_test`, :meth:`csp_decode`,
+        :meth:`riemann_decode`, ..."""
+        data = np.asarray(self._all_data())
+        sel = np.asarray(sel)
+        sub = data[sel]
+        if sub.ndim != 3 or sub.shape[0] == 0:
+            raise ValueError("selection keeps no trials")
+        times = getattr(self.epochs, "times", None)
+        return EpochsWavelet(
+            ArrayEpochs(sub, self.wavelet.sfreq,
+                        list(self.epochs.ch_names), times=times),
+            self.wavelet)
+
+    def split(self, labels) -> dict:
+        """Partition trials by a per-epoch label array (extension):
+        ``{label: EpochsWavelet}`` — e.g.
+        ``groups = ew.split(events[:, 2])`` then
+        ``groups[1].csp_decode(groups[2])``."""
+        labels = np.asarray(labels)
+        if labels.shape[0] != len(self.epochs):
+            raise ValueError("labels must have one entry per epoch")
+        return {lab: self.subset(labels == lab)
+                for lab in np.unique(labels)}
+
     def regress_out(self, ref_names) -> "EpochsWavelet":
         """A NEW ``EpochsWavelet`` with the listed reference channels
         (EOG/ECG) regressed out of every other channel per epoch

@@ -409,3 +409,29 @@ def test_epochs_superlet_power(epochs):
     assert p.shape == (freqs.size, 1000)
     # the golden composite's 60 Hz survives the multiplicative fusion
     assert freqs[int(np.argmax(p[:, 200:-200].mean(-1)))] == 60.0
+
+
+class TestSubsetSplit:
+    def test_subset_and_split_compose(self):
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((12, 3, 256)).astype(np.float32)
+        labels = np.array([0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1])
+        ew = nw.EpochsWavelet(FakeEpochs(data, 250.0), nw.Morse(250.0))
+        sub = ew.subset(labels == 0)
+        assert len(sub.epochs) == 6
+        np.testing.assert_array_equal(np.asarray(sub._all_data()),
+                                      data[labels == 0])
+        groups = ew.split(labels)
+        assert set(groups) == {0, 1}
+        assert len(groups[1].epochs) == 6
+        # downstream transforms run on the subset
+        p = np.asarray(groups[0].power_all([20.0]))
+        assert p.shape == (3, 1, 256)
+        # integer-index selection, order preserved
+        s2 = ew.subset([3, 1])
+        np.testing.assert_array_equal(np.asarray(s2._all_data()),
+                                      data[[3, 1]])
+        with pytest.raises(ValueError):
+            ew.subset(np.zeros(12, bool))
+        with pytest.raises(ValueError):
+            ew.split(np.zeros(5))
