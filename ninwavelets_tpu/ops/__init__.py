@@ -112,7 +112,8 @@ from .reject import (RejectResult, autoreject_global, ptp,
 from .microstates import (MicrostateResult, gfp, microstate_backfit,
                           microstate_fit, microstate_stats,
                           microstate_syntax_test)
-from .ica import ICAResult, fastica, ica_remove, ica_transform
+from .ica import (ICAResult, fastica, ica_find_bads, ica_kurtosis,
+                  ica_remove, ica_scores, ica_transform)
 from .spatial import (SpatialResult, corrca, covariance, csp,
                       csp_features, ged, spatial_apply, ssd, xdawn)
 from .cwt2d import cwt2, morlet2d_bank, pow2_pad2, power2d
@@ -239,6 +240,7 @@ __all__ = [
     "MicrostateResult", "gfp", "microstate_fit", "microstate_backfit",
     "microstate_stats", "microstate_syntax_test",
     "fastica", "ica_transform", "ica_remove", "ICAResult",
+    "ica_scores", "ica_kurtosis", "ica_find_bads",
     "bandpass", "lowpass", "highpass", "notch", "resample",
     # "ewt"/"vmd" are the SUBMODULES here (the transforms live at
     # ops.ewt.ewt / ops.vmd.vmd and as the long-name aliases below);

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["fastica", "ica_transform", "ica_remove", "ICAResult"]
+__all__ = ["fastica", "ica_transform", "ica_remove", "ICAResult",
+           "ica_scores", "ica_kurtosis", "ica_find_bads"]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -148,8 +149,88 @@ def fastica(x, n_components: int | None = None, fun: str = "logcosh",
 def ica_transform(x, result: ICAResult) -> jnp.ndarray:
     """(K, N) source estimates of new data under a fitted model."""
     x = jnp.asarray(x, jnp.float32)
+    c = result.unmixing.shape[1]
+    if x.shape[0] != c:
+        raise ValueError(
+            f"data has {x.shape[0]} channels but the model was fitted "
+            f"on {c} — pass the same channel subset (picks) it was "
+            "fitted with")
     return jnp.matmul(result.unmixing,
                       x - result.mean[:, None], precision=_HI)
+
+
+@jax.jit
+def _corr_jit(src, ref):
+    """|Pearson r| of each (K, N) source row against each (R, N)
+    reference row, as one (K, N) x (N, R) matmul on centered,
+    unit-norm rows."""
+    sc = src - jnp.mean(src, axis=1, keepdims=True)
+    sc = sc / jnp.maximum(jnp.linalg.norm(sc, axis=1, keepdims=True),
+                          1e-20)
+    rc = ref - jnp.mean(ref, axis=1, keepdims=True)
+    rc = rc / jnp.maximum(jnp.linalg.norm(rc, axis=1, keepdims=True),
+                          1e-20)
+    return jnp.abs(jnp.matmul(sc, rc.T, precision=_HI))     # (K, R)
+
+
+def ica_scores(result: ICAResult, ref) -> np.ndarray:
+    """(K,) artifact score per component: the max |Pearson correlation|
+    of each source with the reference channel(s) ``ref`` (1-D ``(N,)``
+    or stacked ``(R, N)`` — e.g. EOG and ECG traces).
+
+    The standard automatic-selection statistic (mne's
+    ``find_bads_eog``/``find_bads_ecg`` correlation mode): ocular or
+    cardiac components track the artifact channel; brain components
+    don't."""
+    ref = jnp.atleast_2d(jnp.asarray(ref, jnp.float32))
+    src = jnp.asarray(result.sources, jnp.float32)
+    if ref.shape[-1] != src.shape[-1]:
+        raise ValueError(
+            f"reference length {ref.shape[-1]} != source length "
+            f"{src.shape[-1]}")
+    return np.asarray(jnp.max(_corr_jit(src, ref), axis=1))
+
+
+@jax.jit
+def _kurt_jit(src):
+    sc = src - jnp.mean(src, axis=1, keepdims=True)
+    v = jnp.maximum(jnp.mean(sc * sc, axis=1), 1e-20)
+    return jnp.mean(sc ** 4, axis=1) / (v * v) - 3.0
+
+
+def ica_kurtosis(result: ICAResult) -> np.ndarray:
+    """(K,) excess kurtosis per source — spiky artifacts (blinks,
+    electrode pops, muscle bursts) are strongly super-Gaussian while
+    ongoing brain rhythms sit near 0."""
+    return np.asarray(_kurt_jit(jnp.asarray(result.sources, jnp.float32)))
+
+
+def ica_find_bads(result: ICAResult, ref=None, threshold: float = 3.0,
+                  measure: str = "zscore") -> tuple[list, np.ndarray]:
+    """Automatically flag artifact components.
+
+    With ``ref`` (an EOG/ECG trace or a stack of them): scores are the
+    max |correlation| per component (``ica_scores``).  Without:
+    scores are the excess kurtosis (``ica_kurtosis``) — the unsupervised
+    spiky-component criterion.  ``measure="zscore"`` (default, mne's
+    convention) flags components whose score sits ``threshold`` robust
+    z-units (median / 1.4826 MAD) above the rest — self-calibrating
+    across recordings; ``measure="absolute"`` compares the raw score to
+    ``threshold`` directly.  Returns ``(bad_indices, scores)``; feed the
+    indices to ``ica_remove``.
+    """
+    scores = (ica_scores(result, ref) if ref is not None
+              else ica_kurtosis(result))
+    if measure == "zscore":
+        med = np.median(scores)
+        mad = np.median(np.abs(scores - med)) * 1.4826
+        z = (scores - med) / max(mad, 1e-12)
+        bads = np.flatnonzero(z > float(threshold))
+    elif measure == "absolute":
+        bads = np.flatnonzero(scores > float(threshold))
+    else:
+        raise ValueError("measure must be 'zscore' or 'absolute'")
+    return [int(i) for i in bads], scores
 
 
 def ica_remove(x, result: ICAResult, exclude) -> jnp.ndarray:

@@ -1661,13 +1661,39 @@ class RawWavelet:
             data = data[[self.raw.ch_names.index(ch) for ch in picks]]
         return fastica(data, n_components, **kw)
 
-    def ica_clean(self, result, exclude) -> np.ndarray:
+    def ica_clean(self, result, exclude, picks=None) -> np.ndarray:
         """(C, N) copy of the recording with the ``exclude``d ICA
-        components removed (mne's ``ica.apply`` step).  Wrap it in a
-        new ``RawWavelet`` to run any downstream analysis on the
-        cleaned recording."""
+        components removed (mne's ``ica.apply`` step).  ``picks`` must
+        match the ``picks`` the model was fitted with — those channels
+        are reconstructed, the rest pass through untouched.  Wrap the
+        result in a new ``RawWavelet`` to run any downstream analysis
+        on the cleaned recording."""
         from ..ops.ica import ica_remove
-        return np.asarray(ica_remove(self._host_data(), result, exclude))
+        data = self._host_data()
+        if picks is None:
+            return np.asarray(ica_remove(data, result, exclude))
+        idx = [self.raw.ch_names.index(ch) for ch in picks]
+        out = np.array(data, copy=True)
+        out[idx] = np.asarray(ica_remove(data[idx], result, exclude))
+        return out
+
+    def ica_find_bads(self, result, ref=None, threshold: float = 3.0,
+                      measure: str = "zscore"):
+        """``(bad_indices, scores)`` — automatic artifact-component
+        selection (extension — ``ops.ica.ica_find_bads``, mne's
+        ``find_bads_eog``/``find_bads_ecg`` correlation criterion).
+        ``ref`` is a channel NAME (or list of names) whose trace the
+        components are correlated against — the EOG/ECG electrode; with
+        ``ref=None`` the unsupervised excess-kurtosis criterion flags
+        spiky components instead."""
+        from ..ops.ica import ica_find_bads
+        trace = None
+        if ref is not None:
+            names = [ref] if isinstance(ref, str) else list(ref)
+            data = self._host_data()
+            trace = data[[self.raw.ch_names.index(ch) for ch in names]]
+        return ica_find_bads(result, trace, threshold=float(threshold),
+                             measure=measure)
 
     def states(self, n_states: int = 4,
                bands=((1.0, 4.0), (4.0, 8.0), (8.0, 13.0), (13.0, 30.0)),

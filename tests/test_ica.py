@@ -205,3 +205,91 @@ class TestSharded:
         mesh = make_mesh(data=8)
         with pytest.raises(ValueError):
             sharded_fastica(np.zeros((4, 1001), np.float32), mesh=mesh)
+
+
+class TestFindBads:
+    """Automatic artifact-component selection (`ica_find_bads`)."""
+
+    def _blinky(self, seed=5, c=8, n=6000):
+        """c-channel mix of brain rhythms + one blink source; returns
+        (data, eog_trace, blink_source)."""
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / SFREQ
+        brain = np.stack([np.sin(2 * np.pi * f * t + rng.uniform(0, 6))
+                          + 0.3 * rng.standard_normal(n)
+                          for f in (6.0, 10.0, 21.0)])
+        blink = np.zeros(n)
+        for s in range(300, n - 200, 900):
+            blink[s:s + 120] += np.hanning(120)
+        blink = 8.0 * blink + 0.05 * rng.standard_normal(n)
+        src = np.vstack([brain, blink])
+        src = (src - src.mean(1, keepdims=True)) / src.std(1, keepdims=True)
+        a = rng.standard_normal((c, 4))
+        x = (a @ src + 0.1 * rng.standard_normal((c, n))).astype(np.float32)
+        eog = (1.5 * blink + 0.2 * rng.standard_normal(n)).astype(np.float32)
+        return x, eog, blink
+
+    def test_eog_correlation_flags_blink(self):
+        from ninwavelets_tpu.ops import ica_find_bads, ica_scores
+        x, eog, blink = self._blinky()
+        res = fastica(x, 4, n_iter=300, seed=0)
+        bads, scores = ica_find_bads(res, eog)
+        assert len(bads) == 1
+        # the flagged component really is the blink source
+        s = np.asarray(res.sources[bads[0]])
+        r = np.corrcoef(s, blink)[0, 1]
+        assert abs(r) > 0.95
+        assert scores.shape == (4,)
+        assert scores[bads[0]] == scores.max()
+
+    def test_kurtosis_unsupervised(self):
+        from ninwavelets_tpu.ops import ica_find_bads, ica_kurtosis
+        x, _, blink = self._blinky(seed=7)
+        res = fastica(x, 4, n_iter=300, seed=0)
+        bads, scores = ica_find_bads(res, None)
+        assert len(bads) >= 1
+        s = np.asarray(res.sources[bads[0]])
+        assert abs(np.corrcoef(s, blink)[0, 1]) > 0.9
+        # kurtosis oracle vs scipy on the flagged source
+        from scipy.stats import kurtosis as sp_kurt
+        k = ica_kurtosis(res)
+        np.testing.assert_allclose(
+            k, sp_kurt(np.asarray(res.sources), axis=1), atol=1e-2)
+
+    def test_absolute_measure_and_validation(self):
+        from ninwavelets_tpu.ops import ica_find_bads, ica_scores
+        x, eog, _ = self._blinky(seed=9)
+        res = fastica(x, 4, n_iter=200, seed=0)
+        bads_z, scores = ica_find_bads(res, eog)
+        bads_a, _ = ica_find_bads(res, eog, threshold=0.8,
+                                  measure="absolute")
+        assert bads_a == bads_z
+        with pytest.raises(ValueError, match="measure"):
+            ica_find_bads(res, eog, measure="nope")
+        with pytest.raises(ValueError, match="length"):
+            ica_scores(res, eog[:100])
+
+    def test_adapter_ref_by_name(self):
+        x, eog, _ = self._blinky(seed=11, c=6)
+        data = np.vstack([x, eog[None, :]]).astype(np.float32)
+        names = [f"EEG{i}" for i in range(6)] + ["EOG"]
+        raw = type("R", (), {"_d": data, "info": {"sfreq": SFREQ},
+                             "ch_names": names,
+                             "get_data": lambda s: s._d})()
+        rw = nw.RawWavelet(raw, nw.Morse(SFREQ), window=2048)
+        res = rw.ica(4, picks=names[:6], n_iter=300)
+        bads, scores = rw.ica_find_bads(res, ref="EOG")
+        assert len(bads) == 1
+        clean = rw.ica_clean(res, bads, picks=names[:6])
+        assert clean.shape == data.shape
+        # untouched channel passes through bit-exactly
+        np.testing.assert_array_equal(clean[6], data[6])
+        # the blink projection really left the EEG rows
+        r_before = max(abs(np.corrcoef(data[i], eog)[0, 1])
+                       for i in range(6))
+        r_after = max(abs(np.corrcoef(clean[i], eog)[0, 1])
+                      for i in range(6))
+        assert r_before > 0.5 and r_after < 0.2
+        # mismatched picks on a subset-fitted model fails loudly
+        with pytest.raises(ValueError):
+            rw.ica_clean(res, bads)
