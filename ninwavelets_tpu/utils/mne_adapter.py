@@ -27,6 +27,34 @@ from ..ops.signal_utils import pad_to
 from ..models.base import Numbers, WaveletBase
 
 
+def _welch_of(data, ch_names, sfreq, picks, nperseg, band,
+              epoch_mean=False):
+    """Shared Welch-PSD plumbing for the adapters: pick channels on
+    host, clamp ``nperseg`` to the largest power of two that fits the
+    record (non-pow2 rfft lengths lower to dense DFT matmuls on TPU —
+    see CLAUDE.md), optionally band-crop, return host numpy."""
+    from ..ops.irasa import welch_psd
+    if picks is not None:
+        data = data[..., [ch_names.index(ch) for ch in picks], :]
+    n = data.shape[-1]
+    seg = 1 << min(int(nperseg).bit_length() - 1, int(n).bit_length() - 1)
+    if seg < 4:
+        raise ValueError(f"record too short for Welch PSD (N={n})")
+    psd = welch_psd(data, sfreq=float(sfreq), nperseg=seg)
+    if epoch_mean and psd.ndim == 3:
+        psd = jnp.mean(psd, axis=0)
+    freqs = np.arange(seg // 2 + 1) * float(sfreq) / seg
+    if band is not None:
+        lo, hi = float(band[0]), float(band[1])
+        keep = (freqs >= lo) & (freqs <= hi)
+        if not keep.any():
+            raise ValueError(f"band {band} outside the PSD grid "
+                             f"(0..{freqs[-1]:g} Hz)")
+        psd = psd[..., keep]
+        freqs = freqs[keep]
+    return freqs, np.asarray(psd)
+
+
 class EpochsWavelet:
     """Wavelet transforms over an MNE-style epochs container.
 
@@ -904,6 +932,19 @@ class EpochsWavelet:
         return _fit(power, np.asarray(freqs, np.float64),
                     max_peaks=max_peaks, fit_knee=fit_knee, **kw)
 
+    def psd(self, picks=None, nperseg: int = 1024, band=None,
+            average: bool = True):
+        """``(freqs, psd)`` — Welch power spectral density (extension —
+        ``ops.irasa.welch_psd``; Hamming window, 50% overlap, density
+        scaling, scipy-oracled).  ``psd`` is the (C, F) epoch mean
+        (``average=True``) or per-epoch (E, C, F); ``band=(lo, hi)`` Hz
+        crops the frequency axis.  The segment length is clamped to the
+        largest power of two that fits the epoch (non-pow2 FFT lengths
+        lower to dense DFT matmuls on TPU)."""
+        return _welch_of(self._host_data(), self.epochs.ch_names,
+                         self.wavelet.sfreq, picks, nperseg, band,
+                         epoch_mean=average)
+
     def wavelet_entropy(self, ch_name: str, freqs: Numbers,
                         normalized: bool = True) -> jnp.ndarray:
         """(N,) time-resolved wavelet entropy of the channel's
@@ -1612,6 +1653,16 @@ class RawWavelet:
             data = data[[self.raw.ch_names.index(ch) for ch in picks]]
         return _irasa(data, self.wavelet.sfreq, band=band, hset=hset,
                       nperseg=nperseg)
+
+    def psd(self, picks=None, nperseg: int = 1024, band=None):
+        """``(freqs, psd)`` — (C, F) Welch power spectral density of the
+        recording (extension — ``ops.irasa.welch_psd``; Hamming window,
+        50% overlap, density scaling, scipy-oracled; mne's
+        ``compute_psd``).  ``band=(lo, hi)`` Hz crops the frequency
+        axis; the segment length is clamped to a power of two (TPU FFT
+        rule)."""
+        return _welch_of(self._host_data(), self.raw.ch_names,
+                         self.wavelet.sfreq, picks, nperseg, band)
 
     def filter(self, f_lo: Optional[float] = None,
                f_hi: Optional[float] = None, notch_hz=None,

@@ -88,3 +88,59 @@ class TestIrasa:
         assert abs(f[osc[0].argmax()] - 10.0) < 0.5
         sub = rw.irasa(band=(2.0, 40.0), picks=["b"])
         assert np.asarray(sub.psd).shape[0] == 1
+
+
+class TestAdapterPSD:
+    """`EpochsWavelet.psd` / `RawWavelet.psd` (Welch, adapter surface)."""
+
+    def _raw(self, data, sfreq=256.0, names=None):
+        import ninwavelets_tpu as nw
+        names = names or [f"c{i}" for i in range(data.shape[0])]
+        raw = type("R", (), {"_d": data.astype(np.float32),
+                             "info": {"sfreq": sfreq}, "ch_names": names,
+                             "get_data": lambda s: s._d})()
+        return nw.RawWavelet(raw, nw.Morse(sfreq), window=1024)
+
+    def test_raw_matches_scipy(self):
+        from scipy.signal import welch as sp_welch
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((3, 8192)).astype(np.float32)
+        rw = self._raw(x)
+        freqs, psd = rw.psd(nperseg=512)
+        f_sp, p_sp = sp_welch(x, fs=256.0, window="hamming", nperseg=512,
+                              noverlap=256, detrend="constant")
+        np.testing.assert_allclose(freqs, f_sp)
+        np.testing.assert_allclose(psd, p_sp, rtol=2e-2, atol=1e-6)
+
+    def test_band_crop_peak_and_picks(self):
+        t = np.arange(8192) / 256.0
+        x = np.stack([np.sin(2 * np.pi * 10.0 * t),
+                      np.sin(2 * np.pi * 40.0 * t)])
+        rw = self._raw(x, names=["a", "b"])
+        freqs, psd = rw.psd(band=(5.0, 20.0), picks=["b", "a"])
+        assert freqs[0] >= 5.0 and freqs[-1] <= 20.0
+        # picked order: row 0 is "b" (40 Hz -> flat in band),
+        # row 1 is "a" (10 Hz peak)
+        assert abs(freqs[np.argmax(psd[1])] - 10.0) < 1.0
+        assert psd[1].max() > 100 * psd[0].max()
+
+    def test_epochs_mean_and_per_epoch(self):
+        import ninwavelets_tpu as nw
+        rng = np.random.default_rng(1)
+        d = rng.standard_normal((5, 3, 2048)).astype(np.float32)
+        ep = type("E", (), {"_d": d, "info": {"sfreq": 256.0},
+                            "ch_names": ["a", "b", "c"],
+                            "get_data": lambda s: s._d})()
+        ew = nw.EpochsWavelet(ep, nw.Morse(256.0))
+        freqs, pm = ew.psd(nperseg=512)
+        _, pe = ew.psd(nperseg=512, average=False)
+        assert pm.shape == (3, 257) and pe.shape == (5, 3, 257)
+        np.testing.assert_allclose(pm, pe.mean(0), rtol=1e-5, atol=1e-8)
+
+    def test_nperseg_clamp_and_validation(self):
+        rng = np.random.default_rng(2)
+        rw = self._raw(rng.standard_normal((2, 600)).astype(np.float32))
+        freqs, psd = rw.psd(nperseg=1024)      # clamps to 512
+        assert psd.shape == (2, 257)
+        with pytest.raises(ValueError, match="band"):
+            rw.psd(band=(200.0, 300.0))        # beyond 128 Hz Nyquist
