@@ -115,7 +115,8 @@ from .microstates import (MicrostateResult, gfp, microstate_backfit,
 from .ica import (ICAResult, fastica, ica_find_bads, ica_kurtosis,
                   ica_remove, ica_scores, ica_transform)
 from .spatial import (SpatialResult, corrca, covariance, csp,
-                      csp_features, ged, spatial_apply, ssd, xdawn)
+                      csp_features, ged, ledoit_wolf, spatial_apply,
+                      ssd, xdawn)
 from .cwt2d import cwt2, morlet2d_bank, pow2_pad2, power2d
 from .dwt2d import dwt2, idwt2, max_level2, wavedec2, waverec2
 from .ewt import ewt_boundaries, ewt_filterbank, ewt_reconstruct
@@ -155,7 +156,8 @@ from .spectra import (MEXICAN_HAT_PEAK_FREQ, haar_time, mexican_hat_time,
                       morse_taper_spectrum, shannon_spectrum)
 
 __all__ = [
-    "SpatialResult", "covariance", "csp", "csp_features", "ged",
+    "SpatialResult", "covariance", "ledoit_wolf", "csp",
+    "csp_features", "ged",
     "spatial_apply", "ssd", "corrca", "xdawn",
     "WaveletDef", "WaveletMode", "make_fft_bank", "make_fft_bank_ri",
     "make_fft_wavelet", "make_fft_wavelet_ri", "make_time_wavelet",

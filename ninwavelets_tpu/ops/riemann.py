@@ -39,13 +39,21 @@ __all__ = ["epoch_covariances", "spd_logm", "spd_expm", "spd_sqrtm",
 _HP = jax.lax.Precision.HIGHEST
 
 
-def epoch_covariances(x, shrink: float = 0.05) -> jnp.ndarray:
-    """(E, C, N) -> (E, C, C) per-trial covariance with relative
-    shrinkage toward the scaled identity (``shrink`` of the average
-    eigenvalue — keeps every trial SPD even when N < C)."""
+def epoch_covariances(x, shrink=0.05) -> jnp.ndarray:
+    """(E, C, N) -> (E, C, C) per-trial covariance with shrinkage
+    toward the scaled identity — keeps every trial SPD even when
+    N < C.  ``shrink`` is either a fixed relative weight (of the
+    average eigenvalue) or ``"lw"`` for the per-trial analytic
+    Ledoit–Wolf intensity (``ops.spatial.ledoit_wolf``, pyRiemann's
+    ``lwf`` estimator — self-calibrating across trial lengths)."""
     x = jnp.asarray(x, jnp.float32)
     if x.ndim != 3:
         raise ValueError("x must be (E, C, N)")
+    if isinstance(shrink, str):
+        if shrink != "lw":
+            raise ValueError("shrink must be a float or 'lw'")
+        from .spatial import _lw_jit
+        return jax.vmap(lambda e: _lw_jit(e)[0])(x)
     xm = x - jnp.mean(x, axis=-1, keepdims=True)
     c = jnp.einsum("ecn,edn->ecd", xm, xm, precision=_HP) / x.shape[-1]
     tr = jnp.trace(c, axis1=-2, axis2=-1) / x.shape[1]

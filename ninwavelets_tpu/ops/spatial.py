@@ -41,8 +41,8 @@ from jax import lax
 from . import filtering as _filt
 
 __all__ = [
-    "SpatialResult", "covariance", "ged", "csp", "csp_features",
-    "ssd", "spatial_apply", "corrca", "xdawn"]
+    "SpatialResult", "covariance", "ledoit_wolf", "ged", "csp",
+    "csp_features", "ssd", "spatial_apply", "corrca", "xdawn"]
 
 _HI = lax.Precision.HIGHEST
 
@@ -78,6 +78,49 @@ def covariance(x) -> jnp.ndarray:
     if x.ndim != 3:
         raise ValueError(f"expected (C, N) or (E, C, N), got {x.shape}")
     return _cov_jit(x)
+
+
+@jax.jit
+def _lw_jit(x):
+    c, n = x.shape
+    xc = x - jnp.mean(x, axis=1, keepdims=True)
+    s = jnp.matmul(xc, xc.T, precision=_HI) / n       # biased MLE cov
+    mu = jnp.trace(s) / c
+    # d^2 = ||S - mu I||_F^2 / C  (normalized Frobenius norm)
+    d2 = (jnp.sum(s * s) - c * mu * mu) / c
+    # b^2 = (1/N^2) sum_n ||x_n x_n^T - S||_F^2 / C; the cross term
+    # collapses: sum_n x_n^T S x_n = tr(S sum x_n x_n^T) = N ||S||_F^2,
+    # so the sum is sum_n ||x_n||^4 - N ||S||_F^2.
+    norm4 = jnp.sum(jnp.sum(xc * xc, axis=0) ** 2)
+    b2 = (norm4 / n - jnp.sum(s * s)) / (n * c)
+    b2 = jnp.minimum(b2, d2)
+    alpha = jnp.where(d2 > 0, b2 / jnp.maximum(d2, 1e-30), 0.0)
+    eye = jnp.eye(c, dtype=s.dtype)
+    return (1.0 - alpha) * s + alpha * mu * eye, alpha
+
+
+def ledoit_wolf(x):
+    """``(cov, shrinkage)`` — Ledoit–Wolf (2004) analytically-shrunk
+    covariance of a (C, N) recording (or (E, C, N) epochs, pooled after
+    per-epoch centering): the sample covariance blended toward the
+    scaled identity ``mean(eig) * I`` with the closed-form optimal
+    weight, no cross-validation.  Matches
+    ``sklearn.covariance.ledoit_wolf``.  Use it where a fixed ``shrink``
+    knob would need tuning — near-rank-deficient montages (average
+    reference, interpolated channels, N ~ C) feeding beamformers or
+    whitening."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == 3:
+        # pooled: per-epoch centering then one flat (C, E*N) sample set
+        e, c, n = x.shape
+        x = (x - jnp.mean(x, axis=-1, keepdims=True)) \
+            .transpose(1, 0, 2).reshape(c, e * n)
+    if x.ndim != 2:
+        raise ValueError(f"expected (C, N) or (E, C, N), got {x.shape}")
+    if x.shape[1] < 2:
+        raise ValueError("need at least 2 samples")
+    cov, alpha = _lw_jit(x)
+    return cov, float(alpha)
 
 
 def _shrunk(cov, shrink: float):

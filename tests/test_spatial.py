@@ -462,3 +462,52 @@ class TestXdawn:
         with pytest.raises(ValueError):
             xdawn(np.zeros((4, 100), np.float32), [0, 20], 10,
                   n_components=9)
+
+
+class TestLedoitWolf:
+    """Analytic shrinkage (`ops.spatial.ledoit_wolf`), sklearn-oracled."""
+
+    def test_matches_sklearn(self):
+        from sklearn.covariance import ledoit_wolf as sk_lw
+        from ninwavelets_tpu.ops import ledoit_wolf
+        rng = np.random.default_rng(0)
+        for c, n in [(8, 50), (16, 16), (32, 200)]:
+            a = rng.standard_normal((c, c))
+            x = (a @ rng.standard_normal((c, n))).astype(np.float32)
+            cov, al = ledoit_wolf(x)
+            cov_sk, al_sk = sk_lw(np.asarray(x, np.float64).T)
+            assert al == pytest.approx(al_sk, abs=1e-5)
+            np.testing.assert_allclose(np.asarray(cov), cov_sk,
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_pooled_epochs_and_validation(self):
+        from ninwavelets_tpu.ops import ledoit_wolf
+        rng = np.random.default_rng(1)
+        d = rng.standard_normal((6, 5, 128)).astype(np.float32)
+        cov_e, al_e = ledoit_wolf(d)
+        # pooled == flat per-epoch-centered samples
+        flat = (d - d.mean(-1, keepdims=True)).transpose(1, 0, 2) \
+            .reshape(5, -1)
+        cov_f, al_f = ledoit_wolf(flat)
+        np.testing.assert_allclose(np.asarray(cov_e), np.asarray(cov_f),
+                                   rtol=1e-5, atol=1e-7)
+        assert al_e == pytest.approx(al_f, abs=1e-6)
+        with pytest.raises(ValueError):
+            ledoit_wolf(np.zeros((3,), np.float32))
+
+    def test_riemann_lw_estimator(self):
+        from sklearn.covariance import ledoit_wolf as sk_lw
+        from ninwavelets_tpu.ops.riemann import epoch_covariances
+        rng = np.random.default_rng(2)
+        d = rng.standard_normal((4, 6, 40)).astype(np.float32)
+        covs = np.asarray(epoch_covariances(d, shrink="lw"))
+        for e in range(4):
+            want, _ = sk_lw(np.asarray(d[e], np.float64).T)
+            np.testing.assert_allclose(covs[e], want, rtol=1e-4,
+                                       atol=1e-6)
+        # SPD even at N < C
+        short = rng.standard_normal((3, 16, 8)).astype(np.float32)
+        cs = np.asarray(epoch_covariances(short, shrink="lw"))
+        assert np.linalg.eigvalsh(cs).min() > 0
+        with pytest.raises(ValueError, match="lw"):
+            epoch_covariances(d, shrink="oas")
