@@ -107,8 +107,8 @@ from .sleep import (EventTable, detect_slow_oscillations,
 from .erp import (PeakResult, evoked, fractional_area_latency,
                   fractional_peak_onset, jackknife_onsets,
                   mean_amplitude, peak_measures)
-from .reject import (RejectResult, autoreject_global, ptp,
-                     ptp_reject, regress_out)
+from .reject import (RejectResult, autoreject_global,
+                     find_bad_channels, ptp, ptp_reject, regress_out)
 from .microstates import (MicrostateResult, gfp, microstate_backfit,
                           microstate_fit, microstate_stats,
                           microstate_syntax_test)
@@ -221,7 +221,7 @@ __all__ = [
     "dwt2", "idwt2", "wavedec2", "waverec2", "max_level2",
     "hmm_fit", "viterbi", "HMMResult",
     "RejectResult", "autoreject_global", "ptp", "ptp_reject",
-    "regress_out",
+    "regress_out", "find_bad_channels",
     "EventTable", "detect_spindles", "detect_slow_oscillations",
     "ASRModel", "asr_calibrate", "asr_process",
     "LCMVResult", "lcmv", "lcmv_apply",

@@ -37,7 +37,7 @@ import numpy as np
 from jax import lax
 
 __all__ = ["ptp", "ptp_reject", "autoreject_global", "RejectResult",
-           "regress_out"]
+           "regress_out", "find_bad_channels"]
 
 
 class RejectResult(NamedTuple):
@@ -177,3 +177,99 @@ def regress_out(x, refs) -> jnp.ndarray:
         raise ValueError("x and refs need matching batch dims "
                          "(add a channel axis to 1-D refs)")
     return _regress_out_jit(x, refs)
+
+
+@partial(jax.jit, static_argnames=("sfreq", "hf_hz"))
+def _chan_stats_jit(x, *, sfreq, hf_hz):
+    """Per-channel QC statistics of a (C, N) recording, one compiled
+    program: robust amplitude (MAD of the centered signal), high-
+    frequency power fraction (Welch grid), and the full channel
+    correlation matrix at HIGHEST precision (statistic path)."""
+    c, n = x.shape
+    med = jnp.median(x, axis=1, keepdims=True)
+    mad = jnp.median(jnp.abs(x - med), axis=1) * 1.4826
+    # HF/LF band powers off one Welch pass (pow2 segment <= N)
+    from .irasa import welch_psd
+    seg = 1 << min(10, int(np.log2(max(n, 4))))
+    psd = welch_psd(x, sfreq=float(sfreq), nperseg=seg)
+    freqs = jnp.arange(seg // 2 + 1) * (sfreq / seg)
+    hi = freqs[None, :] >= hf_hz
+    hf = jnp.sum(jnp.where(hi, psd, 0.0), axis=1)
+    lf = jnp.sum(jnp.where(~hi, psd, 0.0), axis=1)
+    hf_ratio = jnp.log(jnp.maximum(hf, 1e-30)
+                       / jnp.maximum(lf, 1e-30))
+    # correlation matrix on mean-centered channels
+    xm = x - jnp.mean(x, axis=1, keepdims=True)
+    norm = jnp.maximum(jnp.linalg.norm(xm, axis=1, keepdims=True), 1e-30)
+    u = xm / norm
+    corr = jnp.matmul(u, u.T, precision=lax.Precision.HIGHEST)
+    # zero the diagonal: self-pairs must not win best-|corr| (a -2
+    # offset would — |.| turns it back into 1)
+    corr = corr * (1.0 - jnp.eye(c, dtype=corr.dtype))
+    return mad, hf_ratio, corr
+
+
+def _robust_z(v, mask):
+    """Robust z of ``v`` against the median/MAD of ``v[mask]``."""
+    ref = v[mask] if mask.any() else v
+    med = np.median(ref)
+    mad = np.median(np.abs(ref - med)) * 1.4826
+    return (v - med) / max(mad, 1e-12)
+
+
+def find_bad_channels(x, sfreq: float, *, flat_tol: float = 1e-10,
+                      z_thresh: float = 5.0, hf_hz: float = 40.0,
+                      corr_thresh: float = 0.3,
+                      bridge_thresh: float = 0.995) -> dict:
+    """Channel-level QC of a (C, N) recording (PREP-style criteria,
+    Bigdely-Shamlo 2015).  Returns a dict of index lists:
+
+    * ``flat`` — robust amplitude (1.4826 MAD) below ``flat_tol`` or
+      1000x below the channel median (dead electrode);
+    * ``noisy`` — robust-z of the log robust amplitude above
+      ``z_thresh`` (the PREP deviation criterion);
+    * ``hf`` — robust-z of the log high/low-frequency power ratio
+      (split at ``hf_hz``, Welch grid) above ``z_thresh`` — muscle or
+      line-dominated channels stand out against the montage's own
+      spectral shape, so broadband-noise montages aren't mass-flagged;
+    * ``uncorrelated`` — best |correlation| with every other good
+      channel below ``corr_thresh`` (bad contact);
+    * ``bridged`` — channel PAIRS (i, j) with |correlation| above
+      ``bridge_thresh`` (electrolyte bridge — near-duplicate signals);
+    * ``bads`` — the union of the single-channel criteria, sorted.
+
+    Flat channels are excluded from every correlation criterion (their
+    quantization noise correlates spuriously).  One compiled stats
+    program + host thresholding (the thresholds are policy, not
+    compute).  Feed ``bads`` to spherical-spline interpolation
+    (``ops.csd.interpolate_channels``) or drop them.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 2:
+        raise ValueError("x must be (C, N)")
+    c, n = x.shape
+    if n < 8:
+        raise ValueError("recording too short for channel QC")
+    mad, hf, corr = (np.asarray(v) for v in
+                     _chan_stats_jit(x, sfreq=float(sfreq),
+                                     hf_hz=float(hf_hz)))
+    med_amp = np.median(mad)
+    flat = (mad < flat_tol) | (mad < 1e-3 * med_amp)
+    good = ~flat
+    la = np.log(np.maximum(mad, 1e-30))
+    noisy = (_robust_z(la, good) > z_thresh) & good
+    hf_bad = (_robust_z(hf, good) > z_thresh) & good
+    corr = corr.copy()
+    corr[flat, :] = 0.0
+    corr[:, flat] = 0.0
+    best = np.abs(corr).max(axis=1)
+    uncorr = (best < corr_thresh) & good
+    iu, ju = np.nonzero(np.triu(np.abs(corr) > bridge_thresh, 1))
+    bads = sorted(set(np.flatnonzero(flat | noisy | hf_bad | uncorr)
+                      .tolist()))
+    return {"flat": np.flatnonzero(flat).tolist(),
+            "noisy": np.flatnonzero(noisy).tolist(),
+            "hf": np.flatnonzero(hf_bad).tolist(),
+            "uncorrelated": np.flatnonzero(uncorr).tolist(),
+            "bridged": list(zip(iu.tolist(), ju.tolist())),
+            "bads": [int(b) for b in bads]}

@@ -1654,6 +1654,22 @@ class RawWavelet:
         return _irasa(data, self.wavelet.sfreq, band=band, hset=hset,
                       nperseg=nperseg)
 
+    def find_bad_channels(self, **kw) -> dict:
+        """Channel QC of the recording (extension —
+        ``ops.reject.find_bad_channels``, PREP-style): flat / noisy /
+        high-frequency / uncorrelated channels and bridged pairs, as
+        channel NAMES (the ``bads`` list feeds
+        ``EpochsWavelet.interpolate_bads`` or a picks subset).  Keyword
+        knobs pass through (``z_thresh``, ``hf_hz``, ``corr_thresh``,
+        ``bridge_thresh``, ``flat_tol``)."""
+        from ..ops.reject import find_bad_channels as _fbc
+        r = _fbc(self._host_data(), self.wavelet.sfreq, **kw)
+        names = self.raw.ch_names
+        out = {k: [names[i] for i in v] for k, v in r.items()
+               if k != "bridged"}
+        out["bridged"] = [(names[i], names[j]) for i, j in r["bridged"]]
+        return out
+
     def psd(self, picks=None, nperseg: int = 1024, band=None):
         """``(freqs, psd)`` — (C, F) Welch power spectral density of the
         recording (extension — ``ops.irasa.welch_psd``; Hamming window,

@@ -166,3 +166,62 @@ class TestRegressOut:
         assert got.shape == (4, 2, 500)
         with pytest.raises(ValueError, match="ch_names"):
             ew.regress_out(["nope"])
+
+
+class TestFindBadChannels:
+    """Channel QC (`ops.reject.find_bad_channels`, PREP-style)."""
+
+    def _montage(self, seed=0, c=16, n=10000, sfreq=250.0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / sfreq
+        shared = np.sin(2 * np.pi * 10 * t) + 0.5 * rng.standard_normal(n)
+        x = np.stack([shared * rng.uniform(0.8, 1.2)
+                      + 0.3 * rng.standard_normal(n)
+                      for _ in range(c)]).astype(np.float32)
+        return x, t, rng
+
+    def test_planted_criteria(self):
+        from ninwavelets_tpu.ops import find_bad_channels
+        x, t, rng = self._montage()
+        x[2] = 1e-14                                       # flat
+        x[5] *= 60                                         # deviant amp
+        x[6] = (3 * np.sin(2 * np.pi * 60 * t)
+                + 0.1 * rng.standard_normal(t.size))       # line/HF
+        x[7] = x[0] + 1e-3 * rng.standard_normal(t.size) \
+            .astype(np.float32)                            # bridged
+        x[9] = rng.standard_normal(t.size)                 # uncorrelated
+        r = find_bad_channels(x, 250.0)
+        assert r["flat"] == [2]
+        assert 5 in r["noisy"]
+        assert 6 in r["hf"]
+        assert 9 in r["uncorrelated"]
+        assert (0, 7) in r["bridged"]
+        assert set(r["bads"]) == {2, 5, 6, 9}
+        # flat channel never appears in correlation criteria
+        assert 2 not in r["uncorrelated"]
+        assert all(2 not in p for p in r["bridged"])
+
+    def test_clean_montage_flags_nothing(self):
+        from ninwavelets_tpu.ops import find_bad_channels
+        x, _, _ = self._montage(seed=3)
+        r = find_bad_channels(x, 250.0)
+        assert r["bads"] == [] and r["bridged"] == []
+
+    def test_validation(self):
+        from ninwavelets_tpu.ops import find_bad_channels
+        with pytest.raises(ValueError, match="C, N"):
+            find_bad_channels(np.zeros((4, 4, 4), np.float32), 100.0)
+        with pytest.raises(ValueError, match="short"):
+            find_bad_channels(np.zeros((4, 4), np.float32), 100.0)
+
+    def test_adapter_names(self):
+        import ninwavelets_tpu as nw
+        x, t, rng = self._montage(c=6)
+        x[3] = 1e-14
+        names = [f"ch{i}" for i in range(6)]
+        raw = type("R", (), {"_d": x, "info": {"sfreq": 250.0},
+                             "ch_names": names,
+                             "get_data": lambda s: s._d})()
+        rw = nw.RawWavelet(raw, nw.Morse(250.0), window=1024)
+        r = rw.find_bad_channels()
+        assert r["flat"] == ["ch3"] and r["bads"] == ["ch3"]
