@@ -229,12 +229,18 @@ def microstate_syntax_test(labels, n_states: int, n_shuffles: int = 500,
     asymmetric (A->B more likely than B->A) beyond what the coverage
     alone predicts?
 
-    Statistic: ``sum_{i<j} |T_ij - T_ji|`` over the distinct-transition
-    count matrix.  Null: the transition SEQUENCE with the same segment
-    counts but shuffled order (segment-level permutation — sample-level
-    shuffles would destroy duration structure and inflate the
-    statistic).  Returns ``(asym, p)``; small p = the syntax has a
-    preferred direction (Lehmann's microstate-syntax hypothesis).
+    Statistic: ``sum_{i<j} |T_ij - T_ji| / sum_{i!=j} T_ij`` over the
+    distinct-transition count matrix.  Null: the transition SEQUENCE
+    with the same segment counts but shuffled order (segment-level
+    permutation — sample-level shuffles would destroy duration
+    structure and inflate the statistic).  A shuffled segment sequence
+    can place equal labels adjacently; the statistic CHANGE-COMPRESSES
+    its input and normalizes by the off-diagonal transition mass, so
+    observed and null draws live on the same scale (an uncompressed,
+    unnormalized null loses diagonal mass that the observed — repeat-
+    free by construction — never had, and goes anticonservative).
+    Returns ``(asym, p)``; small p = the syntax has a preferred
+    direction (Lehmann's microstate-syntax hypothesis).
 
     Host-side: the segment sequence is tiny (hundreds of entries), and
     permutation of a variable-length symbol list is host work by
@@ -246,9 +252,13 @@ def microstate_syntax_test(labels, n_states: int, n_shuffles: int = 500,
     k = int(n_states)
 
     def asym_of(s):
+        s = s[np.concatenate([[True], s[1:] != s[:-1]])]
+        if s.size < 2:
+            return 0.0
         t = np.zeros((k, k))
         np.add.at(t, (s[:-1], s[1:]), 1.0)
-        return float(np.abs(t - t.T)[np.triu_indices(k, 1)].sum())
+        return float(np.abs(t - t.T)[np.triu_indices(k, 1)].sum()
+                     / max(t.sum(), 1.0))
 
     obs = asym_of(seq)
     rng = np.random.default_rng(int(seed))

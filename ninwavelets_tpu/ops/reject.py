@@ -232,6 +232,8 @@ def find_bad_channels(x, sfreq: float, *, flat_tol: float = 1e-10,
       (split at ``hf_hz``, Welch grid) above ``z_thresh`` — muscle or
       line-dominated channels stand out against the montage's own
       spectral shape, so broadband-noise montages aren't mass-flagged;
+      disabled (nothing flagged) when ``hf_hz >= sfreq/2`` — an empty
+      high band would invert the ratio into a low-power detector;
     * ``uncorrelated`` — best |correlation| with every other good
       channel below ``corr_thresh`` (bad contact);
     * ``bridged`` — channel PAIRS (i, j) with |correlation| above
@@ -258,7 +260,10 @@ def find_bad_channels(x, sfreq: float, *, flat_tol: float = 1e-10,
     good = ~flat
     la = np.log(np.maximum(mad, 1e-30))
     noisy = (_robust_z(la, good) > z_thresh) & good
-    hf_bad = (_robust_z(hf, good) > z_thresh) & good
+    if hf_hz >= sfreq / 2:          # empty high band — criterion off
+        hf_bad = np.zeros(c, bool)
+    else:
+        hf_bad = (_robust_z(hf, good) > z_thresh) & good
     corr = corr.copy()
     corr[flat, :] = 0.0
     corr[:, flat] = 0.0

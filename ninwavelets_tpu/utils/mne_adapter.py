@@ -1182,7 +1182,9 @@ class EpochsWavelet:
         Composable like :meth:`drop_bad` — the standard way to carve
         condition groups for :meth:`cluster_test`, :meth:`csp_decode`,
         :meth:`riemann_decode`, ..."""
-        data = np.asarray(self._all_data())
+        # host cache, NOT the device copy — np.asarray(_all_data())
+        # would re-fetch the whole block over the ~5 MB/s tunnel
+        data = self._host_data()
         sel = np.asarray(sel)
         sub = data[sel]
         if sub.ndim != 3 or sub.shape[0] == 0:
@@ -1199,7 +1201,9 @@ class EpochsWavelet:
         ``groups = ew.split(events[:, 2])`` then
         ``groups[1].csp_decode(groups[2])``."""
         labels = np.asarray(labels)
-        if labels.shape[0] != len(self.epochs):
+        # count epochs off the data, not len(epochs) — duck-typed
+        # containers need only the get_data() surface
+        if labels.shape[0] != self._host_data().shape[0]:
             raise ValueError("labels must have one entry per epoch")
         return {lab: self.subset(labels == lab)
                 for lab in np.unique(labels)}
@@ -1240,7 +1244,7 @@ class EpochsWavelet:
         Composable like :meth:`modwt_denoise`; raises if every trial
         would be dropped."""
         from ..ops import reject as _rej
-        data = np.asarray(self._all_data())          # (E, C, N)
+        data = self._host_data()                     # (E, C, N), cached
         res = None
         if threshold is None:
             res = _rej.autoreject_global(data, **kw)

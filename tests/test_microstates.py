@@ -167,9 +167,6 @@ class TestSyntax:
         from ninwavelets_tpu.ops import microstate_syntax_test
         rng = np.random.default_rng(0)
         # cyclic: repeat 0,1,2 with random dwell
-        seq = []
-        for _ in range(120):
-            seq.extend([len(seq) // 1 % 3] * 0)  # no-op clarity
         labels = np.repeat(np.tile([0, 1, 2], 60),
                            rng.integers(3, 9, 180))
         asym, p = microstate_syntax_test(labels, 3, n_shuffles=300,
@@ -191,3 +188,20 @@ class TestSyntax:
         from ninwavelets_tpu.ops import microstate_syntax_test
         with pytest.raises(ValueError):
             microstate_syntax_test(np.zeros(5, np.int32), 3)
+
+
+    def test_null_calibration_iid(self):
+        """For i.i.d. labels the segment-permutation null is exchangeable
+        (the statistic compresses its input), so p must be ~uniform:
+        check the false-positive rate at alpha=0.3 over 40 null sims."""
+        from ninwavelets_tpu.ops import microstate_syntax_test
+        rng = np.random.default_rng(0)
+        hits = 0
+        for s in range(40):
+            labels = np.repeat(rng.integers(0, 3, 150),
+                               rng.integers(2, 6, 150))
+            _, p = microstate_syntax_test(labels, 3, n_shuffles=99,
+                                          seed=s)
+            hits += p <= 0.3
+        # Binomial(40, 0.3): mean 12, sd ~2.9 — accept within ~3 sd
+        assert 3 <= hits <= 21

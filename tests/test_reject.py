@@ -225,3 +225,13 @@ class TestFindBadChannels:
         rw = nw.RawWavelet(raw, nw.Morse(250.0), window=1024)
         r = rw.find_bad_channels()
         assert r["flat"] == ["ch3"] and r["bads"] == ["ch3"]
+
+    def test_hf_disabled_at_nyquist(self):
+        from ninwavelets_tpu.ops import find_bad_channels
+        rng = np.random.default_rng(4)
+        # sfreq=64 < 2*hf_hz: the high band is empty — a quiet channel
+        # must NOT be flagged as "hf" (the inverted-ratio failure mode)
+        x = rng.standard_normal((8, 4000)).astype(np.float32)
+        x[3] *= 0.05                      # quiet but perfectly fine
+        r = find_bad_channels(x, 64.0)    # default hf_hz=40 >= 32
+        assert r["hf"] == []
