@@ -537,6 +537,23 @@ def main():
            signal_s_per_s=round(120000 / sfreq / d, 1),
            config=dict(c=64, n=120000, k=4, n_init=8, n_iter=40))
 
+    # --- channel QC + analytic shrinkage (r4 wrap) -------------------------
+    from ninwavelets_tpu.ops.reject import _chan_stats_jit
+    xqc = jnp.asarray(
+        rng.standard_normal((64, 120000)).astype(np.float32))
+    d = t(lambda x: _chan_stats_jit(x, sfreq=sfreq, hf_hz=40.0)[2],
+          xqc, iters=5)
+    record(op="channel_qc_stats_64x120k",
+           signal_s_per_s=round(120000 / sfreq / d, 1),
+           config=dict(c=64, n=120000))
+
+    from ninwavelets_tpu.ops.spatial import _lw_jit
+    xlw = jnp.asarray(
+        rng.standard_normal((64, 120000)).astype(np.float32))
+    d = t(lambda x: _lw_jit(x)[0], xlw, iters=10)
+    record(op="ledoit_wolf_64x120k", ms=round(d * 1e3, 2),
+           config=dict(c=64, n=120000))
+
     # --- ASR (r4: preprocessing) -----------------------------------------
     from ninwavelets_tpu.ops.asr import asr_calibrate, asr_process
     xasr = jnp.asarray(
