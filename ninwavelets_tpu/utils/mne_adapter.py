@@ -2008,8 +2008,25 @@ class RawWavelet:
         return self.epochs(np.asarray(ev, np.int64), tmin, tmax,
                            picks=picks)
 
+    def _bad_spans(self, prefix: str):
+        """[(onset_s, duration_s), ...] of annotations whose text starts
+        with ``prefix`` (case-insensitive — mne's "bad" convention).
+        Needs a reader with ``read_annotations`` (EDF+)."""
+        reader = getattr(self.raw, "reader", None)
+        read = getattr(reader, "read_annotations", None)
+        if read is None:
+            raise ValueError(
+                "this recording carries no annotation spans (open an "
+                "EDF+ file via RawWavelet.from_edf, or pass explicit "
+                "reject_spans=[(onset_s, duration_s), ...])")
+        p = prefix.lower()
+        return [(o, d) for (o, d, txt) in read()
+                if txt.lower().startswith(p)]
+
     def epochs(self, events, tmin: float, tmax: float,
-               picks=None) -> "EpochsWavelet":
+               picks=None, reject_spans=None,
+               reject_annotations: Optional[str] = None
+               ) -> "EpochsWavelet":
         """Slice event-locked windows out of the recording and return an
         ``EpochsWavelet`` over them (extension — the reference has no Raw
         surface at all; this mirrors the ``mne.Epochs(raw, events)``
@@ -2030,6 +2047,12 @@ class RawWavelet:
             ``n = round((tmax - tmin) * sfreq) + 1``).
         picks: optional channel-name list (window extraction then copies
             only those rows).
+        reject_spans: optional ``[(onset_s, duration_s), ...]`` — events
+            whose window OVERLAPS any span are dropped (mne's
+            reject-by-annotation semantics).
+        reject_annotations: optional text prefix (e.g. ``"bad"``,
+            case-insensitive) — pulls the spans from the recording's
+            EDF+ annotations instead.  Combines with ``reject_spans``.
 
         Events whose window would cross either recording edge are dropped,
         like mne's "too close to the edge" rejection.
@@ -2053,11 +2076,22 @@ class RawWavelet:
                 data = data[idx]
             n = data.shape[-1]
         keep = (ev + start >= 0) & (ev + start + n_win <= n)
+        spans = list(reject_spans) if reject_spans else []
+        if reject_annotations is not None:
+            spans += self._bad_spans(reject_annotations)
+        if spans:
+            lo = ev + start                       # window [lo, hi)
+            hi = lo + n_win
+            for onset_s, dur_s in spans:
+                s0 = int(np.floor(float(onset_s) * sf))
+                s1 = int(np.ceil((float(onset_s) + float(dur_s)) * sf))
+                keep &= (hi <= s0) | (lo >= max(s1, s0 + 1))
         ev = ev[keep]
         if ev.size == 0:
             raise ValueError(
                 "no event window fits inside the recording "
-                f"(N={n}, window={n_win} samples at offset {start})")
+                f"(N={n}, window={n_win} samples at offset {start}"
+                + (", after bad-span rejection" if spans else "") + ")")
         # One native gather builds the (E, C, Nw) batch — straight off
         # the file mmap for EDF-backed recordings (no host snapshot),
         # off the cached snapshot otherwise (halo=0: every kept window

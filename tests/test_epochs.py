@@ -435,3 +435,53 @@ class TestSubsetSplit:
             ew.subset(np.zeros(12, bool))
         with pytest.raises(ValueError):
             ew.split(np.zeros(5))
+
+
+class TestRejectByAnnotation:
+    """`RawWavelet.epochs(reject_spans= / reject_annotations=)`."""
+
+    def _raw(self, x, sfreq=250.0):
+        raw = type("R", (), {"_d": x.astype(np.float32),
+                             "info": {"sfreq": sfreq},
+                             "ch_names": [f"c{i}"
+                                          for i in range(x.shape[0])],
+                             "get_data": lambda s: s._d})()
+        return nw.RawWavelet(raw, nw.Morse(sfreq), window=1024)
+
+    def test_explicit_spans(self):
+        rng = np.random.default_rng(0)
+        rw = self._raw(rng.standard_normal((2, 5000)))
+        ev = np.array([500, 1500, 2500, 3500, 4200])
+        # bad span 5.8..7.0 s (samples 1450..1750): overlaps the
+        # [1475, 1526) window of event 1500 only
+        ew = rw.epochs(ev, -0.1, 0.1, reject_spans=[(5.8, 1.2)])
+        assert ew._host_data().shape[0] == 4
+        # zero-duration annotation: drops only windows containing it
+        ew2 = rw.epochs(ev, -0.1, 0.1, reject_spans=[(10.0, 0.0)])
+        assert ew2._host_data().shape[0] == 4      # event 2500's window
+        ew3 = rw.epochs(ev, -0.1, 0.1, reject_spans=[(8.0, 0.0)])
+        assert ew3._host_data().shape[0] == 5      # between windows
+        with pytest.raises(ValueError, match="bad-span"):
+            rw.epochs(ev, -0.1, 0.1, reject_spans=[(0.0, 30.0)])
+
+    def test_edf_annotations(self, tmp_path):
+        from ninwavelets_tpu.io.edf import write_edf
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 5000)).astype(np.float32)
+        p = str(tmp_path / "rec.edf")
+        write_edf(p, x, 250.0, annotations=[
+            (5.8, 1.2, "BAD_motion"), (14.0, 0.5, "stim")])
+        rw = nw.RawWavelet.from_edf(p, nw.Morse(250.0), window=1024)
+        ev = np.array([500, 1500, 2500, 3500])
+        ew = rw.epochs(ev, -0.1, 0.1, reject_annotations="bad")
+        assert ew._host_data().shape[0] == 3       # only 1500 dropped
+        # non-matching prefix rejects nothing
+        ew2 = rw.epochs(ev, -0.1, 0.1, reject_annotations="nonsense")
+        assert ew2._host_data().shape[0] == 4
+
+    def test_annotations_need_reader(self):
+        rng = np.random.default_rng(2)
+        rw = self._raw(rng.standard_normal((2, 4000)))
+        with pytest.raises(ValueError, match="reject_spans"):
+            rw.epochs(np.array([1000]), -0.1, 0.1,
+                      reject_annotations="bad")
