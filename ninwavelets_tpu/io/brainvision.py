@@ -25,7 +25,7 @@ import numpy as np
 from .stream import EDFSource
 
 __all__ = ["BVReader", "BVPick", "BVRaw", "BVSource",
-           "read_markers", "write_brainvision"]
+           "read_markers", "read_marker_spans", "write_brainvision"]
 
 _FORMATS = {"IEEE_FLOAT_32": np.float32, "INT_16": np.int16,
             "INT_32": np.int32}
@@ -109,12 +109,26 @@ class BVReader:
         self._n_ch = n_ch
 
         self.markers = []
+        self._marker_spans = []
         marker_file = ci.get("MarkerFile", "")
         if marker_file:
             mpath = os.path.join(base, marker_file.replace(
                 "$b", os.path.splitext(os.path.basename(self.path))[0]))
             if os.path.exists(mpath):
                 self.markers = read_markers(mpath)
+                self._marker_spans = read_marker_spans(mpath)
+
+    def read_annotations(self):
+        """[(onset_s, duration_s, text), ...] — the EDF+ annotation
+        convention off the .vmrk markers (size field = duration in data
+        points), so ``RawWavelet.epochs(reject_annotations="bad")``
+        works identically on BrainVision and EDF+ recordings.  Text is
+        ``"type: description"`` (or just the type), so the standard
+        "Bad Interval" markers match a ``"bad"`` prefix whatever their
+        description says."""
+        return [(pos / self.sfreq, size / self.sfreq,
+                 f"{t}: {d}" if d else t)
+                for (pos, size, t, d) in self._marker_spans]
 
     def _indices(self, picks: Optional[Sequence]):
         if picks is None:
@@ -245,6 +259,34 @@ def read_markers(vmrk_path: str):
     return out
 
 
+def read_marker_spans(vmrk_path: str):
+    """Like :func:`read_markers` but keeps the SIZE field:
+    ``[(sample, size_in_samples, type, description), ...]`` — the
+    duration carrier for "Bad Interval" markers (a missing/invalid size
+    counts as 1 sample, the format's minimum)."""
+    cp = _parse_ini(vmrk_path)
+    out = []
+    sec = cp.get("Marker Infos", {})
+    i = 1
+    while f"Mk{i}" in sec:
+        parts = sec[f"Mk{i}"].split(",")
+        if len(parts) >= 3:
+            try:
+                pos = int(parts[2]) - 1
+            except ValueError:
+                i += 1
+                continue
+            try:
+                size = max(int(parts[3]), 1) if len(parts) > 3 else 1
+            except ValueError:
+                size = 1
+            out.append((pos, size,
+                        parts[0].replace("\\1", ",").strip(),
+                        parts[1].replace("\\1", ",").strip()))
+        i += 1
+    return out
+
+
 def write_brainvision(vhdr_path: str, data: np.ndarray, sfreq: float,
                       ch_names: Optional[Sequence[str]] = None,
                       orientation: str = "MULTIPLEXED",
@@ -302,8 +344,11 @@ def write_brainvision(vhdr_path: str, data: np.ndarray, sfreq: float,
               "[Common Infos]",
               f"DataFile={os.path.basename(eeg_path)}", "",
               "[Marker Infos]"]
-        for i, (pos, mtype, desc) in enumerate(markers):
+        for i, m in enumerate(markers):
+            # (pos, type, desc) or (pos, type, desc, size_in_samples)
+            pos, mtype, desc = m[0], m[1], m[2]
+            size = int(m[3]) if len(m) > 3 else 1
             mt = str(mtype).replace(",", "\\1")
             dc = str(desc).replace(",", "\\1")
-            ml.append(f"Mk{i + 1}={mt},{dc},{int(pos) + 1},1,0")
+            ml.append(f"Mk{i + 1}={mt},{dc},{int(pos) + 1},{size},0")
         open(vmrk_path, "w", encoding="utf-8").write("\n".join(ml) + "\n")

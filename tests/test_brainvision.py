@@ -214,3 +214,34 @@ class TestRobustness:
         with open(vmrk, "a", encoding="utf-8") as f:
             f.write("Mk3=Stimulus,oops,notanint,1,0\n")
         assert read_markers(vmrk) == r.markers
+
+
+class TestAnnotationSpans:
+    """Duration-carrying markers -> EDF-convention annotations ->
+    reject-by-annotation epoching."""
+
+    def test_spans_and_reject(self, tmp_path):
+        import ninwavelets_tpu as nw
+        from ninwavelets_tpu.io.brainvision import (BVReader,
+                                                    read_marker_spans,
+                                                    write_brainvision)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 5000)).astype(np.float32)
+        p = str(tmp_path / "rec.vhdr")
+        write_brainvision(p, x, 250.0, markers=[
+            (100, "Stimulus", "S  1"),
+            (1450, "Bad Interval", "", 300),      # 5.8 s .. 7.0 s
+            (2000, "Comment", "note, with comma", 5)])
+        spans = read_marker_spans(str(tmp_path / "rec.vmrk"))
+        assert (1450, 300, "Bad Interval", "") in spans
+        assert (100, 1, "Stimulus", "S  1") in spans
+        r = BVReader(p)
+        ann = r.read_annotations()
+        assert (5.8, 1.2, "Bad Interval") in ann
+        assert any(t == "Comment: note, with comma" for _, _, t in ann)
+        # reject_annotations drops only the overlapping event window
+        rw = nw.RawWavelet.from_brainvision(p, nw.Morse(250.0),
+                                            window=1024)
+        ev = np.array([500, 1500, 2500, 3500])
+        ew = rw.epochs(ev, -0.1, 0.1, reject_annotations="bad")
+        assert ew._host_data().shape[0] == 3
