@@ -209,12 +209,17 @@ def _chan_stats_jit(x, *, sfreq, hf_hz):
     return mad, hf_ratio, corr
 
 
-def _robust_z(v, mask):
-    """Robust z of ``v`` against the median/MAD of ``v[mask]``."""
+def _robust_z(v, mask, floor):
+    """Robust z of ``v`` against the median/MAD of ``v[mask]``.
+    ``floor`` bounds the scale from below: in a near-homogeneous
+    montage the cross-channel MAD collapses and infinitesimal
+    differences would otherwise z-explode into false flags (both
+    criteria operate in LOG units, so the floor reads as a minimum
+    fractional deviation)."""
     ref = v[mask] if mask.any() else v
     med = np.median(ref)
     mad = np.median(np.abs(ref - med)) * 1.4826
-    return (v - med) / max(mad, 1e-12)
+    return (v - med) / max(mad, floor)
 
 
 def find_bad_channels(x, sfreq: float, *, flat_tol: float = 1e-10,
@@ -259,11 +264,11 @@ def find_bad_channels(x, sfreq: float, *, flat_tol: float = 1e-10,
     flat = (mad < flat_tol) | (mad < 1e-3 * med_amp)
     good = ~flat
     la = np.log(np.maximum(mad, 1e-30))
-    noisy = (_robust_z(la, good) > z_thresh) & good
+    noisy = (_robust_z(la, good, 0.05) > z_thresh) & good
     if hf_hz >= sfreq / 2:          # empty high band — criterion off
         hf_bad = np.zeros(c, bool)
     else:
-        hf_bad = (_robust_z(hf, good) > z_thresh) & good
+        hf_bad = (_robust_z(hf, good, 0.1) > z_thresh) & good
     corr = corr.copy()
     corr[flat, :] = 0.0
     corr[:, flat] = 0.0

@@ -1166,7 +1166,7 @@ class EpochsWavelet:
         cleaned trials.  Composable: the returned adapter carries the
         same channel names, sfreq, and wavelet object."""
         from ..ops.dwt import modwt_denoise as _denoise
-        data = np.asarray(self._all_data())          # (E, C, N)
+        data = self._host_data()                    # (E, C, N)
         den = np.asarray(_denoise(data.reshape(-1, data.shape[-1]),
                                   wavelet, level, mode,
                                   pad_pow2=True)).reshape(data.shape)
@@ -1224,7 +1224,7 @@ class EpochsWavelet:
         keep_idx = [i for i in range(len(names)) if i not in ref_idx]
         if not keep_idx:
             raise ValueError("no data channels left after removing refs")
-        data = np.asarray(self._all_data())          # (E, C, N)
+        data = self._host_data()                    # (E, C, N)
         cleaned = np.asarray(_ro(data[:, keep_idx], data[:, ref_idx]))
         times = getattr(self.epochs, "times", None)
         return EpochsWavelet(
@@ -1271,7 +1271,7 @@ class EpochsWavelet:
         channel order; ``stiffness=`` / ``lam=`` / ``head_radius=``
         pass through.  Composable like :meth:`drop_bad`."""
         from ..ops.csd import csd as _csd
-        data = np.asarray(self._all_data())          # (E, C, N)
+        data = self._host_data()                    # (E, C, N)
         if np.asarray(positions).shape[0] != data.shape[1]:
             raise ValueError("positions must match the channel count")
         out = np.asarray(_csd(data, positions, **kw))
@@ -1294,7 +1294,7 @@ class EpochsWavelet:
             if ch not in names:
                 raise ValueError(f"channel {ch!r} not in ch_names")
             idx.append(names.index(ch))
-        data = np.asarray(self._all_data())
+        data = self._host_data()
         out = np.asarray(interpolate_channels(data, positions, idx, **kw))
         times = getattr(self.epochs, "times", None)
         return EpochsWavelet(
@@ -1657,6 +1657,22 @@ class RawWavelet:
             data = data[[self.raw.ch_names.index(ch) for ch in picks]]
         return _irasa(data, self.wavelet.sfreq, band=band, hset=hset,
                       nperseg=nperseg)
+
+    def interpolate_bads(self, positions, bads) -> np.ndarray:
+        """(C, N) copy of the recording with the listed channel NAMES
+        replaced by spherical-spline interpolations from the good ones
+        (extension — ``ops.csd.interpolate_channels``; the repair step
+        for :meth:`find_bad_channels`).  Wrap the result in a new
+        ``RawWavelet`` for downstream analysis."""
+        from ..ops.csd import interpolate_channels
+        names = self.raw.ch_names
+        idx = []
+        for ch in bads:
+            if ch not in names:
+                raise ValueError(f"channel {ch!r} not in ch_names")
+            idx.append(names.index(ch))
+        return np.asarray(interpolate_channels(
+            self._host_data(), positions, idx))
 
     def find_bad_channels(self, **kw) -> dict:
         """Channel QC of the recording (extension —

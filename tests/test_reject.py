@@ -235,3 +235,40 @@ class TestFindBadChannels:
         x[3] *= 0.05                      # quiet but perfectly fine
         r = find_bad_channels(x, 64.0)    # default hf_hz=40 >= 32
         assert r["hf"] == []
+
+    def test_raw_interpolate_bads_roundtrip(self):
+        """QC -> spherical-spline repair on the Raw surface."""
+        import ninwavelets_tpu as nw
+        rng = np.random.default_rng(6)
+        n, c = 6000, 12
+        t = np.arange(n) / 250.0
+        # smooth topography: two dipole-ish patterns over a ring montage
+        th = np.linspace(0, 2 * np.pi, c, endpoint=False)
+        pos = np.stack([np.cos(th) * 0.9, np.sin(th) * 0.9,
+                        np.full(c, 0.436)], 1)
+        a = np.sin(2 * np.pi * 8 * t)
+        b = np.sin(2 * np.pi * 13 * t + 1.0)
+        # shared broadband floor homogenizes per-channel amplitude
+        # distributions (a PURE-sine montage legitimately trips the
+        # deviation criterion: lone sines have ~30% higher MAD than
+        # two-sine mixes of equal variance)
+        common = 0.4 * rng.standard_normal(n)
+        x = (np.outer(np.cos(th), a) + np.outer(np.sin(th), b)
+             + common[None, :]
+             + 0.05 * rng.standard_normal((c, n))).astype(np.float32)
+        truth = x[4].copy()
+        x[4] = 1e-14                        # kill one electrode
+        names = [f"ch{i}" for i in range(c)]
+        raw = type("R", (), {"_d": x, "info": {"sfreq": 250.0},
+                             "ch_names": names,
+                             "get_data": lambda s: s._d})()
+        rw = nw.RawWavelet(raw, nw.Morse(250.0), window=1024)
+        bads = rw.find_bad_channels()["bads"]
+        assert bads == ["ch4"]
+        fixed = rw.interpolate_bads(pos, bads)
+        # the spline estimate recovers the smooth field
+        r = np.corrcoef(fixed[4], truth)[0, 1]
+        assert r > 0.98
+        np.testing.assert_array_equal(fixed[0], x[0])
+        with pytest.raises(ValueError, match="not in ch_names"):
+            rw.interpolate_bads(pos, ["nope"])
