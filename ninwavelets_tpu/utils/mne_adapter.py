@@ -1195,11 +1195,20 @@ class EpochsWavelet:
                         list(self.epochs.ch_names), times=times),
             self.wavelet)
 
-    def split(self, labels) -> dict:
+    def split(self, labels=None) -> dict:
         """Partition trials by a per-epoch label array (extension):
         ``{label: EpochsWavelet}`` — e.g.
         ``groups = ew.split(events[:, 2])`` then
-        ``groups[1].csp_decode(groups[2])``."""
+        ``groups[1].csp_decode(groups[2])``.  With no argument, uses the
+        ``event_codes`` carried over from ``RawWavelet.epochs`` when the
+        events had an mne-style id column."""
+        if labels is None:
+            labels = getattr(self, "event_codes", None)
+            if labels is None:
+                raise ValueError(
+                    "no labels given and this adapter carries no "
+                    "event_codes — pass (E,) labels, or build the "
+                    "epochs from (E, 3) mne-style events")
         labels = np.asarray(labels)
         # count epochs off the data, not len(epochs) — duck-typed
         # containers need only the get_data() surface
@@ -2056,8 +2065,10 @@ class RawWavelet:
         ----------
         events: either an ``(E,)`` array of event sample indices, or an
             MNE-style ``(E, 3)`` int array whose FIRST column is the sample
-            index (the other columns are ignored, as ``mne.Epochs`` does
-            for the duration column).
+            index; the THIRD (event-id) column, when present, survives on
+            the result as ``.event_codes`` (filtered alongside the kept
+            events) so ``ew.split()`` partitions by condition directly.
+            The duration column is ignored, as ``mne.Epochs`` does.
         tmin / tmax: window extent in seconds relative to each event; both
             endpoint samples are included (mne's convention:
             ``n = round((tmax - tmin) * sfreq) + 1``).
@@ -2074,7 +2085,10 @@ class RawWavelet:
         like mne's "too close to the edge" rejection.
         """
         ev = np.asarray(events)
+        codes = None
         if ev.ndim == 2:
+            if ev.shape[1] >= 3:
+                codes = ev[:, 2].copy()      # mne event-id column
             ev = ev[:, 0]
         ev = ev.astype(np.int64)
         sf = self.wavelet.sfreq
@@ -2103,6 +2117,8 @@ class RawWavelet:
                 s1 = int(np.ceil((float(onset_s) + float(dur_s)) * sf))
                 keep &= (hi <= s0) | (lo >= max(s1, s0 + 1))
         ev = ev[keep]
+        if codes is not None:
+            codes = codes[keep]
         if ev.size == 0:
             raise ValueError(
                 "no event window fits inside the recording "
@@ -2120,8 +2136,13 @@ class RawWavelet:
             windows = f32_gather(flat, ev + start, n_win, 0).reshape(
                 (len(ev),) + data.shape[:-1] + (n_win,))
         times = tmin + np.arange(n_win) / sf
-        return EpochsWavelet(
+        out = EpochsWavelet(
             ArrayEpochs(windows, sf, ch_names, times=times), self.wavelet)
+        if codes is not None:
+            # the surviving events' id column — ready for
+            # out.split(out.event_codes)
+            out.event_codes = codes
+        return out
 
     def itc(self, freqs: Numbers, events, tmin: float, tmax: float,
             picks=None) -> jnp.ndarray:

@@ -485,3 +485,29 @@ class TestRejectByAnnotation:
         with pytest.raises(ValueError, match="reject_spans"):
             rw.epochs(np.array([1000]), -0.1, 0.1,
                       reject_annotations="bad")
+
+
+class TestEventCodes:
+    """Event-id column survives RawWavelet.epochs -> split()."""
+
+    def test_codes_filtered_and_split(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 5000)).astype(np.float32)
+        raw = type("R", (), {"_d": x, "info": {"sfreq": 250.0},
+                             "ch_names": ["a", "b"],
+                             "get_data": lambda s: s._d})()
+        rw = nw.RawWavelet(raw, nw.Morse(250.0), window=1024)
+        # last event falls off the recording edge and must drop WITH
+        # its code
+        events = np.array([[500, 0, 1], [1500, 0, 2], [2500, 0, 1],
+                           [3500, 0, 2], [4999, 0, 7]])
+        ew = rw.epochs(events, -0.1, 0.1)
+        np.testing.assert_array_equal(ew.event_codes, [1, 2, 1, 2])
+        groups = ew.split()
+        assert set(groups) == {1, 2}
+        assert groups[1]._host_data().shape[0] == 2
+        # plain (E,) events carry no codes; bare split() says so
+        ew2 = rw.epochs(events[:, 0], -0.1, 0.1)
+        assert not hasattr(ew2, "event_codes")
+        with pytest.raises(ValueError, match="event_codes"):
+            ew2.split()
