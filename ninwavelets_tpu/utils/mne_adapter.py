@@ -1190,10 +1190,14 @@ class EpochsWavelet:
         if sub.ndim != 3 or sub.shape[0] == 0:
             raise ValueError("selection keeps no trials")
         times = getattr(self.epochs, "times", None)
-        return EpochsWavelet(
+        out = EpochsWavelet(
             ArrayEpochs(sub, self.wavelet.sfreq,
                         list(self.epochs.ch_names), times=times),
             self.wavelet)
+        codes = getattr(self, "event_codes", None)
+        if codes is not None:
+            out.event_codes = np.asarray(codes)[sel]
+        return out
 
     def split(self, labels=None) -> dict:
         """Partition trials by a per-epoch label array (extension):
@@ -2023,15 +2027,18 @@ class RawWavelet:
             raise ValueError(
                 "this recording carries no markers (open a BrainVision "
                 "file with a .vmrk via RawWavelet.from_brainvision)")
-        ev = [s for (s, k, d) in markers
-              if (kind is None or k == kind)
-              and (description is None or d == description)]
-        if not ev:
+        hits = [(s, d) for (s, k, d) in markers
+                if (kind is None or k == kind)
+                and (description is None or d == description)]
+        if not hits:
             raise ValueError(
                 f"no markers match kind={kind!r} "
                 f"description={description!r}")
-        return self.epochs(np.asarray(ev, np.int64), tmin, tmax,
-                           picks=picks)
+        ev = np.asarray([s for s, _ in hits], np.int64)
+        # marker descriptions ride along as event_codes, so
+        # .split() partitions by stimulus type directly
+        return self.epochs(ev, tmin, tmax, picks=picks,
+                           codes=np.asarray([d for _, d in hits]))
 
     def _bad_spans(self, prefix: str):
         """[(onset_s, duration_s), ...] of annotations whose text starts
@@ -2050,8 +2057,8 @@ class RawWavelet:
 
     def epochs(self, events, tmin: float, tmax: float,
                picks=None, reject_spans=None,
-               reject_annotations: Optional[str] = None
-               ) -> "EpochsWavelet":
+               reject_annotations: Optional[str] = None,
+               codes=None) -> "EpochsWavelet":
         """Slice event-locked windows out of the recording and return an
         ``EpochsWavelet`` over them (extension — the reference has no Raw
         surface at all; this mirrors the ``mne.Epochs(raw, events)``
@@ -2085,11 +2092,13 @@ class RawWavelet:
         like mne's "too close to the edge" rejection.
         """
         ev = np.asarray(events)
-        codes = None
+        codes = None if codes is None else np.asarray(codes)
         if ev.ndim == 2:
-            if ev.shape[1] >= 3:
+            if codes is None and ev.shape[1] >= 3:
                 codes = ev[:, 2].copy()      # mne event-id column
             ev = ev[:, 0]
+        if codes is not None and codes.shape[0] != ev.shape[0]:
+            raise ValueError("codes must have one entry per event")
         ev = ev.astype(np.int64)
         sf = self.wavelet.sfreq
         start = int(round(tmin * sf))

@@ -511,3 +511,25 @@ class TestEventCodes:
         assert not hasattr(ew2, "event_codes")
         with pytest.raises(ValueError, match="event_codes"):
             ew2.split()
+
+    def test_subset_carries_codes_and_marker_descriptions(self, tmp_path):
+        from ninwavelets_tpu.io.brainvision import write_brainvision
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 5000)).astype(np.float32)
+        p = str(tmp_path / "rec.vhdr")
+        write_brainvision(p, x, 250.0, markers=[
+            (500, "Stimulus", "S  1"), (1500, "Stimulus", "S  2"),
+            (2500, "Stimulus", "S  1"), (3500, "Stimulus", "S  2")])
+        rw = nw.RawWavelet.from_brainvision(p, nw.Morse(250.0),
+                                            window=1024)
+        ew = rw.epochs_from_markers(-0.1, 0.1, kind="Stimulus")
+        np.testing.assert_array_equal(
+            ew.event_codes, ["S  1", "S  2", "S  1", "S  2"])
+        groups = ew.split()
+        assert set(groups) == {"S  1", "S  2"}
+        sub = ew.subset(np.array([0, 1, 2]))
+        np.testing.assert_array_equal(sub.event_codes,
+                                      ["S  1", "S  2", "S  1"])
+        with pytest.raises(ValueError, match="per event"):
+            rw.epochs(np.array([500, 1500]), -0.1, 0.1,
+                      codes=np.array([1]))
