@@ -115,8 +115,10 @@ class BVReader:
             mpath = os.path.join(base, marker_file.replace(
                 "$b", os.path.splitext(os.path.basename(self.path))[0]))
             if os.path.exists(mpath):
-                self.markers = read_markers(mpath)
+                # one parse; markers is the size-less view of spans
                 self._marker_spans = read_marker_spans(mpath)
+                self.markers = [(p, t, d) for (p, _, t, d)
+                                in self._marker_spans]
 
     def read_annotations(self):
         """[(onset_s, duration_s, text), ...] — the EDF+ annotation
@@ -240,23 +242,9 @@ def read_markers(vmrk_path: str):
     (0-based samples; BrainVision positions are 1-based).  Commas
     inside type/description use the format's ``\1`` escape; a marker
     whose position field does not parse is SKIPPED (never silently
-    mapped to sample 0)."""
-    cp = _parse_ini(vmrk_path)
-    out = []
-    sec = cp.get("Marker Infos", {})
-    i = 1
-    while f"Mk{i}" in sec:
-        parts = sec[f"Mk{i}"].split(",")
-        if len(parts) >= 3:
-            try:
-                pos = int(parts[2]) - 1
-            except ValueError:
-                i += 1
-                continue
-            out.append((pos, parts[0].replace("\\1", ",").strip(),
-                        parts[1].replace("\\1", ",").strip()))
-        i += 1
-    return out
+    mapped to sample 0).  Thin view over :func:`read_marker_spans`
+    (ONE parser — the two surfaces must never drift)."""
+    return [(p, t, d) for (p, _, t, d) in read_marker_spans(vmrk_path)]
 
 
 def read_marker_spans(vmrk_path: str):

@@ -1171,10 +1171,22 @@ class EpochsWavelet:
                                   wavelet, level, mode,
                                   pad_pow2=True)).reshape(data.shape)
         times = getattr(self.epochs, "times", None)
-        return EpochsWavelet(
+        return self._carry_codes(EpochsWavelet(
             ArrayEpochs(den, self.wavelet.sfreq,
                         list(self.epochs.ch_names), times=times),
-            self.wavelet)
+            self.wavelet))
+
+    def _carry_codes(self, out: "EpochsWavelet", sel=None
+                     ) -> "EpochsWavelet":
+        """Propagate ``event_codes`` onto a rebuilt adapter (``sel``
+        filters trials; None = all trials kept) — every composable
+        transform that returns a new ``EpochsWavelet`` calls this so
+        ``split()`` keeps working down the chain."""
+        codes = getattr(self, "event_codes", None)
+        if codes is not None:
+            codes = np.asarray(codes)
+            out.event_codes = codes if sel is None else codes[sel]
+        return out
 
     def subset(self, sel) -> "EpochsWavelet":
         """A NEW ``EpochsWavelet`` over a trial subset (extension):
@@ -1194,10 +1206,7 @@ class EpochsWavelet:
             ArrayEpochs(sub, self.wavelet.sfreq,
                         list(self.epochs.ch_names), times=times),
             self.wavelet)
-        codes = getattr(self, "event_codes", None)
-        if codes is not None:
-            out.event_codes = np.asarray(codes)[sel]
-        return out
+        return self._carry_codes(out, sel)
 
     def split(self, labels=None) -> dict:
         """Partition trials by a per-epoch label array (extension):
@@ -1240,10 +1249,10 @@ class EpochsWavelet:
         data = self._host_data()                    # (E, C, N)
         cleaned = np.asarray(_ro(data[:, keep_idx], data[:, ref_idx]))
         times = getattr(self.epochs, "times", None)
-        return EpochsWavelet(
+        return self._carry_codes(EpochsWavelet(
             ArrayEpochs(cleaned, self.wavelet.sfreq,
                         [names[i] for i in keep_idx], times=times),
-            self.wavelet)
+            self.wavelet))
 
     def drop_bad(self, threshold: Optional[float] = None,
                  **kw) -> "EpochsWavelet":
@@ -1273,7 +1282,7 @@ class EpochsWavelet:
                         list(self.epochs.ch_names), times=times),
             self.wavelet)
         out.reject_result = res
-        return out
+        return self._carry_codes(out, ~mask)
 
     def csd(self, positions, **kw) -> "EpochsWavelet":
         """A NEW ``EpochsWavelet`` over the current-source-density
@@ -1289,10 +1298,10 @@ class EpochsWavelet:
             raise ValueError("positions must match the channel count")
         out = np.asarray(_csd(data, positions, **kw))
         times = getattr(self.epochs, "times", None)
-        return EpochsWavelet(
+        return self._carry_codes(EpochsWavelet(
             ArrayEpochs(out, self.wavelet.sfreq,
                         list(self.epochs.ch_names), times=times),
-            self.wavelet)
+            self.wavelet))
 
     def interpolate_bads(self, positions, bads, **kw) -> "EpochsWavelet":
         """A NEW ``EpochsWavelet`` with the listed channels replaced by
@@ -1310,9 +1319,9 @@ class EpochsWavelet:
         data = self._host_data()
         out = np.asarray(interpolate_channels(data, positions, idx, **kw))
         times = getattr(self.epochs, "times", None)
-        return EpochsWavelet(
+        return self._carry_codes(EpochsWavelet(
             ArrayEpochs(out, self.wavelet.sfreq, names, times=times),
-            self.wavelet)
+            self.wavelet))
 
     def lagged_coherence(self, ch_name: str, freqs: Numbers,
                          n_cycles: float = 3.0, lag=None) -> jnp.ndarray:
@@ -1407,9 +1416,9 @@ class EpochsWavelet:
         src = np.asarray(_sp.spatial_apply(self._all_data(), filters))
         names = [f"comp{k}" for k in range(src.shape[1])]
         times = getattr(self.epochs, "times", None)
-        return EpochsWavelet(
+        return self._carry_codes(EpochsWavelet(
             ArrayEpochs(src, self.wavelet.sfreq, names, times=times),
-            self.wavelet)
+            self.wavelet))
 
     def env_corr(self, freqs: Numbers, orthogonalize: bool = True,
                  log: bool = True, time_range=None) -> jnp.ndarray:

@@ -533,3 +533,38 @@ class TestEventCodes:
         with pytest.raises(ValueError, match="per event"):
             rw.epochs(np.array([500, 1500]), -0.1, 0.1,
                       codes=np.array([1]))
+
+    def test_codes_survive_composable_cleaning(self):
+        """drop_bad / modwt_denoise / regress_out keep event_codes
+        aligned, so split() works down the chain."""
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((2, 20000)).astype(np.float32)
+        raw = type("R", (), {"_d": x, "info": {"sfreq": 250.0},
+                             "ch_names": ["a", "b"],
+                             "get_data": lambda s: s._d})()
+        rw = nw.RawWavelet(raw, nw.Morse(250.0), window=1024)
+        ev = np.stack([np.arange(500, 19500, 1000),
+                       np.zeros(19, int),
+                       np.tile([1, 2], 10)[:19]], 1)
+        ew = rw.epochs(ev, -0.2, 0.2)
+        # plant one huge artifact trial; its code must drop with it
+        d = ew._host_data().copy()
+        d[4] *= 100.0
+        ep = type("E", (), {"_d": d, "info": {"sfreq": 250.0},
+                            "ch_names": ["a", "b"],
+                            "get_data": lambda s: s._d})()
+        ew2 = nw.EpochsWavelet(ep, nw.Morse(250.0))
+        ew2.event_codes = np.asarray(ew.event_codes)
+        tp = np.asarray(
+            (d.max(-1) - d.min(-1)).max(-1))      # per-trial worst ptp
+        thr = float((np.sort(tp)[-2] + tp.max()) / 2.0)
+        clean = ew2.drop_bad(threshold=thr)       # drops only trial 4
+        assert clean._host_data().shape[0] == 18
+        want = np.delete(np.asarray(ew.event_codes), 4)
+        np.testing.assert_array_equal(clean.event_codes, want)
+        groups = clean.split()
+        assert sum(g._host_data().shape[0]
+                   for g in groups.values()) == 18
+        # E-preserving transforms pass codes through unchanged
+        den = ew2.modwt_denoise()
+        np.testing.assert_array_equal(den.event_codes, ew2.event_codes)
