@@ -55,6 +55,20 @@ def main() -> None:
     raw = ArrayRaw(x, SFREQ)
     rw = nw.RawWavelet(raw, nw.Morse(SFREQ), window=4096)
 
+    # 0. channel QC: kill one electrode, find it, spline-repair it
+    xq = x.copy()
+    xq[3] = 0.0
+    rwq = nw.RawWavelet(ArrayRaw(xq, SFREQ), nw.Morse(SFREQ),
+                        window=4096)
+    qc = rwq.find_bad_channels()
+    th = np.linspace(0, 2 * np.pi, x.shape[0], endpoint=False)
+    pos = np.stack([np.cos(th) * 0.9, np.sin(th) * 0.9,
+                    np.full(x.shape[0], 0.436)], 1)
+    repaired = rwq.interpolate_bads(pos, qc["bads"])
+    r = np.corrcoef(repaired[3], x[3])[0, 1]
+    print(f"[qc]       bads {qc['bads']} -> spline repair corr "
+          f"{r:.2f} vs the true channel")
+
     # 1. zero-phase cleanup: 50 Hz notch + 1-40 Hz bandpass
     filtered = rw.filter(f_lo=1.0, f_hi=40.0, notch_hz=50.0)
     line = np.sin(2 * np.pi * 50.0 * np.arange(N) / SFREQ)
@@ -65,9 +79,9 @@ def main() -> None:
     rw2 = nw.RawWavelet(ArrayRaw(filtered, SFREQ), nw.Morse(SFREQ),
                         window=4096)
     ica = rw2.ica(n_components=5, n_iter=200)
-    src = np.asarray(ica.sources)
-    bidx = int(np.argmax([abs(np.corrcoef(s, blink)[0, 1]) for s in src]))
-    cleaned = rw2.ica_clean(ica, [bidx])
+    bads_k, _ = rw2.ica_find_bads(ica)     # unsupervised: kurtosis
+    bidx = bads_k[0]
+    cleaned = rw2.ica_clean(ica, bads_k)
     b_before = abs(np.corrcoef(filtered[0], blink)[0, 1])
     b_after = abs(np.corrcoef(cleaned[0], blink)[0, 1])
     print(f"[ica]      blink corr ch0: {b_before:.2f} -> {b_after:.2f} "
