@@ -1,0 +1,181 @@
+"""Analytic EEG forward model: current dipole in a homogeneous
+conducting sphere.
+
+No reference counterpart — this makes the source-space tools
+(``ops/beamformer.py``: LCMV / DICS / minimum norm) self-contained: the
+user supplies electrode positions and source grid, not a leadfield from
+another package.  The model is the classical insulated homogeneous
+sphere (the textbook EEG forward problem; see e.g. Mosher, Leahy &
+Lewis 1999, IEEE TBME 46:245 for the family of sphere models): exact
+series solution, no numerical PDE.
+
+Math.  For a dipole ``q`` at radius ``b`` inside a sphere of radius
+``R`` and conductivity ``sigma`` (air outside — insulating boundary),
+the surface potential at electrode direction ``r_e`` is
+
+    V = 1/(4 pi sigma R^2) * sum_{n>=1} (2n+1)/n * f^(n-1)
+        * [ n (q . r0_hat) P_n(c)  +  (q . (r_e_hat - c r0_hat)) P_n'(c) ]
+
+with ``f = b/R``, ``c = cos(angle(r0, r_e))``.  The tangential term is
+written with the UNNORMALIZED in-plane vector ``r_e_hat - c r0_hat``
+so the usual ``1/sin`` of the associated Legendre route cancels
+analytically — no singularity at electrodes collinear with the source.
+The center-dipole limit (only n=1 survives) is the known
+``V = 3 (q . r_hat) / (4 pi sigma R^2)``, anchored in the tests next to
+an independent z-axis/associated-Legendre oracle, zero-mean and
+rotation-equivariance identities, and an end-to-end LCMV localization.
+
+TPU design: Legendre ``P_n`` / ``P_n'`` ride one ``lax.scan`` over the
+term index with (E, S) planes as carry (Bonnet recurrences), the
+orientation axis is one einsum, everything float32-safe because the
+series is scaled by ``f^(n-1) <= 1`` (eccentricity is validated < 0.95
+where ~200 terms give ~1e-6 tails).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["sphere_leadfield", "fibonacci_electrodes", "source_grid"]
+
+
+@partial(jax.jit, static_argnames=("n_terms",))
+def _series_jit(re_hat, r0_hat, f, *, n_terms):
+    """(E, S, 3) leadfield series for unit dipoles along x/y/z.
+
+    ``re_hat`` (E, 3) unit electrode directions, ``r0_hat`` (S, 3) unit
+    source directions, ``f`` (S,) eccentricities b/R in [0, 1).
+    Returns the bracketed sum — caller applies 1/(4 pi sigma R^2).
+    """
+    c = jnp.einsum("ek,sk->es", re_hat, r0_hat)          # cos gamma
+    # tangential geometry vector t = re - c r0 (E, S, 3), radial r0
+    t = re_hat[:, None, :] - c[..., None] * r0_hat[None, :, :]
+
+    def step(carry, n):
+        p_nm1, p_n, dp_nm1, dp_n, fpow, acc_r, acc_t = carry
+        nf = n.astype(jnp.float32)
+        # Bonnet: (n+1) P_{n+1} = (2n+1) c P_n - n P_{n-1}
+        p_np1 = ((2 * nf + 1) * c * p_n - nf * p_nm1) / (nf + 1)
+        # derivative recurrence: P'_{n+1} = P'_{n-1} + (2n+1) P_n
+        dp_np1 = dp_nm1 + (2 * nf + 1) * p_n
+        # term n+1 of the sum, weighted
+        m = nf + 1
+        w = (2 * m + 1) / m * fpow                       # (S,)
+        acc_r = acc_r + w[None, :] * m * p_np1
+        acc_t = acc_t + w[None, :] * dp_np1
+        fpow = fpow * f
+        return (p_n, p_np1, dp_n, dp_np1, fpow, acc_r, acc_t), None
+
+    # n = 1 terms seeded directly: P_1 = c, P_1' = 1, weight 3 f^0
+    p0 = jnp.ones_like(c)
+    p1 = c
+    dp0 = jnp.zeros_like(c)
+    dp1 = jnp.ones_like(c)
+    acc_r = 3.0 * p1                                      # 3 * 1 * P_1
+    acc_t = 3.0 * dp1
+    fpow = f                                              # f^(n-1), n=2
+    carry = (p0, p1, dp0, dp1, fpow, acc_r, acc_t)
+    carry, _ = lax.scan(step, carry,
+                        jnp.arange(1, n_terms, dtype=jnp.int32))
+    acc_r, acc_t = carry[5], carry[6]
+    # assemble per orientation: acc_r couples to (q . r0), acc_t to
+    # (q . t) — one broadcastized outer product over the xyz axis
+    return (acc_r[..., None] * r0_hat[None, :, :]
+            + acc_t[..., None] * t)
+
+
+def sphere_leadfield(elec_pos, src_pos, radius: float | None = None,
+                     sigma: float = 0.33, n_terms: int = 200,
+                     orientation=None):
+    """EEG leadfield of a homogeneous conducting sphere.
+
+    Args:
+      elec_pos: (E, 3) electrode positions.  They are projected onto
+        the sphere surface (only their directions matter — scalp
+        electrodes sit ON the boundary).
+      src_pos: (S, 3) dipole positions INSIDE the sphere (eccentricity
+        must stay below 0.95 — the series needs ~1/(1-f) terms).
+      radius: sphere radius; default = the mean electrode radius.
+      sigma: conductivity in S/m (0.33 = the standard scalp/brain
+        value).
+      n_terms: series truncation (error ~ f^n_terms).
+      orientation: optional (S, 3) fixed dipole orientations — returns
+        (E, S).  Default returns the free-orientation (E, S, 3)
+        leadfield feeding ``ops.lcmv`` / ``ops.minimum_norm`` directly.
+
+    Returns:
+      (E, S, 3) — potential at each electrode for unit x/y/z dipoles —
+      or (E, S) with ``orientation``.  Potentials are zero-mean over a
+      dense uniform electrode layout (all n >= 1 harmonics integrate to
+      zero on the sphere).
+    """
+    elec = np.asarray(elec_pos, np.float64)
+    src = np.asarray(src_pos, np.float64)
+    if elec.ndim != 2 or elec.shape[1] != 3:
+        raise ValueError("elec_pos must be (E, 3)")
+    if src.ndim != 2 or src.shape[1] != 3:
+        raise ValueError("src_pos must be (S, 3)")
+    er = np.linalg.norm(elec, axis=1)
+    if np.any(er <= 0):
+        raise ValueError("electrode at the origin")
+    r = float(radius) if radius is not None else float(er.mean())
+    if r <= 0:
+        raise ValueError("radius must be positive")
+    re_hat = elec / er[:, None]
+    b = np.linalg.norm(src, axis=1)
+    f = b / r
+    if np.any(f >= 0.95):
+        raise ValueError(
+            f"source eccentricity up to {f.max():.3f} — the series "
+            "model needs |src| < 0.95 * radius")
+    # a source exactly at the origin has no direction; nudge the unit
+    # vector arbitrarily (f = 0 kills every tangential/radial
+    # difference: only the n=1 isotropic term survives)
+    safe_b = np.where(b > 0, b, 1.0)
+    r0_hat = src / safe_b[:, None]
+    r0_hat[b == 0] = np.array([0.0, 0.0, 1.0])
+    lf = _series_jit(jnp.asarray(re_hat, jnp.float32),
+                     jnp.asarray(r0_hat, jnp.float32),
+                     jnp.asarray(f, jnp.float32),
+                     n_terms=int(n_terms))
+    lf = lf / jnp.float32(4.0 * np.pi * float(sigma) * r * r)
+    if orientation is not None:
+        ori = np.asarray(orientation, np.float64)
+        if ori.shape != src.shape:
+            raise ValueError("orientation must match src_pos (S, 3)")
+        ori = ori / np.maximum(
+            np.linalg.norm(ori, axis=1, keepdims=True), 1e-30)
+        return jnp.einsum("esk,sk->es", lf,
+                          jnp.asarray(ori, jnp.float32))
+    return lf
+
+
+def fibonacci_electrodes(n: int, radius: float = 0.09,
+                         upper_only: bool = True) -> np.ndarray:
+    """(n, 3) quasi-uniform electrode layout on the sphere (Fibonacci
+    lattice); ``upper_only`` keeps the z > 0 hemisphere convention of a
+    real EEG cap (the lattice is built on the hemisphere directly)."""
+    if n < 1:
+        raise ValueError("need at least one electrode")
+    i = np.arange(n) + 0.5
+    golden = (1 + 5 ** 0.5) / 2
+    phi = 2 * np.pi * i / golden
+    z = (i / n) if upper_only else (1 - 2 * i / n)
+    s = np.sqrt(np.maximum(1 - z * z, 0.0))
+    return (radius
+            * np.stack([s * np.cos(phi), s * np.sin(phi), z], 1))
+
+
+def source_grid(radius: float = 0.09, spacing: float = 0.015,
+                max_eccentricity: float = 0.85) -> np.ndarray:
+    """(S, 3) cubic source grid inside the sphere (the volumetric
+    source space for LCMV/DICS scans)."""
+    lim = radius * max_eccentricity
+    ax = np.arange(-lim, lim + spacing / 2, spacing)
+    g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1)
+    g = g.reshape(-1, 3)
+    return g[np.linalg.norm(g, axis=1) <= lim]

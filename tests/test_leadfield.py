@@ -1,0 +1,168 @@
+"""Spherical-head EEG forward model (`ops/leadfield.py`): independent
+z-axis associated-Legendre oracle, the center-dipole closed form,
+harmonic zero-mean and rotation-equivariance identities, series
+convergence, and end-to-end LCMV localization through our own
+beamformer."""
+import numpy as np
+import pytest
+
+from ninwavelets_tpu.ops.leadfield import (fibonacci_electrodes,
+                                           source_grid, sphere_leadfield)
+
+R = 0.09
+SIGMA = 0.33
+
+
+def _oracle_zaxis(theta, phi, b, q, n_terms=300):
+    """Independent float64 series for a dipole at (0, 0, b): textbook
+    associated-Legendre form with explicit gamma/phi geometry —
+    a genuinely different code path from the production kernel.
+
+    V = 1/(4 pi sigma R^2) sum_n (2n+1)/n f^{n-1}
+        [ n q_z P_n(cos th) + (qx cos phi + qy sin phi) A_n(cos th) ]
+    with A_n = sin th * P_n'(cos th).
+    """
+    from numpy.polynomial import legendre as L
+    f = b / R
+    v = np.zeros_like(theta)
+    ct, st = np.cos(theta), np.sin(theta)
+    n = np.arange(1, n_terms + 1, dtype=np.float64)
+    w = (2 * n + 1) / n * f ** (n - 1)
+    for i, (t, p) in enumerate(zip(ct, phi)):
+        rad = tan = 0.0
+        for k in range(1, n_terms + 1):
+            coef = np.zeros(k + 1)
+            coef[k] = 1.0
+            rad += w[k - 1] * k * L.legval(t, coef)
+            tan += w[k - 1] * L.legval(t, L.legder(coef))
+        v[i] = (q[2] * rad
+                + (q[0] * np.cos(p) + q[1] * np.sin(p)) * st[i] * tan)
+    return v / (4 * np.pi * SIGMA * R * R)
+
+
+class TestOracle:
+    def test_matches_independent_series(self):
+        rng = np.random.default_rng(0)
+        theta = rng.uniform(0.1, np.pi - 0.1, 12)
+        phi = rng.uniform(0, 2 * np.pi, 12)
+        elec = R * np.stack([np.sin(theta) * np.cos(phi),
+                             np.sin(theta) * np.sin(phi),
+                             np.cos(theta)], 1)
+        for b in (0.02, 0.05, 0.075):
+            for q in (np.array([0.0, 0.0, 1.0]),
+                      np.array([1.0, 0.0, 0.0]),
+                      np.array([0.3, -0.5, 0.8])):
+                want = _oracle_zaxis(theta, phi, b, q)
+                lf = sphere_leadfield(elec, np.array([[0, 0, b]]),
+                                      radius=R, sigma=SIGMA)
+                got = np.asarray(lf)[:, 0, :] @ q
+                np.testing.assert_allclose(got, want, rtol=5e-4,
+                                           atol=1e-9 * np.abs(want).max())
+
+    def test_center_dipole_closed_form(self):
+        elec = fibonacci_electrodes(60, R, upper_only=False)
+        q = np.array([0.2, -0.7, 0.4])
+        lf = sphere_leadfield(elec, np.zeros((1, 3)), radius=R,
+                              sigma=SIGMA)
+        got = np.asarray(lf)[:, 0, :] @ q
+        want = 3.0 * (elec / R) @ q / (4 * np.pi * SIGMA * R * R)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestIdentities:
+    def test_zero_mean_on_uniform_layout(self):
+        """Every n>=1 spherical harmonic integrates to zero: a dense
+        uniform layout's mean potential must vanish relative to its
+        spread."""
+        elec = fibonacci_electrodes(800, R, upper_only=False)
+        src = np.array([[0.02, -0.01, 0.04], [0.0, 0.05, 0.02]])
+        lf = np.asarray(sphere_leadfield(elec, src, radius=R))
+        for s in range(2):
+            for k in range(3):
+                v = lf[:, s, k]
+                assert abs(v.mean()) < 2e-3 * np.abs(v).max()
+
+    def test_rotation_equivariance(self):
+        rng = np.random.default_rng(1)
+        # random rotation matrix
+        a = rng.standard_normal((3, 3))
+        qmat, _ = np.linalg.qr(a)
+        if np.linalg.det(qmat) < 0:
+            qmat[:, 0] *= -1
+        elec = fibonacci_electrodes(40, R)
+        src = np.array([[0.01, 0.02, 0.05]])
+        lf = np.asarray(sphere_leadfield(elec, src, radius=R))
+        lf_rot = np.asarray(sphere_leadfield(elec @ qmat.T,
+                                             src @ qmat.T, radius=R))
+        # rotating everything rotates the orientation axis the same way
+        np.testing.assert_allclose(lf_rot, lf @ qmat.T, rtol=2e-3,
+                                   atol=1e-9 * np.abs(lf).max())
+
+    def test_series_convergence(self):
+        elec = fibonacci_electrodes(30, R)
+        src = np.array([[0.0, 0.0, 0.07]])      # eccentricity 0.78
+        a = np.asarray(sphere_leadfield(elec, src, radius=R,
+                                        n_terms=120))
+        b = np.asarray(sphere_leadfield(elec, src, radius=R,
+                                        n_terms=240))
+        np.testing.assert_allclose(a, b, rtol=1e-4,
+                                   atol=1e-6 * np.abs(b).max())
+
+
+class TestValidationAndHelpers:
+    def test_eccentricity_and_shape_guards(self):
+        elec = fibonacci_electrodes(10, R)
+        with pytest.raises(ValueError, match="0.95"):
+            sphere_leadfield(elec, np.array([[0.0, 0.0, 0.089]]),
+                             radius=R)
+        with pytest.raises(ValueError, match="S, 3"):
+            sphere_leadfield(elec, np.zeros((4, 2)))
+        with pytest.raises(ValueError, match="orientation"):
+            sphere_leadfield(elec, np.zeros((2, 3)),
+                             orientation=np.ones((3, 3)))
+
+    def test_fixed_orientation_projects(self):
+        elec = fibonacci_electrodes(20, R)
+        src = np.array([[0.0, 0.02, 0.05]])
+        ori = np.array([[0.0, 0.0, 2.0]])       # normalized internally
+        full = np.asarray(sphere_leadfield(elec, src, radius=R))
+        fixed = np.asarray(sphere_leadfield(elec, src, radius=R,
+                                            orientation=ori))
+        np.testing.assert_allclose(fixed[:, 0], full[:, 0, 2],
+                                   rtol=1e-5)
+
+    def test_grid_and_cap(self):
+        g = source_grid(R, spacing=0.02)
+        assert np.linalg.norm(g, axis=1).max() <= 0.85 * R + 1e-9
+        cap = fibonacci_electrodes(64, R)
+        assert cap.shape == (64, 3) and (cap[:, 2] >= 0).all()
+        np.testing.assert_allclose(np.linalg.norm(cap, axis=1), R,
+                                   rtol=1e-6)
+
+
+class TestEndToEnd:
+    def test_lcmv_localizes_planted_dipole(self):
+        """Self-contained source pipeline: sphere leadfield + our LCMV
+        finds the planted dipole on the grid."""
+        from ninwavelets_tpu.ops.beamformer import lcmv
+        rng = np.random.default_rng(2)
+        elec = fibonacci_electrodes(48, R)
+        grid = source_grid(R, spacing=0.02, max_eccentricity=0.8)
+        lf = np.asarray(sphere_leadfield(elec, grid, radius=R))
+        true_idx = int(np.argmin(np.linalg.norm(
+            grid - np.array([0.02, -0.01, 0.05]), axis=1)))
+        n = 4000
+        s = np.sin(2 * np.pi * 11.0 * np.arange(n) / 1000.0)
+        ori = np.array([0.3, 0.9, 0.3])
+        ori /= np.linalg.norm(ori)
+        sig = np.outer(lf[:, true_idx] @ ori, s)
+        # 5% sensor noise: keeps the covariance condition inside
+        # float32 (a near-rank-1 cov with reg ~1e-7 localizes on CPU
+        # but NOT on the chip — same f32, different rounding paths)
+        x = (sig + 0.05 * sig.std()
+             * rng.standard_normal((48, n))).astype(np.float32)
+        cov = (x @ x.T) / n
+        res = lcmv(cov, lf.transpose(1, 2, 0), reg=0.005)
+        found = int(np.argmax(np.asarray(res.nai)))
+        d = np.linalg.norm(grid[found] - grid[true_idx])
+        assert d <= 0.021, (found, true_idx, d)
