@@ -5,7 +5,8 @@
 
     python examples/source_demo.py
 
-Everything is planted: a random (but known) leadfield, three
+Everything is planted: a PHYSICAL spherical-head leadfield
+(`ops.sphere_leadfield` — Fibonacci cap over a source grid), three
 oscillatory sources (two coherent at 20 Hz, one independent), and a
 stimulus-driven channel — each stage prints what it recovered.
 """
@@ -26,10 +27,18 @@ SFREQ = 1000.0
 def main() -> None:
     import jax.numpy as jnp
 
+    from ninwavelets_tpu.ops.leadfield import (fibonacci_electrodes,
+                                               sphere_leadfield)
     rng = np.random.default_rng(0)
     c, s, n, e = 24, 30, 2048, 12
-    lf = rng.standard_normal((s, c))
-    lf /= np.linalg.norm(lf, axis=1, keepdims=True)
+    # physical forward model: 24-electrode cap, 30 random deep sources
+    # with random orientations in a 9 cm sphere
+    elec = fibonacci_electrodes(c, 0.09)
+    src_pos = rng.uniform(-0.05, 0.05, (s, 3))
+    src_ori = rng.standard_normal((s, 3))
+    lf = np.array(sphere_leadfield(elec, src_pos, radius=0.09,
+                                   orientation=src_ori)).T    # (S, C)
+    lf = lf / np.linalg.norm(lf, axis=1, keepdims=True)
     lf = lf.astype(np.float32)
     t = np.arange(n) / SFREQ
 
