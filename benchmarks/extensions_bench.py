@@ -554,6 +554,22 @@ def main():
     record(op="ledoit_wolf_64x120k", ms=round(d * 1e3, 2),
            config=dict(c=64, n=120000))
 
+    from ninwavelets_tpu.ops.leadfield import (_series_jit,
+                                               fibonacci_electrodes,
+                                               source_grid)
+    elec_lf = jnp.asarray(fibonacci_electrodes(64, 0.09) / 0.09,
+                          jnp.float32)
+    grid_lf = source_grid(0.09, spacing=0.006, max_eccentricity=0.8)
+    b_lf = np.linalg.norm(grid_lf, axis=1)
+    r0 = np.where(b_lf[:, None] > 0, grid_lf / np.maximum(
+        b_lf[:, None], 1e-30), [0.0, 0.0, 1.0])
+    d = t(lambda e: _series_jit(e, jnp.asarray(r0, jnp.float32),
+                                jnp.asarray(b_lf / 0.09, jnp.float32),
+                                n_terms=200), elec_lf, iters=5)
+    record(op="sphere_leadfield_64x%d" % grid_lf.shape[0],
+           ms=round(d * 1e3, 2),
+           config=dict(e=64, s=int(grid_lf.shape[0]), n_terms=200))
+
     # --- ASR (r4: preprocessing) -----------------------------------------
     from ninwavelets_tpu.ops.asr import asr_calibrate, asr_process
     xasr = jnp.asarray(
