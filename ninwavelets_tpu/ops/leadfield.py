@@ -179,3 +179,125 @@ def source_grid(radius: float = 0.09, spacing: float = 0.015,
     g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1)
     g = g.reshape(-1, 3)
     return g[np.linalg.norm(g, axis=1) <= lim]
+
+
+__all__.append("fit_dipole")
+
+
+@partial(jax.jit, static_argnames=("n_terms",))
+def _scan_grid_jit(v, re_hat, r0_hat, f, scale, *, n_terms):
+    """Residual sum of squares of the best-moment dipole at every grid
+    point: q* = argmin ||v - L q|| solved per point as a tiny (3, 3)
+    system (HIGHEST — the Gram is near-singular for deep sources)."""
+    lf = _series_jit(re_hat, r0_hat, f, n_terms=n_terms) * scale
+    # average-reference the MODEL too: v is centered, and the sphere
+    # potential is zero-mean only over the FULL sphere, not a cap
+    lf = lf - jnp.mean(lf, axis=0, keepdims=True)
+    g = jnp.einsum("esk,esl->skl", lf, lf,
+                   precision=lax.Precision.HIGHEST)       # (S, 3, 3)
+    b = jnp.einsum("esk,e->sk", lf, v,
+                   precision=lax.Precision.HIGHEST)       # (S, 3)
+    g = g + 1e-12 * jnp.trace(g, axis1=-2, axis2=-1)[:, None, None] \
+        * jnp.eye(3)
+    q = jnp.linalg.solve(g, b[..., None])[..., 0]         # (S, 3)
+    fit = jnp.einsum("esk,sk->es", lf, q)
+    rss = jnp.sum((v[:, None] - fit) ** 2, axis=0)        # (S,)
+    return rss, q
+
+
+@partial(jax.jit, static_argnames=("n_terms", "n_steps"))
+def _refine_jit(v, re_hat, p0, scale, max_f, *, n_terms, n_steps):
+    """Adam refinement of the dipole POSITION (unit-sphere units);
+    the moment is re-solved in closed form inside the loss, so the
+    gradient flows through the Legendre scan only via the geometry."""
+
+    def loss(p):
+        b = jnp.linalg.norm(p)
+        fe = jnp.minimum(b, max_f)
+        r0 = p / jnp.maximum(b, 1e-12)
+        lf = _series_jit(re_hat, r0[None, :], fe[None],
+                         n_terms=n_terms)[:, 0, :] * scale   # (E, 3)
+        lf = lf - jnp.mean(lf, axis=0, keepdims=True)     # avg ref
+        g = jnp.matmul(lf.T, lf, precision=lax.Precision.HIGHEST)
+        g = g + 1e-12 * jnp.trace(g) * jnp.eye(3)
+        q = jnp.linalg.solve(g, lf.T @ v)
+        r = v - lf @ q
+        return jnp.sum(r * r), q
+
+    lr, b1, b2, eps = 3e-3, 0.9, 0.999, 1e-8
+
+    def step(carry, i):
+        p, m, s2 = carry
+        (val, _), grad = jax.value_and_grad(loss, has_aux=True)(p)
+        m = b1 * m + (1 - b1) * grad
+        s2 = b2 * s2 + (1 - b2) * grad * grad
+        mh = m / (1 - b1 ** (i + 1.0))
+        sh = s2 / (1 - b2 ** (i + 1.0))
+        p = p - lr * mh / (jnp.sqrt(sh) + eps)
+        # stay strictly inside the series' convergence region
+        b = jnp.linalg.norm(p)
+        p = jnp.where(b > max_f, p * (max_f / b), p)
+        return (p, m, s2), val
+
+    init = (p0, jnp.zeros(3), jnp.zeros(3))
+    (p, _, _), hist = lax.scan(step, init,
+                               jnp.arange(n_steps, dtype=jnp.float32))
+    val, q = loss(p)
+    return p, q, val, hist
+
+
+def fit_dipole(v, elec_pos, radius: float | None = None,
+               sigma: float = 0.33, spacing: float = 0.01,
+               n_terms: int = 120, n_steps: int = 200,
+               max_eccentricity: float = 0.90):
+    """Single equivalent-current-dipole fit of a topography (mne's
+    ``fit_dipole`` for the spherical head).
+
+    Two stages, both on device: a coarse grid scan (best closed-form
+    moment per grid point — batched 3x3 solves), then Adam refinement
+    of the position THROUGH the differentiable Legendre series (the
+    moment stays a closed-form inner solve, so only 3 parameters are
+    optimized).  ``v`` is the (E,) sensor topography (average-referenced
+    internally — sphere potentials are defined up to a constant).
+
+    Returns a dict: ``pos`` (3,), ``moment`` (3,), ``gof`` in [0, 1]
+    (goodness of fit, 1 - rss/||v||^2), ``grid_pos`` (the stage-1
+    winner, for sanity checks).
+    """
+    v = np.asarray(v, np.float64)
+    if v.ndim != 1:
+        raise ValueError("v must be a single (E,) topography")
+    elec = np.asarray(elec_pos, np.float64)
+    if elec.shape != (v.shape[0], 3):
+        raise ValueError("elec_pos must be (E, 3) matching v")
+    er = np.linalg.norm(elec, axis=1)
+    r = float(radius) if radius is not None else float(er.mean())
+    re_hat = elec / er[:, None]
+    v = v - v.mean()
+    vn = float(np.linalg.norm(v))
+    if vn == 0:
+        raise ValueError("zero topography")
+    grid = source_grid(r, spacing=spacing,
+                       max_eccentricity=max_eccentricity)
+    b = np.linalg.norm(grid, axis=1)
+    r0 = np.where(b[:, None] > 0,
+                  grid / np.maximum(b[:, None], 1e-30),
+                  [0.0, 0.0, 1.0])
+    scale = 1.0 / (4.0 * np.pi * float(sigma) * r * r)
+    vj = jnp.asarray(v / vn, jnp.float32)
+    rss, _ = _scan_grid_jit(vj, jnp.asarray(re_hat, jnp.float32),
+                            jnp.asarray(r0, jnp.float32),
+                            jnp.asarray(b / r, jnp.float32),
+                            jnp.float32(scale), n_terms=int(n_terms))
+    best = int(jnp.argmin(rss))
+    p0 = jnp.asarray(grid[best] / r, jnp.float32)
+    p, q, val, _ = _refine_jit(vj, jnp.asarray(re_hat, jnp.float32),
+                               p0, jnp.float32(scale),
+                               jnp.float32(max_eccentricity),
+                               n_terms=int(n_terms),
+                               n_steps=int(n_steps))
+    gof = 1.0 - float(val)           # v was unit-normalized
+    return {"pos": np.asarray(p, np.float64) * r,
+            "moment": np.asarray(q, np.float64) * vn,
+            "gof": gof,
+            "grid_pos": grid[best]}

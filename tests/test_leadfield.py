@@ -166,3 +166,47 @@ class TestEndToEnd:
         found = int(np.argmax(np.asarray(res.nai)))
         d = np.linalg.norm(grid[found] - grid[true_idx])
         assert d <= 0.021, (found, true_idx, d)
+
+
+class TestFitDipole:
+    """Equivalent-current-dipole fit (`ops.fit_dipole`)."""
+
+    def _plant(self, pos, q, n_elec=64, seed=None, noise=0.0):
+        elec = fibonacci_electrodes(n_elec, R)
+        v = np.asarray(sphere_leadfield(
+            elec, np.asarray(pos)[None], radius=R))[:, 0, :] @ np.asarray(q)
+        if noise:
+            rng = np.random.default_rng(seed)
+            v = v + noise * v.std() * rng.standard_normal(n_elec)
+        return elec, v
+
+    def test_exact_recovery(self):
+        from ninwavelets_tpu.ops.leadfield import fit_dipole
+        pos = np.array([0.021, -0.013, 0.047])
+        q = np.array([2.0, -1.0, 3.0]) * 1e-9
+        elec, v = self._plant(pos, q)
+        res = fit_dipole(v, elec, radius=R)
+        assert np.linalg.norm(res["pos"] - pos) < 5e-4      # < 0.5 mm
+        assert res["gof"] > 0.9999
+        np.testing.assert_allclose(res["moment"], q, rtol=1e-2)
+
+    def test_noise_robustness_and_depths(self):
+        from ninwavelets_tpu.ops.leadfield import fit_dipole
+        q = np.array([1.0, 2.0, -1.0]) * 1e-9
+        for i, pos in enumerate([np.array([0.0, 0.0, 0.02]),
+                                 np.array([-0.04, 0.03, 0.03]),
+                                 np.array([0.05, 0.0, 0.04])]):
+            elec, v = self._plant(pos, q, seed=i, noise=0.05)
+            res = fit_dipole(v, elec, radius=R)
+            assert np.linalg.norm(res["pos"] - pos) < 4e-3  # < 4 mm
+            assert res["gof"] > 0.99
+
+    def test_validation(self):
+        from ninwavelets_tpu.ops.leadfield import fit_dipole
+        elec = fibonacci_electrodes(16, R)
+        with pytest.raises(ValueError, match="zero"):
+            fit_dipole(np.zeros(16), elec, radius=R)
+        with pytest.raises(ValueError, match="single"):
+            fit_dipole(np.zeros((16, 4)), elec, radius=R)
+        with pytest.raises(ValueError, match="matching"):
+            fit_dipole(np.ones(8), elec, radius=R)
