@@ -91,7 +91,8 @@ from .emd import emd as empirical_mode_decomposition
 from .filtering import bandpass, highpass, lowpass, notch, resample
 from .asr import ASRModel, asr_calibrate, asr_process
 from .leadfield import (fibonacci_electrodes, fit_dipole,
-                        source_grid, sphere_leadfield)
+                        fit_dipole_evoked, source_grid,
+                        sphere_leadfield)
 from .beamformer import (DICSResult, LCMVResult,
                          MinimumNormResult, dics, lcmv,
                          lcmv_apply, minimum_norm,
@@ -228,7 +229,7 @@ __all__ = [
     "ASRModel", "asr_calibrate", "asr_process",
     "LCMVResult", "lcmv", "lcmv_apply",
     "sphere_leadfield", "fibonacci_electrodes", "source_grid",
-    "fit_dipole",
+    "fit_dipole", "fit_dipole_evoked",
     "DICSResult", "dics", "wavelet_csd", "source_coherence",
     "MinimumNormResult", "minimum_norm", "minimum_norm_apply",
     "epoch_covariances", "riemannian_distance", "riemannian_mean",

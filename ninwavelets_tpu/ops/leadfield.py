@@ -301,3 +301,40 @@ def fit_dipole(v, elec_pos, radius: float | None = None,
             "moment": np.asarray(q, np.float64) * vn,
             "gof": gof,
             "grid_pos": grid[best]}
+
+
+__all__.append("fit_dipole_evoked")
+
+
+def fit_dipole_evoked(v_ts, elec_pos, radius: float | None = None,
+                      sigma: float = 0.33, **kw):
+    """Dipole model of an evoked time series (mne's ``fit_dipole`` on
+    an Evoked): the POSITION is fitted once on the peak-GFP topography
+    (where SNR is best), then the moment time course is the closed-form
+    least-squares solve of the fixed (E, 3) leadfield against every
+    sample — one (3, E) @ (E, T) matmul.
+
+    ``v_ts`` is (E, T).  Returns the ``fit_dipole`` dict plus
+    ``moment_ts`` (3, T), ``amplitude`` (T,) moment norms, ``gof_ts``
+    (T,) per-sample goodness of fit, and ``peak_sample``.
+    """
+    v_ts = np.asarray(v_ts, np.float64)
+    if v_ts.ndim != 2:
+        raise ValueError("v_ts must be (E, T)")
+    vc = v_ts - v_ts.mean(axis=0, keepdims=True)
+    gfp = vc.std(axis=0)
+    peak = int(np.argmax(gfp))
+    res = fit_dipole(v_ts[:, peak], elec_pos, radius=radius,
+                     sigma=sigma, **kw)
+    lf = np.asarray(sphere_leadfield(elec_pos, res["pos"][None],
+                                     radius=radius, sigma=sigma))[:, 0, :]
+    lf = lf - lf.mean(axis=0, keepdims=True)
+    g = lf.T @ lf + 1e-12 * np.trace(lf.T @ lf) * np.eye(3)
+    q_ts = np.linalg.solve(g, lf.T @ vc)                   # (3, T)
+    fit = lf @ q_ts
+    rss = np.sum((vc - fit) ** 2, axis=0)
+    tot = np.maximum(np.sum(vc * vc, axis=0), 1e-30)
+    res.update(moment_ts=q_ts,
+               amplitude=np.linalg.norm(q_ts, axis=0),
+               gof_ts=1.0 - rss / tot, peak_sample=peak)
+    return res

@@ -210,3 +210,26 @@ class TestFitDipole:
             fit_dipole(np.zeros((16, 4)), elec, radius=R)
         with pytest.raises(ValueError, match="matching"):
             fit_dipole(np.ones(8), elec, radius=R)
+
+    def test_evoked_timecourse(self):
+        from ninwavelets_tpu.ops.leadfield import fit_dipole_evoked
+        rng = np.random.default_rng(3)
+        pos = np.array([0.02, 0.01, 0.05])
+        q0 = np.array([1.0, -2.0, 1.5]) * 1e-9
+        elec = fibonacci_electrodes(64, R)
+        lf = np.asarray(sphere_leadfield(elec, pos[None],
+                                         radius=R))[:, 0, :]
+        t = np.arange(200) / 1000.0
+        amp = np.exp(-((t - 0.1) / 0.02) ** 2)             # ERP-like
+        v_ts = np.outer(lf @ q0, amp)
+        v_ts = v_ts + 0.02 * v_ts.std() * rng.standard_normal(v_ts.shape)
+        res = fit_dipole_evoked(v_ts, elec, radius=R)
+        assert np.linalg.norm(res["pos"] - pos) < 3e-3
+        assert abs(res["peak_sample"] - 100) < 5
+        # amplitude time course tracks the planted envelope
+        a = res["amplitude"] / res["amplitude"].max()
+        r = np.corrcoef(a, amp)[0, 1]
+        assert r > 0.99
+        assert res["gof_ts"][res["peak_sample"]] > 0.99
+        with pytest.raises(ValueError, match="E, T"):
+            fit_dipole_evoked(np.zeros(64), elec, radius=R)
