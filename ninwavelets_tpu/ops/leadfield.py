@@ -51,7 +51,8 @@ def _series_jit(re_hat, r0_hat, f, *, n_terms):
     source directions, ``f`` (S,) eccentricities b/R in [0, 1).
     Returns the bracketed sum — caller applies 1/(4 pi sigma R^2).
     """
-    c = jnp.einsum("ek,sk->es", re_hat, r0_hat)          # cos gamma
+    c = jnp.einsum("ek,sk->es", re_hat, r0_hat,
+                   precision=lax.Precision.HIGHEST)      # cos gamma
     # tangential geometry vector t = re - c r0 (E, S, 3), radial r0
     t = re_hat[:, None, :] - c[..., None] * r0_hat[None, :, :]
 
@@ -150,7 +151,8 @@ def sphere_leadfield(elec_pos, src_pos, radius: float | None = None,
         ori = ori / np.maximum(
             np.linalg.norm(ori, axis=1, keepdims=True), 1e-30)
         return jnp.einsum("esk,sk->es", lf,
-                          jnp.asarray(ori, jnp.float32))
+                          jnp.asarray(ori, jnp.float32),
+                          precision=lax.Precision.HIGHEST)
     return lf
 
 
@@ -197,10 +199,11 @@ def _scan_grid_jit(v, re_hat, r0_hat, f, scale, *, n_terms):
                    precision=lax.Precision.HIGHEST)       # (S, 3, 3)
     b = jnp.einsum("esk,e->sk", lf, v,
                    precision=lax.Precision.HIGHEST)       # (S, 3)
-    g = g + 1e-12 * jnp.trace(g, axis1=-2, axis2=-1)[:, None, None] \
+    g = g + 1e-6 * jnp.trace(g, axis1=-2, axis2=-1)[:, None, None] \
         * jnp.eye(3)
     q = jnp.linalg.solve(g, b[..., None])[..., 0]         # (S, 3)
-    fit = jnp.einsum("esk,sk->es", lf, q)
+    fit = jnp.einsum("esk,sk->es", lf, q,
+                     precision=lax.Precision.HIGHEST)
     rss = jnp.sum((v[:, None] - fit) ** 2, axis=0)        # (S,)
     return rss, q
 
@@ -219,9 +222,12 @@ def _refine_jit(v, re_hat, p0, scale, max_f, *, n_terms, n_steps):
                          n_terms=n_terms)[:, 0, :] * scale   # (E, 3)
         lf = lf - jnp.mean(lf, axis=0, keepdims=True)     # avg ref
         g = jnp.matmul(lf.T, lf, precision=lax.Precision.HIGHEST)
-        g = g + 1e-12 * jnp.trace(g) * jnp.eye(3)
-        q = jnp.linalg.solve(g, lf.T @ v)
-        r = v - lf @ q
+        # 1e-6 relative: a 1e-12 floor is below f32 resolution and is
+        # a no-op exactly in the rank-deficient cases it exists for
+        g = g + 1e-6 * jnp.trace(g) * jnp.eye(3)
+        q = jnp.linalg.solve(
+            g, jnp.matmul(lf.T, v, precision=lax.Precision.HIGHEST))
+        r = v - jnp.matmul(lf, q, precision=lax.Precision.HIGHEST)
         return jnp.sum(r * r), q
 
     lr, b1, b2, eps = 3e-3, 0.9, 0.999, 1e-8
@@ -271,7 +277,14 @@ def fit_dipole(v, elec_pos, radius: float | None = None,
     if elec.shape != (v.shape[0], 3):
         raise ValueError("elec_pos must be (E, 3) matching v")
     er = np.linalg.norm(elec, axis=1)
+    if np.any(er <= 0):
+        raise ValueError("electrode at the origin")
+    if not 0 < max_eccentricity < 0.95:
+        raise ValueError("max_eccentricity must be in (0, 0.95) — the "
+                         "series diverges beyond")
     r = float(radius) if radius is not None else float(er.mean())
+    if r <= 0:
+        raise ValueError("radius must be positive")
     re_hat = elec / er[:, None]
     v = v - v.mean()
     vn = float(np.linalg.norm(v))
@@ -326,8 +339,11 @@ def fit_dipole_evoked(v_ts, elec_pos, radius: float | None = None,
     peak = int(np.argmax(gfp))
     res = fit_dipole(v_ts[:, peak], elec_pos, radius=radius,
                      sigma=sigma, **kw)
-    lf = np.asarray(sphere_leadfield(elec_pos, res["pos"][None],
-                                     radius=radius, sigma=sigma))[:, 0, :]
+    # the SAME truncation as the position fit — a different n_terms
+    # would make res["gof"] and gof_ts[peak_sample] disagree
+    lf = np.asarray(sphere_leadfield(
+        elec_pos, res["pos"][None], radius=radius, sigma=sigma,
+        n_terms=int(kw.get("n_terms", 120))))[:, 0, :]
     lf = lf - lf.mean(axis=0, keepdims=True)
     g = lf.T @ lf + 1e-12 * np.trace(lf.T @ lf) * np.eye(3)
     q_ts = np.linalg.solve(g, lf.T @ vc)                   # (3, T)

@@ -233,3 +233,31 @@ class TestFitDipole:
         assert res["gof_ts"][res["peak_sample"]] > 0.99
         with pytest.raises(ValueError, match="E, T"):
             fit_dipole_evoked(np.zeros(64), elec, radius=R)
+
+    def test_guards(self):
+        from ninwavelets_tpu.ops.leadfield import fit_dipole
+        elec = fibonacci_electrodes(16, R)
+        bad = elec.copy()
+        bad[3] = 0.0
+        with pytest.raises(ValueError, match="origin"):
+            fit_dipole(np.ones(16), bad, radius=R)
+        with pytest.raises(ValueError, match="0.95"):
+            fit_dipole(np.ones(16), elec, radius=R,
+                       max_eccentricity=0.99)
+
+    def test_evoked_truncation_consistency(self):
+        """The position fit and the time-course leadfield share
+        n_terms: the peak-sample gof values must agree."""
+        from ninwavelets_tpu.ops.leadfield import fit_dipole_evoked
+        pos = np.array([0.01, 0.02, 0.04])
+        q0 = np.array([1.0, 1.0, -0.5]) * 1e-9
+        elec = fibonacci_electrodes(48, R)
+        lf = np.asarray(sphere_leadfield(elec, pos[None],
+                                         radius=R))[:, 0, :]
+        amp = np.hanning(64)
+        v_ts = np.outer(lf @ q0, amp)
+        res = fit_dipole_evoked(v_ts, elec, radius=R, n_terms=150)
+        pk = res["peak_sample"]
+        assert abs(res["gof"] - res["gof_ts"][pk]) < 1e-3
+        np.testing.assert_allclose(res["moment_ts"][:, pk],
+                                   res["moment"], rtol=2e-2)
