@@ -92,7 +92,7 @@ from .filtering import bandpass, highpass, lowpass, notch, resample
 from .asr import ASRModel, asr_calibrate, asr_process
 from .leadfield import (fibonacci_electrodes, fit_dipole,
                         fit_dipole_evoked, source_grid,
-                        sphere_leadfield)
+                        sphere_leadfield, sphere_leadfield_meg)
 from .beamformer import (DICSResult, LCMVResult,
                          MinimumNormResult, dics, lcmv,
                          lcmv_apply, minimum_norm,
@@ -229,7 +229,7 @@ __all__ = [
     "ASRModel", "asr_calibrate", "asr_process",
     "LCMVResult", "lcmv", "lcmv_apply",
     "sphere_leadfield", "fibonacci_electrodes", "source_grid",
-    "fit_dipole", "fit_dipole_evoked",
+    "fit_dipole", "fit_dipole_evoked", "sphere_leadfield_meg",
     "DICSResult", "dics", "wavelet_csd", "source_coherence",
     "MinimumNormResult", "minimum_norm", "minimum_norm_apply",
     "epoch_covariances", "riemannian_distance", "riemannian_mean",

@@ -354,3 +354,102 @@ def fit_dipole_evoked(v_ts, elec_pos, radius: float | None = None,
                amplitude=np.linalg.norm(q_ts, axis=0),
                gof_ts=1.0 - rss / tot, peak_sample=peak)
     return res
+
+
+__all__.append("sphere_leadfield_meg")
+
+_MU0 = 4e-7 * np.pi
+
+
+@jax.jit
+def _sarvas_jit(r, n_hat, r0):
+    """(E, S, 3) MEG leadfield via the Sarvas (1987, eq. 25) closed
+    form: for a dipole q at r0 inside ANY spherically symmetric
+    conductor, the external field is B = mu0/(4 pi F^2) *
+    (F (q x r0) - ((q x r0) . r) grad F), with
+
+        F = a (r a + r^2 - r0 . r),    a_vec = r - r0
+        grad F = (a^2/r + a.r/a + 2a + 2r) r_vec
+                 - (a + 2r + a.r/a) r0.
+
+    ``q x r0`` is linear in q, so the three unit-dipole columns come
+    from one cross-product matrix.  Everything broadcasts over
+    (E, S) pairs; sensor reading is B . n_hat.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    av = r[:, None, :] - r0[None, :, :]                  # (E, S, 3)
+    a = jnp.linalg.norm(av, axis=-1)                     # (E, S)
+    rn = jnp.linalg.norm(r, axis=-1)[:, None]            # (E, 1)
+    adr = jnp.einsum("esk,ek->es", av, r, precision=hi)  # a . r
+    r0dr = jnp.einsum("sk,ek->es", r0, r, precision=hi)  # r0 . r
+    f = a * (rn * a + rn * rn - r0dr)
+    gf = ((a * a / rn + adr / a + 2 * a + 2 * rn)[..., None]
+          * r[:, None, :]
+          - (a + 2 * rn + adr / a)[..., None] * r0[None, :, :])
+    # q x r0 for unit q along x/y/z: rows of the cross matrix
+    # (e_k x r0)_j = -eps_{kjl} r0_l -> stack the three columns
+    zeros = jnp.zeros_like(r0[:, 0])
+    qxr0 = jnp.stack([
+        jnp.stack([zeros, r0[:, 2], -r0[:, 1]], -1),      # e_x x r0
+        jnp.stack([-r0[:, 2], zeros, r0[:, 0]], -1),      # e_y x r0
+        jnp.stack([r0[:, 1], -r0[:, 0], zeros], -1),      # e_z x r0
+    ], 0)                                                 # (3, S, 3)
+    num = (f[..., None, None] * qxr0[None].transpose(0, 2, 1, 3)
+           - jnp.einsum("qsk,ek->esq", qxr0, r,
+                        precision=hi)[..., None] * gf[:, :, None, :])
+    b = num * (_MU0 / (4 * np.pi)) / (f * f)[..., None, None]
+    return jnp.einsum("esqk,ek->esq", b, n_hat, precision=hi)
+
+
+def sphere_leadfield_meg(sensor_pos, sensor_ori, src_pos,
+                         orientation=None):
+    """MEG leadfield of a spherically symmetric conductor (Sarvas).
+
+    Args:
+      sensor_pos: (E, 3) magnetometer positions OUTSIDE the source
+        region (each |pos| must exceed every source radius).
+      sensor_ori: (E, 3) pickup-coil orientations (normalized
+        internally) — the returned value is ``B . ori`` in tesla per
+        A*m of dipole moment.
+      src_pos: (S, 3) dipole positions (NOT at a sensor).
+      orientation: optional (S, 3) fixed orientations -> (E, S).
+
+    The famous sphere-model properties hold exactly and are gated in
+    the tests: RADIAL dipoles are magnetically silent, the field does
+    not depend on the conductivity profile (no sigma argument), and a
+    center dipole produces no external field.
+
+    Returns (E, S, 3) for unit x/y/z dipoles, or (E, S) with
+    ``orientation`` — feed ``ops.lcmv`` / ``minimum_norm`` exactly like
+    the EEG leadfield.
+    """
+    sp = np.asarray(sensor_pos, np.float64)
+    so = np.asarray(sensor_ori, np.float64)
+    src = np.asarray(src_pos, np.float64)
+    if sp.ndim != 2 or sp.shape[1] != 3:
+        raise ValueError("sensor_pos must be (E, 3)")
+    if so.shape != sp.shape:
+        raise ValueError("sensor_ori must match sensor_pos")
+    if src.ndim != 2 or src.shape[1] != 3:
+        raise ValueError("src_pos must be (S, 3)")
+    rs = np.linalg.norm(sp, axis=1)
+    rq = np.linalg.norm(src, axis=1)
+    if rs.min() <= rq.max():
+        raise ValueError(
+            f"sensors must sit outside the source region "
+            f"(min |sensor| {rs.min():.4f} <= max |src| {rq.max():.4f})")
+    so = so / np.maximum(np.linalg.norm(so, axis=1, keepdims=True),
+                         1e-30)
+    lf = _sarvas_jit(jnp.asarray(sp, jnp.float32),
+                     jnp.asarray(so, jnp.float32),
+                     jnp.asarray(src, jnp.float32))
+    if orientation is not None:
+        ori = np.asarray(orientation, np.float64)
+        if ori.shape != src.shape:
+            raise ValueError("orientation must match src_pos (S, 3)")
+        ori = ori / np.maximum(
+            np.linalg.norm(ori, axis=1, keepdims=True), 1e-30)
+        return jnp.einsum("esk,sk->es", lf,
+                          jnp.asarray(ori, jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST)
+    return lf

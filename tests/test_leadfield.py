@@ -261,3 +261,100 @@ class TestFitDipole:
         assert abs(res["gof"] - res["gof_ts"][pk]) < 1e-3
         np.testing.assert_allclose(res["moment_ts"][:, pk],
                                    res["moment"], rtol=2e-2)
+
+
+class TestMEG:
+    """Sarvas MEG leadfield (`ops.sphere_leadfield_meg`)."""
+
+    def test_matches_fd_gradient_of_potential(self):
+        """B = -mu0 grad U with U the published magnetic scalar
+        potential — a finite-difference gradient is independent of the
+        closed-form grad-F algebra."""
+        from ninwavelets_tpu.ops.leadfield import sphere_leadfield_meg
+        mu0 = 4e-7 * np.pi
+
+        def u(r, r0, q):
+            a = r - r0
+            an, rn = np.linalg.norm(a), np.linalg.norm(r)
+            f = an * (rn * an + rn * rn - r0 @ r)
+            return np.cross(q, r0) @ r / (4 * np.pi * f)
+
+        rng = np.random.default_rng(0)
+        for _ in range(10):
+            r = rng.uniform(-1, 1, 3)
+            r = r / np.linalg.norm(r) * 0.12
+            r0 = rng.uniform(-0.05, 0.05, 3)
+            q = rng.standard_normal(3)
+            n = rng.standard_normal(3)
+            n /= np.linalg.norm(n)
+            h = 1e-6
+            g = np.array([(u(r + h * e, r0, q) - u(r - h * e, r0, q))
+                          / (2 * h) for e in np.eye(3)])
+            want = -mu0 * g @ n
+            lf = np.asarray(sphere_leadfield_meg(r[None], n[None],
+                                                 r0[None]))
+            got = float(lf[0, 0] @ q)
+            assert abs(got - want) < 1e-5 * max(abs(want), 1e-30) \
+                + 1e-18
+
+    def test_radial_silence_and_center(self):
+        from ninwavelets_tpu.ops.leadfield import sphere_leadfield_meg
+        rng = np.random.default_rng(1)
+        sens = rng.standard_normal((40, 3))
+        sens = sens / np.linalg.norm(sens, axis=1, keepdims=True) * 0.12
+        ori = rng.standard_normal((40, 3))
+        # radial dipole: exactly zero field
+        src = np.array([[0.01, -0.02, 0.04]])
+        lf = np.asarray(sphere_leadfield_meg(sens, ori, src))
+        radial = lf[:, 0, :] @ (src[0] / np.linalg.norm(src[0]))
+        tang_scale = np.abs(lf[:, 0, :]).max()
+        assert np.abs(radial).max() < 1e-4 * tang_scale
+        # center dipole: zero external field entirely
+        lfc = np.asarray(sphere_leadfield_meg(sens, ori,
+                                              np.zeros((1, 3))))
+        assert np.abs(lfc).max() == 0.0
+
+    def test_rotation_equivariance_and_validation(self):
+        from ninwavelets_tpu.ops.leadfield import sphere_leadfield_meg
+        rng = np.random.default_rng(2)
+        a = rng.standard_normal((3, 3))
+        qm, _ = np.linalg.qr(a)
+        if np.linalg.det(qm) < 0:
+            qm[:, 0] *= -1
+        sens = fibonacci_electrodes(20, 0.12)
+        ori = sens / np.linalg.norm(sens, axis=1, keepdims=True)
+        src = np.array([[0.02, 0.01, 0.04]])
+        lf = np.asarray(sphere_leadfield_meg(sens, ori, src))
+        lf_rot = np.asarray(sphere_leadfield_meg(
+            sens @ qm.T, ori @ qm.T, src @ qm.T))
+        np.testing.assert_allclose(lf_rot, lf @ qm.T, rtol=2e-3,
+                                   atol=1e-6 * np.abs(lf).max())
+        with pytest.raises(ValueError, match="outside"):
+            sphere_leadfield_meg(0.03 * sens / 0.12, ori, src)
+        with pytest.raises(ValueError, match="match"):
+            sphere_leadfield_meg(sens, ori[:5], src)
+
+    def test_lcmv_on_meg(self):
+        """MEG leadfield drives the same LCMV machinery."""
+        from ninwavelets_tpu.ops.beamformer import lcmv
+        from ninwavelets_tpu.ops.leadfield import sphere_leadfield_meg
+        rng = np.random.default_rng(3)
+        sens = fibonacci_electrodes(48, 0.12)
+        ori = sens / np.linalg.norm(sens, axis=1, keepdims=True)
+        grid = source_grid(0.09, spacing=0.02, max_eccentricity=0.8)
+        lf = np.asarray(sphere_leadfield_meg(sens, ori, grid))
+        true_idx = int(np.argmin(np.linalg.norm(
+            grid - np.array([0.02, -0.01, 0.05]), axis=1)))
+        # tangential moment (radial is silent in MEG)
+        r0 = grid[true_idx] / np.linalg.norm(grid[true_idx])
+        m = np.cross(r0, [0.0, 0.0, 1.0])
+        m /= np.linalg.norm(m)
+        n = 4000
+        s = np.sin(2 * np.pi * 11.0 * np.arange(n) / 1000.0)
+        sig = np.outer(lf[:, true_idx] @ m, s)
+        x = (sig + 0.05 * sig.std()
+             * rng.standard_normal((48, n))).astype(np.float32)
+        cov = (x @ x.T) / n
+        res = lcmv(cov, lf.transpose(1, 2, 0), reg=0.005)
+        found = int(np.argmax(np.asarray(res.nai)))
+        assert np.linalg.norm(grid[found] - grid[true_idx]) <= 0.021
