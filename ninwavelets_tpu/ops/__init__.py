@@ -91,8 +91,9 @@ from .emd import emd as empirical_mode_decomposition
 from .filtering import bandpass, highpass, lowpass, notch, resample
 from .asr import ASRModel, asr_calibrate, asr_process
 from .leadfield import (fibonacci_electrodes, fit_dipole,
-                        fit_dipole_evoked, source_grid,
-                        sphere_leadfield, sphere_leadfield_meg)
+                        fit_dipole_evoked, fit_dipole_meg,
+                        source_grid, sphere_leadfield,
+                        sphere_leadfield_meg)
 from .beamformer import (DICSResult, LCMVResult,
                          MinimumNormResult, dics, lcmv,
                          lcmv_apply, minimum_norm,
@@ -230,6 +231,7 @@ __all__ = [
     "LCMVResult", "lcmv", "lcmv_apply",
     "sphere_leadfield", "fibonacci_electrodes", "source_grid",
     "fit_dipole", "fit_dipole_evoked", "sphere_leadfield_meg",
+    "fit_dipole_meg",
     "DICSResult", "dics", "wavelet_csd", "source_coherence",
     "MinimumNormResult", "minimum_norm", "minimum_norm_apply",
     "epoch_covariances", "riemannian_distance", "riemannian_mean",

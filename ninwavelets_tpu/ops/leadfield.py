@@ -453,3 +453,106 @@ def sphere_leadfield_meg(sensor_pos, sensor_ori, src_pos,
                           jnp.asarray(ori, jnp.float32),
                           precision=jax.lax.Precision.HIGHEST)
     return lf
+
+
+__all__.append("fit_dipole_meg")
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def _refine_meg_jit(v, sp, so, p0, max_b, *, n_steps):
+    """Adam refinement of the MEG dipole position through the
+    differentiable Sarvas form; the moment solve keeps only the
+    tangential plane (radial dipoles are silent — a full 3x3 Gram is
+    singular by physics)."""
+
+    def loss(p):
+        b = jnp.linalg.norm(p)
+        pc = jnp.where(b > max_b, p * (max_b / b), p)
+        lf = _sarvas_jit(sp, so, pc[None, :])[:, 0, :]     # (E, 3)
+        g = jnp.matmul(lf.T, lf, precision=lax.Precision.HIGHEST)
+        g = g + 1e-6 * jnp.trace(g) * jnp.eye(3)
+        q = jnp.linalg.solve(
+            g, jnp.matmul(lf.T, v, precision=lax.Precision.HIGHEST))
+        r = v - jnp.matmul(lf, q, precision=lax.Precision.HIGHEST)
+        return jnp.sum(r * r), q
+
+    lr, b1, b2, eps = 2e-3, 0.9, 0.999, 1e-8
+
+    def step(carry, i):
+        p, m, s2 = carry
+        (val, _), grad = jax.value_and_grad(loss, has_aux=True)(p)
+        m = b1 * m + (1 - b1) * grad
+        s2 = b2 * s2 + (1 - b2) * grad * grad
+        mh = m / (1 - b1 ** (i + 1.0))
+        sh = s2 / (1 - b2 ** (i + 1.0))
+        p = p - lr * mh / (jnp.sqrt(sh) + eps)
+        b = jnp.linalg.norm(p)
+        p = jnp.where(b > max_b, p * (max_b / b), p)
+        return (p, m, s2), val
+
+    init = (p0, jnp.zeros(3), jnp.zeros(3))
+    (p, _, _), _ = lax.scan(step, init,
+                            jnp.arange(n_steps, dtype=jnp.float32))
+    val, q = loss(p)
+    return p, q, val
+
+
+def fit_dipole_meg(v, sensor_pos, sensor_ori, radius: float = 0.09,
+                   spacing: float = 0.01, n_steps: int = 300,
+                   max_eccentricity: float = 0.90):
+    """Single-dipole fit of an MEG topography (Sarvas model).
+
+    Same two-stage scheme as :func:`fit_dipole`: grid scan with
+    closed-form moments (the 3x3 Gram gets a 1e-6 relative ridge — it
+    is rank-2 by physics, the radial direction is silent), then Adam
+    on the position through the differentiable Sarvas form.  The
+    returned ``moment`` is the tangential component only — the radial
+    component of a sphere-model MEG dipole is unobservable, and the
+    reported ``gof`` is against the average-free field directly (MEG
+    needs no reference).
+
+    ``radius`` bounds the SOURCE region (the grid), not the sensors.
+    Returns the same dict shape as :func:`fit_dipole`.
+    """
+    v = np.asarray(v, np.float64)
+    if v.ndim != 1:
+        raise ValueError("v must be a single (E,) topography")
+    sp = np.asarray(sensor_pos, np.float64)
+    so = np.asarray(sensor_ori, np.float64)
+    if sp.shape != (v.shape[0], 3) or so.shape != sp.shape:
+        raise ValueError("sensor_pos/sensor_ori must be (E, 3) "
+                         "matching v")
+    if not 0 < max_eccentricity < 1.0:
+        raise ValueError("max_eccentricity must be in (0, 1)")
+    vn = float(np.linalg.norm(v))
+    if vn == 0:
+        raise ValueError("zero topography")
+    so = so / np.maximum(np.linalg.norm(so, axis=1, keepdims=True),
+                         1e-30)
+    grid = source_grid(radius, spacing=spacing,
+                       max_eccentricity=max_eccentricity)
+    if np.linalg.norm(sp, axis=1).min() <= radius * max_eccentricity:
+        raise ValueError("sensors must sit outside the source region")
+    spj = jnp.asarray(sp, jnp.float32)
+    soj = jnp.asarray(so, jnp.float32)
+    vj = jnp.asarray(v / vn, jnp.float32)
+    lf = _sarvas_jit(spj, soj, jnp.asarray(grid, jnp.float32))
+    hi = lax.Precision.HIGHEST
+    g = jnp.einsum("esk,esl->skl", lf, lf, precision=hi)
+    bq = jnp.einsum("esk,e->sk", lf, vj, precision=hi)
+    g = g + 1e-6 * jnp.trace(g, axis1=-2, axis2=-1)[:, None, None] \
+        * jnp.eye(3)
+    q = jnp.linalg.solve(g, bq[..., None])[..., 0]
+    fit = jnp.einsum("esk,sk->es", lf, q, precision=hi)
+    rss = jnp.sum((vj[:, None] - fit) ** 2, axis=0)
+    best = int(jnp.argmin(rss))
+    p, q, val = _refine_meg_jit(
+        vj, spj, soj, jnp.asarray(grid[best], jnp.float32),
+        jnp.float32(radius * max_eccentricity), n_steps=int(n_steps))
+    pos = np.asarray(p, np.float64)
+    # report the observable (tangential) moment only
+    r0 = pos / max(np.linalg.norm(pos), 1e-30)
+    qn = np.asarray(q, np.float64) * vn
+    qt = qn - (qn @ r0) * r0
+    return {"pos": pos, "moment": qt, "gof": 1.0 - float(val),
+            "grid_pos": grid[best]}

@@ -358,3 +358,29 @@ class TestMEG:
         res = lcmv(cov, lf.transpose(1, 2, 0), reg=0.005)
         found = int(np.argmax(np.asarray(res.nai)))
         assert np.linalg.norm(grid[found] - grid[true_idx]) <= 0.021
+
+    def test_fit_dipole_meg(self):
+        from ninwavelets_tpu.ops.leadfield import (fit_dipole_meg,
+                                                   sphere_leadfield_meg)
+        rng = np.random.default_rng(4)
+        sens = fibonacci_electrodes(64, 0.12)
+        ori = sens / np.linalg.norm(sens, axis=1, keepdims=True)
+        pos = np.array([0.021, -0.013, 0.047])
+        r0 = pos / np.linalg.norm(pos)
+        q = np.cross(r0, [0.0, 0.0, 1.0])
+        q = q / np.linalg.norm(q) * 2e-9        # tangential (observable)
+        v = np.asarray(sphere_leadfield_meg(sens, ori,
+                                            pos[None]))[:, 0, :] @ q
+        vn = v + 0.05 * v.std() * rng.standard_normal(64)
+        res = fit_dipole_meg(vn, sens, ori)
+        assert np.linalg.norm(res["pos"] - pos) < 3e-3
+        assert res["gof"] > 0.99
+        np.testing.assert_allclose(res["moment"], q, rtol=0.1,
+                                   atol=0.05 * np.linalg.norm(q))
+        # the reported moment is tangential by construction
+        assert abs(res["moment"] @ (res["pos"]
+                   / np.linalg.norm(res["pos"]))) < 1e-12
+        with pytest.raises(ValueError, match="outside"):
+            fit_dipole_meg(vn, sens * 0.2, ori)
+        with pytest.raises(ValueError, match="zero"):
+            fit_dipole_meg(np.zeros(64), sens, ori)
