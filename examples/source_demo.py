@@ -1,7 +1,8 @@
 """Source imaging + encoding-model walkthrough (round-4 families):
 
     LCMV localization -> beamformed source TFR -> DICS source
-    coherence -> sLORETA cross-check -> mTRF envelope tracking
+    coherence -> sLORETA cross-check -> dipole fit -> mTRF envelope
+    tracking
 
     python examples/source_demo.py
 
@@ -84,7 +85,17 @@ def main() -> None:
     mn_top = sorted(np.argsort((est ** 2).mean(-1))[-3:].tolist())
     print(f"sloreta: top-3 sources {mn_top}")
 
-    # 5. mTRF: a stimulus envelope drives one channel
+    # 5. equivalent-current-dipole fit of the strongest source's
+    #    topography (inverse of the same sphere model)
+    from ninwavelets_tpu.ops.leadfield import fit_dipole
+    v_topo = np.array(lf[4]) * 3e-9    # source 4's pattern, ~3 nAm
+    dres2 = fit_dipole(v_topo + 0.03 * np.abs(v_topo).max()
+                       * rng.standard_normal(c), elec, radius=0.09)
+    err_mm = 1000 * np.linalg.norm(dres2["pos"] - src_pos[4])
+    print(f"dipole fit: {err_mm:.1f} mm from the planted source, "
+          f"gof {dres2['gof']:.3f}")
+
+    # 6. mTRF: a stimulus envelope drives one channel
     n2 = 25000
     env = np.convolve(rng.standard_normal(n2), np.hanning(25),
                       "same").astype(np.float32)
