@@ -960,6 +960,21 @@ class EpochsWavelet:
         from ..ops.erp import evoked
         return evoked(self._all_data())
 
+    def fit_dipole(self, elec_pos, **kw) -> dict:
+        """Equivalent-current-dipole model of the evoked response
+        (extension — ``ops.fit_dipole_evoked`` on :meth:`evoked`,
+        mne's ``fit_dipole``): position fitted at the peak-GFP sample
+        of the trial average, moment time course in closed form.
+        ``elec_pos`` is (C, 3) electrode coordinates in this adapter's
+        channel order; ``radius=`` / ``n_terms=`` / ``spacing=`` pass
+        through."""
+        from ..ops.leadfield import fit_dipole_evoked
+        ev = np.asarray(self.evoked())
+        if np.asarray(elec_pos).shape != (ev.shape[0], 3):
+            raise ValueError("elec_pos must be (C, 3) matching "
+                             "ch_names")
+        return fit_dipole_evoked(ev, elec_pos, **kw)
+
     def _event_window(self, window):
         """(start_s, stop_s) EVENT-relative seconds -> sample window.
         Honors the epochs' time axis when the object carries one (mne

@@ -384,3 +384,26 @@ class TestMEG:
             fit_dipole_meg(vn, sens * 0.2, ori)
         with pytest.raises(ValueError, match="zero"):
             fit_dipole_meg(np.zeros(64), sens, ori)
+
+    def test_adapter_evoked_fit(self):
+        import ninwavelets_tpu as nw
+        rng = np.random.default_rng(5)
+        pos = np.array([0.015, 0.02, 0.045])
+        q0 = np.array([1.0, -1.0, 0.5]) * 1e-9
+        elec = fibonacci_electrodes(32, R)
+        lf = np.asarray(sphere_leadfield(elec, pos[None],
+                                         radius=R))[:, 0, :]
+        amp = np.hanning(128)
+        e = 20
+        trials = (np.outer(lf @ q0, amp)[None]
+                  + 0.3e-9 * rng.standard_normal((e, 32, 128))
+                  ).astype(np.float32)
+        ep = type("E", (), {"_d": trials, "info": {"sfreq": 250.0},
+                            "ch_names": [f"c{i}" for i in range(32)],
+                            "get_data": lambda s: s._d})()
+        ew = nw.EpochsWavelet(ep, nw.Morse(250.0))
+        res = ew.fit_dipole(elec, radius=R)
+        assert np.linalg.norm(res["pos"] - pos) < 4e-3
+        assert res["gof"] > 0.95
+        with pytest.raises(ValueError, match="C, 3"):
+            ew.fit_dipole(elec[:5], radius=R)
