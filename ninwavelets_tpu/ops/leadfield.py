@@ -195,17 +195,53 @@ def _scan_grid_jit(v, re_hat, r0_hat, f, scale, *, n_terms):
     # average-reference the MODEL too: v is centered, and the sphere
     # potential is zero-mean only over the FULL sphere, not a cap
     lf = lf - jnp.mean(lf, axis=0, keepdims=True)
-    g = jnp.einsum("esk,esl->skl", lf, lf,
-                   precision=lax.Precision.HIGHEST)       # (S, 3, 3)
-    b = jnp.einsum("esk,e->sk", lf, v,
-                   precision=lax.Precision.HIGHEST)       # (S, 3)
+    return _grid_rss(lf, v)
+
+
+def _grid_rss(lf, v):
+    """Best closed-form moment per source and its residual: (S,) rss,
+    (S, 3) q for an (E, S, 3) leadfield stack (shared by the EEG and
+    MEG grid scans)."""
+    hi = lax.Precision.HIGHEST
+    g = jnp.einsum("esk,esl->skl", lf, lf, precision=hi)
+    b = jnp.einsum("esk,e->sk", lf, v, precision=hi)
     g = g + 1e-6 * jnp.trace(g, axis1=-2, axis2=-1)[:, None, None] \
         * jnp.eye(3)
-    q = jnp.linalg.solve(g, b[..., None])[..., 0]         # (S, 3)
-    fit = jnp.einsum("esk,sk->es", lf, q,
-                     precision=lax.Precision.HIGHEST)
-    rss = jnp.sum((v[:, None] - fit) ** 2, axis=0)        # (S,)
+    q = jnp.linalg.solve(g, b[..., None])[..., 0]
+    fit = jnp.einsum("esk,sk->es", lf, q, precision=hi)
+    rss = jnp.sum((v[:, None] - fit) ** 2, axis=0)
     return rss, q
+
+
+def _adam_position(loss, p0, max_b, n_steps, lr):
+    """Adam on a 3-vector position with a norm clamp into (0, max_b];
+    ``loss(p) -> (val, q)``.  Called INSIDE a jit (traced); shared by
+    the EEG and MEG refinements so the optimizer mechanics cannot
+    drift apart."""
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def step(carry, i):
+        p, m, s2 = carry
+        (val, _), grad = jax.value_and_grad(loss, has_aux=True)(p)
+        m = b1 * m + (1 - b1) * grad
+        s2 = b2 * s2 + (1 - b2) * grad * grad
+        mh = m / (1 - b1 ** (i + 1.0))
+        sh = s2 / (1 - b2 ** (i + 1.0))
+        p = p - lr * mh / (jnp.sqrt(sh) + eps)
+        b = jnp.linalg.norm(p)
+        p = jnp.where(b > max_b, p * (max_b / b), p)
+        # and away from the origin — both models are degenerate there
+        # (EEG loses the source direction, MEG is silent) and the
+        # normalization gradients NaN at exactly zero
+        p = jnp.where(b < 1e-3 * max_b,
+                      p + 1e-3 * max_b * jnp.array([0.0, 0.0, 1.0]), p)
+        return (p, m, s2), val
+
+    init = (p0, jnp.zeros(3), jnp.zeros(3))
+    (p, _, _), hist = lax.scan(step, init,
+                               jnp.arange(n_steps, dtype=jnp.float32))
+    val, q = loss(p)
+    return p, q, val, hist
 
 
 @partial(jax.jit, static_argnames=("n_terms", "n_steps"))
@@ -230,26 +266,7 @@ def _refine_jit(v, re_hat, p0, scale, max_f, *, n_terms, n_steps):
         r = v - jnp.matmul(lf, q, precision=lax.Precision.HIGHEST)
         return jnp.sum(r * r), q
 
-    lr, b1, b2, eps = 3e-3, 0.9, 0.999, 1e-8
-
-    def step(carry, i):
-        p, m, s2 = carry
-        (val, _), grad = jax.value_and_grad(loss, has_aux=True)(p)
-        m = b1 * m + (1 - b1) * grad
-        s2 = b2 * s2 + (1 - b2) * grad * grad
-        mh = m / (1 - b1 ** (i + 1.0))
-        sh = s2 / (1 - b2 ** (i + 1.0))
-        p = p - lr * mh / (jnp.sqrt(sh) + eps)
-        # stay strictly inside the series' convergence region
-        b = jnp.linalg.norm(p)
-        p = jnp.where(b > max_f, p * (max_f / b), p)
-        return (p, m, s2), val
-
-    init = (p0, jnp.zeros(3), jnp.zeros(3))
-    (p, _, _), hist = lax.scan(step, init,
-                               jnp.arange(n_steps, dtype=jnp.float32))
-    val, q = loss(p)
-    return p, q, val, hist
+    return _adam_position(loss, p0, max_f, n_steps, lr=3e-3)
 
 
 def fit_dipole(v, elec_pos, radius: float | None = None,
@@ -458,6 +475,14 @@ def sphere_leadfield_meg(sensor_pos, sensor_ori, src_pos,
 __all__.append("fit_dipole_meg")
 
 
+@jax.jit
+def _scan_grid_meg_jit(v, sp, so, grid):
+    """One jitted MEG grid scan (eager per-op dispatch over the axon
+    tunnel is ~20x slower for the same math — the xdawn lesson)."""
+    lf = _sarvas_jit(sp, so, grid)
+    return _grid_rss(lf, v)
+
+
 @partial(jax.jit, static_argnames=("n_steps",))
 def _refine_meg_jit(v, sp, so, p0, max_b, *, n_steps):
     """Adam refinement of the MEG dipole position through the
@@ -476,24 +501,7 @@ def _refine_meg_jit(v, sp, so, p0, max_b, *, n_steps):
         r = v - jnp.matmul(lf, q, precision=lax.Precision.HIGHEST)
         return jnp.sum(r * r), q
 
-    lr, b1, b2, eps = 2e-3, 0.9, 0.999, 1e-8
-
-    def step(carry, i):
-        p, m, s2 = carry
-        (val, _), grad = jax.value_and_grad(loss, has_aux=True)(p)
-        m = b1 * m + (1 - b1) * grad
-        s2 = b2 * s2 + (1 - b2) * grad * grad
-        mh = m / (1 - b1 ** (i + 1.0))
-        sh = s2 / (1 - b2 ** (i + 1.0))
-        p = p - lr * mh / (jnp.sqrt(sh) + eps)
-        b = jnp.linalg.norm(p)
-        p = jnp.where(b > max_b, p * (max_b / b), p)
-        return (p, m, s2), val
-
-    init = (p0, jnp.zeros(3), jnp.zeros(3))
-    (p, _, _), _ = lax.scan(step, init,
-                            jnp.arange(n_steps, dtype=jnp.float32))
-    val, q = loss(p)
+    p, q, val, _ = _adam_position(loss, p0, max_b, n_steps, lr=2e-3)
     return p, q, val
 
 
@@ -531,20 +539,17 @@ def fit_dipole_meg(v, sensor_pos, sensor_ori, radius: float = 0.09,
                          1e-30)
     grid = source_grid(radius, spacing=spacing,
                        max_eccentricity=max_eccentricity)
+    # a (near-)center grid point is magnetically SILENT: its Gram is
+    # ~0, the relative ridge is a no-op, the solve NaNs, and argmin
+    # returns the NaN index — drop the degenerate seeds entirely
+    grid = grid[np.linalg.norm(grid, axis=1) > 0.05 * radius]
     if np.linalg.norm(sp, axis=1).min() <= radius * max_eccentricity:
         raise ValueError("sensors must sit outside the source region")
     spj = jnp.asarray(sp, jnp.float32)
     soj = jnp.asarray(so, jnp.float32)
     vj = jnp.asarray(v / vn, jnp.float32)
-    lf = _sarvas_jit(spj, soj, jnp.asarray(grid, jnp.float32))
-    hi = lax.Precision.HIGHEST
-    g = jnp.einsum("esk,esl->skl", lf, lf, precision=hi)
-    bq = jnp.einsum("esk,e->sk", lf, vj, precision=hi)
-    g = g + 1e-6 * jnp.trace(g, axis1=-2, axis2=-1)[:, None, None] \
-        * jnp.eye(3)
-    q = jnp.linalg.solve(g, bq[..., None])[..., 0]
-    fit = jnp.einsum("esk,sk->es", lf, q, precision=hi)
-    rss = jnp.sum((vj[:, None] - fit) ** 2, axis=0)
+    rss, _ = _scan_grid_meg_jit(vj, spj, soj,
+                                jnp.asarray(grid, jnp.float32))
     best = int(jnp.argmin(rss))
     p, q, val = _refine_meg_jit(
         vj, spj, soj, jnp.asarray(grid[best], jnp.float32),

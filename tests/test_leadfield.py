@@ -407,3 +407,22 @@ class TestMEG:
         assert res["gof"] > 0.95
         with pytest.raises(ValueError, match="C, 3"):
             ew.fit_dipole(elec[:5], radius=R)
+
+    def test_meg_fit_with_origin_grid_point(self):
+        """radius=0.1 with default spacing puts a grid point at the
+        exact origin (magnetically silent -> NaN Gram); the fit must
+        still return finite results (regression)."""
+        from ninwavelets_tpu.ops.leadfield import (fit_dipole_meg,
+                                                   sphere_leadfield_meg)
+        sens = fibonacci_electrodes(48, 0.14)
+        ori = sens / np.linalg.norm(sens, axis=1, keepdims=True)
+        pos = np.array([0.02, 0.0, 0.05])
+        r0 = pos / np.linalg.norm(pos)
+        q = np.cross(r0, [0.0, 1.0, 0.0])
+        q = q / np.linalg.norm(q) * 1e-9
+        v = np.asarray(sphere_leadfield_meg(sens, ori,
+                                            pos[None]))[:, 0, :] @ q
+        res = fit_dipole_meg(v, sens, ori, radius=0.1)
+        assert np.all(np.isfinite(res["pos"]))
+        assert np.isfinite(res["gof"]) and res["gof"] > 0.99
+        assert np.linalg.norm(res["pos"] - pos) < 3e-3
