@@ -162,6 +162,40 @@ def _fold_ids(e, n_folds):
     return np.mod(np.arange(e), n_folds)
 
 
+def _karcher_masked(covs, w, n_iter):
+    """Weighted Karcher mean with the weights already normalized —
+    traced inline inside the CV jits (a zero weight excludes a trial
+    exactly: the fixed-point update never sees it)."""
+    return _karcher_jit(covs, w / jnp.sum(w), n_iter=n_iter)
+
+
+@partial(jax.jit, static_argnames=("n_folds", "n_iter"))
+def _mdm_cv_jit(ca, cb, *, n_folds, n_iter):
+    # folds ride a vmap (NOT a scan): nesting the fold loop around the
+    # Karcher scan gives scan(scan(eigh)), which the TPU backend takes
+    # unboundedly long to compile — vmapped folds keep one scan level
+    # with batched (n_folds, C, C) eighs inside it.
+    fold_a = jnp.arange(ca.shape[0]) % n_folds
+    fold_b = jnp.arange(cb.shape[0]) % n_folds
+
+    def fold(f):
+        tr_a = (fold_a != f).astype(jnp.float32)
+        tr_b = (fold_b != f).astype(jnp.float32)
+        te_a, te_b = 1.0 - tr_a, 1.0 - tr_b
+        ma = _karcher_masked(ca, tr_a, n_iter)
+        mb = _karcher_masked(cb, tr_b, n_iter)
+        daa = riemannian_distance(ca, ma[None])
+        dab = riemannian_distance(ca, mb[None])
+        dba = riemannian_distance(cb, ma[None])
+        dbb = riemannian_distance(cb, mb[None])
+        correct = (jnp.sum(te_a * (daa < dab))
+                   + jnp.sum(te_b * (dbb < dba)))
+        return correct, jnp.sum(te_a) + jnp.sum(te_b)
+
+    correct, total = jax.vmap(fold)(jnp.arange(n_folds))
+    return jnp.sum(correct) / jnp.sum(total)
+
+
 def mdm_decode(xa, xb, n_folds: int = 5, shrink: float = 0.05,
                n_iter: int = 15):
     """Cross-validated MDM (minimum distance to Riemannian mean)
@@ -169,19 +203,43 @@ def mdm_decode(xa, xb, n_folds: int = 5, shrink: float = 0.05,
     the pyRiemann baseline classifier: per fold, each class's Karcher
     mean from the training trials, held-out trials labeled by the
     smaller affine-invariant distance.  Returns scalar accuracy
-    (0.5 = chance)."""
-    ca, cb, ids_a, ids_b, nf = _decode_setup(xa, xb, n_folds, shrink)
-    correct = total = 0.0
-    for k in range(nf):
-        ma = riemannian_mean(ca[ids_a != k], n_iter=n_iter)
-        mb = riemannian_mean(cb[ids_b != k], n_iter=n_iter)
-        for covs, own in ((ca[ids_a == k], ma), (cb[ids_b == k], mb)):
-            other = mb if own is ma else ma
-            d_own = riemannian_distance(covs, own[None])
-            d_oth = riemannian_distance(covs, other[None])
-            correct += float(jnp.sum(d_own < d_oth))
-            total += covs.shape[0]
-    return correct / total
+    (0.5 = chance).
+
+    The whole CV is one compiled program (``lax.scan`` over folds with
+    mask weights — a zero Karcher weight excludes a trial exactly);
+    the eager per-fold loop it replaces dispatched hundreds of tiny
+    ops over the device link per call."""
+    ca, cb, _, _, nf = _decode_setup(xa, xb, n_folds, shrink)
+    return float(_mdm_cv_jit(ca, cb, n_folds=nf, n_iter=int(n_iter)))
+
+
+@partial(jax.jit, static_argnames=("n_folds", "n_iter", "lam"))
+def _tangent_cv_jit(ca, cb, *, n_folds, n_iter, lam):
+    # vmapped folds, not a fold scan — see _mdm_cv_jit
+    from .decoding import decode_auc
+    fold_a = jnp.arange(ca.shape[0]) % n_folds
+    fold_b = jnp.arange(cb.shape[0]) % n_folds
+    covs = jnp.concatenate([ca, cb], 0)
+
+    def fold(f):
+        tr_a = (fold_a != f).astype(jnp.float32)
+        tr_b = (fold_b != f).astype(jnp.float32)
+        ref = _karcher_masked(covs, jnp.concatenate([tr_a, tr_b]),
+                              n_iter)
+        fa, fb = tangent_space(ca, ref), tangent_space(cb, ref)
+        na, nb = jnp.sum(tr_a), jnp.sum(tr_b)
+        mu_a = jnp.einsum("e,ek->k", tr_a, fa, precision=_HP) / na
+        mu_b = jnp.einsum("e,ek->k", tr_b, fb, precision=_HP) / nb
+        da, db = fa - mu_a, fb - mu_b
+        cov = (jnp.einsum("e,ek,el->kl", tr_a, da, da, precision=_HP)
+               + jnp.einsum("e,ek,el->kl", tr_b, db, db, precision=_HP)) \
+            / jnp.maximum(na + nb - 2.0, 1.0)
+        cov = cov + lam * jnp.trace(cov) / cov.shape[0] \
+            * jnp.eye(cov.shape[0])
+        wvec = jnp.linalg.solve(cov, mu_a - mu_b)
+        return decode_auc(fa @ wvec, fb @ wvec, 1.0 - tr_a, 1.0 - tr_b)
+
+    return jnp.mean(jax.vmap(fold)(jnp.arange(n_folds)))
 
 
 def tangent_decode(xa, xb, n_folds: int = 5, shrink: float = 0.05,
@@ -191,31 +249,16 @@ def tangent_decode(xa, xb, n_folds: int = 5, shrink: float = 0.05,
     reference, both classes map to tangent vectors, and a ridge LDA
     scores the held-out trials (ROC AUC, 0.5 = chance) — Barachant's
     tangent-space pipeline, usually the strongest linear decoder on
-    motor-imagery covariances."""
-    from .decoding import decode_auc
-    ca, cb, ids_a, ids_b, nf = _decode_setup(xa, xb, n_folds, shrink)
-    aucs = []
-    for k in range(nf):
-        tra, trb = ca[ids_a != k], cb[ids_b != k]
-        ref = riemannian_mean(jnp.concatenate([tra, trb], 0),
-                              n_iter=n_iter)
-        fa, fb = tangent_space(ca, ref), tangent_space(cb, ref)
-        mu_a = jnp.mean(fa[ids_a != k], axis=0)
-        mu_b = jnp.mean(fb[ids_b != k], axis=0)
-        da = fa[ids_a != k] - mu_a
-        db = fb[ids_b != k] - mu_b
-        cov = (jnp.einsum("ek,el->kl", da, da, precision=_HP)
-               + jnp.einsum("ek,el->kl", db, db, precision=_HP)) \
-            / (da.shape[0] + db.shape[0] - 2)
-        cov = cov + lam * jnp.trace(cov) / cov.shape[0] \
-            * jnp.eye(cov.shape[0])
-        wvec = jnp.linalg.solve(cov, mu_a - mu_b)
-        sa = fa[ids_a == k] @ wvec
-        sb = fb[ids_b == k] @ wvec
-        va = jnp.ones(sa.shape[0], bool)
-        vb = jnp.ones(sb.shape[0], bool)
-        aucs.append(float(decode_auc(sa, sb, va, vb)))
-    return float(np.mean(aucs))
+    motor-imagery covariances.
+
+    One compiled program for the full CV (masked folds under
+    ``lax.scan``, weighted LDA moments) — numerically identical to a
+    per-fold loop (the weighted Karcher init is the same weighted sum
+    the train-subset init would be) but without the per-fold eager
+    dispatch that made this a 38-second call on a tunneled device."""
+    ca, cb, _, _, nf = _decode_setup(xa, xb, n_folds, shrink)
+    return float(_tangent_cv_jit(ca, cb, n_folds=nf, n_iter=int(n_iter),
+                                 lam=float(lam)))
 
 
 def _decode_setup(xa, xb, n_folds, shrink):
