@@ -58,6 +58,29 @@ class Timer:
                           self.elapsed)
 
 
+def timed_median(fn, reps: int = 5, warmup: int = 2) -> float:
+    """Median wall-clock seconds per call of ``fn`` over ``reps``
+    repetitions, each synchronized with ``jax.block_until_ready``.
+
+    The measurement discipline the repo's scaling artifacts use
+    (VERDICT r4 #1): per-repetition sync (back-to-back dispatch can
+    overlap and hide real cost), ``warmup`` steady-state calls after
+    the compile call (the FIRST timing loop in a process is inflated
+    even post-warmup on the tunneled backend — see CLAUDE.md), and a
+    median so one congestion spike cannot produce a superlinear
+    "efficiency" figure."""
+    jax.block_until_ready(fn())            # compile + first run
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return samples[len(samples) // 2]
+
+
 @dataclass(frozen=True)
 class CwtCost:
     """Estimated cost of one batched CWT power call."""

@@ -46,3 +46,24 @@ def test_graft_dryrun_multichip():
     sys.path.insert(0, REPO)
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)   # asserts internally
+
+
+def test_two_device_weak_efficiency_sane():
+    """The 2-device weak-scaling point is the plumbing proof (2 <= the
+    physical core count here, so the virtual-mesh ceiling does not
+    apply): with median-of-N per-call-synchronized timing it must land
+    in [0.90, 1.02] — below means sharding overhead, above means the
+    measurement is noise (superlinear weak scaling is physically
+    impossible on shared cores).  VERDICT r4 #1 gate."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    if (os.cpu_count() or 1) < 2:
+        pytest.skip("needs >= 2 physical cores for an honest 2-dev point")
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as ge
+    eff = ge.efficiency_table(2, reps=5)
+    e2 = eff["weak_table"][1]["efficiency"]
+    if not 0.90 <= e2 <= 1.02:          # one retry: ambient load spikes
+        eff = ge.efficiency_table(2, reps=7)
+        e2 = eff["weak_table"][1]["efficiency"]
+    assert 0.90 <= e2 <= 1.02, eff
