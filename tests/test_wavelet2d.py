@@ -150,13 +150,29 @@ class TestCWT2:
 
     def test_pow2_guard_and_pad(self):
         img = _img(48, 100)
+        # the fft oracle path still needs pow2 sizes on TPU ...
         with pytest.raises(ValueError):
-            cwt2d.cwt2(img, self.FREQS)
+            cwt2d.cwt2(img, self.FREQS, use_fft=True)
         padded, (h, w) = cwt2d.pow2_pad2(img)
         assert padded.shape == (64, 128) and (h, w) == (48, 100)
         p = np.asarray(cwt2d.power2d(padded, self.FREQS[:1],
                                      self.THETAS[:1]))[..., :h, :w]
         assert p.shape[-2:] == (48, 100)
+        # ... the default matmul path takes any size and agrees with the
+        # float64 oracle directly on the unpadded image
+        got_r, got_i = cwt2d.cwt2(img, self.FREQS[:1], self.THETAS[:1])
+        got = np.asarray(got_r) + 1j * np.asarray(got_i)
+        want = _oracle_cwt2(img, self.FREQS[:1], self.THETAS[:1])
+        snr = 10 * np.log10((np.abs(want) ** 2).sum()
+                            / float((np.abs(got - want) ** 2).sum()))
+        assert snr > 90.0, snr
+
+    def test_fft_and_matmul_paths_agree(self):
+        img = _img(64, 64, seed=9)
+        a = np.asarray(cwt2d.power2d(img, self.FREQS, self.THETAS))
+        b = np.asarray(cwt2d.power2d(img, self.FREQS, self.THETAS,
+                                     use_fft=True))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
 
     def test_freq_validation(self):
         with pytest.raises(ValueError):
