@@ -692,6 +692,32 @@ def main():
     record(op="ssvep_cca_200trials", trials_per_s=round(200 / d, 1),
            config=dict(e=200, c=8, n=1000, f=4, harmonics=3))
 
+    # --- real-format end-to-end workflow (r5, VERDICT #6) ----------------
+    # writes a miniature EDF+ (TAL markers + a bad-interval span) and
+    # drives from_edf -> QC -> interpolate -> ICA -> marker epochs with
+    # span rejection -> condition split -> power/ITC -> cluster test ->
+    # Report; warm wall (2nd pass, programs cached) is the row.
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import tempfile as _tempfile
+
+    from workflow_e2e import run_workflow, synth_recording
+
+    from ninwavelets_tpu.io.edf import write_edf
+    wf_sfreq, wf_dur = 250.0, 240.0
+    wf_data, wf_names, wf_ann, _ = synth_recording(wf_sfreq, wf_dur)
+    wf_path = os.path.join(_tempfile.mkdtemp(prefix="ninw_e2e_"),
+                           "rec.edf")
+    write_edf(wf_path, wf_data, wf_sfreq, wf_names, annotations=wf_ann)
+    wf_cold = run_workflow(wf_path)
+    wf = run_workflow(wf_path)
+    record(op="workflow_edf_e2e",
+           recording_s_per_s=round(wf_dur / wf["wall_s"], 1),
+           config=dict(c=len(wf_names), dur_s=wf_dur,
+                       n_kept=wf["n_kept"], n_events=wf["n_events"],
+                       cold_wall_s=round(wf_cold["wall_s"], 2),
+                       cluster_p=round(wf["cluster_p"], 4)))
+
     print(f"wrote {len(rows)} rows -> {OUT}")
 
 

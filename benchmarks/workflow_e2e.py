@@ -1,0 +1,207 @@
+"""Real-format end-to-end workflow benchmark (VERDICT r4 #6).
+
+Every other demo/bench synthesizes its input in memory; the reference's
+own ``eeg()`` demo ran on an actual recording
+(``/root/reference/ninwavelets/test.py:170-187``).  This script closes
+that gap with a REAL EDF+ file on disk: it writes a miniature recording
+with ``io.write_edf`` (16 EEG + 1 EOG channels, TAL stimulus markers,
+a "bad interval" annotation, a dead electrode, blink contamination and
+a condition-locked alpha burst), then drives the full clinical chain
+from the file:
+
+    RawWavelet.from_edf -> find_bad_channels -> interpolate_bads
+    -> ICA (find_bads vs the EOG trace, clean)
+    -> epochs from the file's markers with bad-span rejection
+    -> condition split -> power/ITC -> independent cluster test
+    -> nw.Report
+
+``run_workflow`` returns every checkpoint so the test suite asserts the
+chain end-to-end (planted bad channel found, blink suppressed, events
+under the bad span dropped, the planted effect significant);
+``main`` times the post-write chain on the chip and emits one
+extensions-style row.
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+def synth_recording(sfreq=250.0, dur_s=240.0, n_eeg=16, seed=0):
+    """(data (C, N) float32, ch_names, annotations, truth dict) — the
+    planted ground truth drives both the bench row and the test gates."""
+    rng = np.random.default_rng(seed)
+    n = int(round(dur_s * sfreq))
+    t = np.arange(n) / sfreq
+    ch_names = [f"C{i:02d}" for i in range(n_eeg)] + ["EOG"]
+    x = 10.0 * rng.standard_normal((n_eeg + 1, n)).astype(np.float64)
+
+    # volume-conducted background: every EEG channel mixes the SAME
+    # shared sources (alpha rhythm + slow drift + broadband field) with
+    # positive gains — channels then correlate like a real montage, so
+    # PREP's "uncorrelated" criterion flags only the dead electrode
+    # (same-frequency sines at random phase would correlate near ZERO)
+    sources = np.stack([
+        np.sin(2 * np.pi * 9.5 * t),
+        np.sin(2 * np.pi * 0.7 * t + 1.0),
+        rng.standard_normal(n),
+    ])
+    gains = rng.uniform(0.5, 1.0, (n_eeg, 3)) * np.array([8.0, 5.0, 8.0])
+    x[:n_eeg] += gains @ sources
+
+    # stimulus train: alternating conditions every 3 s
+    first, step = 5.0, 3.0
+    onsets = np.arange(first, dur_s - 2.0, step)
+    descs = ["S  1" if k % 2 == 0 else "S  2"
+             for k in range(onsets.size)]
+    # condition-locked effect: S  2 adds a 10 Hz burst 0.2-0.6 s
+    burst_t = (t >= 0.2) & (t < 0.6)
+    burst = np.zeros(n)
+    for o, d in zip(onsets, descs):
+        if d == "S  2":
+            i0 = int(round(o * sfreq))
+            w = burst_t[: n - i0]
+            burst[i0:i0 + w.size] += w[: n - i0]
+    x[:8] += 30.0 * burst * np.sin(2 * np.pi * 10.0 * t)
+
+    # blinks on the EOG channel, mixed into frontal EEG
+    blink = np.zeros(n)
+    for c0 in rng.integers(int(sfreq), n - int(sfreq), int(dur_s // 4)):
+        blink[c0:c0 + 50] += np.hanning(50)
+    x[-1] = 150.0 * blink + 5.0 * rng.standard_normal(n)
+    mix = np.linspace(0.6, 0.2, 4)
+    x[n_eeg - 4:n_eeg] += mix[:, None] * 80.0 * blink
+
+    # dead electrode
+    x[5] = 1e-4 * rng.standard_normal(n)
+
+    # a bad-interval span riding over two S  2 events
+    s2_onsets = [o for o, d in zip(onsets, descs) if d == "S  2"]
+    bad_on = s2_onsets[3] - 0.5
+    bad_dur = 2 * 3.0 + 1.0          # covers S 2 #3 and the S 1 after it
+    annotations = ([(float(o), 0.0, d) for o, d in zip(onsets, descs)]
+                   + [(float(bad_on), float(bad_dur), "bad interval")])
+    truth = dict(onsets=onsets, descs=descs, bad_span=(bad_on, bad_dur),
+                 dead="C05", n_eeg=n_eeg)
+    return x.astype(np.float32), ch_names, annotations, truth
+
+
+def run_workflow(edf_path, *, n_perm=256, ica_iter=150, seed=0,
+                 freqs=None):
+    """Drive the whole chain off ``edf_path``; returns checkpoints."""
+    import ninwavelets_tpu as nw
+
+    out = {}
+    sfreq = 250.0
+    freqs = np.arange(5.0, 26.0) if freqs is None else np.asarray(freqs)
+    morse = nw.Morse(sfreq)
+    t0 = time.perf_counter()
+
+    # 1. open straight off the file mmap
+    rw = nw.RawWavelet.from_edf(edf_path, morse)
+    names = list(rw.raw.ch_names)
+
+    # 2. channel QC + spline repair of the dead electrode
+    qc = rw.find_bad_channels()
+    out["qc_bads"] = qc["bads"]
+    th = np.linspace(0, 2 * np.pi, len(names), endpoint=False)
+    pos = np.stack([np.cos(th) * 0.9, np.sin(th) * 0.9,
+                    np.full(len(names), 0.436)], 1)
+    eeg_bads = [b for b in qc["bads"] if b != "EOG"]
+    repaired = rw.interpolate_bads(pos, eeg_bads) if eeg_bads \
+        else rw._host_data()
+
+    # 3. ICA against the recorded EOG trace
+    class _ArrayRaw:
+        def __init__(self, data, sf, chs):
+            self._d, self.info, self.ch_names = data, {"sfreq": sf}, chs
+
+        def get_data(self):
+            return self._d
+
+    rw2 = nw.RawWavelet(_ArrayRaw(repaired.astype(np.float32), sfreq,
+                                  names), nw.Morse(sfreq))
+    ica = rw2.ica(n_components=8, n_iter=ica_iter)
+    bads_ica, scores = rw2.ica_find_bads(ica, ref="EOG")
+    cleaned = rw2.ica_clean(ica, bads_ica)
+    out["ica_bads"] = [int(b) for b in np.atleast_1d(bads_ica)]
+
+    # blink suppression checkpoint on the most contaminated EEG channel
+    eog = repaired[names.index("EOG")]
+    front = names.index("C12")
+    out["blink_corr_before"] = abs(float(np.corrcoef(
+        repaired[front], eog)[0, 1]))
+    out["blink_corr_after"] = abs(float(np.corrcoef(
+        cleaned[front], eog)[0, 1]))
+
+    # 4. epochs from the file's own markers, bad spans rejected
+    markers = rw.raw.reader.markers
+    spans = rw._bad_spans("bad")
+    ev = np.asarray([s for s, _, d in markers if d.startswith("S")],
+                    np.int64)
+    codes = np.asarray([d for _, _, d in markers if d.startswith("S")])
+    rw3 = nw.RawWavelet(_ArrayRaw(cleaned.astype(np.float32), sfreq,
+                                  names), nw.Morse(sfreq))
+    ew = rw3.epochs(ev, -0.4, 1.2, picks=[c for c in names
+                                          if c != "EOG"],
+                    reject_spans=spans, codes=codes)
+    out["n_events"] = int(ev.size)
+    out["n_kept"] = int(np.asarray(ew.event_codes).size)
+    parts = ew.split()
+    ew1, ew2 = parts["S  1"], parts["S  2"]
+
+    # 5. TFR + inference: condition contrast on a posterior channel
+    p2 = np.asarray(ew2.power("C00", freqs))
+    itc2 = np.asarray(ew2.itc("C00", freqs))
+    res = ew2.cluster_test("C00", freqs, other=ew1, n_perm=n_perm,
+                           seed=seed)
+    out["tfr_shape"] = list(p2.shape)
+    out["itc_max"] = float(itc2.max())
+    out["cluster_p"] = (min(c["p"] for c in res.clusters)
+                        if res.clusters else 1.0)
+
+    # 6. report
+    rep = nw.Report(title="EDF end-to-end workflow")
+    rep.add_text("qc", "bads: " + (", ".join(qc["bads"]) or "none"))
+    rep.add_text("ica", "removed %s; blink corr %.2f -> %.2f" % (
+        out["ica_bads"], out["blink_corr_before"],
+        out["blink_corr_after"]))
+    rep.add_text("epochs", "kept %d/%d" % (out["n_kept"],
+                                           out["n_events"]))
+    rep.add_text("cluster", "min corrected p = %.4f" % out["cluster_p"])
+    html = rep.save(os.path.join(os.path.dirname(edf_path),
+                                 "workflow_report.html"))
+    out["report"] = html
+    out["wall_s"] = time.perf_counter() - t0
+    return out
+
+
+def main():
+    sfreq, dur = 250.0, 240.0
+    data, ch_names, annotations, truth = synth_recording(sfreq, dur)
+    tmp = tempfile.mkdtemp(prefix="ninw_e2e_")
+    path = os.path.join(tmp, "rec.edf")
+    from ninwavelets_tpu.io.edf import write_edf
+    write_edf(path, data, sfreq, ch_names, annotations=annotations)
+
+    cold = run_workflow(path)           # includes every stage's compile
+    out = run_workflow(path)            # steady state (cached programs)
+    row = {"op": "workflow_edf_e2e",
+           "recording_s_per_s": round(dur / out["wall_s"], 1),
+           "wall_s": round(out["wall_s"], 2),
+           "config": {"c": len(ch_names), "dur_s": dur,
+                      "sfreq": sfreq, "n_events": out["n_events"],
+                      "n_kept": out["n_kept"],
+                      "qc_bads": out["qc_bads"],
+                      "cold_wall_s": round(cold["wall_s"], 2),
+                      "cluster_p": round(out["cluster_p"], 4)}}
+    print(json.dumps(row))
+    return row
+
+
+if __name__ == "__main__":
+    main()
