@@ -516,13 +516,24 @@ def main():
     # --- 2-D wavelets (r4: the reference roadmap's "2D wavelet") ----------
     from ninwavelets_tpu.ops.cwt2d import power2d
     from ninwavelets_tpu.ops.dwt2d import wavedec2, waverec2
-    imgs = jnp.asarray(
-        rng.standard_normal((8, 256, 256)).astype(np.float32))
     f2 = (0.03, 0.06, 0.12, 0.24)
-    d = t(lambda x: power2d(x, f2), imgs, iters=5)
+    # pipelined over distinct images (this call is sub-millisecond on
+    # the matmul path — the chained t() helper's per-iter dispatch RTT
+    # over the tunnel is ~30 ms and would swamp it)
+    img_list = [jnp.asarray(rng.standard_normal((8, 256, 256))
+                            .astype(np.float32)) for _ in range(20)]
+    jax.block_until_ready(power2d(img_list[0], f2))
+    best2d = None
+    for _ in range(2):
+        t02d = time.perf_counter()
+        outs2d = [power2d(im, f2) for im in img_list]
+        jax.block_until_ready(outs2d)
+        d2d = (time.perf_counter() - t02d) / len(img_list)
+        best2d = d2d if best2d is None else min(best2d, d2d)
     record(op="cwt2d_power_8x256x256_4f6o",
-           megapixel_per_s=round(8 * 256 * 256 / d / 1e6, 1),
+           megapixel_per_s=round(8 * 256 * 256 / best2d / 1e6, 1),
            config=dict(batch=8, hw=256, f=4, orientations=6))
+    imgs = img_list[0]
     d = t(lambda x: waverec2(wavedec2(x, "db4", level=4), "db4"), imgs,
           iters=5)
     record(op="dwt2d_roundtrip_8x256x256_l4",
@@ -691,6 +702,228 @@ def main():
           xsv, iters=5)
     record(op="ssvep_cca_200trials", trials_per_s=round(200 / d, 1),
            config=dict(e=200, c=8, n=1000, f=4, harmonics=3))
+
+    # --- r5 coverage sweep (VERDICT #7): every ops family gets a row -----
+    # Stockwell transform
+    from ninwavelets_tpu.ops.stockwell import stockwell_ri
+    xst = jnp.asarray(rng.standard_normal((8, 4096)).astype(np.float32))
+    st_freqs = np.linspace(2.0, 80.0, 40)
+    d = t(lambda x: stockwell_ri(x, st_freqs, 250.0)[0], xst, iters=5)
+    record(op="stockwell_8x4096_40f",
+           eeg_s_per_s=round(8 * 4096 / 250.0 / d, 1),
+           config=dict(rows=8, n=4096, f=40))
+
+    # specparam (FOOOF) on a batch of spectra
+    from ninwavelets_tpu.ops.specparam import specparam
+    sp_freqs = np.linspace(2.0, 60.0, 117)
+    sp_pow = jnp.asarray(
+        (10.0 / sp_freqs[None, :] ** 1.2
+         + 2.0 * np.exp(-0.5 * ((sp_freqs[None, :] - 10.0) / 1.5) ** 2)
+         + 0.05 * rng.random((64, sp_freqs.size))).astype(np.float32))
+    t0sp = time.perf_counter()
+    fitsp = specparam(sp_pow, sp_freqs, n_steps=500)
+    _ = np.asarray(fitsp.exponent)
+    dsp = time.perf_counter() - t0sp
+    t0sp = time.perf_counter()
+    fitsp = specparam(sp_pow * 1.001, sp_freqs, n_steps=500)
+    _ = np.asarray(fitsp.exponent)
+    dsp = min(dsp, time.perf_counter() - t0sp)
+    record(op="specparam_64spectra",
+           spectra_per_s=round(64 / dsp, 1),
+           config=dict(b=64, f=sp_freqs.size, steps=500))
+
+    # event-related PAC (trial-resolved circular-linear correlation)
+    from ninwavelets_tpu.ops.connectivity import erpac
+    bank_ph = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.arange(4.0, 12.0), 1024, sfreq, True),
+        np.float32))
+    bank_am = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.arange(40.0, 80.0, 5.0), 1024, sfreq, True),
+        np.float32))
+    xerp = jnp.asarray(rng.standard_normal((64, 1024)).astype(np.float32))
+    d = t(lambda x: erpac(x, bank_ph, bank_am, interpolate=True), xerp,
+          iters=5)
+    record(op="erpac_64trials",
+           eeg_s_per_s=round(64 * 1024 / sfreq / d, 1),
+           config=dict(e=64, n=1024, fp=8, fa=8))
+
+    # VMD + EWT decompositions
+    from ninwavelets_tpu.ops.vmd import vmd
+    xvmd = jnp.asarray((np.sin(2 * np.pi * 5 * np.arange(4096) / 250.0)
+                        + np.sin(2 * np.pi * 25 * np.arange(4096) / 250.0)
+                        + 0.1 * rng.standard_normal(4096)
+                        ).astype(np.float32))
+    d = t(lambda x: vmd(x, 250.0, n_modes=3)[0], xvmd, iters=3)
+    record(op="vmd_4096_3modes",
+           signal_s_per_s=round(4096 / 250.0 / d, 1),
+           config=dict(n=4096, modes=3))
+    from ninwavelets_tpu.ops.ewt import ewt as _ewt
+    d = t(lambda x: _ewt(x, 250.0, n_modes=3)[0], xvmd, iters=3)
+    record(op="ewt_4096_3modes",
+           signal_s_per_s=round(4096 / 250.0 / d, 1),
+           config=dict(n=4096, modes=3))
+
+    # dipole fits (EEG sphere series + MEG Sarvas), warm wall
+    from ninwavelets_tpu.ops.leadfield import (fibonacci_electrodes,
+                                               fit_dipole, fit_dipole_meg,
+                                               sphere_leadfield,
+                                               sphere_leadfield_meg)
+    elec = fibonacci_electrodes(64)
+    src = np.array([[0.03, 0.02, 0.05]])
+    lf = np.asarray(sphere_leadfield(elec, src))
+    v_eeg = lf.reshape(64, 3) @ np.array([1.0, 0.5, 0.2])
+    fit_dipole(v_eeg, elec)                   # compile
+    t0dp = time.perf_counter()
+    fe = fit_dipole(v_eeg, elec)
+    d = time.perf_counter() - t0dp
+    record(op="fit_dipole_eeg_64ch", ms=round(d * 1e3, 1),
+           config=dict(e=64, gof=round(float(fe["gof"]), 4)))
+    sens = fibonacci_electrodes(64) * 1.2
+    sori = sens / np.linalg.norm(sens, axis=1, keepdims=True)
+    lfm = np.asarray(sphere_leadfield_meg(sens, sori, src))
+    v_meg = lfm.reshape(64, 3) @ np.array([1.0, 0.5, 0.0])
+    fit_dipole_meg(v_meg, sens, sori)         # compile
+    t0dp = time.perf_counter()
+    fm = fit_dipole_meg(v_meg, sens, sori)
+    d = time.perf_counter() - t0dp
+    record(op="fit_dipole_meg_64ch", ms=round(d * 1e3, 1),
+           config=dict(e=64, gof=round(float(fm["gof"]), 4)))
+
+    # slow oscillations (the spindles row's sibling)
+    from ninwavelets_tpu.ops.sleep import detect_slow_oscillations
+    xso = jnp.asarray((20.0 * np.sin(2 * np.pi * 0.8 * np.arange(
+        128 * 1800) / 128.0) * (rng.random(128 * 1800) < 0.3)
+        + 10.0 * rng.standard_normal(128 * 1800)
+        ).astype(np.float32))[None, :].repeat(8, 0)
+    d = t(lambda x: detect_slow_oscillations(x, 128.0).valid, xso,
+          iters=3)
+    record(op="slow_osc_8ch_30min_128hz",
+           signal_s_per_s=round(8 * 1800 / d, 1),
+           config=dict(c=8, dur_s=1800, sfreq=128))
+
+    # microstate syntax (directional transition asymmetry) test
+    from ninwavelets_tpu.ops.microstates import microstate_syntax_test
+    lab_syn = jnp.asarray(np.repeat(
+        rng.integers(0, 4, 3000), rng.integers(10, 40, 3000)
+    )[:60000].astype(np.int32))
+    t0ms = time.perf_counter()
+    syn = microstate_syntax_test(lab_syn, 4, n_shuffles=500)
+    _ = float(syn[1])
+    d = time.perf_counter() - t0ms
+    record(op="microstate_syntax_500perm", ms=round(d * 1e3, 1),
+           config=dict(t=60000, k=4, shuffles=500))
+
+    # pairwise phase-slope index (the matrix row's sibling)
+    from ninwavelets_tpu.ops.extensions import psi as psi_pair
+    xpa = jnp.asarray(rng.standard_normal((64, 2048)).astype(np.float32))
+    xpb = jnp.roll(xpa, 3, -1)
+    bank_psi = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.arange(5.0, 45.0), 2048, sfreq, True),
+        np.float32))
+    d = t(lambda a: psi_pair(a, xpb, bank_psi, interpolate=True), xpa,
+          iters=5)
+    record(op="psi_pairwise_64ep",
+           eeg_s_per_s=round(64 * 2048 / sfreq / d, 1),
+           config=dict(e=64, n=2048, f=40))
+
+    # inverse CWT round trip
+    from ninwavelets_tpu.ops.cwt import cwt_from_bank
+    from ninwavelets_tpu.ops.icwt import icwt_ri
+    bank_ic = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.arange(5.0, 105.0), 4096, sfreq, True),
+        np.float32))
+    xic = jnp.asarray(rng.standard_normal((8, 4096)).astype(np.float32))
+
+    @jax.jit
+    def _ic_round(x):
+        w = cwt_from_bank(x, bank_ic, True)
+        return icwt_ri(w.real, w.imag, bank_ic)[0]
+
+    d = t(_ic_round, xic, iters=5)
+    record(op="icwt_roundtrip_8x4096",
+           eeg_s_per_s=round(8 * 4096 / sfreq / d, 1),
+           config=dict(rows=8, n=4096, f=100))
+
+    # graph metrics over a connectivity matrix
+    from ninwavelets_tpu.ops.graph import small_worldness
+    wg = np.abs(rng.standard_normal((64, 64))).astype(np.float32)
+    wg = (wg + wg.T) / 2
+    d = t(lambda w: small_worldness(w, n_nulls=20), jnp.asarray(wg),
+          iters=3)
+    record(op="graph_small_world_64n_20null", ms=round(d * 1e3, 1),
+           config=dict(nodes=64, nulls=20))
+
+    # bootstrap CI over trial planes
+    from ninwavelets_tpu.ops.bootstrap import bootstrap_ci
+    xboot = jnp.asarray(
+        rng.standard_normal((100, 50, 256)).astype(np.float32))
+    d = t(lambda x: bootstrap_ci(x, n_boot=1000)[0], xboot, iters=3)
+    record(op="bootstrap_ci_1000_100trials", ms=round(d * 1e3, 1),
+           config=dict(e=100, plane=[50, 256], n_boot=1000))
+
+    # spherical-spline CSD applied to a recording
+    from ninwavelets_tpu.ops.csd import csd, csd_transform
+    th = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    pos_csd = np.stack([np.cos(th) * 0.9, np.sin(th) * 0.9,
+                        np.full(64, 0.436)], 1)
+    xcsd = jnp.asarray(
+        rng.standard_normal((64, 120000)).astype(np.float32))
+    csd_transform(pos_csd)                    # host solve, cached
+    d = t(lambda x: csd(x, pos_csd), xcsd, iters=3)
+    record(op="csd_spline_64x120k",
+           signal_s_per_s=round(120000 / 250.0 / d, 1),
+           config=dict(c=64, n=120000))
+
+    # IAAFT surrogates
+    from ninwavelets_tpu.ops.sim import iaaft_surrogates
+    xia = jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+    d = t(lambda x: iaaft_surrogates(0, x, n_surrogates=19, n_iter=100),
+          xia, iters=3)
+    record(op="iaaft_19surr_4096", ms=round(d * 1e3, 1),
+           config=dict(n=4096, s=19, iters=100))
+
+    # Torrence-Compo AR(1) significance mask on the epoch-mean TFR
+    from ninwavelets_tpu.ops.tc_stats import (ar1_coefficient,
+                                              significant_mask)
+    xtc_np = np.asarray(rng.standard_normal(2048), np.float32)
+    bank_tc = jnp.asarray(np.asarray(make_fft_bank(
+        morse._wdef(), jnp.arange(5.0, 105.0), 2048, sfreq, True),
+        np.float32))
+    ptc = jnp.square(jnp.abs(cwt_from_bank(jnp.asarray(xtc_np), bank_tc,
+                                           True)))
+    a1 = ar1_coefficient(xtc_np)
+    var = float(xtc_np.var())
+    d = t(lambda p: significant_mask(p, bank_tc, sfreq, a1, var),
+          ptc, iters=5)
+    record(op="tc_significance_mask_100f", ms=round(d * 1e3, 2),
+           config=dict(f=100, n=2048, alpha=round(a1, 3)))
+
+    # per-pixel TF decoding (diagonal LDA AUC)
+    from ninwavelets_tpu.ops.decoding import tf_decode
+    xda = jnp.asarray(
+        rng.standard_normal((24, 8, 30, 256)).astype(np.float32))
+    xdb = jnp.asarray(
+        rng.standard_normal((24, 8, 30, 256)).astype(np.float32)) + 0.3
+    d = t(lambda a: tf_decode(a, xdb), xda, iters=3)
+    record(op="tf_decode_5fold_24trials", ms=round(d * 1e3, 1),
+           config=dict(e=48, c=8, plane=[30, 256]))
+
+    # xDAWN evoked enhancement
+    from ninwavelets_tpu.ops.spatial import xdawn
+    xxd = jnp.asarray(
+        rng.standard_normal((32, 100000)).astype(np.float32))
+    ev_xd = np.sort(rng.choice(np.arange(200, 99000), 200,
+                               replace=False))
+    t0xd = time.perf_counter()
+    fx = xdawn(xxd, ev_xd, window=128)
+    _ = np.asarray(fx[0])
+    dxd = time.perf_counter() - t0xd
+    t0xd = time.perf_counter()
+    fx = xdawn(xxd * 1.001, ev_xd, window=128)
+    _ = np.asarray(fx[0])
+    dxd = min(dxd, time.perf_counter() - t0xd)
+    record(op="xdawn_32ch_200ev", ms=round(dxd * 1e3, 1),
+           config=dict(c=32, n=100000, events=200, window=128))
 
     # --- real-format end-to-end workflow (r5, VERDICT #6) ----------------
     # writes a miniature EDF+ (TAL markers + a bad-interval span) and
