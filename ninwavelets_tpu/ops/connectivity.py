@@ -657,12 +657,29 @@ def pac_significance(signal_r, bank_phase_r, bank_amp_r,
     The null rolls each epoch's AMPLITUDE-providing copy by a random
     offset while the phase copy stays put — per-band spectra and
     waveforms are preserved, phase-amplitude alignment destroyed (Tort
-    2010's recommended surrogate).  ``signal_r`` is (E, N)."""
+    2010's recommended surrogate).  ``signal_r`` is (E, N).
+
+    VALIDITY REGIME: the shift null needs enough phase cycles per
+    window — with too few, distinct shifts are highly correlated, the
+    surrogate distribution under-disperses and the test turns
+    anticonservative (measured FPR 0.13 at alpha=0.05 with ~6 cycles,
+    exactly 0.05 with ~25 — benchmarks/stats_calibration.py).  A
+    phase row's peak FFT bin IS its cycle count in the window; below
+    8 cycles a warning is logged — lengthen the window (or epochs'
+    crop) rather than trusting the p-values."""
     sig = jnp.asarray(signal_r, jnp.float32)
     if sig.ndim == 1:
         sig = sig[None]
-    return _pac_sig_jit(sig, jnp.asarray(bank_phase_r),
-                        jnp.asarray(bank_amp_r),
+    bp = jnp.asarray(bank_phase_r)
+    min_cycles = int(np.argmax(np.abs(np.asarray(bp)), axis=-1).min())
+    if min_cycles < 8:
+        from ..utils.observability import log
+        log.warning(
+            "pac_significance: slowest phase band has only %d cycles "
+            "in the window — the circular-shift null is "
+            "anticonservative below ~8 cycles (measured FPR 0.13 at "
+            "6); lengthen the analysis window", min_cycles)
+    return _pac_sig_jit(sig, bp, jnp.asarray(bank_amp_r),
                         interpolate=bool(interpolate), method=str(method),
                         n_bins=int(n_bins),
                         n_surrogates=int(n_surrogates),

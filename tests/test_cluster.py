@@ -616,24 +616,35 @@ class TestChannelAdjacency:
 
 def test_calibration_artifact_within_binomial_bounds():
     """The committed null-simulation study (benchmarks/stats_calibration
-    .py, 200 sims) must show honest error rates: FWER within the exact
-    binomial 99% envelope of alpha=0.05, surrogate pointwise rate at or
-    below alpha (circular shifts are mildly conservative)."""
+    .py, 500 sims — raised from 200 in r5, VERDICT #8) must show honest
+    error rates: FWER within the exact binomial 99% envelope of
+    alpha=0.05, surrogate pointwise rates at/near alpha (circular
+    shifts and pooled-quantile Monte-Carlo levels are mildly
+    conservative), and every newer inference surface (FDR, wavelet-
+    coherence levels, PAC surrogates, Granger trial shuffles) measured
+    too — every p-value the library emits has a measured FPR."""
     import json
     import os
     path = os.path.join(os.path.dirname(__file__), "artifacts",
                         "stats_calibration.json")
     with open(path) as fh:
         rows = json.load(fh)
-    assert rows["n_sims"] >= 200 and rows["alpha"] == 0.05
-    # 99% binomial envelope for p=0.05, n=200: ~[0.013, 0.095]
+    assert rows["n_sims"] >= 500 and rows["alpha"] == 0.05
+    # 99% binomial envelope for p=0.05, n=500: ~[0.025, 0.075]
     for key in ("cluster_fwer", "tfce_fwer", "maxstat_fwer",
-                "cluster_independent_fwer"):
-        assert 0.013 <= rows[key] <= 0.095, (key, rows[key])
+                "cluster_independent_fwer",
+                "fdr_any_rejection_rate"):
+        assert 0.024 <= rows[key] <= 0.076, (key, rows[key])
     # half as many sims -> wider envelope
-    assert 0.005 <= rows["cluster_adjacency_fwer"] <= 0.115
+    assert 0.015 <= rows["cluster_adjacency_fwer"] <= 0.09
     assert 0.005 <= rows["plv_pointwise_rate"] <= 0.08
     assert abs(rows["decode_null_auc_mean"] - 0.5) < 0.02
+    # pooled-quantile MC level: pointwise rate near 1 - q = 0.05
+    assert 0.01 <= rows["wtc_pointwise_rate_q95"] <= 0.10, rows
+    # circular-shift PAC surrogates (few cells per sim -> wide)
+    assert 0.0 <= rows["pac_pointwise_rate"] <= 0.11, rows
+    # Granger trial-shuffle surrogates
+    assert 0.02 <= rows["granger_pointwise_rate"] <= 0.08, rows
 
 
 class TestBootstrapAndRayleigh:
