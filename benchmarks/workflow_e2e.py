@@ -188,8 +188,14 @@ def main():
     from ninwavelets_tpu.io.edf import write_edf
     write_edf(path, data, sfreq, ch_names, annotations=annotations)
 
+    # warm pass runs a DIFFERENT recording (seed 1): same shapes reuse
+    # the compiled programs, different values defeat any identical-call
+    # result caching in the runtime (ROOFLINE.md measurement rules)
+    data2, _, ann2, _ = synth_recording(sfreq, dur, seed=1)
+    path2 = os.path.join(tmp, "rec2.edf")
+    write_edf(path2, data2, sfreq, ch_names, annotations=ann2)
     cold = run_workflow(path)           # includes every stage's compile
-    out = run_workflow(path)            # steady state (cached programs)
+    out = run_workflow(path2)           # steady state (cached programs)
     row = {"op": "workflow_edf_e2e",
            "recording_s_per_s": round(dur / out["wall_s"], 1),
            "wall_s": round(out["wall_s"], 2),

@@ -647,6 +647,32 @@ def _pac_sig_jit(sig, bp, ba, *, interpolate, method, n_bins,
     return obs, pv
 
 
+_CYCLE_CACHE: dict = {}
+
+
+def _min_phase_cycles(bp) -> int:
+    """Minimum peak FFT bin (= cycles in the window) over the phase
+    bank's rows, cached per bank OBJECT: the check costs a full D2H
+    fetch of the bank (tens of ms over the tunneled runtime), and the
+    adapter reuses one device-resident bank across calls — fetching it
+    per call would be exactly the per-call-upload bug class CLAUDE.md
+    documents.  The id-keyed entry holds a weakref; a dead or reused
+    id recomputes."""
+    import weakref
+    key = id(bp)
+    hit = _CYCLE_CACHE.get(key)
+    if hit is not None and hit[0]() is bp:
+        return hit[1]
+    val = int(np.argmax(np.abs(np.asarray(bp)), axis=-1).min())
+    try:
+        _CYCLE_CACHE[key] = (weakref.ref(bp), val)
+    except TypeError:        # non-weakref-able input (plain ndarray ok?)
+        pass
+    if len(_CYCLE_CACHE) > 256:
+        _CYCLE_CACHE.clear()
+    return val
+
+
 def pac_significance(signal_r, bank_phase_r, bank_amp_r,
                      interpolate: bool = False, method: str = "mvl",
                      n_bins: int = 18, n_surrogates: int = 199,
@@ -671,7 +697,7 @@ def pac_significance(signal_r, bank_phase_r, bank_amp_r,
     if sig.ndim == 1:
         sig = sig[None]
     bp = jnp.asarray(bank_phase_r)
-    min_cycles = int(np.argmax(np.abs(np.asarray(bp)), axis=-1).min())
+    min_cycles = _min_phase_cycles(bp)
     if min_cycles < 8:
         from ..utils.observability import log
         log.warning(

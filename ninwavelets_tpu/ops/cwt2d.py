@@ -162,14 +162,30 @@ def _cwt2_sep_jit(img, by, bx, fyr, fyi, iyr, iyi, fxr, fxi, ixr, ixi,
     return wv.real, wv.imag
 
 
+_SEP_DEV: dict = {}
+
+
+def _bank_sep_dev(fk, tk, h, w, sigma, omega0):
+    """Device-resident separable factors, cached per (config, backend)
+    like :func:`_dft_dev` — ``jnp.asarray(host_cache)`` per call is a
+    per-call H2D upload (the CLAUDE.md tunnel rule)."""
+    key = (fk, tk, h, w, sigma, omega0, jax.default_backend())
+    if key not in _SEP_DEV:
+        by, bx = _bank_sep_np(fk, tk, h, w, sigma, omega0)
+        if len(_SEP_DEV) > 64:
+            _SEP_DEV.clear()
+        _SEP_DEV[key] = (jnp.asarray(by), jnp.asarray(bx))
+    return _SEP_DEV[key]
+
+
 def _cwt2_sep(img, freqs, thetas, sigma, omega0, power):
     fk = tuple(float(f) for f in np.atleast_1d(freqs))
     tk = tuple(float(t) for t in np.atleast_1d(thetas))
     if any(f <= 0 or f > 0.5 for f in fk):
         raise ValueError("freqs are cycles/pixel in (0, 0.5]")
     h, w = img.shape[-2:]
-    by, bx = _bank_sep_np(fk, tk, h, w, float(sigma), float(omega0))
-    return _cwt2_sep_jit(img, jnp.asarray(by), jnp.asarray(bx),
+    by, bx = _bank_sep_dev(fk, tk, h, w, float(sigma), float(omega0))
+    return _cwt2_sep_jit(img, by, bx,
                          *_dft_dev(h), *_dft_dev(w), power=power)
 
 

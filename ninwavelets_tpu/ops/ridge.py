@@ -23,9 +23,11 @@ __all__ = ["extract_ridge", "ridge_frequencies", "extract_modes",
 
 @partial(jax.jit, static_argnames=("penalty",))
 def _ridge_indices_seq(log_e: jnp.ndarray, penalty: float) -> jnp.ndarray:
-    """Sequential-scan fallback of :func:`_ridge_indices` for planes too
-    large for the associative prefix tensors (O(N F^2) memory): forward
-    DP + backtrack, 2N dependent scan steps."""
+    """Textbook forward-DP + backtrack Viterbi (2N dependent scan
+    steps) — NOT on any dispatch path: kept as the parity ORACLE for
+    the unrolled forward-backward production DP
+    (tests/test_ridge.py gates exact path-score agreement on random
+    planes)."""
     n_f = log_e.shape[0]
     fi = jnp.arange(n_f)
     jump = penalty * jnp.square(fi[:, None] - fi[None, :])   # (to, from)

@@ -205,10 +205,11 @@ def mdm_decode(xa, xb, n_folds: int = 5, shrink: float = 0.05,
     smaller affine-invariant distance.  Returns scalar accuracy
     (0.5 = chance).
 
-    The whole CV is one compiled program (``lax.scan`` over folds with
-    mask weights — a zero Karcher weight excludes a trial exactly);
-    the eager per-fold loop it replaces dispatched hundreds of tiny
-    ops over the device link per call."""
+    The whole CV is one compiled program (folds VMAPPED with mask
+    weights — a zero Karcher weight excludes a trial exactly; a fold
+    scan would nest scan(scan(eigh)), which the TPU backend compiles
+    pathologically slowly); the eager per-fold loop it replaces
+    dispatched hundreds of tiny ops over the device link per call."""
     ca, cb, _, _, nf = _decode_setup(xa, xb, n_folds, shrink)
     return float(_mdm_cv_jit(ca, cb, n_folds=nf, n_iter=int(n_iter)))
 
@@ -251,11 +252,12 @@ def tangent_decode(xa, xb, n_folds: int = 5, shrink: float = 0.05,
     tangent-space pipeline, usually the strongest linear decoder on
     motor-imagery covariances.
 
-    One compiled program for the full CV (masked folds under
-    ``lax.scan``, weighted LDA moments) — numerically identical to a
-    per-fold loop (the weighted Karcher init is the same weighted sum
-    the train-subset init would be) but without the per-fold eager
-    dispatch that made this a 38-second call on a tunneled device."""
+    One compiled program for the full CV (masked folds VMAPPED — see
+    :func:`mdm_decode` for why not a scan — with weighted LDA moments):
+    numerically identical to a per-fold loop (the weighted Karcher
+    init is the same weighted sum the train-subset init would be) but
+    without the per-fold eager dispatch that made this a 38-second
+    call on a tunneled device."""
     ca, cb, _, _, nf = _decode_setup(xa, xb, n_folds, shrink)
     return float(_tangent_cv_jit(ca, cb, n_folds=nf, n_iter=int(n_iter),
                                  lam=float(lam)))

@@ -154,6 +154,31 @@ class TestSynchrosqueeze:
 class TestRidge:
     FREQS = np.arange(20.0, 80.0, 1.0)
 
+    def test_unrolled_dp_matches_sequential_oracle(self):
+        """The production DP (16-column unrolled scan + forward/backward
+        scores, no backtrack) must find a path with EXACTLY the score
+        of the textbook forward-DP+backtrack oracle on random planes —
+        ties may pick different equal-score paths, so the gate is the
+        penalized path score, not the indices."""
+        from ninwavelets_tpu.ops.ridge import (_ridge_indices,
+                                               _ridge_indices_seq)
+        rng = np.random.default_rng(3)
+        for _ in range(8):
+            nf = int(rng.integers(3, 40))
+            n = int(rng.integers(2, 200))
+            log_e = rng.standard_normal((nf, n)).astype(np.float32)
+            for pen in (0.0, 0.5):
+                a = np.asarray(_ridge_indices_seq(log_e, pen))
+                b = np.asarray(_ridge_indices(log_e, pen))
+
+                def score(idx):
+                    s = float(log_e[idx, np.arange(n)].sum())
+                    return s - pen * float(
+                        np.sum(np.diff(idx.astype(np.float64)) ** 2))
+
+                assert abs(score(a) - score(b)) <= 1e-3 * max(
+                    1.0, abs(score(a))), (nf, n, pen)
+
     def _chirp(self, noise=0.0, seed=0):
         t = np.arange(0, 2.048, 1 / SFREQ)
         finst = 30.0 + 40.0 * t / t[-1]
