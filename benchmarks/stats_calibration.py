@@ -116,6 +116,30 @@ def main():
     rows["decode_null_auc_mean"] = float(np.mean(aucs))
     rows["decode_null_auc_sd"] = float(np.std(aucs))
 
+    # --- regression (GLM covariate) cluster FWER ---------------------------
+    hits = 0
+    for s in range(N_SIMS):
+        maybe_clear(s)
+        r7 = np.random.default_rng(13000 + s)
+        x = r7.standard_normal((18, f, n)).astype(np.float32)
+        z = r7.standard_normal(18).astype(np.float32)
+        res = cl.cluster_test_regression(x, z, n_perm=99, seed=s)
+        if any(c["p"] <= ALPHA for c in res.clusters):
+            hits += 1
+    rows["cluster_regression_fwer"] = hits / N_SIMS
+
+    # --- F-test (3-group ANOVA) cluster FWER -------------------------------
+    hits = 0
+    for s in range(N_SIMS):
+        maybe_clear(s)
+        r8 = np.random.default_rng(15000 + s)
+        groups = [r8.standard_normal((8, f, n)).astype(np.float32)
+                  for _ in range(3)]
+        res = cl.cluster_test_f(groups, n_perm=99, seed=s)
+        if any(c["p"] <= ALPHA for c in res.clusters):
+            hits += 1
+    rows["cluster_f_fwer"] = hits / N_SIMS
+
     # --- FDR (BH) on all-null maps: P(any rejection) <= alpha --------------
     # under the complete null, BH's FDR equals its FWER, so the any-
     # rejection rate over null t-test p-maps must sit at/below alpha

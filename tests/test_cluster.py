@@ -632,8 +632,8 @@ def test_calibration_artifact_within_binomial_bounds():
     assert rows["n_sims"] >= 500 and rows["alpha"] == 0.05
     # 99% binomial envelope for p=0.05, n=500: ~[0.025, 0.075]
     for key in ("cluster_fwer", "tfce_fwer", "maxstat_fwer",
-                "cluster_independent_fwer",
-                "fdr_any_rejection_rate"):
+                "cluster_independent_fwer", "cluster_regression_fwer",
+                "cluster_f_fwer", "fdr_any_rejection_rate"):
         assert 0.024 <= rows[key] <= 0.076, (key, rows[key])
     # half as many sims -> wider envelope
     assert 0.015 <= rows["cluster_adjacency_fwer"] <= 0.09
