@@ -167,6 +167,20 @@ class TestCWT2:
                             / float((np.abs(got - want) ** 2).sum()))
         assert snr > 90.0, snr
 
+    def test_separable_factors_are_device_cached(self):
+        """Repeat calls must NOT re-upload the bank factors: the
+        device-resident cache is keyed on (config, backend) — a
+        per-call ``jnp.asarray(host_cache)`` is the tunnel re-upload
+        bug class CLAUDE.md documents."""
+        img = _img(32, 32, seed=1)
+        cwt2d._SEP_DEV.clear()
+        cwt2d.power2d(img, self.FREQS[:2], self.THETAS[:2])
+        assert len(cwt2d._SEP_DEV) == 1
+        key, val = next(iter(cwt2d._SEP_DEV.items()))
+        cwt2d.power2d(img, self.FREQS[:2], self.THETAS[:2])
+        assert len(cwt2d._SEP_DEV) == 1
+        assert cwt2d._SEP_DEV[key][0] is val[0]   # same device buffer
+
     def test_fft_and_matmul_paths_agree(self):
         img = _img(64, 64, seed=9)
         a = np.asarray(cwt2d.power2d(img, self.FREQS, self.THETAS))
