@@ -659,6 +659,8 @@ def _min_phase_cycles(bp) -> int:
     documents.  The id-keyed entry holds a weakref; a dead or reused
     id recomputes."""
     import weakref
+    if isinstance(bp, jax.core.Tracer):
+        return 10**9        # under a user's jit: skip the host check
     key = id(bp)
     hit = _CYCLE_CACHE.get(key)
     if hit is not None and hit[0]() is bp:
