@@ -58,12 +58,17 @@ def main():
         np.float32))
     rng = np.random.default_rng(0)
 
-    def run(d, e):
+    def run(d, e, train=False):
         mesh = par.make_mesh(data=d, freq=1, devices=jax.devices()[:d])
         sig = par.shard_batch(
             jnp.asarray(rng.standard_normal((e, C, N)).astype(np.float32)),
             mesh, P(par.DATA_AXIS))
-        if use_fused:
+        if train:
+            # full training step: power + grads wrt signals AND bank
+            g = jnp.ones((C, NF, N), jnp.float32)
+            fn = lambda: par.sharded_mean_power_grad(
+                sig, bank, g, mesh=mesh, interpolate=True)
+        elif use_fused:
             fn = lambda: par.sharded_fused_mean_power(
                 sig, bank, mesh=mesh, interpolate=True)
         else:
@@ -75,20 +80,26 @@ def main():
     results = {"backend": backend, "fused": use_fused, "devices": n_avail,
                "config": {"c": C, "n": N, "freqs": NF,
                           "e_local": E_LOCAL, "e_global": E_GLOBAL},
-               "weak": [], "strong": []}
-    t1_weak = t1_strong = None
+               "weak": [], "strong": [], "train_weak": []}
+    t1_weak = t1_strong = t1_train = None
     for d in sizes:
         tw = run(d, E_LOCAL * d)
         ts = run(d, E_GLOBAL)
+        tt = run(d, E_LOCAL * d, train=True)
         t1_weak = tw if d == 1 else t1_weak
         t1_strong = ts if d == 1 else t1_strong
+        t1_train = tt if d == 1 else t1_train
         row_w = {"devices": d, "ms": round(tw * 1e3, 3),
                  "efficiency": round(t1_weak / tw, 3)}
         row_s = {"devices": d, "ms": round(ts * 1e3, 3),
                  "efficiency": round(t1_strong / (d * ts), 3)}
+        row_t = {"devices": d, "ms": round(tt * 1e3, 3),
+                 "efficiency": round(t1_train / tt, 3)}
         results["weak"].append(row_w)
         results["strong"].append(row_s)
-        print(json.dumps({"weak": row_w, "strong": row_s}), flush=True)
+        results["train_weak"].append(row_t)
+        print(json.dumps({"weak": row_w, "strong": row_s,
+                          "train_weak": row_t}), flush=True)
 
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
