@@ -146,16 +146,26 @@ def coherence_sums(sigs_a, sigs_b, bank, interpolate: bool = False,
 
 
 def coherence_from_sums(xr, xi, pa, pb, n_epochs: int,
-                        eps: float = 1e-12) -> jnp.ndarray:
+                        eps: float = 1e-12, vma_axes=()) -> jnp.ndarray:
     """``|mean cross|^2 / (mean power_a * mean power_b)`` from the epoch
-    sums."""
+    sums.
+
+    ``vma_axes``: mesh axes the den plane is SHARDED over (shard_map
+    callers pass ``(FREQ_AXIS,)``) — the relative floor's max must be
+    completed globally with ``pmax``, or a freq shard whose rows are
+    all dead (a Bump bank's out-of-band block) floors against
+    ``eps * 0`` and returns 0/0 NaN where the single-device path
+    returns 0."""
     num = (jnp.square(xr) + jnp.square(xi)) / (n_epochs * n_epochs)
     den = (pa / n_epochs) * (pb / n_epochs)
     if eps:
         # Relative floor: rows with no spectral support (den == 0, e.g. a
         # Bump row outside its band) return coherence 0 instead of 0/0 NaN,
         # keeping the documented [0, 1] contract.
-        den = jnp.maximum(den, eps * jnp.max(den))
+        m = jnp.max(den)
+        for ax in vma_axes:
+            m = lax.pmax(m, ax)
+        den = jnp.maximum(den, eps * m)
     return num / den
 
 
@@ -372,14 +382,18 @@ def epoch_coherence_auto(sigs_a_r, sigs_b_r, bank_r, bank_i=None,
 # Imaginary coherency
 # ----------------------------------------------------------------------------
 
-def imcoh_from_sums(xr, xi, pa, pb, eps: float = 1e-12) -> jnp.ndarray:
+def imcoh_from_sums(xr, xi, pa, pb, eps: float = 1e-12,
+                    vma_axes=()) -> jnp.ndarray:
     """``Im(mean cross) / sqrt(mean |Wa|^2 mean |Wb|^2)`` from the
     ``coherence_sums`` planes (the epoch count cancels between numerator
-    and denominator).  Same relative denominator floor as
-    ``coherence_from_sums``."""
+    and denominator).  Same relative denominator floor — and the same
+    ``vma_axes`` global-max completion — as ``coherence_from_sums``."""
     den = jnp.sqrt(pa * pb)
     if eps:
-        den = jnp.maximum(den, eps * jnp.max(den))
+        m = jnp.max(den)
+        for ax in vma_axes:
+            m = lax.pmax(m, ax)
+        den = jnp.maximum(den, eps * m)
     return xi / den
 
 

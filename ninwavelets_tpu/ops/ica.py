@@ -72,6 +72,60 @@ def _sym_decorrelate(w):
     return jnp.matmul(inv_sqrt, w, precision=_HI)
 
 
+def _whiten_from_cov(cov, xc, k, precision=None):
+    """Top-K PCA whitening from a (C, C) covariance: returns
+    ``(whiten (K, C), z (K, N), e_top, s_top)`` — shared by the
+    single-device and sharded paths (the sharded path feeds a
+    psum-completed covariance; everything after is replicated math)."""
+    p = _HI if precision is None else precision
+    s, e = jnp.linalg.eigh(cov)                     # ascending
+    s_top = s[-k:][::-1]
+    e_top = e[:, -k:][:, ::-1]
+    whiten = (e_top / jnp.sqrt(jnp.maximum(s_top, 1e-12))).T  # (K, C)
+    return whiten, jnp.matmul(whiten, xc, precision=p), e_top, s_top
+
+
+def _ica_step(w, z, fun, n, reduce_m=None, reduce_gp=None,
+              precision=None):
+    """One symmetric FastICA fixed-point update.  ``reduce_m`` /
+    ``reduce_gp`` complete the two data-axis moments (identity on a
+    single device, ``psum`` under shard_map) — the ONLY thing that
+    differs between the two paths."""
+    p = _HI if precision is None else precision
+    u = jnp.matmul(w, z, precision=p)               # (K, N)
+    gu, gpu = _g(u, fun)
+    m = jnp.matmul(gu, z.T, precision=p)
+    gp = jnp.sum(gpu, axis=1)
+    if reduce_m is not None:
+        m = reduce_m(m)
+    if reduce_gp is not None:
+        gp = reduce_gp(gp)
+    w_new = _sym_decorrelate(m / n - (gp / n)[:, None] * w)
+    conv = jnp.max(jnp.abs(1.0 - jnp.abs(jnp.sum(w_new * w, axis=1))))
+    return w_new, conv
+
+
+def _finalize_components(w, whiten, e_top, s_top, xc, precision=None):
+    """Unmixing/mixing assembly + the deterministic ORDER (explained
+    variance) and SIGN (largest-|.| mixing coefficient positive)
+    conventions — replicated small-matrix math shared verbatim by both
+    paths so a convention change cannot silently fork them."""
+    p = _HI if precision is None else precision
+    unmixing = jnp.matmul(w, whiten, precision=p)            # (K, C)
+    mixing = e_top * jnp.sqrt(jnp.maximum(s_top, 1e-12)) @ w.T  # (C, K)
+    power = jnp.sum(mixing * mixing, axis=0)
+    order = jnp.argsort(-power)
+    unmixing = unmixing[order]
+    mixing = mixing[:, order]
+    flip = jnp.sign(jnp.take_along_axis(
+        mixing, jnp.argmax(jnp.abs(mixing), axis=0)[None, :], axis=0))[0]
+    flip = jnp.where(flip == 0, 1.0, flip)
+    unmixing = unmixing * flip[:, None]
+    mixing = mixing * flip[None, :]
+    sources = jnp.matmul(unmixing, xc, precision=p)
+    return unmixing, mixing, sources
+
+
 @partial(jax.jit, static_argnames=("n_components", "fun", "n_iter"))
 def _fastica_jit(x, key, *, n_components, fun, n_iter):
     c, n = x.shape
@@ -79,42 +133,13 @@ def _fastica_jit(x, key, *, n_components, fun, n_iter):
     mean = jnp.mean(x, axis=1)
     xc = x - mean[:, None]
     cov = jnp.matmul(xc, xc.T, precision=_HI) / n
-    s, e = jnp.linalg.eigh(cov)                     # ascending
-    # top-K principal directions whiten the data
-    s_top = s[-k:][::-1]
-    e_top = e[:, -k:][:, ::-1]
-    whiten = (e_top / jnp.sqrt(jnp.maximum(s_top, 1e-12))).T  # (K, C)
-    z = jnp.matmul(whiten, xc, precision=_HI)       # (K, N), cov = I
+    whiten, z, e_top, s_top = _whiten_from_cov(cov, xc, k)
 
     w0 = _sym_decorrelate(jax.random.normal(key, (k, k), jnp.float32))
-
-    def step(w, _):
-        u = jnp.matmul(w, z, precision=_HI)         # (K, N)
-        gu, gpu = _g(u, fun)
-        w_new = (jnp.matmul(gu, z.T, precision=_HI) / n
-                 - jnp.mean(gpu, axis=1)[:, None] * w)
-        w_new = _sym_decorrelate(w_new)
-        conv = jnp.max(jnp.abs(1.0 - jnp.abs(
-            jnp.sum(w_new * w, axis=1))))
-        return w_new, conv
-
-    w, conv = lax.scan(step, w0, None, length=n_iter)
-
-    unmixing = jnp.matmul(w, whiten, precision=_HI)          # (K, C)
-    mixing = e_top * jnp.sqrt(jnp.maximum(s_top, 1e-12)) @ w.T  # (C, K)
-    # deterministic order: explained variance = ||mixing col||^2
-    # (sources are unit variance after whitening+rotation)
-    power = jnp.sum(mixing * mixing, axis=0)
-    order = jnp.argsort(-power)
-    unmixing = unmixing[order]
-    mixing = mixing[:, order]
-    # sign convention: the largest-|.| mixing coefficient is positive
-    flip = jnp.sign(jnp.take_along_axis(
-        mixing, jnp.argmax(jnp.abs(mixing), axis=0)[None, :], axis=0))[0]
-    flip = jnp.where(flip == 0, 1.0, flip)
-    unmixing = unmixing * flip[:, None]
-    mixing = mixing * flip[None, :]
-    sources = jnp.matmul(unmixing, xc, precision=_HI)
+    w, conv = lax.scan(lambda w, _: _ica_step(w, z, fun, n), w0, None,
+                       length=n_iter)
+    unmixing, mixing, sources = _finalize_components(w, whiten, e_top,
+                                                     s_top, xc)
     return unmixing, mixing, mean, sources, conv
 
 

@@ -218,8 +218,8 @@ def sharded_coherence(sigs_a, sigs_b, bank_r, bank_i=None, *, mesh: Mesh,
     Each shard accumulates its local cross/power sums
     (``ops.extensions.coherence_sums``); one ``pmean`` over ``data``
     completes all four global reductions, and the ratio is taken on the
-    reduced values — mesh result == single-device result.  E must divide
-    the ``data`` axis size.
+    reduced values — mesh result == single-device result.  E must be divisible
+    by the ``data`` axis size.
     """
     from ..ops.extensions import coherence_from_sums, coherence_sums
     n_epochs = sigs_a.shape[0]
@@ -231,7 +231,8 @@ def sharded_coherence(sigs_a, sigs_b, bank_r, bank_i=None, *, mesh: Mesh,
         sums = coherence_sums(sa, sb, _as_bank(br, bi), interpolate,
                               vma_axes=(DATA_AXIS, FREQ_AXIS))
         xr, xi, pa, pb = (lax.psum(s, DATA_AXIS) for s in sums)
-        return coherence_from_sums(xr, xi, pa, pb, n_epochs, eps)
+        return coherence_from_sums(xr, xi, pa, pb, n_epochs, eps,
+                                   vma_axes=(FREQ_AXIS,))
 
     if bank_i is None:
         fn = lambda sa, sb, br: local(sa, sb, br, None)
@@ -287,7 +288,8 @@ def sharded_imcoh(sigs_a, sigs_b, bank_r, bank_i=None, *, mesh: Mesh,
         sums = coherence_sums(sa, sb, _as_bank(br, bi), interpolate,
                               vma_axes=(DATA_AXIS, FREQ_AXIS))
         xr, xi, pa, pb = (lax.psum(s, DATA_AXIS) for s in sums)
-        return imcoh_from_sums(xr, xi, pa, pb, eps)
+        return imcoh_from_sums(xr, xi, pa, pb, eps,
+                               vma_axes=(FREQ_AXIS,))
 
     if bank_i is None:
         fn = lambda sa, sb, br: local(sa, sb, br, None)
@@ -614,6 +616,14 @@ def sharded_psi_matrix(sigs, bank_r, *, mesh: Mesh, interpolate: bool = False,
     """
     from ..ops.connectivity import psi_reps_scan
     e = sigs.shape[0]
+    # the single-device validation, or a 1-row bank scans zero pairs and
+    # silently returns an all-zero matrix where the ops API raises
+    if e < 2:
+        raise ValueError("psi needs at least 2 epochs (>= 3 for a "
+                         "meaningful jackknife)")
+    if bank_r.shape[0] < 2:
+        raise ValueError("psi needs at least 2 bank rows (adjacent "
+                         "frequency pairs form the slope)")
     n0, n1 = time_range if time_range is not None else (0, sigs.shape[-1])
 
     ndev = mesh.shape[DATA_AXIS]
@@ -659,7 +669,7 @@ def sharded_ssq_mean_power(signals_r, bank_r, f_grid, *, mesh: Mesh,
     ``data`` completes the epoch mean.  The noise-gate floor is
     ``pmax``-reduced inside the core so shards gate against the global
     per-epoch peak — mesh result == single-device
-    ``ops.sst.ssq_mean_power``.  F must divide the ``freq`` axis size and
+    ``ops.sst.ssq_mean_power``.  F must be divisible by the ``freq`` axis size and
     E the ``data`` axis size.
     """
     from ..ops.sst import _reassigned_power
@@ -780,7 +790,7 @@ def sharded_pac(sigs_r, bank_phase_r, bank_amp_r, *, mesh: Mesh,
     replicated.  Epochs shard over ``data``; per-epoch comodulograms
     (``ops.connectivity.pac_from_banks``) accumulate locally under a scan,
     then one ``pmean`` over ``data`` completes the epoch mean.  The output
-    stays sharded on the phase-frequency axis.  E must divide the ``data``
+    stays sharded on the phase-frequency axis.  E must be divisible by the ``data``
     axis size and Fp the ``freq`` axis size.
     """
     from ..ops.connectivity import pac_mean_from_banks
@@ -868,7 +878,8 @@ def sharded_fused_coherence(sigs_a, sigs_b, bank_r, *, mesh: Mesh,
         xr, xi, pa, pb = (lax.pmean(x / e, DATA_AXIS) for x in sums)
         # pmean of sums/e == global sums / E_total / n_data; the ratio in
         # coherence_from_sums is scale-invariant in that common factor.
-        return coherence_from_sums(xr, xi, pa, pb, 1, eps)
+        return coherence_from_sums(xr, xi, pa, pb, 1, eps,
+                                   vma_axes=(FREQ_AXIS,))
 
     out_spec = P(*([None] * (sigs_a.ndim - 2)), FREQ_AXIS, None)
     return jax.shard_map(local, mesh=mesh,
@@ -888,7 +899,7 @@ def sharded_fused_power_itc(signals_r, bank_r, bank_i=None, *, mesh: Mesh,
     ``data``, bank rows over ``freq``; all three epoch sums are linear, so
     one ``pmean`` each over ``data`` completes them and the division by
     the LOCAL epoch count finishes the global means.  Same constraints as
-    ``sharded_fused_mean_power``; E must divide the ``data`` axis size.
+    ``sharded_fused_mean_power``; E must be divisible by the ``data`` axis size.
     """
     from ..ops.fused import _power_itc_sums
 
@@ -1228,6 +1239,15 @@ def sharded_tf_decode(xa, xb, *, mesh: Mesh, n_folds: int = 5,
 _SHARDED_FN_CACHE: dict = {}
 
 
+def _cache_put(key, fn):
+    """Bounded insert: a sweep over many distinct configs must not
+    accumulate live jitted shard_map wrappers without limit (the
+    65530-memory-mapping ceiling class — CLAUDE.md)."""
+    if len(_SHARDED_FN_CACHE) > 64:
+        _SHARDED_FN_CACHE.clear()
+    _SHARDED_FN_CACHE[key] = fn
+
+
 def sharded_hmm_fit(x, *, mesh: Mesh, n_states: int, n_iter: int = 50,
                     stickiness: float = 0.9, seed: int = 0):
     """Mesh-parallel ``ops.hmm.hmm_fit``: sequences shard over the data
@@ -1237,7 +1257,7 @@ def sharded_hmm_fit(x, *, mesh: Mesh, n_states: int, n_iter: int = 50,
     different f32 reduction order.  Decoded ``gamma``/``states`` come
     back sharded over sequences; parameters are replicated.
 
-    ``B`` must divide by the data-axis size.
+    ``B`` must be divisible by the data-axis size.
     """
     from ..ops.hmm import (_VAR_FLOOR, _e_step, _init_params,
                            _viterbi_jit_body)
@@ -1247,7 +1267,7 @@ def sharded_hmm_fit(x, *, mesh: Mesh, n_states: int, n_iter: int = 50,
     b, t, d = x.shape
     ndata = mesh.shape[DATA_AXIS]
     if b % ndata:
-        raise ValueError(f"B={b} must divide by the data axis ({ndata})")
+        raise ValueError(f"B={b} must be divisible by the data axis ({ndata})")
     k = int(n_states)
 
     # init must be mesh-invariant: computed once from the full block
@@ -1299,7 +1319,7 @@ def sharded_hmm_fit(x, *, mesh: Mesh, n_states: int, n_iter: int = 50,
         local, mesh=mesh,
         in_specs=(P(DATA_AXIS), rep, rep, rep, rep),
         out_specs=(rep, rep, rep, rep, P(DATA_AXIS), P(DATA_AXIS), rep)))
-    _SHARDED_FN_CACHE[cache_key] = fn
+    _cache_put(cache_key, fn)
     out = fn(x, pi0, a0, means0, var0)
     from ..ops.hmm import HMMResult
     return HMMResult(*out)
@@ -1315,16 +1335,18 @@ def sharded_fastica(x, *, mesh: Mesh, n_components: int | None = None,
     covariance, the nonlinearity moment matmuls, and the derivative
     means are each one ``psum``; the K x K eigendecompositions run
     replicated.  Returns an ``ICAResult`` whose ``sources`` are sharded
-    over time; ``N`` must divide by the data-axis size.
+    over time; ``N`` must be divisible by the data-axis size.
     """
-    from ..ops.ica import (ICAResult, _g, _sym_decorrelate)
+    from ..ops.ica import (ICAResult, _finalize_components,
+                           _ica_step, _sym_decorrelate,
+                           _whiten_from_cov)
     x = jnp.asarray(x, jnp.float32)
     if x.ndim != 2:
         raise ValueError("expected (channels, samples)")
     c, n = x.shape
     ndata = mesh.shape[DATA_AXIS]
     if n % ndata:
-        raise ValueError(f"N={n} must divide by the data axis ({ndata})")
+        raise ValueError(f"N={n} must be divisible by the data axis ({ndata})")
     k = c if n_components is None else int(n_components)
     if not (1 <= k <= c):
         raise ValueError("n_components must be in [1, channels]")
@@ -1339,46 +1361,31 @@ def sharded_fastica(x, *, mesh: Mesh, n_components: int | None = None,
         return ICAResult(*_SHARDED_FN_CACHE[cache_key](x, w_init))
 
     def local(xl, w0):
+        # only the two data-axis moments differ from ops.ica: they
+        # complete with psum; whitening, the fixed-point step algebra,
+        # and the order/sign conventions are the SHARED helpers
         mean = lax.psum(jnp.sum(xl, axis=1), DATA_AXIS) / n
         xc = xl - mean[:, None]
         cov = lax.psum(jnp.matmul(xc, xc.T, precision=hi), DATA_AXIS) / n
-        s, e = jnp.linalg.eigh(cov)
-        s_top = s[-k:][::-1]
-        e_top = e[:, -k:][:, ::-1]
-        whiten = (e_top / jnp.sqrt(jnp.maximum(s_top, 1e-12))).T
-        z = jnp.matmul(whiten, xc, precision=hi)
+        whiten, z, e_top, s_top = _whiten_from_cov(cov, xc, k, hi)
 
         def step(w, _):
-            u = jnp.matmul(w, z, precision=hi)
-            gu, gpu = _g(u, fun)
-            m = lax.psum(jnp.matmul(gu, z.T, precision=hi), DATA_AXIS)
-            gp = lax.psum(jnp.sum(gpu, axis=1), DATA_AXIS)
-            w_new = _sym_decorrelate(m / n - (gp / n)[:, None] * w)
-            conv = jnp.max(jnp.abs(1.0 - jnp.abs(
-                jnp.sum(w_new * w, axis=1))))
-            return w_new, conv
+            return _ica_step(
+                w, z, fun, n,
+                reduce_m=lambda m: lax.psum(m, DATA_AXIS),
+                reduce_gp=lambda g: lax.psum(g, DATA_AXIS),
+                precision=hi)
 
         w, conv = lax.scan(step, w0, None, length=int(n_iter))
-        unmixing = jnp.matmul(w, whiten, precision=hi)
-        mixing = e_top * jnp.sqrt(jnp.maximum(s_top, 1e-12)) @ w.T
-        power = jnp.sum(mixing * mixing, axis=0)
-        order = jnp.argsort(-power)
-        unmixing = unmixing[order]
-        mixing = mixing[:, order]
-        flip = jnp.sign(jnp.take_along_axis(
-            mixing, jnp.argmax(jnp.abs(mixing), axis=0)[None, :],
-            axis=0))[0]
-        flip = jnp.where(flip == 0, 1.0, flip)
-        unmixing = unmixing * flip[:, None]
-        mixing = mixing * flip[None, :]
-        sources = jnp.matmul(unmixing, xc, precision=hi)
+        unmixing, mixing, sources = _finalize_components(
+            w, whiten, e_top, s_top, xc, hi)
         return unmixing, mixing, mean, sources, conv
 
     rep = P()
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=(P(None, DATA_AXIS), rep),
         out_specs=(rep, rep, rep, P(None, DATA_AXIS), rep)))
-    _SHARDED_FN_CACHE[cache_key] = fn
+    _cache_put(cache_key, fn)
     return ICAResult(*fn(x, w_init))
 
 
@@ -1387,7 +1394,7 @@ def sharded_covariance(x, *, mesh: Mesh) -> jnp.ndarray:
     data axis; each shard accumulates its per-epoch-centered (C, C)
     covariance sum and ONE ``psum`` pools them — bit-identical to the
     single-device pooled estimate (per-epoch statistics make the shard
-    split exact, no cross-shard moments).  E must divide by the data
+    split exact, no cross-shard moments).  E must be divisible by the data
     axis."""
     x = jnp.asarray(x, jnp.float32)
     if x.ndim != 3:
@@ -1395,21 +1402,28 @@ def sharded_covariance(x, *, mesh: Mesh) -> jnp.ndarray:
     e, c, n = x.shape
     ndata = mesh.shape[DATA_AXIS]
     if e % ndata:
-        raise ValueError(f"E={e} must divide by the data axis ({ndata})")
+        raise ValueError(f"E={e} must be divisible by the data axis ({ndata})")
     hi = lax.Precision.HIGHEST
 
-    cache_key = ("spatial_cov", mesh, x.shape)
+    # keyed on the MESH only: the local fn reads shapes off its shard
+    # (global E = local * ndata is trace-static), so jit's own per-shape
+    # cache handles new (E, C, N) without a new wrapper per shape — a
+    # shape-keyed entry per sweep point was a live-executable leak (the
+    # 65530-mapping-ceiling class, CLAUDE.md)
+    cache_key = ("spatial_cov", mesh)
     if cache_key not in _SHARDED_FN_CACHE:
         def local(xl):
+            el, cl, nl = xl.shape
             xc = xl - jnp.mean(xl, axis=2, keepdims=True)
             # flat (C, E_local*N) matmul — see ops.spatial.covariance
-            y = xc.transpose(1, 0, 2).reshape(c, -1)
+            y = xc.transpose(1, 0, 2).reshape(cl, -1)
             s = jnp.matmul(y, y.T, precision=hi)
-            return lax.psum(s, DATA_AXIS) / jnp.float32(e * (n - 1))
+            return lax.psum(s, DATA_AXIS) / jnp.float32(
+                el * ndata * (nl - 1))
 
-        _SHARDED_FN_CACHE[cache_key] = jax.jit(jax.shard_map(
+        _cache_put(cache_key, jax.jit(jax.shard_map(
             local, mesh=mesh, in_specs=(P(DATA_AXIS, None, None),),
-            out_specs=P()))
+            out_specs=P())))
     return _SHARDED_FN_CACHE[cache_key](x)
 
 

@@ -422,6 +422,36 @@ class TestShardedCrossSignal:
                                                interpolate=True))
         np.testing.assert_allclose(got, 1.0, atol=1e-3)
 
+    def test_dead_freq_shard_matches_single_device(self):
+        """A frequency shard whose bank rows are ALL dead (zero spectral
+        support — a Bump bank outside its band) must return coherence 0
+        there, like the single-device path: the relative denominator
+        floor's max must complete globally over the freq axis, or the
+        dead shard floors against eps*0 and emits 0/0 NaN (r5 review
+        finding)."""
+        from ninwavelets_tpu.ops.extensions import (
+            epoch_coherence_from_bank, imcoh_from_bank)
+        sa, sb, bank = self._pair()
+        bank = np.array(bank)                # writable copy
+        nf = bank.shape[0]
+        bank[nf // 2:] = 0.0                 # second freq shard all dead
+        bank = jnp.asarray(bank)
+        mesh = par.auto_mesh()
+        got = np.asarray(par.sharded_coherence(sa, sb, bank, mesh=mesh,
+                                               interpolate=True))
+        want = np.asarray(jax.jit(
+            lambda a, b, bk: epoch_coherence_from_bank(a, b, bk, True)
+        )(sa, sb, bank))
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+        gi = np.asarray(par.sharded_imcoh(sa, sb, bank, mesh=mesh,
+                                          interpolate=True))
+        wi = np.asarray(jax.jit(
+            lambda a, b, bk: imcoh_from_bank(a, b, bk, True)
+        )(sa, sb, bank))
+        assert np.isfinite(gi).all()
+        np.testing.assert_allclose(gi, wi, rtol=1e-3, atol=1e-5)
+
 
 def test_sharded_fused_complex_bank_interpret():
     """The fused per-shard kernel with a complex (Twice-mode) bank on the
