@@ -71,6 +71,11 @@ def main():
     b = np.asarray(power2d(imgs[0][:2], f2, use_fft=True))
     print("cwt2d parity vs fft: %.2e" % (np.abs(a - b).max() / b.max()),
           flush=True)
+    # Warm at the MEASURED batch shape — the parity check above compiled
+    # only the (2, H, W) program; without this the loop below averages a
+    # full (8, H, W) compile into every call (measured 606 ms/call cold
+    # vs 0.20 ms warm on 2026-08-21).
+    jax.block_until_ready(power2d(imgs[0], f2))
     t0 = time.perf_counter()
     outs = [power2d(im, f2) for im in imgs]
     jax.block_until_ready(outs)
