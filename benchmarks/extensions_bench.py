@@ -46,7 +46,20 @@ def main():
         print(json.dumps(row), flush=True)
 
     def t(fn, x0, iters=10):
-        """Chained steady-state timing: two passes, second reported."""
+        """Chained steady-state timing: two passes, second reported.
+
+        The chain term must BOTH (a) depend on the previous output (so
+        no call can be elided or reordered past the trailing fetch) and
+        (b) change the input *values* every iteration — float32 cannot
+        represent 1 + 1e-12, so the old 1e-12 perturbation produced
+        value-identical arrays that the axon runtime may serve from its
+        identical-call cache (measurement-integrity notes, CLAUDE.md).
+        1e-6 * sign(lead) + 1e-5 * k is representable near 1
+        (eps(1) ~ 1.2e-7) and varies per iteration; sign() bounds the
+        data-dependent term for arbitrarily large outputs while keeping
+        the dependency, and the ~1e-5 relative input perturbation is
+        timing-neutral (all ops here are data-independent in cost).
+        """
         out = fn(x0)
         jax.block_until_ready(out)
         best = None
@@ -56,7 +69,8 @@ def main():
             for k in range(iters):
                 out = fn(x)
                 lead = jax.tree.leaves(out)[0]
-                x = x0 * (1.0 + 1e-12 * lead.ravel()[0])
+                x = x0 * (1.0 + 1e-6 * jnp.sign(lead.ravel()[0])
+                          + 1e-5 * (k + 1))
             float(jax.tree.leaves(out)[0].ravel()[0])
             best = (time.perf_counter() - t0) / iters
         return best
@@ -238,28 +252,20 @@ def main():
     bank_md = jnp.asarray(np.asarray(make_fft_bank(
         morse._wdef(), jnp.asarray(md_freqs), n, sfreq, True), np.float32))
     tt = np.arange(n) / sfreq
-    # pipelined over DISTINCT inputs with one trailing sync — the
-    # per-call scalar fetch other styles pay costs ~30 ms over the axon
-    # tunnel, which swamps this ~3 ms call (the old 131 signal-s/s row
-    # was measuring tunnel round trips, not compute)
-    mk11 = lambda: [jnp.asarray((np.sin(2 * np.pi * 40 * tt)
-                                 + 0.6 * np.sin(2 * np.pi * 90 * tt)
-                                 + 0.01 * rng.standard_normal(n)
-                                 ).astype(np.float32))
-                    for _ in range(20)]
+    # chained t() harness: t() fetches ONE scalar after the whole loop,
+    # so the ~30 ms per-fetch tunnel RTT that broke the old per-call
+    # style is amortized over iters — and unlike an unchained pipelined
+    # loop, the chain defeats the runtime's queued-dispatch early ack
+    # (ROOFLINE.md "Measurement integrity" item 4).
+    sig_md = jnp.asarray((np.sin(2 * np.pi * 40 * tt)
+                          + 0.6 * np.sin(2 * np.pi * 90 * tt)
+                          + 0.01 * rng.standard_normal(n)
+                          ).astype(np.float32))
     fmd = lambda s: extract_modes_ri(s, bank_md, n_modes=2,
                                      interpolate=True)[0]
-    jax.block_until_ready(fmd(mk11()[0]))
-    best_md = None
-    for _ in range(2):
-        batch11 = mk11()        # FRESH inputs every repetition: repeat
-        t0md = time.perf_counter()          # calls on identical buffers
-        outs = [fmd(s) for s in batch11]    # can be served from cache
-        jax.block_until_ready(outs)
-        dmd = (time.perf_counter() - t0md) / len(batch11)
-        best_md = dmd if best_md is None else min(best_md, dmd)
+    dmd = t(fmd, sig_md, iters=20)
     record(op="extract_modes_2",
-           signal_s_per_s=round(n / sfreq / best_md, 1),
+           signal_s_per_s=round(n / sfreq / dmd, 1),
            config=dict(f=len(md_freqs), n=n, modes=2))
 
     # --- fused training loop (learn_bank) -----------------------------------
@@ -519,25 +525,41 @@ def main():
     from ninwavelets_tpu.ops.cwt2d import power2d
     from ninwavelets_tpu.ops.dwt2d import wavedec2, waverec2
     f2 = (0.03, 0.06, 0.12, 0.24)
-    # pipelined over distinct images (this call is sub-millisecond on
-    # the matmul path — the chained t() helper's per-iter dispatch RTT
-    # over the tunnel is ~30 ms and would swamp it)
-    mk2d = lambda: [jnp.asarray(rng.standard_normal((8, 256, 256))
-                                .astype(np.float32)) for _ in range(20)]
-    img_list = mk2d()
-    jax.block_until_ready(power2d(img_list[0], f2))
-    best2d = None
-    for _ in range(2):
-        batch2d = mk2d()        # fresh inputs per repetition (see above)
-        t02d = time.perf_counter()
-        outs2d = [power2d(im, f2) for im in batch2d]
-        jax.block_until_ready(outs2d)
-        d2d = (time.perf_counter() - t02d) / len(batch2d)
-        best2d = d2d if best2d is None else min(best2d, d2d)
+    # CHAINED harness only (2026-08-21): an unchained pipelined loop
+    # over distinct fresh images + block_until_ready measured 0.11-0.14
+    # ms/call (> 250 TF/s, above the chip's bf16 peak — physically
+    # impossible; the runtime acks before execution completes, the same
+    # effect the int8 study hit in r2).  Chaining each call's output
+    # into the next call's input + one trailing scalar fetch measures
+    # 2.8-3.0 ms/call steady-state.  The retracted r5 "667 MP/s" row
+    # used the unchained harness; ROOFLINE.md has the corrected model.
+    imgs = jnp.asarray(rng.standard_normal((8, 256, 256))
+                       .astype(np.float32))
+    d2d = t(lambda x: power2d(x, f2), imgs, iters=10)
     record(op="cwt2d_power_8x256x256_4f6o",
-           megapixel_per_s=round(8 * 256 * 256 / best2d / 1e6, 1),
+           megapixel_per_s=round(8 * 256 * 256 / d2d / 1e6, 1),
            config=dict(batch=8, hw=256, f=4, orientations=6))
-    imgs = img_list[0]
+    # Sustained big-batch rate (marginal cost per extra 160-image call
+    # in a K-chained run; fetch + dispatch amortized): what a bulk user
+    # sees.  K=1 vs K=5 difference isolates the fixed ~25 ms fetch RTT.
+    big = jnp.asarray(rng.standard_normal((160, 256, 256))
+                      .astype(np.float32))
+    float(power2d(big, f2).mean())        # warm the (160,...) program
+    walls = []
+    for K in (1, 5):
+        s = jnp.float32(0.0)
+        xs = [big * (1.0 + 1e-5 * (K + i)) for i in range(K)]
+        jax.block_until_ready(xs)
+        t0 = time.perf_counter()
+        for x in xs:
+            s = s + power2d(x, f2).mean()
+        float(s)
+        walls.append(time.perf_counter() - t0)
+    d_marg = (walls[1] - walls[0]) / 4.0
+    record(op="cwt2d_power_sustained_160imgs",
+           megapixel_per_s=round(160 * 256 * 256 / d_marg / 1e6, 1),
+           config=dict(batch=160, hw=256, f=4, orientations=6,
+                       note="marginal per-call rate, K-chained"))
     d = t(lambda x: waverec2(wavedec2(x, "db4", level=4), "db4"), imgs,
           iters=5)
     record(op="dwt2d_roundtrip_8x256x256_l4",
