@@ -46,31 +46,29 @@ def main():
         print(json.dumps(row), flush=True)
 
     def t(fn, x0, iters=10):
-        """Chained steady-state timing: two passes, second reported.
+        """Steady-state timing: two passes, second reported.
 
-        The chain term must BOTH (a) depend on the previous output (so
-        no call can be elided or reordered past the trailing fetch) and
-        (b) change the input *values* every iteration — float32 cannot
-        represent 1 + 1e-12, so the old 1e-12 perturbation produced
-        value-identical arrays that the axon runtime may serve from its
-        identical-call cache (measurement-integrity notes, CLAUDE.md).
-        1e-6 * sign(lead) + 1e-5 * k is representable near 1
-        (eps(1) ~ 1.2e-7) and varies per iteration; sign() bounds the
-        data-dependent term for arbitrarily large outputs while keeping
-        the dependency, and the ~1e-5 relative input perturbation is
-        timing-neutral (all ops here are data-independent in cost).
+        Honesty on the tunneled runtime (ROOFLINE.md "Measurement
+        integrity"): the device executes dispatched programs IN ORDER,
+        and a trailing *value* fetch of the last output is a real
+        barrier for everything queued before it (probe 2026-08-21:
+        last-fetch 3.0-3.5 ms/call == sum-of-all-outputs-fetch 3.6-4.6
+        on the cwt2d call, vs 0.11 ms for the dishonest
+        block_until_ready-terminated queue).  Each iteration perturbs
+        the input VALUES with a representable, never-repeating factor
+        (float32 cannot represent 1+1e-12 — the original chain term
+        was value-identical and cache-servable), with the pass index
+        folded in so the second pass never replays the first pass's
+        values.  The ~1e-5 relative perturbation is timing-neutral
+        (every op here is data-independent in cost).
         """
         out = fn(x0)
         jax.block_until_ready(out)
         best = None
-        for _ in range(2):
-            x = x0
+        for p in range(2):
             t0 = time.perf_counter()
             for k in range(iters):
-                out = fn(x)
-                lead = jax.tree.leaves(out)[0]
-                x = x0 * (1.0 + 1e-6 * jnp.sign(lead.ravel()[0])
-                          + 1e-5 * (k + 1))
+                out = fn(x0 * (1.0 + 1e-5 * (p * iters + k + 1)))
             float(jax.tree.leaves(out)[0].ravel()[0])
             best = (time.perf_counter() - t0) / iters
         return best
@@ -545,17 +543,26 @@ def main():
     big = jnp.asarray(rng.standard_normal((160, 256, 256))
                       .astype(np.float32))
     float(power2d(big, f2).mean())        # warm the (160,...) program
-    walls = []
-    for K in (1, 5):
-        s = jnp.float32(0.0)
-        xs = [big * (1.0 + 1e-5 * (K + i)) for i in range(K)]
-        jax.block_until_ready(xs)
-        t0 = time.perf_counter()
-        for x in xs:
-            s = s + power2d(x, f2).mean()
-        float(s)
-        walls.append(time.perf_counter() - t0)
-    d_marg = (walls[1] - walls[0]) / 4.0
+    walls = {}
+    # Two passes over the (1, 5) pair — the FIRST timing loop in a
+    # fresh region is inflated (integrity item 3); the second pass's
+    # K=1/K=5 difference isolates the marginal per-call cost with the
+    # fixed fetch RTT cancelled.  seq index keeps values never-repeating.
+    seq = 0
+    for p in range(2):
+        for K in (1, 5):
+            s = jnp.float32(0.0)
+            xs = []
+            for _ in range(K):
+                seq += 1
+                xs.append(big * (1.0 + 1e-5 * seq))
+            jax.block_until_ready(xs)
+            t0 = time.perf_counter()
+            for x in xs:
+                s = s + power2d(x, f2).mean()
+            float(s)
+            walls[K] = time.perf_counter() - t0
+    d_marg = (walls[5] - walls[1]) / 4.0
     record(op="cwt2d_power_sustained_160imgs",
            megapixel_per_s=round(160 * 256 * 256 / d_marg / 1e6, 1),
            config=dict(batch=160, hw=256, f=4, orientations=6,
